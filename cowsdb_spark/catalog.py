@@ -1,0 +1,62 @@
+"""Table registration over the driver-generated parquet testdata.
+
+Reference equivalent: per-session on-disk ClickHouse catalogs
+(main.py:140-173). Here tables are parquet-backed temp views; at
+100 TB these would be external Parquet/Iceberg tables partitioned on
+their natural keys — the query code is identical either way because
+everything goes through ``spark.table``/view names.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# The driver's star schema + pipeline tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata parquet table, normalizing exotic types.
+
+    The driver's ``events`` table stores ``ts`` as parquet
+    TIMESTAMP(NANOS), which Spark's vectorized reader rejects
+    ([PARQUET_TYPE_ILLEGAL]). We read it via the documented escape
+    hatch ``spark.sql.legacy.parquet.nanosAsLong`` and truncate
+    ns → µs exactly like DuckDB/Arrow do, so oracle comparisons see
+    identical second/microsecond values.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register each parquet table as a temp view named after it.
+
+    Idempotent; cheap (schema-only read at registration — Catalyst
+    prunes columns and pushes filters into the parquet scan at query
+    time, so registering all tables costs nothing per-query).
+    """
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,126 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, per the 100 TB design brief:
+
+- ``cosine_topk`` — brute-force exact top-k against one query vector.
+  The query vector side is a 1-row broadcast; the scan side streams,
+  so the plan is scan → broadcast-nested-loop (1 row) → project →
+  TakeOrderedAndProject. No shuffle of the big side at any scale.
+- ``lsh_bucket_join`` — random-hyperplane LSH: each vector hashed to
+  a small signature; candidate pairs only form within equal-signature
+  buckets (an equi-join on the bucket key), turning the O(n²) pair
+  space into per-bucket blocks. This is the scale path for
+  all-pairs similarity: the only shuffle is the bucket-key
+  repartition, which is exactly the co-location the join needs.
+
+All arithmetic is JVM-side (``zip_with``/``aggregate`` higher-order
+functions), computed in double so results match a double-precision
+oracle bit-for-bit at equal summation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _to_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right double dot product (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    a, b = _to_double(a), _to_double(b)
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Exact top-k nearest neighbors of one stored vector by cosine.
+
+    Columns out: (vec_id, sim). The query row is broadcast, so the
+    big side is a single pass with no shuffle; ORDER BY+LIMIT plans
+    as TakeOrderedAndProject (per-partition heaps, no global sort).
+    """
+    q = emb.filter(F.col(id_col) == query_vec_id).select(F.col(vec_col).alias("_qv"))
+    sim = cosine(F.col(vec_col), F.col("_qv"))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    return (
+        emb.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.desc("sim"), id_col)
+        .limit(k)
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (numpy, fixed seed)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-of-projection bit signature as a compact string key."""
+    bits = [
+        F.when(dot(_to_double(vec), F.array(*[F.lit(float(w)) for w in plane])) >= 0, "1")
+        .otherwise("0")
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_bucket_join(
+    emb: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_sim: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-neighbor pairs via random-hyperplane LSH.
+
+    Output: (id_a, id_b, sim) for pairs sharing an LSH bucket with
+    cosine >= min_sim, id_a < id_b. Shuffles only on the bucket key
+    (the equi-join key), never forms the full cross product.
+    """
+    planes = random_hyperplanes(dim, n_planes, seed)
+    sig = emb.select(
+        F.col(id_col), F.col(vec_col), lsh_signature(F.col(vec_col), planes).alias("_bucket")
+    )
+    a = sig.select(
+        F.col("_bucket"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+    )
+    b = sig.select(
+        F.col("_bucket"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+    )
+    pairs = a.join(b, on="_bucket").filter(F.col("id_a") < F.col("id_b"))
+    sim = cosine(F.col("_va"), F.col("_vb")).alias("sim")
+    return (
+        pairs.select("id_a", "id_b", F.round(sim, 6).alias("sim"))
+        .filter(F.col("sim") >= min_sim)
+    )

@@ -1,0 +1,777 @@
+"""Conformance query registry — SURVEY.md §2.12 adapted to the real
+testdata schemas (TESTDATA.md; see schema probe notes below), plus
+the LLM-data-pipeline extension operators (SURVEY.md §7 phase G).
+
+Each entry pairs an idiomatic-Spark DataFrame builder with the
+ANSI/DuckDB oracle SQL the driver hash-matches at sf0.01. Naming
+rules (driver contract):
+
+- every computed column is aliased IDENTICALLY on both sides;
+- every float produced by arithmetic/aggregation is ``round``-ed the
+  same way on both sides (summation order differs between engines);
+- integer-ish results are cast so Spark/DuckDB wire types line up
+  (Spark ``count`` is long = DuckDB BIGINT, but DuckDB ``SUM(int)``
+  is HUGEINT, ``length()`` is BIGINT, Spark ``row_number`` is int —
+  each is explicitly cast below).
+
+Schema deltas vs FIXTURES.md discovered by probing the parquet:
+``lineitem`` has no ``l_shipmode`` and ``l_shipdate`` is TIMESTAMP;
+``customer`` has no ``c_phone`` (has ``c_mktsegment``); ``orders``
+dates are TIMESTAMP; ``events`` has ``value``/``props`` (not
+``val``), ts range 2024-01; ``documents(doc_id,text,lang,source,
+n_chars)``; ``embeddings(vec_id, embedding float[64], label)``.
+
+Reference evidence for each operator: SURVEY.md §2 table rows cited
+per query as [P#/A#/J#/O#/S#] (file:line citations live in SURVEY).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # None → driver does rows-only check
+    doc: str = ""
+
+
+_REGISTRY: dict[str, QueryDef] = {}
+
+
+def qdef(name: str, oracle: Optional[str], doc: str = ""):
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        _REGISTRY[name] = QueryDef(name, fn, oracle, doc)
+        return fn
+
+    return wrap
+
+
+def registry() -> dict[str, QueryDef]:
+    return dict(_REGISTRY)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------- literals
+
+
+@qdef(
+    "q01_literals",
+    "SELECT 1 AS num, 'hello' AS str, 3.14 AS pi",
+    "[P1,P2] literal projection (ref test_suite.py:141-146)",
+)
+def q01(spark, sf_dir):
+    return spark.sql("SELECT 1 AS num, 'hello' AS str, 3.14 AS pi")
+
+
+@qdef(
+    "q02_numbers",
+    "SELECT range AS number, range * 2 AS d, range % 2 AS m, "
+    "ROUND(range * CAST(1.5 AS DOUBLE), 2) AS f FROM range(10) ORDER BY number",
+    "[S2,P3] numbers(N) virtual table + arithmetic (ref test_suite.py:323-336)",
+)
+def q02(spark, sf_dir):
+    n = spark.range(10).withColumnRenamed("id", "number")
+    return (
+        n.select(
+            "number",
+            (F.col("number") * 2).alias("d"),
+            (F.col("number") % 2).alias("m"),
+            F.round(F.col("number") * 1.5, 2).alias("f"),
+        ).orderBy("number")
+    )
+
+
+@qdef(
+    "q03_edge_ints",
+    "SELECT 0 AS a, 255 AS b, 65535 AS c, 4294967295 AS d",
+    "[P1] unsigned edge values (ref test_suite.py:355-361)",
+)
+def q03(spark, sf_dir):
+    return spark.sql("SELECT 0 AS a, 255 AS b, 65535 AS c, 4294967295 AS d")
+
+
+# ---------------------------------------------------------------- aggregation
+
+
+@qdef(
+    "q04_count",
+    "SELECT COUNT(*) AS c FROM lineitem",
+    "[S1,A1] full-scan count (ref test.yml:53)",
+)
+def q04(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("c"))
+
+
+@qdef(
+    "q05_filtered_agg",
+    "SELECT ROUND(SUM(l_quantity), 2) AS sum_qty, ROUND(AVG(l_extendedprice), 2) AS avg_price, "
+    "MIN(l_discount) AS min_disc, MAX(l_tax) AS max_tax "
+    "FROM lineitem WHERE l_quantity < 25",
+    "[A2,P9] filtered sum/avg/min/max (ClickBench Q2/Q6 shape)",
+)
+def q05(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_quantity") < 25).agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        F.min("l_discount").alias("min_disc"),
+        F.max("l_tax").alias("max_tax"),
+    )
+
+
+@qdef(
+    "q06_count_distinct",
+    "SELECT COUNT(DISTINCT l_suppkey) AS u FROM lineitem",
+    "[A3] exact distinct / uniqExact (ClickBench Q4-Q5)",
+)
+def q06(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").agg(F.countDistinct("l_suppkey").alias("u"))
+
+
+@qdef(
+    "q07_group_topk",
+    "SELECT l_returnflag, l_linestatus, COUNT(*) AS c, ROUND(SUM(l_quantity), 2) AS q "
+    "FROM lineitem GROUP BY l_returnflag, l_linestatus "
+    "ORDER BY c DESC, l_returnflag, l_linestatus LIMIT 10",
+    "[A5,O1,O3] multi-key group + top-k (ClickBench Q7-Q18; Spark plans TakeOrderedAndProject)",
+)
+def q07(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("c"), F.round(F.sum("l_quantity"), 2).alias("q"))
+        .orderBy(F.desc("c"), "l_returnflag", "l_linestatus")
+        .limit(10)
+    )
+
+
+@qdef(
+    "q08_group_by_expr",
+    "SELECT CAST(strftime(o_orderdate, '%Y%m') AS INTEGER) AS ym, COUNT(*) AS c "
+    "FROM orders GROUP BY 1 ORDER BY ym",
+    "[A6] group by expression, CH toYYYYMM (ref test.yml:49; ClickBench Q18/Q42)",
+)
+def q08(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_format("o_orderdate", "yyyyMM").cast("int").alias("ym"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("ym")
+    )
+
+
+@qdef(
+    "q09_like_having",
+    "SELECT p_brand, COUNT(*) AS c FROM part WHERE p_type LIKE '%BRASS%' "
+    "GROUP BY p_brand HAVING COUNT(*) > 5 ORDER BY c DESC, p_brand",
+    "[P6,P10] LIKE + HAVING (ClickBench Q20-Q23, Q27-Q28)",
+)
+def q09(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_type").like("%BRASS%"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 5)
+        .orderBy(F.desc("c"), "p_brand")
+    )
+
+
+@qdef(
+    "q10_case",
+    "SELECT o_orderkey, CASE WHEN o_totalprice > 100000 THEN 'big' ELSE 'small' END AS sz "
+    "FROM orders ORDER BY o_orderkey LIMIT 100",
+    "[P5] CASE WHEN / CH ternary (ref index.html:729; ClickBench Q39)",
+)
+def q10(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.when(F.col("o_totalprice") > 100000, "big").otherwise("small").alias("sz"),
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------- joins
+
+
+@qdef(
+    "q11_inner_join",
+    "SELECT n_name, COUNT(*) AS c FROM customer JOIN nation ON c_nationkey = n_nationkey "
+    "GROUP BY n_name ORDER BY c DESC, n_name",
+    "[J1] inner equi-join, broadcast dim (SURVEY §2.3; delegated tier [D])",
+)
+def q11(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner")
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "n_name")
+    )
+
+
+@qdef(
+    "q12_left_join",
+    "SELECT c_custkey, COUNT(o_orderkey) AS c FROM customer "
+    "LEFT JOIN orders ON c_custkey = o_custkey "
+    "GROUP BY c_custkey ORDER BY c DESC, c_custkey LIMIT 50",
+    "[J2] left outer join keeping zero-order customers",
+)
+def q12(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c"))
+        .orderBy(F.desc("c"), "c_custkey")
+        .limit(50)
+    )
+
+
+@qdef(
+    "q13_anti_join",
+    "SELECT COUNT(*) AS c FROM customer "
+    "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)",
+    "[J4] anti join (CH LEFT ANTI JOIN)",
+)
+def q13(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti").agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+@qdef(
+    "q14_star_join",
+    "SELECT r_name, n_name, ROUND(SUM(o_totalprice), 2) AS rev "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey "
+    "GROUP BY r_name, n_name ORDER BY rev DESC, r_name, n_name",
+    "[J1×3] 3-way star join; dims broadcast so the fact table never shuffles for the join",
+)
+def q14(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+        .orderBy(F.desc("rev"), "r_name", "n_name")
+    )
+
+
+# ---------------------------------------------------------------- set ops / windows
+
+
+@qdef(
+    "q15_intersect",
+    "SELECT x FROM (SELECT l_suppkey AS x FROM lineitem "
+    "INTERSECT SELECT s_suppkey AS x FROM supplier) t ORDER BY x LIMIT 20",
+    "[2.6] INTERSECT set op",
+)
+def q15(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("x"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("x"))
+    return li.intersect(s).orderBy("x").limit(20)
+
+
+@qdef(
+    "q16_window_rank",
+    "SELECT o_custkey, o_orderkey, rn FROM ("
+    "  SELECT o_custkey, o_orderkey, CAST(ROW_NUMBER() OVER ("
+    "    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn"
+    "  FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn LIMIT 100",
+    "[2.7] ranking window / CH LIMIT BY equivalent",
+)
+def q16(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.select("o_custkey", "o_orderkey", F.row_number().over(w).cast("long").alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+        .limit(100)
+    )
+
+
+@qdef(
+    "q17_running_sum",
+    "SELECT o_orderkey, ROUND(SUM(o_totalprice) OVER ("
+    "ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run "
+    "FROM orders ORDER BY o_orderkey LIMIT 100",
+    "[2.7] running aggregate frame",
+)
+def q17(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = W.orderBy("o_orderkey").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        o.select("o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("run"))
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+@qdef(
+    "q18_rollup",
+    "SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls, "
+    "ROUND(SUM(l_quantity), 2) AS q FROM lineitem "
+    "GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls",
+    "[A9] ROLLUP grouping sets",
+)
+def q18(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("q"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "q",
+        )
+        .orderBy("rf", "ls")
+    )
+
+
+@qdef(
+    "q19_offset",
+    "SELECT l_orderkey, l_linenumber FROM lineitem "
+    "ORDER BY l_orderkey, l_linenumber LIMIT 10 OFFSET 100",
+    "[O4] offset pagination (ClickBench Q38-Q42)",
+)
+def q19(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+        .offset(100)
+        .limit(10)
+    )
+
+
+@qdef(
+    "q20_distinct",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem "
+    "ORDER BY l_returnflag, l_linestatus",
+    "[O5] DISTINCT",
+)
+def q20(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct().orderBy(
+        "l_returnflag", "l_linestatus"
+    )
+
+
+# ---------------------------------------------------------------- scalar funcs
+
+
+@qdef(
+    "q21_date_trunc",
+    "SELECT date_trunc('minute', ts) AS m, COUNT(*) AS c FROM events "
+    "GROUP BY 1 ORDER BY m LIMIT 100",
+    "[2.9 dates] date bucketing (ClickBench Q42 / CH toStartOfMinute)",
+)
+def q21(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("minute", "ts").alias("m"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("m")
+        .limit(100)
+    )
+
+
+@qdef(
+    "q22_strings",
+    "SELECT p_partkey, CAST(LENGTH(p_name) AS INTEGER) AS l, SUBSTRING(p_name, 1, 5) AS pfx "
+    "FROM part ORDER BY p_partkey LIMIT 50",
+    "[2.9 strings] length/substring (ClickBench Q27-Q28)",
+)
+def q22(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.length("p_name").alias("l"),
+            F.substring("p_name", 1, 5).alias("pfx"),
+        )
+        .orderBy("p_partkey")
+        .limit(50)
+    )
+
+
+@qdef(
+    "q23_regexp",
+    "SELECT c_custkey, REGEXP_REPLACE(c_name, '[0-9]', '#', 'g') AS masked "
+    "FROM customer ORDER BY c_custkey LIMIT 50",
+    "[P7] regexp_replace (ClickBench Q28); DuckDB needs the 'g' flag for replace-all",
+)
+def q23(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.select("c_custkey", F.regexp_replace("c_name", "[0-9]", "#").alias("masked"))
+        .orderBy("c_custkey")
+        .limit(50)
+    )
+
+
+@qdef(
+    "q24_explode",
+    "SELECT CAST(unnest(generate_series(1, 5)) AS BIGINT) AS s ORDER BY s",
+    "[1.2 arrays] sequence + explode round-trip (CH range/arrayJoin, ref index.html:729)",
+)
+def q24(spark, sf_dir):
+    return (
+        spark.range(1)
+        .select(F.explode(F.sequence(F.lit(1), F.lit(5))).alias("_s"))
+        .select(F.col("_s").cast("long").alias("s"))
+        .orderBy("s")
+    )
+
+
+@qdef(
+    "q25_pricing_summary",
+    "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty, "
+    "ROUND(SUM(l_extendedprice), 2) AS sum_base, "
+    "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc, "
+    "COUNT(*) AS count_order FROM lineitem "
+    "WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+    "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+    "[TPC-H Q1 shape] flagship pricing summary",
+)
+def q25(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@qdef(
+    "q26_asof_latest",
+    "SELECT user_id, value FROM ("
+    "  SELECT user_id, value, ROW_NUMBER() OVER ("
+    "    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn"
+    "  FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00') t "
+    "WHERE rn = 1 ORDER BY user_id LIMIT 100",
+    "[J6-lite] per-key latest-at-or-before (as-of semantics via window)",
+)
+def q26(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.filter(F.col("ts") <= F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        .select("user_id", "value", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("user_id")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------- breadth
+
+
+@qdef(
+    "q27_json_extract",
+    "SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, COUNT(*) AS c "
+    "FROM events GROUP BY 1 ORDER BY k",
+    "[2.9 JSON] JSONExtractString equivalent (get_json_object)",
+)
+def q27(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.get_json_object("props", "$.k").cast("int").alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("k")
+    )
+
+
+@qdef(
+    "q28_union_all",
+    "SELECT src, c FROM ("
+    "  SELECT 'customer' AS src, COUNT(*) AS c FROM customer "
+    "  UNION ALL SELECT 'supplier' AS src, COUNT(*) AS c FROM supplier) t ORDER BY src",
+    "[2.6] UNION ALL",
+)
+def q28(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").agg(F.count(F.lit(1)).alias("c")).select(
+        F.lit("customer").alias("src"), "c"
+    )
+    s = _t(spark, sf_dir, "supplier").agg(F.count(F.lit(1)).alias("c")).select(
+        F.lit("supplier").alias("src"), "c"
+    )
+    return c.unionByName(s).orderBy("src")
+
+
+@qdef(
+    "q29_except",
+    "SELECT p_brand FROM (SELECT DISTINCT p_brand FROM part "
+    "EXCEPT SELECT DISTINCT p_brand FROM part WHERE p_size < 10) t ORDER BY p_brand",
+    "[2.6] EXCEPT (distinct semantics)",
+)
+def q29(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    a = p.select("p_brand").distinct()
+    b = p.filter(F.col("p_size") < 10).select("p_brand").distinct()
+    return a.exceptAll(b).distinct().orderBy("p_brand")
+
+
+@qdef(
+    "q30_quantiles",
+    "SELECT ROUND(quantile_cont(l_quantity, 0.5), 4) AS med_qty, "
+    "ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price FROM lineitem",
+    "[A8] exact continuous quantile (CH quantile/median → Spark percentile)",
+)
+def q30(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("med_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+    )
+
+
+@qdef(
+    "q31_conditional_agg",
+    "SELECT CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_disc, "
+    "ROUND(SUM(CASE WHEN l_discount > 0.05 THEN l_quantity ELSE 0 END), 2) AS qty_disc "
+    "FROM lineitem",
+    "[A10] countIf/sumIf combinators as conditional aggregates",
+)
+def q31(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    cond = F.col("l_discount") > 0.05
+    return li.agg(
+        F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias("n_disc"),
+        F.round(F.sum(F.when(cond, F.col("l_quantity")).otherwise(0)), 2).alias("qty_disc"),
+    )
+
+
+@qdef(
+    "q32_date_parts",
+    "SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS y, "
+    "CAST(month(o_orderdate) AS INTEGER) AS mo, CAST(day(o_orderdate) AS INTEGER) AS d "
+    "FROM orders ORDER BY o_orderkey LIMIT 50",
+    "[2.9 dates] toYear/toMonth/toDayOfMonth family",
+)
+def q32(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("mo"),
+            F.dayofmonth("o_orderdate").alias("d"),
+        )
+        .orderBy("o_orderkey")
+        .limit(50)
+    )
+
+
+@qdef(
+    "q33_string_funcs",
+    "SELECT p_partkey, LOWER(p_name) AS lo, UPPER(p_brand) AS up, "
+    "CONCAT(p_brand, ':', p_type) AS cat, CAST(strpos(p_name, 'a') AS INTEGER) AS pos "
+    "FROM part ORDER BY p_partkey LIMIT 50",
+    "[2.9 strings] lower/upper/concat/position",
+)
+def q33(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.lower("p_name").alias("lo"),
+            F.upper("p_brand").alias("up"),
+            F.concat_ws("", F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("cat"),
+            F.instr(F.col("p_name"), "a").alias("pos"),
+        )
+        .orderBy("p_partkey")
+        .limit(50)
+    )
+
+
+@qdef(
+    "q34_array_ops",
+    "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok, "
+    "list_contains(string_split(text, ' '), 'spark') AS has_spark "
+    "FROM documents ORDER BY doc_id LIMIT 100",
+    "[2.9 arrays] split/size/contains (CH splitByChar/length/has)",
+)
+def q34(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return (
+        d.select(
+            "doc_id",
+            F.size(toks).alias("n_tok"),
+            F.array_contains(toks, "spark").alias("has_spark"),
+        )
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
+@qdef(
+    "q35_hourly_rollup",
+    "SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS c, "
+    "ROUND(SUM(value), 2) AS sum_v, ROUND(AVG(value), 6) AS avg_v "
+    "FROM events GROUP BY 1, 2 ORDER BY h, event_type LIMIT 200",
+    "[2.9/A5] tumbling-window-shaped batch rollup over the events table",
+)
+def q35(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            # avg rounded to 6, not 2: tiny groups of 2-decimal values
+            # average onto exact .xx5 boundaries where Spark's
+            # shortest-repr HALF_UP and the oracle's exact-double
+            # rounding disagree; at 6 decimals the boundary is
+            # unreachable for these rationals.
+            F.round(F.sum("value"), 2).alias("sum_v"),
+            F.round(F.avg("value"), 6).alias("avg_v"),
+        )
+        .orderBy("h", "event_type")
+        .limit(200)
+    )
+
+
+@qdef(
+    "q36_topk_per_group",
+    "SELECT lang, doc_id, n_chars FROM ("
+    "  SELECT lang, doc_id, n_chars, CAST(ROW_NUMBER() OVER ("
+    "    PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rn"
+    "  FROM documents) t WHERE rn <= 3 ORDER BY lang, n_chars DESC, doc_id",
+    "[O6] per-group top-k (CH LIMIT BY)",
+)
+def q36(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        d.select("lang", "doc_id", "n_chars", F.row_number().over(w).cast("long").alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+        .orderBy("lang", F.desc("n_chars"), "doc_id")
+    )
+
+
+# ----------------------------------------------- pipeline extensions (§7 G)
+
+
+@qdef(
+    "t01_token_stats",
+    "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens, "
+    "CAST(length(text) AS INTEGER) AS n_char, "
+    "ROUND(length(text) * 1.0 / len(string_split(text, ' ')), 4) AS chars_per_tok "
+    "FROM documents ORDER BY doc_id LIMIT 200",
+    "[ext: text analysis] whitespace token counting + char stats",
+)
+def t01(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    return (
+        d.select(
+            "doc_id",
+            n_tok.alias("n_tokens"),
+            F.length("text").alias("n_char"),
+            F.round(F.length("text") * F.lit(1.0) / n_tok, 4).alias("chars_per_tok"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+@qdef(
+    "t02_quality_score",
+    "SELECT doc_id, ROUND(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) "
+    "* 1.0 / len(string_split(text, ' ')), 4) AS stop_ratio "
+    "FROM documents ORDER BY doc_id LIMIT 200",
+    "[ext: text analysis] stopword-ratio quality signal",
+)
+def t02(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stops = F.size(F.filter(toks, lambda t: t.isin("the", "a")))
+    return (
+        d.select(
+            "doc_id",
+            F.round(stops * F.lit(1.0) / F.size(toks), 4).alias("stop_ratio"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+@qdef(
+    "t03_fingerprint",
+    "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents ORDER BY doc_id LIMIT 200",
+    "[ext: text analysis] document fingerprint (normalized md5)",
+)
+def t03(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fp"))
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+@qdef(
+    "t04_dedup_exact",
+    "SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(lower(trim(text)))) AS n_unique "
+    "FROM documents",
+    "[ext: dedup] exact duplicate detection via normalized content hash",
+)
+def t04(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.countDistinct(fp).alias("n_unique")
+    )
+
+
+@qdef(
+    "t05_cosine_topk",
+    "SELECT e.vec_id, ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+    "CAST(q.embedding AS DOUBLE[])), 6) AS sim "
+    "FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q "
+    "WHERE e.vec_id <> 0 ORDER BY sim DESC, e.vec_id LIMIT 10",
+    "[ext: similarity] brute-force cosine top-k vs query vector (vec_id=0)",
+)
+def t05(spark, sf_dir):
+    from .operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, query_vec_id=0, k=10)

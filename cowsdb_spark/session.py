@@ -1,0 +1,49 @@
+"""SparkSession factory tuned for the engine.
+
+Local test profile runs on ``local[N]``; the same settings are the
+ones that matter on a real cluster (AQE, adaptive skew join,
+partition sizing). Reference equivalent: the chdb Session construction
+at main.py:140-173 — one embedded engine per process; ours is one
+SparkSession per process with per-user namespaces (see engine.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "moospark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    Settings chosen for 100 TB-readiness, not just local tests:
+
+    - AQE on: runtime coalescing of shuffle partitions + skew-join
+      splitting replaces hand-tuned partition counts at scale.
+    - UTC session timezone: ClickHouse DateTime semantics (reference
+      advertises fixed "UTC" in the native handshake, main.py:375).
+    - Arrow on: any Python-side hop (pandas UDFs for the custom
+      operators) is Arrow-batched, never row-at-a-time pickling.
+    - ANSI off (Spark default): ClickHouse-style permissive casts.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sp = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
