@@ -1,0 +1,264 @@
+"""ClickHouse DDL parsing → structured form for the engine.
+
+Handles the shapes the reference exercises (SURVEY §2.1 S6):
+``CREATE DATABASE [IF NOT EXISTS] db``, ``DROP DATABASE/TABLE [IF
+EXISTS]``, and ``CREATE TABLE [IF NOT EXISTS] [db.]name (cols)
+ENGINE = X(...) [PARTITION BY e] [ORDER BY e] [SAMPLE BY e]
+[SETTINGS ...]`` (the ClickBench MergeTree DDL, test.yml:49).
+
+Engine clauses map per SURVEY §1.1: Memory and MergeTree both
+become parquet-backed managed tables; PARTITION BY / ORDER BY are
+captured so the write path can partition and sort-within-partitions
+(min/max row-group pruning ≈ CH sparse primary index);
+``index_granularity`` etc. are accepted and ignored.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Optional
+
+from .tokenizer import Tok, tokenize
+from .types import ch_type_to_spark
+from pyspark.sql import types as T
+
+
+@dataclass
+class ColumnDef:
+    name: str
+    ch_type: str
+    spark_type: T.DataType
+    nullable: bool
+
+
+@dataclass
+class CreateTable:
+    database: Optional[str]
+    table: str
+    if_not_exists: bool
+    columns: list[ColumnDef]
+    engine: str = "MergeTree"
+    partition_by: Optional[str] = None
+    order_by: Optional[str] = None
+    sample_by: Optional[str] = None
+    settings: dict[str, str] = field(default_factory=dict)
+
+    @property
+    def spark_schema(self) -> T.StructType:
+        return T.StructType(
+            [T.StructField(c.name, c.spark_type, c.nullable) for c in self.columns]
+        )
+
+
+@dataclass
+class CreateDatabase:
+    database: str
+    if_not_exists: bool
+
+
+@dataclass
+class DropObject:
+    what: str  # "TABLE" | "DATABASE"
+    database: Optional[str]
+    name: str
+    if_exists: bool
+
+
+def _sig_toks(sql: str) -> list[Tok]:
+    return [t for t in tokenize(sql) if t.kind not in ("ws", "comment")]
+
+
+def _ident(t: Tok) -> str:
+    if t.kind == "bquote":
+        return t.text[1:-1].replace("``", "`")
+    if t.kind == "dquote":
+        return t.text[1:-1]
+    return t.text
+
+
+_IF_NOT_EXISTS = re.compile(r"\bIF\s+NOT\s+EXISTS\b", re.IGNORECASE)
+_IF_EXISTS = re.compile(r"\bIF\s+EXISTS\b", re.IGNORECASE)
+
+
+def parse_ddl(sql: str):
+    """Parse one DDL statement; returns a dataclass or None if the
+    statement should pass through to Spark SQL untouched."""
+    toks = _sig_toks(sql)
+    if not toks:
+        return None
+    head = toks[0].text.upper()
+    if head == "CREATE" and len(toks) >= 2 and toks[1].text.upper() == "DATABASE":
+        ine = bool(_IF_NOT_EXISTS.search(sql))
+        return CreateDatabase(database=_ident(toks[-1]), if_not_exists=ine)
+    if head == "DROP" and len(toks) >= 2 and toks[1].text.upper() in ("DATABASE", "TABLE"):
+        what = toks[1].text.upper()
+        ie = bool(_IF_EXISTS.search(sql))
+        name_tok = toks[-1]
+        name = _ident(name_tok)
+        db = None
+        if len(toks) >= 3 and toks[-2].text == "." :
+            db = _ident(toks[-3])
+        return DropObject(what=what, database=db, name=name, if_exists=ie)
+    if head == "CREATE" and len(toks) >= 2 and toks[1].text.upper() == "TABLE":
+        return _parse_create_table(sql, toks)
+    return None
+
+
+def _parse_create_table(sql: str, toks: list[Tok]) -> Optional[CreateTable]:
+    i = 2
+    ine = False
+    if (
+        i + 2 < len(toks)
+        and toks[i].text.upper() == "IF"
+        and toks[i + 1].text.upper() == "NOT"
+        and toks[i + 2].text.upper() == "EXISTS"
+    ):
+        ine = True
+        i += 3
+    # [db.]name
+    if i >= len(toks):
+        return None
+    name = _ident(toks[i])
+    db = None
+    i += 1
+    if i < len(toks) and toks[i].text == "." and i + 1 < len(toks):
+        db = name
+        name = _ident(toks[i + 1])
+        i += 2
+    # column list
+    if i >= len(toks) or toks[i].text != "(":
+        return None
+    depth = 0
+    start = i
+    for j in range(i, len(toks)):
+        if toks[j].text == "(":
+            depth += 1
+        elif toks[j].text == ")":
+            depth -= 1
+            if depth == 0:
+                end = j
+                break
+    else:
+        return None
+    cols = _parse_columns(toks[start + 1 : end])
+    rest = toks[end + 1 :]
+    ct = CreateTable(
+        database=db, table=name, if_not_exists=ine, columns=cols
+    )
+    _parse_table_clauses(rest, ct)
+    return ct
+
+
+def _parse_columns(toks: list[Tok]) -> list[ColumnDef]:
+    # split on top-level commas
+    groups: list[list[Tok]] = [[]]
+    depth = 0
+    for t in toks:
+        if t.text == "(":
+            depth += 1
+        elif t.text == ")":
+            depth -= 1
+        if t.text == "," and depth == 0:
+            groups.append([])
+        else:
+            groups[-1].append(t)
+    cols: list[ColumnDef] = []
+    for g in groups:
+        if not g:
+            continue
+        cname = _ident(g[0])
+        # type = tokens up to DEFAULT/MATERIALIZED/ALIAS/CODEC/COMMENT/TTL
+        type_toks = []
+        for t in g[1:]:
+            if t.kind == "ident" and t.text.upper() in (
+                "DEFAULT",
+                "MATERIALIZED",
+                "ALIAS",
+                "CODEC",
+                "COMMENT",
+                "TTL",
+            ):
+                break
+            type_toks.append(t.text)
+        ch_type = " ".join(type_toks).replace(" ( ", "(").replace(" )", ")").replace("( ", "(")
+        ch_type = ch_type.replace(" (", "(").replace(" ,", ",").strip()
+        nullable = "NULLABLE(" in ch_type.upper()
+        cols.append(
+            ColumnDef(
+                name=cname,
+                ch_type=ch_type,
+                spark_type=ch_type_to_spark(ch_type),
+                nullable=nullable,
+            )
+        )
+    return cols
+
+
+_CLAUSE_KW = ("ENGINE", "PARTITION", "ORDER", "PRIMARY", "SAMPLE", "SETTINGS", "TTL")
+
+
+def _parse_table_clauses(toks: list[Tok], ct: CreateTable) -> None:
+    i = 0
+    n = len(toks)
+
+    def until_next_clause(j: int) -> tuple[str, int]:
+        parts = []
+        depth = 0
+        while j < n:
+            t = toks[j]
+            if t.text == "(":
+                depth += 1
+            elif t.text == ")":
+                depth -= 1
+            if (
+                depth == 0
+                and t.kind == "ident"
+                and t.text.upper() in _CLAUSE_KW
+            ):
+                break
+            parts.append(t.text)
+            j += 1
+        return " ".join(parts).strip(), j
+
+    while i < n:
+        t = toks[i]
+        kw = t.text.upper() if t.kind == "ident" else ""
+        if kw == "ENGINE":
+            i += 1
+            if i < n and toks[i].text == "=":
+                i += 1
+            if i < n:
+                ct.engine = toks[i].text
+                i += 1
+                if i < n and toks[i].text == "(":
+                    depth = 0
+                    while i < n:
+                        if toks[i].text == "(":
+                            depth += 1
+                        elif toks[i].text == ")":
+                            depth -= 1
+                            if depth == 0:
+                                i += 1
+                                break
+                        i += 1
+        elif kw in ("PARTITION", "ORDER", "PRIMARY", "SAMPLE") and i + 1 < n and toks[
+            i + 1
+        ].text.upper() == "BY":
+            expr, j = until_next_clause(i + 2)
+            if kw == "PARTITION":
+                ct.partition_by = expr
+            elif kw == "ORDER":
+                ct.order_by = expr
+            elif kw == "SAMPLE":
+                ct.sample_by = expr
+            i = j
+        elif kw == "SETTINGS":
+            expr, j = until_next_clause(i + 1)
+            for pair in expr.split(","):
+                if "=" in pair:
+                    k, v = pair.split("=", 1)
+                    ct.settings[k.strip()] = v.strip()
+            i = j
+        else:
+            i += 1

@@ -1,0 +1,187 @@
+"""ClickHouse function → Spark SQL expression mapping (SURVEY §2.9).
+
+Three rewrite shapes, applied by translate.py over the token stream:
+
+- RENAME: same call shape, new name (``lcase`` → ``lower``).
+- TEMPLATE: args re-arranged into a Spark expression string;
+  ``{0}``/``{1}``… substitute the raw arg token text, ``{*}`` all
+  args comma-joined, ``{0:lit}`` unquotes a string literal into a
+  bare keyword (for unit args).
+- Parameterized combinators ``quantile(0.5)(x)`` are normalized by
+  translate.py into ``__PARAM__`` pseudo-args before template lookup.
+
+The growth surface of the project (SURVEY §2.9 closing note): add a
+row here and the dialect accepts another CH spelling.
+"""
+
+from __future__ import annotations
+
+# Case-insensitive CH name → Spark name. Call shape unchanged.
+RENAMES: dict[str, str] = {
+    # type conversions (Spark cast-shorthand functions)
+    "tostring": "string",
+    "toint8": "tinyint",
+    "toint16": "smallint",
+    "toint32": "int",
+    "toint64": "bigint",
+    "touint8": "smallint",
+    "touint16": "int",
+    "touint32": "bigint",
+    "touint64": "bigint",
+    "tofloat32": "float",
+    "tofloat64": "double",
+    "todate": "date",
+    "todatetime": "timestamp",
+    # date parts
+    "toyear": "year",
+    "tomonth": "month",
+    "todayofmonth": "day",
+    "tohour": "hour",
+    "tominute": "minute",
+    "tosecond": "second",
+    "toquarter": "quarter",
+    "today": "current_date",
+    # strings
+    "lcase": "lower",
+    "ucase": "upper",
+    "position": "instr",
+    "positioncaseinsensitive": "instr",
+    "concatws": "concat_ws",
+    "replaceall": "replace",
+    "lengthutf8": "char_length",
+    "char_length": "char_length",
+    "trimboth": "trim",
+    "rev": "reverse",
+    "startswith": "startswith",
+    "endswith": "endswith",
+    "match": "rlike",
+    "extractall": "regexp_extract_all",
+    "replaceregexpall": "regexp_replace",
+    # arrays / maps
+    "arrayjoin": "explode",
+    "has": "array_contains",
+    "indexof": "array_position",
+    "arraysort": "array_sort",
+    "arrayreverse": "reverse",
+    "arrayconcat": "concat",
+    "arrayslice": "slice",
+    "arraydistinct": "array_distinct",
+    "arrayintersect": "array_intersect",
+    "arrayflatten": "flatten",
+    "arraycompact": "array_distinct",
+    "mapkeys": "map_keys",
+    "mapvalues": "map_values",
+    # aggregates
+    "uniq": "approx_count_distinct",
+    "uniqcombined": "approx_count_distinct",
+    "uniqhll12": "approx_count_distinct",
+    "any": "any_value",
+    "anylast": "any_value",
+    "argmin": "min_by",
+    "argmax": "max_by",
+    "grouparray": "collect_list",
+    "groupuniqarray": "collect_set",
+    "countif": "count_if",
+    "stddevpop": "stddev_pop",
+    "stddevsamp": "stddev_samp",
+    "varpop": "var_pop",
+    "varsamp": "var_samp",
+    "corr": "corr",
+    "covarpop": "covar_pop",
+    "covarsamp": "covar_samp",
+    # conditionals / misc
+    "ifnull": "ifnull",
+    "nullif": "nullif",
+    "isnull": "isnull",
+    "isnotnull": "isnotnull",
+    "greatest": "greatest",
+    "least": "least",
+    "visitparamextractstring": "get_json_object",
+    "jsonextractstring": "get_json_object",
+    "jsonextractraw": "get_json_object",
+    "cityhash64": "xxhash64",  # substitute: layout/sampling key only
+    "siphash64": "xxhash64",
+    "farmhash64": "xxhash64",
+    "halfmd5": "xxhash64",
+    "hex": "hex",
+    "e": "e",
+    "pi": "pi",
+}
+
+# CH name → Spark expression template.
+TEMPLATES: dict[str, str] = {
+    "toyyyymm": "CAST(date_format({0}, 'yyyyMM') AS INT)",
+    "toyyyymmdd": "CAST(date_format({0}, 'yyyyMMdd') AS INT)",
+    "tostartofminute": "date_trunc('minute', {0})",
+    "tostartoffiveminute": "to_timestamp(floor(unix_timestamp({0}) / 300) * 300)",
+    "tostartofhour": "date_trunc('hour', {0})",
+    "tostartofday": "date_trunc('day', {0})",
+    "tostartofweek": "date_trunc('week', {0})",
+    "tostartofmonth": "date_trunc('month', {0})",
+    "tostartofquarter": "date_trunc('quarter', {0})",
+    "tostartofyear": "date_trunc('year', {0})",
+    "tomonday": "CAST(date_trunc('week', {0}) AS DATE)",
+    "todayofweek": "((dayofweek({0}) + 5) % 7) + 1",  # CH: Mon=1..Sun=7
+    "now": "date_trunc('second', current_timestamp())",  # CH DateTime is second-precision
+    "intdiv": "({0} div {1})",
+    "intdivorzero": "CASE WHEN {1} = 0 THEN 0 ELSE ({0} div {1}) END",
+    "moduloorzero": "CASE WHEN {1} = 0 THEN 0 ELSE ({0} % {1}) END",
+    "empty": "(length({0}) = 0)",
+    "notempty": "(length({0}) > 0)",
+    "splitbychar": "split({1}, {0})",
+    "splitbystring": "split({1}, {0})",
+    "arraymap": "transform({1}, {0})",
+    "arrayfilter": "filter({1}, {0})",
+    "arrayexists": "exists({1}, {0})",
+    "arrayall": "forall({1}, {0})",
+    "arraysum": "aggregate({0}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)",
+    "arrayavg": "(aggregate({0}, CAST(0 AS DOUBLE), (acc, x) -> acc + x) / size({0}))",
+    "arraystringconcat": "array_join({*})",
+    "range": "sequence(0, {0} - 1)",
+    "uniqexact": "count(DISTINCT {0})",
+    "sumif": "sum(CASE WHEN {1} THEN {0} END)",
+    "avgif": "avg(CASE WHEN {1} THEN {0} END)",
+    "minif": "min(CASE WHEN {1} THEN {0} END)",
+    "maxif": "max(CASE WHEN {1} THEN {0} END)",
+    "median": "percentile({0}, 0.5)",
+    "datediff": "timestampdiff({0:lit}, {1}, {2})",
+    "adddays": "({0} + make_interval(0, 0, 0, {1}))",
+    "subtractdays": "({0} - make_interval(0, 0, 0, {1}))",
+    "addhours": "({0} + make_interval(0, 0, 0, 0, {1}))",
+    "addminutes": "({0} + make_interval(0, 0, 0, 0, 0, {1}))",
+    "addmonths": "add_months({0}, {1})",
+    "formatdatetime": "date_format({0}, {1})",
+    "parsedatetimebesteffort": "to_timestamp({0})",
+    "yesterday": "date_sub(current_date(), 1)",
+    "version": "'25.5.2'",
+    "currentdatabase": "current_database()",
+    "multiif": None,  # variadic: handled in translate._multi_if
+    "trimleft": "ltrim({0})",
+    "trimright": "rtrim({0})",
+    "substringutf8": "substring({*})",
+    "leftpad": "lpad({*})",
+    "rightpad": "rpad({*})",
+    "tounixtimestamp": "unix_timestamp({0})",
+    "fromunixtimestamp": "to_timestamp({0})",
+    "todecimal32": "CAST({0} AS DECIMAL(9, {1}))",
+    "todecimal64": "CAST({0} AS DECIMAL(18, {1}))",
+    "todecimal128": "CAST({0} AS DECIMAL(38, {1}))",
+}
+
+# Parameterized aggregates: name(params)(args) → template over params+args.
+# {p0} = first parameter, {0} = first argument.
+PARAMETERIZED: dict[str, str] = {
+    "quantile": "percentile_approx({0}, {p0})",
+    "quantileexact": "percentile({0}, {p0})",
+    "quantiletdigest": "percentile_approx({0}, {p0})",
+    "quantiles": "percentile_approx({0}, array({p*}))",
+    "quantilesexact": "percentile({0}, array({p*}))",
+}
+
+# bit ops keep CH call shape but are operators in Spark
+TEMPLATES["bitand"] = "({0} & {1})"
+TEMPLATES["bitor"] = "({0} | {1})"
+TEMPLATES["bitxor"] = "({0} ^ {1})"
+TEMPLATES["bitnot"] = "(~{0})"
+TEMPLATES["bitshiftleft"] = "shiftleft({0}, {1})"
+TEMPLATES["bitshiftright"] = "shiftright({0}, {1})"

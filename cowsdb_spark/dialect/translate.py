@@ -1,0 +1,435 @@
+"""Token-aware ClickHouse → Spark SQL statement translation.
+
+Pipeline (SURVEY §3.5): split statements on top-level ';' → classify
+(USE / DDL / INSERT / SELECT / SET / meta) → strip trailing FORMAT
+and SETTINGS clauses → rewrite CH spellings (function map, ternary
+``?:``, ``numbers()`` table function, backquote→Spark backquote) →
+hand the Spark SQL string to the engine.
+
+Deliberately *not* copied from the reference: its ``"FORMAT" in
+query.upper()`` string surgery (main.py:534-546) corrupts string
+literals; here FORMAT/SETTINGS are recognized only as top-level
+trailing clauses in the token stream.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from .functions import PARAMETERIZED, RENAMES, TEMPLATES
+from .tokenizer import Tok, tokenize
+
+# Formats the serializer layer knows (formats/__init__.py registry
+# keys; checked case-insensitively but emitted canonically).
+KNOWN_FORMATS = {
+    "tsv": "TSV",
+    "tabseparated": "TSV",
+    "tsvwithnames": "TSVWithNames",
+    "tabseparatedwithnames": "TSVWithNames",
+    "csv": "CSV",
+    "csvwithnames": "CSVWithNames",
+    "json": "JSON",
+    "jsoncompact": "JSONCompact",
+    "jsoncompactcolumns": "JSONCompactColumns",
+    "jsoneachrow": "JSONEachRow",
+    "native": "Native",
+    "pretty": "Pretty",
+    "prettycompact": "Pretty",
+    "values": "Values",
+    "null": "Null",
+}
+
+
+@dataclass
+class Statement:
+    """One translated statement, ready for the engine."""
+
+    kind: str  # select | use | set | ddl | insert | other
+    spark_sql: str = ""
+    format: Optional[str] = None  # from trailing FORMAT clause
+    database: Optional[str] = None  # for USE
+    settings: dict[str, str] = field(default_factory=dict)
+    original: str = ""
+
+
+def split_statements(sql: str) -> list[str]:
+    """Split on top-level semicolons (string/comment-safe)."""
+    toks = tokenize(sql)
+    stmts: list[str] = []
+    cur: list[str] = []
+    for t in toks:
+        if t.kind == "op" and t.text == ";":
+            s = "".join(cur).strip()
+            if s:
+                stmts.append(s)
+            cur = []
+        else:
+            cur.append(t.text)
+    s = "".join(cur).strip()
+    if s:
+        stmts.append(s)
+    return stmts
+
+
+def _sig(toks: list[Tok]) -> list[int]:
+    return [i for i, t in enumerate(toks) if t.kind not in ("ws", "comment")]
+
+
+def _strip_trailing_format(toks: list[Tok]) -> tuple[list[Tok], Optional[str]]:
+    """Remove a top-level trailing ``FORMAT <name>`` clause."""
+    sig = _sig(toks)
+    if len(sig) >= 2:
+        a, b = sig[-2], sig[-1]
+        if (
+            toks[a].kind == "ident"
+            and toks[a].text.upper() == "FORMAT"
+            and toks[b].kind == "ident"
+            and toks[b].text.lower() in KNOWN_FORMATS
+        ):
+            # ensure FORMAT is at paren depth 0
+            depth = 0
+            for i in range(a):
+                if toks[i].kind == "op":
+                    depth += toks[i].text.count("(") - toks[i].text.count(")")
+            if depth == 0:
+                fmt = KNOWN_FORMATS[toks[b].text.lower()]
+                return toks[:a], fmt
+    return toks, None
+
+
+def _strip_trailing_settings(toks: list[Tok]) -> tuple[list[Tok], dict[str, str]]:
+    """Remove a top-level trailing ``SETTINGS k=v, ...`` clause."""
+    sig = _sig(toks)
+    depth = 0
+    settings_at = None
+    for i, t in enumerate(toks):
+        if t.kind == "op":
+            depth += t.text.count("(") - t.text.count(")")
+        if t.kind == "ident" and t.text.upper() == "SETTINGS" and depth == 0:
+            settings_at = i
+    if settings_at is None:
+        return toks, {}
+    tail = [t for t in toks[settings_at + 1 :] if t.kind not in ("ws", "comment")]
+    # parse k = v (, k = v)* — anything else means it wasn't a settings clause
+    settings: dict[str, str] = {}
+    i = 0
+    while i < len(tail):
+        if i + 2 < len(tail) + 1 and len(tail) - i >= 3:
+            k, eq, v = tail[i], tail[i + 1], tail[i + 2]
+            if k.kind == "ident" and eq.text == "=" and v.kind in ("number", "string", "ident"):
+                settings[k.text] = v.text.strip("'")
+                i += 3
+                if i < len(tail) and tail[i].text == ",":
+                    i += 1
+                continue
+        return toks, {}  # not a parseable settings clause; leave untouched
+    _ = sig  # (kept for symmetry with _strip_trailing_format)
+    return toks[:settings_at], settings
+
+
+def _find_call_close(toks: list[Tok], open_idx: int) -> int:
+    """Index of the ')' matching toks[open_idx] == '('."""
+    depth = 0
+    for i in range(open_idx, len(toks)):
+        if toks[i].kind == "op":
+            if toks[i].text == "(":
+                depth += 1
+            elif toks[i].text == ")":
+                depth -= 1
+                if depth == 0:
+                    return i
+    return -1
+
+
+def _split_call_args(toks: list[Tok]) -> list[str]:
+    """Split tokens between '(' and ')' on top-level commas → arg strings."""
+    args: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for t in toks:
+        if t.kind == "op":
+            if t.text in "([":
+                depth += 1
+            elif t.text in ")]":
+                depth -= 1
+        if t.kind == "op" and t.text == "," and depth == 0:
+            args.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(t.text)
+    last = "".join(cur).strip()
+    if last:
+        args.append(last)
+    return args
+
+
+def _apply_template(template: str, args: list[str], params: list[str] | None = None) -> str:
+    out = template
+    out = out.replace("{*}", ", ".join(args))
+    if params is not None:
+        out = out.replace("{p*}", ", ".join(params))
+        for i, p in enumerate(params):
+            out = out.replace(f"{{p{i}}}", p)
+    for i, a in enumerate(args):
+        if f"{{{i}:lit}}" in out:
+            out = out.replace(f"{{{i}:lit}}", a.strip().strip("'"))
+        out = out.replace(f"{{{i}}}", a)
+    return out
+
+
+def _multi_if(args: list[str]) -> str:
+    """multiIf(c1, v1, c2, v2, ..., else) → CASE chain."""
+    parts = ["CASE"]
+    i = 0
+    while i + 1 < len(args):
+        parts.append(f"WHEN {args[i]} THEN {args[i + 1]}")
+        i += 2
+    if i < len(args):
+        parts.append(f"ELSE {args[i]}")
+    parts.append("END")
+    return " ".join(parts)
+
+
+def _rewrite_functions(sql: str) -> str:
+    """One pass of call-site rewrites; repeats until fixpoint."""
+    for _ in range(10):  # nested rewrites converge quickly
+        toks = tokenize(sql)
+        out: list[str] = []
+        i = 0
+        changed = False
+        while i < len(toks):
+            t = toks[i]
+            if t.kind == "ident":
+                # find next significant token
+                j = i + 1
+                while j < len(toks) and toks[j].kind in ("ws", "comment"):
+                    j += 1
+                is_call = j < len(toks) and toks[j].kind == "op" and toks[j].text == "("
+                lname = t.text.lower()
+                if is_call and (
+                    lname in RENAMES
+                    or lname in TEMPLATES
+                    or lname in PARAMETERIZED
+                    or lname == "numbers"
+                ):
+                    close = _find_call_close(toks, j)
+                    if close == -1:
+                        out.append(t.text)
+                        i += 1
+                        continue
+                    args = _split_call_args(toks[j + 1 : close])
+                    # parameterized combinator: name(params)(args)
+                    k = close + 1
+                    while k < len(toks) and toks[k].kind in ("ws", "comment"):
+                        k += 1
+                    if (
+                        lname in PARAMETERIZED
+                        and k < len(toks)
+                        and toks[k].kind == "op"
+                        and toks[k].text == "("
+                    ):
+                        close2 = _find_call_close(toks, k)
+                        if close2 != -1:
+                            real_args = _split_call_args(toks[k + 1 : close2])
+                            out.append(
+                                _apply_template(PARAMETERIZED[lname], real_args, args)
+                            )
+                            i = close2 + 1
+                            changed = True
+                            continue
+                    if lname == "numbers":
+                        # \x00-guard keeps the fixpoint loop from
+                        # rewriting Spark's range() table function via
+                        # the CH scalar-range template.
+                        out.append(
+                            f"(SELECT id AS number FROM \x00range\x00({', '.join(args)}))"
+                        )
+                        i = close + 1
+                        changed = True
+                        continue
+                    if lname == "multiif":
+                        out.append(_multi_if(args))
+                        i = close + 1
+                        changed = True
+                        continue
+                    if lname in TEMPLATES and TEMPLATES[lname] is not None:
+                        out.append(_apply_template(TEMPLATES[lname], args))
+                        i = close + 1
+                        changed = True
+                        continue
+                    if lname in RENAMES:
+                        inner = "".join(tok.text for tok in toks[j + 1 : close])
+                        out.append(f"{RENAMES[lname]}({inner})")
+                        i = close + 1
+                        changed = True
+                        continue
+                elif not is_call and lname in ("version", "now", "today", "yesterday"):
+                    # CH allows these without parens only when called;
+                    # bare idents stay untouched (could be columns).
+                    pass
+            out.append(t.text)
+            i += 1
+        new_sql = "".join(out)
+        if not changed:
+            return new_sql.replace("\x00range\x00", "range")
+        sql = new_sql
+    return sql.replace("\x00range\x00", "range")
+
+
+_TERNARY_LEFT_STOP = {",", "(", "[", ";"}
+_TERNARY_LEFT_STOP_KW = {
+    "SELECT",
+    "WHERE",
+    "WHEN",
+    "THEN",
+    "ELSE",
+    "AS",
+    "BY",
+    "HAVING",
+    "ON",
+    "AND",
+    "OR",
+    "NOT",
+    "RETURN",
+    "SET",
+}
+
+
+def _rewrite_ternary(sql: str) -> str:
+    """``cond ? a : b`` → ``CASE WHEN cond THEN a ELSE b END``.
+
+    The condition extends left to the nearest top-level comma /
+    opening paren / clause keyword; the branches extend right with
+    ':' matched at the same nesting depth. Repeats until no '?'
+    remains (nested ternaries resolve outermost-first).
+    """
+    for _ in range(20):
+        toks = tokenize(sql)
+        q_idx = None
+        depth = 0
+        for i, t in enumerate(toks):
+            if t.kind == "op":
+                if t.text in "([":
+                    depth += 1
+                elif t.text in ")]":
+                    depth -= 1
+                elif t.text == "?" and q_idx is None:
+                    q_idx = i
+                    q_depth = depth
+        if q_idx is None:
+            return sql
+        # left boundary: scan back at q_depth
+        depth = q_depth
+        left = 0
+        for i in range(q_idx - 1, -1, -1):
+            t = toks[i]
+            if t.kind == "op":
+                if t.text in ")]":
+                    depth += 1
+                elif t.text in "([":
+                    if depth == q_depth:
+                        left = i + 1
+                        break
+                    depth -= 1
+                elif t.text in _TERNARY_LEFT_STOP and depth == q_depth:
+                    left = i + 1
+                    break
+            if t.kind == "ident" and t.text.upper() in _TERNARY_LEFT_STOP_KW and depth == q_depth:
+                left = i + 1
+                break
+        # find matching ':' then right boundary of else-branch
+        depth = q_depth
+        colon = None
+        nested = 0
+        for i in range(q_idx + 1, len(toks)):
+            t = toks[i]
+            if t.kind == "op":
+                if t.text in "([":
+                    depth += 1
+                elif t.text in ")]":
+                    if depth == q_depth:
+                        break
+                    depth -= 1
+                elif t.text == "?" and depth == q_depth:
+                    nested += 1
+                elif t.text == ":" and depth == q_depth:
+                    if nested == 0:
+                        colon = i
+                        break
+                    nested -= 1
+        if colon is None:
+            return sql  # not a ternary (e.g. cast '::'), leave as-is
+        # right boundary: to nearest top-level comma/close-paren/keyword
+        right = len(toks)
+        depth = q_depth
+        for i in range(colon + 1, len(toks)):
+            t = toks[i]
+            if t.kind == "op":
+                if t.text in "([":
+                    depth += 1
+                elif t.text in ")]":
+                    if depth == q_depth:
+                        right = i
+                        break
+                    depth -= 1
+                elif t.text == "," and depth == q_depth:
+                    right = i
+                    break
+            if (
+                t.kind == "ident"
+                and t.text.upper() in ("AS", "FROM", "WHERE", "GROUP", "ORDER", "LIMIT", "END")
+                and depth == q_depth
+            ):
+                right = i
+                break
+        cond = "".join(t.text for t in toks[left:q_idx]).strip()
+        then = "".join(t.text for t in toks[q_idx + 1 : colon]).strip()
+        els = "".join(t.text for t in toks[colon + 1 : right]).strip()
+        before = "".join(t.text for t in toks[:left])
+        after = "".join(t.text for t in toks[right:])
+        # boolean() cast: CH conditions are truthy integers
+        # (``number % 2 ? … : …``, index.html:729); Spark's CASE
+        # requires BOOLEAN and CAST(int AS BOOLEAN) matches CH
+        # nonzero-is-true semantics.
+        sql = f"{before} CASE WHEN boolean({cond}) THEN {then} ELSE {els} END {after}".rstrip()
+    return sql
+
+
+def translate_select(sql: str) -> Statement:
+    toks = tokenize(sql)
+    toks, fmt = _strip_trailing_format(toks)
+    toks, settings = _strip_trailing_settings(toks)
+    body = "".join(t.text for t in toks).strip()
+    body = _rewrite_ternary(body)
+    body = _rewrite_functions(body)
+    return Statement(
+        kind="select", spark_sql=body, format=fmt, settings=settings, original=sql
+    )
+
+
+def translate(sql: str) -> list[Statement]:
+    """Translate a (possibly multi-statement) CH query string."""
+    out: list[Statement] = []
+    for stmt in split_statements(sql):
+        toks = tokenize(stmt)
+        sig = _sig(toks)
+        if not sig:
+            continue
+        first = toks[sig[0]].text.upper()
+        if first == "USE" and len(sig) >= 2:
+            db = toks[sig[1]].text.strip("`")
+            out.append(Statement(kind="use", database=db, original=stmt))
+        elif first in ("CREATE", "DROP", "ALTER", "TRUNCATE", "RENAME"):
+            out.append(Statement(kind="ddl", spark_sql=stmt, original=stmt))
+        elif first == "INSERT":
+            s = translate_select(stmt)
+            s.kind = "insert"
+            out.append(s)
+        elif first == "SET":
+            out.append(Statement(kind="set", original=stmt))
+        elif first in ("SELECT", "WITH", "SHOW", "DESCRIBE", "DESC", "EXPLAIN", "VALUES"):
+            out.append(translate_select(stmt))
+        else:
+            out.append(Statement(kind="other", spark_sql=stmt, original=stmt))
+    return out

@@ -1,0 +1,276 @@
+"""The engine shell: per-credential sessions + query execution.
+
+Reference shape (SURVEY §3.1): credentials select an isolated
+catalog (main.py:140-173 — chdb Session per (user,password) hash);
+``execute_query_with_session`` runs SQL and returns formatted bytes
+(main.py:175-217). Here: ONE SparkSession, per-user Spark databases
+(``u<hash>__<db>``) — namespace isolation without per-user JVM cost
+(SURVEY §7 hard-parts note) — and the dialect front-end + format
+serializers around ``spark.sql``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .dialect import translate
+from .dialect.ddl import CreateDatabase, CreateTable, DropObject, parse_ddl
+from .formats import QueryResult, serialize
+from .session import get_spark
+
+
+class EngineError(Exception):
+    """Query failure; message is the CH-style error text (the
+    reference surfaces engine stderr as HTTP 400, main.py:823-847)."""
+
+    def __init__(self, message: str, code: int = 62):
+        super().__init__(f"Code: {code}. {message}")
+        self.code = code
+
+
+@dataclass
+class UserSession:
+    user: str
+    password: str
+    current_db: str = "default"
+    created_at: float = field(default_factory=time.time)
+
+    @property
+    def ns(self) -> str:
+        """Namespace prefix isolating this credential pair, same
+        keying idea as the reference's path hash (main.py:146-149)."""
+        h = hashlib.sha256(f"{self.user}:{self.password}".encode()).hexdigest()[:10]
+        return f"u{h}"
+
+    def spark_db(self, db: Optional[str] = None) -> str:
+        return f"{self.ns}__{db or self.current_db}"
+
+
+class Engine:
+    """ClickHouse-dialect front door over Spark SQL."""
+
+    def __init__(self, spark: Optional[SparkSession] = None):
+        self.spark = spark or get_spark("moospark-engine")
+        # CH-style permissive INSERT coercion: string literals into
+        # Date/DateTime/numeric columns must cast (ANSI store
+        # assignment would reject `INSERT … VALUES (1, '2024-01-05')`).
+        self.spark.conf.set("spark.sql.storeAssignmentPolicy", "LEGACY")
+        self._sessions: dict[tuple[str, str], UserSession] = {}
+        # One lock around catalog-mutating execution, mirroring the
+        # reference's session_lock (main.py:34,162). Read-only
+        # queries run concurrently; current-database switching is
+        # done per-call with fully-qualified names instead of a
+        # global USE where possible.
+        self._lock = threading.RLock()
+
+    # ------------------------------------------------------------ sessions
+
+    def get_session(self, user: str = "default", password: str = "") -> UserSession:
+        key = (user, password)
+        with self._lock:
+            if key not in self._sessions:
+                sess = UserSession(user=user, password=password)
+                self._sessions[key] = sess
+                self._ensure_db(sess.spark_db("default"))
+            return self._sessions[key]
+
+    def _ensure_db(self, spark_db: str) -> None:
+        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{spark_db}`")
+
+    # ------------------------------------------------------------ execute
+
+    def execute(
+        self,
+        query: str,
+        fmt: str = "TSV",
+        user: str = "default",
+        password: str = "",
+        database: Optional[str] = None,
+    ) -> bytes:
+        """Run a (possibly multi-statement) CH-dialect query; returns
+        the LAST statement's result serialized in ``fmt`` (reference
+        semantics: USE prefixing + single result, main.py:859-860)."""
+        df, out_fmt, settings, elapsed = self.execute_to_df(query, user, password, database)
+        if df is None:
+            return b""
+        res = QueryResult.from_dataframe(df, elapsed=elapsed)
+        res.elapsed = elapsed
+        max_rows = None
+        if "max_result_rows" in settings:
+            try:
+                max_rows = int(settings["max_result_rows"])
+            except ValueError:
+                pass
+        return serialize(res, out_fmt or fmt, max_result_rows=max_rows)
+
+    def execute_to_df(
+        self,
+        query: str,
+        user: str = "default",
+        password: str = "",
+        database: Optional[str] = None,
+    ) -> tuple[Optional[DataFrame], Optional[str], dict, float]:
+        sess = self.get_session(user, password)
+        if database:
+            sess.current_db = database
+        t0 = time.time()
+        result_df: Optional[DataFrame] = None
+        out_fmt: Optional[str] = None
+        settings: dict = {}
+        try:
+            stmts = translate(query)
+        except Exception as e:  # tokenizer never raises today; belt+braces
+            raise EngineError(f"Syntax error: {e}") from e
+        if not stmts:
+            return None, None, {}, 0.0
+        for st in stmts:
+            if st.kind == "use":
+                sess.current_db = st.database or "default"
+                self._ensure_db(sess.spark_db())
+                result_df = None
+            elif st.kind == "set":
+                continue  # accepted & ignored (reference parity, SURVEY §1.3)
+            elif st.kind == "ddl":
+                self._run_ddl(sess, st.original)
+                result_df = None
+            elif st.kind == "insert":
+                self._run_insert(sess, st.spark_sql)
+                result_df = None
+            else:
+                out_fmt = st.format or out_fmt
+                settings.update(st.settings)
+                result_df = self._run_select(sess, st.spark_sql)
+        return result_df, out_fmt, settings, time.time() - t0
+
+
+    # ------------------------------------------------------------ statements
+
+    def _in_user_db(self, sess: UserSession):
+        self._ensure_db(sess.spark_db())
+        self.spark.catalog.setCurrentDatabase(sess.spark_db())
+
+    def _remap_databases(self, sess: UserSession, sql: str) -> str:
+        """Rewrite ``db.table`` refs to the per-user Spark database.
+
+        Only rewrites in table-reference position (the token after
+        FROM / JOIN / INTO / TABLE, continuing across commas in a
+        FROM list) — ``alias.column`` elsewhere is untouched.
+        """
+        from .dialect.tokenizer import tokenize
+
+        toks = tokenize(sql)
+        sig = [i for i, t in enumerate(toks) if t.kind not in ("ws", "comment")]
+        table_ctx = False
+        out = [t.text for t in toks]
+        k = 0
+        while k < len(sig):
+            i = sig[k]
+            t = toks[i]
+            kw = t.text.upper() if t.kind == "ident" else ""
+            if kw in ("FROM", "JOIN", "INTO", "TABLE"):
+                table_ctx = True
+                k += 1
+                continue
+            if table_ctx and t.kind in ("ident", "bquote"):
+                # pattern: name '.' name  → qualify db part
+                if (
+                    k + 2 < len(sig)
+                    and toks[sig[k + 1]].text == "."
+                    and toks[sig[k + 2]].kind in ("ident", "bquote")
+                ):
+                    db = t.text.strip("`")
+                    out[i] = f"`{sess.spark_db(db)}`"
+                    k += 3
+                else:
+                    k += 1
+                table_ctx = False
+                continue
+            if table_ctx and t.text == "(":
+                table_ctx = False  # subquery/table function
+            if kw in ("WHERE", "GROUP", "ORDER", "LIMIT", "ON", "USING", "SELECT", "HAVING"):
+                table_ctx = False
+            if t.text == ",":
+                # commas keep FROM-list context only if we were in it
+                pass
+            k += 1
+        return "".join(out)
+
+    def _run_select(self, sess: UserSession, sql: str) -> DataFrame:
+        with self._lock:
+            self._in_user_db(sess)
+            try:
+                return self.spark.sql(self._remap_databases(sess, sql))
+            except Exception as e:
+                raise EngineError(_clean_spark_error(e)) from e
+
+    def _run_insert(self, sess: UserSession, sql: str) -> None:
+        with self._lock:
+            self._in_user_db(sess)
+            try:
+                self.spark.sql(self._remap_databases(sess, sql))
+            except Exception as e:
+                raise EngineError(_clean_spark_error(e)) from e
+
+    def _run_ddl(self, sess: UserSession, sql: str) -> None:
+        parsed = parse_ddl(sql)
+        with self._lock:
+            if isinstance(parsed, CreateDatabase):
+                self._ensure_db(sess.spark_db(parsed.database))
+                return
+            if isinstance(parsed, DropObject):
+                ie = "IF EXISTS " if parsed.if_exists else ""
+                if parsed.what == "DATABASE":
+                    self.spark.sql(
+                        f"DROP DATABASE {ie}`{sess.spark_db(parsed.name)}` CASCADE"
+                    )
+                else:
+                    db = sess.spark_db(parsed.database)
+                    self.spark.sql(f"DROP TABLE {ie}`{db}`.`{parsed.name}`")
+                return
+            if isinstance(parsed, CreateTable):
+                self._create_table(sess, parsed)
+                return
+            # anything else (ALTER/TRUNCATE/...) → try Spark SQL as-is
+            self._in_user_db(sess)
+            try:
+                self.spark.sql(sql)
+            except Exception as e:
+                raise EngineError(_clean_spark_error(e)) from e
+
+    def _create_table(self, sess: UserSession, ct: CreateTable) -> None:
+        db = sess.spark_db(ct.database)
+        self._ensure_db(db)
+        ine = "IF NOT EXISTS " if ct.if_not_exists else ""
+        cols = ", ".join(
+            f"`{c.name}` {c.spark_type.simpleString()}" for c in ct.columns
+        )
+        props = []
+        if ct.engine:
+            props.append(f"'moospark.engine' = '{ct.engine}'")
+        if ct.order_by:
+            props.append(f"'moospark.order_by' = '{_esc(ct.order_by)}'")
+        if ct.partition_by:
+            props.append(f"'moospark.partition_by' = '{_esc(ct.partition_by)}'")
+        tbl = f"`{db}`.`{ct.table}`"
+        stmt = f"CREATE TABLE {ine}{tbl} ({cols}) USING PARQUET"
+        if props:
+            stmt += " TBLPROPERTIES (" + ", ".join(props) + ")"
+        try:
+            self.spark.sql(stmt)
+        except Exception as e:
+            raise EngineError(_clean_spark_error(e)) from e
+
+
+def _esc(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _clean_spark_error(e: Exception) -> str:
+    msg = str(e)
+    return msg.split("\nJVM stacktrace:")[0].strip()

@@ -1,0 +1,209 @@
+"""Output format serializers (SURVEY.md §2.8, reference F1-F10).
+
+The reference returns chDB's formatted bytes verbatim
+(main.py:190,205); we serialize collected Spark rows ourselves.
+Entry point: ``serialize(result, fmt) -> bytes``.
+
+Large results stream through ``toLocalIterator()`` so the driver
+never materializes the full result (100 TB design, SURVEY §7G);
+``max_result_rows`` from query settings is enforced here as a cheap
+serializer-side LIMIT (the Play UI sends it, index.html:511-514).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from typing import Iterable, Iterator, Optional
+
+from pyspark.sql import DataFrame
+
+from ..dialect.types import spark_type_to_ch
+from .render import csv_cell, json_value, plain_text, tsv_cell
+
+
+@dataclass
+class QueryResult:
+    """Schema + row iterator + execution statistics."""
+
+    columns: list[str]
+    ch_types: list[str]
+    rows: Iterable[tuple]
+    elapsed: float = 0.0
+    rows_read: int = 0
+    bytes_read: int = 0
+
+    @classmethod
+    def from_dataframe(
+        cls, df: DataFrame, elapsed: float = 0.0, stream: bool = True
+    ) -> "QueryResult":
+        schema = df.schema
+        cols = [f.name for f in schema.fields]
+        ch_types = [spark_type_to_ch(f.dataType, f.nullable) for f in schema.fields]
+        rows = df.toLocalIterator() if stream else iter(df.collect())
+        return cls(columns=cols, ch_types=ch_types, rows=rows)
+
+
+def _limited(rows: Iterable[tuple], limit: Optional[int]) -> Iterator[tuple]:
+    if limit is None:
+        yield from rows
+        return
+    for i, r in enumerate(rows):
+        if i >= limit:
+            return
+        yield r
+
+
+def to_tsv(res: QueryResult, with_names: bool = False, limit: Optional[int] = None) -> bytes:
+    out: list[str] = []
+    if with_names:
+        out.append("\t".join(res.columns) + "\n")
+    for row in _limited(res.rows, limit):
+        out.append("\t".join(tsv_cell(v) for v in row) + "\n")
+    return "".join(out).encode("utf-8")
+
+
+def to_csv(res: QueryResult, with_names: bool = False, limit: Optional[int] = None) -> bytes:
+    out: list[str] = []
+    if with_names:
+        out.append(",".join('"' + c.replace('"', '""') + '"' for c in res.columns) + "\n")
+    for row in _limited(res.rows, limit):
+        out.append(",".join(csv_cell(v) for v in row) + "\n")
+    return "".join(out).encode("utf-8")
+
+
+def _meta(res: QueryResult) -> list[dict]:
+    return [{"name": c, "type": t} for c, t in zip(res.columns, res.ch_types)]
+
+
+def _statistics(res: QueryResult) -> dict:
+    return {
+        "elapsed": round(res.elapsed, 6),
+        "rows_read": res.rows_read,
+        "bytes_read": res.bytes_read,
+    }
+
+
+def to_json(res: QueryResult, limit: Optional[int] = None) -> bytes:
+    """CH ``JSON`` envelope: meta/data/rows/statistics
+    (Play UI consumes meta + statistics, index.html:579,707-712)."""
+    data = [
+        {c: json_value(v) for c, v in zip(res.columns, row)}
+        for row in _limited(res.rows, limit)
+    ]
+    doc = {
+        "meta": _meta(res),
+        "data": data,
+        "rows": len(data),
+        "statistics": _statistics(res),
+    }
+    return (json.dumps(doc, ensure_ascii=False, indent=1) + "\n").encode("utf-8")
+
+
+def to_json_compact(res: QueryResult, limit: Optional[int] = None) -> bytes:
+    data = [
+        [json_value(v) for v in row] for row in _limited(res.rows, limit)
+    ]
+    doc = {
+        "meta": _meta(res),
+        "data": data,
+        "rows": len(data),
+        "statistics": _statistics(res),
+    }
+    return (json.dumps(doc, ensure_ascii=False, indent=1) + "\n").encode("utf-8")
+
+
+def to_json_compact_columns(res: QueryResult, limit: Optional[int] = None) -> bytes:
+    """Array of column arrays (Play UI chart path, index.html:583-584)."""
+    rows = list(_limited(res.rows, limit))
+    cols = [[json_value(r[i]) for r in rows] for i in range(len(res.columns))]
+    return (json.dumps(cols, ensure_ascii=False) + "\n").encode("utf-8")
+
+
+def to_json_each_row(res: QueryResult, limit: Optional[int] = None) -> bytes:
+    out = [
+        json.dumps({c: json_value(v) for c, v in zip(res.columns, row)}, ensure_ascii=False)
+        + "\n"
+        for row in _limited(res.rows, limit)
+    ]
+    return "".join(out).encode("utf-8")
+
+
+def to_values(res: QueryResult, limit: Optional[int] = None) -> bytes:
+    def cell(v):
+        if isinstance(v, str):
+            return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        return plain_text(v)
+
+    out = ["(" + ",".join(cell(v) for v in row) + ")" for row in _limited(res.rows, limit)]
+    return (",".join(out) + "\n").encode("utf-8")
+
+
+def to_pretty(res: QueryResult, limit: Optional[int] = None) -> bytes:
+    rows = [[plain_text(v) for v in row] for row in _limited(res.rows, limit)]
+    widths = [len(c) for c in res.columns]
+    for r in rows:
+        for i, cell in enumerate(r):
+            widths[i] = max(widths[i], len(cell))
+    sep = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
+    out = [sep]
+    out.append("|" + "|".join(f" {c.ljust(w)} " for c, w in zip(res.columns, widths)) + "|")
+    out.append(sep)
+    for r in rows:
+        out.append("|" + "|".join(f" {c.ljust(w)} " for c, w in zip(r, widths)) + "|")
+    out.append(sep)
+    return ("\n".join(out) + "\n").encode("utf-8")
+
+
+def serialize(res: QueryResult, fmt: str, max_result_rows: Optional[int] = None) -> bytes:
+    from .native import to_native
+
+    f = fmt.lower()
+    if f in ("tsv", "tabseparated"):
+        return to_tsv(res, limit=max_result_rows)
+    if f in ("tsvwithnames", "tabseparatedwithnames"):
+        return to_tsv(res, with_names=True, limit=max_result_rows)
+    if f == "csv":
+        return to_csv(res, limit=max_result_rows)
+    if f == "csvwithnames":
+        return to_csv(res, with_names=True, limit=max_result_rows)
+    if f == "json":
+        return to_json(res, limit=max_result_rows)
+    if f == "jsoncompact":
+        return to_json_compact(res, limit=max_result_rows)
+    if f == "jsoncompactcolumns":
+        return to_json_compact_columns(res, limit=max_result_rows)
+    if f == "jsoneachrow":
+        return to_json_each_row(res, limit=max_result_rows)
+    if f == "values":
+        return to_values(res, limit=max_result_rows)
+    if f in ("pretty", "prettycompact"):
+        return to_pretty(res, limit=max_result_rows)
+    if f == "native":
+        return to_native(res, limit=max_result_rows)
+    if f == "null":
+        for _ in res.rows:
+            pass
+        return b""
+    raise ValueError(f"unknown format: {fmt}")
+
+
+CONTENT_TYPES = {
+    "tsv": "text/tab-separated-values; charset=UTF-8",
+    "tsvwithnames": "text/tab-separated-values; charset=UTF-8",
+    "csv": "text/csv; charset=UTF-8",
+    "csvwithnames": "text/csv; charset=UTF-8",
+    "json": "application/json; charset=UTF-8",
+    "jsoncompact": "application/json; charset=UTF-8",
+    "jsoncompactcolumns": "application/json; charset=UTF-8",
+    "jsoneachrow": "application/x-ndjson; charset=UTF-8",
+    "values": "text/plain; charset=UTF-8",
+    "pretty": "text/plain; charset=UTF-8",
+    "prettycompact": "text/plain; charset=UTF-8",
+    "native": "application/octet-stream",
+    "null": "text/plain; charset=UTF-8",
+}
+
+
+def content_type(fmt: str) -> str:
+    return CONTENT_TYPES.get(fmt.lower(), "text/plain; charset=UTF-8")

@@ -31,6 +31,12 @@ def get_spark(app_name: str = "moospark", shuffle_partitions: int | None = None)
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sp = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    # Per-process warehouse under /tmp (reference keeps per-credential
+    # catalogs under /tmp/cowsdb, main.py:29); keeps the repo clean and
+    # session state process-scoped like the reference's.
+    warehouse = os.environ.get(
+        "MOOSPARK_WAREHOUSE", f"/tmp/moospark-warehouse-{os.getpid()}"
+    )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -43,6 +49,7 @@ def get_spark(app_name: str = "moospark", shuffle_partitions: int | None = None)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.warehouse.dir", warehouse)
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,134 @@
+"""Dialect front-end unit tests (SURVEY §4.3 item 1).
+
+Each translated query is EXECUTED in Spark — translation that
+doesn't run is not translation.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cowsdb_spark.dialect import split_statements, translate
+from cowsdb_spark.dialect.ddl import CreateTable, parse_ddl
+from cowsdb_spark.dialect.types import ch_type_to_spark, spark_type_to_ch
+from pyspark.sql import types as T
+
+
+def one(sql: str):
+    stmts = translate(sql)
+    assert len(stmts) == 1, stmts
+    return stmts[0]
+
+
+class TestFormatClause:
+    def test_strip_trailing_format(self):
+        st = one("SELECT 1 AS x FORMAT JSONCompact")
+        assert st.format == "JSONCompact"
+        assert "FORMAT" not in st.spark_sql
+
+    def test_format_in_string_untouched(self):
+        # the reference corrupts this case (main.py:534) — we must not
+        st = one("SELECT 'pick a FORMAT JSON wisely' AS s")
+        assert st.format is None
+        assert "FORMAT JSON" in st.spark_sql
+
+    def test_settings_stripped(self):
+        st = one("SELECT 1 AS x SETTINGS max_result_rows=1000, result_overflow_mode='break'")
+        assert st.settings == {"max_result_rows": "1000", "result_overflow_mode": "break"}
+        assert "SETTINGS" not in st.spark_sql
+
+
+class TestStatements:
+    def test_multi_statement_use(self):
+        stmts = translate("USE `qryn`; SELECT 1 AS x")
+        assert stmts[0].kind == "use" and stmts[0].database == "qryn"
+        assert stmts[1].kind == "select"
+
+    def test_semicolon_in_string(self):
+        assert len(split_statements("SELECT 'a;b' AS s")) == 1
+
+
+class TestRewrites:
+    @pytest.mark.parametrize(
+        "ch,expected_rows",
+        [
+            ("SELECT toString(42) AS s", [("42",)]),
+            ("SELECT toInt32('7') + 1 AS v", [(8,)]),
+            ("SELECT toYYYYMM(toDate('2024-03-05')) AS ym", [(202403,)]),
+            ("SELECT intDiv(10, 3) AS d", [(3,)]),
+            ("SELECT number FROM numbers(3) ORDER BY number", [(0,), (1,), (2,)]),
+            ("SELECT number % 2 ? number : NULL AS v FROM numbers(2) ORDER BY number",
+             [(None,), (1,)]),
+            ("SELECT multiIf(2 > 1, 'x', 'y') AS m", [("x",)]),
+            ("SELECT empty('') AS a, notEmpty('q') AS b", [(True, True)]),
+            ("SELECT arrayMap(x -> x * 2, array(1, 2)) AS a", [([2, 4],)]),
+            ("SELECT has(array(1, 2), 2) AS h", [(True,)]),
+            ("SELECT version() AS v", [("25.5.2",)]),
+            ("SELECT quantileExact(0.5)(x) AS m FROM (SELECT 1 AS x UNION ALL SELECT 3 AS x)",
+             [(2.0,)]),
+            ("SELECT sumIf(v, v > 1) AS s FROM (SELECT 1 AS v UNION ALL SELECT 5 AS v)",
+             [(5,)]),
+            ("SELECT toStartOfHour(timestamp'2024-01-02 03:45:11') AS h",
+             None),  # executes; value checked below via strftime
+        ],
+    )
+    def test_translated_sql_executes(self, spark, ch, expected_rows):
+        st = one(ch)
+        rows = [tuple(r) for r in spark.sql(st.spark_sql).collect()]
+        if expected_rows is not None:
+            assert rows == expected_rows
+
+    def test_start_of_hour_value(self, spark):
+        st = one("SELECT toStartOfHour(timestamp'2024-01-02 03:45:11') AS h")
+        (row,) = spark.sql(st.spark_sql).collect()
+        assert row.h.strftime("%H:%M:%S") == "03:00:00"
+
+
+class TestTypes:
+    @pytest.mark.parametrize(
+        "ch,spark_t",
+        [
+            ("UInt32", T.LongType()),
+            ("Nullable(Int64)", T.LongType()),
+            ("Array(UInt16)", T.ArrayType(T.IntegerType())),
+            ("Map(String, UInt64)", T.MapType(T.StringType(), T.LongType())),
+            ("FixedString(16)", T.StringType()),
+            ("DateTime", T.TimestampType()),
+            ("Decimal(10, 2)", T.DecimalType(10, 2)),
+            ("LowCardinality(String)", T.StringType()),
+        ],
+    )
+    def test_ch_to_spark(self, ch, spark_t):
+        assert ch_type_to_spark(ch) == spark_t
+
+    def test_reverse_map(self):
+        assert spark_type_to_ch(T.LongType()) == "Int64"
+        assert spark_type_to_ch(T.StringType(), nullable=True) == "Nullable(String)"
+        assert spark_type_to_ch(T.ArrayType(T.IntegerType())) == "Array(Int32)"
+
+
+class TestDDL:
+    def test_reference_memory_table(self):
+        # test_suite.py:312 verbatim
+        ct = parse_ddl(
+            "CREATE TABLE IF NOT EXISTS test_table (id UInt32, name String) ENGINE=Memory"
+        )
+        assert isinstance(ct, CreateTable)
+        assert ct.if_not_exists and ct.engine == "Memory"
+        assert [(c.name, c.spark_type) for c in ct.columns] == [
+            ("id", T.LongType()),
+            ("name", T.StringType()),
+        ]
+
+    def test_clickbench_mergetree_clauses(self):
+        # trimmed shape of test.yml:49
+        ct = parse_ddl(
+            "CREATE TABLE hits (WatchID UInt64, EventDate Date, UserID UInt64) "
+            "ENGINE = MergeTree() PARTITION BY toYYYYMM(EventDate) "
+            "ORDER BY (CounterID, EventDate, intHash32(UserID)) "
+            "SAMPLE BY intHash32(UserID) SETTINGS index_granularity = 8192"
+        )
+        assert ct.engine == "MergeTree"
+        assert "toYYYYMM" in ct.partition_by
+        assert "intHash32" in ct.order_by
+        assert ct.settings.get("index_granularity") == "8192"

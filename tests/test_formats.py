@@ -1,0 +1,105 @@
+"""Format serializer tests (SURVEY §2.8; reference coverage map
+test_suite.py:163-179 — TSV/JSON/CSV over literal queries)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+from cowsdb_spark.formats import (
+    QueryResult,
+    serialize,
+    to_json,
+    to_json_compact,
+    to_tsv,
+)
+from cowsdb_spark.formats.native import parse_native, to_native, write_varint
+
+
+def res(columns, ch_types, rows):
+    return QueryResult(columns=columns, ch_types=ch_types, rows=iter(rows))
+
+
+class TestTSV:
+    def test_basic(self):
+        out = to_tsv(res(["a", "b"], ["Int64", "String"], [(1, "x"), (2, "y")]))
+        assert out == b"1\tx\n2\ty\n"
+
+    def test_null_and_escaping(self):
+        out = to_tsv(
+            res(["s"], ["Nullable(String)"], [("a\tb",), (None,), ("l1\nl2",)])
+        )
+        assert out == b"a\\tb\n\\N\nl1\\nl2\n"
+
+    def test_float_and_dates(self):
+        out = to_tsv(
+            res(
+                ["f", "d", "t"],
+                ["Float64", "Date", "DateTime"],
+                [(3.14, dt.date(2024, 3, 5), dt.datetime(2024, 3, 5, 1, 2, 3))],
+            )
+        )
+        assert out == b"3.14\t2024-03-05\t2024-03-05 01:02:03\n"
+
+    def test_arrays_ch_style(self):
+        out = to_tsv(res(["a"], ["Array(Int64)"], [([1, 2, 3],)]))
+        assert out == b"[1,2,3]\n"
+
+
+class TestJSON:
+    def test_envelope(self):
+        r = res(["num"], ["Int64"], [(1,)])
+        r.elapsed = 0.01
+        doc = json.loads(to_json(r))
+        assert doc["meta"] == [{"name": "num", "type": "Int64"}]
+        assert doc["data"] == [{"num": 1}]
+        assert doc["rows"] == 1
+        assert set(doc["statistics"]) == {"elapsed", "rows_read", "bytes_read"}
+
+    def test_compact_rows_are_arrays(self):
+        doc = json.loads(to_json_compact(res(["a", "b"], ["Int64", "String"], [(1, "x")])))
+        assert doc["data"] == [[1, "x"]]
+
+    def test_compact_columns(self):
+        out = serialize(
+            res(["a", "b"], ["Int64", "String"], [(1, "x"), (2, "y")]),
+            "JSONCompactColumns",
+        )
+        assert json.loads(out) == [[1, 2], ["x", "y"]]
+
+
+class TestNative:
+    def test_varint(self):
+        assert write_varint(0) == b"\x00"
+        assert write_varint(127) == b"\x7f"
+        assert write_varint(300) == b"\xac\x02"
+
+    def test_round_trip_scalars(self):
+        rows = [
+            (1, "hello", 3.5, dt.date(2024, 1, 2), dt.datetime(2024, 1, 2, 3, 4, 5), None),
+            (255, "", -1.25, dt.date(1970, 1, 1), dt.datetime(1970, 1, 1), 7),
+        ]
+        r = res(
+            ["i", "s", "f", "d", "t", "n"],
+            ["Int64", "String", "Float64", "Date", "DateTime", "Nullable(Int64)"],
+            rows,
+        )
+        buf = to_native(r)
+        names, types, back = parse_native(buf)
+        assert names == ["i", "s", "f", "d", "t", "n"]
+        assert types == ["Int64", "String", "Float64", "Date", "DateTime", "Nullable(Int64)"]
+        assert back == rows
+
+    def test_many_rows_beyond_255(self):
+        # the reference's parser caps at 255 rows (main.py:573-574);
+        # ours must not.
+        rows = [(i,) for i in range(1000)]
+        buf = to_native(res(["x"], ["Int64"], rows))
+        _, _, back = parse_native(buf)
+        assert len(back) == 1000 and back[-1] == (999,)
+
+
+class TestMaxResultRows:
+    def test_serializer_limit(self):
+        out = to_tsv(res(["x"], ["Int64"], [(i,) for i in range(100)]), limit=3)
+        assert out == b"0\n1\n2\n"
