@@ -1,0 +1,145 @@
+"""ClickHouse HTTP API clone (reference main.py:849-913) on stdlib
+``http.server`` (no Flask in this environment).
+
+Behavior parity, cited to the reference:
+
+- GET / with ``?query=`` executes; without → serve the Play UI
+  (main.py:854-856). POST / concatenates the ``query`` param and the
+  body (main.py:870-890) — but WITHOUT the reference's multiline
+  flattening hack, which corrupts string literals containing
+  newlines (main.py:884-889; SURVEY 'do not copy' list).
+- ``default_format`` (default TSV) and ``database`` URL params
+  (main.py:853,859-860,875,895-897).
+- Basic auth accepted for ANY credentials — credentials select a
+  session namespace, they don't gate access (main.py:816-821).
+- Success → 200 with formatted bytes; failure → 400 with the error
+  text (main.py:863-868). Partial-failure warning path collapses to
+  clean success/failure here (we have no stderr side channel).
+- GET /ping → "Ok\\n" (main.py:911-913); 404 → Play UI
+  (main.py:915-917).
+
+Threading: ThreadingHTTPServer, one engine shared across handler
+threads — the engine's lock serializes catalog mutation exactly like
+the reference's session_lock (main.py:34).
+"""
+
+from __future__ import annotations
+
+import base64
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from ..engine import Engine, EngineError
+from ..formats import content_type
+
+PLAY_HTML = b"""<!DOCTYPE html><html><head><title>moospark</title></head>
+<body><h3>moospark \xe2\x80\x94 ClickHouse-compatible HTTP API on Spark</h3>
+<p>POST your query to / or use ?query=...</p></body></html>
+"""
+
+
+class _Handler(BaseHTTPRequestHandler):
+    engine: Engine  # injected by serve()
+    protocol_version = "HTTP/1.1"
+
+    # -- helpers ----------------------------------------------------------
+
+    def _auth(self) -> tuple[str, str]:
+        hdr = self.headers.get("Authorization", "")
+        if hdr.startswith("Basic "):
+            try:
+                raw = base64.b64decode(hdr[6:]).decode("utf-8")
+                user, _, pw = raw.partition(":")
+                return user or "default", pw
+            except Exception:
+                pass
+        return "default", ""
+
+    def _send(self, code: int, body: bytes, ctype: str = "text/plain; charset=UTF-8"):
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.send_header("X-ClickHouse-Server-Display-Name", "moospark")
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _run(self, query: str, fmt: str, database: str):
+        user, pw = self._auth()
+        try:
+            body = self.engine.execute(
+                query.strip(), fmt=fmt, user=user, password=pw,
+                database=database or None,
+            )
+            self._send(200, body, content_type(fmt))
+        except EngineError as e:
+            self._send(400, (str(e) + "\n").encode("utf-8"))
+        except Exception as e:  # engine bug → 500, not a hang
+            self._send(500, (f"Code: 1000. Internal error: {e}\n").encode("utf-8"))
+
+    # -- routes -----------------------------------------------------------
+
+    def do_GET(self):
+        url = urlparse(self.path)
+        qs = parse_qs(url.query)
+        if url.path == "/ping":
+            self._send(200, b"Ok\n")
+            return
+        if url.path in ("/", "/play"):
+            query = (qs.get("query") or [""])[0]
+            if not query:
+                self._send(200, PLAY_HTML, "text/html; charset=UTF-8")
+                return
+            fmt = (qs.get("default_format") or ["TSV"])[0]
+            database = (qs.get("database") or [""])[0]
+            self._run(query, fmt, database)
+            return
+        # 404 → Play UI (reference main.py:915-917)
+        self._send(200, PLAY_HTML, "text/html; charset=UTF-8")
+
+    def do_POST(self):
+        url = urlparse(self.path)
+        qs = parse_qs(url.query)
+        length = int(self.headers.get("Content-Length") or 0)
+        body = self.rfile.read(length).decode("utf-8", "replace") if length else ""
+        query_param = (qs.get("query") or [""])[0]
+        # param + body concatenation (main.py:873-890), no flattening
+        query = (query_param + ("\n" if query_param and body else "") + body).strip()
+        if not query:
+            self._send(400, b"Error: no query parameter provided\n")
+            return
+        fmt = (qs.get("default_format") or ["TSV"])[0]
+        database = (qs.get("database") or [""])[0]
+        self._run(query, fmt, database)
+
+    def log_message(self, *args):  # quiet
+        pass
+
+
+def make_server(engine: Engine, host: str = "127.0.0.1", port: int = 8123) -> ThreadingHTTPServer:
+    handler = type("BoundHandler", (_Handler,), {"engine": engine})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def serve_background(engine: Engine, host: str = "127.0.0.1", port: int = 8123):
+    """Start the HTTP server on a daemon thread; returns the server."""
+    srv = make_server(engine, host, port)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv
+
+
+def main():
+    import argparse
+
+    p = argparse.ArgumentParser(description="moospark ClickHouse-compatible HTTP server")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8123)
+    args = p.parse_args()
+    srv = make_server(Engine(), args.host, args.port)
+    print(f"moospark HTTP API: http://{args.host}:{args.port}")
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,131 @@
+"""HTTP protocol conformance — the reference's own HTTP tests
+(test_suite.py:109-179,367-390) re-pointed at our server."""
+
+from __future__ import annotations
+
+import base64
+import json
+import urllib.error
+import urllib.parse
+import urllib.request
+
+import pytest
+
+from cowsdb_spark.engine import Engine
+from cowsdb_spark.server.http_server import serve_background
+
+
+@pytest.fixture(scope="module")
+def http(spark):
+    engine = Engine(spark)
+    srv = serve_background(engine, "127.0.0.1", 0)
+    host, port = srv.server_address
+    yield f"http://{host}:{port}"
+    srv.shutdown()
+
+
+def get(base, query=None, user=None, password=None, path="/", **params):
+    if query is not None:
+        params["query"] = query
+    url = base + path + ("?" + urllib.parse.urlencode(params) if params else "")
+    req = urllib.request.Request(url)
+    if user is not None:
+        cred = base64.b64encode(f"{user}:{password or ''}".encode()).decode()
+        req.add_header("Authorization", f"Basic {cred}")
+    with urllib.request.urlopen(req) as r:
+        return r.status, r.read()
+
+
+def post(base, body, query=None, **params):
+    if query is not None:
+        params["query"] = query
+    url = base + "/" + ("?" + urllib.parse.urlencode(params) if params else "")
+    req = urllib.request.Request(url, data=body.encode(), method="POST")
+    with urllib.request.urlopen(req) as r:
+        return r.status, r.read()
+
+
+class TestBasics:
+    def test_ping(self, http):
+        assert get(http, path="/ping") == (200, b"Ok\n")
+
+    def test_select_1(self, http):
+        # test_suite.py:109-126 shape
+        assert get(http, "SELECT 1") == (200, b"1\n")
+
+    def test_literal_types(self, http):
+        # test_suite.py:138-161
+        status, body = get(http, "SELECT 1 AS i, 'hello' AS s, 3.14 AS f")
+        assert status == 200 and body == b"1\thello\t3.14\n"
+
+    def test_no_query_serves_ui(self, http):
+        status, body = get(http)
+        assert status == 200 and b"html" in body.lower()
+
+
+class TestFormats:
+    def test_default_format_param(self, http):
+        status, body = get(http, "SELECT 1 AS num", default_format="JSONCompact")
+        doc = json.loads(body)
+        assert doc["data"] == [[1]]
+        assert doc["meta"][0]["name"] == "num"
+        assert "statistics" in doc
+
+    def test_format_clause_wins(self, http):
+        status, body = get(http, "SELECT 1 AS num FORMAT CSV", default_format="TSV")
+        assert body == b"1\n"
+
+    def test_csv(self, http):
+        status, body = get(http, "SELECT 'a,b' AS s, 2 AS n", default_format="CSV")
+        assert body == b'"a,b",2\n'
+
+
+class TestPost:
+    def test_post_body_query(self, http):
+        assert post(http, "SELECT 2 + 2") == (200, b"4\n")
+
+    def test_post_multiline_preserves_string_newlines(self, http):
+        # the reference flattens the body and corrupts this
+        # (main.py:884-889); we must not.
+        status, body = post(http, "SELECT 'line1\nline2' AS s FORMAT JSONCompact")
+        doc = json.loads(body)
+        assert doc["data"] == [["line1\nline2"]]
+
+    def test_post_empty(self, http):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post(http, "")
+        assert ei.value.code == 400
+
+
+class TestErrorsAndSessions:
+    def test_bad_query_400_with_message(self, http):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            get(http, "SELECT * FROM nope_nope")
+        assert ei.value.code == 400
+        assert b"Code:" in ei.value.read()
+
+    def test_database_param(self, http):
+        get(http, "CREATE DATABASE IF NOT EXISTS dbp")
+        get(http, "CREATE TABLE IF NOT EXISTS t (x Int64) ENGINE=Memory", database="dbp")
+        get(http, "INSERT INTO t VALUES (5)", database="dbp")
+        assert get(http, "SELECT x FROM t", database="dbp") == (200, b"5\n")
+
+    def test_any_credentials_accepted_select_session(self, http):
+        # main.py:816-821: creds select a namespace, never rejected
+        s1, _ = get(http, "CREATE TABLE ses (x Int64) ENGINE=Memory", user="u1", password="p")
+        assert s1 == 200
+        get(http, "INSERT INTO ses VALUES (9)", user="u1", password="p")
+        assert get(http, "SELECT x FROM ses", user="u1", password="p") == (200, b"9\n")
+        # different credentials: same table name invisible
+        with pytest.raises(urllib.error.HTTPError):
+            get(http, "SELECT x FROM ses", user="u2", password="q")
+
+    def test_session_persists_across_requests(self, http):
+        # CI flow shape (test.yml:46-56): CREATE in one request,
+        # INSERT/SELECT in later ones.
+        get(http, "CREATE TABLE persist_t (v Int64) ENGINE=Memory", user="ci", password="ci")
+        get(http, "INSERT INTO persist_t VALUES (1), (2)", user="ci", password="ci")
+        assert get(http, "SELECT sum(v) AS s FROM persist_t", user="ci", password="ci") == (
+            200,
+            b"3\n",
+        )
