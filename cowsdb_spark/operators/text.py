@@ -1,0 +1,122 @@
+"""Text-analysis operators for training-data pipelines (SURVEY §7 G).
+
+All pure DataFrame expressions (codegen'd, no UDF):
+
+- ``token_stats`` — whitespace tokens + a BPE-ish regex token count.
+- ``quality_score`` — composite of length, punctuation ratio,
+  stopword ratio, mean word length (the C4/Gopher-style signals).
+- ``lang_id`` — n-gram/stopword-marker heuristic language guess.
+- ``doc_fingerprint`` — md5 + rolling-polynomial hash of normalized
+  content.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalized
+
+# Tiny marker lexicons per language — deterministic heuristic only
+# (the container has no langid model; see SURVEY §7 G stub policy).
+_MARKERS = {
+    "en": ["the", "and", "of", "is", "with"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "las", "una", "es"],
+    "zh": [],  # CJK detected by script range below
+}
+
+_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is"]
+
+# BPE-ish tokenizer regex: words, numbers, or single non-space symbols
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    return F.split(normalized(text), " ")
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    ws_tokens = F.size(tokens(t))
+    bpe_tokens = F.size(F.regexp_extract_all(t, F.lit(_BPE_RE), 0))
+    return docs.select(
+        F.col(id_col),
+        ws_tokens.alias("n_tokens_ws"),
+        bpe_tokens.alias("n_tokens_bpe"),
+        F.length(t).alias("n_chars"),
+    )
+
+
+def _ratio(num: Column, den: Column) -> Column:
+    return F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Quality signals + a single [0,1] composite score."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    n_char = F.length(t)
+    stop_hits = F.size(F.filter(toks, lambda w: w.isin(*_STOPWORDS)))
+    punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
+    mean_word = _ratio(
+        F.aggregate(toks, F.lit(0), lambda acc, w: acc + F.length(w)).cast("double"), n_tok
+    )
+    stop_ratio = _ratio(stop_hits, n_tok)
+    punct_ratio = _ratio(punct, n_char)
+    # composite: enough tokens, some stopwords, sane word lengths
+    score = (
+        F.least(_ratio(n_tok, F.lit(100)), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 5, F.lit(1.0)) * 0.3
+        + F.when((mean_word >= 3) & (mean_word <= 10), 0.3).otherwise(0.0)
+    )
+    return docs.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(mean_word, 4).alias("mean_word_len"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Marker-word language guess with CJK script detection."""
+    toks = tokens(F.col(text_col))
+    hits = {
+        lang: F.size(F.filter(toks, lambda w: w.isin(*ms))) if ms else F.lit(0)
+        for lang, ms in _MARKERS.items()
+    }
+    cjk = F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", ""))
+    best = F.greatest(*[hits[lang] for lang in ("en", "de", "fr", "es")])
+    pred = (
+        F.when(cjk > 0, "zh")
+        .when(best == 0, "und")
+        .when(hits["en"] == best, "en")
+        .when(hits["de"] == best, "de")
+        .when(hits["fr"] == best, "fr")
+        .otherwise("es")
+    )
+    return docs.select(F.col(id_col), pred.alias("lang_pred"))
+
+
+def doc_fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """md5 + 64-bit rolling polynomial hash of normalized content.
+
+    The rolling hash is an aggregate over characters (base-31 mod
+    2^64 via long overflow) — deterministic, order-sensitive, cheap.
+    """
+    norm = normalized(F.col(text_col))
+    chars = F.split(norm, "")
+    rolling = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: acc * F.lit(31).cast("long") + F.coalesce(F.ascii(c), F.lit(0)),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.md5(norm).alias("md5"),
+        rolling.alias("rolling64"),
+    )

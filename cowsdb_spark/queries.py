@@ -775,3 +775,321 @@ def t05(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return cosine_topk(emb, query_vec_id=0, k=10)
+
+
+# ------------------------------------------------- joins & windows breadth
+
+
+@qdef(
+    "q37_semi_join",
+    "SELECT COUNT(*) AS c FROM customer c "
+    "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+    "[J4] LEFT SEMI join (EXISTS)",
+)
+def q37(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+
+@qdef(
+    "q38_full_outer",
+    "SELECT n_name, s_name FROM nation FULL OUTER JOIN supplier "
+    "ON s_nationkey = n_nationkey ORDER BY n_name, s_name",
+    "[J2] FULL OUTER join (nations without suppliers keep NULL side)",
+)
+def q38(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        n.join(s, s.s_nationkey == n.n_nationkey, "full_outer")
+        .select("n_name", "s_name")
+        .orderBy("n_name", "s_name")
+    )
+
+
+@qdef(
+    "q39_theta_join",
+    "SELECT r1.r_name AS a, r2.r_name AS b FROM region r1 JOIN region r2 "
+    "ON r1.r_regionkey < r2.r_regionkey ORDER BY a, b",
+    "[J5] inequality (theta) join via broadcast nested loop",
+)
+def q39(spark, sf_dir):
+    r1 = _t(spark, sf_dir, "region").alias("r1")
+    r2 = _t(spark, sf_dir, "region").alias("r2")
+    return (
+        r1.join(r2, F.col("r1.r_regionkey") < F.col("r2.r_regionkey"))
+        .select(F.col("r1.r_name").alias("a"), F.col("r2.r_name").alias("b"))
+        .orderBy("a", "b")
+    )
+
+
+@qdef(
+    "q40_cross_join",
+    "SELECT COUNT(*) AS c FROM region CROSS JOIN nation",
+    "[J3] CROSS JOIN",
+)
+def q40(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return r.crossJoin(n).agg(F.count(F.lit(1)).alias("c"))
+
+
+@qdef(
+    "q41_union_distinct",
+    "SELECT x FROM (SELECT n_regionkey AS x FROM nation "
+    "UNION SELECT r_regionkey AS x FROM region) t ORDER BY x",
+    "[2.6] UNION DISTINCT",
+)
+def q41(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation").select(F.col("n_regionkey").alias("x"))
+    r = _t(spark, sf_dir, "region").select(F.col("r_regionkey").alias("x"))
+    return n.union(r).distinct().orderBy("x")
+
+
+@qdef(
+    "q42_grouping_sets",
+    "SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_shipmode_, 'ALL') AS ls, "
+    "COUNT(*) AS c FROM (SELECT l_returnflag, l_linestatus AS l_shipmode_ FROM lineitem) t "
+    "GROUP BY GROUPING SETS ((l_returnflag), (l_shipmode_), ()) ORDER BY rf, ls",
+    "[A9] explicit GROUPING SETS",
+)
+def q42(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_linestatus").alias("l_shipmode_")
+    )
+    li.createOrReplaceTempView("_q42")
+    return li.sparkSession.sql(
+        "SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_shipmode_, 'ALL') AS ls, "
+        "COUNT(*) AS c FROM _q42 "
+        "GROUP BY GROUPING SETS ((l_returnflag), (l_shipmode_), ()) ORDER BY rf, ls"
+    )
+
+
+@qdef(
+    "q43_cube",
+    "SELECT COALESCE(o_orderstatus, 'ALL') AS st, COALESCE(o_orderpriority, 'ALL') AS pr, "
+    "COUNT(*) AS c FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) "
+    "ORDER BY st, pr",
+    "[A9] CUBE",
+)
+def q43(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("st"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("pr"),
+            "c",
+        )
+        .orderBy("st", "pr")
+    )
+
+
+@qdef(
+    "q44_lag_lead",
+    "SELECT event_id, user_id, "
+    "LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v, "
+    "LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_v "
+    "FROM events ORDER BY user_id, event_id LIMIT 200",
+    "[2.7] lag/lead window functions",
+)
+def q44(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.lag("value").over(w).alias("prev_v"),
+            F.lead("value").over(w).alias("next_v"),
+        )
+        .orderBy("user_id", "event_id")
+        .limit(200)
+    )
+
+
+@qdef(
+    "q45_dense_rank",
+    "SELECT p_brand, p_partkey, CAST(DENSE_RANK() OVER ("
+    "PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS dr "
+    "FROM part ORDER BY p_brand, dr LIMIT 200",
+    "[2.7] dense_rank",
+)
+def q45(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), "p_partkey")
+    return (
+        p.select("p_brand", "p_partkey", F.dense_rank().over(w).cast("long").alias("dr"))
+        .orderBy("p_brand", "dr")
+        .limit(200)
+    )
+
+
+@qdef(
+    "q46_scalar_subquery",
+    "SELECT o_orderkey FROM orders "
+    "WHERE o_totalprice > (SELECT MAX(o_totalprice) FROM orders) * 0.9 "
+    "ORDER BY o_orderkey",
+    "[P9 + subquery] scalar subquery threshold (MAX is exact → deterministic filter)",
+)
+def q46(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_q46_orders")
+    return o.sparkSession.sql(
+        "SELECT o_orderkey FROM _q46_orders "
+        "WHERE o_totalprice > (SELECT MAX(o_totalprice) FROM _q46_orders) * 0.9 "
+        "ORDER BY o_orderkey"
+    )
+
+
+# ------------------------------------------------- pipeline extensions II
+
+
+@qdef(
+    "t06_minhash_pairs",
+    None,  # LSH buckets depend on xxhash64 — not expressible in the oracle
+    "[ext: dedup] MinHash-LSH near-duplicate candidate pairs (rows-only check)",
+)
+def t06(spark, sf_dir):
+    from .operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, min_jaccard=0.2).orderBy("id_a", "id_b")
+
+
+@qdef(
+    "t07_simhash_pairs",
+    None,
+    "[ext: dedup] SimHash banding near-dup candidates (rows-only check)",
+)
+def t07(spark, sf_dir):
+    from .operators.dedup import simhash_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_pairs(d, max_hamming=16).orderBy("id_a", "id_b")
+
+
+@qdef(
+    "t08_ngram_jaccard",
+    "WITH g AS (SELECT doc_id, list_distinct(list_transform("
+    "  generate_series(1, greatest(length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) - 2, 1)), "
+    "  i -> substring(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), i, 3))) AS gr "
+    "FROM documents) "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "ROUND(len(list_intersect(a.gr, b.gr)) / len(list_distinct(list_concat(a.gr, b.gr))), 4) AS jaccard "
+    "FROM g a JOIN g b ON b.doc_id = a.doc_id + 1 ORDER BY id_a LIMIT 100",
+    "[ext: dedup] exact char-3-gram Jaccard on consecutive doc pairs",
+)
+def t08(spark, sf_dir):
+    from .operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = d.select(F.col("doc_id").alias("id_a")).withColumn(
+        "id_b", F.col("id_a") + 1
+    ).join(
+        d.select(F.col("doc_id").alias("id_b")), "id_b", "inner"
+    )
+    return (
+        ngram_jaccard_pairs(d, pairs, n=3)
+        .orderBy("id_a")
+        .limit(100)
+    )
+
+
+@qdef(
+    "t09_lang_id",
+    None,
+    "[ext: text] heuristic language-ID vs gold label (rows-only check)",
+)
+def t09(spark, sf_dir):
+    from .operators.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    pred = lang_id(d)
+    return (
+        d.join(pred, "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+@qdef(
+    "t10_quality",
+    None,
+    "[ext: text] composite quality score (rows-only check)",
+)
+def t10(spark, sf_dir):
+    from .operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return quality_score(d).orderBy("doc_id").limit(200)
+
+
+@qdef(
+    "t11_asof_join",
+    "SELECT l.event_id, l.user_id, r.value AS last_purchase FROM "
+    "(SELECT * FROM events WHERE event_type = 'signup') l "
+    "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r "
+    "ON l.user_id = r.user_id AND l.ts >= r.ts "
+    "ORDER BY l.event_id LIMIT 200",
+    "[J6] ASOF JOIN via union+window rewrite vs DuckDB's native ASOF",
+)
+def t11(spark, sf_dir):
+    from .operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "signup")
+    right = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value")
+    )
+    joined = asof_join(left, right, on="user_id")
+    return (
+        joined.select("event_id", "user_id", F.col("value_r").alias("last_purchase"))
+        .orderBy("event_id")
+        .limit(200)
+    )
+
+
+@qdef(
+    "t12_lsh_knn",
+    None,
+    "[ext: similarity] LSH-bucketed near-neighbor pairs over embeddings (rows-only)",
+)
+def t12(spark, sf_dir):
+    from .operators.similarity import lsh_bucket_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_bucket_join(emb, dim=64, n_planes=8, min_sim=0.3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@qdef(
+    "t13_multimodal_features",
+    None,
+    "[ext: multimodal] binary payload → feature vector via mapInPandas (stubbed codec)",
+)
+def t13(spark, sf_dir):
+    from .operators.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, 64)
+    return extract_features(media).orderBy("media_id")
+
+
+@qdef(
+    "t14_dedup_survivors",
+    "SELECT COUNT(*) AS n_survivors FROM ("
+    "  SELECT MIN(doc_id) FROM documents "
+    "  GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) t",
+    "[ext: dedup] survivor count after exact dedup",
+)
+def t14(spark, sf_dir):
+    from .operators.dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d).agg(F.count(F.lit(1)).alias("n_survivors"))

@@ -1,0 +1,140 @@
+"""Unit tests for the pipeline operators (SURVEY §7 G) with
+hand-computable fixtures — semantics, not just smoke."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cowsdb_spark.operators.asof import asof_join
+from cowsdb_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from cowsdb_spark.operators.multimodal import extract_features, synthetic_media
+from cowsdb_spark.operators.similarity import cosine_topk, lsh_bucket_join
+from cowsdb_spark.operators.text import lang_id, quality_score, token_stats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again", "en"),
+        (1, "the quick brown fox jumps over the lazy dog again and again", "en"),  # dup of 0
+        (2, "The quick  brown fox jumps over the lazy dog again and again", "en"),  # ws/case dup
+        (3, "completely different text about spark and data pipelines here", "en"),
+        (4, "der hund und die katze sind freunde und das ist gut", "de"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+class TestExactDedup:
+    def test_normalized_duplicates_collapse(self, docs):
+        out = {r.doc_id: r.dup_count for r in exact_dedup(docs).collect()}
+        # docs 0,1,2 are one class (case/whitespace-insensitive), min id 0
+        assert out[0] == 3
+        assert out[3] == 1 and out[4] == 1
+        assert 1 not in out and 2 not in out
+
+
+class TestMinhash:
+    def test_duplicates_found_distinct_not(self, docs):
+        pairs = {
+            (r.id_a, r.id_b): r.jaccard_est
+            for r in minhash_lsh_pairs(docs, min_jaccard=0.5, shingle_k=3).collect()
+        }
+        assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+        assert (0, 2) in pairs  # normalization makes them identical
+        assert all(3 not in p and 4 not in p for p in pairs)
+
+
+class TestSimhash:
+    def test_identical_docs_distance_zero(self, docs):
+        pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(docs).collect()}
+        assert pairs.get((0, 1)) == 0
+        assert (0, 4) not in pairs
+
+
+class TestNgramJaccard:
+    def test_exact_jaccard_values(self, docs, spark):
+        pairs = spark.createDataFrame([(0, 1), (0, 3)], "id_a long, id_b long")
+        out = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(docs, pairs).collect()}
+        assert out[(0, 1)] == 1.0
+        assert out[(0, 3)] < 0.3
+
+
+class TestText:
+    def test_token_stats(self, docs):
+        r = {x.doc_id: x for x in token_stats(docs).collect()}
+        assert r[0].n_tokens_ws == 12
+        assert r[0].n_chars == len("the quick brown fox jumps over the lazy dog again and again")
+
+    def test_lang_id_markers(self, docs):
+        r = {x.doc_id: x.lang_pred for x in lang_id(docs).collect()}
+        assert r[0] == "en" and r[4] == "de"
+
+    def test_quality_monotone(self, docs):
+        r = {x.doc_id: x for x in quality_score(docs).collect()}
+        assert 0 <= r[0].quality <= 1
+        assert r[0].stop_ratio > 0
+
+
+class TestAsof:
+    def test_backward_semantics(self, spark):
+        left = spark.createDataFrame(
+            [(1, 10), (1, 20), (1, 5), (2, 10)], "k long, ts long"
+        )
+        right = spark.createDataFrame(
+            [(1, 8, "a"), (1, 15, "b"), (2, 99, "z")], "k long, ts long, v string"
+        )
+        out = {
+            (r.k, r.ts): r.v
+            for r in asof_join(left, right, on="k", left_ts="ts", right_ts="ts").collect()
+        }
+        assert out[(1, 10)] == "a"  # 8 <= 10 < 15
+        assert out[(1, 20)] == "b"
+        assert out[(1, 5)] is None  # nothing at-or-before 5
+        assert out[(2, 10)] is None  # right row is in the future
+
+    def test_equal_timestamp_inclusive(self, spark):
+        left = spark.createDataFrame([(1, 10)], "k long, ts long")
+        right = spark.createDataFrame([(1, 10, "x")], "k long, ts long, v string")
+        (row,) = asof_join(left, right, on="k").collect()
+        assert row.v == "x"
+
+
+class TestSimilarity:
+    def test_cosine_topk_self_similarity(self, spark):
+        rows = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [1.0, 0.0, 0.0]),   # identical to query
+            (2, [0.0, 1.0, 0.0]),   # orthogonal
+            (3, [0.9, 0.1, 0.0]),   # close
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = cosine_topk(emb, query_vec_id=0, k=3).collect()
+        assert out[0].vec_id == 1 and out[0].sim == 1.0
+        assert out[1].vec_id == 3
+        assert out[-1].sim == 0.0
+
+    def test_lsh_finds_identical(self, spark):
+        rows = [(i, [float(i % 2), 1.0, 0.5]) for i in range(6)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        pairs = {(r.id_a, r.id_b): r.sim for r in lsh_bucket_join(emb, dim=3).collect()}
+        assert pairs[(0, 2)] == 1.0  # identical vectors always bucket together
+
+
+class TestMultimodal:
+    def test_feature_extraction_shapes(self, spark):
+        out = extract_features(synthetic_media(spark, 12)).collect()
+        assert len(out) == 12
+        for r in out:
+            assert len(r.feature) == 8
+            assert r.n_bytes > 0
+
+    def test_deterministic(self, spark):
+        a = extract_features(synthetic_media(spark, 5)).collect()
+        b = extract_features(synthetic_media(spark, 5)).collect()
+        assert a == b
