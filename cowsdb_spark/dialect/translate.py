@@ -396,10 +396,20 @@ def _rewrite_ternary(sql: str) -> str:
     return sql
 
 
+def _rewrite_double_literals(toks: list[Tok]) -> None:
+    """``1.5`` → ``1.5D``: ClickHouse float literals are Float64;
+    Spark would parse them as DECIMAL(2,1) (observed as a String
+    column on the native wire). In-place on the token list."""
+    for t in toks:
+        if t.kind == "number" and ("." in t.text or "e" in t.text or "E" in t.text):
+            t.text += "D"
+
+
 def translate_select(sql: str) -> Statement:
     toks = tokenize(sql)
     toks, fmt = _strip_trailing_format(toks)
     toks, settings = _strip_trailing_settings(toks)
+    _rewrite_double_literals(toks)
     body = "".join(t.text for t in toks).strip()
     body = _rewrite_ternary(body)
     body = _rewrite_functions(body)

@@ -1,0 +1,305 @@
+"""Native TCP protocol conformance (reference test_suite.py:181-220,
+294-306 — handshake + literal matrix over raw sockets).
+
+The test client speaks the same packet layout clickhouse-driver
+does at revision 54468 (no compression), so these tests validate
+byte-level framing, not just our own round-trip.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+
+import pytest
+
+from cowsdb_spark.engine import Engine
+from cowsdb_spark.server.native_server import NativeServer
+
+REVISION = 54468
+
+
+def write_varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def write_str(s: str) -> bytes:
+    b = s.encode()
+    return write_varint(len(b)) + b
+
+
+class Client:
+    def __init__(self, port: int, user: str = "default", password: str = "", database: str = ""):
+        self.sock = socket.create_connection(("127.0.0.1", port), timeout=30)
+        self.buf = b""
+        self.pos = 0
+        hello = (
+            write_varint(0)
+            + write_str("test-client")
+            + write_varint(25)
+            + write_varint(5)
+            + write_varint(REVISION)
+            + write_str(database)
+            + write_str(user)
+            + write_str(password)
+        )
+        self.sock.sendall(hello)
+        self.server_hello = self._read_hello()
+
+    # -- wire primitives --------------------------------------------------
+
+    def _need(self, n: int) -> bytes:
+        while len(self.buf) - self.pos < n:
+            chunk = self.sock.recv(65536)
+            if not chunk:
+                raise ConnectionError("server closed")
+            self.buf = self.buf[self.pos :] + chunk
+            self.pos = 0
+        out = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+    def varint(self) -> int:
+        shift = n = 0
+        while True:
+            b = self._need(1)[0]
+            n |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return n
+            shift += 7
+
+    def rstr(self) -> str:
+        return self._need(self.varint()).decode()
+
+    def _read_hello(self) -> dict:
+        assert self.varint() == 0  # server HELLO
+        name = self.rstr()
+        major, minor, rev = self.varint(), self.varint(), self.varint()
+        used = min(rev, REVISION)
+        tz = self.rstr() if used >= 54058 else None
+        display = self.rstr() if used >= 54372 else None
+        patch = self.varint() if used >= 54401 else None
+        if used >= 54461:
+            self.varint()  # password rules count
+        if used >= 54462:
+            self._need(8)  # nonce
+        return {
+            "name": name,
+            "version": (major, minor, patch),
+            "revision": rev,
+            "timezone": tz,
+            "display_name": display,
+        }
+
+    # -- operations -------------------------------------------------------
+
+    def ping(self) -> bool:
+        self.sock.sendall(write_varint(4))
+        return self.varint() == 4  # PONG
+
+    def query(self, sql: str):
+        pkt = (
+            write_varint(1)  # QUERY
+            + write_str("test-query-id")
+            + bytes([1])  # client info kind
+            + write_str("")  # initial user
+            + write_str("")  # initial query id
+            + write_str("0.0.0.0:0")  # initial address
+            + struct.pack("<Q", 0)  # initial query start time
+            + bytes([1])  # interface TCP
+            + write_str("osuser")
+            + write_str("host")
+            + write_str("test-client")
+            + write_varint(25)
+            + write_varint(5)
+            + write_varint(REVISION)
+            + write_str("")  # quota key
+            + write_varint(0)  # distributed depth
+            + write_str("")  # end of settings
+            + write_str("")  # interserver secret
+            + write_varint(2)  # stage: complete
+            + write_varint(0)  # no compression
+            + write_str(sql)
+            + write_str("")  # end of parameters
+        )
+        self.sock.sendall(pkt)
+        return self._read_response()
+
+    def _read_response(self):
+        cols, rows = [], []
+        while True:
+            ptype = self.varint()
+            if ptype == 1:  # DATA
+                self.rstr()  # table name
+                # BlockInfo
+                while True:
+                    field = self.varint()
+                    if field == 0:
+                        break
+                    if field == 1:
+                        self._need(1)
+                    elif field == 2:
+                        self._need(4)
+                n_cols = self.varint()
+                n_rows = self.varint()
+                colvals = []
+                for _ in range(n_cols):
+                    name = self.rstr()
+                    ch_t = self.rstr()
+                    self._need(1)  # custom serialization flag
+                    inner = ch_t
+                    nullable = False
+                    if ch_t.startswith("Nullable("):
+                        inner, nullable = ch_t[9:-1], True
+                    mask = [False] * n_rows
+                    if nullable:
+                        mask = [b == 1 for b in self._need(n_rows)]
+                    vals = []
+                    for i in range(n_rows):
+                        v = self._read_scalar(inner)
+                        vals.append(None if mask[i] else v)
+                    cols.append((name, ch_t))
+                    colvals.append(vals)
+                rows.extend(
+                    tuple(colvals[c][r] for c in range(n_cols)) for r in range(n_rows)
+                )
+            elif ptype == 5:  # END_OF_STREAM
+                return cols, rows
+            elif ptype == 2:  # EXCEPTION
+                raise RuntimeError(self.rstr())
+            else:
+                raise AssertionError(f"unexpected packet {ptype}")
+
+    def _read_scalar(self, t: str):
+        fixed = {
+            "Int8": "<b", "Int16": "<h", "Int32": "<i", "Int64": "<q",
+            "UInt8": "<B", "UInt16": "<H", "UInt32": "<I", "UInt64": "<Q",
+            "Float32": "<f", "Float64": "<d",
+        }
+        if t in fixed:
+            fmt = fixed[t]
+            return struct.unpack(fmt, self._need(struct.calcsize(fmt)))[0]
+        if t == "Date":
+            (d,) = struct.unpack("<H", self._need(2))
+            import datetime
+
+            return datetime.date(1970, 1, 1) + datetime.timedelta(days=d)
+        if t == "DateTime":
+            (s,) = struct.unpack("<I", self._need(4))
+            import datetime
+
+            return datetime.datetime(1970, 1, 1) + datetime.timedelta(seconds=s)
+        if t == "Bool":
+            return self._need(1)[0] == 1
+        return self.rstr()
+
+    def close(self):
+        self.sock.close()
+
+
+@pytest.fixture(scope="module")
+def native_port(spark):
+    srv = NativeServer(Engine(spark), "127.0.0.1", 0).start_background()
+    yield srv.port
+    srv.stop()
+
+
+class TestHandshake:
+    def test_server_hello_fields(self, native_port):
+        c = Client(native_port)
+        h = c.server_hello
+        assert h["name"] == "moospark"
+        assert h["revision"] == 54468
+        assert h["timezone"] == "UTC"
+        assert h["version"][0] == 25
+        c.close()
+
+    def test_ping_pong(self, native_port):
+        c = Client(native_port)
+        assert c.ping()
+        c.close()
+
+
+class TestQueries:
+    def test_select_literal(self, native_port):
+        c = Client(native_port)
+        cols, rows = c.query("SELECT 1 AS num")
+        assert cols[0][0] == "num"
+        assert rows == [(1,)]
+        c.close()
+
+    def test_literal_matrix(self, native_port):
+        # test_suite.py:294-306 shape
+        c = Client(native_port)
+        cols, rows = c.query("SELECT 42 AS i, 'hello' AS s, 1.5 AS f")
+        assert rows == [(42, "hello", 1.5)]
+        assert dict(cols)["s"] == "String"
+        c.close()
+
+    def test_multirow_beyond_255(self, native_port):
+        # the reference caps at 255 rows (main.py:573-574); we must not
+        c = Client(native_port)
+        cols, rows = c.query("SELECT number FROM numbers(1000) ORDER BY number")
+        assert len(rows) == 1000
+        assert rows[999] == (999,)
+        c.close()
+
+    def test_nullable_column(self, native_port):
+        c = Client(native_port)
+        cols, rows = c.query(
+            "SELECT number % 2 ? number : NULL AS v FROM numbers(4) ORDER BY number"
+        )
+        assert [r[0] for r in rows] == [None, 1, None, 3]
+        assert "Nullable" in dict(cols)["v"]
+        c.close()
+
+    def test_ddl_no_data_block(self, native_port):
+        c = Client(native_port, user="native_ddl")
+        cols, rows = c.query("CREATE TABLE nt (x Int64) ENGINE=Memory")
+        assert rows == []
+        c.query("INSERT INTO nt VALUES (7)")
+        _, rows = c.query("SELECT x FROM nt")
+        assert rows == [(7,)]
+        c.query("DROP TABLE nt")
+        c.close()
+
+    def test_exception_packet(self, native_port):
+        c = Client(native_port)
+        with pytest.raises(RuntimeError, match="Code:"):
+            c.query("SELECT * FROM table_that_is_not_there")
+        # connection remains usable after an exception
+        _, rows = c.query("SELECT 2 AS x")
+        assert rows == [(2,)]
+        c.close()
+
+    def test_sessions_by_credentials(self, native_port):
+        c1 = Client(native_port, user="nat1", password="p1")
+        c1.query("CREATE TABLE iso_n (x Int64) ENGINE=Memory")
+        c1.query("INSERT INTO iso_n VALUES (5)")
+        _, rows = c1.query("SELECT x FROM iso_n")
+        assert rows == [(5,)]
+        c2 = Client(native_port, user="nat2", password="p2")
+        with pytest.raises(RuntimeError):
+            c2.query("SELECT x FROM iso_n")
+        c1.close()
+        c2.close()
+
+    def test_dates_and_timestamps(self, native_port):
+        import datetime
+
+        c = Client(native_port)
+        _, rows = c.query(
+            "SELECT toDate('2024-03-05') AS d, toDateTime('2024-03-05 01:02:03') AS t"
+        )
+        assert rows == [
+            (datetime.date(2024, 3, 5), datetime.datetime(2024, 3, 5, 1, 2, 3))
+        ]
+        c.close()
