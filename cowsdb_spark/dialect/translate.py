@@ -405,11 +405,49 @@ def _rewrite_double_literals(toks: list[Tok]) -> None:
             t.text += "D"
 
 
+def _rewrite_explain(toks: list[Tok]) -> None:
+    """CH ``EXPLAIN [AST|SYNTAX|PLAN|PIPELINE|ESTIMATE] [k=v ...]`` →
+    Spark ``EXPLAIN [EXTENDED|FORMATTED]`` (SURVEY §2.8 F10; the Play
+    UI sends ``EXPLAIN PIPELINE graph=1`` / ``EXPLAIN AST graph=1``,
+    index.html:714-716). Options like ``graph=1`` are dropped."""
+    sig = [i for i, t in enumerate(toks) if t.kind not in ("ws", "comment")]
+    if not sig or toks[sig[0]].text.upper() != "EXPLAIN":
+        return
+    mode_map = {
+        "AST": "EXTENDED",
+        "SYNTAX": "EXTENDED",
+        "PLAN": "FORMATTED",
+        "PIPELINE": "FORMATTED",
+        "ESTIMATE": "COST",
+        "QUERY": "FORMATTED",  # CH: EXPLAIN QUERY TREE
+    }
+    k = 1
+    if len(sig) > 1 and toks[sig[1]].text.upper() in mode_map:
+        toks[sig[1]].text = mode_map[toks[sig[1]].text.upper()]
+        k = 2
+        # CH: EXPLAIN QUERY TREE — swallow the TREE token too
+        if toks[sig[1]].text == "FORMATTED" and len(sig) > 2 and toks[sig[2]].text.upper() == "TREE":
+            toks[sig[2]].text = ""
+            k = 3
+    # drop option tokens `name = value` before the SELECT
+    while (
+        k + 2 < len(sig)
+        and toks[sig[k]].kind == "ident"
+        and toks[sig[k]].text.upper() not in ("SELECT", "WITH", "INSERT")
+        and toks[sig[k + 1]].text == "="
+    ):
+        toks[sig[k]].text = ""
+        toks[sig[k + 1]].text = ""
+        toks[sig[k + 2]].text = ""
+        k += 3
+
+
 def translate_select(sql: str) -> Statement:
     toks = tokenize(sql)
     toks, fmt = _strip_trailing_format(toks)
     toks, settings = _strip_trailing_settings(toks)
     _rewrite_double_literals(toks)
+    _rewrite_explain(toks)
     body = "".join(t.text for t in toks).strip()
     body = _rewrite_ternary(body)
     body = _rewrite_functions(body)

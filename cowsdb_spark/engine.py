@@ -22,7 +22,10 @@ from pyspark.sql import DataFrame, SparkSession
 from .dialect import translate
 from .dialect.ddl import CreateDatabase, CreateTable, DropObject, parse_ddl
 from .formats import QueryResult, serialize
+from .functions.ch_hashes import register_all as _register_hashes
 from .session import get_spark
+from .sources.url import resolve_table_functions
+from .system_tables import materialize as _materialize_system
 
 
 class EngineError(Exception):
@@ -61,6 +64,7 @@ class Engine:
         # Date/DateTime/numeric columns must cast (ANSI store
         # assignment would reject `INSERT … VALUES (1, '2024-01-05')`).
         self.spark.conf.set("spark.sql.storeAssignmentPolicy", "LEGACY")
+        _register_hashes(self.spark)
         self._sessions: dict[tuple[str, str], UserSession] = {}
         # One lock around catalog-mutating execution, mirroring the
         # reference's session_lock (main.py:34,162). Read-only
@@ -185,6 +189,18 @@ class Engine:
                     and toks[sig[k + 2]].kind in ("ident", "bquote")
                 ):
                     db = t.text.strip("`")
+                    if db == "system":
+                        # synthesized introspection tables (SURVEY §1.1;
+                        # Play UI queries system.settings, index.html:27)
+                        tbl = toks[sig[k + 2]].text.strip("`")
+                        view = _materialize_system(self.spark, sess.ns, tbl)
+                        if view is not None:
+                            out[i] = view
+                            out[sig[k + 1]] = ""
+                            out[sig[k + 2]] = ""
+                            k += 3
+                            table_ctx = False
+                            continue
                     out[i] = f"`{sess.spark_db(db)}`"
                     k += 3
                 else:
@@ -201,11 +217,22 @@ class Engine:
             k += 1
         return "".join(out)
 
+    def _prepare_sql(self, sess: UserSession, sql: str) -> str:
+        low = sql.lower()
+        if "url(" in low or "file(" in low:
+            try:
+                sql = resolve_table_functions(self.spark, sql)
+            except Exception as e:
+                raise EngineError(f"url()/file() source failed: {e}") from e
+        return self._remap_databases(sess, sql)
+
     def _run_select(self, sess: UserSession, sql: str) -> DataFrame:
         with self._lock:
             self._in_user_db(sess)
             try:
-                return self.spark.sql(self._remap_databases(sess, sql))
+                return self.spark.sql(self._prepare_sql(sess, sql))
+            except EngineError:
+                raise
             except Exception as e:
                 raise EngineError(_clean_spark_error(e)) from e
 
@@ -213,7 +240,9 @@ class Engine:
         with self._lock:
             self._in_user_db(sess)
             try:
-                self.spark.sql(self._remap_databases(sess, sql))
+                self.spark.sql(self._prepare_sql(sess, sql))
+            except EngineError:
+                raise
             except Exception as e:
                 raise EngineError(_clean_spark_error(e)) from e
 

@@ -1,0 +1,86 @@
+"""``system.*`` introspection tables (SURVEY §1.1: Play UI queries
+``system.settings``, index.html:27; ClickHouse clients expect
+``system.databases``/``system.tables``/``system.one``).
+
+Synthesized on access as DataFrames over engine state — the engine's
+db-remap pass routes ``system.X`` here instead of a user namespace.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _strip_ns(spark_db: str) -> str | None:
+    """u<hash>__<name> → <name>; None for non-namespace databases."""
+    if "__" in spark_db and spark_db.startswith("u"):
+        return spark_db.split("__", 1)[1]
+    return None
+
+
+def system_one(spark: SparkSession, ns: str) -> DataFrame:
+    return spark.sql("SELECT CAST(0 AS TINYINT) AS dummy")
+
+
+def system_databases(spark: SparkSession, ns: str) -> DataFrame:
+    rows = []
+    for db in spark.catalog.listDatabases():
+        if db.name.startswith(ns + "__"):
+            rows.append((db.name.split("__", 1)[1],))
+    if not rows:
+        rows = [("default",)]
+    return spark.createDataFrame(sorted(set(rows)), "name string")
+
+
+def system_tables(spark: SparkSession, ns: str) -> DataFrame:
+    rows = []
+    for db in spark.catalog.listDatabases():
+        if not db.name.startswith(ns + "__"):
+            continue
+        visible = db.name.split("__", 1)[1]
+        for t in spark.catalog.listTables(db.name):
+            if t.tableType != "TEMPORARY":
+                rows.append((visible, t.name, "MergeTree"))
+    schema = "database string, name string, engine string"
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(sorted(rows), schema)
+
+
+def system_settings(spark: SparkSession, ns: str) -> DataFrame:
+    """A representative settings list (the Play UI only needs
+    name/value/description rows to render)."""
+    rows = [
+        ("max_result_rows", "0", "Limit on result rows (serializer-enforced)"),
+        ("max_result_bytes", "0", "Accepted and ignored"),
+        ("result_overflow_mode", "throw", "Accepted and ignored"),
+        ("default_format", "TSV", "Default output format"),
+        ("max_threads", str(spark.sparkContext.defaultParallelism), "Spark cores"),
+    ]
+    return spark.createDataFrame(rows, "name string, value string, description string")
+
+
+def system_functions(spark: SparkSession, ns: str) -> DataFrame:
+    from .dialect.functions import RENAMES, TEMPLATES
+
+    names = sorted(set(RENAMES) | {k for k, v in TEMPLATES.items() if v is not None})
+    return spark.createDataFrame([(n,) for n in names], "name string")
+
+
+PROVIDERS = {
+    "one": system_one,
+    "databases": system_databases,
+    "tables": system_tables,
+    "settings": system_settings,
+    "functions": system_functions,
+}
+
+
+def materialize(spark: SparkSession, ns: str, table: str) -> str | None:
+    """Build system.<table> and return a temp view name, or None."""
+    fn = PROVIDERS.get(table.lower())
+    if fn is None:
+        return None
+    view = f"__moospark_system_{table.lower()}"
+    fn(spark, ns).createOrReplaceTempView(view)
+    return view

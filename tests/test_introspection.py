@@ -1,0 +1,142 @@
+"""system.* tables, url()/file() sources, CH hash functions, EXPLAIN.
+
+Reference parity targets: Play UI queries system.settings
+(index.html:27) and sends EXPLAIN PIPELINE graph=1 / EXPLAIN AST
+graph=1 (index.html:714-716); CI loads data via
+url('…hits_v1.tsv.xz','TSV') (test.yml:50); MergeTree DDL uses
+intHash32 (test.yml:49).
+"""
+
+from __future__ import annotations
+
+import lzma
+import os
+
+import pytest
+
+from cowsdb_spark.engine import Engine
+from cowsdb_spark.plans.inspect import explain_str, scan_read_schema
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return Engine(spark)
+
+
+class TestSystemTables:
+    def test_system_one(self, engine):
+        assert engine.execute("SELECT * FROM system.one") == b"0\n"
+
+    def test_system_databases(self, engine):
+        out = engine.execute("SELECT name FROM system.databases ORDER BY name")
+        assert b"default" in out
+
+    def test_system_settings_has_rows(self, engine):
+        out = engine.execute(
+            "SELECT name, value FROM system.settings ORDER BY name", fmt="JSONCompact"
+        )
+        assert b"max_result_rows" in out
+
+    def test_system_tables_lists_created_table(self, engine):
+        engine.execute("CREATE TABLE systest (x Int64) ENGINE=Memory")
+        out = engine.execute(
+            "SELECT database, name FROM system.tables ORDER BY database, name"
+        )
+        assert b"systest" in out
+        engine.execute("DROP TABLE systest")
+
+    def test_system_functions_nonempty(self, engine):
+        out = engine.execute("SELECT count(*) AS c FROM system.functions")
+        assert int(out.strip()) > 20
+
+
+class TestUrlFile:
+    def test_file_tsv(self, engine, tmp_path):
+        p = tmp_path / "data.tsv"
+        p.write_text("1\talpha\n2\tbeta\n3\t\\N\n")
+        out = engine.execute(
+            f"SELECT _c0 AS id, _c1 AS name FROM file('{p}', 'TSV') ORDER BY id"
+        )
+        assert out == b"1\talpha\n2\tbeta\n3\t\\N\n"
+
+    def test_file_csv_with_names(self, engine, tmp_path):
+        p = tmp_path / "data.csv"
+        p.write_text("id,name\n10,x\n20,y\n")
+        out = engine.execute(
+            f"SELECT id, name FROM file('{p}', 'CSVWithNames') ORDER BY id"
+        )
+        assert out == b"10\tx\n20\ty\n"
+
+    def test_file_xz_decompression(self, engine, tmp_path):
+        # the reference CI pulls hits_v1.tsv.xz (test.yml:50)
+        p = tmp_path / "data.tsv.xz"
+        with lzma.open(p, "wt") as f:
+            f.write("5\tcompressed\n")
+        out = engine.execute(f"SELECT _c0, _c1 FROM file('{p}', 'TSV')")
+        assert out == b"5\tcompressed\n"
+
+    def test_insert_from_file(self, engine, tmp_path):
+        # INSERT INTO … SELECT * FROM url(...) — the CI load shape
+        p = tmp_path / "load.tsv"
+        p.write_text("1\n2\n3\n")
+        engine.execute("CREATE TABLE loaded (v Int64) ENGINE=Memory")
+        engine.execute(f"INSERT INTO loaded SELECT _c0 FROM file('{p}', 'TSV')")
+        assert engine.execute("SELECT sum(v) AS s FROM loaded") == b"6\n"
+        engine.execute("DROP TABLE loaded")
+
+
+class TestChHashes:
+    def test_int_hash64_known_values(self, engine):
+        # avalanche mix: h(0)=0 by construction; h(1) is a fixed constant
+        out = engine.execute("SELECT intHash64(0) AS a")
+        assert out == b"0\n"
+        one = int(engine.execute("SELECT intHash64(1) AS a").strip())
+        two = int(engine.execute("SELECT intHash64(2) AS a").strip())
+        assert one != 1 and two != 2 and one != two
+
+    def test_int_hash32_range(self, engine):
+        vals = engine.execute(
+            "SELECT intHash32(number) AS h FROM numbers(100)"
+        ).splitlines()
+        ints = [int(v) for v in vals]
+        assert len(set(ints)) == 100  # no collisions on tiny domain
+        assert all(0 <= v <= 0xFFFFFFFF for v in ints)
+
+    def test_order_by_int_hash(self, engine):
+        # physical-layout usage shape from the MergeTree DDL
+        out = engine.execute(
+            "SELECT number FROM numbers(8) ORDER BY intHash32(number), number"
+        )
+        assert sorted(int(x) for x in out.splitlines()) == list(range(8))
+
+
+class TestExplain:
+    def test_explain_select(self, engine):
+        out = engine.execute("EXPLAIN SELECT 1 AS x").decode()
+        assert "Project" in out or "== Physical Plan ==" in out
+
+    def test_explain_pipeline_maps_to_formatted(self, engine):
+        out = engine.execute("EXPLAIN PIPELINE graph=1 SELECT 1 AS x").decode()
+        assert "Physical Plan" in out
+
+    def test_explain_ast_maps_to_extended(self, engine):
+        out = engine.execute("EXPLAIN AST graph=1 SELECT 1 AS x").decode()
+        assert "Logical Plan" in out or "Parsed" in out
+
+
+class TestPlanInspection:
+    """Plan-shape gates (SURVEY §4.2): pushdown + pruning are real."""
+
+    def test_filter_pushdown_reaches_scan(self, spark, sf_dir):
+        df = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).filter(
+            "l_quantity < 5"
+        )
+        assert "PushedFilters" in explain_str(df)
+
+    def test_column_pruning(self, spark, sf_dir):
+        df = (
+            spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+            .select("l_orderkey", "l_quantity")
+        )
+        cols = scan_read_schema(df)
+        assert set(cols) == {"l_orderkey", "l_quantity"}
