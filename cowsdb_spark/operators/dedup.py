@@ -57,12 +57,33 @@ def exact_dedup(
 
 
 def shingles(text: Column, k: int = 5) -> Column:
-    """Word k-shingles of the normalized text (array<string>)."""
+    """Word k-shingles of the normalized text (array<string>).
+
+    NOTE: per-element lambda cost — if ``text`` is a raw expression
+    (not a materialized column), the normalize+split subtree is
+    re-evaluated for EVERY array element inside transform(), turning
+    O(len) into O(len²) per row (measured 9× on sf0.1 docs). Callers
+    on a hot path must project the token array first; see
+    ``_tokens_of`` / ``simhash_pairs``.
+    """
     toks = F.split(normalized(text), " ")
+    return shingles_of_tokens(toks, k)
+
+
+def shingles_of_tokens(toks: Column, k: int) -> Column:
+    """k-shingles from an already-materialized token-array column."""
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+    )
+
+
+def _tokens_of(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, _toks) with the normalized token array materialized, so
+    downstream higher-order lambdas reference a cheap attribute."""
+    return docs.select(
+        F.col(id_col), F.split(normalized(F.col(text_col)), " ").alias("_toks")
     )
 
 
@@ -193,16 +214,16 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(text: Column, shingle_k: int = 3) -> Column:
-    """64-bit SimHash over word shingles, via bit-vote aggregation.
+def simhash64(shingle_col: Column) -> Column:
+    """64-bit SimHash over a materialized shingle-array column, via
+    bit-vote aggregation.
 
     For each of 64 bits: sum over shingles of (+1 if hash bit set
-    else -1); sign of the sum is the output bit. Expressed with
-    aggregate() over the shingle array — single narrow projection.
+    else -1); sign of the sum is the output bit.
     """
     from pyspark.sql.pandas.functions import pandas_udf
 
-    hashes = F.transform(shingles(text, shingle_k), lambda s: F.xxhash64(s))
+    hashes = F.transform(shingle_col, lambda s: F.xxhash64(s))
 
     # 64 bit-votes folded vectorized in numpy: expressing this as 64
     # aggregate() higher-order calls explodes codegen (measured 76s
@@ -243,7 +264,14 @@ def simhash_pairs(
     when max_hamming < 4·…  (pigeonhole for ≤3 differing bands).
     Shuffle key: (band_index, band_value).
     """
-    withsim = docs.select(F.col(id_col), simhash64(F.col(text_col), shingle_k).alias("_sh"))
+    # three staged projections keep every higher-order lambda working
+    # on a materialized attribute (tokens → shingles → simhash); the
+    # inline formulation re-ran normalize+split per array element
+    withsim = (
+        _tokens_of(docs, id_col, text_col)
+        .select(id_col, shingles_of_tokens(F.col("_toks"), shingle_k).alias("_sg"))
+        .select(id_col, simhash64(F.col("_sg")).alias("_sh"))
+    )
     banded = withsim.select(
         id_col,
         "_sh",
@@ -272,7 +300,13 @@ def simhash_pairs(
 
 
 def char_ngrams(text: Column, n: int = 3) -> Column:
-    norm = normalized(text)
+    """Distinct character n-grams. Same per-element-lambda caveat as
+    ``shingles``: pass a materialized (already normalized) column on
+    hot paths — see ``ngram_jaccard_pairs``."""
+    return char_ngrams_of_norm(normalized(text), n)
+
+
+def char_ngrams_of_norm(norm: Column, n: int) -> Column:
     ln = F.length(norm)
     idx = F.sequence(F.lit(1), F.greatest(ln - n + 1, F.lit(1)))
     return F.array_distinct(F.transform(idx, lambda i: F.substring(norm, i, n)))
@@ -291,7 +325,9 @@ def ngram_jaccard_pairs(
     to the docs — both joins are hash joins on the id; the n-gram
     sets are computed on the joined rows only, never globally.
     """
-    g = docs.select(F.col(id_col), char_ngrams(F.col(text_col), n).alias("_g"))
+    g = docs.select(
+        F.col(id_col), normalized(F.col(text_col)).alias("_norm")
+    ).select(id_col, char_ngrams_of_norm(F.col("_norm"), n).alias("_g"))
     out = (
         pairs.join(g.withColumnRenamed(id_col, "id_a").withColumnRenamed("_g", "_ga"), "id_a")
         .join(g.withColumnRenamed(id_col, "id_b").withColumnRenamed("_g", "_gb"), "id_b")

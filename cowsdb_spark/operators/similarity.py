@@ -58,13 +58,20 @@ def cosine_topk(
     big side is a single pass with no shuffle; ORDER BY+LIMIT plans
     as TakeOrderedAndProject (per-partition heaps, no global sort).
     """
-    q = emb.filter(F.col(id_col) == query_vec_id).select(F.col(vec_col).alias("_qv"))
-    sim = cosine(F.col(vec_col), F.col("_qv"))
+    q = emb.filter(F.col(id_col) == query_vec_id).select(
+        _to_double(F.col(vec_col)).alias("_qv")
+    )
+    # per-row norms materialize BEFORE the pairing so the per-pair
+    # work is a single dot; cosine() inline would re-run three
+    # aggregates (dot + both norms) per candidate
+    big = emb.filter(F.col(id_col) != query_vec_id).select(
+        F.col(id_col), _to_double(F.col(vec_col)).alias("_v")
+    ).select(id_col, "_v", norm(F.col("_v")).alias("_n"))
+    sim = dot(F.col("_v"), F.col("_qv")) / (F.col("_n") * norm(F.col("_qv")))
     if round_to is not None:
         sim = F.round(sim, round_to)
     return (
-        emb.filter(F.col(id_col) != query_vec_id)
-        .crossJoin(F.broadcast(q))
+        big.crossJoin(F.broadcast(q))
         .select(F.col(id_col), sim.alias("sim"))
         .orderBy(F.desc("sim"), id_col)
         .limit(k)
@@ -81,8 +88,13 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
 
 def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-of-projection bit signature as a compact string key."""
+    return lsh_signature_of_double(_to_double(vec), planes)
+
+
+def lsh_signature_of_double(vec: Column, planes: list[list[float]]) -> Column:
+    """Signature from an already-double (ideally materialized) vector."""
     bits = [
-        F.when(dot(_to_double(vec), F.array(*[F.lit(float(w)) for w in plane])) >= 0, "1")
+        F.when(dot(vec, F.array(*[F.lit(float(w)) for w in plane])) >= 0, "1")
         .otherwise("0")
         for plane in planes
     ]
@@ -105,21 +117,30 @@ def lsh_bucket_join(
     (the equi-join key), never forms the full cross product.
     """
     planes = random_hyperplanes(dim, n_planes, seed)
+    # staged projections: double vector once, then signature + norm
+    # from the materialized column — per-pair cost is one dot product
     sig = emb.select(
-        F.col(id_col), F.col(vec_col), lsh_signature(F.col(vec_col), planes).alias("_bucket")
+        F.col(id_col), _to_double(F.col(vec_col)).alias("_v")
+    ).select(
+        id_col,
+        "_v",
+        norm(F.col("_v")).alias("_n"),
+        lsh_signature_of_double(F.col("_v"), planes).alias("_bucket"),
     )
     a = sig.select(
         F.col("_bucket"),
         F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("_va"),
+        F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
     )
     b = sig.select(
         F.col("_bucket"),
         F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("_vb"),
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
     )
     pairs = a.join(b, on="_bucket").filter(F.col("id_a") < F.col("id_b"))
-    sim = cosine(F.col("_va"), F.col("_vb")).alias("sim")
+    sim = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     return (
         pairs.select("id_a", "id_b", F.round(sim, 6).alias("sim"))
         .filter(F.col("sim") >= min_sim)

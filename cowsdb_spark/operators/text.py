@@ -54,9 +54,17 @@ def _ratio(num: Column, den: Column) -> Column:
 
 
 def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Quality signals + a single [0,1] composite score."""
+    """Quality signals + a single [0,1] composite score.
+
+    Token array is materialized once per row (staged projection);
+    the signals below reference it ~5× and split+normalize is not
+    free at corpus scale.
+    """
+    docs = docs.select(
+        F.col(id_col), F.col(text_col), tokens(F.col(text_col)).alias("_toks")
+    )
     t = F.col(text_col)
-    toks = tokens(t)
+    toks = F.col("_toks")
     n_tok = F.size(toks)
     n_char = F.length(t)
     stop_hits = F.size(F.filter(toks, lambda w: w.isin(*_STOPWORDS)))
@@ -84,7 +92,10 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
 
 def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Marker-word language guess with CJK script detection."""
-    toks = tokens(F.col(text_col))
+    docs = docs.select(
+        F.col(id_col), F.col(text_col), tokens(F.col(text_col)).alias("_toks")
+    )
+    toks = F.col("_toks")
     hits = {
         lang: F.size(F.filter(toks, lambda w: w.isin(*ms))) if ms else F.lit(0)
         for lang, ms in _MARKERS.items()
