@@ -96,8 +96,6 @@ RENAMES: dict[str, str] = {
     "isnotnull": "isnotnull",
     "greatest": "greatest",
     "least": "least",
-    "visitparamextractstring": "get_json_object",
-    "jsonextractstring": "get_json_object",
     "jsonextractraw": "get_json_object",
     "cityhash64": "xxhash64",  # substitute: layout/sampling key only
     "siphash64": "xxhash64",
@@ -177,6 +175,47 @@ PARAMETERIZED: dict[str, str] = {
     "quantiles": "percentile_approx({0}, array({p*}))",
     "quantilesexact": "percentile({0}, array({p*}))",
 }
+
+# CH JSON accessors take a KEY ('k'); Spark takes a JSONPath ('$.k')
+TEMPLATES["jsonextractstring"] = "get_json_object({0}, concat('$.', {1}))"
+TEMPLATES["visitparamextractstring"] = "get_json_object({0}, concat('$.', {1}))"
+TEMPLATES["jsonextractint"] = "CAST(get_json_object({0}, concat('$.', {1})) AS BIGINT)"
+TEMPLATES["jsonextractfloat"] = "CAST(get_json_object({0}, concat('$.', {1})) AS DOUBLE)"
+TEMPLATES["jsonextractbool"] = "CAST(get_json_object({0}, concat('$.', {1})) AS BOOLEAN)"
+TEMPLATES["jsonhas"] = "(get_json_object({0}, concat('$.', {1})) IS NOT NULL)"
+TEMPLATES["visitparamhas"] = "(get_json_object({0}, concat('$.', {1})) IS NOT NULL)"
+
+# arithmetic function spellings (CH exposes operators as functions)
+TEMPLATES["plus"] = "({0} + {1})"
+TEMPLATES["minus"] = "({0} - {1})"
+TEMPLATES["multiply"] = "({0} * {1})"
+TEMPLATES["divide"] = "(CAST({0} AS DOUBLE) / {1})"  # CH / is float division
+TEMPLATES["modulo"] = "({0} % {1})"
+TEMPLATES["negate"] = "(-{0})"
+
+# misc CH spellings
+TEMPLATES["sha256"] = "sha2({0}, 256)"
+TEMPLATES["exp2"] = "power(2, {0})"
+TEMPLATES["exp10"] = "power(10, {0})"
+TEMPLATES["assumenotnull"] = "{0}"
+TEMPLATES["totypename"] = "typeof({0})"
+TEMPLATES["tuple"] = "struct({*})"
+TEMPLATES["arrayenumerate"] = "sequence(1, size({0}))"
+TEMPLATES["arrayelement"] = "element_at({0}, {1})"
+TEMPLATES["arraypushback"] = "array_append({0}, {1})"
+TEMPLATES["arraypushfront"] = "array_prepend({0}, {1})"
+TEMPLATES["arrayfirst"] = "element_at(filter({1}, {0}), 1)"
+TEMPLATES["arraycount"] = "size(filter({1}, {0}))"
+TEMPLATES["arrayreduce"] = None  # string agg name arg; not supported
+TEMPLATES["dateadd"] = "timestampadd({0:lit}, {1}, {2})"
+TEMPLATES["datesub"] = "timestampadd({0:lit}, -({1}), {2})"
+TEMPLATES["toweek"] = "weekofyear({0})"
+TEMPLATES["todatetime64"] = "CAST({0} AS TIMESTAMP)"
+RENAMES["log2"] = "log2"
+RENAMES["log10"] = "log10"
+RENAMES["ln"] = "ln"
+RENAMES["md5"] = "md5"
+RENAMES["ilike"] = "ilike"
 
 # bit ops keep CH call shape but are operators in Spark
 TEMPLATES["bitand"] = "({0} & {1})"

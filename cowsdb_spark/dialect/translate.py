@@ -442,12 +442,146 @@ def _rewrite_explain(toks: list[Tok]) -> None:
         k += 3
 
 
+def _rewrite_sample(toks: list[Tok]) -> None:
+    """CH ``FROM t SAMPLE k`` → Spark ``TABLESAMPLE``; fraction k<1 →
+    PERCENT, integer k → ROWS (SURVEY §4.2 SAMPLE BY row). In-place."""
+    sig = _sig(toks)
+    depth = 0
+    for si, i in enumerate(sig):
+        t = toks[i]
+        depth += t.text.count("(") - t.text.count(")")
+        if (
+            depth == 0
+            and t.kind == "ident"
+            and t.text.upper() == "SAMPLE"
+            and si + 1 < len(sig)
+            and toks[sig[si + 1]].kind == "number"
+            and si > 0
+            and toks[sig[si - 1]].kind in ("ident", "bquote")
+        ):
+            num = toks[sig[si + 1]].text
+            if "." in num and float(num) <= 1:
+                t.text = f"TABLESAMPLE ({float(num) * 100} PERCENT)"
+            else:
+                t.text = f"TABLESAMPLE ({num} ROWS)"
+            toks[sig[si + 1]].text = ""
+
+
+def _rewrite_limit_by(toks: list[Tok]) -> list[Tok]:
+    """CH ``[ORDER BY o] LIMIT n BY exprs [LIMIT m]`` → row_number
+    window filter (SURVEY §2.5 O6). Returns a new token list."""
+    sig = _sig(toks)
+    depth = 0
+    order_at = limit_at = None
+    for si, i in enumerate(sig):
+        t = toks[i]
+        depth += t.text.count("(") - t.text.count(")")
+        if depth != 0 or t.kind != "ident":
+            continue
+        up = t.text.upper()
+        if up == "ORDER" and order_at is None:
+            order_at = si
+        elif (
+            up == "LIMIT"
+            and limit_at is None
+            and si + 2 < len(sig)
+            and toks[sig[si + 1]].kind == "number"
+            and toks[sig[si + 2]].text.upper() == "BY"
+        ):
+            limit_at = si
+    if limit_at is None:
+        return toks
+    n = toks[sig[limit_at + 1]].text
+    # by-list: from after BY to next top-level LIMIT or end
+    by_end = len(sig)
+    depth = 0
+    for si in range(limit_at + 3, len(sig)):
+        t = toks[sig[si]]
+        depth += t.text.count("(") - t.text.count(")")
+        if depth == 0 and t.kind == "ident" and t.text.upper() == "LIMIT":
+            by_end = si
+            break
+    by_list = "".join(
+        toks[j].text for j in range(sig[limit_at + 3], sig[by_end - 1] + 1)
+    ).strip()
+    tail = (
+        "".join(toks[j].text for j in range(sig[by_end], len(toks)))
+        if by_end < len(sig)
+        else ""
+    )
+    if order_at is not None:
+        core = "".join(toks[j].text for j in range(sig[order_at])).strip()
+        order_list = "".join(
+            toks[j].text for j in range(sig[order_at + 2], sig[limit_at])
+        ).strip()
+    else:
+        core = "".join(toks[j].text for j in range(sig[limit_at])).strip()
+        order_list = by_list
+    new_sql = (
+        f"SELECT * EXCEPT (__ch_lb) FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY {by_list} "
+        f"ORDER BY {order_list}) AS __ch_lb FROM ({core}) __lb_in"
+        f") __lb_out WHERE __ch_lb <= {n}"
+    )
+    if order_at is not None:
+        new_sql += f" ORDER BY {order_list}"
+    if tail:
+        new_sql += " " + tail
+    return tokenize(new_sql)
+
+
+def _rewrite_brackets(toks: list[Tok]) -> None:
+    """CH bracket syntax → Spark: array literals ``[1,2]`` →
+    ``array(1,2)``; integer subscripts ``arr[1]`` (CH 1-based) →
+    ``arr[0]`` (Spark 0-based). String subscripts (map access) pass
+    through unchanged — identical semantics. In-place."""
+    kw = {
+        "SELECT", "FROM", "WHERE", "AND", "OR", "NOT", "IN", "AS", "BY",
+        "ON", "WHEN", "THEN", "ELSE", "CASE", "END", "HAVING", "LIMIT",
+        "DISTINCT", "ALL", "UNION", "INTERSECT", "EXCEPT", "JOIN", "USING",
+        "BETWEEN", "LIKE", "ILIKE", "IS", "NULL", "ORDER", "GROUP", "SET",
+        "VALUES", "RETURN", "ARRAY",
+    }
+    prev = None
+    stack: list[tuple[int, str]] = []
+    for i, t in enumerate(toks):
+        if t.kind in ("ws", "comment"):
+            continue
+        if t.text == "[":
+            if prev is not None and (
+                (prev.kind in ("ident", "bquote") and prev.text.upper() not in kw)
+                or prev.text in (")", "]")
+            ):
+                stack.append((i, "sub"))
+            else:
+                stack.append((i, "lit"))
+        elif t.text == "]" and stack:
+            oi, kind = stack.pop()
+            if kind == "lit":
+                toks[oi].text = "array("
+                t.text = ")"
+            else:
+                inner = [
+                    j for j in range(oi + 1, i) if toks[j].kind not in ("ws", "comment")
+                ]
+                if (
+                    len(inner) == 1
+                    and toks[inner[0]].kind == "number"
+                    and "." not in toks[inner[0]].text
+                ):
+                    toks[inner[0]].text = str(int(toks[inner[0]].text) - 1)
+        prev = t
+
+
 def translate_select(sql: str) -> Statement:
     toks = tokenize(sql)
     toks, fmt = _strip_trailing_format(toks)
     toks, settings = _strip_trailing_settings(toks)
+    _rewrite_sample(toks)  # before double-literals: SAMPLE 0.5 is a fraction
     _rewrite_double_literals(toks)
     _rewrite_explain(toks)
+    _rewrite_brackets(toks)
+    toks = _rewrite_limit_by(toks)
     body = "".join(t.text for t in toks).strip()
     body = _rewrite_ternary(body)
     body = _rewrite_functions(body)

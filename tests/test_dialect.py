@@ -132,3 +132,82 @@ class TestDDL:
         assert "toYYYYMM" in ct.partition_by
         assert "intHash32" in ct.order_by
         assert ct.settings.get("index_granularity") == "8192"
+
+
+class TestBracketRewrites:
+    """CH array literals / 1-based subscripts (translate._rewrite_brackets)."""
+
+    def _sql(self, q):
+        from cowsdb_spark.dialect.translate import translate
+
+        return translate(q)[0].spark_sql
+
+    def test_array_literal(self):
+        assert "array(" in self._sql("SELECT [1,2,3] AS a")
+
+    def test_subscript_one_based(self):
+        assert "[0]" in self._sql("SELECT x[1] FROM t")
+
+    def test_string_subscript_untouched(self):
+        assert "['a']" in self._sql("SELECT m['a'] FROM t")
+
+    def test_nested_literal_then_subscript(self):
+        s = self._sql("SELECT [[1,2],[3]][2] AS n")
+        assert s.count("array(") == 3 and "[1]" in s
+
+
+class TestLimitBy:
+    def _sql(self, q):
+        from cowsdb_spark.dialect.translate import translate
+
+        return translate(q)[0].spark_sql
+
+    def test_limit_by_rewrites_to_window(self):
+        s = self._sql("SELECT g, n FROM t ORDER BY g, n LIMIT 2 BY g")
+        assert "row_number() OVER (PARTITION BY g" in s
+        assert "__ch_lb <= 2" in s
+
+    def test_limit_by_with_outer_limit(self):
+        s = self._sql("SELECT g, n FROM t ORDER BY g LIMIT 2 BY g LIMIT 5")
+        assert s.rstrip().endswith("LIMIT 5")
+
+    def test_plain_limit_untouched(self):
+        s = self._sql("SELECT g FROM t LIMIT 5")
+        assert "row_number" not in s
+
+
+class TestSampleClause:
+    def _sql(self, q):
+        from cowsdb_spark.dialect.translate import translate
+
+        return translate(q)[0].spark_sql
+
+    def test_fraction_to_percent(self):
+        assert "TABLESAMPLE (50.0 PERCENT)" in self._sql("SELECT x FROM t SAMPLE 0.5")
+
+    def test_int_to_rows(self):
+        assert "TABLESAMPLE (10 ROWS)" in self._sql("SELECT x FROM t SAMPLE 10")
+
+
+class TestNewFunctionSpellings:
+    def _sql(self, q):
+        from cowsdb_spark.dialect.translate import translate
+
+        return translate(q)[0].spark_sql
+
+    def test_json_key_to_path(self):
+        s = self._sql("SELECT JSONExtractString(j, 'k') FROM t")
+        assert "get_json_object(j, concat('$.', 'k'))" in s
+
+    def test_json_extract_int_casts(self):
+        assert "AS BIGINT" in self._sql("SELECT JSONExtractInt(j, 'k') FROM t")
+
+    def test_arith_spellings(self):
+        s = self._sql("SELECT plus(a, b), divide(a, b), negate(a) FROM t")
+        assert "(a + b)" in s and "CAST(a AS DOUBLE) / b" in s and "(-a)" in s
+
+    def test_sha256(self):
+        assert "sha2('x', 256)" in self._sql("SELECT sha256('x')")
+
+    def test_dateadd_unit(self):
+        assert "timestampadd(day" in self._sql("SELECT dateAdd('day', 3, d) FROM t")
