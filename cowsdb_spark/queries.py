@@ -1093,3 +1093,59 @@ def t14(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return exact_dedup(d).agg(F.count(F.lit(1)).alias("n_survivors"))
+
+
+@qdef(
+    "t15_sessionize_batch",
+    "WITH s AS (SELECT user_id, ts, value, "
+    "  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+    "       OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800 "
+    "       THEN 1 ELSE 0 END AS new_s FROM events), "
+    "g AS (SELECT user_id, ts, value, "
+    "  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid "
+    "FROM s) "
+    "SELECT user_id, MIN(ts) AS s_start, MAX(ts) AS s_end, "
+    "CAST(COUNT(*) AS BIGINT) AS n_events, ROUND(SUM(value), 2) AS value_sum "
+    "FROM g GROUP BY user_id, sid ORDER BY user_id, s_start LIMIT 200",
+    "[ext: streaming] lag-gap sessionization, batch form of the stateful streaming op",
+)
+def t15(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    return (
+        e.withColumn("prev", F.lag("ts").over(w))
+        .withColumn(
+            "new_s",
+            (
+                F.col("prev").isNull()
+                | (F.col("ts").cast("long") - F.col("prev").cast("long") > 1800)
+            ).cast("int"),
+        )
+        .withColumn("sid", F.sum("new_s").over(w))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("s_start"),
+            F.max("ts").alias("s_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .drop("sid")
+        .orderBy("user_id", "s_start")
+        .limit(200)
+    )
+
+
+@qdef(
+    "t16_streaming_tumbling",
+    None,  # Structured Streaming drain — no SQL oracle (rows-only)
+    "[ext: streaming] watermarked tumbling-window counts, drained via availableNow",
+)
+def t16(spark, sf_dir):
+    from .streaming import stream_events, tumbling_counts
+    from .streaming.windows import run_to_memory
+
+    s = tumbling_counts(stream_events(spark, sf_dir), window="1 hour")
+    run_to_memory(s, "t16_out", "complete")
+    return spark.table("t16_out").orderBy("w_start", "event_type")

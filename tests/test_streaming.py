@@ -1,0 +1,122 @@
+"""Structured Streaming extension tests (SURVEY §7 G; §2.10 records
+the reference as batch-only — this surface is an extension).
+
+Strategy: drain the stream with an availableNow trigger into a
+memory sink, then compare against the same aggregation computed in
+batch over the same parquet — streaming results must equal batch
+results once the stream is fully drained.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cowsdb_spark.catalog import load_table
+from cowsdb_spark.streaming import (
+    session_counts,
+    sessionize_stateful,
+    stream_events,
+    tumbling_counts,
+)
+from cowsdb_spark.streaming.windows import run_to_memory
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").cache()
+
+
+class TestTumbling:
+    def test_matches_batch(self, spark, sf_dir, batch_events):
+        s = tumbling_counts(stream_events(spark, sf_dir), window="1 hour")
+        run_to_memory(s, "tumbling_out", "complete")
+        got = {
+            (r.w_start, r.event_type): (r.c, r.value_sum)
+            for r in spark.table("tumbling_out").collect()
+        }
+        want = {
+            (r.w_start, r.event_type): (r.c, r.value_sum)
+            for r in (
+                batch_events.groupBy(
+                    F.window("ts", "1 hour").alias("w"), "event_type"
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("c"),
+                    F.round(F.sum("value"), 2).alias("value_sum"),
+                )
+                .select(F.col("w.start").alias("w_start"), "event_type", "c", "value_sum")
+                .collect()
+            )
+        }
+        assert got == want and len(got) > 0
+
+
+class TestSessionWindow:
+    def test_matches_batch(self, spark, sf_dir, batch_events):
+        s = session_counts(stream_events(spark, sf_dir), gap="30 minutes")
+        run_to_memory(s, "session_out", "complete")
+        got = {
+            (r.user_id, r.s_start, r.s_end): (r.n_events, r.value_sum)
+            for r in spark.table("session_out").collect()
+        }
+        want = {
+            (r.user_id, r.s_start, r.s_end): (r.n_events, r.value_sum)
+            for r in (
+                batch_events.groupBy(
+                    F.session_window("ts", "30 minutes").alias("s"), "user_id"
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.round(F.sum("value"), 2).alias("value_sum"),
+                )
+                .select("user_id", F.col("s.start").alias("s_start"),
+                        F.col("s.end").alias("s_end"), "n_events", "value_sum")
+                .collect()
+            )
+        }
+        assert got == want and len(got) > 0
+
+
+class TestStatefulSessionize:
+    def test_sessions_against_batch_window_trick(self, spark, sf_dir, batch_events):
+        """The custom operator's CLOSED sessions must agree with the
+        batch lag-gap sessionization on (user, start, n, sum)."""
+        s = sessionize_stateful(stream_events(spark, sf_dir), gap_seconds=1800)
+        run_to_memory(s, "statef_out", "append")
+        got = {
+            (r.user_id, r.s_start): (r.s_end, r.n_events, r.value_sum)
+            for r in spark.table("statef_out").collect()
+        }
+        # batch oracle: classic lag/gap/cumsum sessionization
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts")
+        sess = (
+            batch_events.withColumn("prev", F.lag("ts").over(w))
+            .withColumn(
+                "new_s",
+                (
+                    F.col("prev").isNull()
+                    | (F.col("ts").cast("long") - F.col("prev").cast("long") > 1800)
+                ).cast("int"),
+            )
+            .withColumn("sid", F.sum("new_s").over(w))
+            .groupBy("user_id", "sid")
+            .agg(
+                F.min("ts").alias("s_start"),
+                F.max("ts").alias("s_end"),
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("value_sum"),
+            )
+        )
+        want = {
+            (r.user_id, r.s_start): (r.s_end, r.n_events, r.value_sum)
+            for r in sess.collect()
+        }
+        # the stateful op only emits sessions closed by gap or timeout;
+        # every emitted session must match the batch oracle exactly
+        assert len(got) > 0
+        for k, v in got.items():
+            assert k in want, f"spurious session {k}"
+            assert v == want[k], f"session {k}: {v} != {want[k]}"
