@@ -43,6 +43,20 @@ def main() -> None:
         qd.spark(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 4)
 
+    # ClickBench sweep on the hits_sample fixture (the reference CI's
+    # own benchmark shape, SURVEY §6) through the CH-dialect engine
+    from cowsdb_spark.clickbench import QUERIES, register_hits
+    from cowsdb_spark.engine import Engine
+
+    eng = Engine(spark)
+    register_hits(spark)
+    for q in QUERIES:
+        df, _, _, _ = eng.execute_to_df(q["sql"])
+        df.collect()  # warm-up
+        t0 = time.perf_counter()
+        eng.execute_to_df(q["sql"])[0].collect()
+        timings[q["id"]] = round(time.perf_counter() - t0, 4)
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

@@ -1,0 +1,85 @@
+"""ClickBench sweep: engine (CH dialect) vs DuckDB oracle on
+hits_sample (SURVEY §5.2 item 5; the reference CI's benchmark,
+test.yml:28-31,57-61)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import duckdb
+import pytest
+
+from cowsdb_spark.clickbench import QUERIES, register_hits
+from cowsdb_spark.engine import Engine
+from tools.gen_hits import ensure_hits
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    eng = Engine(spark)
+    register_hits(spark)
+    return eng
+
+
+@pytest.fixture(scope="module")
+def hits_ddb():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW hits AS SELECT * FROM read_parquet('{ensure_hits()}')")
+    return con
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, float):
+        return v
+    try:  # decimals / numpy scalars
+        if isinstance(v, int):
+            return v
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+    except Exception:
+        pass
+    return v
+
+
+def _rows_equal(a, b, tol):
+    if len(a) != len(b):
+        return False
+    for ra, rb in zip(a, b):
+        if len(ra) != len(rb):
+            return False
+        for va, vb in zip(ra, rb):
+            va, vb = _norm(va), _norm(vb)
+            if isinstance(va, float) or isinstance(vb, float):
+                if va is None or vb is None:
+                    if va is not vb:
+                        return False
+                    continue
+                fa, fb = float(va), float(vb)
+                if not math.isclose(fa, fb, rel_tol=tol, abs_tol=tol):
+                    return False
+            elif va != vb:
+                return False
+    return True
+
+
+@pytest.mark.parametrize("q", QUERIES, ids=[q["id"] for q in QUERIES])
+def test_clickbench_query(q, engine, hits_ddb):
+    df, _, _, _ = engine.execute_to_df(q["sql"])
+    spark_rows = [tuple(r) for r in df.collect()]
+    oracle_rows = hits_ddb.execute(q.get("oracle", q["sql"])).fetchall()
+    tol = q.get("float_tol", 1e-9)
+    assert _rows_equal(spark_rows, oracle_rows, tol), (
+        f"{q['id']}: {len(spark_rows)} vs {len(oracle_rows)} rows; "
+        f"first spark={spark_rows[:2]} oracle={oracle_rows[:2]}"
+    )

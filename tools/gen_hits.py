@@ -1,0 +1,174 @@
+"""Deterministic ClickBench-shaped ``hits_sample`` fixture generator.
+
+Schema: FIXTURES.md §B1 — the trimmed form of the reference CI's
+105-column hits DDL (.github/workflows/test.yml:49), extended with
+the columns the 43 public ClickBench queries touch (MobilePhone,
+IsLink, IsDownload, TraficSourceID, RefererHash, URLHash,
+WindowClientWidth, WindowClientHeight).
+
+Generated on demand (seed 42, pure numpy/pyarrow — no Spark), so the
+fixture never lives in git. ~100k rows ≈ 6 MB parquet.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+N_ROWS = 100_000
+SEED = 42
+DEFAULT_PATH = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures", "hits_sample.parquet")
+
+# constants the point-lookup queries use — planted explicitly below
+USER_ID_POINT = 435090932899640449
+REFERER_HASH_POINT = 3594120000172545465
+URL_HASH_POINT = 2868770270353813622
+
+
+def _zipf_choice(rng, values, n, a=1.5):
+    ranks = rng.zipf(a, size=n)
+    return np.asarray(values)[np.minimum(ranks - 1, len(values) - 1)]
+
+
+def generate(path: str = DEFAULT_PATH, n: int = N_ROWS) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(SEED)
+    words = np.array(
+        "the quick brown fox jumps over lazy dog search phrase click news maps "
+        "mail video photo music shop game sport auto home cat".split()
+    )
+
+    def phrases(count, empty_frac):
+        k = rng.integers(1, 4, size=count)
+        out = np.array(
+            [" ".join(rng.choice(words, size=ki)) for ki in k], dtype=object
+        )
+        out[rng.random(count) < empty_frac] = ""
+        return out
+
+    domains = np.array(
+        ["example.com", "google.com", "news.site", "shop.org", "maps.google.com",
+         "video.host", "blog.net", "wiki.org", "mail.ru", "images.google.com"]
+    )
+    paths = np.array(["", "index", "page/1", "search?q=x", "item/42", "a/b/c"])
+
+    def urls(count, empty_frac, dom=domains):
+        d = _zipf_choice(rng, dom, count)
+        p = rng.choice(paths, size=count)
+        out = np.char.add(np.char.add("http://", d.astype(str)), np.char.add("/", p.astype(str))).astype(object)
+        out[rng.random(count) < empty_frac] = ""
+        return out
+
+    event_time = np.sort(
+        rng.integers(1372636800, 1375315200, size=n)  # 2013-07-01..08-01 UTC
+    ).astype("datetime64[s]")
+    user_id = _zipf_choice(rng, rng.integers(1, 2**61, size=5000), n)
+    user_id[0] = USER_ID_POINT
+    referer_hash = rng.integers(0, 2**62, size=n)
+    referer_hash[rng.random(n) < 0.001] = REFERER_HASH_POINT
+    url_hash = rng.integers(0, 2**62, size=n)
+    url_hash[rng.random(n) < 0.001] = URL_HASH_POINT
+    counter_id = _zipf_choice(rng, np.arange(1, 1000) * 31 % 997 + 1, n).astype(np.int32)
+    counter_id[rng.random(n) < 0.10] = 62  # the ClickBench point counter
+
+    pp_len = rng.integers(0, 4, size=n)
+    pp_keys = [[f"k{j}" for j in range(l)] for l in pp_len]
+    pp_vals = [[round(float(v), 3) for v in rng.random(l)] for l in pp_len]
+
+    mobile_model = np.where(
+        rng.random(n) < 0.9, "", _zipf_choice(rng, np.array(["iPhone", "Galaxy", "Pixel", "Nokia"]), n)
+    ).astype(object)
+
+    cols = {
+        "WatchID": np.arange(1, n + 1, dtype=np.int64) * 977 + 11,
+        "JavaEnable": rng.integers(0, 2, size=n).astype(np.int16),
+        "Title": phrases(n, 0.30),
+        "EventTime": event_time,
+        "EventDate": event_time.astype("datetime64[D]"),
+        "CounterID": counter_id,
+        "ClientIP": rng.integers(0, 2**32, size=n),
+        "RegionID": _zipf_choice(rng, np.arange(1, 200), n).astype(np.int32),
+        "UserID": user_id,
+        "OS": rng.integers(0, 12, size=n).astype(np.int16),
+        "URL": urls(n, 0.05),
+        "Referer": urls(n, 0.25),
+        "IsRefresh": (rng.random(n) < 0.05).astype(np.int16),
+        "RefererCategories": [list(map(int, rng.integers(0, 100, size=l))) for l in rng.integers(0, 6, size=n)],
+        "ResolutionWidth": rng.choice([1024, 1280, 1368, 1440, 1920, 2560], size=n).astype(np.int32),
+        "SearchEngineID": rng.choice([0, 0, 0, 2, 3, 13, 49], size=n).astype(np.int32),
+        "SearchPhrase": phrases(n, 0.70),
+        "AdvEngineID": np.where(rng.random(n) < 0.95, 0, rng.integers(1, 30, size=n)).astype(np.int16),
+        "DontCountHits": (rng.random(n) < 0.02).astype(np.int16),
+        "MobilePhone": np.where(mobile_model == "", 0, rng.integers(1, 6, size=n)).astype(np.int16),
+        "MobilePhoneModel": mobile_model,
+        "BrowserLanguage": rng.choice(["en", "de", "fr", "ru", "es"], size=n),
+        "ParamPrice": rng.integers(-1000, 100000, size=n),
+        "GoalsReached": [list(map(int, rng.integers(1, 50, size=l))) for l in rng.integers(0, 4, size=n)],
+        "ParsedParamsKey1": pp_keys,
+        "ParsedParamsValueDouble": pp_vals,
+        "RefererHash": referer_hash,
+        "URLHash": url_hash,
+        "IsLink": (rng.random(n) < 0.15).astype(np.int16),
+        "IsDownload": (rng.random(n) < 0.02).astype(np.int16),
+        "TraficSourceID": rng.choice([-1, 0, 1, 2, 3, 6, 8], size=n).astype(np.int16),
+        "WindowClientWidth": rng.choice([0, 1024, 1280, 1366, 1920], size=n).astype(np.int32),
+        "WindowClientHeight": rng.choice([0, 600, 720, 768, 1080], size=n).astype(np.int32),
+    }
+    schema = pa.schema(
+        [
+            ("WatchID", pa.int64()),
+            ("JavaEnable", pa.int16()),
+            ("Title", pa.string()),
+            ("EventTime", pa.timestamp("us")),
+            ("EventDate", pa.date32()),
+            ("CounterID", pa.int32()),
+            ("ClientIP", pa.int64()),
+            ("RegionID", pa.int32()),
+            ("UserID", pa.int64()),
+            ("OS", pa.int16()),
+            ("URL", pa.string()),
+            ("Referer", pa.string()),
+            ("IsRefresh", pa.int16()),
+            ("RefererCategories", pa.list_(pa.int32())),
+            ("ResolutionWidth", pa.int32()),
+            ("SearchEngineID", pa.int32()),
+            ("SearchPhrase", pa.string()),
+            ("AdvEngineID", pa.int16()),
+            ("DontCountHits", pa.int16()),
+            ("MobilePhone", pa.int16()),
+            ("MobilePhoneModel", pa.string()),
+            ("BrowserLanguage", pa.string()),
+            ("ParamPrice", pa.int64()),
+            ("GoalsReached", pa.list_(pa.int32())),
+            ("ParsedParamsKey1", pa.list_(pa.string())),
+            ("ParsedParamsValueDouble", pa.list_(pa.float64())),
+            ("RefererHash", pa.int64()),
+            ("URLHash", pa.int64()),
+            ("IsLink", pa.int16()),
+            ("IsDownload", pa.int16()),
+            ("TraficSourceID", pa.int16()),
+            ("WindowClientWidth", pa.int32()),
+            ("WindowClientHeight", pa.int32()),
+        ]
+    )
+    arrays = [pa.array(cols[f.name], type=f.type) for f in schema]
+    table = pa.Table.from_arrays(arrays, schema=schema)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    pq.write_table(table, path, row_group_size=32768)
+    return path
+
+
+def ensure_hits(path: str = DEFAULT_PATH) -> str:
+    path = os.path.abspath(path)
+    if not os.path.exists(path):
+        generate(path)
+    return path
+
+
+if __name__ == "__main__":
+    import sys
+
+    print(ensure_hits(sys.argv[1] if len(sys.argv) > 1 else DEFAULT_PATH))
