@@ -66,6 +66,7 @@ class Engine:
         self.spark.conf.set("spark.sql.storeAssignmentPolicy", "LEGACY")
         _register_hashes(self.spark)
         self._sessions: dict[tuple[str, str], UserSession] = {}
+        self._order_by_cache: dict[str, Optional[str]] = {}
         # One lock around catalog-mutating execution, mirroring the
         # reference's session_lock (main.py:34,162). Read-only
         # queries run concurrently; current-database switching is
@@ -240,13 +241,77 @@ class Engine:
         with self._lock:
             self._in_user_db(sess)
             try:
-                self.spark.sql(self._prepare_sql(sess, sql))
+                prepared = self._prepare_sql(sess, sql)
+                if not self._insert_sorted(sess, prepared):
+                    self.spark.sql(prepared)
             except EngineError:
                 raise
             except Exception as e:
                 raise EngineError(_clean_spark_error(e)) from e
 
+    def _table_order_by(self, tbl: str) -> Optional[str]:
+        """moospark.order_by property of ``tbl`` (cached), or None."""
+        if tbl not in self._order_by_cache:
+            val = None
+            try:
+                for r in self.spark.sql(f"SHOW TBLPROPERTIES {tbl}").collect():
+                    if r["key"] == "moospark.order_by":
+                        val = r["value"]
+            except Exception:
+                val = None
+            self._order_by_cache[tbl] = val
+        return self._order_by_cache[tbl]
+
+    def _insert_sorted(self, sess: UserSession, sql: str) -> bool:
+        """INSERT INTO a table declared with ``ORDER BY`` (MergeTree
+        DDL, test.yml:49): sort rows within partitions on the declared
+        keys before writing, so parquet row-group min/max stats give
+        the same data-skipping a ClickHouse sparse primary index does
+        (SURVEY §4.2). Per-partition sort — no global shuffle added.
+
+        Returns True if handled; False → caller runs plain SQL."""
+        from .dialect.tokenizer import tokenize
+
+        toks = [t for t in tokenize(sql) if t.kind not in ("ws", "comment")]
+        if len(toks) < 4 or toks[0].text.upper() != "INSERT" or toks[1].text.upper() != "INTO":
+            return False
+        # target: ident or `q`.`q` chain; find extent + SELECT start
+        i = 2
+        tbl_parts = []
+        while i < len(toks) and (toks[i].kind in ("ident", "bquote") or toks[i].text == "."):
+            if toks[i].text.upper() in ("SELECT", "VALUES", "FORMAT"):
+                break
+            tbl_parts.append(toks[i].text)
+            i += 1
+        if i >= len(toks) or toks[i].text.upper() != "SELECT":
+            return False  # VALUES / column-list forms → plain path
+        tbl = "".join(tbl_parts)
+        order_by = self._table_order_by(tbl)
+        if not order_by:
+            return False
+        select_sql = "".join(
+            t.text + " " for t in toks[i:]
+        )
+        from pyspark.sql import functions as F
+
+        tgt_cols = self.spark.table(tbl).columns
+        df = self.spark.sql(select_sql)
+        if len(df.columns) != len(tgt_cols):
+            return False  # let Spark produce the proper error
+        from .dialect.translate import translate_select
+
+        exprs = [e.strip() for e in _split_top_level(order_by.strip().strip("()"))]
+        # order keys may use CH spellings (intHash32 is a registered
+        # UDF; toYYYYMM etc. go through the dialect rewrite)
+        exprs = [
+            translate_select(f"SELECT {e}").spark_sql[len("SELECT "):] for e in exprs
+        ]
+        df = df.toDF(*tgt_cols).sortWithinPartitions(*[F.expr(e) for e in exprs])
+        df.write.insertInto(tbl)
+        return True
+
     def _run_ddl(self, sess: UserSession, sql: str) -> None:
+        self._order_by_cache.clear()  # DDL may change table properties
         parsed = parse_ddl(sql)
         with self._lock:
             if isinstance(parsed, CreateDatabase):
@@ -294,6 +359,24 @@ class Engine:
             self.spark.sql(stmt)
         except Exception as e:
             raise EngineError(_clean_spark_error(e)) from e
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas not nested inside parentheses."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return [p for p in parts if p.strip()]
 
 
 def _esc(s: str) -> str:

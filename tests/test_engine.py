@@ -111,3 +111,39 @@ class TestErrors:
     def test_missing_table(self, engine):
         with pytest.raises(EngineError):
             engine.execute("SELECT * FROM no_such_table_xyz")
+
+
+class TestMergeTreeOrderBy:
+    """ENGINE=MergeTree ORDER BY (test.yml:49 shape): inserts sort
+    within partitions so parquet row-group min/max stats provide the
+    data skipping a CH sparse primary index gives (SURVEY §4.2)."""
+
+    def test_insert_select_lands_sorted(self, engine, tmp_path):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        engine.execute("DROP TABLE IF EXISTS mtorder")
+        engine.execute(
+            "CREATE TABLE mtorder (k Int64, v Int64) ENGINE=MergeTree() ORDER BY (k)"
+        )
+        engine.execute("INSERT INTO mtorder SELECT number % 97, number FROM numbers(20000)")
+        sess = engine.get_session()
+        rows = engine.spark.sql(
+            f"DESCRIBE TABLE EXTENDED `{sess.spark_db()}`.mtorder"
+        ).collect()
+        loc = [r[1] for r in rows if r[0] == "Location"][0]
+        files = glob.glob(loc.replace("file:", "") + "/*.parquet")
+        assert files
+        for f in files:
+            ks = pq.read_table(f, columns=["k"])["k"].to_pylist()
+            assert all(a <= b for a, b in zip(ks, ks[1:])), f"unsorted file {f}"
+        assert engine.execute("SELECT count(*) AS c FROM mtorder") == b"20000\n"
+        engine.execute("DROP TABLE mtorder")
+
+    def test_values_insert_still_works_on_ordered_table(self, engine):
+        engine.execute("DROP TABLE IF EXISTS mtv")
+        engine.execute("CREATE TABLE mtv (k Int64) ENGINE=MergeTree() ORDER BY (k)")
+        engine.execute("INSERT INTO mtv VALUES (3), (1), (2)")
+        assert engine.execute("SELECT k FROM mtv ORDER BY k") == b"1\n2\n3\n"
+        engine.execute("DROP TABLE mtv")

@@ -140,3 +140,36 @@ class TestPlanInspection:
         )
         cols = scan_read_schema(df)
         assert set(cols) == {"l_orderkey", "l_quantity"}
+
+
+class TestHeadlinePlanShapes:
+    """The conformance queries must keep the efficient plans
+    (SURVEY §4.2): top-k short-circuit, broadcast dims, pushdown,
+    partial aggregation. A regression here is a 100x problem at
+    cluster scale even when results stay correct."""
+
+    @staticmethod
+    def _plan(spark, sf_dir, name):
+        from cowsdb_spark.queries import registry
+
+        return explain_str(registry()[name].spark(spark, sf_dir))
+
+    def test_topk_short_circuit(self, spark, sf_dir):
+        # ORDER BY+LIMIT must plan per-partition heaps, not full sort
+        assert "TakeOrderedAndProject" in self._plan(spark, sf_dir, "q07_group_topk")
+
+    def test_join_broadcasts_dimension(self, spark, sf_dir):
+        plan = self._plan(spark, sf_dir, "q11_inner_join")
+        assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+    def test_star_join_never_shuffles_fact(self, spark, sf_dir):
+        plan = self._plan(spark, sf_dir, "q14_star_join")
+        # all three dims broadcast; the only exchange is the final agg
+        # (formatted plans list each node in tree + details sections)
+        assert plan.count("BroadcastHashJoin") >= 3
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+    def test_pricing_summary_pushdown_and_partial_agg(self, spark, sf_dir):
+        plan = self._plan(spark, sf_dir, "q25_pricing_summary")
+        assert "PushedFilters" in plan and "l_shipdate" in plan
+        assert plan.count("HashAggregate") >= 2  # partial + final
