@@ -573,6 +573,78 @@ def _rewrite_brackets(toks: list[Tok]) -> None:
         prev = t
 
 
+_CLAUSE_KW = {
+    "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "SETTINGS", "UNION",
+    "INTERSECT", "EXCEPT", "WINDOW", "QUALIFY",
+}
+
+
+def _rewrite_array_join(toks: list[Tok]) -> list[Tok]:
+    """CH ``FROM t [LEFT] ARRAY JOIN expr [AS alias]`` (SURVEY §2.3
+    J8) → subquery with ``explode``/``explode_outer``.
+
+    - aliased: the array column stays visible (CH semantics) →
+      ``FROM (SELECT *, explode(expr) AS alias FROM t) __aj``
+    - bare column C: the element REPLACES the column name →
+      ``FROM (SELECT * EXCEPT (C), explode(C) AS C FROM t) __aj``
+
+    Single-array form only (CH's zipping multi-ARRAY JOIN passes
+    through and fails loudly rather than silently cross-joining).
+    """
+    sig = _sig(toks)
+    depth = 0
+    from_at = array_at = None
+    for si, i in enumerate(sig):
+        t = toks[i]
+        depth += t.text.count("(") - t.text.count(")")
+        if depth != 0 or t.kind != "ident":
+            continue
+        up = t.text.upper()
+        if up == "FROM" and from_at is None:
+            from_at = si
+        elif (
+            up == "ARRAY"
+            and si + 1 < len(sig)
+            and toks[sig[si + 1]].text.upper() == "JOIN"
+            and from_at is not None
+        ):
+            array_at = si
+            break
+    if array_at is None:
+        return toks
+    left = toks[sig[array_at - 1]].text.upper() == "LEFT"
+    table_end = array_at - (2 if left else 1)  # last sig idx of table ref
+    # expr extent: after JOIN until AS / clause keyword / end
+    j = array_at + 2
+    expr_toks = []
+    alias = None
+    while j < len(sig):
+        t = toks[sig[j]]
+        up = t.text.upper() if t.kind == "ident" else ""
+        if up == "AS" and j + 1 < len(sig):
+            alias = toks[sig[j + 1]].text
+            j += 2
+            break
+        if up in _CLAUSE_KW:
+            break
+        expr_toks.append(t.text)
+        j += 1
+    expr = "".join(expr_toks).strip()
+    if not expr or "," in expr:
+        return toks  # multi-array zip form: pass through
+    table_ref = "".join(
+        toks[k].text for k in range(sig[from_at + 1], sig[table_end] + 1)
+    ).strip()
+    rest = "".join(toks[k].text for k in range(sig[j], len(toks))) if j < len(sig) else ""
+    head = "".join(toks[k].text for k in range(sig[from_at]))
+    fn = "explode_outer" if left else "explode"
+    if alias:
+        sub = f"(SELECT *, {fn}({expr}) AS {alias} FROM {table_ref}) __aj"
+    else:
+        sub = f"(SELECT * EXCEPT ({expr}), {fn}({expr}) AS {expr} FROM {table_ref}) __aj"
+    return tokenize(f"{head} FROM {sub} {rest}")
+
+
 def translate_select(sql: str) -> Statement:
     toks = tokenize(sql)
     toks, fmt = _strip_trailing_format(toks)
@@ -581,6 +653,7 @@ def translate_select(sql: str) -> Statement:
     _rewrite_double_literals(toks)
     _rewrite_explain(toks)
     _rewrite_brackets(toks)
+    toks = _rewrite_array_join(toks)
     toks = _rewrite_limit_by(toks)
     body = "".join(t.text for t in toks).strip()
     body = _rewrite_ternary(body)

@@ -211,3 +211,28 @@ class TestNewFunctionSpellings:
 
     def test_dateadd_unit(self):
         assert "timestampadd(day" in self._sql("SELECT dateAdd('day', 3, d) FROM t")
+
+
+class TestArrayJoin:
+    """CH ARRAY JOIN clause (SURVEY §2.3 J8) → explode subquery."""
+
+    def _sql(self, q):
+        from cowsdb_spark.dialect.translate import translate
+
+        return translate(q)[0].spark_sql
+
+    def test_bare_replaces_column(self):
+        s = self._sql("SELECT s, arr FROM t ARRAY JOIN arr")
+        assert "EXCEPT (arr)" in s and "explode(arr) AS arr" in s
+
+    def test_alias_keeps_array(self):
+        s = self._sql("SELECT s, a, arr FROM t ARRAY JOIN arr AS a")
+        assert "SELECT *, explode(arr) AS a" in s
+
+    def test_left_uses_explode_outer(self):
+        s = self._sql("SELECT s, a FROM t LEFT ARRAY JOIN arr AS a")
+        assert "explode_outer(arr)" in s
+
+    def test_clauses_preserved(self):
+        s = self._sql("SELECT s, a FROM t ARRAY JOIN arr AS a WHERE a > 1 ORDER BY s")
+        assert "WHERE a > 1" in s and "ORDER BY s" in s
