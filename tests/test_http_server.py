@@ -129,3 +129,43 @@ class TestErrorsAndSessions:
             200,
             b"3\n",
         )
+
+
+class TestLambdaHandler:
+    """Stateless entry parity (lambda/lambda.py:6-19)."""
+
+    def test_default_query_and_format(self, spark):
+        from cowsdb_spark.server.lambda_handler import handler
+
+        out = handler({})
+        assert out["statusCode"] == 200
+        assert "25.5.2" in out["body"]  # SELECT version(), JSONCompact
+
+    def test_explicit_query(self, spark):
+        from cowsdb_spark.server.lambda_handler import handler
+
+        out = handler({"query": "SELECT 1 AS x", "default_format": "TSV"})
+        assert out["statusCode"] == 200 and out["body"] == "1\n"
+
+    def test_api_gateway_wrapped_body(self, spark):
+        import json
+
+        from cowsdb_spark.server.lambda_handler import handler
+
+        out = handler(
+            {"requestContext": {}, "body": json.dumps({"query": "SELECT 2 AS x", "default_format": "TSV"})}
+        )
+        assert out["body"] == "2\n"
+
+    def test_error_gives_400(self, spark):
+        from cowsdb_spark.server.lambda_handler import handler
+
+        out = handler({"query": "SELECT FROM WHERE"})
+        assert out["statusCode"] == 400 and "Code:" in out["body"]
+
+    def test_stateless_across_invocations(self, spark):
+        from cowsdb_spark.server.lambda_handler import handler
+
+        handler({"query": "CREATE TABLE lam (x Int64) ENGINE=Memory"})
+        out = handler({"query": "SELECT * FROM lam"})
+        assert out["statusCode"] == 400  # next invocation cannot see it
