@@ -145,3 +145,71 @@ def lsh_bucket_join(
         pairs.select("id_a", "id_b", F.round(sim, 6).alias("sim"))
         .filter(F.col("sim") >= min_sim)
     )
+
+
+def ivf_build(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse index: KMeans centroids + per-vector cell assign.
+
+    Returns (assigned, centroids) where ``assigned`` adds a ``_cell``
+    column. This is the inverted-file layout: at cluster scale the
+    assigned table is written partitioned BY _cell, so a probe reads
+    only nprobe/k of the data — the partition-pruning analog of a
+    vector index. KMeans runs on Spark ML (distributed, seeded).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = emb.select(
+        F.col(id_col), _to_double(F.col(vec_col)).alias("_v")
+    ).withColumn("_feat", array_to_vector(F.col("_v")))
+    km = KMeans(k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="_feat")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs).select(
+        id_col, "_v", F.col(model.getPredictionCol()).alias("_cell")
+    )
+    centroids = [c.tolist() for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Top-k neighbors probing only the ``nprobe`` nearest cells.
+
+    The probe-cell choice is a driver-side computation over
+    n_centroids vectors (tiny); the scan then filters on ``_cell``
+    (partition pruning at scale) and does one dot per surviving row.
+    Recall < 1 by construction; the t-test compares against
+    brute-force to quantify it rather than assert equality.
+    """
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=float)
+    cents = np.asarray(centroids, dtype=float)
+    d2 = ((cents - q) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d2)[:nprobe]]
+
+    qn = float(np.sqrt((q * q).sum()))
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    sim = dot(F.col("_v"), qcol) / (norm(F.col("_v")) * F.lit(qn))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    return (
+        assigned.filter(F.col("_cell").isin(probe))
+        .select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.desc("sim"), id_col)
+        .limit(k)
+    )

@@ -131,3 +131,39 @@ def doc_fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
         F.md5(norm).alias("md5"),
         rolling.alias("rolling64"),
     )
+
+
+def tf_idf(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 5,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document (SURVEY §7 G text analysis).
+
+    Plan shape (the 100 TB story): explode tokens → per-(doc, term)
+    counts (one shuffle on (doc, term)) → document frequencies per
+    term (one shuffle on term, result is |vocab|-sized and would be
+    broadcast at scale) → join back → per-doc top-k via window.
+    idf = ln(N / df); score = tf * idf, rounded for oracle parity.
+    """
+    from pyspark.sql import Window
+
+    n_docs = docs.count()  # scalar, driver-side by design
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df_), "term").select(
+        id_col,
+        "term",
+        "tf",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select(id_col, "term", "tf", "score", "rk")
+    )

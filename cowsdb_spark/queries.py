@@ -1149,3 +1149,48 @@ def t16(spark, sf_dir):
     s = tumbling_counts(stream_events(spark, sf_dir), window="1 hour")
     run_to_memory(s, "t16_out", "complete")
     return spark.table("t16_out").orderBy("w_start", "event_type")
+
+
+@qdef(
+    "t17_tfidf_topk",
+    "WITH toks AS (SELECT doc_id, unnest(string_split(lower(trim("
+    "  regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term FROM documents), "
+    "tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks "
+    "  WHERE term <> '' GROUP BY doc_id, term), "
+    "dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), "
+    "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents), "
+    "scored AS (SELECT tf.doc_id, tf.term, tf.tf, "
+    "  ROUND(tf.tf * ln(n.n / dfreq.df), 6) AS score "
+    "  FROM tf, dfreq, n WHERE tf.term = dfreq.term) "
+    "SELECT doc_id, term, tf, score, rk FROM ("
+    "  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id "
+    "    ORDER BY score DESC, term) AS INTEGER) AS rk FROM scored) t "
+    "WHERE rk <= 5 AND doc_id < 60 ORDER BY doc_id, rk",
+    "[ext: text] per-document top-5 TF-IDF terms",
+)
+def t17(spark, sf_dir):
+    from .operators.text import tf_idf
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        tf_idf(d, top_k=5)
+        .filter(F.col("doc_id") < 60)
+        .orderBy("doc_id", "rk")
+    )
+
+
+@qdef(
+    "t18_ivf_ann",
+    None,  # KMeans cell boundaries aren't SQL-expressible (rows-only)
+    "[ext: similarity] IVF approximate top-k: KMeans cells + nprobe scan",
+)
+def t18(spark, sf_dir):
+    from .operators.similarity import ivf_build, ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    assigned, cents = ivf_build(e, n_centroids=8)
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return ivf_topk(assigned.filter(F.col("vec_id") != 0), cents, qvec, k=10, nprobe=3)

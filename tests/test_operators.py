@@ -138,3 +138,61 @@ class TestMultimodal:
         a = extract_features(synthetic_media(spark, 5)).collect()
         b = extract_features(synthetic_media(spark, 5)).collect()
         assert a == b
+
+
+class TestTfIdf:
+    def test_scores_sane(self, spark, sf_dir):
+        from cowsdb_spark.catalog import load_table
+        from cowsdb_spark.operators.text import tf_idf
+
+        d = load_table(spark, sf_dir, "documents")
+        out = tf_idf(d, top_k=3).filter("doc_id < 10").collect()
+        assert len(out) > 0
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for doc, rows in by_doc.items():
+            assert len(rows) <= 3
+            scores = [r.score for r in sorted(rows, key=lambda r: r.rk)]
+            assert scores == sorted(scores, reverse=True)
+            assert all(r.score >= 0 for r in rows)  # idf >= 0 since df <= N
+
+
+class TestIvf:
+    def test_recall_vs_brute_force(self, spark, sf_dir):
+        from cowsdb_spark.catalog import load_table
+        from cowsdb_spark.operators.similarity import cosine_topk, ivf_build, ivf_topk
+
+        e = load_table(spark, sf_dir, "embeddings").cache()
+        exact = {r.vec_id for r in cosine_topk(e, 0, k=10).collect()}
+        assigned, cents = ivf_build(e, n_centroids=8)
+        from pyspark.sql import functions as F
+
+        qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+        approx = {
+            r.vec_id
+            for r in ivf_topk(
+                assigned.filter(F.col("vec_id") != 0), cents, qvec, k=10, nprobe=4
+            ).collect()
+        }
+        # half the centroids probed -> recall well above chance;
+        # exact equality is not the contract
+        assert len(exact & approx) >= 5
+
+    def test_full_probe_equals_brute_force(self, spark, sf_dir):
+        from cowsdb_spark.catalog import load_table
+        from cowsdb_spark.operators.similarity import cosine_topk, ivf_build, ivf_topk
+
+        e = load_table(spark, sf_dir, "embeddings").cache()
+        exact = [(r.vec_id, r.sim) for r in cosine_topk(e, 0, k=10).collect()]
+        assigned, cents = ivf_build(e, n_centroids=8)
+        from pyspark.sql import functions as F
+
+        qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+        approx = [
+            (r.vec_id, r.sim)
+            for r in ivf_topk(
+                assigned.filter(F.col("vec_id") != 0), cents, qvec, k=10, nprobe=8
+            ).collect()
+        ]
+        assert exact == approx  # probing every cell = exact search
