@@ -645,6 +645,61 @@ def _rewrite_array_join(toks: list[Tok]) -> list[Tok]:
     return tokenize(f"{head} FROM {sub} {rest}")
 
 
+def _rewrite_ch_modifiers(toks: list[Tok]) -> list[Tok]:
+    """Cheap CH-only SELECT modifiers:
+
+    - ``PREWHERE c1 [WHERE c2]`` → ``WHERE (c1) AND (c2)``. In CH
+      PREWHERE is a physical hint (filter before reading remaining
+      columns); Catalyst's pushdown already does this, so semantic
+      merge into WHERE is exact.
+    - ``FROM t FINAL`` → drop (we have no unmerged-parts state).
+    - ``GLOBAL IN/JOIN`` → drop GLOBAL (Spark distributes natively,
+      SURVEY §2.3 J7).
+    """
+    sig = _sig(toks)
+    depth = 0
+    pre_at = where_at = None
+    for si, i in enumerate(sig):
+        t = toks[i]
+        depth += t.text.count("(") - t.text.count(")")
+        if depth != 0 or t.kind != "ident":
+            continue
+        up = t.text.upper()
+        if up == "PREWHERE" and pre_at is None:
+            pre_at = si
+        elif up == "WHERE" and pre_at is not None and where_at is None:
+            where_at = si
+        elif up == "FINAL" and si > 0 and (
+            toks[sig[si - 1]].kind in ("ident", "bquote") or toks[sig[si - 1]].text == ")"
+        ):
+            t.text = ""
+        elif up == "GLOBAL" and si + 1 < len(sig) and toks[sig[si + 1]].text.upper() in (
+            "IN", "JOIN", "ANY", "ALL", "NOT", "LEFT", "RIGHT", "INNER", "FULL", "CROSS",
+        ):
+            t.text = ""
+    if pre_at is None:
+        return toks
+    if where_at is None:
+        toks[sig[pre_at]].text = "WHERE"
+        return toks
+    # WHERE-clause end: next top-level clause keyword after where_at
+    end = len(toks)
+    depth = 0
+    for si in range(where_at + 1, len(sig)):
+        t = toks[sig[si]]
+        depth += t.text.count("(") - t.text.count(")")
+        if depth == 0 and t.kind == "ident" and t.text.upper() in _CLAUSE_KW:
+            end = sig[si]
+            break
+    toks[sig[pre_at]].text = "WHERE ("
+    toks[sig[where_at]].text = ") AND ("
+    closing = ") "
+    out = "".join(t.text for t in toks[:end]) + closing + "".join(
+        t.text for t in toks[end:]
+    )
+    return tokenize(out)
+
+
 def translate_select(sql: str) -> Statement:
     toks = tokenize(sql)
     toks, fmt = _strip_trailing_format(toks)
@@ -653,6 +708,7 @@ def translate_select(sql: str) -> Statement:
     _rewrite_double_literals(toks)
     _rewrite_explain(toks)
     _rewrite_brackets(toks)
+    toks = _rewrite_ch_modifiers(toks)
     toks = _rewrite_array_join(toks)
     toks = _rewrite_limit_by(toks)
     body = "".join(t.text for t in toks).strip()

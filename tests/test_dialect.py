@@ -236,3 +236,27 @@ class TestArrayJoin:
     def test_clauses_preserved(self):
         s = self._sql("SELECT s, a FROM t ARRAY JOIN arr AS a WHERE a > 1 ORDER BY s")
         assert "WHERE a > 1" in s and "ORDER BY s" in s
+
+
+class TestChModifiers:
+    """PREWHERE / FINAL / GLOBAL (CH physical hints → exact rewrites)."""
+
+    def _sql(self, q):
+        from cowsdb_spark.dialect.translate import translate
+
+        return translate(q)[0].spark_sql
+
+    def test_prewhere_merges_into_where(self):
+        s = self._sql("SELECT x FROM t PREWHERE a > 1 WHERE b < 2 ORDER BY x")
+        assert "WHERE ( a > 1 ) AND ( b < 2 )" in s and "ORDER BY x" in s
+
+    def test_prewhere_alone_becomes_where(self):
+        assert "WHERE a > 1" in self._sql("SELECT x FROM t PREWHERE a > 1")
+
+    def test_final_dropped(self):
+        s = self._sql("SELECT x FROM t FINAL WHERE a = 1")
+        assert "FINAL" not in s and "WHERE a = 1" in s
+
+    def test_global_in_and_join_dropped(self):
+        assert "GLOBAL" not in self._sql("SELECT x FROM t WHERE a GLOBAL IN (1, 2)")
+        assert "GLOBAL" not in self._sql("SELECT x FROM t GLOBAL JOIN u ON t.k = u.k")
