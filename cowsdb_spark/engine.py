@@ -235,7 +235,7 @@ class Engine:
             except EngineError:
                 raise
             except Exception as e:
-                raise EngineError(_clean_spark_error(e)) from e
+                raise EngineError(_clean_spark_error(e), _ch_error_code(str(e))) from e
 
     def _run_insert(self, sess: UserSession, sql: str) -> None:
         with self._lock:
@@ -247,7 +247,7 @@ class Engine:
             except EngineError:
                 raise
             except Exception as e:
-                raise EngineError(_clean_spark_error(e)) from e
+                raise EngineError(_clean_spark_error(e), _ch_error_code(str(e))) from e
 
     def _table_order_by(self, tbl: str) -> Optional[str]:
         """moospark.order_by property of ``tbl`` (cached), or None."""
@@ -335,7 +335,7 @@ class Engine:
             try:
                 self.spark.sql(sql)
             except Exception as e:
-                raise EngineError(_clean_spark_error(e)) from e
+                raise EngineError(_clean_spark_error(e), _ch_error_code(str(e))) from e
 
     def _create_table(self, sess: UserSession, ct: CreateTable) -> None:
         db = sess.spark_db(ct.database)
@@ -358,7 +358,7 @@ class Engine:
         try:
             self.spark.sql(stmt)
         except Exception as e:
-            raise EngineError(_clean_spark_error(e)) from e
+            raise EngineError(_clean_spark_error(e), _ch_error_code(str(e))) from e
 
 
 def _split_top_level(s: str) -> list[str]:
@@ -381,6 +381,33 @@ def _split_top_level(s: str) -> list[str]:
 
 def _esc(s: str) -> str:
     return s.replace("'", "''")
+
+
+# Spark error class → ClickHouse error code (public CH ErrorCodes.cpp
+# numbering; the reference surfaces chDB's codes the same way via the
+# stderr capture, main.py:823-847). Unmatched errors stay 62.
+_CH_ERROR_CODES = (
+    ("TABLE_OR_VIEW_NOT_FOUND", 60),      # UNKNOWN_TABLE
+    ("TABLE_OR_VIEW_ALREADY_EXISTS", 57),  # TABLE_ALREADY_EXISTS
+    ("SCHEMA_NOT_FOUND", 81),              # UNKNOWN_DATABASE
+    ("SCHEMA_ALREADY_EXISTS", 82),         # DATABASE_ALREADY_EXISTS
+    ("UNRESOLVED_COLUMN", 47),             # UNKNOWN_IDENTIFIER
+    ("UNRESOLVED_ROUTINE", 46),            # UNKNOWN_FUNCTION
+    ("PARSE_SYNTAX_ERROR", 62),            # SYNTAX_ERROR
+    ("DIVIDE_BY_ZERO", 153),               # ILLEGAL_DIVISION
+    ("CAST_INVALID_INPUT", 6),             # CANNOT_PARSE_TEXT
+    ("NUMERIC_VALUE_OUT_OF_RANGE", 69),    # ARGUMENT_OUT_OF_BOUND
+    ("WRONG_NUM_ARGS", 42),                # NUMBER_OF_ARGUMENTS_DOESNT_MATCH
+    ("DATATYPE_MISMATCH", 43),             # ILLEGAL_TYPE_OF_ARGUMENT
+    ("AMBIGUOUS_REFERENCE", 352),          # AMBIGUOUS_IDENTIFIER
+)
+
+
+def _ch_error_code(msg: str) -> int:
+    for marker, code in _CH_ERROR_CODES:
+        if marker in msg:
+            return code
+    return 62
 
 
 def _clean_spark_error(e: Exception) -> str:

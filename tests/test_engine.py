@@ -147,3 +147,28 @@ class TestMergeTreeOrderBy:
         engine.execute("INSERT INTO mtv VALUES (3), (1), (2)")
         assert engine.execute("SELECT k FROM mtv ORDER BY k") == b"1\n2\n3\n"
         engine.execute("DROP TABLE mtv")
+
+
+class TestChErrorCodes:
+    """CH ErrorCodes parity: the reference surfaces chDB's numeric
+    codes in the error text (main.py:823-847); we map Spark error
+    classes onto the same public numbering."""
+
+    def _code(self, engine, sql):
+        with pytest.raises(EngineError) as ei:
+            engine.execute(sql)
+        return ei.value.code
+
+    def test_unknown_table_60(self, engine):
+        assert self._code(engine, "SELECT * FROM no_such_tbl") == 60
+
+    def test_unknown_identifier_47(self, engine):
+        engine.execute("CREATE TABLE ec47 (x Int64) ENGINE=Memory")
+        assert self._code(engine, "SELECT nope FROM ec47") == 47
+        engine.execute("DROP TABLE ec47")
+
+    def test_syntax_error_62(self, engine):
+        assert self._code(engine, "SELECT (1") == 62
+
+    def test_unknown_function_46(self, engine):
+        assert self._code(engine, "SELECT definitely_not_a_function(1)") == 46
