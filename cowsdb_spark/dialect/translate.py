@@ -700,8 +700,58 @@ def _rewrite_ch_modifiers(toks: list[Tok]) -> list[Tok]:
     return tokenize(out)
 
 
+def _rewrite_scalar_with(toks: list[Tok]) -> list[Tok]:
+    """CH scalar WITH: ``WITH <expr> AS <name>, … SELECT …`` binds
+    constants, not subqueries. Spark only knows the CTE form, so the
+    bindings are inlined as parenthesized expressions. Standard CTEs
+    (``WITH name AS (SELECT …)``) pass through untouched; a mix of
+    both forms also passes through (rare, and failing loudly beats
+    guessing).
+    """
+    sig = _sig(toks)
+    if not sig or toks[sig[0]].text.upper() != "WITH":
+        return toks
+    # split items on top-level commas until top-level SELECT
+    depth = 0
+    items: list[list[int]] = [[]]
+    select_at = None
+    for si in range(1, len(sig)):
+        t = toks[sig[si]]
+        if depth == 0 and t.kind == "ident" and t.text.upper() == "SELECT":
+            select_at = si
+            break
+        depth += t.text.count("(") - t.text.count(")")
+        if depth == 0 and t.text == ",":
+            items.append([])
+        else:
+            items[-1].append(si)
+    if select_at is None:
+        return toks
+    bindings: dict[str, str] = {}
+    for item in items:
+        # scalar form: ... AS <name> (name LAST); CTE form: <name> AS (
+        if len(item) < 3:
+            return toks
+        second_last, last = toks[sig[item[-2]]], toks[sig[item[-1]]]
+        if second_last.kind == "ident" and second_last.text.upper() == "AS" and last.kind in ("ident", "bquote"):
+            expr = "".join(
+                toks[j].text
+                for j in range(sig[item[0]], sig[item[-2]])
+            ).strip()
+            bindings[last.text.strip("`")] = expr
+        else:
+            return toks  # CTE (or unrecognized) → untouched
+    body = "".join(t.text for t in toks[sig[select_at]:])
+    out_toks = tokenize(body)
+    for t in out_toks:
+        if t.kind == "ident" and t.text in bindings:
+            t.text = f"({bindings[t.text]})"
+    return out_toks
+
+
 def translate_select(sql: str) -> Statement:
     toks = tokenize(sql)
+    toks = _rewrite_scalar_with(toks)
     toks, fmt = _strip_trailing_format(toks)
     toks, settings = _strip_trailing_settings(toks)
     _rewrite_sample(toks)  # before double-literals: SAMPLE 0.5 is a fraction

@@ -260,3 +260,27 @@ class TestChModifiers:
     def test_global_in_and_join_dropped(self):
         assert "GLOBAL" not in self._sql("SELECT x FROM t WHERE a GLOBAL IN (1, 2)")
         assert "GLOBAL" not in self._sql("SELECT x FROM t GLOBAL JOIN u ON t.k = u.k")
+
+
+class TestScalarWith:
+    """CH scalar WITH bindings inline as expressions; CTEs untouched."""
+
+    def _sql(self, q):
+        from cowsdb_spark.dialect.translate import translate
+
+        return translate(q)[0].spark_sql
+
+    def test_constant_binding(self):
+        s = self._sql("WITH 5 AS factor SELECT number * factor FROM numbers(3)")
+        assert "WITH" not in s and "* (5)" in s
+
+    def test_multiple_bindings(self):
+        assert "(2) + (3)" in self._sql("WITH 2 AS a, 3 AS b SELECT a + b AS s")
+
+    def test_cte_passthrough(self):
+        q = "WITH t AS (SELECT 1 AS x) SELECT x FROM t"
+        assert self._sql(q) == q
+
+    def test_expression_binding(self):
+        s = self._sql("WITH sum(x) AS total SELECT total FROM tbl")
+        assert "(sum(x))" in s

@@ -169,3 +169,36 @@ class TestLambdaHandler:
         handler({"query": "CREATE TABLE lam (x Int64) ENGINE=Memory"})
         out = handler({"query": "SELECT * FROM lam"})
         assert out["statusCode"] == 400  # next invocation cannot see it
+
+
+class TestConcurrency:
+    """Parallel clients over one engine (the reference serializes all
+    queries behind a global session lock, main.py:34,162 — we allow
+    concurrent reads and must stay correct under them)."""
+
+    def test_parallel_reads_distinct_answers(self, http):
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one(i):
+            status, body = get(http, f"SELECT {i} * 2 AS x")
+            return status, body.strip()
+
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            results = list(ex.map(one, range(24)))
+        assert all(s == 200 for s, _ in results)
+        assert [int(b) for _, b in results] == [i * 2 for i in range(24)]
+
+    def test_parallel_sessions_isolated(self, http):
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one(i):
+            u = f"cuser{i}"
+            get(http, f"CREATE TABLE ct (x Int64) ENGINE=Memory", user=u, password="p")
+            get(http, f"INSERT INTO ct VALUES ({i})", user=u, password="p")
+            _, body = get(http, "SELECT x FROM ct", user=u, password="p")
+            get(http, "DROP TABLE ct", user=u, password="p")
+            return int(body.strip())
+
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            results = list(ex.map(one, range(8)))
+        assert results == list(range(8))
