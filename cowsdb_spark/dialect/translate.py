@@ -51,6 +51,7 @@ class Statement:
     database: Optional[str] = None  # for USE
     settings: dict[str, str] = field(default_factory=dict)
     original: str = ""
+    with_totals: bool = False  # GROUP BY … WITH TOTALS
 
 
 def split_statements(sql: str) -> list[str]:
@@ -749,6 +750,62 @@ def _rewrite_scalar_with(toks: list[Tok]) -> list[Tok]:
     return out_toks
 
 
+def _rewrite_with_totals(toks: list[Tok]) -> tuple[list[Tok], bool]:
+    """CH ``GROUP BY e1, e2 WITH TOTALS`` → ``GROUP BY GROUPING SETS
+    ((e1, e2), ())`` plus a hidden ``grouping_id() AS __ch_gid``
+    select-list column. The engine splits the gid!=0 row off as the
+    totals row (formats emit it as CH does). Positional GROUP BY
+    numbers are not supported with TOTALS (GROUPING SETS treats them
+    as literals)."""
+    sig = _sig(toks)
+    depth = 0
+    group_at = by_at = with_at = None
+    for si, i in enumerate(sig):
+        t = toks[i]
+        depth += t.text.count("(") - t.text.count(")")
+        if depth != 0 or t.kind != "ident":
+            continue
+        up = t.text.upper()
+        if up == "GROUP" and group_at is None:
+            group_at = si
+            by_at = si + 1
+        elif (
+            up == "WITH"
+            and group_at is not None
+            and si + 1 < len(sig)
+            and toks[sig[si + 1]].text.upper() == "TOTALS"
+        ):
+            with_at = si
+            break
+    if with_at is None:
+        return toks, False
+    exprs = "".join(
+        toks[j].text for j in range(sig[by_at + 1], sig[with_at])
+    ).strip()
+    # select-list end: the top-level FROM before GROUP
+    from_i = None
+    depth = 0
+    for si, i in enumerate(sig[:group_at]):
+        t = toks[i]
+        depth += t.text.count("(") - t.text.count(")")
+        if depth == 0 and t.kind == "ident" and t.text.upper() == "FROM":
+            from_i = i
+    if from_i is None:
+        return toks, False
+    head = "".join(t.text for t in toks[: from_i])
+    mid = "".join(toks[j].text for j in range(from_i, sig[group_at]))
+    tail = (
+        "".join(toks[j].text for j in range(sig[with_at + 2], len(toks)))
+        if with_at + 2 < len(sig)
+        else ""
+    )
+    new_sql = (
+        f"{head.rstrip()}, grouping_id() AS __ch_gid {mid} "
+        f"GROUP BY GROUPING SETS (({exprs}), ()) {tail}"
+    )
+    return tokenize(new_sql), True
+
+
 def translate_select(sql: str) -> Statement:
     toks = tokenize(sql)
     toks = _rewrite_scalar_with(toks)
@@ -761,11 +818,13 @@ def translate_select(sql: str) -> Statement:
     toks = _rewrite_ch_modifiers(toks)
     toks = _rewrite_array_join(toks)
     toks = _rewrite_limit_by(toks)
+    toks, with_totals = _rewrite_with_totals(toks)
     body = "".join(t.text for t in toks).strip()
     body = _rewrite_ternary(body)
     body = _rewrite_functions(body)
     return Statement(
-        kind="select", spark_sql=body, format=fmt, settings=settings, original=sql
+        kind="select", spark_sql=body, format=fmt, settings=settings, original=sql,
+        with_totals=with_totals,
     )
 
 

@@ -106,6 +106,7 @@ class Engine:
             return b""
         res = QueryResult.from_dataframe(df, elapsed=elapsed)
         res.elapsed = elapsed
+        res.totals = getattr(df, "_moospark_totals", None)
         max_rows = None
         if "max_result_rows" in settings:
             try:
@@ -151,7 +152,34 @@ class Engine:
                 out_fmt = st.format or out_fmt
                 settings.update(st.settings)
                 result_df = self._run_select(sess, st.spark_sql)
+                if st.with_totals:
+                    result_df = self._split_totals(result_df)
         return result_df, out_fmt, settings, time.time() - t0
+
+    def _split_totals(self, df: DataFrame) -> DataFrame:
+        """Separate the GROUPING SETS totals row (WITH TOTALS rewrite,
+        dialect `_rewrite_with_totals`): detail rows keep the result
+        schema; the gid!=0 row is attached as ``_moospark_totals``
+        with NULL group keys replaced by CH default values."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        gid = "__ch_gid"
+        detail = df.filter(F.col(gid) == 0).drop(gid)
+        tot_rows = df.filter(F.col(gid) != 0).drop(gid).collect()
+        totals = None
+        if tot_rows:
+            vals = []
+            for fld, v in zip(detail.schema.fields, tot_rows[0]):
+                if v is None:
+                    if isinstance(fld.dataType, T.NumericType):
+                        v = 0
+                    elif isinstance(fld.dataType, T.StringType):
+                        v = ""
+                vals.append(v)
+            totals = tuple(vals)
+        detail._moospark_totals = totals  # noqa: SLF001 — carried to serializer
+        return detail
 
 
     # ------------------------------------------------------------ statements

@@ -32,6 +32,7 @@ class QueryResult:
     elapsed: float = 0.0
     rows_read: int = 0
     bytes_read: int = 0
+    totals: Optional[tuple] = None  # GROUP BY … WITH TOTALS row
 
     @classmethod
     def from_dataframe(
@@ -60,6 +61,9 @@ def to_tsv(res: QueryResult, with_names: bool = False, limit: Optional[int] = No
         out.append("\t".join(res.columns) + "\n")
     for row in _limited(res.rows, limit):
         out.append("\t".join(tsv_cell(v) for v in row) + "\n")
+    if res.totals is not None:
+        # CH TSV WITH TOTALS: blank line, then the totals row
+        out.append("\n" + "\t".join(tsv_cell(v) for v in res.totals) + "\n")
     return "".join(out).encode("utf-8")
 
 
@@ -97,6 +101,8 @@ def to_json(res: QueryResult, limit: Optional[int] = None) -> bytes:
         "rows": len(data),
         "statistics": _statistics(res),
     }
+    if res.totals is not None:
+        doc["totals"] = {c: json_value(v) for c, v in zip(res.columns, res.totals)}
     return (json.dumps(doc, ensure_ascii=False, indent=1) + "\n").encode("utf-8")
 
 
@@ -110,6 +116,8 @@ def to_json_compact(res: QueryResult, limit: Optional[int] = None) -> bytes:
         "rows": len(data),
         "statistics": _statistics(res),
     }
+    if res.totals is not None:
+        doc["totals"] = [json_value(v) for v in res.totals]
     return (json.dumps(doc, ensure_ascii=False, indent=1) + "\n").encode("utf-8")
 
 

@@ -172,3 +172,50 @@ class TestChErrorCodes:
 
     def test_unknown_function_46(self, engine):
         assert self._code(engine, "SELECT definitely_not_a_function(1)") == 46
+
+
+class TestWithTotals:
+    """GROUP BY … WITH TOTALS (CH surface; rewritten to GROUPING SETS
+    + grouping_id split in the engine)."""
+
+    def test_tsv_blank_line_then_totals(self, engine):
+        out = engine.execute(
+            "SELECT number % 3 AS g, sum(number) AS s FROM numbers(10) "
+            "GROUP BY g WITH TOTALS ORDER BY g"
+        )
+        assert out == b"0\t18\n1\t12\n2\t15\n\n0\t45\n"
+
+    def test_json_totals_field(self, engine):
+        import json
+
+        out = engine.execute(
+            "SELECT number % 3 AS g, sum(number) AS s FROM numbers(10) "
+            "GROUP BY g WITH TOTALS ORDER BY g",
+            fmt="JSON",
+        )
+        d = json.loads(out)
+        assert d["totals"] == {"g": 0, "s": 45} and d["rows"] == 3
+
+    def test_jsoncompact_totals_array(self, engine):
+        import json
+
+        out = engine.execute(
+            "SELECT number % 2 AS g, count(*) AS c FROM numbers(6) "
+            "GROUP BY g WITH TOTALS ORDER BY g",
+            fmt="JSONCompact",
+        )
+        d = json.loads(out)
+        assert d["totals"] == [0, 6]
+
+    def test_string_key_defaults_to_empty(self, engine):
+        out = engine.execute(
+            "SELECT toString(number % 2) AS g, count(*) AS c FROM numbers(4) "
+            "GROUP BY g WITH TOTALS ORDER BY g"
+        )
+        assert out.endswith(b"\n\n\t4\n")  # '' key, total count
+
+    def test_without_totals_unchanged(self, engine):
+        out = engine.execute(
+            "SELECT number % 2 AS g, count(*) AS c FROM numbers(4) GROUP BY g ORDER BY g"
+        )
+        assert out == b"0\t2\n1\t2\n"
