@@ -224,3 +224,37 @@ TEMPLATES["bitxor"] = "({0} ^ {1})"
 TEMPLATES["bitnot"] = "(~{0})"
 TEMPLATES["bitshiftleft"] = "shiftleft({0}, {1})"
 TEMPLATES["bitshiftright"] = "shiftright({0}, {1})"
+
+# URL function family (CH URL functions; the CH-dialect ClickBench
+# variants lean on these — SURVEY §2.9 growth surface). Spark's
+# parse_url is the JVM-side workhorse; CH returns '' where Java
+# returns NULL, hence the coalesce wrappers. CH's protocol() has no
+# trailing colon and works on scheme-less hosts only approximately —
+# divergences documented in tests/test_dialect.py.
+TEMPLATES["protocol"] = "coalesce(parse_url({0}, 'PROTOCOL'), '')"
+TEMPLATES["domain"] = "coalesce(parse_url({0}, 'HOST'), '')"
+TEMPLATES["domainwithoutwww"] = (
+    "regexp_replace(coalesce(parse_url({0}, 'HOST'), ''), '^www\\\\.', '')"
+)
+TEMPLATES["topleveldomain"] = (
+    "regexp_extract(coalesce(parse_url({0}, 'HOST'), ''), '\\\\.([^.]+)$', 1)"
+)
+TEMPLATES["firstsignificantsubdomain"] = (
+    "element_at(split(regexp_replace(coalesce(parse_url({0}, 'HOST'), ''), "
+    "'\\\\.(com|net|org|co|biz|edu|gov)(\\\\.[a-z]{{2}})?$', ''), '\\\\.'), -1)"
+)
+TEMPLATES["path"] = "coalesce(parse_url({0}, 'PATH'), '')"
+TEMPLATES["pathfull"] = (
+    "concat(coalesce(parse_url({0}, 'PATH'), ''), "
+    "CASE WHEN parse_url({0}, 'QUERY') IS NULL THEN '' "
+    "ELSE concat('?', parse_url({0}, 'QUERY')) END)"
+)
+TEMPLATES["querystring"] = "coalesce(parse_url({0}, 'QUERY'), '')"
+TEMPLATES["fragment"] = "coalesce(parse_url({0}, 'REF'), '')"
+TEMPLATES["extracturlparameter"] = "coalesce(parse_url({0}, 'QUERY', {1}), '')"
+TEMPLATES["cutquerystring"] = "regexp_replace({0}, '\\\\?[^#]*', '')"
+TEMPLATES["cutfragment"] = "regexp_replace({0}, '#.*', '')"
+TEMPLATES["cutquerystringandfragment"] = "regexp_replace({0}, '[?#].*', '')"
+TEMPLATES["cutwww"] = (
+    "regexp_replace({0}, '^(([a-z]+://)?)(www\\\\.)', '$1')"
+)

@@ -337,3 +337,99 @@ def ngram_jaccard_pairs(
     return out.select(
         "id_a", "id_b", F.round(inter / union, 4).alias("jaccard")
     )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = True,
+    dim: int | None = None,
+    n_planes: int = 12,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos) with
+    cosine >= *threshold*, id_a < id_b.
+
+    Two strategies:
+
+    - ``exact=True`` — filter-and-verify all-pairs baseline. Screen:
+      the (id, unit-vector) matrix is broadcast once and each
+      partition multiplies its rows against it with one vectorized
+      numpy matmul (``mapInPandas``, Arrow-batched) — no pairwise
+      shuffle, no per-pair Python loop. Verify: the few surviving
+      candidates join back to the vectors and the reported cosine is
+      recomputed JVM-side with fixed left-to-right summation, so the
+      output is bit-identical to a DuckDB ``list_cosine_similarity``
+      oracle (the screen uses a 1e-6 slack so its different
+      summation order can never drop a true pair). The broadcast
+      caps this tier at ~10M vectors; beyond that use the LSH tier.
+    - ``exact=False`` — the 100 TB path: random-hyperplane LSH
+      blocking (``lsh_bucket_join``) so only same-bucket pairs are
+      scored; shuffles on the bucket key only. Requires *dim*.
+    """
+    from .similarity import _to_double, dot, lsh_bucket_join, norm
+
+    if not exact:
+        if dim is None:
+            raise ValueError("dim is required for the LSH path")
+        return (
+            lsh_bucket_join(
+                emb, dim, n_planes, id_col=id_col, vec_col=vec_col,
+                min_sim=threshold,
+            )
+            .withColumnRenamed("sim", "cos")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    rows = emb.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sc = emb.sparkSession.sparkContext
+    b_ids, b_mat = sc.broadcast(ids), sc.broadcast(mat)
+    slack = threshold - 1e-6
+
+    def screen(batches):
+        all_ids, all_mat = b_ids.value, b_mat.value
+        for pdf in batches:
+            a = np.array(list(pdf[vec_col]), dtype=np.float64)
+            a /= np.linalg.norm(a, axis=1, keepdims=True)
+            sims = a @ all_mat.T
+            my_ids = pdf[id_col].to_numpy()
+            ii, jj = np.nonzero(
+                (sims >= slack) & (my_ids[:, None] < all_ids[None, :])
+            )
+            yield pd.DataFrame({"id_a": my_ids[ii], "id_b": all_ids[jj]})
+
+    cand = emb.mapInPandas(screen, schema="id_a long, id_b long")
+    v = emb.select(
+        F.col(id_col), _to_double(F.col(vec_col)).alias("_v")
+    ).select(id_col, "_v", norm(F.col("_v")).alias("_n"))
+    out = (
+        cand.join(
+            v.select(
+                F.col(id_col).alias("id_a"),
+                F.col("_v").alias("_va"),
+                F.col("_n").alias("_na"),
+            ),
+            "id_a",
+        )
+        .join(
+            v.select(
+                F.col(id_col).alias("id_b"),
+                F.col("_v").alias("_vb"),
+                F.col("_n").alias("_nb"),
+            ),
+            "id_b",
+        )
+    )
+    cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    return (
+        out.select("id_a", "id_b", cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )

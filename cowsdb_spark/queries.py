@@ -1194,3 +1194,109 @@ def t18(spark, sf_dir):
         for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     ]
     return ivf_topk(assigned.filter(F.col("vec_id") != 0), cents, qvec, k=10, nprobe=3)
+
+
+@qdef(
+    "t19_embedding_neardup",
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) "
+    "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+    "ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos "
+    "FROM e a JOIN e b ON a.vec_id < b.vec_id "
+    "WHERE list_cosine_similarity(a.v, b.v) >= 0.45 "
+    "ORDER BY id_a, id_b",
+    "[ext: dedup] embedding-cosine near-duplicate pairs (exact tier; "
+    "LSH blocking is the scale path, exercised by t12)",
+)
+def t19(spark, sf_dir):
+    from .operators.dedup import embedding_neardup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(e, threshold=0.45).orderBy("id_a", "id_b")
+
+
+@qdef(
+    "t20_retention",
+    "SELECT user_id, "
+    "CAST(MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS INT) AS r1, "
+    "CAST(MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) "
+    "  * MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS INT) AS r2, "
+    "CAST(MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) "
+    "  * MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS INT) AS r3 "
+    "FROM events GROUP BY user_id ORDER BY user_id",
+    "[2.4 D: CH retention()] cond1-gated cohort flags, one shuffle",
+)
+def t20(spark, sf_dir):
+    from .operators.funnel import retention
+
+    ev = _t(spark, sf_dir, "events")
+    return retention(
+        ev,
+        "user_id",
+        [
+            F.col("event_type") == "signup",
+            F.col("event_type") == "purchase",
+            F.col("event_type") == "error",
+        ],
+    ).orderBy("user_id")
+
+
+@qdef(
+    "t21_window_funnel",
+    "WITH e AS (SELECT user_id, ts, event_type FROM events "
+    "  WHERE event_type IN ('view', 'click', 'purchase')) "
+    "SELECT u.user_id, CAST(CASE "
+    "WHEN EXISTS (SELECT 1 FROM e v, e c, e p "
+    "  WHERE v.user_id = u.user_id AND c.user_id = u.user_id AND p.user_id = u.user_id "
+    "  AND v.event_type = 'view' AND c.event_type = 'click' AND p.event_type = 'purchase' "
+    "  AND c.ts > v.ts AND p.ts > c.ts "
+    "  AND p.ts <= v.ts + INTERVAL 1 HOUR) THEN 3 "
+    "WHEN EXISTS (SELECT 1 FROM e v, e c "
+    "  WHERE v.user_id = u.user_id AND c.user_id = u.user_id "
+    "  AND v.event_type = 'view' AND c.event_type = 'click' "
+    "  AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR) THEN 2 "
+    "WHEN EXISTS (SELECT 1 FROM e v WHERE v.user_id = u.user_id "
+    "  AND v.event_type = 'view') THEN 1 "
+    "ELSE 0 END AS INT) AS level "
+    "FROM (SELECT DISTINCT user_id FROM e) u ORDER BY user_id",
+    "[2.4 D: CH windowFunnel()] deepest view->click->purchase chain "
+    "within 1h of the chain start; applyInPandas per user key",
+)
+def t21(spark, sf_dir):
+    from .operators.funnel import window_funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return window_funnel(
+        ev,
+        "user_id",
+        "ts",
+        3600.0,
+        [
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+    ).orderBy("user_id")
+
+
+@qdef(
+    "t22_sequence_match",
+    "WITH e AS (SELECT user_id, ts, event_type FROM events "
+    "  WHERE event_type IN ('signup', 'purchase')) "
+    "SELECT u.user_id, CAST(CASE WHEN EXISTS ("
+    "  SELECT 1 FROM e s, e p WHERE s.user_id = u.user_id "
+    "  AND p.user_id = u.user_id AND s.event_type = 'signup' "
+    "  AND p.event_type = 'purchase' AND p.ts > s.ts) "
+    "THEN 1 ELSE 0 END AS INT) AS matched "
+    "FROM (SELECT DISTINCT user_id FROM e) u ORDER BY user_id",
+    "[2.4 D: CH sequenceMatch('(?1).*(?2)')] ordered-existence match",
+)
+def t22(spark, sf_dir):
+    from .operators.funnel import sequence_match
+
+    ev = _t(spark, sf_dir, "events")
+    return sequence_match(
+        ev,
+        "user_id",
+        "ts",
+        [F.col("event_type") == "signup", F.col("event_type") == "purchase"],
+    ).orderBy("user_id")

@@ -196,3 +196,138 @@ class TestIvf:
             ).collect()
         ]
         assert exact == approx  # probing every cell = exact search
+
+
+class TestFunnel:
+    """retention / windowFunnel / sequenceMatch (CH parametric
+    aggregates, SURVEY §2.4 tier [D]) on a hand-built event log."""
+
+    @pytest.fixture(scope="class")
+    def ev(self, spark):
+        from pyspark.sql import types as T
+
+        rows = [
+            # u1: view@0 click@10 purchase@20  -> full funnel in window
+            (1, 0.0, "view"), (1, 10.0, "click"), (1, 20.0, "purchase"),
+            # u2: click before view, purchase too late for 60s window
+            (2, 0.0, "click"), (2, 5.0, "view"), (2, 100.0, "purchase"),
+            # u3: view then purchase (no click)
+            (3, 0.0, "view"), (3, 30.0, "purchase"),
+            # u4: purchase only
+            (4, 0.0, "purchase"),
+        ]
+        schema = T.StructType([
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.DoubleType()),
+            T.StructField("event_type", T.StringType()),
+        ])
+        return spark.createDataFrame(rows, schema)
+
+    def _conds(self):
+        from pyspark.sql import functions as F
+
+        return [
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ]
+
+    def test_window_funnel_levels(self, ev):
+        from cowsdb_spark.operators.funnel import window_funnel
+
+        out = {
+            r["user_id"]: r["level"]
+            for r in window_funnel(ev, "user_id", "ts", 60.0, self._conds()).collect()
+        }
+        # u2 reaches level 2 (view@5 -> no click after) -> actually
+        # click@0 precedes view@5, so only level 1
+        assert out == {1: 3, 2: 1, 3: 1, 4: 0}
+
+    def test_window_funnel_window_binds(self, ev):
+        from cowsdb_spark.operators.funnel import window_funnel
+
+        wide = {
+            r["user_id"]: r["level"]
+            for r in window_funnel(ev, "user_id", "ts", 1000.0, self._conds()).collect()
+        }
+        assert wide[2] == 1  # order still wrong for u2 even unwindowed
+
+    def test_sequence_match(self, ev):
+        from pyspark.sql import functions as F
+        from cowsdb_spark.operators.funnel import sequence_match
+
+        out = {
+            r["user_id"]: r["matched"]
+            for r in sequence_match(
+                ev, "user_id", "ts",
+                [F.col("event_type") == "view", F.col("event_type") == "purchase"],
+            ).collect()
+        }
+        assert out == {1: 1, 2: 1, 3: 1, 4: 0}
+
+    def test_retention(self, ev):
+        from pyspark.sql import functions as F
+        from cowsdb_spark.operators.funnel import retention
+
+        out = {
+            r["user_id"]: (r["r1"], r["r2"])
+            for r in retention(
+                ev, "user_id",
+                [F.col("event_type") == "view", F.col("event_type") == "purchase"],
+            ).collect()
+        }
+        # order-insensitive (CH semantics): u2's purchase counts even
+        # though a click precedes the view; r2 gated on r1: u4 has
+        # purchase but no view -> (0, 0)
+        assert out == {1: (1, 1), 2: (1, 1), 3: (1, 1), 4: (0, 0)}
+
+
+class TestEmbeddingNearDup:
+    def test_exact_pairs_symmetry_and_threshold(self, spark, sf_dir):
+        from cowsdb_spark.catalog import load_table
+        from cowsdb_spark.operators.dedup import embedding_neardup_pairs
+
+        e = load_table(spark, sf_dir, "embeddings")
+        got = embedding_neardup_pairs(e, threshold=0.45).collect()
+        assert all(r["id_a"] < r["id_b"] for r in got)
+        assert all(r["cos"] >= 0.45 for r in got)
+
+    def test_exact_matches_bruteforce(self, spark, sf_dir):
+        import numpy as np
+        from cowsdb_spark.catalog import load_table
+        from cowsdb_spark.operators.dedup import embedding_neardup_pairs
+
+        e = load_table(spark, sf_dir, "embeddings")
+        rows = e.select("vec_id", "embedding").collect()
+        ids = np.array([r[0] for r in rows])
+        m = np.array([r[1] for r in rows], dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        s = m @ m.T
+        want = {
+            (int(ids[i]), int(ids[j]))
+            for i in range(len(ids))
+            for j in range(len(ids))
+            if ids[i] < ids[j] and s[i, j] >= 0.45
+        }
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_neardup_pairs(e, threshold=0.45).collect()
+        }
+        assert got == want
+
+    def test_lsh_tier_is_subset_of_exact(self, spark, sf_dir):
+        from cowsdb_spark.catalog import load_table
+        from cowsdb_spark.operators.dedup import embedding_neardup_pairs
+
+        e = load_table(spark, sf_dir, "embeddings")
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_neardup_pairs(e, threshold=0.45).collect()
+        }
+        lsh = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_neardup_pairs(
+                e, threshold=0.45, exact=False, dim=64
+            ).collect()
+        }
+        assert lsh <= exact
