@@ -277,6 +277,110 @@ class Engine:
             except Exception as e:
                 raise EngineError(_clean_spark_error(e), _ch_error_code(str(e))) from e
 
+    def resolve_table(
+        self,
+        table_ref: str,
+        user: str = "default",
+        password: str = "",
+        database: Optional[str] = None,
+    ) -> str:
+        """CH table reference (``tbl`` or ``db.tbl``, optionally
+        back-quoted) → fully-qualified Spark table name inside the
+        credential pair's namespace."""
+        sess = self.get_session(user, password)
+        if database:
+            sess.current_db = database
+        parts = [p.strip().strip("`") for p in table_ref.split(".")]
+        if len(parts) == 2:
+            return f"`{sess.spark_db(parts[0])}`.`{parts[1]}`"
+        return f"`{sess.spark_db()}`.`{parts[0]}`"
+
+    def table_columns(
+        self,
+        table_ref: str,
+        user: str = "default",
+        password: str = "",
+        database: Optional[str] = None,
+    ) -> tuple[list[str], list[str]]:
+        """Column names + CH type names of a session table (the
+        native-INSERT sample block the server must send, §3.2)."""
+        from .dialect.types import spark_type_to_ch
+
+        tbl = self.resolve_table(table_ref, user, password, database)
+        with self._lock:
+            try:
+                schema = self.spark.table(tbl).schema
+            except Exception as e:
+                raise EngineError(_clean_spark_error(e), _ch_error_code(str(e))) from e
+        return (
+            [f.name for f in schema.fields],
+            [spark_type_to_ch(f.dataType, f.nullable) for f in schema.fields],
+        )
+
+    def insert_rows(
+        self,
+        table_ref: str,
+        names: list[str],
+        rows: list[tuple],
+        user: str = "default",
+        password: str = "",
+        database: Optional[str] = None,
+        ch_types: Optional[list[str]] = None,
+    ) -> None:
+        """Apply externally-supplied rows (native-protocol INSERT
+        data blocks) to a session table. Unmentioned columns get
+        NULL; values are cast to the declared column types (LEGACY
+        store assignment, matching the SQL INSERT path). Honors the
+        table's MergeTree ``ORDER BY`` sort-on-write. *ch_types*
+        (the block's declared types) makes the source schema
+        explicit so all-NULL columns don't break inference."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        from .dialect.types import ch_type_to_spark
+
+        tbl = self.resolve_table(table_ref, user, password, database)
+        with self._lock:
+            try:
+                target = self.spark.table(tbl)
+                tgt_fields = {f.name: f for f in target.schema.fields}
+                unknown = [n for n in names if n not in tgt_fields]
+                if unknown:
+                    raise EngineError(f"Unknown column(s) {unknown} in {table_ref}", 47)
+                if ch_types is not None:
+                    src_schema = T.StructType(
+                        [
+                            T.StructField(n, ch_type_to_spark(t), True)
+                            for n, t in zip(names, ch_types)
+                        ]
+                    )
+                    src = self.spark.createDataFrame(rows, schema=src_schema)
+                else:
+                    src = self.spark.createDataFrame(rows, schema=names)
+                out_cols = []
+                for f in target.schema.fields:
+                    if f.name in names:
+                        out_cols.append(
+                            F.col(f"`{f.name}`").cast(f.dataType).alias(f.name)
+                        )
+                    else:
+                        out_cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+                df = src.select(*out_cols)
+                order_by = self._table_order_by(tbl)
+                if order_by:
+                    from .dialect.translate import translate_select
+
+                    exprs = [
+                        translate_select(f"SELECT {e.strip()}").spark_sql[len("SELECT "):]
+                        for e in _split_top_level(order_by.strip().strip("()"))
+                    ]
+                    df = df.sortWithinPartitions(*[F.expr(e) for e in exprs])
+                df.write.insertInto(tbl)
+            except EngineError:
+                raise
+            except Exception as e:
+                raise EngineError(_clean_spark_error(e), _ch_error_code(str(e))) from e
+
     def _table_order_by(self, tbl: str) -> Optional[str]:
         """moospark.order_by property of ``tbl`` (cached), or None."""
         if tbl not in self._order_by_cache:

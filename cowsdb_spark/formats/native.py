@@ -123,6 +123,66 @@ def to_native(res, limit: Optional[int] = None) -> bytes:
     return bytes(out)
 
 
+def read_block(r, with_custom_flag: bool = True):
+    """Decode one Native block from a streaming reader (an object
+    with ``varint()``, ``binary_str()`` and ``_need(n)`` — the
+    native server's socket reader). Used for native-protocol INSERT
+    data (the reference reads and DISCARDS these packets,
+    main.py:677-696 — a fidelity bug we fix by applying them).
+
+    Returns ``(names, ch_types, rows)``; an end-of-data marker block
+    decodes as ``([], [], [])``.
+    """
+    names: list[str] = []
+    types: list[str] = []
+    cols: list[list] = []
+    # BlockInfo: (field_num, value) pairs until field_num == 0
+    while True:
+        field = r.varint()
+        if field == 0:
+            break
+        if field == 1:
+            r._need(1)  # is_overflows
+        elif field == 2:
+            r._need(4)  # bucket_num
+    n_cols = r.varint()
+    n_rows = r.varint()
+    for _ in range(n_cols):
+        name = r.binary_str()
+        ch_t = r.binary_str()
+        if with_custom_flag:
+            r._need(1)
+        names.append(name)
+        types.append(ch_t)
+        inner, nullable = _strip_nullable(ch_t)
+        mask = [False] * n_rows
+        if nullable:
+            raw = r._need(n_rows)
+            mask = [b == 1 for b in raw]
+        vals: list = []
+        for i in range(n_rows):
+            if inner in _INT_FMT:
+                fmt = _INT_FMT[inner]
+                (v,) = struct.unpack(fmt, r._need(struct.calcsize(fmt)))
+            elif inner in ("Float32", "Float64"):
+                fmt = "<f" if inner == "Float32" else "<d"
+                (v,) = struct.unpack(fmt, r._need(struct.calcsize(fmt)))
+            elif inner == "Bool":
+                v = r._need(1)[0] == 1
+            elif inner == "Date":
+                (d,) = struct.unpack("<H", r._need(2))
+                v = _EPOCH_DATE + _dt.timedelta(days=d)
+            elif inner.startswith("DateTime"):
+                (s,) = struct.unpack("<I", r._need(4))
+                v = _EPOCH_DT + _dt.timedelta(seconds=s)
+            else:
+                v = r.binary_str()
+            vals.append(None if nullable and mask[i] else v)
+        cols.append(vals)
+    rows = [tuple(c[i] for c in cols) for i in range(n_rows)]
+    return names, types, rows
+
+
 def read_varint(buf: bytes, pos: int) -> tuple[int, int]:
     shift = n = 0
     while True:

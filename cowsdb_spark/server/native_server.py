@@ -13,6 +13,7 @@ errors as EXCEPTION packets.
 
 from __future__ import annotations
 
+import re
 import socket
 import struct
 import threading
@@ -23,8 +24,20 @@ from ..formats.native import (
     _encode_scalar,
     _strip_nullable,
     _wire_type,
+    read_block,
     write_varint,
     write_varstr,
+)
+
+# INSERT that carries no inline data — the native protocol streams
+# the payload as DATA blocks after the QUERY packet (clickhouse-driver
+# sends exactly "INSERT INTO t (a, b) VALUES"). The reference reads
+# and DISCARDS those blocks (main.py:677-696); we apply them.
+_NATIVE_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<table>`?[\w.]+`?(?:\s*\.\s*`?[\w]+`?)?)\s*"
+    r"(?:\((?P<cols>[^)]*)\))?\s*"
+    r"(?:VALUES|FORMAT\s+\w+)?\s*;?\s*$",
+    re.IGNORECASE,
 )
 
 
@@ -155,12 +168,13 @@ class NativeServer:
                 if ptype == ClientPacket.QUERY:
                     self._handle_query(client, r, state)
                 elif ptype == ClientPacket.DATA:
-                    # native INSERT data — reference discards it
-                    # (main.py:677-696); we read the block to keep
-                    # the stream in sync and ACK. (INSERT payload
-                    # application is a known follow-up; HTTP INSERT
-                    # is fully supported.)
+                    # out-of-band DATA (external tables): consume the
+                    # full block to keep the stream in sync, then ACK
                     r.binary_str()  # table name
+                    read_block(
+                        r,
+                        state["revision"] >= MIN_REV_CUSTOM_SERIALIZATION,
+                    )
                     client.sendall(write_varint(ServerPacket.END_OF_STREAM))
                 elif ptype == ClientPacket.PING:
                     client.sendall(write_varint(ServerPacket.PONG))
@@ -260,6 +274,10 @@ class NativeServer:
 
     def _handle_query(self, client: socket.socket, r: _Reader, state: dict):
         query, _settings = self._read_query_packet(r, state)
+        m = _NATIVE_INSERT_RE.match(query)
+        if m:
+            self._handle_insert(client, r, state, m)
+            return
         try:
             df, _fmt, _settings2, elapsed = self.engine.execute_to_df(
                 query,
@@ -276,6 +294,78 @@ class NativeServer:
             out += write_varint(ServerPacket.EXCEPTION)
             out += write_varstr(str(e))
             client.sendall(bytes(out))
+
+    def _handle_insert(self, client: socket.socket, r: _Reader, state: dict, m):
+        """Native INSERT: send the target table's sample block, read
+        the client's DATA blocks until the empty end-of-data marker,
+        apply them through the engine (reference discards them —
+        main.py:677-696 — a fidelity bug we fix), then END_OF_STREAM."""
+        table = re.sub(r"\s", "", m.group("table"))
+        want_cols = None
+        if m.group("cols"):
+            want_cols = [c.strip().strip("`") for c in m.group("cols").split(",") if c.strip()]
+        with_flag = state["revision"] >= MIN_REV_CUSTOM_SERIALIZATION
+        try:
+            all_names, all_types = self.engine.table_columns(
+                table,
+                user=state["user"],
+                password=state["password"],
+                database=state.get("database"),
+            )
+            if want_cols:
+                by_name = dict(zip(all_names, all_types))
+                unknown = [c for c in want_cols if c not in by_name]
+                if unknown:
+                    raise EngineError(f"Unknown column(s) {unknown} in {table}", 47)
+                names = want_cols
+                types = [by_name[c] for c in names]
+            else:
+                names, types = all_names, all_types
+            sample = QueryResult(columns=names, ch_types=types, rows=[])
+            client.sendall(self._data_packet(sample, state))
+        except EngineError as e:
+            client.sendall(
+                write_varint(ServerPacket.EXCEPTION) + write_varstr(str(e))
+            )
+            return
+        got_rows: list[tuple] = []
+        got_names: list[str] = list(names)
+        got_types: list[str] = list(types)
+        try:
+            while True:
+                ptype = r.varint()
+                if ptype == ClientPacket.DATA:
+                    r.binary_str()  # table name
+                    b_names, b_types, b_rows = read_block(r, with_flag)
+                    if not b_names and not b_rows:
+                        break  # end-of-data marker block
+                    got_names, got_types = b_names, b_types
+                    got_rows.extend(b_rows)
+                elif ptype == ClientPacket.CANCEL:
+                    client.sendall(write_varint(ServerPacket.END_OF_STREAM))
+                    return
+                elif ptype == ClientPacket.PING:
+                    client.sendall(write_varint(ServerPacket.PONG))
+                else:
+                    return
+        except (ConnectionError, socket.timeout):
+            return
+        try:
+            if got_rows:
+                self.engine.insert_rows(
+                    table,
+                    got_names,
+                    got_rows,
+                    user=state["user"],
+                    password=state["password"],
+                    database=state.get("database"),
+                    ch_types=got_types,
+                )
+            client.sendall(write_varint(ServerPacket.END_OF_STREAM))
+        except EngineError as e:
+            client.sendall(
+                write_varint(ServerPacket.EXCEPTION) + write_varstr(str(e))
+            )
 
     def _data_packet(self, res: QueryResult, state: dict) -> bytes:
         rows = list(res.rows)

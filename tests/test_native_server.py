@@ -201,6 +201,90 @@ class Client:
             return self._need(1)[0] == 1
         return self.rstr()
 
+    def insert(self, sql: str, names, types, rows):
+        """Native INSERT flow: QUERY packet, read the server's sample
+        block, stream one DATA block + the empty end marker, expect
+        END_OF_STREAM (the reference would silently discard the data,
+        main.py:677-696 — we assert it is applied)."""
+        pkt = (
+            write_varint(1)
+            + write_str("test-insert-id")
+            + bytes([1])
+            + write_str("") + write_str("") + write_str("0.0.0.0:0")
+            + struct.pack("<Q", 0)
+            + bytes([1])
+            + write_str("osuser") + write_str("host") + write_str("test-client")
+            + write_varint(25) + write_varint(5) + write_varint(REVISION)
+            + write_str("")
+            + write_varint(0)
+            + write_str("")  # end of settings
+            + write_str("")  # interserver secret
+            + write_varint(2)
+            + write_varint(0)
+            + write_str(sql)
+            + write_str("")  # end of parameters
+        )
+        self.sock.sendall(pkt)
+        # server sample block (structure, 0 rows) — or EXCEPTION
+        ptype = self.varint()
+        if ptype == 2:
+            raise RuntimeError(self.rstr())
+        assert ptype == 1, f"expected sample DATA, got {ptype}"
+        self._skip_block()
+        self.sock.sendall(self._data_block(names, types, rows))
+        self.sock.sendall(self._data_block([], [], []))  # end marker
+        ptype = self.varint()
+        if ptype == 2:
+            raise RuntimeError(self.rstr())
+        assert ptype == 5, f"expected END_OF_STREAM, got {ptype}"
+
+    def _skip_block(self):
+        self.rstr()  # table name
+        while True:
+            field = self.varint()
+            if field == 0:
+                break
+            self._need(1 if field == 1 else 4)
+        n_cols, n_rows = self.varint(), self.varint()
+        assert n_rows == 0
+        for _ in range(n_cols):
+            self.rstr()
+            self.rstr()
+            self._need(1)  # custom serialization flag
+
+    def _data_block(self, names, types, rows) -> bytes:
+        out = bytearray()
+        out += write_varint(2)  # client DATA
+        out += write_str("")  # table name
+        out += write_varint(1) + bytes([0]) + write_varint(2)
+        out += struct.pack("<i", -1) + write_varint(0)  # BlockInfo
+        out += write_varint(len(names))
+        out += write_varint(len(rows))
+        fixed = {
+            "Int8": "<b", "Int16": "<h", "Int32": "<i", "Int64": "<q",
+            "UInt8": "<B", "UInt16": "<H", "UInt32": "<I", "UInt64": "<Q",
+            "Float32": "<f", "Float64": "<d",
+        }
+        for ci, (name, t) in enumerate(zip(names, types)):
+            out += write_str(name)
+            out += write_str(t)
+            out += bytes([0])  # custom serialization flag
+            inner, nullable = t, False
+            if t.startswith("Nullable("):
+                inner, nullable = t[9:-1], True
+            col = [row[ci] for row in rows]
+            if nullable:
+                out += bytes(1 if v is None else 0 for v in col)
+            for v in col:
+                if inner in fixed:
+                    out += struct.pack(fixed[inner], int(v or 0))
+                elif inner == "Float64":
+                    out += struct.pack("<d", float(v or 0.0))
+                else:
+                    b = ("" if v is None else str(v)).encode()
+                    out += write_varint(len(b)) + b
+        return bytes(out)
+
     def close(self):
         self.sock.close()
 
@@ -302,4 +386,103 @@ class TestQueries:
         assert rows == [
             (datetime.date(2024, 3, 5), datetime.datetime(2024, 3, 5, 1, 2, 3))
         ]
+        c.close()
+
+
+class TestNativeInsert:
+    """Native-protocol INSERT data blocks are APPLIED, not discarded
+    (the reference reads and drops them, main.py:677-696)."""
+
+    def test_insert_roundtrip(self, native_port):
+        c = Client(native_port, user="nat_ins")
+        c.query("CREATE TABLE ni (id Int64, name String) ENGINE=Memory")
+        c.insert(
+            "INSERT INTO ni (id, name) VALUES",
+            ["id", "name"], ["Int64", "String"],
+            [(1, "a"), (2, "b"), (3, "c")],
+        )
+        _, rows = c.query("SELECT id, name FROM ni ORDER BY id")
+        assert rows == [(1, "a"), (2, "b"), (3, "c")]
+        c.query("DROP TABLE ni")
+        c.close()
+
+    def test_insert_multiblock_accumulates(self, native_port):
+        c = Client(native_port, user="nat_ins2")
+        c.query("CREATE TABLE nm (x Int64) ENGINE=Memory")
+        # two DATA blocks before the end marker
+        pkt = (
+            c._data_block(["x"], ["Int64"], [(1,), (2,)])
+            + c._data_block(["x"], ["Int64"], [(3,)])
+        )
+        # drive the low-level flow by hand
+        import struct as _s
+
+        q = (
+            write_varint(1)
+            + write_str("qid") + bytes([1])
+            + write_str("") + write_str("") + write_str("0.0.0.0:0")
+            + _s.pack("<Q", 0) + bytes([1])
+            + write_str("u") + write_str("h") + write_str("cl")
+            + write_varint(25) + write_varint(5) + write_varint(REVISION)
+            + write_str("") + write_varint(0)
+            + write_str("") + write_str("")
+            + write_varint(2) + write_varint(0)
+            + write_str("INSERT INTO nm VALUES")
+            + write_str("")
+        )
+        c.sock.sendall(q)
+        assert c.varint() == 1  # sample block
+        c._skip_block()
+        c.sock.sendall(pkt + c._data_block([], [], []))
+        assert c.varint() == 5  # END_OF_STREAM
+        _, rows = c.query("SELECT x FROM nm ORDER BY x")
+        assert rows == [(1,), (2,), (3,)]
+        c.query("DROP TABLE nm")
+        c.close()
+
+    def test_insert_column_subset_fills_null(self, native_port):
+        c = Client(native_port, user="nat_ins3")
+        c.query("CREATE TABLE ns (a Int64, b Nullable(String)) ENGINE=Memory")
+        c.insert("INSERT INTO ns (a) VALUES", ["a"], ["Int64"], [(10,), (20,)])
+        _, rows = c.query("SELECT a, b FROM ns ORDER BY a")
+        assert rows == [(10, None), (20, None)]
+        c.query("DROP TABLE ns")
+        c.close()
+
+    def test_insert_nullable_values(self, native_port):
+        c = Client(native_port, user="nat_ins4")
+        c.query("CREATE TABLE nv (a Int64, s Nullable(String)) ENGINE=Memory")
+        c.insert(
+            "INSERT INTO nv (a, s) VALUES",
+            ["a", "s"], ["Int64", "Nullable(String)"],
+            [(1, "x"), (2, None)],
+        )
+        _, rows = c.query("SELECT a, s FROM nv ORDER BY a")
+        assert rows == [(1, "x"), (2, None)]
+        c.query("DROP TABLE nv")
+        c.close()
+
+    def test_insert_unknown_table_exception(self, native_port):
+        c = Client(native_port, user="nat_ins5")
+        with pytest.raises(RuntimeError, match="Code:"):
+            c.insert("INSERT INTO no_such (x) VALUES", ["x"], ["Int64"], [(1,)])
+        # connection stays usable
+        _, rows = c.query("SELECT 1 AS one")
+        assert rows == [(1,)]
+        c.close()
+
+    def test_insert_respects_merge_tree_order(self, native_port):
+        c = Client(native_port, user="nat_ins6")
+        c.query(
+            "CREATE TABLE no (k Int64, v Int64) "
+            "ENGINE = MergeTree() ORDER BY (k)"
+        )
+        c.insert(
+            "INSERT INTO no (k, v) VALUES",
+            ["k", "v"], ["Int64", "Int64"],
+            [(3, 30), (1, 10), (2, 20)],
+        )
+        _, rows = c.query("SELECT k, v FROM no WHERE k = 2")
+        assert rows == [(2, 20)]
+        c.query("DROP TABLE no")
         c.close()
