@@ -65,6 +65,50 @@ class DropObject:
     if_exists: bool
 
 
+@dataclass
+class TruncateTable:
+    database: Optional[str]
+    name: str
+    if_exists: bool
+
+
+@dataclass
+class RenameTables:
+    # (db_from, from_name, db_to, to_name) per comma-separated pair
+    pairs: list[tuple[Optional[str], str, Optional[str], str]]
+
+
+@dataclass
+class AlterMutation:
+    """CH mutation: ``ALTER TABLE t DELETE WHERE c`` / ``ALTER TABLE t
+    UPDATE a=e[,…] WHERE c`` / lightweight ``DELETE FROM t WHERE c``.
+    Expressions are CH-dialect text (engine translates spellings)."""
+
+    database: Optional[str]
+    name: str
+    action: str  # "delete" | "update"
+    where: str
+    assignments: list[tuple[str, str]] = field(default_factory=list)
+
+
+@dataclass
+class AlterColumn:
+    database: Optional[str]
+    name: str
+    action: str  # "add" | "drop"
+    column: str
+    ch_type: Optional[str] = None  # add only
+    default: Optional[str] = None  # add only, CH expr text
+    if_clause: bool = False  # IF NOT EXISTS (add) / IF EXISTS (drop)
+
+
+@dataclass
+class OptimizeTable:
+    database: Optional[str]
+    name: str
+    final: bool = False
+
+
 def _sig_toks(sql: str) -> list[Tok]:
     return [t for t in tokenize(sql) if t.kind not in ("ws", "comment")]
 
@@ -102,7 +146,155 @@ def parse_ddl(sql: str):
         return DropObject(what=what, database=db, name=name, if_exists=ie)
     if head == "CREATE" and len(toks) >= 2 and toks[1].text.upper() == "TABLE":
         return _parse_create_table(sql, toks)
+    if head == "TRUNCATE":
+        i = 1
+        if i < len(toks) and toks[i].text.upper() == "TABLE":
+            i += 1
+        ie = False
+        if i + 1 < len(toks) and toks[i].text.upper() == "IF" and toks[i + 1].text.upper() == "EXISTS":
+            ie = True
+            i += 2
+        db, name, _ = _parse_qualname(toks, i)
+        return TruncateTable(database=db, name=name, if_exists=ie)
+    if head == "RENAME" and len(toks) >= 2 and toks[1].text.upper() == "TABLE":
+        pairs = []
+        i = 2
+        while i < len(toks):
+            db_f, n_f, i = _parse_qualname(toks, i)
+            if i < len(toks) and toks[i].text.upper() == "TO":
+                i += 1
+            db_t, n_t, i = _parse_qualname(toks, i)
+            pairs.append((db_f, n_f, db_t, n_t))
+            if i < len(toks) and toks[i].text == ",":
+                i += 1
+            else:
+                break
+        return RenameTables(pairs=pairs) if pairs else None
+    if head == "OPTIMIZE" and len(toks) >= 2 and toks[1].text.upper() == "TABLE":
+        db, name, i = _parse_qualname(toks, 2)
+        final = any(t.text.upper() == "FINAL" for t in toks[i:])
+        return OptimizeTable(database=db, name=name, final=final)
+    if head == "DELETE":  # lightweight delete: DELETE FROM t WHERE c
+        i = 1
+        if i < len(toks) and toks[i].text.upper() == "FROM":
+            i += 1
+        db, name, i = _parse_qualname(toks, i)
+        if i < len(toks) and toks[i].text.upper() == "WHERE":
+            where = _expr_text(toks[i + 1 :])
+            return AlterMutation(database=db, name=name, action="delete", where=where)
+        return None
+    if head == "ALTER" and len(toks) >= 2 and toks[1].text.upper() == "TABLE":
+        return _parse_alter(toks)
     return None
+
+
+def _parse_qualname(toks: list[Tok], i: int) -> tuple[Optional[str], str, int]:
+    name = _ident(toks[i])
+    db = None
+    i += 1
+    if i + 1 < len(toks) and toks[i].text == ".":
+        db = name
+        name = _ident(toks[i + 1])
+        i += 2
+    return db, name, i
+
+
+def _expr_text(toks: list[Tok]) -> str:
+    return " ".join(t.text for t in toks).strip()
+
+
+def _parse_alter(toks: list[Tok]):
+    """ALTER TABLE [db.]t DELETE/UPDATE/ADD COLUMN/DROP COLUMN forms.
+    Returns None for anything else (pass through to Spark SQL)."""
+    db, name, i = _parse_qualname(toks, 2)
+    if i >= len(toks):
+        return None
+    verb = toks[i].text.upper()
+    if verb == "DELETE" and i + 1 < len(toks) and toks[i + 1].text.upper() == "WHERE":
+        return AlterMutation(
+            database=db, name=name, action="delete", where=_expr_text(toks[i + 2 :])
+        )
+    if verb == "UPDATE":
+        # assignments up to top-level WHERE
+        j = i + 1
+        depth = 0
+        wh = None
+        for k in range(j, len(toks)):
+            if toks[k].text == "(":
+                depth += 1
+            elif toks[k].text == ")":
+                depth -= 1
+            elif depth == 0 and toks[k].kind == "ident" and toks[k].text.upper() == "WHERE":
+                wh = k
+                break
+        if wh is None:
+            return None
+        assigns = []
+        for grp in _split_tok_groups(toks[j:wh]):
+            if len(grp) >= 3 and grp[1].text == "=":
+                assigns.append((_ident(grp[0]), _expr_text(grp[2:])))
+        return AlterMutation(
+            database=db,
+            name=name,
+            action="update",
+            where=_expr_text(toks[wh + 1 :]),
+            assignments=assigns,
+        )
+    if verb in ("ADD", "DROP") and i + 1 < len(toks) and toks[i + 1].text.upper() in (
+        "COLUMN",
+        "COLUMNS",
+    ):
+        j = i + 2
+        if_clause = False
+        if verb == "ADD" and j + 2 < len(toks) and toks[j].text.upper() == "IF":
+            if_clause = True
+            j += 3  # IF NOT EXISTS
+        elif verb == "DROP" and j + 1 < len(toks) and toks[j].text.upper() == "IF":
+            if_clause = True
+            j += 2  # IF EXISTS
+        if j >= len(toks):
+            return None
+        col = _ident(toks[j])
+        j += 1
+        if verb == "DROP":
+            return AlterColumn(
+                database=db, name=name, action="drop", column=col, if_clause=if_clause
+            )
+        # type tokens up to DEFAULT / end
+        type_toks, default = [], None
+        k = j
+        while k < len(toks):
+            if toks[k].kind == "ident" and toks[k].text.upper() == "DEFAULT":
+                default = _expr_text(toks[k + 1 :])
+                break
+            type_toks.append(toks[k].text)
+            k += 1
+        ch_type = "".join(type_toks).strip() or "String"
+        return AlterColumn(
+            database=db,
+            name=name,
+            action="add",
+            column=col,
+            ch_type=ch_type,
+            default=default,
+            if_clause=if_clause,
+        )
+    return None
+
+
+def _split_tok_groups(toks: list[Tok]) -> list[list[Tok]]:
+    groups: list[list[Tok]] = [[]]
+    depth = 0
+    for t in toks:
+        if t.text == "(":
+            depth += 1
+        elif t.text == ")":
+            depth -= 1
+        if t.text == "," and depth == 0:
+            groups.append([])
+        else:
+            groups[-1].append(t)
+    return [g for g in groups if g]
 
 
 def _parse_create_table(sql: str, toks: list[Tok]) -> Optional[CreateTable]:

@@ -840,8 +840,15 @@ def translate(sql: str) -> list[Statement]:
         if first == "USE" and len(sig) >= 2:
             db = toks[sig[1]].text.strip("`")
             out.append(Statement(kind="use", database=db, original=stmt))
-        elif first in ("CREATE", "DROP", "ALTER", "TRUNCATE", "RENAME"):
+        elif first in ("CREATE", "DROP", "ALTER", "TRUNCATE", "RENAME", "OPTIMIZE", "DELETE"):
             out.append(Statement(kind="ddl", spark_sql=stmt, original=stmt))
+        elif first == "EXISTS":
+            # EXISTS [TABLE] [db.]name → one row, column `result` UInt8
+            j = 1
+            if len(sig) > 1 and toks[sig[1]].text.upper() == "TABLE":
+                j = 2
+            ref = "".join(toks[k].text for k in sig[j:]).strip()
+            out.append(Statement(kind="exists", spark_sql=ref, original=stmt))
         elif first == "INSERT":
             s = translate_select(stmt)
             s.kind = "insert"

@@ -20,7 +20,17 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 
 from .dialect import translate
-from .dialect.ddl import CreateDatabase, CreateTable, DropObject, parse_ddl
+from .dialect.ddl import (
+    AlterColumn,
+    AlterMutation,
+    CreateDatabase,
+    CreateTable,
+    DropObject,
+    OptimizeTable,
+    RenameTables,
+    TruncateTable,
+    parse_ddl,
+)
 from .formats import QueryResult, serialize
 from .functions.ch_hashes import register_all as _register_hashes
 from .session import get_spark
@@ -148,6 +158,8 @@ class Engine:
             elif st.kind == "insert":
                 self._run_insert(sess, st.spark_sql)
                 result_df = None
+            elif st.kind == "exists":
+                result_df = self._run_exists(sess, st.spark_sql)
             else:
                 out_fmt = st.format or out_fmt
                 settings.update(st.settings)
@@ -462,7 +474,28 @@ class Engine:
             if isinstance(parsed, CreateTable):
                 self._create_table(sess, parsed)
                 return
-            # anything else (ALTER/TRUNCATE/...) → try Spark SQL as-is
+            if isinstance(parsed, TruncateTable):
+                tbl = f"`{sess.spark_db(parsed.database)}`.`{parsed.name}`"
+                if parsed.if_exists and not self._table_exists(sess, parsed.database, parsed.name):
+                    return
+                self._sql_or_raise(f"TRUNCATE TABLE {tbl}")
+                return
+            if isinstance(parsed, RenameTables):
+                for db_f, n_f, db_t, n_t in parsed.pairs:
+                    src = f"`{sess.spark_db(db_f)}`.`{n_f}`"
+                    dst = f"`{sess.spark_db(db_t)}`.`{n_t}`"
+                    self._sql_or_raise(f"ALTER TABLE {src} RENAME TO {dst}")
+                return
+            if isinstance(parsed, AlterMutation):
+                self._run_mutation(sess, parsed)
+                return
+            if isinstance(parsed, AlterColumn):
+                self._run_alter_column(sess, parsed)
+                return
+            if isinstance(parsed, OptimizeTable):
+                self._run_optimize(sess, parsed)
+                return
+            # anything else (unrecognized ALTER forms, ...) → Spark SQL as-is
             self._in_user_db(sess)
             try:
                 self.spark.sql(sql)
@@ -491,6 +524,148 @@ class Engine:
             self.spark.sql(stmt)
         except Exception as e:
             raise EngineError(_clean_spark_error(e), _ch_error_code(str(e))) from e
+
+
+    # ------------------------------------------------- mutations (CH ALTER)
+
+    def _sql_or_raise(self, sql: str):
+        try:
+            return self.spark.sql(sql)
+        except EngineError:
+            raise
+        except Exception as e:
+            raise EngineError(_clean_spark_error(e), _ch_error_code(str(e))) from e
+
+    def _table_exists(self, sess: UserSession, db: Optional[str], name: str) -> bool:
+        return self.spark.catalog.tableExists(f"`{sess.spark_db(db)}`.`{name}`")
+
+    def _run_exists(self, sess: UserSession, table_ref: str):
+        """``EXISTS TABLE t`` → one row, `result` UInt8 (CH shape)."""
+        from pyspark.sql import functions as F
+
+        parts = [p.strip().strip("`") for p in table_ref.split(".") if p.strip()]
+        db, name = (parts[0], parts[1]) if len(parts) == 2 else (None, parts[0])
+        with self._lock:
+            v = 1 if self._table_exists(sess, db, name) else 0
+        return self.spark.range(1).select(F.lit(v).cast("smallint").alias("result"))
+
+    def _translate_expr(self, expr: str) -> str:
+        """CH-dialect scalar expression → Spark SQL expression text."""
+        from .dialect.translate import translate_select
+
+        return translate_select(f"SELECT {expr}").spark_sql[len("SELECT "):]
+
+    def _swap_rewrite(self, sess: UserSession, db: Optional[str], name: str, df) -> None:
+        """Rewrite a table's contents atomically-ish via stage-and-swap
+        (the Spark analog of a ClickHouse mutation's part rewrite:
+        materialize the mutated data, then swap names). Preserves
+        moospark.* TBLPROPERTIES and the MergeTree sort-on-write; at
+        cluster scale this is one distributed write + two catalog ops,
+        no driver-side data movement."""
+        from pyspark.sql import functions as F
+
+        spark_db = sess.spark_db(db)
+        tbl = f"`{spark_db}`.`{name}`"
+        stage = f"`{spark_db}`.`{name}__moospark_stage`"
+        props = {}
+        try:
+            for r in self.spark.sql(f"SHOW TBLPROPERTIES {tbl}").collect():
+                if r["key"].startswith("moospark."):
+                    props[r["key"]] = r["value"]
+        except Exception:
+            pass
+        order_by = props.get("moospark.order_by")
+        if order_by:
+            exprs = [
+                self._translate_expr(e.strip())
+                for e in _split_top_level(order_by.strip().strip("()"))
+            ]
+            df = df.sortWithinPartitions(*[F.expr(e) for e in exprs])
+        self.spark.sql(f"DROP TABLE IF EXISTS {stage}")
+        df.createOrReplaceTempView("__moospark_mutation_src")
+        try:
+            self._sql_or_raise(
+                f"CREATE TABLE {stage} USING PARQUET AS "
+                f"SELECT * FROM __moospark_mutation_src"
+            )
+            self._sql_or_raise(f"DROP TABLE {tbl}")
+            self._sql_or_raise(f"ALTER TABLE {stage} RENAME TO {tbl}")
+            if props:
+                kv = ", ".join(f"'{k}' = '{_esc(v)}'" for k, v in props.items())
+                self._sql_or_raise(f"ALTER TABLE {tbl} SET TBLPROPERTIES ({kv})")
+        finally:
+            self.spark.catalog.dropTempView("__moospark_mutation_src")
+            self._order_by_cache.clear()
+
+    def _run_mutation(self, sess: UserSession, m: AlterMutation) -> None:
+        from pyspark.sql import functions as F
+
+        tbl = f"`{sess.spark_db(m.database)}`.`{m.name}`"
+        src = self._sql_or_raise(f"SELECT * FROM {tbl}")
+        cond = F.expr(self._translate_expr(m.where)).cast("boolean")
+        if m.action == "delete":
+            # CH deletes rows where cond is TRUE; NULL-cond rows stay
+            out = src.filter(~F.coalesce(cond, F.lit(False)))
+        else:
+            assigns = {c: self._translate_expr(e) for c, e in m.assignments}
+            unknown = [c for c in assigns if c not in src.columns]
+            if unknown:
+                raise EngineError(f"Unknown column(s) {unknown} in UPDATE", 47)
+            cols = []
+            for f in src.schema.fields:
+                if f.name in assigns:
+                    cols.append(
+                        F.when(F.coalesce(cond, F.lit(False)), F.expr(assigns[f.name]))
+                        .otherwise(F.col(f"`{f.name}`"))
+                        .cast(f.dataType)
+                        .alias(f.name)
+                    )
+                else:
+                    cols.append(F.col(f"`{f.name}`"))
+            out = src.select(*cols)
+        self._swap_rewrite(sess, m.database, m.name, out)
+
+    def _run_alter_column(self, sess: UserSession, a: AlterColumn) -> None:
+        from pyspark.sql import functions as F
+
+        from .dialect.types import ch_type_to_spark
+
+        tbl = f"`{sess.spark_db(a.database)}`.`{a.name}`"
+        cols = self._sql_or_raise(f"SELECT * FROM {tbl} LIMIT 0").columns
+        if a.action == "add":
+            if a.column in cols:
+                if a.if_clause:
+                    return
+                raise EngineError(f"Column {a.column} already exists", 44)
+            dt = ch_type_to_spark(a.ch_type or "String")
+            if a.default is None:
+                # metadata-only ADD COLUMNS: existing rows read NULL
+                self._sql_or_raise(
+                    f"ALTER TABLE {tbl} ADD COLUMNS (`{a.column}` {dt.simpleString()})"
+                )
+                return
+            # DEFAULT backfills existing rows (CH semantics) → rewrite
+            src = self._sql_or_raise(f"SELECT * FROM {tbl}")
+            out = src.withColumn(
+                a.column, F.expr(self._translate_expr(a.default)).cast(dt)
+            )
+            self._swap_rewrite(sess, a.database, a.name, out)
+            return
+        # drop: parquet v1 tables can't drop columns in place → rewrite
+        if a.column not in cols:
+            if a.if_clause:
+                return
+            raise EngineError(f"Unknown column {a.column}", 47)
+        src = self._sql_or_raise(f"SELECT * FROM {tbl}")
+        self._swap_rewrite(sess, a.database, a.name, src.drop(a.column))
+
+    def _run_optimize(self, sess: UserSession, o: OptimizeTable) -> None:
+        """OPTIMIZE TABLE ≈ part merge: compact the table to fewer,
+        larger, sorted files (row-group pruning stays effective)."""
+        tbl = f"`{sess.spark_db(o.database)}`.`{o.name}`"
+        src = self._sql_or_raise(f"SELECT * FROM {tbl}")
+        n = max(1, self.spark.sparkContext.defaultParallelism // 4)
+        self._swap_rewrite(sess, o.database, o.name, src.coalesce(n))
 
 
 def _split_top_level(s: str) -> list[str]:

@@ -154,28 +154,88 @@ def ivf_build(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 10,
+    train_sample: int = 16384,
 ) -> tuple[DataFrame, list[list[float]]]:
-    """IVF coarse index: KMeans centroids + per-vector cell assign.
+    """IVF coarse index: sampled-KMeans centroids + per-vector assign.
 
     Returns (assigned, centroids) where ``assigned`` adds a ``_cell``
     column. This is the inverted-file layout: at cluster scale the
     assigned table is written partitioned BY _cell, so a probe reads
     only nprobe/k of the data — the partition-pruning analog of a
-    vector index. KMeans runs on Spark ML (distributed, seeded).
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    vector index.
 
-    vecs = emb.select(
-        F.col(id_col), _to_double(F.col(vec_col)).alias("_v")
-    ).withColumn("_feat", array_to_vector(F.col("_v")))
-    km = KMeans(k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="_feat")
-    model = km.fit(vecs)
-    assigned = model.transform(vecs).select(
-        id_col, "_v", F.col(model.getPredictionCol()).alias("_cell")
+    Training follows the standard IVF recipe (FAISS-style): fit the
+    coarse quantizer on a bounded driver-side sample (one limit+collect
+    job over ``train_sample`` rows regardless of table size), then
+    assign every vector distributively in a single JVM-side pass —
+    n_centroids squared-distance folds per row inside whole-stage
+    codegen, argmin via array_position. Compared to a full Spark ML
+    KMeans fit this removes ~2·max_iter cluster-wide jobs; centroid
+    quality on a 16k sample is equivalent for a coarse quantizer.
+    """
+    import numpy as np
+
+    vecs = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("_v"))
+
+    sample = np.asarray(
+        [r[0] for r in vecs.select("_v").limit(train_sample).collect()], dtype=float
     )
-    centroids = [c.tolist() for c in model.clusterCenters()]
-    return assigned, centroids
+    centroids = _lloyd_kmeans(sample, n_centroids, seed=seed, max_iter=max_iter)
+
+    # distributed assignment: d²(v, c) per centroid, all JVM-side
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                F.col("_v"),
+                F.array(*[F.lit(float(x)) for x in c]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        for c in centroids
+    ]
+    darr = F.array(*dists)
+    cell = (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+    assigned = vecs.select(id_col, "_v", cell.alias("_cell"))
+    return assigned, [list(c) for c in centroids]
+
+
+def _lloyd_kmeans(points, k: int, seed: int = 42, max_iter: int = 10):
+    """Seeded Lloyd iterations on an in-memory sample (numpy).
+
+    k-means++ init for stability; empty clusters re-seeded from the
+    farthest points so exactly k centroids always come back.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n = len(points)
+    k = min(k, n)
+    # k-means++ seeding
+    centers = [points[rng.integers(n)]]
+    for _ in range(1, k):
+        d2 = np.min(
+            [((points - c) ** 2).sum(axis=1) for c in centers], axis=0
+        )
+        probs = d2 / d2.sum() if d2.sum() > 0 else None
+        centers.append(points[rng.choice(n, p=probs)])
+    centers = np.asarray(centers)
+    for _ in range(max_iter):
+        d2 = ((points[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        labels = d2.argmin(axis=1)
+        new = np.empty_like(centers)
+        for i in range(k):
+            members = points[labels == i]
+            if len(members):
+                new[i] = members.mean(axis=0)
+            else:  # re-seed dead cell from the globally farthest point
+                new[i] = points[d2.min(axis=1).argmax()]
+        if np.allclose(new, centers):
+            centers = new
+            break
+        centers = new
+    return centers
 
 
 def ivf_topk(

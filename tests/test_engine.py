@@ -219,3 +219,91 @@ class TestWithTotals:
             "SELECT number % 2 AS g, count(*) AS c FROM numbers(4) GROUP BY g ORDER BY g"
         )
         assert out == b"0\t2\n1\t2\n"
+
+
+class TestMutations:
+    """CH mutation/maintenance statements (ALTER … UPDATE/DELETE,
+    lightweight DELETE, TRUNCATE, RENAME, ADD/DROP COLUMN, OPTIMIZE,
+    EXISTS TABLE) — delegated-only surface in the reference
+    (main.py:190); here implemented as stage-and-swap rewrites."""
+
+    def _mk(self, engine, name, order_by=False):
+        ob = " ENGINE=MergeTree() ORDER BY (id)" if order_by else " ENGINE=Memory"
+        engine.execute(f"DROP TABLE IF EXISTS {name}")
+        engine.execute(f"CREATE TABLE {name} (id UInt32, v String){ob}")
+        engine.execute(f"INSERT INTO {name} VALUES (1,'a'), (2,'b'), (3,'c'), (4,'d')")
+
+    def test_alter_delete(self, engine):
+        self._mk(engine, "mut1")
+        engine.execute("ALTER TABLE mut1 DELETE WHERE id % 2 = 0")
+        assert engine.execute("SELECT id FROM mut1 ORDER BY id") == b"1\n3\n"
+        engine.execute("DROP TABLE mut1")
+
+    def test_lightweight_delete(self, engine):
+        self._mk(engine, "mut2")
+        engine.execute("DELETE FROM mut2 WHERE v = 'a'")
+        assert engine.execute("SELECT count(*) AS c FROM mut2") == b"3\n"
+        engine.execute("DROP TABLE mut2")
+
+    def test_alter_update(self, engine):
+        self._mk(engine, "mut3")
+        engine.execute("ALTER TABLE mut3 UPDATE v = upper(v), id = id + 10 WHERE id <= 2")
+        out = engine.execute("SELECT id, v FROM mut3 ORDER BY id")
+        assert out == b"3\tc\n4\td\n11\tA\n12\tB\n"
+        engine.execute("DROP TABLE mut3")
+
+    def test_update_preserves_order_by_property(self, engine):
+        self._mk(engine, "mut4", order_by=True)
+        engine.execute("ALTER TABLE mut4 UPDATE v = 'x' WHERE id = 1")
+        # table property survives the swap → later sorted inserts still work
+        engine.execute("INSERT INTO mut4 SELECT 5 AS id, 'e' AS v")
+        assert engine.execute("SELECT v FROM mut4 WHERE id IN (1, 5) ORDER BY id") == b"x\ne\n"
+        engine.execute("DROP TABLE mut4")
+
+    def test_truncate(self, engine):
+        self._mk(engine, "mut5")
+        engine.execute("TRUNCATE TABLE mut5")
+        assert engine.execute("SELECT count(*) AS c FROM mut5") == b"0\n"
+        engine.execute("DROP TABLE mut5")
+
+    def test_rename(self, engine):
+        self._mk(engine, "mut6")
+        engine.execute("DROP TABLE IF EXISTS mut6_renamed")
+        engine.execute("RENAME TABLE mut6 TO mut6_renamed")
+        assert engine.execute("SELECT count(*) AS c FROM mut6_renamed") == b"4\n"
+        assert engine.execute("EXISTS TABLE mut6") == b"0\n"
+        engine.execute("DROP TABLE mut6_renamed")
+
+    def test_exists_table(self, engine):
+        self._mk(engine, "mut7")
+        assert engine.execute("EXISTS TABLE mut7") == b"1\n"
+        assert engine.execute("EXISTS no_such_table_qq") == b"0\n"
+        engine.execute("DROP TABLE mut7")
+
+    def test_add_column_with_default_backfills(self, engine):
+        self._mk(engine, "mut8")
+        engine.execute("ALTER TABLE mut8 ADD COLUMN flag UInt8 DEFAULT 7")
+        assert engine.execute("SELECT sum(flag) AS s FROM mut8") == b"28\n"
+        engine.execute("ALTER TABLE mut8 ADD COLUMN IF NOT EXISTS flag UInt8")  # no-op
+        engine.execute("DROP TABLE mut8")
+
+    def test_add_column_no_default_is_metadata_only(self, engine):
+        self._mk(engine, "mut9")
+        engine.execute("ALTER TABLE mut9 ADD COLUMN note String")
+        assert engine.execute("SELECT count(note) AS c FROM mut9") == b"0\n"
+        engine.execute("DROP TABLE mut9")
+
+    def test_drop_column(self, engine):
+        self._mk(engine, "mut10")
+        engine.execute("ALTER TABLE mut10 DROP COLUMN v")
+        out = engine.execute("SELECT * FROM mut10 ORDER BY id LIMIT 1")
+        assert out == b"1\n"
+        engine.execute("DROP TABLE mut10")
+
+    def test_optimize_compacts(self, engine):
+        self._mk(engine, "mut11", order_by=True)
+        for i in range(5, 9):
+            engine.execute(f"INSERT INTO mut11 VALUES ({i}, 'z')")
+        engine.execute("OPTIMIZE TABLE mut11 FINAL")
+        assert engine.execute("SELECT count(*) AS c, sum(id) AS s FROM mut11") == b"8\t36\n"
+        engine.execute("DROP TABLE mut11")
