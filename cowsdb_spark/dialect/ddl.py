@@ -109,6 +109,24 @@ class OptimizeTable:
     final: bool = False
 
 
+@dataclass
+class CreateView:
+    """``CREATE [OR REPLACE] [MATERIALIZED] VIEW [IF NOT EXISTS]
+    [db.]name [TO [db.]tbl] [ENGINE…] [POPULATE] AS <select>``.
+    ``select_sql`` is the CH-dialect text after AS (engine
+    translates + remaps it)."""
+
+    database: Optional[str]
+    name: str
+    select_sql: str
+    if_not_exists: bool = False
+    or_replace: bool = False
+    materialized: bool = False
+    to_database: Optional[str] = None
+    to_table: Optional[str] = None
+    populate: bool = False
+
+
 def _sig_toks(sql: str) -> list[Tok]:
     return [t for t in tokenize(sql) if t.kind not in ("ws", "comment")]
 
@@ -135,7 +153,23 @@ def parse_ddl(sql: str):
     if head == "CREATE" and len(toks) >= 2 and toks[1].text.upper() == "DATABASE":
         ine = bool(_IF_NOT_EXISTS.search(sql))
         return CreateDatabase(database=_ident(toks[-1]), if_not_exists=ine)
-    if head == "DROP" and len(toks) >= 2 and toks[1].text.upper() in ("DATABASE", "TABLE"):
+    if head == "CREATE":
+        j = 1
+        or_replace = False
+        if (
+            j + 1 < len(toks)
+            and toks[j].text.upper() == "OR"
+            and toks[j + 1].text.upper() == "REPLACE"
+        ):
+            or_replace = True
+            j += 2
+        mat = False
+        if j < len(toks) and toks[j].text.upper() == "MATERIALIZED":
+            mat = True
+            j += 1
+        if j < len(toks) and toks[j].text.upper() == "VIEW":
+            return _parse_create_view(toks, j + 1, or_replace, mat)
+    if head == "DROP" and len(toks) >= 2 and toks[1].text.upper() in ("DATABASE", "TABLE", "VIEW"):
         what = toks[1].text.upper()
         ie = bool(_IF_EXISTS.search(sql))
         name_tok = toks[-1]
@@ -279,6 +313,54 @@ def _parse_alter(toks: list[Tok]):
             default=default,
             if_clause=if_clause,
         )
+    return None
+
+
+def _parse_create_view(
+    toks: list[Tok], i: int, or_replace: bool, materialized: bool
+) -> Optional[CreateView]:
+    ine = False
+    if (
+        i + 2 < len(toks)
+        and toks[i].text.upper() == "IF"
+        and toks[i + 1].text.upper() == "NOT"
+        and toks[i + 2].text.upper() == "EXISTS"
+    ):
+        ine = True
+        i += 3
+    if i >= len(toks):
+        return None
+    db, name, i = _parse_qualname(toks, i)
+    to_db, to_tbl = None, None
+    if i < len(toks) and toks[i].text.upper() == "TO":
+        to_db, to_tbl, i = _parse_qualname(toks, i + 1)
+    # skip ENGINE/ORDER BY/PARTITION BY/SETTINGS up to POPULATE / AS
+    populate = False
+    depth = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.text == "(":
+            depth += 1
+        elif t.text == ")":
+            depth -= 1
+        elif depth == 0 and t.kind == "ident":
+            up = t.text.upper()
+            if up == "POPULATE":
+                populate = True
+            elif up == "AS":
+                body = _expr_text(toks[i + 1 :])
+                return CreateView(
+                    database=db,
+                    name=name,
+                    select_sql=body,
+                    if_not_exists=ine,
+                    or_replace=or_replace,
+                    materialized=materialized,
+                    to_database=to_db,
+                    to_table=to_tbl,
+                    populate=populate,
+                )
+        i += 1
     return None
 
 

@@ -25,6 +25,7 @@ from .dialect.ddl import (
     AlterMutation,
     CreateDatabase,
     CreateTable,
+    CreateView,
     DropObject,
     OptimizeTable,
     RenameTables,
@@ -77,6 +78,11 @@ class Engine:
         _register_hashes(self.spark)
         self._sessions: dict[tuple[str, str], UserSession] = {}
         self._order_by_cache: dict[str, Optional[str]] = {}
+        # materialized-view registry: ns → {source_qual → [(storage_qual,
+        # qualified select body)]}; lazily rebuilt from moospark.mv_*
+        # TBLPROPERTIES so MVs survive engine restarts
+        self._mv_registry: dict[str, dict[str, list[tuple[str, str]]]] = {}
+        self._mv_scanned: set[str] = set()
         # One lock around catalog-mutating execution, mirroring the
         # reference's session_lock (main.py:34,162). Read-only
         # queries run concurrently; current-database switching is
@@ -139,6 +145,11 @@ class Engine:
         result_df: Optional[DataFrame] = None
         out_fmt: Optional[str] = None
         settings: dict = {}
+        data_insert = _match_insert_data(query)
+        if data_insert is not None:
+            ref, col_list, fmt_name, payload = data_insert
+            self._insert_formatted(sess, ref, col_list, fmt_name, payload)
+            return None, None, {}, time.time() - t0
         try:
             stmts = translate(query)
         except Exception as e:  # tokenizer never raises today; belt+braces
@@ -282,12 +293,86 @@ class Engine:
             self._in_user_db(sess)
             try:
                 prepared = self._prepare_sql(sess, sql)
-                if not self._insert_sorted(sess, prepared):
+                target = self._insert_target(sess, prepared)
+                if target and self._mvs_for(sess, target):
+                    self._insert_with_mvs(sess, prepared, target)
+                elif not self._insert_sorted(sess, prepared):
                     self.spark.sql(prepared)
             except EngineError:
                 raise
             except Exception as e:
                 raise EngineError(_clean_spark_error(e), _ch_error_code(str(e))) from e
+
+    def _insert_target(self, sess: UserSession, prepared: str) -> Optional[str]:
+        """Fully-qualified target of an INSERT statement, or None."""
+        from .dialect.tokenizer import tokenize
+
+        toks = [t for t in tokenize(prepared) if t.kind not in ("ws", "comment")]
+        if len(toks) < 3 or toks[0].text.upper() != "INSERT" or toks[1].text.upper() != "INTO":
+            return None
+        if toks[2].text.upper() in ("SELECT", "VALUES"):
+            return None
+        name = toks[2].text.strip("`")
+        if len(toks) > 4 and toks[3].text == ".":
+            return f"`{name}`.`{toks[4].text.strip('`')}`"
+        return f"`{sess.spark_db()}`.`{name}`"
+
+    def _insert_with_mvs(self, sess: UserSession, prepared: str, target_qual: str) -> None:
+        """INSERT into a table with materialized views: evaluate the
+        inserted block once (cached), append it to the target with the
+        MergeTree sort, then fan it out through each MV's SELECT."""
+        from pyspark.sql import functions as F
+
+        from .dialect.tokenizer import tokenize
+
+        toks = [t for t in tokenize(prepared) if t.kind not in ("ws", "comment")]
+        col_list: list[str] = []
+        body_at = None
+        i = 2
+        depth = 0
+        while i < len(toks):
+            up = toks[i].text.upper()
+            if depth == 0 and up in ("SELECT", "VALUES", "WITH"):
+                body_at = i
+                break
+            if toks[i].text == "(":
+                depth += 1
+            elif toks[i].text == ")":
+                depth -= 1
+            elif depth == 1 and toks[i].kind in ("ident", "bquote"):
+                col_list.append(toks[i].text.strip("`"))
+            i += 1
+        if body_at is None:
+            self.spark.sql(prepared)  # not a shape we can split; run as-is
+            return
+        delta = self.spark.sql(" ".join(t.text for t in toks[body_at:]))
+        tgt = self.spark.table(target_qual)
+        names = col_list or tgt.columns
+        if len(delta.columns) != len(names):
+            raise EngineError(
+                f"INSERT column count mismatch: {len(delta.columns)} vs {len(names)}", 20
+            )
+        delta = delta.toDF(*names)
+        cols = []
+        for f in tgt.schema.fields:
+            if f.name in names:
+                cols.append(F.col(f"`{f.name}`").cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        delta = delta.select(*cols).cache()
+        try:
+            out = delta
+            order_by = self._table_order_by(target_qual)
+            if order_by:
+                exprs = [
+                    self._translate_expr(e.strip())
+                    for e in _split_top_level(order_by.strip().strip("()"))
+                ]
+                out = out.sortWithinPartitions(*[F.expr(e) for e in exprs])
+            out.write.insertInto(target_qual)
+            self._propagate_mvs(sess, target_qual, delta)
+        finally:
+            delta.unpersist()
 
     def resolve_table(
         self,
@@ -351,6 +436,7 @@ class Engine:
 
         from .dialect.types import ch_type_to_spark
 
+        sess = self.get_session(user, password)
         tbl = self.resolve_table(table_ref, user, password, database)
         with self._lock:
             try:
@@ -379,6 +465,7 @@ class Engine:
                         out_cols.append(F.lit(None).cast(f.dataType).alias(f.name))
                 df = src.select(*out_cols)
                 order_by = self._table_order_by(tbl)
+                out = df
                 if order_by:
                     from .dialect.translate import translate_select
 
@@ -386,8 +473,9 @@ class Engine:
                         translate_select(f"SELECT {e.strip()}").spark_sql[len("SELECT "):]
                         for e in _split_top_level(order_by.strip().strip("()"))
                     ]
-                    df = df.sortWithinPartitions(*[F.expr(e) for e in exprs])
-                df.write.insertInto(tbl)
+                    out = df.sortWithinPartitions(*[F.expr(e) for e in exprs])
+                out.write.insertInto(tbl)
+                self._propagate_mvs(sess, tbl, df)
             except EngineError:
                 raise
             except Exception as e:
@@ -469,7 +557,18 @@ class Engine:
                     )
                 else:
                     db = sess.spark_db(parsed.database)
-                    self.spark.sql(f"DROP TABLE {ie}`{db}`.`{parsed.name}`")
+                    qual = f"`{db}`.`{parsed.name}`"
+                    # CH accepts DROP TABLE and DROP VIEW interchangeably
+                    # for views/MVs; Spark does not — try both shapes
+                    try:
+                        self.spark.sql(f"DROP {parsed.what} {ie}{qual}")
+                    except Exception:
+                        other = "VIEW" if parsed.what == "TABLE" else "TABLE"
+                        self.spark.sql(f"DROP {other} {ie}{qual}")
+                    self._mv_forget(sess.ns, qual)
+                return
+            if isinstance(parsed, CreateView):
+                self._run_create_view(sess, parsed)
                 return
             if isinstance(parsed, CreateTable):
                 self._create_table(sess, parsed)
@@ -485,6 +584,8 @@ class Engine:
                     src = f"`{sess.spark_db(db_f)}`.`{n_f}`"
                     dst = f"`{sess.spark_db(db_t)}`.`{n_t}`"
                     self._sql_or_raise(f"ALTER TABLE {src} RENAME TO {dst}")
+                self._mv_registry.pop(sess.ns, None)
+                self._mv_scanned.discard(sess.ns)
                 return
             if isinstance(parsed, AlterMutation):
                 self._run_mutation(sess, parsed)
@@ -525,6 +626,68 @@ class Engine:
         except Exception as e:
             raise EngineError(_clean_spark_error(e), _ch_error_code(str(e))) from e
 
+
+    # ------------------------------------------- inline-data INSERT (HTTP)
+
+    def _insert_formatted(
+        self,
+        sess: UserSession,
+        table_ref: str,
+        col_list: list[str],
+        fmt_name: str,
+        payload: str,
+    ) -> None:
+        """``INSERT INTO t [(cols)] FORMAT <X>`` with the data inline
+        after the statement — the standard ClickHouse HTTP ingestion
+        path (the reference hands the combined string to chDB,
+        main.py:190; we parse the block and run a distributed write).
+        Formats: TSV/TabSeparated(WithNames), CSV(WithNames),
+        JSONEachRow, Values."""
+        fmt = fmt_name.upper()
+        if fmt == "VALUES":
+            cols = f" ({', '.join(col_list)})" if col_list else ""
+            self._run_insert(sess, f"INSERT INTO {table_ref}{cols} VALUES {payload}")
+            return
+        names = col_list or self.table_columns(table_ref, sess.user, sess.password)[0]
+        rows: list[tuple]
+        if fmt in ("TSV", "TABSEPARATED", "TSVRAW", "TABSEPARATEDRAW",
+                   "TSVWITHNAMES", "TABSEPARATEDWITHNAMES"):
+            lines = [ln for ln in payload.split("\n") if ln != ""]
+            if fmt.endswith("WITHNAMES") and lines:
+                names = lines[0].split("\t")
+                lines = lines[1:]
+            raw = "RAW" in fmt
+            rows = [
+                tuple(_tsv_field(v, raw) for v in ln.split("\t")) for ln in lines
+            ]
+        elif fmt in ("CSV", "CSVWITHNAMES"):
+            import csv
+            import io
+
+            rdr = list(csv.reader(io.StringIO(payload)))
+            rdr = [r for r in rdr if r]
+            if fmt.endswith("WITHNAMES") and rdr:
+                names = rdr[0]
+                rdr = rdr[1:]
+            rows = [tuple(None if v == "\\N" else v for v in r) for r in rdr]
+        elif fmt == "JSONEACHROW":
+            import json as _json
+
+            dicts = [
+                _json.loads(ln) for ln in payload.split("\n") if ln.strip()
+            ]
+            names = [n for n in names if any(n in d for d in dicts)] or names
+            rows = [tuple(d.get(n) for n in names) for d in dicts]
+        else:
+            raise EngineError(f"Unsupported INSERT format: {fmt_name}", 73)
+        if not rows:
+            return
+        # text formats arrive as strings; declare String sources and let
+        # insert_rows cast to the column types (LEGACY store assignment)
+        src_types = ["Nullable(String)"] * len(names) if fmt != "JSONEACHROW" else None
+        self.insert_rows(
+            table_ref, list(names), rows, sess.user, sess.password, ch_types=src_types
+        )
 
     # ------------------------------------------------- mutations (CH ALTER)
 
@@ -666,6 +829,205 @@ class Engine:
         src = self._sql_or_raise(f"SELECT * FROM {tbl}")
         n = max(1, self.spark.sparkContext.defaultParallelism // 4)
         self._swap_rewrite(sess, o.database, o.name, src.coalesce(n))
+
+    # --------------------------------------------- views / materialized views
+
+    def _qualify_first_from(self, sess: UserSession, body: str) -> tuple[str, Optional[str]]:
+        """Fully qualify the first FROM-position table ref of an
+        (already db-remapped) SELECT body with the session's current
+        database. Returns (body, qualified_ref or None). The MV
+        trigger substitutes this exact text with the insert delta."""
+        from .dialect.tokenizer import tokenize
+
+        toks = tokenize(body)
+        sig = [i for i, t in enumerate(toks) if t.kind not in ("ws", "comment")]
+        out = [t.text for t in toks]
+        for k, i in enumerate(sig):
+            t = toks[i]
+            if t.kind == "ident" and t.text.upper() == "FROM" and k + 1 < len(sig):
+                j = sig[k + 1]
+                if toks[j].text == "(":
+                    continue  # subquery — keep scanning for an inner FROM
+                if toks[j].kind not in ("ident", "bquote"):
+                    continue
+                if (
+                    k + 3 < len(sig)
+                    and toks[sig[k + 2]].text == "."
+                    and toks[sig[k + 3]].kind in ("ident", "bquote")
+                ):
+                    db = toks[j].text.strip("`")
+                    nm = toks[sig[k + 3]].text.strip("`")
+                    qual = f"`{db}`.`{nm}`"
+                    out[j], out[sig[k + 2]], out[sig[k + 3]] = qual, "", ""
+                else:
+                    nm = toks[j].text.strip("`")
+                    qual = f"`{sess.spark_db()}`.`{nm}`"
+                    out[j] = qual
+                return "".join(out), qual
+        return body, None
+
+    def _run_create_view(self, sess: UserSession, cv: CreateView) -> None:
+        db = sess.spark_db(cv.database)
+        self._ensure_db(db)
+        self._in_user_db(sess)  # unqualified refs in the body bind here
+        name = f"`{db}`.`{cv.name}`"
+        body = self._prepare_sql(sess, self._translate_expr_body(cv.select_sql))
+        if not cv.materialized:
+            head = "CREATE OR REPLACE VIEW" if cv.or_replace else "CREATE VIEW"
+            ine = "IF NOT EXISTS " if cv.if_not_exists else ""
+            self._sql_or_raise(f"{head} {ine}{name} AS {body}")
+            return
+        # materialized view: storage table + insert trigger (CH
+        # semantics: the SELECT transforms each inserted block into
+        # the storage table; POPULATE backfills at creation)
+        body, source = self._qualify_first_from(sess, body)
+        if source is None:
+            raise EngineError("MATERIALIZED VIEW requires a FROM table", 62)
+        if cv.to_table:
+            storage = f"`{sess.spark_db(cv.to_database)}`.`{cv.to_table}`"
+            if not self.spark.catalog.tableExists(storage):
+                raise EngineError(f"TO table {storage} does not exist", 60)
+            # the MV name reads from the target (CH TO-form)
+            self._sql_or_raise(f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM {storage}")
+        else:
+            storage = name
+            if self.spark.catalog.tableExists(storage):
+                if cv.if_not_exists:
+                    return
+                raise EngineError(f"Table {storage} already exists", 57)
+            where = "" if cv.populate else " WHERE 1 = 0"
+            self._sql_or_raise(
+                f"CREATE TABLE {storage} USING PARQUET AS "
+                f"SELECT * FROM ({body}) __mv_init{where}"
+            )
+        props = (
+            f"'moospark.mv_source' = '{_esc(source)}', "
+            f"'moospark.mv_select' = '{_esc(body)}'"
+        )
+        self._sql_or_raise(f"ALTER TABLE {storage} SET TBLPROPERTIES ({props})")
+        self._mv_remember(sess.ns, source, storage, body)
+
+    def _mv_remember(self, ns: str, source: str, storage: str, body: str) -> None:
+        reg = self._mv_registry.setdefault(ns, {})
+        lst = reg.setdefault(source, [])
+        lst[:] = [(s, b) for s, b in lst if s != storage]
+        lst.append((storage, body))
+
+    def _mv_forget(self, ns: str, qual: str) -> None:
+        reg = self._mv_registry.get(ns)
+        if not reg:
+            return
+        for source in list(reg):
+            reg[source] = [(s, b) for s, b in reg[source] if s != qual]
+            if not reg[source] or source == qual:
+                reg.pop(source, None)
+
+    def _mvs_for(self, sess: UserSession, source_qual: str) -> list[tuple[str, str]]:
+        ns = sess.ns
+        if ns not in self._mv_scanned:
+            self._mv_scanned.add(ns)
+            reg = self._mv_registry.setdefault(ns, {})
+            try:
+                dbs = [
+                    d.name
+                    for d in self.spark.catalog.listDatabases()
+                    if d.name.startswith(f"{ns}__")
+                ]
+                for d in dbs:
+                    for t in self.spark.catalog.listTables(d):
+                        if t.tableType not in ("MANAGED", "EXTERNAL"):
+                            continue
+                        qual = f"`{d}`.`{t.name}`"
+                        props = {}
+                        try:
+                            for r in self.spark.sql(
+                                f"SHOW TBLPROPERTIES {qual}"
+                            ).collect():
+                                props[r["key"]] = r["value"]
+                        except Exception:
+                            continue
+                        src = props.get("moospark.mv_source")
+                        sel = props.get("moospark.mv_select")
+                        if src and sel:
+                            self._mv_remember(ns, src, qual, sel)
+            except Exception:
+                pass
+        return self._mv_registry.get(ns, {}).get(source_qual, [])
+
+    def _propagate_mvs(self, sess: UserSession, target_qual: str, delta: DataFrame) -> None:
+        """Apply each MV's SELECT to the just-inserted block and append
+        to MV storage (the CH insert-trigger contract). The delta is a
+        temp view, so propagation is fully distributed — the inserted
+        block never lands on the driver."""
+        from pyspark.sql import functions as F
+
+        mvs = self._mvs_for(sess, target_qual)
+        if not mvs:
+            return
+        delta.createOrReplaceTempView("__moospark_mv_delta")
+        try:
+            for storage, body in mvs:
+                out = self.spark.sql(body.replace(target_qual, "__moospark_mv_delta"))
+                tgt = self.spark.table(storage)
+                cols = []
+                for f in tgt.schema.fields:
+                    if f.name in out.columns:
+                        cols.append(F.col(f"`{f.name}`").cast(f.dataType).alias(f.name))
+                    else:
+                        cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+                aligned = out.select(*cols)
+                order_by = self._table_order_by(storage)
+                if order_by:
+                    exprs = [
+                        self._translate_expr(e.strip())
+                        for e in _split_top_level(order_by.strip().strip("()"))
+                    ]
+                    aligned = aligned.sortWithinPartitions(*[F.expr(e) for e in exprs])
+                aligned.write.insertInto(storage)
+        finally:
+            self.spark.catalog.dropTempView("__moospark_mv_delta")
+
+    def _translate_expr_body(self, select_sql: str) -> str:
+        """CH-dialect SELECT text → Spark SQL text (no statement split)."""
+        from .dialect.translate import translate_select
+
+        return translate_select(select_sql).spark_sql
+
+
+import re as _re
+
+_INSERT_DATA_RE = _re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<ref>`[^`]+`(?:\s*\.\s*`[^`]+`)?|[\w.]+)\s*"
+    r"(?:\((?P<cols>[^)]*)\)\s*)?FORMAT\s+(?P<fmt>\w+)\s*?\n(?P<data>.+)$",
+    _re.IGNORECASE | _re.DOTALL,
+)
+
+
+def _match_insert_data(query: str):
+    """Split ``INSERT INTO t [(cols)] FORMAT X\\n<data>`` into parts;
+    None if the query isn't an inline-data insert (e.g. the data block
+    is empty — then it's a plain statement)."""
+    m = _INSERT_DATA_RE.match(query)
+    if not m or not m.group("data").strip():
+        return None
+    cols = [
+        c.strip().strip("`") for c in (m.group("cols") or "").split(",") if c.strip()
+    ]
+    return m.group("ref"), cols, m.group("fmt"), m.group("data")
+
+
+def _tsv_field(v: str, raw: bool) -> Optional[str]:
+    if v == "\\N" and not raw:
+        return None
+    if raw or "\\" not in v:
+        return v
+    return (
+        v.replace("\\t", "\t")
+        .replace("\\n", "\n")
+        .replace("\\r", "\r")
+        .replace("\\'", "'")
+        .replace("\\\\", "\\")
+    )
 
 
 def _split_top_level(s: str) -> list[str]:

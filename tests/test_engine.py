@@ -307,3 +307,122 @@ class TestMutations:
         engine.execute("OPTIMIZE TABLE mut11 FINAL")
         assert engine.execute("SELECT count(*) AS c, sum(id) AS s FROM mut11") == b"8\t36\n"
         engine.execute("DROP TABLE mut11")
+
+
+class TestViews:
+    """CREATE VIEW / CREATE MATERIALIZED VIEW (delegated-only in the
+    reference, main.py:190). MVs follow CH semantics: the SELECT is an
+    insert trigger — each inserted block is transformed and appended
+    to the MV storage; POPULATE backfills at creation; TO routes
+    storage to an existing table."""
+
+    def test_plain_view_with_ch_spellings(self, engine):
+        engine.execute("DROP TABLE IF EXISTS vsrc")
+        engine.execute("CREATE TABLE vsrc (id UInt32, d Date) ENGINE=Memory")
+        engine.execute("INSERT INTO vsrc VALUES (1, '2024-01-15'), (2, '2024-02-20')")
+        engine.execute("DROP VIEW IF EXISTS v1")
+        engine.execute("CREATE VIEW v1 AS SELECT id, toYYYYMM(d) AS ym FROM vsrc")
+        assert engine.execute("SELECT ym FROM v1 ORDER BY id") == b"202401\n202402\n"
+        engine.execute("DROP VIEW v1")
+        engine.execute("DROP TABLE vsrc")
+
+    def test_mv_populate_and_insert_trigger(self, engine):
+        engine.execute("DROP TABLE IF EXISTS mvsrc")
+        engine.execute("CREATE TABLE mvsrc (k String, v Int64) ENGINE=Memory")
+        engine.execute("INSERT INTO mvsrc VALUES ('a', 1), ('b', 2)")
+        engine.execute("DROP TABLE IF EXISTS mv1")
+        engine.execute(
+            "CREATE MATERIALIZED VIEW mv1 ENGINE=Memory POPULATE AS "
+            "SELECT k, v * 10 AS v10 FROM mvsrc"
+        )
+        # POPULATE backfilled existing rows
+        assert engine.execute("SELECT sum(v10) AS s FROM mv1") == b"30\n"
+        # inserts into the source propagate through the MV SELECT
+        engine.execute("INSERT INTO mvsrc VALUES ('c', 3)")
+        assert engine.execute("SELECT sum(v10) AS s FROM mv1") == b"60\n"
+        engine.execute("DROP VIEW mv1")
+        engine.execute("DROP TABLE mvsrc")
+
+    def test_mv_without_populate_starts_empty(self, engine):
+        engine.execute("DROP TABLE IF EXISTS mvsrc2")
+        engine.execute("CREATE TABLE mvsrc2 (x Int64) ENGINE=Memory")
+        engine.execute("INSERT INTO mvsrc2 VALUES (5)")
+        engine.execute("DROP TABLE IF EXISTS mv2")
+        engine.execute("CREATE MATERIALIZED VIEW mv2 AS SELECT x + 1 AS y FROM mvsrc2")
+        assert engine.execute("SELECT count(*) AS c FROM mv2") == b"0\n"
+        engine.execute("INSERT INTO mvsrc2 SELECT number FROM numbers(3)")
+        assert engine.execute("SELECT sum(y) AS s FROM mv2") == b"6\n"
+        engine.execute("DROP TABLE mv2")
+        engine.execute("DROP TABLE mvsrc2")
+
+    def test_mv_aggregating_into_to_table(self, engine):
+        engine.execute("DROP TABLE IF EXISTS evsrc")
+        engine.execute("CREATE TABLE evsrc (site String, hits Int64) ENGINE=Memory")
+        engine.execute("DROP TABLE IF EXISTS ev_rollup")
+        engine.execute("CREATE TABLE ev_rollup (site String, total Int64) ENGINE=Memory")
+        engine.execute("DROP VIEW IF EXISTS mv3")
+        engine.execute(
+            "CREATE MATERIALIZED VIEW mv3 TO ev_rollup AS "
+            "SELECT site, sum(hits) AS total FROM evsrc GROUP BY site"
+        )
+        engine.execute("INSERT INTO evsrc VALUES ('x', 2), ('x', 3), ('y', 1)")
+        out = engine.execute("SELECT site, total FROM ev_rollup ORDER BY site")
+        assert out == b"x\t5\ny\t1\n"
+        # reading through the MV name reads the TO table
+        assert engine.execute("SELECT sum(total) AS s FROM mv3") == b"6\n"
+        engine.execute("DROP VIEW mv3")
+        engine.execute("DROP TABLE ev_rollup")
+        engine.execute("DROP TABLE evsrc")
+
+
+class TestInlineDataInsert:
+    """INSERT INTO t [(cols)] FORMAT X + inline data — the standard CH
+    HTTP ingestion path (reference: combined query+body string handed
+    to chDB at main.py:190)."""
+
+    def _mk(self, engine):
+        engine.execute("DROP TABLE IF EXISTS ins1")
+        engine.execute("CREATE TABLE ins1 (id UInt32, name String, score Float64) ENGINE=Memory")
+
+    def test_tsv_body(self, engine):
+        self._mk(engine)
+        engine.execute("INSERT INTO ins1 FORMAT TSV\n1\talpha\t1.5\n2\t\\N\t2.5")
+        out = engine.execute("SELECT id, name, score FROM ins1 ORDER BY id")
+        assert out == b"1\talpha\t1.5\n2\t\\N\t2.5\n"
+
+    def test_csv_with_column_subset(self, engine):
+        self._mk(engine)
+        engine.execute("INSERT INTO ins1 (id, name) FORMAT CSV\n3,gamma\n4,delta")
+        out = engine.execute("SELECT id, name, score FROM ins1 ORDER BY id")
+        assert out == b"3\tgamma\t\\N\n4\tdelta\t\\N\n"
+
+    def test_json_each_row(self, engine):
+        self._mk(engine)
+        engine.execute(
+            'INSERT INTO ins1 FORMAT JSONEachRow\n'
+            '{"id": 5, "name": "eps", "score": 0.5}\n{"id": 6, "score": 9.0}'
+        )
+        out = engine.execute("SELECT id, name FROM ins1 ORDER BY id")
+        assert out == b"5\teps\n6\t\\N\n"
+
+    def test_values_format(self, engine):
+        self._mk(engine)
+        engine.execute("INSERT INTO ins1 FORMAT Values\n(7, 'eta', 1.0), (8, 'theta', 2.0)")
+        assert engine.execute("SELECT count(*) AS c FROM ins1") == b"2\n"
+
+    def test_tsv_with_names_header(self, engine):
+        self._mk(engine)
+        engine.execute("INSERT INTO ins1 FORMAT TSVWithNames\nname\tid\nzeta\t9")
+        out = engine.execute("SELECT id, name, score FROM ins1")
+        assert out == b"9\tzeta\t\\N\n"
+
+    def test_feeds_materialized_view(self, engine):
+        self._mk(engine)
+        engine.execute("DROP TABLE IF EXISTS ins_mv")
+        engine.execute(
+            "CREATE MATERIALIZED VIEW ins_mv AS SELECT id * 2 AS id2 FROM ins1"
+        )
+        engine.execute("INSERT INTO ins1 FORMAT TSV\n10\tx\t0.0")
+        assert engine.execute("SELECT id2 FROM ins_mv") == b"20\n"
+        engine.execute("DROP TABLE ins_mv")
+        engine.execute("DROP TABLE ins1")

@@ -202,3 +202,27 @@ class TestConcurrency:
         with ThreadPoolExecutor(max_workers=4) as ex:
             results = list(ex.map(one, range(8)))
         assert results == list(range(8))
+
+
+class TestHttpInlineInsert:
+    """curl-style ingestion: query in the URL, data in the POST body
+    (CH HTTP contract; the reference concatenates them and delegates,
+    main.py:873-890 + 190)."""
+
+    def test_insert_tsv_body_via_url_query(self, http):
+        get(http, "CREATE TABLE hins (id UInt32, s String) ENGINE=Memory")
+        st, _ = post(http, "1\tab\n2\tcd\n", query="INSERT INTO hins FORMAT TSV")
+        assert st == 200
+        st, body = get(http, "SELECT id, s FROM hins ORDER BY id")
+        assert body == b"1\tab\n2\tcd\n"
+        get(http, "DROP TABLE hins")
+
+    def test_insert_jsoneachrow_body(self, http):
+        get(http, "CREATE TABLE hins2 (id UInt32, s String) ENGINE=Memory")
+        st, _ = post(
+            http, '{"id": 3, "s": "x"}\n', query="INSERT INTO hins2 FORMAT JSONEachRow"
+        )
+        assert st == 200
+        st, body = get(http, "SELECT id, s FROM hins2")
+        assert body == b"3\tx\n"
+        get(http, "DROP TABLE hins2")
