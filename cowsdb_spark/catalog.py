@@ -28,6 +28,13 @@ TABLES = (
 )
 
 
+# (session id, sf_dir, table) → DataFrame. A DataFrame is an immutable
+# logical plan, so memoizing skips the parquet footer/schema read that
+# spark.read.parquet pays on every call (~50-150 ms each — material
+# when a suite builds hundreds of plans over the same ten tables).
+_df_cache: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata parquet table, normalizing exotic types.
 
@@ -41,11 +48,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
+    key = (id(spark), os.path.abspath(sf_dir), name)
+    if key in _df_cache:
+        return _df_cache[key]
     path = os.path.join(sf_dir, f"{name}.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _df_cache[key] = df
     return df
 
 

@@ -954,20 +954,26 @@ class Engine:
                 pass
         return self._mv_registry.get(ns, {}).get(source_qual, [])
 
-    def _propagate_mvs(self, sess: UserSession, target_qual: str, delta: DataFrame) -> None:
+    def _propagate_mvs(
+        self, sess: UserSession, target_qual: str, delta: DataFrame, _depth: int = 0
+    ) -> None:
         """Apply each MV's SELECT to the just-inserted block and append
         to MV storage (the CH insert-trigger contract). The delta is a
         temp view, so propagation is fully distributed — the inserted
-        block never lands on the driver."""
+        block never lands on the driver. Cascades into MVs reading
+        from MV storage (CH chains too), bounded at depth 10."""
         from pyspark.sql import functions as F
 
+        if _depth >= 10:
+            return
         mvs = self._mvs_for(sess, target_qual)
         if not mvs:
             return
-        delta.createOrReplaceTempView("__moospark_mv_delta")
+        view = f"__moospark_mv_delta_{_depth}"
+        delta.createOrReplaceTempView(view)
         try:
             for storage, body in mvs:
-                out = self.spark.sql(body.replace(target_qual, "__moospark_mv_delta"))
+                out = self.spark.sql(body.replace(target_qual, view))
                 tgt = self.spark.table(storage)
                 cols = []
                 for f in tgt.schema.fields:
@@ -976,16 +982,18 @@ class Engine:
                     else:
                         cols.append(F.lit(None).cast(f.dataType).alias(f.name))
                 aligned = out.select(*cols)
+                writer = aligned
                 order_by = self._table_order_by(storage)
                 if order_by:
                     exprs = [
                         self._translate_expr(e.strip())
                         for e in _split_top_level(order_by.strip().strip("()"))
                     ]
-                    aligned = aligned.sortWithinPartitions(*[F.expr(e) for e in exprs])
-                aligned.write.insertInto(storage)
+                    writer = aligned.sortWithinPartitions(*[F.expr(e) for e in exprs])
+                writer.write.insertInto(storage)
+                self._propagate_mvs(sess, storage, aligned, _depth + 1)
         finally:
-            self.spark.catalog.dropTempView("__moospark_mv_delta")
+            self.spark.catalog.dropTempView(view)
 
     def _translate_expr_body(self, select_sql: str) -> str:
         """CH-dialect SELECT text → Spark SQL text (no statement split)."""

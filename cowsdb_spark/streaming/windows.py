@@ -187,15 +187,31 @@ def sessionize_stateful(
     )
 
 
-def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
+def run_to_memory(
+    df: DataFrame, name: str, output_mode: str = "complete", state_partitions: int = 8
+):
     """Drain a streaming DataFrame with availableNow into a memory
-    sink; returns the finished query (caller reads table ``name``)."""
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    sink; returns the finished query (caller reads table ``name``).
+
+    The state-store partition count is pinned (low) for the drain:
+    each state partition pays checkpoint/provider setup per
+    micro-batch, which dominates small local drains at the session
+    default of 32. On a real cluster, size ``state_partitions`` to
+    total executor cores instead — it is fixed for the lifetime of a
+    streaming checkpoint.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return q

@@ -67,12 +67,46 @@ def system_functions(spark: SparkSession, ns: str) -> DataFrame:
     return spark.createDataFrame([(n,) for n in names], "name string")
 
 
+def system_numbers(spark: SparkSession, ns: str) -> DataFrame:
+    """CH ``system.numbers`` is unbounded; Range generates lazily, so
+    LIMIT short-circuits — and an unbounded full scan hangs exactly
+    like it does on ClickHouse."""
+    return spark.range(0, 9223372036854775806).withColumnRenamed("id", "number")
+
+
+def system_columns(spark: SparkSession, ns: str) -> DataFrame:
+    from .dialect.types import spark_type_to_ch
+
+    rows = []
+    for db in spark.catalog.listDatabases():
+        if not db.name.startswith(ns + "__"):
+            continue
+        visible = db.name.split("__", 1)[1]
+        for t in spark.catalog.listTables(db.name):
+            if t.tableType == "TEMPORARY":
+                continue
+            try:
+                schema = spark.table(f"`{db.name}`.`{t.name}`").schema
+            except Exception:
+                continue
+            for pos, f in enumerate(schema.fields, start=1):
+                rows.append(
+                    (visible, t.name, f.name, spark_type_to_ch(f.dataType, f.nullable), pos)
+                )
+    schema_s = "database string, table string, name string, type string, position int"
+    if not rows:
+        return spark.createDataFrame([], schema_s)
+    return spark.createDataFrame(sorted(rows), schema_s)
+
+
 PROVIDERS = {
     "one": system_one,
     "databases": system_databases,
     "tables": system_tables,
     "settings": system_settings,
     "functions": system_functions,
+    "numbers": system_numbers,
+    "columns": system_columns,
 }
 
 

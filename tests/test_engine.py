@@ -426,3 +426,17 @@ class TestInlineDataInsert:
         assert engine.execute("SELECT id2 FROM ins_mv") == b"20\n"
         engine.execute("DROP TABLE ins_mv")
         engine.execute("DROP TABLE ins1")
+
+    def test_mv_cascade(self, engine):
+        engine.execute("DROP TABLE IF EXISTS casc_src")
+        engine.execute("CREATE TABLE casc_src (x Int64) ENGINE=Memory")
+        engine.execute("DROP TABLE IF EXISTS casc_a")
+        engine.execute("CREATE MATERIALIZED VIEW casc_a AS SELECT x * 2 AS x2 FROM casc_src")
+        engine.execute("DROP TABLE IF EXISTS casc_b")
+        engine.execute("CREATE MATERIALIZED VIEW casc_b AS SELECT x2 + 1 AS x3 FROM casc_a")
+        engine.execute("INSERT INTO casc_src VALUES (10)")
+        assert engine.execute("SELECT x2 FROM casc_a") == b"20\n"
+        assert engine.execute("SELECT x3 FROM casc_b") == b"21\n"
+        engine.execute("DROP TABLE casc_b")
+        engine.execute("DROP TABLE casc_a")
+        engine.execute("DROP TABLE casc_src")

@@ -50,6 +50,20 @@ class TestSystemTables:
         assert int(out.strip()) > 20
 
 
+    def test_system_numbers_limit(self, engine):
+        out = engine.execute("SELECT number FROM system.numbers LIMIT 3")
+        assert out == b"0\n1\n2\n"
+
+    def test_system_columns(self, engine):
+        engine.execute("DROP TABLE IF EXISTS sysc")
+        engine.execute("CREATE TABLE sysc (a UInt32, b String) ENGINE=Memory")
+        out = engine.execute(
+            "SELECT name, type, position FROM system.columns "
+            "WHERE table = 'sysc' ORDER BY position"
+        )
+        assert out == b"a\tNullable(Int64)\t1\nb\tNullable(String)\t2\n"
+        engine.execute("DROP TABLE sysc")
+
 class TestUrlFile:
     def test_file_tsv(self, engine, tmp_path):
         p = tmp_path / "data.tsv"
