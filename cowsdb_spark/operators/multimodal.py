@@ -99,6 +99,113 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def _resize_stub(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic fake resize: sample/pad bytes to w*h/16 length.
+
+    REAL DEPLOYMENT: PIL Image.open(payload).resize((w, h)).tobytes().
+    """
+    if payload is None:
+        return None
+    target = max(1, (w * h) // 16)
+    if len(payload) >= target:
+        step = len(payload) / target
+        return bytes(payload[int(i * step)] for i in range(target))
+    return (payload * (target // max(1, len(payload)) + 1))[:target]
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize over mapInPandas (stubbed codec, real plumbing).
+
+    Narrow (no shuffle): each partition transforms in place, so an
+    upstream bucketing/partitioning by media_id survives. Non-image
+    rows pass through untouched with their original meta.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            is_img = pdf["kind"] == "image"
+            payload = [
+                _resize_stub(p, width, height) if img else p
+                for p, img in zip(pdf["payload"], is_img)
+            ]
+            meta = [
+                {**m, "width": width, "height": height} if img and m is not None else m
+                for m, img in zip(pdf["meta"], is_img)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payload,
+                    "meta": meta,
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("ts_ms", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 250) -> DataFrame:
+    """Video frame sampling: one input row fans out to one row per
+    sampled frame (mapInPandas can yield more rows than it receives —
+    the Spark-side shape real ffmpeg extraction needs). Frame payloads
+    are stubbed deterministically from (payload, ts).
+
+    REAL DEPLOYMENT: ffmpeg -ss <ts> -frames:v 1 per sample point, or
+    a batched decoder; the plan and schema stay identical.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for mid, kind, payload, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                if kind != "video" or payload is None:
+                    continue
+                dur = (meta or {}).get("duration_ms") or 0
+                for k, ts in enumerate(range(0, max(1, dur), every_ms)):
+                    ids.append(mid)
+                    idxs.append(k)
+                    tss.append(ts)
+                    off = ts % max(1, len(payload))
+                    frames.append(bytes(payload[off:]) + bytes(payload[:off]))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "ts_ms": tss, "frame": frames}
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests (seeded bytes)."""
     rows = []

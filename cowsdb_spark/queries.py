@@ -1300,3 +1300,24 @@ def t22(spark, sf_dir):
         "ts",
         [F.col("event_type") == "signup", F.col("event_type") == "purchase"],
     ).orderBy("user_id")
+
+
+@qdef(
+    "t23_frame_sample",
+    None,  # stubbed codec output isn't SQL-expressible (rows-only)
+    "[ext: multimodal] video frame sampling fan-out + per-frame features",
+)
+def t23(spark, sf_dir):
+    from .operators.multimodal import sample_frames, synthetic_media
+
+    media = synthetic_media(spark, 48)
+    frames = sample_frames(media, every_ms=250)
+    return (
+        frames.select(
+            "media_id",
+            "frame_idx",
+            "ts_ms",
+            F.length("frame").alias("frame_bytes"),
+        )
+        .orderBy("media_id", "frame_idx")
+    )

@@ -139,6 +139,35 @@ class TestMultimodal:
         b = extract_features(synthetic_media(spark, 5)).collect()
         assert a == b
 
+    def test_resize_images(self, spark):
+        from cowsdb_spark.operators.multimodal import resize_images
+
+        media = synthetic_media(spark, 9)
+        out = resize_images(media, 32, 16).collect()
+        assert len(out) == 9  # narrow op: row count preserved
+        for r in out:
+            if r.kind == "image":
+                assert r.meta.width == 32 and r.meta.height == 16
+                assert len(r.payload) == (32 * 16) // 16
+            else:  # non-images pass through untouched
+                assert r.meta.width == 64
+
+    def test_sample_frames_fanout(self, spark):
+        from cowsdb_spark.operators.multimodal import sample_frames
+
+        media = synthetic_media(spark, 9)  # kinds cycle image/audio/video
+        out = sample_frames(media, every_ms=250).collect()
+        vids = {r.media_id for r in out}
+        assert all(i % 3 == 2 for i in vids)  # only video rows fan out
+        # duration 1000ms @ 250ms → 4 frames per video, idx 0..3
+        per = {}
+        for r in out:
+            per.setdefault(r.media_id, []).append(r)
+        for mid, rows in per.items():
+            assert sorted(r.frame_idx for r in rows) == [0, 1, 2, 3]
+            assert sorted(r.ts_ms for r in rows) == [0, 250, 500, 750]
+            assert all(r.frame for r in rows)
+
 
 class TestTfIdf:
     def test_scores_sane(self, spark, sf_dir):
