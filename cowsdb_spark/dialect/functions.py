@@ -217,6 +217,31 @@ RENAMES["ln"] = "ln"
 RENAMES["md5"] = "md5"
 RENAMES["ilike"] = "ilike"
 
+# readable/rendering helpers + misc numeric spellings
+TEMPLATES["roundtoexp2"] = (
+    "CASE WHEN {0} <= 0 THEN 0 ELSE CAST(pow(2, floor(log2({0}))) AS BIGINT) END"
+)
+TEMPLATES["formatreadablesize"] = (
+    "CASE WHEN {0} < 1024 THEN concat(regexp_replace(format_number(CAST({0} AS DOUBLE), 2), ',', ''), ' B') "
+    "WHEN {0} < 1048576 THEN concat(regexp_replace(format_number({0} / 1024.0, 2), ',', ''), ' KiB') "
+    "WHEN {0} < 1073741824 THEN concat(regexp_replace(format_number({0} / 1048576.0, 2), ',', ''), ' MiB') "
+    "ELSE concat(regexp_replace(format_number({0} / 1073741824.0, 2), ',', ''), ' GiB') END"
+)
+TEMPLATES["formatreadablequantity"] = (
+    "CASE WHEN {0} < 1000 THEN regexp_replace(format_number(CAST({0} AS DOUBLE), 2), ',', '') "
+    "WHEN {0} < 1000000 THEN concat(regexp_replace(format_number({0} / 1000.0, 2), ',', ''), ' thousand') "
+    "WHEN {0} < 1000000000 THEN concat(regexp_replace(format_number({0} / 1000000.0, 2), ',', ''), ' million') "
+    "ELSE concat(regexp_replace(format_number({0} / 1000000000.0, 2), ',', ''), ' billion') END"
+)
+TEMPLATES["bar"] = (
+    "repeat('█', CAST(round(({0} - {1}) / (({2}) - ({1})) * ({3})) AS INT))"
+)
+TEMPLATES["ifnotfinite"] = (
+    "CASE WHEN isnan({0}) OR {0} = double('Infinity') OR {0} = double('-Infinity') "
+    "THEN {1} ELSE {0} END"
+)
+TEMPLATES["tofixedstring"] = "{0}"  # length check is a write-side concern
+
 # bit ops keep CH call shape but are operators in Spark
 TEMPLATES["bitand"] = "({0} & {1})"
 TEMPLATES["bitor"] = "({0} | {1})"

@@ -14,6 +14,7 @@ trailing clauses in the token stream.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -192,6 +193,29 @@ def _multi_if(args: list[str]) -> str:
     return " ".join(parts)
 
 
+# arity- or argument-shape-dependent rewrites handled in code, not
+# via the TEMPLATES table (e.g. Spark's 2-arg HOF transform() must
+# pass through while CH's 3/4-arg decode-style transform() rewrites)
+_SPECIAL_FNS = {"count", "transform", "tostartofinterval", "tupleelement"}
+
+
+def _start_of_interval(expr: str, interval: str) -> str:
+    """toStartOfInterval(t, INTERVAL n unit) → date_trunc / epoch-floor."""
+    m = re.match(r"(?i)\s*INTERVAL\s+(\d+)\s+(\w+?)s?\s*$", interval)
+    if not m:
+        return f"date_trunc('day', {expr})"
+    n, unit = int(m.group(1)), m.group(2).lower()
+    if n == 1 and unit in ("second", "minute", "hour", "day", "week", "month", "quarter", "year"):
+        return f"date_trunc('{unit}', {expr})"
+    secs = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}.get(unit)
+    if secs:
+        s = n * secs
+        return (
+            f"timestamp_seconds(CAST(floor(unix_timestamp({expr}) / {s}) AS BIGINT) * {s})"
+        )
+    return f"date_trunc('{unit}', {expr})"  # n>1 month/year: truncate to unit
+
+
 def _rewrite_functions(sql: str) -> str:
     """One pass of call-site rewrites; repeats until fixpoint."""
     for _ in range(10):  # nested rewrites converge quickly
@@ -213,6 +237,7 @@ def _rewrite_functions(sql: str) -> str:
                     or lname in TEMPLATES
                     or lname in PARAMETERIZED
                     or lname == "numbers"
+                    or lname in _SPECIAL_FNS
                 ):
                     close = _find_call_close(toks, j)
                     if close == -1:
@@ -253,6 +278,42 @@ def _rewrite_functions(sql: str) -> str:
                         out.append(_multi_if(args))
                         i = close + 1
                         changed = True
+                        continue
+                    if lname == "count" and not any(a.strip() for a in args):
+                        out.append("count(*)")  # CH bare count()
+                        i = close + 1
+                        changed = True
+                        continue
+                    if lname == "transform" and len(args) in (3, 4):
+                        # CH decode-style transform(x, from[], to[], [dflt]);
+                        # 2-arg Spark HOF transform passes through
+                        res = (
+                            f"element_at(map_from_arrays({args[1]}, {args[2]}), {args[0]})"
+                        )
+                        if len(args) == 4:
+                            res = f"coalesce({res}, {args[3]})"
+                        out.append(res)
+                        i = close + 1
+                        changed = True
+                        continue
+                    if lname == "tostartofinterval" and len(args) >= 2:
+                        out.append(_start_of_interval(args[0], args[1]))
+                        i = close + 1
+                        changed = True
+                        continue
+                    if lname == "tupleelement" and len(args) == 2:
+                        a0 = args[0].strip()
+                        if a0.startswith("("):
+                            a0 = "struct" + a0  # bare tuple literal
+                        fld = args[1].strip().strip("'\"")
+                        fld = f"col{fld}" if fld.isdigit() else fld
+                        out.append(f"({a0}).{fld}")
+                        i = close + 1
+                        changed = True
+                        continue
+                    if lname in _SPECIAL_FNS:
+                        out.append(t.text)  # shape didn't match: pass through
+                        i += 1
                         continue
                     if lname in TEMPLATES and TEMPLATES[lname] is not None:
                         out.append(_apply_template(TEMPLATES[lname], args))
@@ -517,17 +578,146 @@ def _rewrite_limit_by(toks: list[Tok]) -> list[Tok]:
         ).strip()
     else:
         core = "".join(toks[j].text for j in range(sig[limit_at])).strip()
-        order_list = by_list
+        order_list = None
+    # BY and ORDER keys may not be in the projection (CH allows both
+    # over any source column): splice every key into the inner select
+    # under a synthetic alias, window over the aliases, and drop them
+    # in the outer select (ORDER BY may still reference them — sort
+    # resolves against the subquery output, not the projection).
+    by_exprs = _split_top_level_text(by_list)
+    order_items = (
+        [_order_item(x) for x in _split_top_level_text(order_list)]
+        if order_list is not None
+        else []
+    )
+    alias_of: dict[str, str] = {}
+    for e in by_exprs + [e for e, _ in order_items]:
+        alias_of.setdefault(e, f"__ch_lb_k{len(alias_of)}")
+    core_aug = _append_select_items(
+        core, [f"{e} AS {a}" for e, a in alias_of.items()]
+    )
+    partition = ", ".join(alias_of[e] for e in by_exprs)
+    if order_items:
+        win_order = ", ".join(
+            f"{alias_of[e]} {sfx}".strip() for e, sfx in order_items
+        )
+    else:
+        win_order = partition
+    drop = ", ".join(["__ch_lb"] + list(alias_of.values()))
     new_sql = (
-        f"SELECT * EXCEPT (__ch_lb) FROM ("
-        f"SELECT *, row_number() OVER (PARTITION BY {by_list} "
-        f"ORDER BY {order_list}) AS __ch_lb FROM ({core}) __lb_in"
+        f"SELECT * EXCEPT ({drop}) FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY {partition} "
+        f"ORDER BY {win_order}) AS __ch_lb FROM ({core_aug}) __lb_in"
         f") __lb_out WHERE __ch_lb <= {n}"
     )
-    if order_at is not None:
-        new_sql += f" ORDER BY {order_list}"
+    if order_items:
+        new_sql += f" ORDER BY {win_order}"
     if tail:
         new_sql += " " + tail
+    return tokenize(new_sql)
+
+
+def _order_item(item: str) -> tuple[str, str]:
+    """'expr [ASC|DESC] [NULLS FIRST|LAST]' → (expr, modifiers)."""
+    m = re.match(
+        r"(?is)^(.*?)((?:\s+(?:ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?)\s*$",
+        item.strip(),
+    )
+    return m.group(1).strip(), (m.group(2) or "").strip()
+
+
+def _split_top_level_text(s: str) -> list[str]:
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur).strip())
+    return [p for p in parts if p]
+
+
+def _append_select_items(core: str, items: list[str]) -> str:
+    """Append projection items to a SELECT's list (before its
+    top-level FROM). No FROM → returned unchanged."""
+    if not items:
+        return core
+    toks = tokenize(core)
+    depth = 0
+    for i, t in enumerate(toks):
+        depth += t.text.count("(") - t.text.count(")")
+        if depth == 0 and t.kind == "ident" and t.text.upper() == "FROM":
+            return (
+                "".join(x.text for x in toks[:i])
+                + ", "
+                + ", ".join(items)
+                + " "
+                + "".join(x.text for x in toks[i:])
+            )
+    return core
+
+
+def _rewrite_distinct_on(toks: list[Tok]) -> list[Tok]:
+    """CH ``SELECT DISTINCT ON (keys) …`` ≡ ``… LIMIT 1 BY keys``
+    (first row per key group under the query's ORDER BY)."""
+    sig = _sig(toks)
+    if len(sig) < 4:
+        return toks
+    if not (
+        toks[sig[0]].text.upper() == "SELECT"
+        and toks[sig[1]].text.upper() == "DISTINCT"
+        and toks[sig[2]].text.upper() == "ON"
+        and toks[sig[3]].text == "("
+    ):
+        return toks
+    # matching close paren of the key list
+    depth = 0
+    close = None
+    for si in range(3, len(sig)):
+        tx = toks[sig[si]].text
+        if tx == "(":
+            depth += 1
+        elif tx == ")":
+            depth -= 1
+            if depth == 0:
+                close = si
+                break
+    if close is None:
+        return toks
+    keys = "".join(
+        toks[j].text for j in range(sig[3] + 1, sig[close])
+    ).strip()
+    rest = "".join(toks[j].text for j in range(sig[close] + 1, len(toks)))
+    # insert LIMIT 1 BY before a final top-level LIMIT, else append
+    rest_toks = tokenize(rest)
+    rsig = _sig(rest_toks)
+    depth = 0
+    cut = None
+    for si, i in enumerate(rsig):
+        t = rest_toks[i]
+        depth += t.text.count("(") - t.text.count(")")
+        if (
+            depth == 0
+            and t.kind == "ident"
+            and t.text.upper() == "LIMIT"
+            and si + 1 < len(rsig)
+            and rest_toks[rsig[si + 1]].kind == "number"
+            and (si + 2 >= len(rsig) or rest_toks[rsig[si + 2]].text.upper() != "BY")
+        ):
+            cut = i
+            break
+    if cut is None:
+        new_sql = f"SELECT {rest} LIMIT 1 BY {keys}"
+    else:
+        head = "".join(x.text for x in rest_toks[:cut])
+        tail = "".join(x.text for x in rest_toks[cut:])
+        new_sql = f"SELECT {head} LIMIT 1 BY {keys} {tail}"
     return tokenize(new_sql)
 
 
@@ -817,6 +1007,7 @@ def translate_select(sql: str) -> Statement:
     _rewrite_brackets(toks)
     toks = _rewrite_ch_modifiers(toks)
     toks = _rewrite_array_join(toks)
+    toks = _rewrite_distinct_on(toks)
     toks = _rewrite_limit_by(toks)
     toks, with_totals = _rewrite_with_totals(toks)
     body = "".join(t.text for t in toks).strip()

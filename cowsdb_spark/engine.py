@@ -75,6 +75,9 @@ class Engine:
         # Date/DateTime/numeric columns must cast (ANSI store
         # assignment would reject `INSERT … VALUES (1, '2024-01-05')`).
         self.spark.conf.set("spark.sql.storeAssignmentPolicy", "LEGACY")
+        # CH-permissive expressions (float x/0 → non-error); Spark 4
+        # defaults ANSI on, which would throw instead
+        self.spark.conf.set("spark.sql.ansi.enabled", "false")
         _register_hashes(self.spark)
         self._sessions: dict[tuple[str, str], UserSession] = {}
         self._order_by_cache: dict[str, Optional[str]] = {}

@@ -50,7 +50,12 @@ def get_spark(app_name: str = "moospark", shuffle_partitions: int | None = None)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.warehouse.dir", warehouse)
+        # Spark 4 defaults ANSI on; ClickHouse expression semantics are
+        # permissive (float x/0 is not an error), so the engine runs
+        # non-ANSI. Set again post-create in case of session reuse.
+        .config("spark.sql.ansi.enabled", "false")
     )
     spark = builder.getOrCreate()
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.sparkContext.setLogLevel("WARN")
     return spark

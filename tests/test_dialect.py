@@ -164,7 +164,8 @@ class TestLimitBy:
 
     def test_limit_by_rewrites_to_window(self):
         s = self._sql("SELECT g, n FROM t ORDER BY g, n LIMIT 2 BY g")
-        assert "row_number() OVER (PARTITION BY g" in s
+        assert "row_number() OVER (PARTITION BY __ch_lb_k0" in s
+        assert "g AS __ch_lb_k0" in s
         assert "__ch_lb <= 2" in s
 
     def test_limit_by_with_outer_limit(self):
@@ -284,3 +285,53 @@ class TestScalarWith:
     def test_expression_binding(self):
         s = self._sql("WITH sum(x) AS total SELECT total FROM tbl")
         assert "(sum(x))" in s
+
+
+class TestArityAwareRewrites:
+    """Shape-dependent rewrites: bare count(), CH decode-style
+    transform vs the Spark HOF, toStartOfInterval, tupleElement,
+    DISTINCT ON, and LIMIT BY over non-projected keys."""
+
+    def _sql(self, q):
+        from cowsdb_spark.dialect.translate import translate
+
+        return translate(q)[0].spark_sql
+
+    def test_bare_count(self):
+        assert "count(*)" in self._sql("SELECT count() FROM t")
+
+    def test_count_with_arg_untouched(self):
+        assert "count(x)" in self._sql("SELECT count(x) FROM t")
+
+    def test_transform_decode_form(self):
+        s = self._sql("SELECT transform(x, [1], ['a'], 'z') FROM t")
+        assert "element_at(map_from_arrays(array(1), array('a')), x)" in s
+        assert "coalesce" in s
+
+    def test_transform_hof_untouched(self):
+        s = self._sql("SELECT transform(arr, x -> x + 1) FROM t")
+        assert "transform(arr" in s and "map_from_arrays" not in s
+
+    def test_to_start_of_interval_unit(self):
+        s = self._sql("SELECT toStartOfInterval(ts, INTERVAL 1 DAY) FROM t")
+        assert "date_trunc('day', ts)" in s
+
+    def test_to_start_of_interval_multiple(self):
+        s = self._sql("SELECT toStartOfInterval(ts, INTERVAL 15 MINUTE) FROM t")
+        assert "/ 900" in s and "* 900" in s
+
+    def test_tuple_element_numeric_and_named(self):
+        assert ".col2" in self._sql("SELECT tupleElement((1, 'x'), 2)")
+        assert ".name" in self._sql("SELECT tupleElement(t, 'name') FROM u")
+
+    def test_distinct_on_becomes_limit_by(self):
+        s = self._sql("SELECT DISTINCT ON (k) a, k FROM t ORDER BY k, a")
+        assert "row_number() OVER (PARTITION BY" in s and "<= 1" in s
+
+    def test_limit_by_non_projected_key(self):
+        s = self._sql("SELECT a FROM t ORDER BY a LIMIT 1 BY k")
+        assert "k AS __ch_lb_k0" in s  # key spliced into the inner select
+
+    def test_readable_size_and_bar(self):
+        assert "KiB" in self._sql("SELECT formatReadableSize(n) FROM t")
+        assert "repeat('█'" in self._sql("SELECT bar(v, 0, 10, 10) FROM t")
