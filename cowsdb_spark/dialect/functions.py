@@ -217,6 +217,36 @@ RENAMES["ln"] = "ln"
 RENAMES["md5"] = "md5"
 RENAMES["ilike"] = "ilike"
 
+# array predicates / constructors / misc (gap-hunt round 2)
+RENAMES["arrayzip"] = "arrays_zip"
+RENAMES["generateuuidv4"] = "uuid"
+RENAMES["randcanonical"] = "rand"
+RENAMES["isnan"] = "isnan"
+TEMPLATES["hasall"] = "(size(array_except({1}, {0})) = 0)"
+TEMPLATES["hasany"] = "arrays_overlap({0}, {1})"
+TEMPLATES["arrayfirstindex"] = "array_position(transform({1}, {0}), true)"
+TEMPLATES["isfinite"] = "(NOT isnan({0}) AND abs({0}) <> double('Infinity'))"
+TEMPLATES["isinfinite"] = "(abs({0}) = double('Infinity'))"
+TEMPLATES["now64"] = "current_timestamp()"
+TEMPLATES["rand"] = "CAST(floor(rand() * 4294967296) AS BIGINT)"  # CH UInt32
+TEMPLATES["rand64"] = "CAST(floor(rand() * 9.2233720368547758e18) AS BIGINT)"
+for _t, _s in (
+    ("string", "STRING"),
+    ("uint8", "SMALLINT"),
+    ("uint16", "INT"),
+    ("uint32", "BIGINT"),
+    ("uint64", "BIGINT"),
+    ("int8", "TINYINT"),
+    ("int16", "SMALLINT"),
+    ("int32", "INT"),
+    ("int64", "BIGINT"),
+    ("float32", "FLOAT"),
+    ("float64", "DOUBLE"),
+    ("date", "DATE"),
+    ("datetime", "TIMESTAMP"),
+):
+    TEMPLATES[f"emptyarray{_t}"] = f"CAST(array() AS ARRAY<{_s}>)"
+
 # readable/rendering helpers + misc numeric spellings
 TEMPLATES["roundtoexp2"] = (
     "CASE WHEN {0} <= 0 THEN 0 ELSE CAST(pow(2, floor(log2({0}))) AS BIGINT) END"

@@ -196,7 +196,7 @@ def _multi_if(args: list[str]) -> str:
 # arity- or argument-shape-dependent rewrites handled in code, not
 # via the TEMPLATES table (e.g. Spark's 2-arg HOF transform() must
 # pass through while CH's 3/4-arg decode-style transform() rewrites)
-_SPECIAL_FNS = {"count", "transform", "tostartofinterval", "tupleelement"}
+_SPECIAL_FNS = {"count", "transform", "tostartofinterval", "tupleelement", "hex"}
 
 
 def _start_of_interval(expr: str, interval: str) -> str:
@@ -308,6 +308,16 @@ def _rewrite_functions(sql: str) -> str:
                         fld = args[1].strip().strip("'\"")
                         fld = f"col{fld}" if fld.isdigit() else fld
                         out.append(f"({a0}).{fld}")
+                        i = close + 1
+                        changed = True
+                        continue
+                    if lname == "hex" and len(args) == 1 and re.match(
+                        r"(?i)\s*(md5|sha1|sha256|sha2|sha224|sha384|sha512)\s*\(",
+                        args[0],
+                    ):
+                        # CH hash fns return binary, hex()ed to display;
+                        # Spark's return hex text already — just uppercase
+                        out.append(f"upper({args[0]})")
                         i = close + 1
                         changed = True
                         continue
@@ -836,6 +846,121 @@ def _rewrite_array_join(toks: list[Tok]) -> list[Tok]:
     return tokenize(f"{head} FROM {sub} {rest}")
 
 
+_JOIN_SIDES = ("LEFT", "RIGHT", "INNER", "FULL", "OUTER", "JOIN")
+
+
+def _rewrite_join_strictness(toks: list[Tok]) -> list[Tok]:
+    """CH join strictness/word-order:
+
+    - ``SEMI LEFT JOIN`` / ``ANTI LEFT JOIN`` → Spark word order
+      (``LEFT SEMI`` / ``LEFT ANTI``), same for RIGHT.
+    - ``ALL <type> JOIN`` → drop ALL (CH default, Spark default).
+    - ``ANY LEFT/INNER JOIN t USING (k)`` → the right side is
+      deduplicated to one row per key before joining (CH ANY takes a
+      single match). ON-form and ANY RIGHT fall back to dropping ANY
+      (approximation: all matches) — documented divergence.
+    - ``ASOF JOIN`` in SQL form raises (use the window pattern /
+      operators/asof.py; silent alias-misparse would be worse).
+    """
+    sig = _sig(toks)
+
+    def up(si: int) -> str:
+        return toks[sig[si]].text.upper() if 0 <= si < len(sig) else ""
+
+    for si in range(len(sig)):
+        t = toks[sig[si]]
+        if t.kind != "ident":
+            continue
+        w = t.text.upper()
+        if w in ("SEMI", "ANTI") and up(si + 1) in ("LEFT", "RIGHT"):
+            side = toks[sig[si + 1]]
+            t.text, side.text = side.text, t.text
+        elif w == "ALL" and up(si + 1) in _JOIN_SIDES and up(si - 1) != "UNION":
+            t.text = ""
+        elif w == "ASOF" and up(si + 1) in _JOIN_SIDES:
+            raise ValueError(
+                "ASOF JOIN (SQL form) is not supported; use the as-of window "
+                "pattern (SURVEY §2.3 J6) or cowsdb_spark.operators.asof"
+            )
+        elif w == "ANY" and up(si + 1) in _JOIN_SIDES:
+            if not _any_join_dedup(toks, sig, si):
+                t.text = ""  # approximation: keep all matches
+    return toks
+
+
+def _any_join_dedup(toks: list[Tok], sig: list[int], si: int) -> bool:
+    """Rewrite ``ANY <type> JOIN ref [alias] USING (cols)`` in place.
+    Returns False if the shape doesn't match (caller drops ANY)."""
+    j = si + 1
+    side = toks[sig[j]].text.upper() if j < len(sig) else ""
+    if side == "RIGHT":
+        return False  # CH ANY RIGHT dedups the LEFT side; approximate
+    while j < len(sig) and toks[sig[j]].text.upper() in _JOIN_SIDES:
+        consumed_join = toks[sig[j]].text.upper() == "JOIN"
+        j += 1
+        if consumed_join:
+            break
+    else:
+        return False
+    # table ref: ident/bquote possibly db.tbl; subqueries not handled
+    if j >= len(sig) or toks[sig[j]].kind not in ("ident", "bquote"):
+        return False
+    ref_idx = [sig[j]]
+    j += 1
+    while j + 1 < len(sig) and toks[sig[j]].text == ".":
+        ref_idx += [sig[j], sig[j + 1]]
+        j += 2
+    alias = None
+    alias_idx: list[int] = []
+    if j < len(sig) and toks[sig[j]].text.upper() == "AS":
+        alias_idx.append(sig[j])
+        j += 1
+        if j < len(sig):
+            alias = toks[sig[j]].text
+            alias_idx.append(sig[j])
+            j += 1
+    elif j < len(sig) and toks[sig[j]].kind in ("ident", "bquote") and toks[
+        sig[j]
+    ].text.upper() not in ("USING", "ON"):
+        alias = toks[sig[j]].text
+        alias_idx.append(sig[j])
+        j += 1
+    if j >= len(sig) or toks[sig[j]].text.upper() != "USING":
+        return False
+    if j + 1 >= len(sig) or toks[sig[j + 1]].text != "(":
+        return False
+    # cols up to matching close
+    depth = 0
+    cols_toks = []
+    for k in range(j + 1, len(sig)):
+        tx = toks[sig[k]].text
+        if tx == "(":
+            depth += 1
+            if depth == 1:
+                continue
+        elif tx == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        cols_toks.append(tx)
+    cols = " ".join(cols_toks).strip()
+    if not cols:
+        return False
+    ref_text = "".join(toks[i].text for i in ref_idx)
+    if alias is None:
+        alias = toks[ref_idx[-1]].text  # bare table name keeps refs valid
+    dedup = (
+        f"(SELECT * EXCEPT (__ch_aj) FROM (SELECT *, row_number() OVER ("
+        f"PARTITION BY {cols} ORDER BY {cols}) AS __ch_aj FROM {ref_text}"
+        f") __ch_aj_in WHERE __ch_aj = 1) AS {alias}"
+    )
+    toks[sig[si]].text = ""  # ANY
+    toks[ref_idx[0]].text = dedup
+    for i in ref_idx[1:] + alias_idx:
+        toks[i].text = ""
+    return True
+
+
 def _rewrite_ch_modifiers(toks: list[Tok]) -> list[Tok]:
     """Cheap CH-only SELECT modifiers:
 
@@ -1006,6 +1131,7 @@ def translate_select(sql: str) -> Statement:
     _rewrite_explain(toks)
     _rewrite_brackets(toks)
     toks = _rewrite_ch_modifiers(toks)
+    toks = _rewrite_join_strictness(toks)
     toks = _rewrite_array_join(toks)
     toks = _rewrite_distinct_on(toks)
     toks = _rewrite_limit_by(toks)

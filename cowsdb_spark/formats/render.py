@@ -44,6 +44,10 @@ def plain_text(v) -> str:
         return "[" + ",".join(_quoted_inner(x) for x in v) + "]"
     if isinstance(v, dict):
         return "{" + ",".join(f"{_quoted_inner(k)}:{_quoted_inner(x)}" for k, x in v.items()) + "}"
+    if hasattr(v, "__fields__"):  # pyspark Row (struct) → CH tuple style
+        return "(" + ",".join(_quoted_inner(x) for x in v) + ")"
+    if isinstance(v, tuple):
+        return "(" + ",".join(_quoted_inner(x) for x in v) + ")"
     return str(v)
 
 
@@ -96,6 +100,8 @@ def json_value(v):
         return v.isoformat()
     if isinstance(v, (bytes, bytearray)):
         return v.decode("utf-8", "replace")
+    if hasattr(v, "__fields__"):  # pyspark Row (struct) → JSON object
+        return {f: json_value(x) for f, x in zip(v.__fields__, v)}
     if isinstance(v, list):
         return [json_value(x) for x in v]
     if isinstance(v, dict):

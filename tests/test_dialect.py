@@ -335,3 +335,40 @@ class TestArityAwareRewrites:
     def test_readable_size_and_bar(self):
         assert "KiB" in self._sql("SELECT formatReadableSize(n) FROM t")
         assert "repeat('█'" in self._sql("SELECT bar(v, 0, 10, 10) FROM t")
+
+
+class TestJoinStrictness:
+    def _sql(self, q):
+        from cowsdb_spark.dialect.translate import translate
+
+        return translate(q)[0].spark_sql
+
+    def test_semi_anti_word_order(self):
+        assert "LEFT SEMI JOIN" in self._sql("SELECT a FROM x SEMI LEFT JOIN y USING (k)")
+        assert "LEFT ANTI JOIN" in self._sql("SELECT a FROM x ANTI LEFT JOIN y USING (k)")
+
+    def test_all_join_dropped_union_all_kept(self):
+        s = self._sql("SELECT a FROM x ALL INNER JOIN y USING (k)")
+        assert "ALL" not in s.upper().replace("ALL INNER", "")  # ALL gone
+        s2 = self._sql("SELECT a FROM x UNION ALL SELECT a FROM y")
+        assert "UNION ALL" in s2
+
+    def test_any_join_dedups_right_side(self):
+        s = self._sql("SELECT a, b FROM x ANY LEFT JOIN y USING (k)")
+        assert "row_number() OVER (PARTITION BY k" in s
+        assert "__ch_aj = 1" in s and ") AS y" in s
+
+    def test_any_join_keeps_explicit_alias(self):
+        s = self._sql("SELECT a FROM x ANY INNER JOIN y AS z USING (k)")
+        assert ") AS z" in s and " AS y" not in s
+
+    def test_asof_sql_form_raises(self):
+        import pytest
+        from cowsdb_spark.dialect.translate import translate
+
+        with pytest.raises(ValueError, match="ASOF"):
+            translate("SELECT a FROM x ASOF JOIN y USING (k)")
+
+    def test_hex_of_hash_idiom(self):
+        assert "upper(md5('x'))" in self._sql("SELECT hex(MD5('x'))")
+        assert "hex(n)" in self._sql("SELECT hex(n) FROM t")  # plain hex kept
