@@ -217,6 +217,34 @@ RENAMES["ln"] = "ln"
 RENAMES["md5"] = "md5"
 RENAMES["ilike"] = "ilike"
 
+# aggregate combinator breadth (gap-hunt round 3)
+TEMPLATES["anyif"] = "any_value(CASE WHEN {1} THEN {0} END, true)"
+TEMPLATES["uniqif"] = "approx_count_distinct(CASE WHEN {1} THEN {0} END)"
+TEMPLATES["uniqexactif"] = "count(DISTINCT CASE WHEN {1} THEN {0} END)"
+TEMPLATES["countdistinct"] = "count(DISTINCT {*})"
+RENAMES["uniqtheta"] = "approx_count_distinct"
+# -Array combinators fold the arrays into the aggregate's domain
+TEMPLATES["sumarray"] = (
+    "sum(aggregate({0}, CAST(0 AS DOUBLE), (acc, x) -> acc + x))"
+)
+TEMPLATES["avgarray"] = (
+    "(sum(aggregate({0}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)) / sum(size({0})))"
+)
+TEMPLATES["minarray"] = "min(array_min({0}))"
+TEMPLATES["maxarray"] = "max(array_max({0}))"
+TEMPLATES["countarray"] = "sum(size({0}))"
+
+# string search family
+TEMPLATES["splitbywhitespace"] = "split(trim({0}), '\\\\s+')"
+TEMPLATES["countsubstrings"] = (
+    "CAST(CASE WHEN length({1}) = 0 THEN 0 ELSE "
+    "(length({0}) - length(replace({0}, {1}, ''))) / length({1}) END AS BIGINT)"
+)
+TEMPLATES["multisearchany"] = "exists({1}, p -> contains({0}, p))"
+TEMPLATES["multisearchanycaseinsensitive"] = (
+    "exists({1}, p -> contains(lower({0}), lower(p)))"
+)
+
 # array predicates / constructors / misc (gap-hunt round 2)
 RENAMES["arrayzip"] = "arrays_zip"
 RENAMES["generateuuidv4"] = "uuid"

@@ -673,6 +673,92 @@ def _append_select_items(core: str, items: list[str]) -> str:
     return core
 
 
+def _rewrite_limit_comma(toks: list[Tok]) -> list[Tok]:
+    """CH ``LIMIT offset, count`` → ``LIMIT count OFFSET offset``."""
+    sig = _sig(toks)
+    depth = 0
+    for si, i in enumerate(sig):
+        t = toks[i]
+        depth += t.text.count("(") - t.text.count(")")
+        if (
+            depth == 0
+            and t.kind == "ident"
+            and t.text.upper() == "LIMIT"
+            and si + 3 < len(sig) + 1
+            and si + 3 <= len(sig)
+            and si + 1 < len(sig)
+            and toks[sig[si + 1]].kind == "number"
+            and si + 2 < len(sig)
+            and toks[sig[si + 2]].text == ","
+            and si + 3 < len(sig)
+            and toks[sig[si + 3]].kind == "number"
+        ):
+            off, cnt = toks[sig[si + 1]], toks[sig[si + 3]]
+            off.text, cnt.text = cnt.text, f"OFFSET {off.text}"
+            toks[sig[si + 2]].text = ""
+            break
+    return toks
+
+
+def _rewrite_star_replace(toks: list[Tok]) -> list[Tok]:
+    """CH ``* REPLACE (expr AS col, …)`` → ``* EXCEPT (cols), expr AS
+    col, …`` (replaced columns move to the end of the projection)."""
+    sig = _sig(toks)
+    for si, i in enumerate(sig):
+        if (
+            toks[i].text == "*"
+            and si + 2 < len(sig)
+            and toks[sig[si + 1]].text.upper() == "REPLACE"
+            and toks[sig[si + 2]].text == "("
+        ):
+            depth = 0
+            close = None
+            for sj in range(si + 2, len(sig)):
+                tx = toks[sig[sj]].text
+                if tx == "(":
+                    depth += 1
+                elif tx == ")":
+                    depth -= 1
+                    if depth == 0:
+                        close = sj
+                        break
+            if close is None:
+                return toks
+            inner = " ".join(
+                toks[sig[k]].text for k in range(si + 3, close)
+            ).strip()
+            items = _split_top_level_text(inner)
+            cols = []
+            for it in items:
+                m = re.search(r"(?is)\s+AS\s+(`[^`]+`|\w+)\s*$", it)
+                if not m:
+                    return toks  # not the REPLACE shape we understand
+                cols.append(m.group(1))
+            toks[i].text = (
+                f"* EXCEPT ({', '.join(cols)}), {', '.join(items)}"
+            )
+            for k in range(si + 1, close + 1):
+                toks[sig[k]].text = ""
+            break
+    return toks
+
+
+def _rewrite_group_by_empty(toks: list[Tok]) -> list[Tok]:
+    """CH ``GROUP BY ()`` (global aggregate) → drop the clause."""
+    sig = _sig(toks)
+    for si in range(len(sig) - 3):
+        if (
+            toks[sig[si]].text.upper() == "GROUP"
+            and toks[sig[si + 1]].text.upper() == "BY"
+            and toks[sig[si + 2]].text == "("
+            and toks[sig[si + 3]].text == ")"
+        ):
+            for k in range(si, si + 4):
+                toks[sig[k]].text = ""
+            break
+    return toks
+
+
 def _rewrite_distinct_on(toks: list[Tok]) -> list[Tok]:
     """CH ``SELECT DISTINCT ON (keys) …`` ≡ ``… LIMIT 1 BY keys``
     (first row per key group under the query's ORDER BY)."""
@@ -1133,8 +1219,11 @@ def translate_select(sql: str) -> Statement:
     toks = _rewrite_ch_modifiers(toks)
     toks = _rewrite_join_strictness(toks)
     toks = _rewrite_array_join(toks)
+    toks = _rewrite_star_replace(toks)
+    toks = _rewrite_group_by_empty(toks)
     toks = _rewrite_distinct_on(toks)
     toks = _rewrite_limit_by(toks)
+    toks = _rewrite_limit_comma(toks)
     toks, with_totals = _rewrite_with_totals(toks)
     body = "".join(t.text for t in toks).strip()
     body = _rewrite_ternary(body)

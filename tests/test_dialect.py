@@ -372,3 +372,37 @@ class TestJoinStrictness:
     def test_hex_of_hash_idiom(self):
         assert "upper(md5('x'))" in self._sql("SELECT hex(MD5('x'))")
         assert "hex(n)" in self._sql("SELECT hex(n) FROM t")  # plain hex kept
+
+
+class TestSelectModifiers:
+    """CH LIMIT offset,count / * REPLACE / GROUP BY () / combinators."""
+
+    def _sql(self, q):
+        from cowsdb_spark.dialect.translate import translate
+
+        return translate(q)[0].spark_sql
+
+    def test_limit_comma_is_offset(self):
+        s = self._sql("SELECT k FROM t ORDER BY k LIMIT 10, 5")
+        assert "LIMIT 5" in s and "OFFSET 10" in s
+
+    def test_star_replace(self):
+        s = self._sql("SELECT * REPLACE (v * 2 AS v) FROM t")
+        assert "* EXCEPT (v)" in s and "v * 2 AS v" in s
+
+    def test_group_by_empty_parens_dropped(self):
+        s = self._sql("SELECT sum(v) FROM t GROUP BY ()")
+        assert "GROUP BY" not in s.upper()
+
+    def test_array_combinators(self):
+        s = self._sql("SELECT sumArray(a), minArray(a) FROM t")
+        assert "aggregate(a" in s and "min(array_min(a))" in s
+
+    def test_if_combinators(self):
+        s = self._sql("SELECT anyIf(v, c), uniqExactIf(v, c) FROM t")
+        assert "any_value(CASE WHEN c THEN v END, true)" in s
+        assert "count(DISTINCT CASE WHEN c THEN v END)" in s
+
+    def test_multisearch(self):
+        s = self._sql("SELECT multiSearchAny(s, ['a','b']) FROM t")
+        assert "exists(array('a','b'), p -> contains(s, p))" in s
