@@ -217,6 +217,53 @@ RENAMES["ln"] = "ln"
 RENAMES["md5"] = "md5"
 RENAMES["ilike"] = "ilike"
 
+# date/time breadth (gap-hunt round 4)
+RENAMES["todate32"] = "date"
+RENAMES["todayofyear"] = "dayofyear"
+RENAMES["toisoweek"] = "weekofyear"  # Spark weekofyear is ISO-8601
+RENAMES["tolastdayofmonth"] = "last_day"
+RENAMES["makedate"] = "make_date"
+TEMPLATES["makedatetime"] = "make_timestamp({0}, {1}, {2}, {3}, {4}, {5})"
+TEMPLATES["totimezone"] = "from_utc_timestamp({0}, {1})"
+TEMPLATES["toisoyear"] = (
+    "CAST(date_format(date_trunc('week', {0}) + interval 3 days, 'yyyy') AS INT)"
+)
+TEMPLATES["toyearweek"] = (
+    "(CAST(date_format(date_trunc('week', {0}) + interval 3 days, 'yyyy') AS INT) "
+    "* 100 + weekofyear({0}))"
+)
+TEMPLATES["torelativedaynum"] = "unix_date(CAST({0} AS DATE))"
+TEMPLATES["timeslot"] = "to_timestamp(floor(unix_timestamp({0}) / 1800) * 1800)"
+TEMPLATES["age"] = "timestampdiff({0:lit}, {1}, {2})"
+TEMPLATES["datename"] = (
+    "CASE lower({0}) WHEN 'year' THEN date_format({1}, 'yyyy') "
+    "WHEN 'quarter' THEN CAST(quarter({1}) AS STRING) "
+    "WHEN 'month' THEN date_format({1}, 'MMMM') "
+    "WHEN 'week' THEN CAST(weekofyear({1}) AS STRING) "
+    "WHEN 'dayofyear' THEN CAST(dayofyear({1}) AS STRING) "
+    "WHEN 'day' THEN CAST(day({1}) AS STRING) "
+    "WHEN 'weekday' THEN date_format({1}, 'EEEE') "
+    "WHEN 'hour' THEN CAST(hour({1}) AS STRING) "
+    "WHEN 'minute' THEN CAST(minute({1}) AS STRING) "
+    "WHEN 'second' THEN CAST(second({1}) AS STRING) END"
+)
+TEMPLATES["addweeks"] = "date_add({0}, 7 * ({1}))"
+TEMPLATES["addyears"] = "add_months({0}, 12 * ({1}))"
+TEMPLATES["addseconds"] = "({0} + make_interval(0, 0, 0, 0, 0, 0, {1}))"
+TEMPLATES["subtractweeks"] = "date_sub({0}, 7 * ({1}))"
+TEMPLATES["subtractmonths"] = "add_months({0}, -({1}))"
+TEMPLATES["subtractyears"] = "add_months({0}, -12 * ({1}))"
+TEMPLATES["subtracthours"] = "({0} - make_interval(0, 0, 0, 0, {1}))"
+TEMPLATES["subtractminutes"] = "({0} - make_interval(0, 0, 0, 0, 0, {1}))"
+TEMPLATES["subtractseconds"] = "({0} - make_interval(0, 0, 0, 0, 0, 0, {1}))"
+TEMPLATES["tointervalsecond"] = "make_interval(0, 0, 0, 0, 0, 0, {0})"
+TEMPLATES["tointervalminute"] = "make_interval(0, 0, 0, 0, 0, {0})"
+TEMPLATES["tointervalhour"] = "make_interval(0, 0, 0, 0, {0})"
+TEMPLATES["tointervalday"] = "make_interval(0, 0, 0, {0})"
+TEMPLATES["tointervalweek"] = "make_interval(0, 0, {0})"
+TEMPLATES["tointervalmonth"] = "make_interval(0, {0})"
+TEMPLATES["tointervalyear"] = "make_interval({0})"
+
 # aggregate combinator breadth (gap-hunt round 3)
 TEMPLATES["anyif"] = "any_value(CASE WHEN {1} THEN {0} END, true)"
 TEMPLATES["uniqif"] = "approx_count_distinct(CASE WHEN {1} THEN {0} END)"

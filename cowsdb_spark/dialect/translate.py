@@ -216,6 +216,51 @@ def _start_of_interval(expr: str, interval: str) -> str:
     return f"date_trunc('{unit}', {expr})"  # n>1 month/year: truncate to unit
 
 
+_STRFTIME_MAP = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "c": "M", "d": "dd", "e": "d",
+    "H": "HH", "I": "hh", "h": "hh", "i": "mm", "M": "mm", "S": "ss",
+    "s": "ss", "j": "DDD", "a": "EEE", "W": "EEEE", "b": "MMM",
+    "f": "SSSSSS", "F": "yyyy-MM-dd", "D": "MM/dd/yy", "T": "HH:mm:ss",
+    "R": "HH:mm", "p": "a", "G": "yyyy", "g": "yy", "n": "\n", "t": "\t",
+}
+
+
+def _strftime_to_java(fmt: str) -> str:
+    """MySQL/strftime ``%``-pattern → Java SimpleDateFormat pattern.
+    (%M maps to minutes — the '%H:%M:%S' idiom — not month name.)
+    Literal letters are quoted so Java doesn't treat them as fields."""
+    out: list[str] = []
+    lit: list[str] = []
+
+    def flush() -> None:
+        if lit:
+            text = "".join(lit)
+            if any(c.isalpha() or c == "'" for c in text):
+                out.append("'" + text.replace("'", "''") + "'")
+            else:
+                out.append(text)
+            lit.clear()
+
+    i = 0
+    while i < len(fmt):
+        c = fmt[i]
+        if c == "%" and i + 1 < len(fmt):
+            nxt = fmt[i + 1]
+            if nxt == "%":
+                lit.append("%")
+            elif nxt in _STRFTIME_MAP:
+                flush()
+                out.append(_STRFTIME_MAP[nxt])
+            else:
+                lit.append(nxt)
+            i += 2
+        else:
+            lit.append(c)
+            i += 1
+    flush()
+    return "".join(out)
+
+
 def _rewrite_functions(sql: str) -> str:
     """One pass of call-site rewrites; repeats until fixpoint."""
     for _ in range(10):  # nested rewrites converge quickly
@@ -311,6 +356,19 @@ def _rewrite_functions(sql: str) -> str:
                         i = close + 1
                         changed = True
                         continue
+                    if (
+                        lname == "formatdatetime"
+                        and len(args) >= 2
+                        and re.match(r"^\s*'[^']*%[^']*'\s*$", args[1])
+                    ):
+                        # CH uses MySQL/strftime % patterns; Spark wants
+                        # Java SimpleDateFormat — convert literal patterns
+                        conv = _strftime_to_java(args[1].strip()[1:-1])
+                        conv = conv.replace("'", "''")  # SQL-escape pattern quotes
+                        out.append(f"date_format({args[0]}, '{conv}')")
+                        i = close + 1
+                        changed = True
+                        continue
                     if lname == "hex" and len(args) == 1 and re.match(
                         r"(?i)\s*(md5|sha1|sha256|sha2|sha224|sha384|sha512)\s*\(",
                         args[0],
@@ -326,7 +384,16 @@ def _rewrite_functions(sql: str) -> str:
                         i += 1
                         continue
                     if lname in TEMPLATES and TEMPLATES[lname] is not None:
-                        out.append(_apply_template(TEMPLATES[lname], args))
+                        tpl = TEMPLATES[lname]
+                        refs = [int(m) for m in re.findall(r"\{(\d+)(?::lit)?\}", tpl)]
+                        if refs and max(refs) >= len(args):
+                            # arity mismatch (e.g. a template's own output
+                            # re-matched on the next fixpoint pass, or a
+                            # Spark-native call sharing the name): pass
+                            out.append(t.text)
+                            i += 1
+                            continue
+                        out.append(_apply_template(tpl, args))
                         i = close + 1
                         changed = True
                         continue

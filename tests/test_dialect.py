@@ -406,3 +406,57 @@ class TestSelectModifiers:
     def test_multisearch(self):
         s = self._sql("SELECT multiSearchAny(s, ['a','b']) FROM t")
         assert "exists(array('a','b'), p -> contains(s, p))" in s
+
+
+class TestDateFunctionBreadth:
+    """Round-4 date/time spellings, executed with expected values."""
+
+    def _run(self, spark, q):
+        from cowsdb_spark.dialect.translate import translate
+
+        return [tuple(r) for r in spark.sql(translate(q)[0].spark_sql).collect()]
+
+    def test_iso_week_year(self, spark):
+        rows = self._run(
+            spark, "SELECT toISOWeek(toDate('2024-01-04')) AS w, toISOYear(toDate('2024-01-04')) AS y"
+        )
+        assert rows == [(1, 2024)]
+
+    def test_add_subtract_family(self, spark):
+        rows = self._run(
+            spark,
+            "SELECT addWeeks(toDate('2024-01-01'), 2) AS a, "
+            "subtractMonths(toDate('2024-03-01'), 1) AS b",
+        )
+        assert str(rows[0][0]) == "2024-01-15" and str(rows[0][1]) == "2024-02-01"
+
+    def test_format_datetime_strftime(self, spark):
+        rows = self._run(
+            spark,
+            "SELECT formatDateTime(timestamp'2024-03-05 01:02:03', '%Y-%m-%d %H:%M:%S') AS s",
+        )
+        assert rows == [("2024-03-05 01:02:03",)]
+
+    def test_format_datetime_literal_text_quoted(self, spark):
+        rows = self._run(
+            spark, "SELECT formatDateTime(toDate('2024-03-05'), '%d of %b') AS s"
+        )
+        assert rows == [("05 of Mar",)]
+
+    def test_template_arity_guard(self, spark):
+        # torelativedaynum emits a plain call; a 2-arg datediff must not
+        # be garbled by the 3-arg CH dateDiff template on the next pass
+        rows = self._run(spark, "SELECT toRelativeDayNum(toDate('1970-01-10')) AS n")
+        assert rows == [(9,)]
+
+    def test_date_name(self, spark):
+        rows = self._run(
+            spark,
+            "SELECT dateName('month', toDate('2024-03-01')) AS m, "
+            "dateName('weekday', toDate('2024-03-04')) AS w",
+        )
+        assert rows == [("March", "Monday")]
+
+    def test_intervals(self, spark):
+        rows = self._run(spark, "SELECT toIntervalDay(3) + toDate('2024-01-01') AS d")
+        assert str(rows[0][0]).startswith("2024-01-04")
