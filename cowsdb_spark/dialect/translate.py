@@ -53,6 +53,7 @@ class Statement:
     settings: dict[str, str] = field(default_factory=dict)
     original: str = ""
     with_totals: bool = False  # GROUP BY … WITH TOTALS
+    explain_graph: bool = False  # EXPLAIN … graph=1 → digraph output
 
 
 def split_statements(sql: str) -> list[str]:
@@ -544,14 +545,17 @@ def _rewrite_double_literals(toks: list[Tok]) -> None:
             t.text += "D"
 
 
-def _rewrite_explain(toks: list[Tok]) -> None:
+def _rewrite_explain(toks: list[Tok]) -> bool:
     """CH ``EXPLAIN [AST|SYNTAX|PLAN|PIPELINE|ESTIMATE] [k=v ...]`` →
     Spark ``EXPLAIN [EXTENDED|FORMATTED]`` (SURVEY §2.8 F10; the Play
     UI sends ``EXPLAIN PIPELINE graph=1`` / ``EXPLAIN AST graph=1``,
-    index.html:714-716). Options like ``graph=1`` are dropped."""
+    index.html:714-716). ``graph=1`` switches to digraph output: the
+    EXPLAIN wrapper is stripped entirely and True is returned — the
+    engine runs the bare query and emits a dot graph of its physical
+    plan. Other options are dropped."""
     sig = [i for i, t in enumerate(toks) if t.kind not in ("ws", "comment")]
     if not sig or toks[sig[0]].text.upper() != "EXPLAIN":
-        return
+        return False
     mode_map = {
         "AST": "EXTENDED",
         "SYNTAX": "EXTENDED",
@@ -569,16 +573,25 @@ def _rewrite_explain(toks: list[Tok]) -> None:
             toks[sig[2]].text = ""
             k = 3
     # drop option tokens `name = value` before the SELECT
+    graph = False
     while (
         k + 2 < len(sig)
         and toks[sig[k]].kind == "ident"
         and toks[sig[k]].text.upper() not in ("SELECT", "WITH", "INSERT")
         and toks[sig[k + 1]].text == "="
     ):
+        if toks[sig[k]].text.lower() == "graph" and toks[sig[k + 2]].text == "1":
+            graph = True
         toks[sig[k]].text = ""
         toks[sig[k + 1]].text = ""
         toks[sig[k + 2]].text = ""
         k += 3
+    if graph:
+        # strip EXPLAIN + mode so the engine runs the bare query
+        toks[sig[0]].text = ""
+        if k >= 2:
+            toks[sig[1]].text = ""
+    return graph
 
 
 def _rewrite_sample(toks: list[Tok]) -> None:
@@ -1281,7 +1294,7 @@ def translate_select(sql: str) -> Statement:
     toks, settings = _strip_trailing_settings(toks)
     _rewrite_sample(toks)  # before double-literals: SAMPLE 0.5 is a fraction
     _rewrite_double_literals(toks)
-    _rewrite_explain(toks)
+    explain_graph = _rewrite_explain(toks)
     _rewrite_brackets(toks)
     toks = _rewrite_ch_modifiers(toks)
     toks = _rewrite_join_strictness(toks)
@@ -1297,7 +1310,7 @@ def translate_select(sql: str) -> Statement:
     body = _rewrite_functions(body)
     return Statement(
         kind="select", spark_sql=body, format=fmt, settings=settings, original=sql,
-        with_totals=with_totals,
+        with_totals=with_totals, explain_graph=explain_graph,
     )
 
 

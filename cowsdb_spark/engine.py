@@ -178,6 +178,13 @@ class Engine:
                 out_fmt = st.format or out_fmt
                 settings.update(st.settings)
                 result_df = self._run_select(sess, st.spark_sql)
+                if st.explain_graph:
+                    from .plans.inspect import plan_digraph
+
+                    dot = plan_digraph(result_df)
+                    result_df = self.spark.createDataFrame(
+                        [(dot,)], "explain string"
+                    )
                 if st.with_totals:
                     result_df = self._split_totals(result_df)
         return result_df, out_fmt, settings, time.time() - t0

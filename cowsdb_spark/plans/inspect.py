@@ -41,3 +41,26 @@ def scan_read_schema(df: DataFrame) -> list[str]:
 
 def plan_has(df: DataFrame, fragment: str) -> bool:
     return fragment in explain_str(df)
+
+
+def plan_digraph(df: DataFrame) -> str:
+    """Physical plan as graphviz dot (the Play UI renders any EXPLAIN
+    output that starts with ``digraph``, index.html:714-716,975)."""
+    plan = df._jdf.queryExecution().executedPlan()  # noqa: SLF001
+    lines = ["digraph plan {", "  rankdir = TB;", "  node [shape=box];"]
+    counter = [0]
+
+    def walk(node) -> int:
+        nid = counter[0]
+        counter[0] += 1
+        label = str(node.nodeName()).replace('"', "'")
+        lines.append(f'  n{nid} [label="{label}"];')
+        kids = node.children()
+        for i in range(kids.size()):
+            cid = walk(kids.apply(i))
+            lines.append(f"  n{nid} -> n{cid};")
+        return nid
+
+    walk(plan)
+    lines.append("}")
+    return "\n".join(lines)

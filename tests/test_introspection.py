@@ -129,13 +129,24 @@ class TestExplain:
         out = engine.execute("EXPLAIN SELECT 1 AS x").decode()
         assert "Project" in out or "== Physical Plan ==" in out
 
-    def test_explain_pipeline_maps_to_formatted(self, engine):
+    def test_explain_pipeline_graph_emits_digraph(self, engine):
+        # the Play UI graphviz path (index.html:714-716,975)
         out = engine.execute("EXPLAIN PIPELINE graph=1 SELECT 1 AS x").decode()
+        assert out.startswith("digraph") and "->" not in out.split("{")[0]
+
+    def test_explain_pipeline_without_graph_is_text(self, engine):
+        out = engine.execute("EXPLAIN PIPELINE SELECT 1 AS x").decode()
         assert "Physical Plan" in out
 
-    def test_explain_ast_maps_to_extended(self, engine):
+    def test_explain_ast_graph_emits_digraph(self, engine):
         out = engine.execute("EXPLAIN AST graph=1 SELECT 1 AS x").decode()
-        assert "Logical Plan" in out or "Parsed" in out
+        assert out.startswith("digraph")
+
+    def test_explain_graph_has_plan_nodes(self, engine):
+        out = engine.execute(
+            "EXPLAIN PIPELINE graph=1 SELECT number FROM numbers(10) WHERE number > 3"
+        ).decode()
+        assert "Range" in out and "Filter" in out and "->" in out
 
 
 class TestPlanInspection:
