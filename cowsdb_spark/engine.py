@@ -177,7 +177,9 @@ class Engine:
             else:
                 out_fmt = st.format or out_fmt
                 settings.update(st.settings)
-                result_df = self._run_select(sess, st.spark_sql)
+                result_df = self._run_show(sess, st.spark_sql)
+                if result_df is None:
+                    result_df = self._run_select(sess, st.spark_sql)
                 if st.explain_graph:
                     from .plans.inspect import plan_digraph
 
@@ -636,6 +638,64 @@ class Engine:
         except Exception as e:
             raise EngineError(_clean_spark_error(e), _ch_error_code(str(e))) from e
 
+
+    # --------------------------------------------------- SHOW statements
+
+    def _run_show(self, sess: UserSession, sql: str):
+        """CH-shaped SHOW DATABASES / TABLES / CREATE TABLE. Returns
+        None for other SHOW forms (Spark passthrough). Spark's own
+        output would leak the internal ``u<hash>__`` namespaces and
+        other credentials' databases (reference parity: each session
+        sees only its own catalog, main.py:140-173)."""
+        from pyspark.sql import functions as F
+
+        from .dialect.tokenizer import tokenize
+        from .system_tables import system_databases, system_tables
+
+        toks = [t for t in tokenize(sql) if t.kind not in ("ws", "comment")]
+        if not toks or toks[0].text.upper() != "SHOW":
+            return None
+        second = toks[1].text.upper() if len(toks) > 1 else ""
+        if second == "DATABASES":
+            return system_databases(self.spark, sess.ns).orderBy("name")
+        if second == "TABLES":
+            db = sess.current_db
+            if len(toks) > 3 and toks[2].text.upper() in ("FROM", "IN"):
+                db = toks[3].text.strip("`")
+            return (
+                system_tables(self.spark, sess.ns)
+                .filter(F.col("database") == db)
+                .select("name")
+                .orderBy("name")
+            )
+        if second == "CREATE" and len(toks) > 2 and toks[2].text.upper() == "TABLE":
+            ref = "".join(t.text for t in toks[3:])
+            return self._show_create(sess, ref)
+        return None
+
+    def _show_create(self, sess: UserSession, table_ref: str):
+        """Reconstruct CH-style DDL from the schema + moospark.*
+        properties (column `statement`, as ClickHouse returns it)."""
+        names, ch_types = self.table_columns(table_ref, sess.user, sess.password)
+        tbl = self.resolve_table(table_ref, sess.user, sess.password)
+        props = {}
+        try:
+            for r in self.spark.sql(f"SHOW TBLPROPERTIES {tbl}").collect():
+                props[r["key"]] = r["value"]
+        except Exception:
+            pass
+        visible = table_ref.strip().strip("`")
+        cols = ",\n".join(
+            f"    `{n}` {t}" for n, t in zip(names, ch_types)
+        )
+        stmt = f"CREATE TABLE {visible}\n(\n{cols}\n)\nENGINE = " + props.get(
+            "moospark.engine", "MergeTree"
+        )
+        if props.get("moospark.partition_by"):
+            stmt += f"\nPARTITION BY {props['moospark.partition_by']}"
+        if props.get("moospark.order_by"):
+            stmt += f"\nORDER BY {props['moospark.order_by']}"
+        return self.spark.createDataFrame([(stmt,)], "statement string")
 
     # ------------------------------------------- inline-data INSERT (HTTP)
 

@@ -198,3 +198,36 @@ class TestHeadlinePlanShapes:
         plan = self._plan(spark, sf_dir, "q25_pricing_summary")
         assert "PushedFilters" in plan and "l_shipdate" in plan
         assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+class TestShowStatements:
+    """SHOW DATABASES/TABLES/CREATE TABLE return CH-shaped results and
+    never leak the internal per-credential namespace names."""
+
+    def test_show_databases_hides_namespace(self, engine):
+        engine.execute("CREATE DATABASE IF NOT EXISTS showdb")
+        out = engine.execute("SHOW DATABASES").decode()
+        assert "showdb" in out and "__" not in out
+
+    def test_show_tables_single_column(self, engine):
+        engine.execute("CREATE DATABASE IF NOT EXISTS showdb")
+        engine.execute("DROP TABLE IF EXISTS showdb.st1")
+        engine.execute("CREATE TABLE showdb.st1 (x Int64)")
+        out = engine.execute("SHOW TABLES FROM showdb").decode()
+        assert out == "st1\n"
+
+    def test_show_create_table_ch_ddl(self, engine):
+        engine.execute("CREATE DATABASE IF NOT EXISTS showdb")
+        engine.execute("DROP TABLE IF EXISTS showdb.st2")
+        engine.execute(
+            "CREATE TABLE showdb.st2 (x Int64, s String) ENGINE=MergeTree() ORDER BY (x)"
+        )
+        out = engine.execute("SHOW CREATE TABLE showdb.st2").decode()
+        assert "CREATE TABLE showdb.st2" in out
+        assert "ENGINE = MergeTree" in out and "ORDER BY" in out
+        assert "Nullable(Int64)" in out and "u" + "0" not in out.split("CREATE")[0]
+
+    def test_show_isolated_between_credentials(self, engine):
+        engine.execute("CREATE DATABASE IF NOT EXISTS privdb", user="u1", password="p1")
+        out = engine.execute("SHOW DATABASES", user="u2", password="p2").decode()
+        assert "privdb" not in out
