@@ -197,7 +197,10 @@ def _multi_if(args: list[str]) -> str:
 # arity- or argument-shape-dependent rewrites handled in code, not
 # via the TEMPLATES table (e.g. Spark's 2-arg HOF transform() must
 # pass through while CH's 3/4-arg decode-style transform() rewrites)
-_SPECIAL_FNS = {"count", "transform", "tostartofinterval", "tupleelement", "hex"}
+_SPECIAL_FNS = {
+    "count", "transform", "tostartofinterval", "tupleelement", "hex",
+    "remote", "remotesecure", "cluster", "clusterallreplicas",
+}
 
 
 def _start_of_interval(expr: str, interval: str) -> str:
@@ -377,6 +380,15 @@ def _rewrite_functions(sql: str) -> str:
                         # CH hash fns return binary, hex()ed to display;
                         # Spark's return hex text already — just uppercase
                         out.append(f"upper({args[0]})")
+                        i = close + 1
+                        changed = True
+                        continue
+                    if lname in ("remote", "remotesecure", "cluster", "clusterallreplicas") and len(args) >= 2:
+                        # single-node engine: the address/cluster arg is
+                        # dropped; the remaining args name the table
+                        # (remote('host', db, t) / cluster('c', db.t))
+                        parts = [a.strip().strip("'\"") for a in args[1:]]
+                        out.append(".".join(p for p in parts if p))
                         i = close + 1
                         changed = True
                         continue

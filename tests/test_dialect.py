@@ -460,3 +460,20 @@ class TestDateFunctionBreadth:
     def test_intervals(self, spark):
         rows = self._run(spark, "SELECT toIntervalDay(3) + toDate('2024-01-01') AS d")
         assert str(rows[0][0]).startswith("2024-01-04")
+
+
+class TestRemoteTableFunctions:
+    def _sql(self, q):
+        from cowsdb_spark.dialect.translate import translate
+
+        return translate(q)[0].spark_sql
+
+    def test_remote_drops_address(self):
+        assert "FROM default.rt" in self._sql(
+            "SELECT x FROM remote('127.0.0.1:9000', default, rt)"
+        )
+
+    def test_cluster_qualified_form(self):
+        assert "FROM default.rt" in self._sql(
+            "SELECT x FROM cluster('c', default.rt)"
+        )
