@@ -54,6 +54,9 @@ class UserSession:
     password: str
     current_db: str = "default"
     created_at: float = field(default_factory=time.time)
+    # session-level SET k = v (CH sessions persist settings; we honor
+    # default_format / max_result_rows, accept the rest silently)
+    settings: dict = field(default_factory=dict)
 
     @property
     def ns(self) -> str:
@@ -112,27 +115,45 @@ class Engine:
     def execute(
         self,
         query: str,
-        fmt: str = "TSV",
+        fmt: Optional[str] = None,
         user: str = "default",
         password: str = "",
         database: Optional[str] = None,
     ) -> bytes:
         """Run a (possibly multi-statement) CH-dialect query; returns
-        the LAST statement's result serialized in ``fmt`` (reference
-        semantics: USE prefixing + single result, main.py:859-860)."""
+        the LAST statement's result serialized per the CH precedence
+        FORMAT clause > caller ``fmt`` > session ``SET default_format``
+        > TSV (reference semantics: USE prefixing + single result,
+        main.py:859-860)."""
+        return self.execute_with_format(query, fmt, user, password, database)[0]
+
+    def execute_with_format(
+        self,
+        query: str,
+        fmt: Optional[str] = None,
+        user: str = "default",
+        password: str = "",
+        database: Optional[str] = None,
+    ) -> tuple[bytes, str]:
+        """Like :meth:`execute`, also returning the format actually
+        used (FORMAT clause / caller / session SET / TSV) so servers
+        can emit the right Content-Type."""
         df, out_fmt, settings, elapsed = self.execute_to_df(query, user, password, database)
+        sess = self.get_session(user, password)
+        merged = {**sess.settings, **settings}
+        use_fmt = out_fmt or fmt or merged.get("default_format") or "TSV"
         if df is None:
-            return b""
+            return b"", use_fmt
         res = QueryResult.from_dataframe(df, elapsed=elapsed)
         res.elapsed = elapsed
         res.totals = getattr(df, "_moospark_totals", None)
         max_rows = None
-        if "max_result_rows" in settings:
+        if "max_result_rows" in merged:
             try:
-                max_rows = int(settings["max_result_rows"])
+                max_rows = int(merged["max_result_rows"])
             except ValueError:
                 pass
-        return serialize(res, out_fmt or fmt, max_result_rows=max_rows)
+        return serialize(res, use_fmt, max_result_rows=max_rows), use_fmt
 
     def execute_to_df(
         self,
@@ -165,7 +186,8 @@ class Engine:
                 self._ensure_db(sess.spark_db())
                 result_df = None
             elif st.kind == "set":
-                continue  # accepted & ignored (reference parity, SURVEY §1.3)
+                sess.settings.update(_parse_set(st.original))
+                continue
             elif st.kind == "ddl":
                 self._run_ddl(sess, st.original)
                 result_df = None
@@ -1070,6 +1092,27 @@ class Engine:
         from .dialect.translate import translate_select
 
         return translate_select(select_sql).spark_sql
+
+
+def _parse_set(stmt: str) -> dict:
+    """``SET k = v[, k2 = v2]`` → {k: v} (values unquoted)."""
+    from .dialect.tokenizer import tokenize
+
+    toks = [t for t in tokenize(stmt) if t.kind not in ("ws", "comment")]
+    out: dict = {}
+    i = 1  # skip SET
+    while i + 2 < len(toks) + 1 and i + 2 <= len(toks):
+        if i + 2 > len(toks) or toks[i + 1].text != "=":
+            break
+        key = toks[i].text.strip("`")
+        val = toks[i + 2].text
+        if len(val) >= 2 and val[0] in "'\"" and val[-1] == val[0]:
+            val = val[1:-1]
+        out[key] = val
+        i += 3
+        if i < len(toks) and toks[i].text == ",":
+            i += 1
+    return out
 
 
 import re as _re

@@ -67,11 +67,11 @@ class _Handler(BaseHTTPRequestHandler):
     def _run(self, query: str, fmt: str, database: str):
         user, pw = self._auth()
         try:
-            body = self.engine.execute(
+            body, used_fmt = self.engine.execute_with_format(
                 query.strip(), fmt=fmt, user=user, password=pw,
                 database=database or None,
             )
-            self._send(200, body, content_type(fmt))
+            self._send(200, body, content_type(used_fmt))
         except EngineError as e:
             self._send(400, (str(e) + "\n").encode("utf-8"))
         except Exception as e:  # engine bug → 500, not a hang
@@ -90,7 +90,7 @@ class _Handler(BaseHTTPRequestHandler):
             if not query:
                 self._send(200, PLAY_HTML, "text/html; charset=UTF-8")
                 return
-            fmt = (qs.get("default_format") or ["TSV"])[0]
+            fmt = (qs.get("default_format") or [None])[0]  # None → session SET, then TSV
             database = (qs.get("database") or [""])[0]
             self._run(query, fmt, database)
             return
@@ -108,7 +108,7 @@ class _Handler(BaseHTTPRequestHandler):
         if not query:
             self._send(400, b"Error: no query parameter provided\n")
             return
-        fmt = (qs.get("default_format") or ["TSV"])[0]
+        fmt = (qs.get("default_format") or [None])[0]  # None → session SET, then TSV
         database = (qs.get("database") or [""])[0]
         self._run(query, fmt, database)
 

@@ -440,3 +440,31 @@ class TestInlineDataInsert:
         engine.execute("DROP TABLE casc_b")
         engine.execute("DROP TABLE casc_a")
         engine.execute("DROP TABLE casc_src")
+
+
+class TestSessionSettings:
+    """SET statements persist per credential pair (CH session
+    semantics); we honor default_format and max_result_rows and
+    silently accept the rest (SURVEY §1.3)."""
+
+    def test_set_default_format_persists(self, engine):
+        engine.execute("SET default_format = 'JSONCompact'", user="su1", password="x")
+        out = engine.execute("SELECT 1 AS v", user="su1", password="x")
+        assert out.lstrip().startswith(b"{")
+
+    def test_explicit_format_overrides_session(self, engine):
+        engine.execute("SET default_format = 'JSONCompact'", user="su2", password="x")
+        assert engine.execute("SELECT 1 AS v", fmt="TSV", user="su2", password="x") == b"1\n"
+
+    def test_set_max_result_rows(self, engine):
+        engine.execute("SET max_result_rows = 3", user="su3", password="x")
+        out = engine.execute("SELECT number FROM numbers(10) ORDER BY number", user="su3", password="x")
+        assert out == b"0\n1\n2\n"
+
+    def test_settings_isolated_per_credentials(self, engine):
+        engine.execute("SET default_format = 'JSONCompact'", user="su4", password="x")
+        assert engine.execute("SELECT 1 AS v", user="su5", password="x") == b"1\n"
+
+    def test_unknown_settings_accepted(self, engine):
+        engine.execute("SET max_threads = 8, join_use_nulls = 1", user="su6", password="x")
+        assert engine.execute("SELECT 1 AS v", user="su6", password="x") == b"1\n"
