@@ -46,6 +46,11 @@ class _Handler(BaseHTTPRequestHandler):
     # -- helpers ----------------------------------------------------------
 
     def _auth(self) -> tuple[str, str]:
+        # X-ClickHouse-User/Key headers (CH HTTP interface) take
+        # precedence over Basic auth, like clickhouse-server
+        xu = self.headers.get("X-ClickHouse-User")
+        if xu:
+            return xu, self.headers.get("X-ClickHouse-Key", "")
         hdr = self.headers.get("Authorization", "")
         if hdr.startswith("Basic "):
             try:
@@ -55,6 +60,18 @@ class _Handler(BaseHTTPRequestHandler):
             except Exception:
                 pass
         return "default", ""
+
+    def _fmt_db(self, qs) -> tuple:
+        """(format, database) from URL params, falling back to the
+        X-ClickHouse-Format / X-ClickHouse-Database headers; a None
+        format falls through to the session SET, then TSV."""
+        fmt = (qs.get("default_format") or [None])[0] or self.headers.get(
+            "X-ClickHouse-Format"
+        )
+        db = (qs.get("database") or [""])[0] or self.headers.get(
+            "X-ClickHouse-Database", ""
+        )
+        return fmt, db
 
     def _send(self, code: int, body: bytes, ctype: str = "text/plain; charset=UTF-8"):
         self.send_response(code)
@@ -90,8 +107,7 @@ class _Handler(BaseHTTPRequestHandler):
             if not query:
                 self._send(200, PLAY_HTML, "text/html; charset=UTF-8")
                 return
-            fmt = (qs.get("default_format") or [None])[0]  # None → session SET, then TSV
-            database = (qs.get("database") or [""])[0]
+            fmt, database = self._fmt_db(qs)
             self._run(query, fmt, database)
             return
         # 404 → Play UI (reference main.py:915-917)
@@ -108,8 +124,7 @@ class _Handler(BaseHTTPRequestHandler):
         if not query:
             self._send(400, b"Error: no query parameter provided\n")
             return
-        fmt = (qs.get("default_format") or [None])[0]  # None → session SET, then TSV
-        database = (qs.get("database") or [""])[0]
+        fmt, database = self._fmt_db(qs)
         self._run(query, fmt, database)
 
     def log_message(self, *args):  # quiet

@@ -226,3 +226,38 @@ class TestHttpInlineInsert:
         st, body = get(http, "SELECT id, s FROM hins2")
         assert body == b"3\tx\n"
         get(http, "DROP TABLE hins2")
+
+
+class TestClickHouseHeaders:
+    """X-ClickHouse-User/Key/Format/Database header support (the CH
+    HTTP interface's header-based alternatives to URL params)."""
+
+    def _req(self, base, query, headers):
+        url = base + "/?" + urllib.parse.urlencode({"query": query})
+        req = urllib.request.Request(url)
+        for k, v in headers.items():
+            req.add_header(k, v)
+        with urllib.request.urlopen(req) as r:
+            return r.status, r.read(), dict(r.headers)
+
+    def test_header_auth_selects_session(self, http):
+        st, _, _ = self._req(
+            http,
+            "CREATE TABLE hdrT (x Int64) ENGINE=Memory",
+            {"X-ClickHouse-User": "hu", "X-ClickHouse-Key": "hk"},
+        )
+        assert st == 200
+        # same header creds see the table; basic-auth default does not
+        st, body, _ = self._req(
+            http, "EXISTS TABLE hdrT", {"X-ClickHouse-User": "hu", "X-ClickHouse-Key": "hk"}
+        )
+        assert body == b"1\n"
+        st, body = get(http, "EXISTS TABLE hdrT")
+        assert body == b"0\n"
+
+    def test_format_header(self, http):
+        st, body, hdrs = self._req(
+            http, "SELECT 1 AS x", {"X-ClickHouse-Format": "JSONCompact"}
+        )
+        assert body.lstrip().startswith(b"{")
+        assert "json" in hdrs.get("Content-Type", "").lower()
