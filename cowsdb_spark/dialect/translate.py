@@ -54,6 +54,9 @@ class Statement:
     original: str = ""
     with_totals: bool = False  # GROUP BY … WITH TOTALS
     explain_graph: bool = False  # EXPLAIN … graph=1 → digraph output
+    # ORDER BY col WITH FILL [FROM a] [TO b] [STEP s] — engine applies
+    # the fill over the result DataFrame (types known there)
+    with_fill: Optional[dict] = None
 
 
 def split_statements(sql: str) -> list[str]:
@@ -1243,6 +1246,50 @@ def _rewrite_scalar_with(toks: list[Tok]) -> list[Tok]:
     return out_toks
 
 
+def _rewrite_with_fill(toks: list[Tok]) -> tuple[list[Tok], Optional[dict]]:
+    """Strip ``ORDER BY col [ASC|DESC] WITH FILL [FROM a] [TO b]
+    [STEP s]`` and return the fill spec; the engine materializes the
+    axis and left-joins the result (CH fills missing rows, defaulting
+    the non-fill columns). Single fill column supported."""
+    sig = _sig(toks)
+    depth = 0
+    fill_at = None
+    col = None
+    for si, i in enumerate(sig):
+        t = toks[i]
+        depth += t.text.count("(") - t.text.count(")")
+        if (
+            depth == 0
+            and t.kind == "ident"
+            and t.text.upper() == "WITH"
+            and si + 1 < len(sig)
+            and toks[sig[si + 1]].text.upper() == "FILL"
+        ):
+            fill_at = si
+            # fill column: walk back over ASC/DESC to the ORDER expr
+            k = si - 1
+            while k > 0 and toks[sig[k]].text.upper() in ("ASC", "DESC"):
+                k -= 1
+            col = toks[sig[k]].text.strip("`")
+            break
+    if fill_at is None:
+        return toks, None
+    spec: dict = {"col": col, "from": None, "to": None, "step": None}
+    j = fill_at + 2
+    end = j
+    while j < len(sig):
+        up = toks[sig[j]].text.upper()
+        if up in ("FROM", "TO", "STEP") and j + 1 < len(sig):
+            spec[up.lower()] = toks[sig[j + 1]].text
+            j += 2
+            end = j
+        else:
+            break
+    for k in range(fill_at, end):
+        toks[sig[k]].text = ""
+    return toks, spec
+
+
 def _rewrite_with_totals(toks: list[Tok]) -> tuple[list[Tok], bool]:
     """CH ``GROUP BY e1, e2 WITH TOTALS`` → ``GROUP BY GROUPING SETS
     ((e1, e2), ())`` plus a hidden ``grouping_id() AS __ch_gid``
@@ -1316,13 +1363,14 @@ def translate_select(sql: str) -> Statement:
     toks = _rewrite_distinct_on(toks)
     toks = _rewrite_limit_by(toks)
     toks = _rewrite_limit_comma(toks)
+    toks, with_fill = _rewrite_with_fill(toks)
     toks, with_totals = _rewrite_with_totals(toks)
     body = "".join(t.text for t in toks).strip()
     body = _rewrite_ternary(body)
     body = _rewrite_functions(body)
     return Statement(
         kind="select", spark_sql=body, format=fmt, settings=settings, original=sql,
-        with_totals=with_totals, explain_graph=explain_graph,
+        with_totals=with_totals, explain_graph=explain_graph, with_fill=with_fill,
     )
 
 

@@ -209,6 +209,8 @@ class Engine:
                     result_df = self.spark.createDataFrame(
                         [(dot,)], "explain string"
                     )
+                if st.with_fill:
+                    result_df = self._apply_with_fill(result_df, st.with_fill)
                 if st.with_totals:
                     result_df = self._split_totals(result_df)
         return result_df, out_fmt, settings, time.time() - t0
@@ -660,6 +662,80 @@ class Engine:
         except Exception as e:
             raise EngineError(_clean_spark_error(e), _ch_error_code(str(e))) from e
 
+
+    # -------------------------------------------------- ORDER BY WITH FILL
+
+    def _apply_with_fill(self, df: DataFrame, spec: dict):
+        """CH ``ORDER BY col WITH FILL [FROM a] [TO b] [STEP s]``:
+        materialize the missing axis values and left-join the result,
+        defaulting non-fill columns the way CH does (0 / '' / NULL).
+        The axis is generated with F.sequence (JVM-side, exploded) —
+        one extra broadcast-sized side, no driver row loop. Supports
+        numeric, date, and timestamp fill columns."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        col = spec["col"]
+        if col not in df.columns:
+            return df
+        dt = df.schema[col].dataType
+        bounds = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
+        lo = spec["from"] if spec["from"] is not None else bounds["lo"]
+        hi = spec["to"] if spec["to"] is not None else bounds["hi"]
+        if lo is None or hi is None:  # empty input
+            return df
+        step_txt = spec["step"] or "1"
+        if isinstance(dt, (T.DateType, T.TimestampType)):
+            # CH STEP is seconds for DateTime, days for Date
+            unit = "days" if isinstance(dt, T.DateType) else "seconds"
+            step = F.expr(f"make_interval(0, 0, 0, {step_txt})") if unit == "days" else F.expr(
+                f"make_interval(0, 0, 0, 0, 0, 0, {step_txt})"
+            )
+            lo_c = F.lit(lo).cast(dt) if not isinstance(lo, str) else F.lit(lo.strip("'")).cast(dt)
+            hi_c = F.lit(hi).cast(dt) if not isinstance(hi, str) else F.lit(hi.strip("'")).cast(dt)
+            axis = self.spark.range(1).select(
+                F.explode(F.sequence(lo_c, hi_c, step)).alias(col)
+            )
+        else:
+            lo_c = F.lit(lo).cast("double") if isinstance(lo, str) else F.lit(lo)
+            hi_c = F.lit(hi).cast("double") if isinstance(hi, str) else F.lit(hi)
+            axis = (
+                self.spark.range(1)
+                .select(
+                    F.explode(
+                        F.sequence(
+                            lo_c.cast("long") if isinstance(dt, T.IntegralType) else lo_c,
+                            hi_c.cast("long") if isinstance(dt, T.IntegralType) else hi_c,
+                            F.expr(step_txt).cast(
+                                "long" if isinstance(dt, T.IntegralType) else "double"
+                            ),
+                        )
+                    ).alias(col)
+                )
+                .select(F.col(f"`{col}`").cast(dt).alias(col))
+            )
+        if spec["to"] is not None:
+            # CH: TO is exclusive — trim the generated axis, keeping
+            # any real data rows at/beyond it via the union below
+            if isinstance(dt, (T.DateType, T.TimestampType)):
+                axis = axis.filter(F.col(f"`{col}`") < hi_c)
+            else:
+                axis = axis.filter(F.col(f"`{col}`") < hi_c.cast(dt))
+            axis = axis.unionByName(df.select(F.col(f"`{col}`"))).distinct()
+        filled = axis.join(df, on=col, how="left")
+        cols = []
+        for f in df.schema.fields:
+            if f.name == col:
+                cols.append(F.col(f"`{col}`"))
+            elif isinstance(f.dataType, T.NumericType):
+                cols.append(
+                    F.coalesce(F.col(f"`{f.name}`"), F.lit(0).cast(f.dataType)).alias(f.name)
+                )
+            elif isinstance(f.dataType, T.StringType):
+                cols.append(F.coalesce(F.col(f"`{f.name}`"), F.lit("")).alias(f.name))
+            else:
+                cols.append(F.col(f"`{f.name}`"))
+        return filled.select(*cols).orderBy(col)
 
     # --------------------------------------------------- SHOW statements
 

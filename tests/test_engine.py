@@ -468,3 +468,40 @@ class TestSessionSettings:
     def test_unknown_settings_accepted(self, engine):
         engine.execute("SET max_threads = 8, join_use_nulls = 1", user="su6", password="x")
         assert engine.execute("SELECT 1 AS v", user="su6", password="x") == b"1\n"
+
+
+class TestWithFill:
+    """ORDER BY … WITH FILL (CH time-series gap filling): missing axis
+    values materialize as rows with defaulted columns (0/'')."""
+
+    def _mk(self, engine):
+        engine.execute("DROP TABLE IF EXISTS wfill")
+        engine.execute("CREATE TABLE wfill (x Int64, v Float64, s String)")
+        engine.execute("INSERT INTO wfill VALUES (1, 10.0, 'a'), (4, 40.0, 'b')")
+
+    def test_fill_gaps_with_defaults(self, engine):
+        self._mk(engine)
+        out = engine.execute("SELECT x, v, s FROM wfill ORDER BY x WITH FILL")
+        assert out == b"1\t10\ta\n2\t0\t\n3\t0\t\n4\t40\tb\n"
+        engine.execute("DROP TABLE wfill")
+
+    def test_fill_from_to_exclusive(self, engine):
+        self._mk(engine)
+        out = engine.execute("SELECT x, v, s FROM wfill ORDER BY x WITH FILL FROM 0 TO 4")
+        # TO is exclusive for generated rows; the real x=4 row stays
+        assert out == b"0\t0\t\n1\t10\ta\n2\t0\t\n3\t0\t\n4\t40\tb\n"
+        engine.execute("DROP TABLE wfill")
+
+    def test_fill_step(self, engine):
+        self._mk(engine)
+        out = engine.execute("SELECT x, v, s FROM wfill ORDER BY x WITH FILL STEP 3")
+        assert out == b"1\t10\ta\n4\t40\tb\n"
+        engine.execute("DROP TABLE wfill")
+
+    def test_fill_dates(self, engine):
+        engine.execute("DROP TABLE IF EXISTS wfd2")
+        engine.execute("CREATE TABLE wfd2 (d Date, c Int64)")
+        engine.execute("INSERT INTO wfd2 VALUES ('2024-01-01', 5), ('2024-01-03', 7)")
+        out = engine.execute("SELECT d, c FROM wfd2 ORDER BY d WITH FILL")
+        assert out == b"2024-01-01\t5\n2024-01-02\t0\n2024-01-03\t7\n"
+        engine.execute("DROP TABLE wfd2")
