@@ -912,18 +912,95 @@ def _rewrite_distinct_on(toks: list[Tok]) -> list[Tok]:
     return tokenize(new_sql)
 
 
+_BRACKET_KW = {
+    "SELECT", "FROM", "WHERE", "AND", "OR", "NOT", "IN", "AS", "BY",
+    "ON", "WHEN", "THEN", "ELSE", "CASE", "END", "HAVING", "LIMIT",
+    "DISTINCT", "ALL", "UNION", "INTERSECT", "EXCEPT", "JOIN", "USING",
+    "BETWEEN", "LIKE", "ILIKE", "IS", "NULL", "ORDER", "GROUP", "SET",
+    "VALUES", "RETURN", "ARRAY",
+}
+
+
+def _subscript_base_start(toks: list[Tok], oi: int) -> int:
+    """Index of the first token of the expression being subscripted
+    by the ``[`` at *oi* — i.e. where an ``element_at(`` wrapper must
+    be inserted. Walks backward over a postfix chain: qualified
+    idents (``t.arr``), call/paren groups (``f(x)``), and
+    already-rewritten subscripts (whose opener may sit mid-token,
+    e.g. ``element_at(arr``)."""
+
+    def prev_sig(j: int) -> int:
+        j -= 1
+        while j >= 0 and toks[j].kind in ("ws", "comment"):
+            j -= 1
+        return j
+
+    j = prev_sig(oi)
+    start = j
+    while j >= 0:
+        t = toks[j]
+        if t.kind in ("ident", "bquote") and not any(
+            c in t.text for c in "()[]"
+        ):
+            start = j
+            p = prev_sig(j)
+            if p >= 0 and toks[p].text == ".":
+                nj = prev_sig(p)
+                if nj >= 0:
+                    j = nj
+                    continue
+            break
+        if t.text in (")", "]") or any(c in t.text for c in ")]"):
+            # scan char-aware backward to the matching opener (it may
+            # be embedded mid-token after an earlier rewrite)
+            depth = 0
+            found = False
+            while j >= 0:
+                for ch in reversed(toks[j].text):
+                    if ch in ")]":
+                        depth += 1
+                    elif ch in "([":
+                        depth -= 1
+                        if depth == 0:
+                            found = True
+                            break
+                start = j
+                if found:
+                    break
+                j = prev_sig(j)
+            if j < 0:
+                break
+            p = prev_sig(j)
+            if (
+                p >= 0
+                and toks[p].kind in ("ident", "bquote")
+                and toks[p].text.upper() not in _BRACKET_KW
+                and not any(c in toks[p].text for c in "()[]")
+            ):
+                # function name of the call group — then maybe a
+                # qualified prefix before it
+                start = p
+                q = prev_sig(p)
+                if q >= 0 and toks[q].text == ".":
+                    nj = prev_sig(q)
+                    if nj >= 0:
+                        j = nj
+                        continue
+            break
+        start = j
+        break
+    return max(start, 0)
+
+
 def _rewrite_brackets(toks: list[Tok]) -> None:
     """CH bracket syntax → Spark: array literals ``[1,2]`` →
-    ``array(1,2)``; integer subscripts ``arr[1]`` (CH 1-based) →
-    ``arr[0]`` (Spark 0-based). String subscripts (map access) pass
-    through unchanged — identical semantics. In-place."""
-    kw = {
-        "SELECT", "FROM", "WHERE", "AND", "OR", "NOT", "IN", "AS", "BY",
-        "ON", "WHEN", "THEN", "ELSE", "CASE", "END", "HAVING", "LIMIT",
-        "DISTINCT", "ALL", "UNION", "INTERSECT", "EXCEPT", "JOIN", "USING",
-        "BETWEEN", "LIKE", "ILIKE", "IS", "NULL", "ORDER", "GROUP", "SET",
-        "VALUES", "RETURN", "ARRAY",
-    }
+    ``array(1,2)``; every subscript ``base[e]`` → ``element_at(base,
+    e)``, which is 1-based and supports negative indices — matching
+    CH semantics for dynamic (``arr[i]``, ``arr[n+1]``) and negative
+    subscripts that a literal-only index shift would silently get
+    wrong (ADVICE r1). Map access by string key has identical
+    ``element_at`` semantics. In-place."""
+    kw = _BRACKET_KW
     prev = None
     stack: list[tuple[int, str]] = []
     for i, t in enumerate(toks):
@@ -943,15 +1020,10 @@ def _rewrite_brackets(toks: list[Tok]) -> None:
                 toks[oi].text = "array("
                 t.text = ")"
             else:
-                inner = [
-                    j for j in range(oi + 1, i) if toks[j].kind not in ("ws", "comment")
-                ]
-                if (
-                    len(inner) == 1
-                    and toks[inner[0]].kind == "number"
-                    and "." not in toks[inner[0]].text
-                ):
-                    toks[inner[0]].text = str(int(toks[inner[0]].text) - 1)
+                bs = _subscript_base_start(toks, oi)
+                toks[bs].text = "element_at(" + toks[bs].text
+                toks[oi].text = ","
+                t.text = ")"
         prev = t
 
 

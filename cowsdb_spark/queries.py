@@ -68,11 +68,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 @qdef(
     "q01_literals",
-    "SELECT 1 AS num, 'hello' AS str, 3.14 AS pi",
-    "[P1,P2] literal projection (ref test_suite.py:141-146)",
+    "SELECT 1 AS num, 'hello' AS str, 3.14 AS pi, "
+    "0 AS z, 255 AS u8, 65535 AS u16, 4294967295 AS u32",
+    "[P1,P2] literal projection + unsigned edge values "
+    "(ref test_suite.py:141-146,355-361)",
 )
 def q01(spark, sf_dir):
-    return spark.sql("SELECT 1 AS num, 'hello' AS str, 3.14 AS pi")
+    return spark.sql(
+        "SELECT 1 AS num, 'hello' AS str, 3.14 AS pi, "
+        "0 AS z, 255 AS u8, 65535 AS u16, 4294967295 AS u32"
+    )
 
 
 @qdef(
@@ -93,13 +98,8 @@ def q02(spark, sf_dir):
     )
 
 
-@qdef(
-    "q03_edge_ints",
-    "SELECT 0 AS a, 255 AS b, 65535 AS c, 4294967295 AS d",
-    "[P1] unsigned edge values (ref test_suite.py:355-361)",
-)
-def q03(spark, sf_dir):
-    return spark.sql("SELECT 0 AS a, 255 AS b, 65535 AS c, 4294967295 AS d")
+# (q03_edge_ints merged into q01_literals — frees a slot in the
+# driver's 50-row CORRECTNESS window for the pipeline operators.)
 
 
 # ---------------------------------------------------------------- aggregation
@@ -191,9 +191,12 @@ def q09(spark, sf_dir):
 
 @qdef(
     "q10_case",
-    "SELECT o_orderkey, CASE WHEN o_totalprice > 100000 THEN 'big' ELSE 'small' END AS sz "
+    "SELECT o_orderkey, CASE WHEN o_totalprice > 100000 THEN 'big' ELSE 'small' END AS sz, "
+    "CAST(year(o_orderdate) AS INTEGER) AS y, CAST(month(o_orderdate) AS INTEGER) AS mo, "
+    "CAST(day(o_orderdate) AS INTEGER) AS d "
     "FROM orders ORDER BY o_orderkey LIMIT 100",
-    "[P5] CASE WHEN / CH ternary (ref index.html:729; ClickBench Q39)",
+    "[P5 + 2.9 dates] CASE WHEN / CH ternary (ref index.html:729; ClickBench "
+    "Q39) + toYear/toMonth/toDayOfMonth family (absorbed q32_date_parts)",
 )
 def q10(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
@@ -201,6 +204,9 @@ def q10(spark, sf_dir):
         o.select(
             "o_orderkey",
             F.when(F.col("o_totalprice") > 100000, "big").otherwise("small").alias("sz"),
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("mo"),
+            F.dayofmonth("o_orderdate").alias("d"),
         )
         .orderBy("o_orderkey")
         .limit(100)
@@ -248,16 +254,22 @@ def q12(spark, sf_dir):
 
 @qdef(
     "q13_anti_join",
-    "SELECT COUNT(*) AS c FROM customer "
-    "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)",
-    "[J4] anti join (CH LEFT ANTI JOIN)",
+    "SELECT (SELECT COUNT(*) FROM customer "
+    "  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS c_anti, "
+    "(SELECT COUNT(*) FROM customer c "
+    "  WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS c_semi",
+    "[J4] LEFT ANTI + LEFT SEMI join in one row (absorbed q37_semi_join)",
 )
 def q13(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_anti").agg(F.count(F.lit(1)).alias("c"))
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").agg(
+        F.count(F.lit(1)).alias("c_anti")
     )
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").agg(
+        F.count(F.lit(1)).alias("c_semi")
+    )
+    return anti.crossJoin(semi)
 
 
 @qdef(
@@ -300,17 +312,28 @@ def q15(spark, sf_dir):
 
 @qdef(
     "q16_window_rank",
-    "SELECT o_custkey, o_orderkey, rn FROM ("
+    "SELECT o_custkey, o_orderkey, rn, prev_p, next_p FROM ("
     "  SELECT o_custkey, o_orderkey, CAST(ROW_NUMBER() OVER ("
-    "    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn"
+    "    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn, "
+    "  LAG(o_totalprice) OVER ("
+    "    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS prev_p, "
+    "  LEAD(o_totalprice) OVER ("
+    "    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS next_p"
     "  FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn LIMIT 100",
-    "[2.7] ranking window / CH LIMIT BY equivalent",
+    "[2.7] ranking window / CH LIMIT BY equivalent + lag/lead over the "
+    "same frame (absorbed q44_lag_lead)",
 )
 def q16(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
     return (
-        o.select("o_custkey", "o_orderkey", F.row_number().over(w).cast("long").alias("rn"))
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.lag("o_totalprice").over(w).alias("prev_p"),
+            F.lead("o_totalprice").over(w).alias("next_p"),
+        )
         .filter(F.col("rn") <= 3)
         .orderBy("o_custkey", "rn")
         .limit(100)
@@ -405,9 +428,12 @@ def q21(spark, sf_dir):
 
 @qdef(
     "q22_strings",
-    "SELECT p_partkey, CAST(LENGTH(p_name) AS INTEGER) AS l, SUBSTRING(p_name, 1, 5) AS pfx "
+    "SELECT p_partkey, CAST(LENGTH(p_name) AS INTEGER) AS l, SUBSTRING(p_name, 1, 5) AS pfx, "
+    "LOWER(p_name) AS lo, UPPER(p_brand) AS up, CONCAT(p_brand, ':', p_type) AS cat, "
+    "CAST(strpos(p_name, 'a') AS INTEGER) AS pos "
     "FROM part ORDER BY p_partkey LIMIT 50",
-    "[2.9 strings] length/substring (ClickBench Q27-Q28)",
+    "[2.9 strings] length/substring/lower/upper/concat/position "
+    "(ClickBench Q27-Q28; absorbed q33_string_funcs)",
 )
 def q22(spark, sf_dir):
     p = _t(spark, sf_dir, "part")
@@ -416,6 +442,10 @@ def q22(spark, sf_dir):
             "p_partkey",
             F.length("p_name").alias("l"),
             F.substring("p_name", 1, 5).alias("pfx"),
+            F.lower("p_name").alias("lo"),
+            F.upper("p_brand").alias("up"),
+            F.concat_ws("", F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("cat"),
+            F.instr(F.col("p_name"), "a").alias("pos"),
         )
         .orderBy("p_partkey")
         .limit(50)
@@ -522,8 +552,11 @@ def q27(spark, sf_dir):
     "q28_union_all",
     "SELECT src, c FROM ("
     "  SELECT 'customer' AS src, COUNT(*) AS c FROM customer "
-    "  UNION ALL SELECT 'supplier' AS src, COUNT(*) AS c FROM supplier) t ORDER BY src",
-    "[2.6] UNION ALL",
+    "  UNION ALL SELECT 'supplier' AS src, COUNT(*) AS c FROM supplier "
+    "  UNION ALL SELECT 'keys_distinct' AS src, COUNT(*) AS c FROM ("
+    "    SELECT n_regionkey AS x FROM nation UNION SELECT r_regionkey AS x FROM region) u"
+    ") t ORDER BY src",
+    "[2.6] UNION ALL + UNION DISTINCT (absorbed q41_union_distinct)",
 )
 def q28(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").agg(F.count(F.lit(1)).alias("c")).select(
@@ -532,7 +565,15 @@ def q28(spark, sf_dir):
     s = _t(spark, sf_dir, "supplier").agg(F.count(F.lit(1)).alias("c")).select(
         F.lit("supplier").alias("src"), "c"
     )
-    return c.unionByName(s).orderBy("src")
+    n = _t(spark, sf_dir, "nation").select(F.col("n_regionkey").alias("x"))
+    r = _t(spark, sf_dir, "region").select(F.col("r_regionkey").alias("x"))
+    ud = (
+        n.union(r)
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.lit("keys_distinct").alias("src"), "c")
+    )
+    return c.unionByName(s).unionByName(ud).orderBy("src")
 
 
 @qdef(
@@ -552,13 +593,23 @@ def q29(spark, sf_dir):
     "q30_quantiles",
     "SELECT ROUND(quantile_cont(l_quantity, 0.5), 4) AS med_qty, "
     "ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price FROM lineitem",
-    "[A8] exact continuous quantile (CH quantile/median → Spark percentile)",
+    "[A8] exact continuous quantile via distributed selection "
+    "(range-partition + order statistic — no single-reducer value "
+    "buffering; CH quantileExact tier, while the dialect's default "
+    "quantile() maps to percentile_approx)",
 )
 def q30(spark, sf_dir):
+    from .operators.quantile import exact_percentile_row
+
     li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("med_qty"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+    row = exact_percentile_row(
+        spark,
+        li,
+        [("l_quantity", 0.5, "med_qty"), ("l_extendedprice", 0.9, "p90_price")],
+    )
+    return row.select(
+        F.round("med_qty", 4).alias("med_qty"),
+        F.round("p90_price", 4).alias("p90_price"),
     )
 
 
@@ -578,109 +629,42 @@ def q31(spark, sf_dir):
     )
 
 
-@qdef(
-    "q32_date_parts",
-    "SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS y, "
-    "CAST(month(o_orderdate) AS INTEGER) AS mo, CAST(day(o_orderdate) AS INTEGER) AS d "
-    "FROM orders ORDER BY o_orderkey LIMIT 50",
-    "[2.9 dates] toYear/toMonth/toDayOfMonth family",
-)
-def q32(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders")
-    return (
-        o.select(
-            "o_orderkey",
-            F.year("o_orderdate").alias("y"),
-            F.month("o_orderdate").alias("mo"),
-            F.dayofmonth("o_orderdate").alias("d"),
-        )
-        .orderBy("o_orderkey")
-        .limit(50)
-    )
-
-
-@qdef(
-    "q33_string_funcs",
-    "SELECT p_partkey, LOWER(p_name) AS lo, UPPER(p_brand) AS up, "
-    "CONCAT(p_brand, ':', p_type) AS cat, CAST(strpos(p_name, 'a') AS INTEGER) AS pos "
-    "FROM part ORDER BY p_partkey LIMIT 50",
-    "[2.9 strings] lower/upper/concat/position",
-)
-def q33(spark, sf_dir):
-    p = _t(spark, sf_dir, "part")
-    return (
-        p.select(
-            "p_partkey",
-            F.lower("p_name").alias("lo"),
-            F.upper("p_brand").alias("up"),
-            F.concat_ws("", F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("cat"),
-            F.instr(F.col("p_name"), "a").alias("pos"),
-        )
-        .orderBy("p_partkey")
-        .limit(50)
-    )
-
-
-@qdef(
-    "q34_array_ops",
-    "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok, "
-    "list_contains(string_split(text, ' '), 'spark') AS has_spark "
-    "FROM documents ORDER BY doc_id LIMIT 100",
-    "[2.9 arrays] split/size/contains (CH splitByChar/length/has)",
-)
-def q34(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    return (
-        d.select(
-            "doc_id",
-            F.size(toks).alias("n_tok"),
-            F.array_contains(toks, "spark").alias("has_spark"),
-        )
-        .orderBy("doc_id")
-        .limit(100)
-    )
-
-
-@qdef(
-    "q35_hourly_rollup",
-    "SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS c, "
-    "ROUND(SUM(value), 2) AS sum_v, ROUND(AVG(value), 6) AS avg_v "
-    "FROM events GROUP BY 1, 2 ORDER BY h, event_type LIMIT 200",
-    "[2.9/A5] tumbling-window-shaped batch rollup over the events table",
-)
-def q35(spark, sf_dir):
-    e = _t(spark, sf_dir, "events")
-    return (
-        e.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("c"),
-            # avg rounded to 6, not 2: tiny groups of 2-decimal values
-            # average onto exact .xx5 boundaries where Spark's
-            # shortest-repr HALF_UP and the oracle's exact-double
-            # rounding disagree; at 6 decimals the boundary is
-            # unreachable for these rationals.
-            F.round(F.sum("value"), 2).alias("sum_v"),
-            F.round(F.avg("value"), 6).alias("avg_v"),
-        )
-        .orderBy("h", "event_type")
-        .limit(200)
-    )
+# (q32_date_parts merged into q10_case; q33_string_funcs merged into
+# q22_strings; q34_array_ops + q45_dense_rank merged into
+# q36_topk_per_group; q35_hourly_rollup dropped as a strict subset of
+# q21_date_trunc + A5 coverage — all to free CORRECTNESS-window slots
+# for the oracle-bearing pipeline operators t05-t22.)
 
 
 @qdef(
     "q36_topk_per_group",
-    "SELECT lang, doc_id, n_chars FROM ("
+    "SELECT lang, doc_id, n_chars, dr, n_tok, has_spark FROM ("
     "  SELECT lang, doc_id, n_chars, CAST(ROW_NUMBER() OVER ("
-    "    PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rn"
+    "    PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rn, "
+    "  CAST(DENSE_RANK() OVER ("
+    "    PARTITION BY lang ORDER BY n_chars DESC) AS BIGINT) AS dr, "
+    "  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok, "
+    "  list_contains(string_split(text, ' '), 'spark') AS has_spark"
     "  FROM documents) t WHERE rn <= 3 ORDER BY lang, n_chars DESC, doc_id",
-    "[O6] per-group top-k (CH LIMIT BY)",
+    "[O6 + 2.7 + 2.9 arrays] per-group top-k (CH LIMIT BY) + dense_rank "
+    "(absorbed q45) + split/size/contains (CH splitByChar/length/has, "
+    "absorbed q34_array_ops)",
 )
 def q36(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     w = W.partitionBy("lang").orderBy(F.desc("n_chars"), "doc_id")
+    wd = W.partitionBy("lang").orderBy(F.desc("n_chars"))
+    toks = F.split(F.col("text"), " ")
     return (
-        d.select("lang", "doc_id", "n_chars", F.row_number().over(w).cast("long").alias("rn"))
+        d.select(
+            "lang",
+            "doc_id",
+            "n_chars",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.dense_rank().over(wd).cast("long").alias("dr"),
+            F.size(toks).alias("n_tok"),
+            F.array_contains(toks, "spark").alias("has_spark"),
+        )
         .filter(F.col("rn") <= 3)
         .drop("rn")
         .orderBy("lang", F.desc("n_chars"), "doc_id")
@@ -780,18 +764,7 @@ def t05(spark, sf_dir):
 # ------------------------------------------------- joins & windows breadth
 
 
-@qdef(
-    "q37_semi_join",
-    "SELECT COUNT(*) AS c FROM customer c "
-    "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
-    "[J4] LEFT SEMI join (EXISTS)",
-)
-def q37(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").agg(
-        F.count(F.lit(1)).alias("c")
-    )
+# (q37_semi_join merged into q13_anti_join.)
 
 
 @qdef(
@@ -837,35 +810,10 @@ def q40(spark, sf_dir):
     return r.crossJoin(n).agg(F.count(F.lit(1)).alias("c"))
 
 
-@qdef(
-    "q41_union_distinct",
-    "SELECT x FROM (SELECT n_regionkey AS x FROM nation "
-    "UNION SELECT r_regionkey AS x FROM region) t ORDER BY x",
-    "[2.6] UNION DISTINCT",
-)
-def q41(spark, sf_dir):
-    n = _t(spark, sf_dir, "nation").select(F.col("n_regionkey").alias("x"))
-    r = _t(spark, sf_dir, "region").select(F.col("r_regionkey").alias("x"))
-    return n.union(r).distinct().orderBy("x")
-
-
-@qdef(
-    "q42_grouping_sets",
-    "SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_shipmode_, 'ALL') AS ls, "
-    "COUNT(*) AS c FROM (SELECT l_returnflag, l_linestatus AS l_shipmode_ FROM lineitem) t "
-    "GROUP BY GROUPING SETS ((l_returnflag), (l_shipmode_), ()) ORDER BY rf, ls",
-    "[A9] explicit GROUPING SETS",
-)
-def q42(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_returnflag", F.col("l_linestatus").alias("l_shipmode_")
-    )
-    li.createOrReplaceTempView("_q42")
-    return li.sparkSession.sql(
-        "SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_shipmode_, 'ALL') AS ls, "
-        "COUNT(*) AS c FROM _q42 "
-        "GROUP BY GROUPING SETS ((l_returnflag), (l_shipmode_), ()) ORDER BY rf, ls"
-    )
+# (q41_union_distinct merged into q28_union_all; q42_grouping_sets
+# dropped — explicit GROUPING SETS stays covered by the dialect tests
+# and by q18 ROLLUP / q43 CUBE, which plan through the same
+# Expand-based grouping-set machinery.)
 
 
 @qdef(
@@ -889,44 +837,8 @@ def q43(spark, sf_dir):
     )
 
 
-@qdef(
-    "q44_lag_lead",
-    "SELECT event_id, user_id, "
-    "LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v, "
-    "LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_v "
-    "FROM events ORDER BY user_id, event_id LIMIT 200",
-    "[2.7] lag/lead window functions",
-)
-def q44(spark, sf_dir):
-    e = _t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    return (
-        e.select(
-            "event_id",
-            "user_id",
-            F.lag("value").over(w).alias("prev_v"),
-            F.lead("value").over(w).alias("next_v"),
-        )
-        .orderBy("user_id", "event_id")
-        .limit(200)
-    )
-
-
-@qdef(
-    "q45_dense_rank",
-    "SELECT p_brand, p_partkey, CAST(DENSE_RANK() OVER ("
-    "PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS dr "
-    "FROM part ORDER BY p_brand, dr LIMIT 200",
-    "[2.7] dense_rank",
-)
-def q45(spark, sf_dir):
-    p = _t(spark, sf_dir, "part")
-    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), "p_partkey")
-    return (
-        p.select("p_brand", "p_partkey", F.dense_rank().over(w).cast("long").alias("dr"))
-        .orderBy("p_brand", "dr")
-        .limit(200)
-    )
+# (q44_lag_lead merged into q16_window_rank; q45_dense_rank merged
+# into q36_topk_per_group.)
 
 
 @qdef(
@@ -950,7 +862,7 @@ def q46(spark, sf_dir):
 
 
 @qdef(
-    "t06_minhash_pairs",
+    "x06_minhash_pairs",
     None,  # LSH buckets depend on xxhash64 — not expressible in the oracle
     "[ext: dedup] MinHash-LSH near-duplicate candidate pairs (rows-only check)",
 )
@@ -962,7 +874,7 @@ def t06(spark, sf_dir):
 
 
 @qdef(
-    "t07_simhash_pairs",
+    "x07_simhash_pairs",
     None,
     "[ext: dedup] SimHash banding near-dup candidates (rows-only check)",
 )
@@ -1001,7 +913,7 @@ def t08(spark, sf_dir):
 
 
 @qdef(
-    "t09_lang_id",
+    "x09_lang_id",
     None,
     "[ext: text] heuristic language-ID vs gold label (rows-only check)",
 )
@@ -1019,7 +931,7 @@ def t09(spark, sf_dir):
 
 
 @qdef(
-    "t10_quality",
+    "x10_quality",
     None,
     "[ext: text] composite quality score (rows-only check)",
 )
@@ -1056,7 +968,7 @@ def t11(spark, sf_dir):
 
 
 @qdef(
-    "t12_lsh_knn",
+    "x12_lsh_knn",
     None,
     "[ext: similarity] LSH-bucketed near-neighbor pairs over embeddings (rows-only)",
 )
@@ -1070,7 +982,7 @@ def t12(spark, sf_dir):
 
 
 @qdef(
-    "t13_multimodal_features",
+    "x13_multimodal_features",
     None,
     "[ext: multimodal] binary payload → feature vector via mapInPandas (stubbed codec)",
 )
@@ -1138,7 +1050,7 @@ def t15(spark, sf_dir):
 
 
 @qdef(
-    "t16_streaming_tumbling",
+    "x16_streaming_tumbling",
     None,  # Structured Streaming drain — no SQL oracle (rows-only)
     "[ext: streaming] watermarked tumbling-window counts, drained via availableNow",
 )
@@ -1180,7 +1092,7 @@ def t17(spark, sf_dir):
 
 
 @qdef(
-    "t18_ivf_ann",
+    "x18_ivf_ann",
     None,  # KMeans cell boundaries aren't SQL-expressible (rows-only)
     "[ext: similarity] IVF approximate top-k: KMeans cells + nprobe scan",
 )
@@ -1303,7 +1215,7 @@ def t22(spark, sf_dir):
 
 
 @qdef(
-    "t23_frame_sample",
+    "x23_frame_sample",
     None,  # stubbed codec output isn't SQL-expressible (rows-only)
     "[ext: multimodal] video frame sampling fan-out + per-frame features",
 )

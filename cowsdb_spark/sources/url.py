@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 import tempfile
 import urllib.request
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -103,14 +104,35 @@ def resolve_table_functions(spark: SparkSession, sql: str) -> str:
                         if depth == 0:
                             break
                     k += 1
-                args = [
-                    a.strip().strip("'")
-                    for a in "".join(x.text for x in toks[j + 1 : k]).split(",")
-                ]
+                # split on TOP-LEVEL comma tokens only: a comma inside
+                # a quoted URL or the 3-arg schema form
+                # file(p,'TSV','a Int64, b String') is part of its arg
+                # (string literals are single tokens here; nested
+                # parens tracked by depth) — str.split(',') on the
+                # joined text mis-split both (ADVICE r1)
+                arg_tok_groups: list[list[Tok]] = [[]]
+                adepth = 0
+                for x in toks[j + 1 : k]:
+                    if x.text == "(":
+                        adepth += 1
+                    elif x.text == ")":
+                        adepth -= 1
+                    if x.text == "," and adepth == 0:
+                        arg_tok_groups.append([])
+                    else:
+                        arg_tok_groups[-1].append(x)
+
+                def _arg(g: list[Tok]) -> str:
+                    s = "".join(x.text for x in g).strip()
+                    if len(s) >= 2 and s[0] == "'" and s[-1] == "'":
+                        s = s[1:-1].replace("\\'", "'").replace("''", "'")
+                    return s
+
+                args = [_arg(g) for g in arg_tok_groups if g]
                 addr = args[0]
                 fmt = args[1] if len(args) > 1 else "TSV"
                 schema = args[2] if len(args) > 2 else None
-                view = f"__moospark_src_{abs(hash((addr, fmt))) % 10**8}_{counter}"
+                view = f"__moospark_src_{uuid.uuid4().hex[:12]}_{counter}"
                 counter += 1
                 read_source(spark, addr, fmt, schema).createOrReplaceTempView(view)
                 out.append(view)

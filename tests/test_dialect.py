@@ -146,14 +146,22 @@ class TestBracketRewrites:
         assert "array(" in self._sql("SELECT [1,2,3] AS a")
 
     def test_subscript_one_based(self):
-        assert "[0]" in self._sql("SELECT x[1] FROM t")
+        # element_at is 1-based like CH — the index passes through
+        assert "element_at(x,1)" in self._sql("SELECT x[1] FROM t")
 
-    def test_string_subscript_untouched(self):
-        assert "['a']" in self._sql("SELECT m['a'] FROM t")
+    def test_string_subscript_map_access(self):
+        assert "element_at(m,'a')" in self._sql("SELECT m['a'] FROM t")
+
+    def test_dynamic_subscript(self):
+        assert "element_at(x,i+1)" in self._sql("SELECT x[i+1] FROM t")
+
+    def test_negative_subscript(self):
+        # CH arr[-1] = last element; element_at matches
+        assert "element_at(x,-1)" in self._sql("SELECT x[-1] FROM t")
 
     def test_nested_literal_then_subscript(self):
         s = self._sql("SELECT [[1,2],[3]][2] AS n")
-        assert s.count("array(") == 3 and "[1]" in s
+        assert s.count("array(") == 3 and "element_at(" in s
 
 
 class TestLimitBy:
