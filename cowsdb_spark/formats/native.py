@@ -1,28 +1,38 @@
-"""ClickHouse Native wire-format writer (SURVEY §2.8 F6, §3.2).
+"""ClickHouse Native wire-format reader/writer (SURVEY §2.8 F6, §3.2).
 
 One block: varint n_columns, varint n_rows, then per column:
-varstr name, varstr type, column data. Scalar encodings:
+varstr name, varstr type, columnar data. Encodings:
 
 - String: per value varint length + UTF-8 bytes
 - (U)Int8/16/32/64: little-endian fixed width
 - Float32/64: IEEE little-endian
-- Date: UInt16 days since epoch; DateTime: UInt32 unix seconds
+- Bool: one byte; Date: UInt16 days since epoch; DateTime: UInt32
+  unix seconds
+- Decimal(p, s): scaled integer, fixed width by precision
+  (Int32 ≤9, Int64 ≤18, Int128 ≤38) little-endian
 - Nullable(T): null-mask byte per row, then inner data with
   defaults in null slots
+- Array(T): cumulative end-offsets (UInt64 LE per row), then the
+  flattened inner column (recursive — Array(Array(T)) nests)
+- Map(K, V): exactly Array(Tuple(K, V)) — offsets, then the
+  flattened key column, then the flattened value column
+- Tuple(T1, ..., Tn): element columns serialized one after another
+  (elements may be named: "Tuple(a Int64, b String)")
 
-The reference round-trips a parsed blob and only handles 5 types
-with single-byte counts (main.py:570-654 — ≤255 rows); this writer
-encodes directly from typed rows with full varints, fixing both
-limits. Arrays/Maps/Tuples fall back to their String rendering
-(documented limitation; the native protocol tests only exercise
-scalars, test_suite.py:294-306).
+The reference round-trips a parsed blob and only handles 5 scalar
+types with single-byte counts (main.py:570-654 — ≤255 rows); this
+module encodes directly from typed rows with full varints and real
+composite encodings. Types outside the list above degrade to their
+String rendering (the wire type says so — clients see String, never
+garbage).
 """
 
 from __future__ import annotations
 
 import datetime as _dt
 import struct
-from typing import Iterable, Optional
+from decimal import Decimal as _Decimal
+from typing import Optional
 
 from .render import plain_text
 
@@ -43,7 +53,10 @@ def write_varint(n: int) -> bytes:
 
 
 def write_varstr(s: str | bytes) -> bytes:
-    b = s.encode("utf-8") if isinstance(s, str) else s
+    if isinstance(s, (bytes, bytearray)):
+        b = bytes(s)
+    else:
+        b = s.encode("utf-8")
     return write_varint(len(b)) + b
 
 
@@ -57,6 +70,100 @@ _INT_FMT = {
     "UInt32": "<I",
     "UInt64": "<Q",
 }
+
+_SCALARS = set(_INT_FMT) | {"Float32", "Float64", "Bool", "Date", "DateTime", "String"}
+
+
+# ---------------------------------------------------------------- type names
+
+
+def split_top_level(s: str) -> list[str]:
+    """Split a CH composite type argument list on top-level commas."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur).strip())
+    return parts
+
+
+def _strip_nullable(t: str) -> tuple[str, bool]:
+    if t.startswith("Nullable(") and t.endswith(")"):
+        return t[len("Nullable(") : -1], True
+    return t, False
+
+
+def _inner(t: str, wrapper: str) -> str:
+    return t[len(wrapper) + 1 : -1].strip()
+
+
+def _decimal_width(precision: int) -> int:
+    if precision <= 9:
+        return 4
+    if precision <= 18:
+        return 8
+    return 16
+
+
+def _parse_decimal(t: str) -> Optional[tuple[int, int]]:
+    if t.startswith("Decimal(") and t.endswith(")"):
+        args = split_top_level(_inner(t, "Decimal"))
+        if len(args) == 2:
+            return int(args[0]), int(args[1])
+    return None
+
+
+def _tuple_elems(t: str) -> list[tuple[Optional[str], str]]:
+    """Tuple arg list → [(name|None, type)]. Named form: "a Int64"."""
+    elems = []
+    for part in split_top_level(_inner(t, "Tuple")):
+        bits = part.split(None, 1)
+        if len(bits) == 2 and "(" not in bits[0] and not bits[0][0].isdigit():
+            elems.append((bits[0].strip("`"), bits[1]))
+        else:
+            elems.append((None, part))
+    return elems
+
+
+def wire_type(t: str) -> str:
+    """Type name actually emitted (unsupported leaves degrade to
+    String; supported composites keep their real type)."""
+    inner, nullable = _strip_nullable(t)
+    if inner in _SCALARS or _parse_decimal(inner):
+        wire = inner
+    elif inner.startswith("Array(") and inner.endswith(")"):
+        wire = f"Array({wire_type(_inner(inner, 'Array'))})"
+    elif inner.startswith("Map(") and inner.endswith(")"):
+        k, v = split_top_level(_inner(inner, "Map"))
+        wire = f"Map({wire_type(k)}, {wire_type(v)})"
+    elif inner.startswith("Tuple(") and inner.endswith(")"):
+        parts = []
+        for name, et in _tuple_elems(inner):
+            wt = wire_type(et)
+            parts.append(f"{name} {wt}" if name else wt)
+        wire = f"Tuple({', '.join(parts)})"
+    elif inner.startswith("LowCardinality(") and inner.endswith(")"):
+        # emitted as the plain inner type (no dictionary encoding)
+        return wire_type(
+            f"Nullable({_inner(inner, 'LowCardinality')})" if nullable else _inner(inner, "LowCardinality")
+        )
+    else:
+        wire = "String"
+    return f"Nullable({wire})" if nullable else wire
+
+
+_wire_type = wire_type  # backward-compat alias
+
+
+# ---------------------------------------------------------------- encoding
 
 
 def _encode_scalar(ch_type: str, v) -> bytes:
@@ -79,24 +186,60 @@ def _encode_scalar(ch_type: str, v) -> bytes:
             return struct.pack("<I", 0)
         ts = int((v - _EPOCH_DT).total_seconds()) if isinstance(v, _dt.datetime) else int(v)
         return struct.pack("<I", max(0, ts))
-    # String and everything non-scalar → CH text rendering as String
-    return write_varstr("" if v is None else plain_text(v))
+    dec = _parse_decimal(ch_type)
+    if dec:
+        p, s = dec
+        q = _Decimal(0) if v is None else _Decimal(str(v))
+        scaled = int(q.scaleb(s).to_integral_value())
+        return scaled.to_bytes(_decimal_width(p), "little", signed=True)
+    # String and unknown leaves → CH text rendering as String
+    if v is None:
+        return write_varstr("")
+    if isinstance(v, (bytes, bytearray)):
+        return write_varstr(v)
+    return write_varstr(v if isinstance(v, str) else plain_text(v))
 
 
-def _strip_nullable(t: str) -> tuple[str, bool]:
-    if t.startswith("Nullable(") and t.endswith(")"):
-        return t[len("Nullable(") : -1], True
-    return t, False
-
-
-def _wire_type(t: str) -> str:
-    """Type name actually emitted (non-scalars degrade to String)."""
-    inner, nullable = _strip_nullable(t)
-    if inner in _INT_FMT or inner in ("Float32", "Float64", "Bool", "Date", "DateTime", "String"):
-        wire = inner
+def encode_column(ch_type: str, values: list) -> bytes:
+    """Serialize one column of ``values`` with CH columnar layout
+    (recursive over Nullable/Array/Map/Tuple)."""
+    inner, nullable = _strip_nullable(ch_type)
+    out = bytearray()
+    if nullable:
+        out += bytes(1 if v is None else 0 for v in values)
+    if inner.startswith("Array(") and inner.endswith(")"):
+        elem_t = _inner(inner, "Array")
+        flat: list = []
+        offset = 0
+        for v in values:
+            offset += len(v) if v is not None else 0
+            out += struct.pack("<Q", offset)
+            if v is not None:
+                flat.extend(v)
+        out += encode_column(elem_t, flat)
+    elif inner.startswith("Map(") and inner.endswith(")"):
+        k_t, v_t = split_top_level(_inner(inner, "Map"))
+        keys: list = []
+        vals: list = []
+        offset = 0
+        for v in values:
+            items = list(v.items()) if v is not None else []
+            offset += len(items)
+            out += struct.pack("<Q", offset)
+            keys.extend(k for k, _ in items)
+            vals.extend(x for _, x in items)
+        out += encode_column(k_t, keys)
+        out += encode_column(v_t, vals)
+    elif inner.startswith("Tuple(") and inner.endswith(")"):
+        elems = _tuple_elems(inner)
+        for i, (_, et) in enumerate(elems):
+            out += encode_column(
+                et, [None if v is None else v[i] for v in values]
+            )
     else:
-        wire = "String"
-    return f"Nullable({wire})" if nullable else wire
+        for v in values:
+            out += _encode_scalar(inner, v)
+    return bytes(out)
 
 
 def to_native(res, limit: Optional[int] = None) -> bytes:
@@ -106,29 +249,116 @@ def to_native(res, limit: Optional[int] = None) -> bytes:
         if limit is not None and i >= limit:
             break
         rows.append(r)
-    n_rows = len(rows)
     out = bytearray()
     out += write_varint(len(res.columns))
-    out += write_varint(n_rows)
+    out += write_varint(len(rows))
     for ci, (name, ch_t) in enumerate(zip(res.columns, res.ch_types)):
-        wire = _wire_type(ch_t)
-        inner, nullable = _strip_nullable(wire)
+        wire = wire_type(ch_t)
         out += write_varstr(name)
         out += write_varstr(wire)
-        col = [r[ci] for r in rows]
-        if nullable:
-            out += bytes(1 if v is None else 0 for v in col)
-        for v in col:
-            out += _encode_scalar(inner, v)
+        out += encode_column(wire, [r[ci] for r in rows])
     return bytes(out)
+
+
+# ---------------------------------------------------------------- decoding
+
+
+class _Cursor:
+    """Primitive reader over a bytes buffer (same interface as the
+    native server's socket reader: _need / varint / binary_str)."""
+
+    def __init__(self, buf: bytes, pos: int = 0):
+        self.buf = buf
+        self.pos = pos
+
+    def _need(self, n: int) -> bytes:
+        if len(self.buf) - self.pos < n:
+            raise ValueError("truncated native data")
+        out = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+    def varint(self) -> int:
+        shift = n = 0
+        while True:
+            b = self._need(1)[0]
+            n |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return n
+            shift += 7
+
+    def binary_str(self) -> str:
+        ln = self.varint()
+        return self._need(ln).decode("utf-8", "replace")
+
+
+def _decode_scalar(ch_type: str, r):
+    if ch_type in _INT_FMT:
+        fmt = _INT_FMT[ch_type]
+        return struct.unpack(fmt, r._need(struct.calcsize(fmt)))[0]
+    if ch_type in ("Float32", "Float64"):
+        fmt = "<f" if ch_type == "Float32" else "<d"
+        return struct.unpack(fmt, r._need(struct.calcsize(fmt)))[0]
+    if ch_type == "Bool":
+        return r._need(1)[0] == 1
+    if ch_type == "Date":
+        (d,) = struct.unpack("<H", r._need(2))
+        return _EPOCH_DATE + _dt.timedelta(days=d)
+    if ch_type.startswith("DateTime"):
+        (s,) = struct.unpack("<I", r._need(4))
+        return _EPOCH_DT + _dt.timedelta(seconds=s)
+    dec = _parse_decimal(ch_type)
+    if dec:
+        p, s = dec
+        raw = int.from_bytes(r._need(_decimal_width(p)), "little", signed=True)
+        return _Decimal(raw).scaleb(-s)
+    return r.binary_str()
+
+
+def decode_column(ch_type: str, n_rows: int, r) -> list:
+    """Decode one column (recursive mirror of ``encode_column``)."""
+    inner, nullable = _strip_nullable(ch_type)
+    mask = [False] * n_rows
+    if nullable:
+        raw = r._need(n_rows)
+        mask = [b == 1 for b in raw]
+    if inner.startswith("Array(") and inner.endswith(")"):
+        elem_t = _inner(inner, "Array")
+        offsets = [struct.unpack("<Q", r._need(8))[0] for _ in range(n_rows)]
+        total = offsets[-1] if offsets else 0
+        flat = decode_column(elem_t, total, r)
+        vals: list = []
+        prev = 0
+        for off in offsets:
+            vals.append(flat[prev:off])
+            prev = off
+    elif inner.startswith("Map(") and inner.endswith(")"):
+        k_t, v_t = split_top_level(_inner(inner, "Map"))
+        offsets = [struct.unpack("<Q", r._need(8))[0] for _ in range(n_rows)]
+        total = offsets[-1] if offsets else 0
+        keys = decode_column(k_t, total, r)
+        mvals = decode_column(v_t, total, r)
+        vals = []
+        prev = 0
+        for off in offsets:
+            vals.append(dict(zip(keys[prev:off], mvals[prev:off])))
+            prev = off
+    elif inner.startswith("Tuple(") and inner.endswith(")"):
+        elems = _tuple_elems(inner)
+        cols = [decode_column(et, n_rows, r) for _, et in elems]
+        vals = [tuple(c[i] for c in cols) for i in range(n_rows)]
+    else:
+        vals = [_decode_scalar(inner, r) for _ in range(n_rows)]
+    return [None if nullable and mask[i] else vals[i] for i in range(n_rows)]
 
 
 def read_block(r, with_custom_flag: bool = True):
     """Decode one Native block from a streaming reader (an object
     with ``varint()``, ``binary_str()`` and ``_need(n)`` — the
-    native server's socket reader). Used for native-protocol INSERT
-    data (the reference reads and DISCARDS these packets,
-    main.py:677-696 — a fidelity bug we fix by applying them).
+    native server's socket reader or a :class:`_Cursor`). Used for
+    native-protocol INSERT data (the reference reads and DISCARDS
+    these packets, main.py:677-696 — a fidelity bug we fix by
+    applying them).
 
     Returns ``(names, ch_types, rows)``; an end-of-data marker block
     decodes as ``([], [], [])``.
@@ -154,31 +384,7 @@ def read_block(r, with_custom_flag: bool = True):
             r._need(1)
         names.append(name)
         types.append(ch_t)
-        inner, nullable = _strip_nullable(ch_t)
-        mask = [False] * n_rows
-        if nullable:
-            raw = r._need(n_rows)
-            mask = [b == 1 for b in raw]
-        vals: list = []
-        for i in range(n_rows):
-            if inner in _INT_FMT:
-                fmt = _INT_FMT[inner]
-                (v,) = struct.unpack(fmt, r._need(struct.calcsize(fmt)))
-            elif inner in ("Float32", "Float64"):
-                fmt = "<f" if inner == "Float32" else "<d"
-                (v,) = struct.unpack(fmt, r._need(struct.calcsize(fmt)))
-            elif inner == "Bool":
-                v = r._need(1)[0] == 1
-            elif inner == "Date":
-                (d,) = struct.unpack("<H", r._need(2))
-                v = _EPOCH_DATE + _dt.timedelta(days=d)
-            elif inner.startswith("DateTime"):
-                (s,) = struct.unpack("<I", r._need(4))
-                v = _EPOCH_DT + _dt.timedelta(seconds=s)
-            else:
-                v = r.binary_str()
-            vals.append(None if nullable and mask[i] else v)
-        cols.append(vals)
+        cols.append(decode_column(ch_t, n_rows, r))
     rows = [tuple(c[i] for c in cols) for i in range(n_rows)]
     return names, types, rows
 
@@ -201,47 +407,15 @@ def read_varstr(buf: bytes, pos: int) -> tuple[str, int]:
 
 def parse_native(buf: bytes) -> tuple[list[str], list[str], list[tuple]]:
     """Decode one Native block (round-trip testing + native INSERT)."""
-    pos = 0
-    n_cols, pos = read_varint(buf, pos)
-    n_rows, pos = read_varint(buf, pos)
+    r = _Cursor(buf)
+    n_cols = r.varint()
+    n_rows = r.varint()
     names: list[str] = []
     types: list[str] = []
     cols: list[list] = []
     for _ in range(n_cols):
-        name, pos = read_varstr(buf, pos)
-        ch_t, pos = read_varstr(buf, pos)
-        names.append(name)
-        types.append(ch_t)
-        inner, nullable = _strip_nullable(ch_t)
-        mask = [False] * n_rows
-        if nullable:
-            mask = [buf[pos + i] == 1 for i in range(n_rows)]
-            pos += n_rows
-        vals: list = []
-        for i in range(n_rows):
-            if inner in _INT_FMT:
-                fmt = _INT_FMT[inner]
-                size = struct.calcsize(fmt)
-                (v,) = struct.unpack_from(fmt, buf, pos)
-                pos += size
-            elif inner in ("Float32", "Float64"):
-                fmt = "<f" if inner == "Float32" else "<d"
-                (v,) = struct.unpack_from(fmt, buf, pos)
-                pos += struct.calcsize(fmt)
-            elif inner == "Bool":
-                v = buf[pos] == 1
-                pos += 1
-            elif inner == "Date":
-                (d,) = struct.unpack_from("<H", buf, pos)
-                pos += 2
-                v = _EPOCH_DATE + _dt.timedelta(days=d)
-            elif inner == "DateTime":
-                (s,) = struct.unpack_from("<I", buf, pos)
-                pos += 4
-                v = _EPOCH_DT + _dt.timedelta(seconds=s)
-            else:
-                v, pos = read_varstr(buf, pos)
-            vals.append(None if nullable and mask[i] else v)
-        cols.append(vals)
+        names.append(r.binary_str())
+        types.append(r.binary_str())
+        cols.append(decode_column(types[-1], n_rows, r))
     rows = [tuple(c[i] for c in cols) for i in range(n_rows)]
     return names, types, rows

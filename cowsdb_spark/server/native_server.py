@@ -17,17 +17,18 @@ import re
 import socket
 import struct
 import threading
+import zlib
 
 from ..engine import Engine, EngineError
 from ..formats import QueryResult
 from ..formats.native import (
-    _encode_scalar,
-    _strip_nullable,
-    _wire_type,
+    encode_column,
     read_block,
+    wire_type,
     write_varint,
     write_varstr,
 )
+from .compression import METHOD_LZ4, FrameReader, compress_frame
 
 # INSERT that carries no inline data — the native protocol streams
 # the payload as DATA blocks after the QUERY packet (clickhouse-driver
@@ -168,14 +169,14 @@ class NativeServer:
                 if ptype == ClientPacket.QUERY:
                     self._handle_query(client, r, state)
                 elif ptype == ClientPacket.DATA:
-                    # out-of-band DATA (external tables): consume the
-                    # full block to keep the stream in sync, then ACK
-                    r.binary_str()  # table name
-                    read_block(
-                        r,
-                        state["revision"] >= MIN_REV_CUSTOM_SERIALIZATION,
-                    )
-                    client.sendall(write_varint(ServerPacket.END_OF_STREAM))
+                    # Out-of-band DATA — the empty external-tables end
+                    # marker every clickhouse-driver SELECT sends after
+                    # its QUERY packet. Consume the full block to keep
+                    # the stream in sync and swallow it SILENTLY: the
+                    # reference answers with a spurious END_OF_STREAM
+                    # here, desynchronizing the second query on a
+                    # reused connection.
+                    self._read_data_block(r, state)
                 elif ptype == ClientPacket.PING:
                     client.sendall(write_varint(ServerPacket.PONG))
                 elif ptype == ClientPacket.CANCEL:
@@ -257,12 +258,19 @@ class NativeServer:
             r.binary_str()
         r.varint()  # stage
         compression = r.varint()
-        if compression == 0:
-            query = r.binary_str()
-        else:
-            # compressed queries unsupported; read as plain string and
-            # hope — clickhouse-driver defaults to no compression.
-            query = r.binary_str()
+        state["compression"] = compression
+        # Real clients always send the query text as a plain varstr —
+        # the compression flag governs DATA blocks, not this string
+        # (the reference instead zlib-decompresses the query body,
+        # main.py:505-512; we accept that dialect too as a fallback).
+        ln = r.varint()
+        raw = r._need(ln)
+        if compression and raw[:1] == b"\x78":
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error:
+                pass
+        query = raw.decode("utf-8", "replace")
         if rev >= MIN_REV_PARAMETERS:
             while True:
                 pname = r.binary_str()
@@ -271,6 +279,14 @@ class NativeServer:
                 r.uint8()
                 r.binary_str()
         return query, settings
+
+    def _read_data_block(self, r: _Reader, state: dict):
+        """Read one client DATA packet body (table name on the raw
+        stream, block on the possibly-compressed stream — the same
+        split clickhouse-driver uses) and return (names, types, rows)."""
+        r.binary_str()  # table name — always plain
+        src = FrameReader(r) if state.get("compression") else r
+        return read_block(src, state["revision"] >= MIN_REV_CUSTOM_SERIALIZATION)
 
     def _handle_query(self, client: socket.socket, r: _Reader, state: dict):
         query, _settings = self._read_query_packet(r, state)
@@ -304,7 +320,6 @@ class NativeServer:
         want_cols = None
         if m.group("cols"):
             want_cols = [c.strip().strip("`") for c in m.group("cols").split(",") if c.strip()]
-        with_flag = state["revision"] >= MIN_REV_CUSTOM_SERIALIZATION
         try:
             all_names, all_types = self.engine.table_columns(
                 table,
@@ -335,8 +350,7 @@ class NativeServer:
             while True:
                 ptype = r.varint()
                 if ptype == ClientPacket.DATA:
-                    r.binary_str()  # table name
-                    b_names, b_types, b_rows = read_block(r, with_flag)
+                    b_names, b_types, b_rows = self._read_data_block(r, state)
                     if not b_names and not b_rows:
                         break  # end-of-data marker block
                     got_names, got_types = b_names, b_types
@@ -369,31 +383,29 @@ class NativeServer:
 
     def _data_packet(self, res: QueryResult, state: dict) -> bytes:
         rows = list(res.rows)
-        out = bytearray()
-        out += write_varint(ServerPacket.DATA)
-        out += write_varstr("")  # table name
+        block = bytearray()
         # BlockInfo (main.py:565-571 equivalent)
-        out += write_varint(1)
-        out += bytes([0])  # is_overflows = false
-        out += write_varint(2)
-        out += struct.pack("<i", -1)  # bucket_num
-        out += write_varint(0)
-        out += write_varint(len(res.columns))
-        out += write_varint(len(rows))
+        block += write_varint(1)
+        block += bytes([0])  # is_overflows = false
+        block += write_varint(2)
+        block += struct.pack("<i", -1)  # bucket_num
+        block += write_varint(0)
+        block += write_varint(len(res.columns))
+        block += write_varint(len(rows))
         with_custom_flag = state["revision"] >= MIN_REV_CUSTOM_SERIALIZATION
         for ci, (name, ch_t) in enumerate(zip(res.columns, res.ch_types)):
-            wire = _wire_type(ch_t)
-            inner, nullable = _strip_nullable(wire)
-            out += write_varstr(name)
-            out += write_varstr(wire)
+            wire = wire_type(ch_t)
+            block += write_varstr(name)
+            block += write_varstr(wire)
             if with_custom_flag:
-                out += bytes([0])  # no custom serialization
-            col = [row[ci] for row in rows]
-            if nullable:
-                out += bytes(1 if v is None else 0 for v in col)
-            for v in col:
-                out += _encode_scalar(inner, v)
-        return bytes(out)
+                block += bytes([0])  # no custom serialization
+            block += encode_column(wire, [row[ci] for row in rows])
+        body = bytes(block)
+        if state.get("compression"):
+            # table name stays on the raw stream; only the block is
+            # framed (clickhouse-driver's reader splits exactly there)
+            body = compress_frame(body, METHOD_LZ4)
+        return write_varint(ServerPacket.DATA) + write_varstr("") + body
 
 
 def main():
