@@ -84,6 +84,10 @@ class Engine:
         _register_hashes(self.spark)
         self._sessions: dict[tuple[str, str], UserSession] = {}
         self._order_by_cache: dict[str, Optional[str]] = {}
+        # per-Spark-db table-name sets for lock-free qualification of
+        # unqualified refs on the read path; cleared on any DDL
+        self._tables_cache: dict[str, set] = {}
+        self._dbs_ensured: set = set()
         # materialized-view registry: ns → {source_qual → [(storage_qual,
         # qualified select body)]}; lazily rebuilt from moospark.mv_*
         # TBLPROPERTIES so MVs survive engine restarts
@@ -108,7 +112,10 @@ class Engine:
             return self._sessions[key]
 
     def _ensure_db(self, spark_db: str) -> None:
+        if spark_db in self._dbs_ensured:
+            return
         self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{spark_db}`")
+        self._dbs_ensured.add(spark_db)
 
     # ------------------------------------------------------------ execute
 
@@ -247,26 +254,119 @@ class Engine:
         self._ensure_db(sess.spark_db())
         self.spark.catalog.setCurrentDatabase(sess.spark_db())
 
-    def _remap_databases(self, sess: UserSession, sql: str) -> str:
-        """Rewrite ``db.table`` refs to the per-user Spark database.
+    _CTX_END_KW = frozenset(
+        "WHERE GROUP ORDER LIMIT ON USING SELECT HAVING UNION INTERSECT "
+        "EXCEPT WINDOW LATERAL SETTINGS DISTRIBUTE CLUSTER SORT SET".split()
+    )
 
-        Only rewrites in table-reference position (the token after
-        FROM / JOIN / INTO / TABLE, continuing across commas in a
-        FROM list) — ``alias.column`` elsewhere is untouched.
+    def _cte_names(self, toks, sig) -> set:
+        """Names bound by ``<ident> AS (`` — CTEs (and WINDOW clause
+        names, harmlessly). These must never be database-qualified."""
+        names = set()
+        for k in range(len(sig) - 2):
+            t = toks[sig[k]]
+            if (
+                t.kind in ("ident", "bquote")
+                and toks[sig[k + 1]].upper == "AS"
+                and toks[sig[k + 2]].text == "("
+            ):
+                names.add(t.text.strip("`").lower())
+        return names
+
+    def _table_known(self, sess: UserSession, name: str) -> bool:
+        """Is ``name`` a real table in the session's current database?
+        Cached per Spark db; DDL clears the cache (single process, so
+        no cross-process staleness)."""
+        db = sess.spark_db()
+        cache = self._tables_cache.get(db)
+        if cache is None:
+            try:
+                cache = {
+                    t.name.lower()
+                    for t in self.spark.catalog.listTables(db)
+                    if not t.isTemporary
+                }
+            except Exception:
+                cache = set()
+            self._tables_cache[db] = cache
+        return name.lower() in cache
+
+    def _is_temp_view(self, name: str) -> bool:
+        """True only for session temp views (conformance tables etc.).
+        ``getTable`` resolves temp views before the current database,
+        so a concurrent thread's current-db switch can't alias another
+        credential's table into a True here."""
+        try:
+            return bool(self.spark.catalog.getTable(name).isTemporary)
+        except Exception:
+            return False
+
+    def _remap_databases(
+        self, sess: UserSession, sql: str, created_views: Optional[list] = None
+    ) -> str:
+        """Fully qualify table refs into the per-user Spark database.
+
+        ``db.table`` refs rewrite their db part; *unqualified* names in
+        table position that exist in the session's current db gain an
+        explicit db prefix, so the read path never needs
+        ``setCurrentDatabase`` (shared-session state) and SELECTs run
+        lock-free. CTE names, temp views, and table functions
+        (``name(``) are left alone. ``FROM`` inside a function call
+        (EXTRACT/substring/trim ... FROM x) does NOT open table
+        context — subquery parens re-detect their own FROM.
         """
         from .dialect.tokenizer import tokenize
 
         toks = tokenize(sql)
         sig = [i for i, t in enumerate(toks) if t.kind not in ("ws", "comment")]
-        table_ctx = False
+        cte = self._cte_names(toks, sig)
         out = [t.text for t in toks]
+        paren: list = []  # "sub" (subquery) | "func" (call) | "plain"
+        from_depths: set = set()  # paren depths with an active FROM list
+        table_ctx = False
         k = 0
         while k < len(sig):
             i = sig[k]
             t = toks[i]
             kw = t.text.upper() if t.kind == "ident" else ""
-            if kw in ("FROM", "JOIN", "INTO", "TABLE"):
+            if t.text == "(":
+                nxt = toks[sig[k + 1]].upper if k + 1 < len(sig) else ""
+                prev = toks[sig[k - 1]] if k > 0 else None
+                if nxt in ("SELECT", "WITH"):
+                    paren.append("sub")
+                elif prev is not None and prev.kind in ("ident", "bquote"):
+                    paren.append("func")
+                else:
+                    paren.append("plain")
+                table_ctx = False
+                k += 1
+                continue
+            if t.text == ")":
+                if paren:
+                    paren.pop()
+                from_depths = {d for d in from_depths if d <= len(paren)}
+                k += 1
+                continue
+            if kw in ("FROM", "JOIN", "INTO", "TABLE") or (
+                kw in ("DESCRIBE", "DESC") and k == 0
+            ):
+                if kw == "FROM" and paren and paren[-1] == "func":
+                    k += 1
+                    continue  # EXTRACT(unit FROM x) and friends
                 table_ctx = True
+                if kw == "FROM":
+                    from_depths.add(len(paren))
+                k += 1
+                continue
+            if kw in self._CTX_END_KW:
+                table_ctx = False
+                from_depths.discard(len(paren))
+                k += 1
+                continue
+            if t.kind == "op" and t.text not in ("(", ")", ",", "."):
+                # a table ref never follows an operator (`table = 'x'`
+                # is a column named table, not table context)
+                table_ctx = False
                 k += 1
                 continue
             if table_ctx and t.kind in ("ident", "bquote"):
@@ -283,6 +383,8 @@ class Engine:
                         tbl = toks[sig[k + 2]].text.strip("`")
                         view = _materialize_system(self.spark, sess.ns, tbl)
                         if view is not None:
+                            if created_views is not None:
+                                created_views.append(view)
                             out[i] = view
                             out[sig[k + 1]] = ""
                             out[sig[k + 2]] = ""
@@ -291,44 +393,71 @@ class Engine:
                             continue
                     out[i] = f"`{sess.spark_db(db)}`"
                     k += 3
+                elif k + 1 < len(sig) and toks[sig[k + 1]].text == "(":
+                    k += 1  # table function (numbers(), file(), …)
                 else:
+                    name = t.text.strip("`")
+                    # Qualify BOTH known tables and unknown names (an
+                    # unknown name must error inside this session's
+                    # namespace, not resolve against whatever current
+                    # database another thread last set). Only CTEs and
+                    # temp views stay unqualified.
+                    if (
+                        name.lower() not in cte
+                        and not name.startswith("__moospark")
+                        and (
+                            self._table_known(sess, name)
+                            or not self._is_temp_view(name)
+                        )
+                    ):
+                        out[i] = f"`{sess.spark_db()}`.`{name}`"
                     k += 1
                 table_ctx = False
                 continue
-            if table_ctx and t.text == "(":
-                table_ctx = False  # subquery/table function
-            if kw in ("WHERE", "GROUP", "ORDER", "LIMIT", "ON", "USING", "SELECT", "HAVING"):
-                table_ctx = False
-            if t.text == ",":
-                # commas keep FROM-list context only if we were in it
-                pass
+            if t.text == "," and len(paren) in from_depths:
+                table_ctx = True  # FROM a, b — comma join continues
             k += 1
         return "".join(out)
 
-    def _prepare_sql(self, sess: UserSession, sql: str) -> str:
+    def _prepare_sql(
+        self, sess: UserSession, sql: str, created_views: Optional[list] = None
+    ) -> str:
         low = sql.lower()
         if "url(" in low or "file(" in low:
             try:
                 sql = resolve_table_functions(self.spark, sql)
             except Exception as e:
                 raise EngineError(f"url()/file() source failed: {e}") from e
-        return self._remap_databases(sess, sql)
+        return self._remap_databases(sess, sql, created_views)
 
     def _run_select(self, sess: UserSession, sql: str) -> DataFrame:
-        with self._lock:
-            self._in_user_db(sess)
-            try:
-                return self.spark.sql(self._prepare_sql(sess, sql))
-            except EngineError:
-                raise
-            except Exception as e:
-                raise EngineError(_clean_spark_error(e), _ch_error_code(str(e))) from e
+        # Lock-free: every table ref is fully qualified by
+        # _remap_databases, so no shared-session current-database
+        # switch is needed and concurrent reads don't serialize.
+        self._ensure_db(sess.spark_db())
+        created: list = []
+        try:
+            return self.spark.sql(self._prepare_sql(sess, sql, created))
+        except EngineError:
+            raise
+        except Exception as e:
+            raise EngineError(_clean_spark_error(e), _ch_error_code(str(e))) from e
+        finally:
+            # spark.sql() analyzed the plan eagerly; the views are no
+            # longer needed and must not linger (cross-credential
+            # visibility + unbounded accumulation).
+            for v in created:
+                try:
+                    self.spark.catalog.dropTempView(v)
+                except Exception:
+                    pass
 
     def _run_insert(self, sess: UserSession, sql: str) -> None:
+        created: list = []
         with self._lock:
             self._in_user_db(sess)
             try:
-                prepared = self._prepare_sql(sess, sql)
+                prepared = self._prepare_sql(sess, sql, created)
                 target = self._insert_target(sess, prepared)
                 if target and self._mvs_for(sess, target):
                     self._insert_with_mvs(sess, prepared, target)
@@ -338,6 +467,12 @@ class Engine:
                 raise
             except Exception as e:
                 raise EngineError(_clean_spark_error(e), _ch_error_code(str(e))) from e
+            finally:
+                for v in created:
+                    try:
+                        self.spark.catalog.dropTempView(v)
+                    except Exception:
+                        pass
 
     def _insert_target(self, sess: UserSession, prepared: str) -> Optional[str]:
         """Fully-qualified target of an INSERT statement, or None."""
@@ -580,6 +715,8 @@ class Engine:
 
     def _run_ddl(self, sess: UserSession, sql: str) -> None:
         self._order_by_cache.clear()  # DDL may change table properties
+        self._tables_cache.clear()  # table set may change
+        self._dbs_ensured.clear()  # DROP DATABASE invalidates
         parsed = parse_ddl(sql)
         with self._lock:
             if isinstance(parsed, CreateDatabase):

@@ -111,10 +111,17 @@ PROVIDERS = {
 
 
 def materialize(spark: SparkSession, ns: str, table: str) -> str | None:
-    """Build system.<table> and return a temp view name, or None."""
+    """Build system.<table> and return a temp view name, or None.
+
+    The name embeds the credential namespace and a uuid so concurrent
+    statements never collide and no other credential can resolve this
+    session's snapshot by guessing a fixed name; the engine drops the
+    view once the statement's plan is analyzed."""
+    import uuid
+
     fn = PROVIDERS.get(table.lower())
     if fn is None:
         return None
-    view = f"__moospark_system_{table.lower()}"
+    view = f"__moospark_system_{ns}_{table.lower()}_{uuid.uuid4().hex[:8]}"
     fn(spark, ns).createOrReplaceTempView(view)
     return view

@@ -505,3 +505,91 @@ class TestWithFill:
         out = engine.execute("SELECT d, c FROM wfd2 ORDER BY d WITH FILL")
         assert out == b"2024-01-01\t5\n2024-01-02\t0\n2024-01-03\t7\n"
         engine.execute("DROP TABLE wfd2")
+
+
+class TestLockFreeReads:
+    """The SELECT path takes no engine lock: _remap_databases fully
+    qualifies every table ref, so no setCurrentDatabase on reads."""
+
+    def test_extract_from_not_treated_as_table_ctx(self, engine):
+        # Regression: FROM inside a function call must not open table
+        # context — EXTRACT(YEAR FROM t.d) used to rewrite `t` as a db.
+        engine.execute(
+            "CREATE TABLE lf_dates (d Date) ENGINE=Memory", user="lf", password="x"
+        )
+        engine.execute(
+            "INSERT INTO lf_dates VALUES ('2024-03-05')", user="lf", password="x"
+        )
+        out = engine.execute(
+            "SELECT EXTRACT(YEAR FROM t.d) AS y FROM lf_dates t",
+            user="lf",
+            password="x",
+        )
+        assert out == b"2024\n"
+
+    def test_substring_from_and_trim_from(self, engine):
+        out = engine.execute(
+            "SELECT substring('abcdef' FROM 2 FOR 3) AS s, "
+            "trim(LEADING 'x' FROM 'xxabc') AS t"
+        )
+        assert out == b"bcd\tabc\n"
+
+    def test_comma_join_qualifies_all_tables(self, engine):
+        engine.execute("CREATE TABLE cj_a (x Int64) ENGINE=Memory", user="lf", password="x")
+        engine.execute("CREATE TABLE cj_b (y Int64) ENGINE=Memory", user="lf", password="x")
+        engine.execute("INSERT INTO cj_a VALUES (1), (2)", user="lf", password="x")
+        engine.execute("INSERT INTO cj_b VALUES (10), (20), (30)", user="lf", password="x")
+        out = engine.execute(
+            "SELECT count(*) AS c FROM cj_a, cj_b", user="lf", password="x"
+        )
+        assert out == b"6\n"
+
+    def test_in_subquery_still_remapped(self, engine):
+        # IN ( SELECT … FROM t ) — the paren is not a function call,
+        # so its FROM must still open table context.
+        out = engine.execute(
+            "SELECT count(*) AS c FROM cj_a WHERE x IN (SELECT y / 10 FROM cj_b)",
+            user="lf",
+            password="x",
+        )
+        assert out == b"2\n"
+
+    def test_concurrent_reads_two_credentials(self, engine):
+        import threading
+
+        engine.execute("CREATE TABLE conc (v Int64) ENGINE=Memory", user="c1", password="p")
+        engine.execute("INSERT INTO conc VALUES (111)", user="c1", password="p")
+        engine.execute("CREATE TABLE conc (v Int64) ENGINE=Memory", user="c2", password="p")
+        engine.execute("INSERT INTO conc VALUES (222)", user="c2", password="p")
+        errors: list = []
+
+        def reader(user, want):
+            try:
+                for _ in range(8):
+                    got = engine.execute("SELECT v FROM conc", user=user, password="p")
+                    assert got == want, (user, got)
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        threads = [
+            threading.Thread(target=reader, args=("c1", b"111\n")),
+            threading.Thread(target=reader, args=("c2", b"222\n")),
+            threading.Thread(target=reader, args=("c1", b"111\n")),
+            threading.Thread(target=reader, args=("c2", b"222\n")),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors
+
+    def test_system_views_dropped_and_namespaced(self, engine, spark):
+        engine.execute("SELECT name FROM system.databases", user="sv1", password="a")
+        engine.execute("SELECT name FROM system.databases", user="sv2", password="b")
+        # no fixed-name view lingers, and no per-query view survives
+        leftovers = [
+            t.name
+            for t in spark.catalog.listTables()
+            if t.name.startswith("__moospark_system_")
+        ]
+        assert leftovers == []
