@@ -141,13 +141,16 @@ class Engine:
         user: str = "default",
         password: str = "",
         database: Optional[str] = None,
+        extra_settings: Optional[dict] = None,
     ) -> tuple[bytes, str]:
         """Like :meth:`execute`, also returning the format actually
         used (FORMAT clause / caller / session SET / TSV) so servers
-        can emit the right Content-Type."""
+        can emit the right Content-Type. ``extra_settings`` are
+        query-level settings (CH URL params): above session SET,
+        below an explicit statement SETTINGS clause."""
         df, out_fmt, settings, elapsed = self.execute_to_df(query, user, password, database)
         sess = self.get_session(user, password)
-        merged = {**sess.settings, **settings}
+        merged = {**sess.settings, **(extra_settings or {}), **settings}
         use_fmt = out_fmt or fmt or merged.get("default_format") or "TSV"
         if df is None:
             return b"", use_fmt

@@ -33,10 +33,30 @@ from urllib.parse import parse_qs, urlparse
 from ..engine import Engine, EngineError
 from ..formats import content_type
 
-PLAY_HTML = b"""<!DOCTYPE html><html><head><title>moospark</title></head>
+# Vendored ClickHouse Play UI (Apache-2.0; the same asset the
+# reference serves, main.py:854-856,915-917 + public/index.html).
+# It POSTs to / with Basic auth, default_format=JSONCompact and
+# max_result_rows/... settings as URL params — all handled below.
+_STATIC = __import__("pathlib").Path(__file__).parent / "static" / "play.html"
+try:
+    PLAY_HTML = _STATIC.read_bytes()
+except OSError:  # pragma: no cover — asset missing in a partial checkout
+    PLAY_HTML = b"""<!DOCTYPE html><html><head><title>moospark</title></head>
 <body><h3>moospark \xe2\x80\x94 ClickHouse-compatible HTTP API on Spark</h3>
 <p>POST your query to / or use ?query=...</p></body></html>
 """
+
+# URL parameters that are query-level settings, not control params
+# (the Play UI sends max_result_rows=1000&max_result_bytes=...&
+# result_overflow_mode=break on every request).
+_NON_SETTING_PARAMS = {
+    "query",
+    "default_format",
+    "database",
+    "user",
+    "password",
+    "add_http_cors_header",
+}
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -45,7 +65,7 @@ class _Handler(BaseHTTPRequestHandler):
 
     # -- helpers ----------------------------------------------------------
 
-    def _auth(self) -> tuple[str, str]:
+    def _auth(self, qs=None) -> tuple[str, str]:
         # X-ClickHouse-User/Key headers (CH HTTP interface) take
         # precedence over Basic auth, like clickhouse-server
         xu = self.headers.get("X-ClickHouse-User")
@@ -59,6 +79,9 @@ class _Handler(BaseHTTPRequestHandler):
                 return user or "default", pw
             except Exception:
                 pass
+        if qs and qs.get("user"):
+            # file://-opened Play UI falls back to URL credentials
+            return qs["user"][0] or "default", (qs.get("password") or [""])[0]
         return "default", ""
 
     def _fmt_db(self, qs) -> tuple:
@@ -73,24 +96,38 @@ class _Handler(BaseHTTPRequestHandler):
         )
         return fmt, db
 
-    def _send(self, code: int, body: bytes, ctype: str = "text/plain; charset=UTF-8"):
+    def _send(
+        self,
+        code: int,
+        body: bytes,
+        ctype: str = "text/plain; charset=UTF-8",
+        cors: bool = False,
+    ):
         self.send_response(code)
         self.send_header("Content-Type", ctype)
         self.send_header("Content-Length", str(len(body)))
         self.send_header("X-ClickHouse-Server-Display-Name", "moospark")
+        if cors:
+            self.send_header("Access-Control-Allow-Origin", "*")
         self.end_headers()
         self.wfile.write(body)
 
-    def _run(self, query: str, fmt: str, database: str):
-        user, pw = self._auth()
+    def _run(self, query: str, fmt: str, database: str, qs=None):
+        user, pw = self._auth(qs)
+        cors = bool(qs and qs.get("add_http_cors_header", ["0"])[0] == "1")
+        extra = {
+            k: v[0]
+            for k, v in (qs or {}).items()
+            if k not in _NON_SETTING_PARAMS and v
+        }
         try:
             body, used_fmt = self.engine.execute_with_format(
                 query.strip(), fmt=fmt, user=user, password=pw,
-                database=database or None,
+                database=database or None, extra_settings=extra or None,
             )
-            self._send(200, body, content_type(used_fmt))
+            self._send(200, body, content_type(used_fmt), cors=cors)
         except EngineError as e:
-            self._send(400, (str(e) + "\n").encode("utf-8"))
+            self._send(400, (str(e) + "\n").encode("utf-8"), cors=cors)
         except Exception as e:  # engine bug → 500, not a hang
             self._send(500, (f"Code: 1000. Internal error: {e}\n").encode("utf-8"))
 
@@ -108,7 +145,7 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(200, PLAY_HTML, "text/html; charset=UTF-8")
                 return
             fmt, database = self._fmt_db(qs)
-            self._run(query, fmt, database)
+            self._run(query, fmt, database, qs)
             return
         # 404 → Play UI (reference main.py:915-917)
         self._send(200, PLAY_HTML, "text/html; charset=UTF-8")
@@ -125,7 +162,7 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(400, b"Error: no query parameter provided\n")
             return
         fmt, database = self._fmt_db(qs)
-        self._run(query, fmt, database)
+        self._run(query, fmt, database, qs)
 
     def log_message(self, *args):  # quiet
         pass

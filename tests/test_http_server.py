@@ -261,3 +261,68 @@ class TestClickHouseHeaders:
         )
         assert body.lstrip().startswith(b"{")
         assert "json" in hdrs.get("Content-Type", "").lower()
+
+
+class TestPlayUI:
+    """The vendored ClickHouse Play asset (Apache-2.0, same asset the
+    reference serves at main.py:854-856) + the request shape it makes."""
+
+    def test_get_root_serves_play_ui(self, http):
+        status, body = get(http)
+        assert status == 200
+        assert b"<!DOCTYPE html>" in body
+        assert b"moospark" in body
+        # the UI's own request machinery must be present
+        assert b"default_format=JSONCompact" in body
+        assert len(body) > 20000
+
+    def test_404_serves_play_ui(self, http):
+        status, body = get(http, path="/nonexistent")
+        assert status == 200 and b"<!DOCTYPE html>" in body
+
+    def test_play_shaped_post(self, http):
+        # exactly what postImpl() sends (play.html:507-527)
+        url = (
+            http
+            + "/?add_http_cors_header=1&default_format=JSONCompact"
+            + "&max_result_rows=1000&max_result_bytes=10000000&result_overflow_mode=break"
+        )
+        req = urllib.request.Request(
+            url, data=b"SELECT number FROM numbers(3)", method="POST"
+        )
+        cred = base64.b64encode(b"default:").decode()
+        req.add_header("Authorization", f"Basic {cred}")
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+            assert r.headers.get("Access-Control-Allow-Origin") == "*"
+            env = json.loads(r.read())
+        # envelope fields the UI consumes (renderResponse)
+        assert env["rows"] == 3
+        assert env["data"] == [[0], [1], [2]]
+        assert env["meta"][0]["name"] == "number"
+        assert "elapsed" in env["statistics"]
+
+    def test_max_result_rows_url_param_limits(self, http):
+        status, body = post(
+            http,
+            "SELECT number FROM numbers(100)",
+            default_format="JSONCompact",
+            max_result_rows="5",
+        )
+        assert status == 200
+        env = json.loads(body)
+        assert len(env["data"]) == 5
+
+    def test_url_credentials_fallback(self, http):
+        # file://-opened play UI appends user/password as URL params
+        status, _ = get(
+            http,
+            "CREATE TABLE urlcred (x Int64) ENGINE=Memory",
+            **{"user": "uc1", "password": "pw"},
+        )
+        assert status == 200
+        status, body = get(
+            http, "SELECT count(*) AS c FROM urlcred",
+            **{"user": "uc1", "password": "pw"},
+        )
+        assert (status, body) == (200, b"0\n")
