@@ -1446,6 +1446,82 @@ def translate_select(sql: str) -> Statement:
     )
 
 
+def _rewrite_values_tuples(sql: str) -> str:
+    """CH tuple literals inside INSERT … VALUES rows → ``struct(…)``.
+
+    ``INSERT INTO t VALUES ((1, 'x'))`` must store a Tuple column, but
+    Spark expands a struct column coming from a VALUES row into its
+    fields on insert (arity mismatch), while ``INSERT … SELECT
+    struct(…)`` coerces positionally. Detection: a ``(`` inside a row
+    whose previous significant token is not an identifier (so not a
+    function call) and whose group has a top-level comma. When any
+    rewrite fires, every row ``(…)`` becomes ``SELECT …`` chained
+    with UNION ALL."""
+    toks = tokenize(sql)
+    sig = _sig(toks)
+    values_at = None
+    depth = 0
+    for k, i in enumerate(sig):
+        t = toks[i]
+        if t.text == "(":
+            depth += 1
+        elif t.text == ")":
+            depth -= 1
+        elif depth == 0 and t.upper == "VALUES":
+            values_at = k
+            break
+    if values_at is None:
+        return sql
+    changed = False
+    depth = 0
+    row_opens: list[int] = []  # token index of each row's '('
+    row_closes: list[int] = []
+    row_commas: list[int] = []  # commas BETWEEN rows
+    for k in range(values_at + 1, len(sig)):
+        i = sig[k]
+        t = toks[i]
+        if t.text == "(":
+            if depth == 0:
+                row_opens.append(i)
+            else:
+                prev = toks[sig[k - 1]]
+                if prev.kind not in ("ident", "bquote"):
+                    # scan this group for a top-level comma
+                    d, has_comma = 0, False
+                    for j in range(k, len(sig)):
+                        txt = toks[sig[j]].text
+                        if txt == "(":
+                            d += 1
+                        elif txt == ")":
+                            d -= 1
+                            if d == 0:
+                                break
+                        elif txt == "," and d == 1:
+                            has_comma = True
+                    if has_comma:
+                        # kind "op" so a directly-following nested
+                        # tuple's prev check doesn't see a call
+                        toks[i] = Tok("op", "struct(")
+                        changed = True
+            depth += 1
+        elif t.text == ")":
+            depth -= 1
+            if depth == 0:
+                row_closes.append(i)
+        elif t.text == "," and depth == 0:
+            row_commas.append(i)
+    if changed and row_opens:
+        # VALUES (r1), (r2) → SELECT r1 UNION ALL SELECT r2
+        toks[sig[values_at]] = Tok("ident", "")
+        for n, i in enumerate(row_opens):
+            toks[i] = Tok("op", "SELECT " if n == 0 else " SELECT ")
+        for i in row_closes:
+            toks[i] = Tok("op", "")
+        for i in row_commas:
+            toks[i] = Tok("op", " UNION ALL")
+    return "".join(t.text for t in toks)
+
+
 def translate(sql: str) -> list[Statement]:
     """Translate a (possibly multi-statement) CH query string."""
     out: list[Statement] = []
@@ -1470,6 +1546,7 @@ def translate(sql: str) -> list[Statement]:
         elif first == "INSERT":
             s = translate_select(stmt)
             s.kind = "insert"
+            s.spark_sql = _rewrite_values_tuples(s.spark_sql)
             out.append(s)
         elif first == "SET":
             out.append(Statement(kind="set", original=stmt))

@@ -789,6 +789,13 @@ class Engine:
         props = []
         if ct.engine:
             props.append(f"'moospark.engine' = '{ct.engine}'")
+        if ct.columns:
+            # declared CH types (UUID/Enum/LowCardinality/...) survive
+            # the Spark-schema round trip for SHOW CREATE TABLE
+            import json as _json
+
+            decl = _json.dumps([[c.name, c.ch_type] for c in ct.columns])
+            props.append(f"'moospark.ch_types' = '{_esc(decl)}'")
         if ct.order_by:
             props.append(f"'moospark.order_by' = '{_esc(ct.order_by)}'")
         if ct.partition_by:
@@ -923,6 +930,16 @@ class Engine:
         except Exception:
             pass
         visible = table_ref.strip().strip("`")
+        if props.get("moospark.ch_types"):
+            import json as _json
+
+            try:
+                decl = dict(_json.loads(props["moospark.ch_types"]))
+                # schema is source of truth for the column LIST (ALTERs
+                # may have changed it); declared names win per column
+                ch_types = [decl.get(n, t) for n, t in zip(names, ch_types)]
+            except Exception:
+                pass
         cols = ",\n".join(
             f"    `{n}` {t}" for n, t in zip(names, ch_types)
         )

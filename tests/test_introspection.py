@@ -225,7 +225,9 @@ class TestShowStatements:
         out = engine.execute("SHOW CREATE TABLE showdb.st2").decode()
         assert "CREATE TABLE showdb.st2" in out
         assert "ENGINE = MergeTree" in out and "ORDER BY" in out
-        assert "Nullable(Int64)" in out and "u" + "0" not in out.split("CREATE")[0]
+        # declared CH types are preserved verbatim (moospark.ch_types
+        # property), not re-derived from the nullable parquet schema
+        assert "`x` Int64" in out and "u" + "0" not in out.split("CREATE")[0]
 
     def test_show_isolated_between_credentials(self, engine):
         engine.execute("CREATE DATABASE IF NOT EXISTS privdb", user="u1", password="p1")
