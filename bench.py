@@ -68,6 +68,51 @@ def main() -> None:
     timings["cb_total"] = round(sum(cb.values()), 3)
     print(json.dumps({"clickbench_detail": cb}, separators=(",", ":")), file=sys.stderr)
 
+    # Scale-up point (VERDICT r1 #10): the same 43 queries at 1M rows,
+    # ours vs DuckDB on the same file — per-query work sits above
+    # Spark's scheduling floor here, so the ratios carry signal. One
+    # compact pair of totals goes on stdout; the per-query table is
+    # written to BENCH_1M.json (committed) + stderr.
+    import duckdb
+
+    from tools.gen_hits import ensure_hits_1m
+
+    p1m = ensure_hits_1m()
+    spark.read.parquet(p1m).createOrReplaceTempView("hits")
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+    con.execute(f"CREATE VIEW hits AS SELECT * FROM read_parquet('{p1m}')")
+    cb1m: dict[str, float] = {}
+    cb1m_d: dict[str, float] = {}
+    for q in QUERIES:
+        eng.execute_to_df(q["sql"])[0].collect()  # warm-up
+        t0 = time.perf_counter()
+        eng.execute_to_df(q["sql"])[0].collect()
+        cb1m[q["id"]] = round(time.perf_counter() - t0, 3)
+        dsql = q.get("oracle", q["sql"])
+        con.execute(dsql).fetchall()  # warm-up
+        t0 = time.perf_counter()
+        con.execute(dsql).fetchall()
+        cb1m_d[q["id"]] = round(time.perf_counter() - t0, 3)
+    timings["cb1m_total"] = round(sum(cb1m.values()), 3)
+    timings["cb1m_duckdb"] = round(sum(cb1m_d.values()), 3)
+    detail = {
+        "rows": 1_000_000,
+        "spark_total": timings["cb1m_total"],
+        "duckdb_total": timings["cb1m_duckdb"],
+        "spark": cb1m,
+        "duckdb": cb1m_d,
+        "ratio_spark_over_duckdb": {
+            k: round(cb1m[k] / max(cb1m_d[k], 1e-9), 2) for k in cb1m
+        },
+    }
+    print(json.dumps({"hits_1m_detail": detail}, separators=(",", ":")), file=sys.stderr)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_1M.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
+
     total = round(sum(timings.values()), 3)
     line = json.dumps(
         {

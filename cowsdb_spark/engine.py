@@ -142,10 +142,11 @@ class Engine:
         password: str = "",
         database: Optional[str] = None,
         extra_settings: Optional[dict] = None,
-    ) -> tuple[bytes, str]:
+    ) -> tuple[bytes, str, dict]:
         """Like :meth:`execute`, also returning the format actually
         used (FORMAT clause / caller / session SET / TSV) so servers
-        can emit the right Content-Type. ``extra_settings`` are
+        can emit the right Content-Type, plus a stats dict for the
+        X-ClickHouse-Summary response header. ``extra_settings`` are
         query-level settings (CH URL params): above session SET,
         below an explicit statement SETTINGS clause."""
         df, out_fmt, settings, elapsed = self.execute_to_df(query, user, password, database)
@@ -153,7 +154,7 @@ class Engine:
         merged = {**sess.settings, **(extra_settings or {}), **settings}
         use_fmt = out_fmt or fmt or merged.get("default_format") or "TSV"
         if df is None:
-            return b"", use_fmt
+            return b"", use_fmt, {"result_rows": 0, "elapsed_ns": int(elapsed * 1e9)}
         res = QueryResult.from_dataframe(df, elapsed=elapsed)
         res.elapsed = elapsed
         res.totals = getattr(df, "_moospark_totals", None)
@@ -163,7 +164,23 @@ class Engine:
                 max_rows = int(merged["max_result_rows"])
             except ValueError:
                 pass
-        return serialize(res, use_fmt, max_result_rows=max_rows), use_fmt
+        # res.rows is a lazy iterator (toLocalIterator) — count rows
+        # as the serializer drains it, without materializing
+        counted = {"n": 0}
+
+        def _counting(it):
+            for r in it:
+                counted["n"] += 1
+                yield r
+
+        res.rows = _counting(res.rows)
+        body = serialize(res, use_fmt, max_result_rows=max_rows)
+        stats = {
+            "result_rows": counted["n"],
+            "result_bytes": len(body),
+            "elapsed_ns": int(elapsed * 1e9),
+        }
+        return body, use_fmt, stats
 
     def execute_to_df(
         self,

@@ -102,17 +102,23 @@ class _Handler(BaseHTTPRequestHandler):
         body: bytes,
         ctype: str = "text/plain; charset=UTF-8",
         cors: bool = False,
+        extra_headers: dict | None = None,
     ):
         self.send_response(code)
         self.send_header("Content-Type", ctype)
         self.send_header("Content-Length", str(len(body)))
         self.send_header("X-ClickHouse-Server-Display-Name", "moospark")
+        for k, v in (extra_headers or {}).items():
+            self.send_header(k, v)
         if cors:
             self.send_header("Access-Control-Allow-Origin", "*")
         self.end_headers()
         self.wfile.write(body)
 
     def _run(self, query: str, fmt: str, database: str, qs=None):
+        import json as _json
+        import uuid as _uuid
+
         user, pw = self._auth(qs)
         cors = bool(qs and qs.get("add_http_cors_header", ["0"])[0] == "1")
         extra = {
@@ -120,14 +126,33 @@ class _Handler(BaseHTTPRequestHandler):
             for k, v in (qs or {}).items()
             if k not in _NON_SETTING_PARAMS and v
         }
+        # CH echoes the client's query_id or generates one; clients
+        # (and the go/python drivers) read it back from this header
+        qid = extra.pop("query_id", "") or _uuid.uuid4().hex
+        hdrs = {"X-ClickHouse-Query-Id": qid, "X-ClickHouse-Timezone": "UTC"}
         try:
-            body, used_fmt = self.engine.execute_with_format(
+            body, used_fmt, stats = self.engine.execute_with_format(
                 query.strip(), fmt=fmt, user=user, password=pw,
                 database=database or None, extra_settings=extra or None,
             )
-            self._send(200, body, content_type(used_fmt), cors=cors)
+            hdrs["X-ClickHouse-Format"] = used_fmt
+            hdrs["X-ClickHouse-Summary"] = _json.dumps(
+                {
+                    "read_rows": str(stats.get("result_rows", 0)),
+                    "read_bytes": str(stats.get("result_bytes", 0)),
+                    "written_rows": "0",
+                    "written_bytes": "0",
+                    "total_rows_to_read": "0",
+                    "result_rows": str(stats.get("result_rows", 0)),
+                    "result_bytes": str(stats.get("result_bytes", 0)),
+                    "elapsed_ns": str(stats.get("elapsed_ns", 0)),
+                },
+                separators=(",", ":"),
+            )
+            self._send(200, body, content_type(used_fmt), cors=cors, extra_headers=hdrs)
         except EngineError as e:
-            self._send(400, (str(e) + "\n").encode("utf-8"), cors=cors)
+            hdrs["X-ClickHouse-Exception-Code"] = str(e.code)
+            self._send(400, (str(e) + "\n").encode("utf-8"), cors=cors, extra_headers=hdrs)
         except Exception as e:  # engine bug → 500, not a hang
             self._send(500, (f"Code: 1000. Internal error: {e}\n").encode("utf-8"))
 

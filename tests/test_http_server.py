@@ -326,3 +326,34 @@ class TestPlayUI:
             **{"user": "uc1", "password": "pw"},
         )
         assert (status, body) == (200, b"0\n")
+
+
+class TestResponseHeaders:
+    def test_summary_and_query_id(self, http):
+        req = urllib.request.Request(
+            http + "/?query=" + urllib.parse.quote("SELECT number FROM numbers(7)")
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+            summary = json.loads(r.headers["X-ClickHouse-Summary"])
+            assert summary["result_rows"] == "7"
+            assert int(summary["result_bytes"]) > 0
+            assert len(r.headers["X-ClickHouse-Query-Id"]) >= 8
+            assert r.headers["X-ClickHouse-Timezone"] == "UTC"
+            assert r.headers["X-ClickHouse-Format"] == "TSV"
+
+    def test_query_id_echoed(self, http):
+        status, _ = get(http, "SELECT 1")
+        req = urllib.request.Request(
+            http + "/?query=SELECT%201&query_id=my-custom-id-123"
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.headers["X-ClickHouse-Query-Id"] == "my-custom-id-123"
+
+    def test_exception_code_header(self, http):
+        try:
+            get(http, "SELECT bogus_column FROM numbers(1)")
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert e.headers["X-ClickHouse-Exception-Code"] is not None

@@ -161,11 +161,21 @@ def generate(path: str = DEFAULT_PATH, n: int = N_ROWS) -> str:
     return path
 
 
-def ensure_hits(path: str = DEFAULT_PATH) -> str:
+def ensure_hits(path: str = DEFAULT_PATH, n: int = N_ROWS) -> str:
     path = os.path.abspath(path)
     if not os.path.exists(path):
-        generate(path)
+        generate(path, n)
     return path
+
+
+def ensure_hits_1m() -> str:
+    """1M-row point for the scale-up bench sweep (per-query work above
+    Spark's ~0.2-0.5s scheduling floor, so engine-vs-baseline ratios
+    carry signal)."""
+    path = os.path.join(
+        os.path.dirname(DEFAULT_PATH), "hits_1m.parquet"
+    )
+    return ensure_hits(path, n=1_000_000)
 
 
 if __name__ == "__main__":
