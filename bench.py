@@ -94,12 +94,17 @@ def main() -> None:
         t0 = time.perf_counter()
         con.execute(dsql).fetchall()
         cb1m_d[q["id"]] = round(time.perf_counter() - t0, 3)
-    timings["cb1m_total"] = round(sum(cb1m.values()), 3)
-    timings["cb1m_duckdb"] = round(sum(cb1m_d.values()), 3)
+    # kept OUT of `timings`/`value` so the headline total stays
+    # round-over-round comparable (r1 definition: conformance + cb)
+    hits_1m = {
+        "rows": 1_000_000,
+        "spark": round(sum(cb1m.values()), 3),
+        "duckdb": round(sum(cb1m_d.values()), 3),
+    }
     detail = {
         "rows": 1_000_000,
-        "spark_total": timings["cb1m_total"],
-        "duckdb_total": timings["cb1m_duckdb"],
+        "spark_total": hits_1m["spark"],
+        "duckdb_total": hits_1m["duckdb"],
         "spark": cb1m,
         "duckdb": cb1m_d,
         "ratio_spark_over_duckdb": {
@@ -120,6 +125,7 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "queries": timings,
+            "hits_1m": hits_1m,
             "sf": sf,
         },
         separators=(",", ":"),
@@ -128,7 +134,7 @@ def main() -> None:
         slim = {k: round(v, 2) for k, v in timings.items()}
         line = json.dumps(
             {"metric": "warm wall-clock sec", "value": total, "unit": "sec",
-             "queries": slim, "sf": sf},
+             "queries": slim, "hits_1m": hits_1m, "sf": sf},
             separators=(",", ":"),
         )
     sys.stdout.flush()

@@ -1171,7 +1171,8 @@ def t20(spark, sf_dir):
     "ELSE 0 END AS INT) AS level "
     "FROM (SELECT DISTINCT user_id FROM e) u ORDER BY user_id",
     "[2.4 D: CH windowFunnel()] deepest view->click->purchase chain "
-    "within 1h of the chain start; applyInPandas per user key",
+    "within 1h of the chain start; JVM sort_array + higher-order fold "
+    "(one keyed shuffle, map-side event filter; funnel.py design notes)",
 )
 def t21(spark, sf_dir):
     from .operators.funnel import window_funnel

@@ -360,3 +360,73 @@ class TestEmbeddingNearDup:
             ).collect()
         }
         assert lsh <= exact
+
+
+class TestAsofDirections:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [(1, 10), (1, 20), (1, 5), (2, 10)], "k long, ts long"
+        )
+        right = spark.createDataFrame(
+            [(1, 8, "a"), (1, 15, "b"), (2, 99, "z")], "k long, ts long, v string"
+        )
+        return left, right
+
+    def test_forward_semantics(self, spark):
+        left, right = self._frames(spark)
+        out = {
+            (r.k, r.ts): r.v
+            for r in asof_join(left, right, on="k", direction="forward").collect()
+        }
+        assert out[(1, 10)] == "b"  # earliest at-or-after 10 is 15
+        assert out[(1, 20)] is None  # nothing at-or-after 20
+        assert out[(1, 5)] == "a"
+        assert out[(2, 10)] == "z"
+
+    def test_forward_equal_ts_inclusive(self, spark):
+        left = spark.createDataFrame([(1, 10)], "k long, ts long")
+        right = spark.createDataFrame([(1, 10, "x")], "k long, ts long, v string")
+        (row,) = asof_join(left, right, on="k", direction="forward").collect()
+        assert row.v == "x"
+
+    def test_nearest_semantics(self, spark):
+        left, right = self._frames(spark)
+        out = {
+            (r.k, r.ts): r.v
+            for r in asof_join(left, right, on="k", direction="nearest").collect()
+        }
+        assert out[(1, 10)] == "a"  # |10-8|=2 < |15-10|=5
+        assert out[(1, 20)] == "b"  # only backward exists
+        assert out[(1, 5)] == "a"  # only forward exists
+        assert out[(2, 10)] == "z"
+
+    def test_nearest_tie_goes_backward(self, spark):
+        left = spark.createDataFrame([(1, 10)], "k long, ts long")
+        right = spark.createDataFrame(
+            [(1, 8, "back"), (1, 12, "fwd")], "k long, ts long, v string"
+        )
+        (row,) = asof_join(left, right, on="k", direction="nearest").collect()
+        assert row.v == "back"
+
+    def test_nearest_timestamp_type(self, spark):
+        import datetime as dt
+
+        left = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1, 12, 0, 0))], "k long, ts timestamp"
+        )
+        right = spark.createDataFrame(
+            [
+                (1, dt.datetime(2024, 1, 1, 11, 0, 0), "morning"),
+                (1, dt.datetime(2024, 1, 1, 12, 30, 0), "noonish"),
+            ],
+            "k long, ts timestamp, v string",
+        )
+        (row,) = asof_join(left, right, on="k", direction="nearest").collect()
+        assert row.v == "noonish"  # 30min forward beats 60min back
+
+    def test_unknown_direction_raises(self, spark):
+        left, right = self._frames(spark)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            asof_join(left, right, on="k", direction="sideways")
