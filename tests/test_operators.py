@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from cowsdb_spark.operators.asof import asof_join
+from cowsdb_spark.operators.quantile import exact_percentiles
 from cowsdb_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
@@ -430,3 +431,51 @@ class TestAsofDirections:
 
         with _pytest.raises(ValueError):
             asof_join(left, right, on="k", direction="sideways")
+
+
+class TestExactQuantile:
+    """Histogram-refinement exact percentile (operators/quantile.py):
+    no full-data shuffle — only histogram counts move."""
+
+    def test_matches_sorted_reference(self, spark):
+        import random
+
+        random.seed(11)
+        data = [(random.gauss(0.0, 50.0),) for _ in range(4000)]
+        df = spark.createDataFrame(data, "v double")
+        qs = [0.0, 0.1, 0.5, 0.95, 1.0]
+        got = exact_percentiles(df, "v", qs)
+        vs = sorted(x[0] for x in data)
+
+        def qc(q):
+            h = (len(vs) - 1) * q
+            kf, fr = int(h), (len(vs) - 1) * q - int(h)
+            return vs[kf] if fr == 0 else vs[kf] + fr * (vs[kf + 1] - vs[kf])
+
+        assert all(abs(a - qc(q)) < 1e-9 for a, q in zip(got, qs))
+
+    def test_refinement_path_on_large_column(self, spark, sf_dir):
+        # > FETCH_LIMIT rows forces at least one histogram iteration
+        import duckdb
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        if li.count() <= 100_000:
+            li = li.unionByName(li).unionByName(li)  # small sf fallback
+        (got,) = exact_percentiles(li, "l_extendedprice", [0.9])
+        path = f"{sf_dir}/lineitem.parquet"
+        n = li.count() // spark.read.parquet(path).count()
+        dd = duckdb.sql(
+            f"SELECT quantile_cont(l_extendedprice, 0.9) FROM read_parquet('{path}')"
+        ).fetchone()[0]
+        # union duplication doesn't change quantiles of duplicated data
+        assert abs(got - dd) < 1e-6
+
+    def test_empty_single_and_duplicates(self, spark):
+        assert exact_percentiles(
+            spark.range(0).selectExpr("CAST(id AS DOUBLE) AS v"), "v", [0.5]
+        ) == [None]
+        assert exact_percentiles(
+            spark.createDataFrame([(7.0,)], "v double"), "v", [0.0, 1.0]
+        ) == [7.0, 7.0]
+        dup = spark.createDataFrame([(1.0,)] * 500 + [(2.0,)] * 500, "v double")
+        assert exact_percentiles(dup, "v", [0.25, 0.5, 0.75]) == [1.0, 1.5, 2.0]
