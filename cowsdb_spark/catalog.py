@@ -46,16 +46,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     identical second/microsecond values.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     key = (id(spark), os.path.abspath(sf_dir), name)
     if key in _df_cache:
         return _df_cache[key]
     path = os.path.join(sf_dir, f"{name}.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The driver may hand us a session without our factory config
+    # (session.py): pin NTZ inference off here too, so parquet
+    # TIMESTAMP(MICROS) without the UTC flag reads as TimestampType
+    # everywhere (ClickHouse DateTime is an instant, not a local time).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(path)
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Belt-and-braces: if a timestamp still reads NTZ (conf ignored on
+    # some reader path), normalize — value-identical wall clock.
+    for fld in df.schema.fields:
+        if isinstance(fld.dataType, TimestampNTZType):
+            df = df.withColumn(fld.name, F.col(fld.name).cast("timestamp"))
     _df_cache[key] = df
     return df
 

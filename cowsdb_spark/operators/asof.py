@@ -31,7 +31,9 @@ def _as_num(col, dtype):
     if isinstance(dtype, T.DateType):
         return F.unix_date(col).cast("double")
     if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
-        return col.cast("double")
+        # TIMESTAMP_NTZ can't numeric-cast directly (Spark 4); route
+        # through timestamp (session TZ is UTC → same instant).
+        return col.cast("timestamp").cast("double")
     return col.cast("double")
 
 

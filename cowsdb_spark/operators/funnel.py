@@ -27,6 +27,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def retention(
@@ -114,9 +115,16 @@ def _with_cond_label(
     lab = F.lit(0)
     for i in range(len(conds), 0, -1):
         lab = F.when(conds[i - 1], F.lit(i)).otherwise(lab)
+    # NTZ-proof epoch image: TIMESTAMP_NTZ can't numeric-cast directly
+    # (Spark 4); route timestamps through `timestamp` first (session TZ
+    # is UTC, so the epoch value matches CH/DuckDB semantics).
+    ts_type = df.schema[ts_col].dataType
+    ts_num = F.col(ts_col)
+    if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+        ts_num = ts_num.cast("timestamp")
     out = df.select(
         F.col(key),
-        F.col(ts_col).cast("double").alias(ts_col),
+        ts_num.cast("double").alias(ts_col),
         lab.alias("__cond"),
     )
     return out.filter(F.col("__cond") > 0)

@@ -1032,7 +1032,14 @@ def t15(spark, sf_dir):
             "new_s",
             (
                 F.col("prev").isNull()
-                | (F.col("ts").cast("long") - F.col("prev").cast("long") > 1800)
+                # NTZ-proof: TIMESTAMP_NTZ can't numeric-cast directly
+                # (Spark 4); route through timestamp (session TZ is UTC,
+                # so this equals DuckDB's epoch(ts)).
+                | (
+                    F.col("ts").cast("timestamp").cast("long")
+                    - F.col("prev").cast("timestamp").cast("long")
+                    > 1800
+                )
             ).cast("int"),
         )
         .withColumn("sid", F.sum("new_s").over(w))
@@ -1116,8 +1123,9 @@ def t18(spark, sf_dir):
     "FROM e a JOIN e b ON a.vec_id < b.vec_id "
     "WHERE list_cosine_similarity(a.v, b.v) >= 0.45 "
     "ORDER BY id_a, id_b",
-    "[ext: dedup] embedding-cosine near-duplicate pairs (exact tier; "
-    "LSH blocking is the scale path, exercised by t12)",
+    "[ext: dedup] embedding-cosine near-dup pairs, exact with "
+    "IVF-centroid angular-bound block pruning (no O(n^2) stage on "
+    "clustered data; LSH blocking for high thresholds is x12)",
 )
 def t19(spark, sf_dir):
     from .operators.dedup import embedding_neardup_pairs

@@ -54,8 +54,14 @@ def get_spark(app_name: str = "moospark", shuffle_partitions: int | None = None)
         # permissive (float x/0 is not an error), so the engine runs
         # non-ANSI. Set again post-create in case of session reuse.
         .config("spark.sql.ansi.enabled", "false")
+        # Parquet files written without the isAdjustedToUTC flag would
+        # otherwise read as TIMESTAMP_NTZ in Spark 4; ClickHouse
+        # DateTime is a UTC instant, so read them as TimestampType
+        # (the session TZ above is pinned UTC, so values are identical).
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     spark = builder.getOrCreate()
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -25,33 +25,30 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-# Parquet-on-disk schema of the driver's events table (ts is
-# TIMESTAMP(NANOS) read as long via nanosAsLong — catalog.py).
-_EVENTS_RAW = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as a file stream (one parquet file = one
-    micro-batch unit; in production this seam is Kafka/queue)."""
+    micro-batch unit; in production this seam is Kafka/queue).
+
+    FileStreamSource needs an explicit schema; take it from a batch
+    schema read of the same file so the stream tracks whatever the
+    driver wrote (TIMESTAMP(MICROS) today; TIMESTAMP(NANOS) in
+    earlier testdata drops — handled via nanosAsLong)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # FileStreamSource requires a directory; select just the events
-    # file out of the testdata dir with a glob filter
+    batch = (
+        spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    )
     raw = (
-        spark.readStream.schema(_EVENTS_RAW)
+        spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = batch.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):  # nanos-as-long testdata
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_counts(
