@@ -362,6 +362,66 @@ class TestEmbeddingNearDup:
         }
         assert lsh <= exact
 
+    def test_exact_plan_has_no_nested_loop(self, spark, sf_dir):
+        """VERDICT r2 #3: the registered t19 path must not plan a
+        BroadcastNestedLoopJoin / CartesianProduct — the screen is a
+        broadcast equi-join on the (pruned) block-pair table plus an
+        applyInPandas matmul per surviving pair."""
+        from cowsdb_spark.catalog import load_table
+        from cowsdb_spark.operators.dedup import embedding_neardup_pairs
+
+        e = load_table(spark, sf_dir, "embeddings")
+        plan = embedding_neardup_pairs(e, threshold=0.45)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_clustered_data_prunes_block_pairs(self, spark):
+        """On angularly-clustered data the IVF bound must prune most
+        of the B² block grid (the sub-quadratic claim); two tight
+        antipodal clusters at threshold 0.9 keep only same-cluster
+        block pairs."""
+        import numpy as np
+
+        from cowsdb_spark.operators import dedup as D
+
+        rng = np.random.default_rng(7)
+        base_a = rng.normal(size=64)
+        base_b = -base_a  # antipodal: cross-cluster cosine ≈ -1
+        rows = []
+        for i in range(200):
+            base = base_a if i < 100 else base_b
+            v = base + rng.normal(scale=0.01, size=64)
+            rows.append((i, [float(x) for x in v]))
+        e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        D._IVF_INDEX_CACHE.clear()
+        df = D.embedding_neardup_pairs(e, threshold=0.9, n_blocks=8)
+        got = df.collect()
+        # correctness: every same-cluster pair matches, no cross pairs
+        assert len(got) == 2 * (100 * 99) // 2
+        assert all((r.id_a < 100) == (r.id_b < 100) for r in got)
+        # pruning: the block-pair table is far below the full grid (36)
+        (emb_ref, assigned, cents, delta) = D._IVF_INDEX_CACHE[(id(e), 8)]
+        import math
+
+        theta_max = math.acos(0.9 - 1e-6)
+        cn = np.linalg.norm(cents, axis=1)
+        cn[cn == 0] = 1e-12
+        unit = cents / cn[:, None]
+        cang = np.arccos(np.clip(unit @ unit.T, -1.0, 1.0))
+        surviving = [
+            (i, j)
+            for i in range(8)
+            for j in range(i, 8)
+            if i in delta and j in delta
+            and cang[i, j] - delta[i] - delta[j] <= theta_max + 1e-9
+        ]
+        # every cross-blob block pair (centroids on opposite sides of
+        # the base direction) must be pruned; within-blob pairs survive
+        # because they really do contain matches
+        side = unit @ base_a > 0
+        assert len(surviving) < 36
+        assert all(side[i] == side[j] for i, j in surviving)
+
 
 class TestAsofDirections:
     def _frames(self, spark):
@@ -424,6 +484,46 @@ class TestAsofDirections:
         )
         (row,) = asof_join(left, right, on="k", direction="nearest").collect()
         assert row.v == "noonish"  # 30min forward beats 60min back
+
+    def test_nearest_timestamp_ntz_parquet(self, spark, tmp_path):
+        """Regression: Spark 4 reads parquet timestamp[us] (no UTC flag)
+        as TIMESTAMP_NTZ when inference is on, and CAST(ntz AS DOUBLE)
+        is an AnalysisException — _as_num must route through timestamp.
+        Fixture forces an actual NTZ schema regardless of session conf."""
+        import datetime as dt
+
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("k", T.LongType()),
+                T.StructField("ts", T.TimestampNTZType()),
+                T.StructField("v", T.StringType()),
+            ]
+        )
+        lschema = T.StructType(schema.fields[:2])
+        left = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1, 12, 0, 0))], lschema
+        )
+        right = spark.createDataFrame(
+            [
+                (1, dt.datetime(2024, 1, 1, 11, 0, 0), "morning"),
+                (1, dt.datetime(2024, 1, 1, 12, 30, 0), "noonish"),
+            ],
+            schema,
+        )
+        lp, rp = str(tmp_path / "l.parquet"), str(tmp_path / "r.parquet")
+        left.write.parquet(lp)
+        right.write.parquet(rp)
+        prev = spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        try:
+            lf, rf = spark.read.parquet(lp), spark.read.parquet(rp)
+            assert isinstance(lf.schema["ts"].dataType, T.TimestampNTZType)
+            (row,) = asof_join(lf, rf, on="k", direction="nearest").collect()
+        finally:
+            spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", prev)
+        assert row.v == "noonish"
 
     def test_unknown_direction_raises(self, spark):
         left, right = self._frames(spark)
