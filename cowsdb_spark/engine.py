@@ -34,6 +34,7 @@ from .dialect.ddl import (
 )
 from .formats import QueryResult, serialize
 from .functions.ch_hashes import register_all as _register_hashes
+from .localdf import local_df
 from .session import get_spark
 from .sources.url import resolve_table_functions
 from .system_tables import materialize as _materialize_system
@@ -233,8 +234,8 @@ class Engine:
                     from .plans.inspect import plan_digraph
 
                     dot = plan_digraph(result_df)
-                    result_df = self.spark.createDataFrame(
-                        [(dot,)], "explain string"
+                    result_df = local_df(
+                        self.spark, [(dot,)], "explain string"
                     )
                 if st.with_fill:
                     result_df = self._apply_with_fill(result_df, st.with_fill)
@@ -643,7 +644,7 @@ class Engine:
                             for n, t in zip(names, ch_types)
                         ]
                     )
-                    src = self.spark.createDataFrame(rows, schema=src_schema)
+                    src = local_df(self.spark, rows, src_schema)
                 else:
                     src = self.spark.createDataFrame(rows, schema=names)
                 out_cols = []

@@ -481,7 +481,9 @@ def embedding_neardup_pairs(
         F.col("_v").alias("_vec"),
         F.col("_cell").alias("_blk"),
     )
-    blk_pairs = spark.createDataFrame(surviving or [(0, 0)], "bi int, bj int")
+    from ..localdf import local_df
+
+    blk_pairs = local_df(spark, surviving or [(0, 0)], "bi int, bj int")
     side_a = src.join(F.broadcast(blk_pairs), src["_blk"] == F.col("bi")).select(
         "bi", "bj", "_id", "_vec", F.lit(0).alias("_side")
     )

@@ -255,9 +255,11 @@ def exact_percentile_row(
     *specs* is [(column, q, out_alias), ...]; rounding (to match an
     oracle) is the caller's job on the returned columns.
     """
+    from ..localdf import local_df
+
     res = exact_percentiles_multi(df, [(c, q) for c, q, _ in specs])
     aliases = [alias for _, _, alias in specs]
     schema = ", ".join(f"{a} double" for a in aliases)
-    return spark.createDataFrame(
-        [tuple(res[(c, q)] for c, q, _ in specs)], schema
+    return local_df(
+        spark, [tuple(res[(c, q)] for c, q, _ in specs)], schema
     )

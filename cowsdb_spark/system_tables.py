@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .localdf import local_df
+
 
 def _strip_ns(spark_db: str) -> str | None:
     """u<hash>__<name> → <name>; None for non-namespace databases."""
@@ -29,7 +31,7 @@ def system_databases(spark: SparkSession, ns: str) -> DataFrame:
             rows.append((db.name.split("__", 1)[1],))
     if not rows:
         rows = [("default",)]
-    return spark.createDataFrame(sorted(set(rows)), "name string")
+    return local_df(spark, sorted(set(rows)), "name string")
 
 
 def system_tables(spark: SparkSession, ns: str) -> DataFrame:
@@ -43,8 +45,8 @@ def system_tables(spark: SparkSession, ns: str) -> DataFrame:
                 rows.append((visible, t.name, "MergeTree"))
     schema = "database string, name string, engine string"
     if not rows:
-        return spark.createDataFrame([], schema)
-    return spark.createDataFrame(sorted(rows), schema)
+        return local_df(spark, [], schema)
+    return local_df(spark, sorted(rows), schema)
 
 
 def system_settings(spark: SparkSession, ns: str) -> DataFrame:
@@ -57,14 +59,14 @@ def system_settings(spark: SparkSession, ns: str) -> DataFrame:
         ("default_format", "TSV", "Default output format"),
         ("max_threads", str(spark.sparkContext.defaultParallelism), "Spark cores"),
     ]
-    return spark.createDataFrame(rows, "name string, value string, description string")
+    return local_df(spark, rows, "name string, value string, description string")
 
 
 def system_functions(spark: SparkSession, ns: str) -> DataFrame:
     from .dialect.functions import RENAMES, TEMPLATES
 
     names = sorted(set(RENAMES) | {k for k, v in TEMPLATES.items() if v is not None})
-    return spark.createDataFrame([(n,) for n in names], "name string")
+    return local_df(spark, [(n,) for n in names], "name string")
 
 
 def system_numbers(spark: SparkSession, ns: str) -> DataFrame:
@@ -95,8 +97,8 @@ def system_columns(spark: SparkSession, ns: str) -> DataFrame:
                 )
     schema_s = "database string, table string, name string, type string, position int"
     if not rows:
-        return spark.createDataFrame([], schema_s)
-    return spark.createDataFrame(sorted(rows), schema_s)
+        return local_df(spark, [], schema_s)
+    return local_df(spark, sorted(rows), schema_s)
 
 
 PROVIDERS = {
