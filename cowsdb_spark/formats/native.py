@@ -30,6 +30,7 @@ garbage).
 from __future__ import annotations
 
 import datetime as _dt
+import re as _re
 import struct
 from decimal import Decimal as _Decimal
 from typing import Optional
@@ -72,6 +73,13 @@ _INT_FMT = {
 }
 
 _SCALARS = set(_INT_FMT) | {"Float32", "Float64", "Bool", "Date", "DateTime", "String"}
+
+
+def _dt64_precision(ch_type: str) -> int:
+    """DateTime64(p[, tz]) → p, default 3, clamped to [0, 9]."""
+    m = _re.match(r"DateTime64\s*\(\s*(\d+)", ch_type)
+    p = int(m.group(1)) if m else 3
+    return max(0, min(9, p))
 
 
 # ---------------------------------------------------------------- type names
@@ -137,7 +145,7 @@ def wire_type(t: str) -> str:
     """Type name actually emitted (unsupported leaves degrade to
     String; supported composites keep their real type)."""
     inner, nullable = _strip_nullable(t)
-    if inner in _SCALARS or _parse_decimal(inner):
+    if inner in _SCALARS or _parse_decimal(inner) or inner.startswith("DateTime64"):
         wire = inner
     elif inner.startswith("Array(") and inner.endswith(")"):
         wire = f"Array({wire_type(_inner(inner, 'Array'))})"
@@ -181,6 +189,16 @@ def _encode_scalar(ch_type: str, v) -> bytes:
         if isinstance(v, _dt.datetime):
             v = v.date()
         return struct.pack("<H", max(0, (v - _EPOCH_DATE).days))
+    if ch_type.startswith("DateTime64"):
+        # CH wire: Int64 ticks at 10^-p (default p=3)
+        p = _dt64_precision(ch_type)
+        if v is None:
+            return struct.pack("<q", 0)
+        if isinstance(v, _dt.datetime):
+            ticks = round((v - _EPOCH_DT).total_seconds() * 10**p)
+        else:
+            ticks = int(v)
+        return struct.pack("<q", ticks)
     if ch_type == "DateTime":
         if v is None:
             return struct.pack("<I", 0)
@@ -304,6 +322,11 @@ def _decode_scalar(ch_type: str, r):
     if ch_type == "Date":
         (d,) = struct.unpack("<H", r._need(2))
         return _EPOCH_DATE + _dt.timedelta(days=d)
+    if ch_type.startswith("DateTime64"):
+        p = _dt64_precision(ch_type)
+        (t,) = struct.unpack("<q", r._need(8))
+        us = t * 10 ** (6 - p) if p <= 6 else t // 10 ** (p - 6)
+        return _EPOCH_DT + _dt.timedelta(microseconds=us)
     if ch_type.startswith("DateTime"):
         (s,) = struct.unpack("<I", r._need(4))
         return _EPOCH_DT + _dt.timedelta(seconds=s)

@@ -14,6 +14,19 @@ import datetime as _dt
 import math
 
 
+def _dt_text(v: _dt.datetime) -> str:
+    """CH-style datetime text: second precision for DateTime; values
+    carrying sub-second micros (DateTime64 storage, SURVEY §1.2) keep
+    them — 3 digits when they are whole millis, else 6 — instead of
+    silently truncating."""
+    base = v.strftime("%Y-%m-%d %H:%M:%S")
+    if v.microsecond == 0:
+        return base
+    if v.microsecond % 1000 == 0:
+        return f"{base}.{v.microsecond // 1000:03d}"
+    return f"{base}.{v.microsecond:06d}"
+
+
 def _num_repr(v: float) -> str:
     if isinstance(v, float):
         if math.isnan(v):
@@ -35,7 +48,7 @@ def plain_text(v) -> str:
     if isinstance(v, float):
         return _num_repr(v)
     if isinstance(v, _dt.datetime):
-        return v.strftime("%Y-%m-%d %H:%M:%S")
+        return _dt_text(v)
     if isinstance(v, _dt.date):
         return v.isoformat()
     if isinstance(v, (bytes, bytearray)):
@@ -95,7 +108,7 @@ def json_value(v):
             return None
         return v
     if isinstance(v, _dt.datetime):
-        return v.strftime("%Y-%m-%d %H:%M:%S")
+        return _dt_text(v)
     if isinstance(v, _dt.date):
         return v.isoformat()
     if isinstance(v, (bytes, bytearray)):
