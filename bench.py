@@ -13,6 +13,11 @@ tail, so the final line must stay well under that budget: the
 entry on stdout, with the per-query breakdown on stderr (and the
 assertion below guards the length).
 
+Crash policy (VERDICT r2 #3): every query and every sweep section is
+individually isolated — a failing query records an ``errs`` entry and
+the run continues; the final JSON line prints NO MATTER WHAT. A bench
+artifact must never be hostage to one query.
+
 Timing protocol (BASELINE.md notes): JVM/session startup excluded;
 one warm-up pass per query (parquet footer + page cache, code
 paths JIT'd), then the timed pass. This mirrors ClickBench's
@@ -26,11 +31,9 @@ import os
 import re
 import sys
 import time
+import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from cowsdb_spark.queries import registry
-from cowsdb_spark.session import get_spark
 
 
 def main() -> None:
@@ -38,105 +41,143 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.0
 
-    spark = get_spark("moospark-bench")
-    reg = registry()
-
     timings: dict[str, float] = {}
-    for name, qd in sorted(reg.items()):
-        # warm-up pass (not timed)
-        qd.spark(spark, sf_dir).collect()
-        t0 = time.perf_counter()
-        qd.spark(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    errs: dict[str, str] = {}
+    hits_10m: dict | None = None
 
-    # ClickBench sweep on the hits_sample fixture (the reference CI's
-    # own benchmark shape, SURVEY §6) through the CH-dialect engine.
-    # Per-query numbers go to stderr; stdout gets one cb_total entry
-    # so the final JSON line fits the driver's 2000-char tail buffer.
-    from cowsdb_spark.clickbench import QUERIES, register_hits
-    from cowsdb_spark.engine import Engine
+    def timed(name: str, fn) -> None:
+        """Warm pass + timed pass; failure records errs[name], never raises."""
+        try:
+            fn()  # warm-up (not timed)
+            t0 = time.perf_counter()
+            fn()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001 — bench must keep going
+            errs[name] = repr(e)[:300]
+            traceback.print_exc(file=sys.stderr)
 
-    eng = Engine(spark)
-    register_hits(spark)
-    cb: dict[str, float] = {}
-    for q in QUERIES:
-        df, _, _, _ = eng.execute_to_df(q["sql"])
-        df.collect()  # warm-up
-        t0 = time.perf_counter()
-        eng.execute_to_df(q["sql"])[0].collect()
-        cb[q["id"]] = round(time.perf_counter() - t0, 3)
-    timings["cb_total"] = round(sum(cb.values()), 3)
-    print(json.dumps({"clickbench_detail": cb}, separators=(",", ":")), file=sys.stderr)
-
-    # Scale-up point (VERDICT r1 #10): the same 43 queries at 1M rows,
-    # ours vs DuckDB on the same file — per-query work sits above
-    # Spark's scheduling floor here, so the ratios carry signal. One
-    # compact pair of totals goes on stdout; the per-query table is
-    # written to BENCH_1M.json (committed) + stderr.
-    import duckdb
-
-    from tools.gen_hits import ensure_hits_1m
-
-    p1m = ensure_hits_1m()
-    spark.read.parquet(p1m).createOrReplaceTempView("hits")
-    con = duckdb.connect()
-    con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
-    con.execute(f"CREATE VIEW hits AS SELECT * FROM read_parquet('{p1m}')")
-    cb1m: dict[str, float] = {}
-    cb1m_d: dict[str, float] = {}
-    for q in QUERIES:
-        eng.execute_to_df(q["sql"])[0].collect()  # warm-up
-        t0 = time.perf_counter()
-        eng.execute_to_df(q["sql"])[0].collect()
-        cb1m[q["id"]] = round(time.perf_counter() - t0, 3)
-        dsql = q.get("oracle", q["sql"])
-        con.execute(dsql).fetchall()  # warm-up
-        t0 = time.perf_counter()
-        con.execute(dsql).fetchall()
-        cb1m_d[q["id"]] = round(time.perf_counter() - t0, 3)
-    # kept OUT of `timings`/`value` so the headline total stays
-    # round-over-round comparable (r1 definition: conformance + cb)
-    hits_1m = {
-        "rows": 1_000_000,
-        "spark": round(sum(cb1m.values()), 3),
-        "duckdb": round(sum(cb1m_d.values()), 3),
-    }
-    detail = {
-        "rows": 1_000_000,
-        "spark_total": hits_1m["spark"],
-        "duckdb_total": hits_1m["duckdb"],
-        "spark": cb1m,
-        "duckdb": cb1m_d,
-        "ratio_spark_over_duckdb": {
-            k: round(cb1m[k] / max(cb1m_d[k], 1e-9), 2) for k in cb1m
-        },
-    }
-    print(json.dumps({"hits_1m_detail": detail}, separators=(",", ":")), file=sys.stderr)
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_1M.json"), "w") as f:
-            json.dump(detail, f, indent=1)
-    except OSError:
-        pass
+        from cowsdb_spark.queries import registry
+        from cowsdb_spark.session import get_spark
+
+        spark = get_spark("moospark-bench")
+        reg = registry()
+        for name, qd in sorted(reg.items()):
+            timed(name, lambda qd=qd: qd.spark(spark, sf_dir).collect())
+
+        # ClickBench sweep on the hits_sample fixture (the reference CI's
+        # own benchmark shape, SURVEY §6) through the CH-dialect engine.
+        # Per-query numbers go to stderr; stdout gets one cb_total entry
+        # so the final JSON line fits the driver's 2000-char tail buffer.
+        try:
+            from cowsdb_spark.clickbench import QUERIES, register_hits
+            from cowsdb_spark.engine import Engine
+
+            eng = Engine(spark)
+            register_hits(spark)
+            cb: dict[str, float] = {}
+            for q in QUERIES:
+                try:
+                    eng.execute_to_df(q["sql"])[0].collect()  # warm-up
+                    t0 = time.perf_counter()
+                    eng.execute_to_df(q["sql"])[0].collect()
+                    cb[q["id"]] = round(time.perf_counter() - t0, 3)
+                except Exception as e:  # noqa: BLE001
+                    errs[f"cb_{q['id']}"] = repr(e)[:300]
+            timings["cb_total"] = round(sum(cb.values()), 3)
+            print(
+                json.dumps({"clickbench_detail": cb}, separators=(",", ":")),
+                file=sys.stderr,
+            )
+        except Exception as e:  # noqa: BLE001
+            errs["cb_setup"] = repr(e)[:300]
+            traceback.print_exc(file=sys.stderr)
+
+        # Scale-up point (VERDICT r2 #5): the same 43 queries at 10M rows
+        # (1M sat below Spark's scheduling floor), ours vs DuckDB on the
+        # same file. Kept OUT of `timings`/`value` so the headline total
+        # stays round-over-round comparable (r1 definition: conformance+cb).
+        try:
+            import duckdb
+
+            from tools.gen_hits import ensure_hits_10m
+
+            p10 = ensure_hits_10m()
+            spark.read.parquet(p10).createOrReplaceTempView("hits")
+            con = duckdb.connect()
+            con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+            con.execute(f"CREATE VIEW hits AS SELECT * FROM read_parquet('{p10}')")
+            cbs: dict[str, float] = {}
+            cbd: dict[str, float] = {}
+            for q in QUERIES:
+                try:
+                    eng.execute_to_df(q["sql"])[0].collect()  # warm-up
+                    t0 = time.perf_counter()
+                    eng.execute_to_df(q["sql"])[0].collect()
+                    cbs[q["id"]] = round(time.perf_counter() - t0, 3)
+                    dsql = q.get("oracle", q["sql"])
+                    con.execute(dsql).fetchall()  # warm-up
+                    t0 = time.perf_counter()
+                    con.execute(dsql).fetchall()
+                    cbd[q["id"]] = round(time.perf_counter() - t0, 3)
+                except Exception as e:  # noqa: BLE001
+                    errs[f"10m_{q['id']}"] = repr(e)[:300]
+            hits_10m = {
+                "rows": 10_000_000,
+                "spark": round(sum(cbs.values()), 3),
+                "duckdb": round(sum(cbd.values()), 3),
+            }
+            detail = {
+                "rows": 10_000_000,
+                "spark_total": hits_10m["spark"],
+                "duckdb_total": hits_10m["duckdb"],
+                "spark": cbs,
+                "duckdb": cbd,
+                "ratio_spark_over_duckdb": {
+                    k: round(cbs[k] / max(cbd.get(k, 0), 1e-9), 2) for k in cbs
+                },
+            }
+            print(
+                json.dumps({"hits_10m_detail": detail}, separators=(",", ":")),
+                file=sys.stderr,
+            )
+            try:
+                out_path = os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), "BENCH_10M.json"
+                )
+                with open(out_path, "w") as f:
+                    json.dump(detail, f, indent=1)
+            except OSError:
+                pass
+        except Exception as e:  # noqa: BLE001
+            errs["10m_setup"] = repr(e)[:300]
+            traceback.print_exc(file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 — even session setup failure
+        errs["setup"] = repr(e)[:300]
+        traceback.print_exc(file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    line = json.dumps(
-        {
-            "metric": "conformance-suite warm wall-clock, Spark local",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "hits_1m": hits_1m,
-            "sf": sf,
-        },
-        separators=(",", ":"),
-    )
+    payload = {
+        "metric": "conformance-suite warm wall-clock, Spark local",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if hits_10m is not None:
+        payload["hits_10m"] = hits_10m
+    if errs:
+        # names + truncated messages; full tracebacks already on stderr
+        payload["errs"] = {k: v[:40] for k, v in errs.items()}
+    line = json.dumps(payload, separators=(",", ":"))
     if len(line) > 1800:  # driver tail buffer is 2000 chars — degrade safely
-        slim = {k: round(v, 2) for k, v in timings.items()}
-        line = json.dumps(
-            {"metric": "warm wall-clock sec", "value": total, "unit": "sec",
-             "queries": slim, "hits_1m": hits_1m, "sf": sf},
-            separators=(",", ":"),
-        )
+        payload["queries"] = {k: round(v, 2) for k, v in timings.items()}
+        if errs:
+            payload["errs"] = {k: "" for k in errs}
+        line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > 1800:  # still too big: drop per-query detail, keep totals
+        payload["queries"] = {"cb_total": timings.get("cb_total", 0.0)}
+        line = json.dumps(payload, separators=(",", ":"))
     sys.stdout.flush()
     print(line)
 
