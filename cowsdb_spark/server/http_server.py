@@ -117,6 +117,7 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _run(self, query: str, fmt: str, database: str, qs=None):
         import json as _json
+        import time as _time
         import uuid as _uuid
 
         user, pw = self._auth(qs)
@@ -130,10 +131,81 @@ class _Handler(BaseHTTPRequestHandler):
         # (and the go/python drivers) read it back from this header
         qid = extra.pop("query_id", "") or _uuid.uuid4().hex
         hdrs = {"X-ClickHouse-Query-Id": qid, "X-ClickHouse-Timezone": "UTC"}
+        # `send_progress_in_http_headers=1`: stream X-ClickHouse-Progress
+        # header frames while the query runs (CH HTTP interface; clients
+        # poll them on long queries). Beyond the reference, which sends
+        # one-shot responses (main.py:849-913).
+        want_progress = extra.pop("send_progress_in_http_headers", "0") in ("1", "true")
         try:
-            body, used_fmt, stats = self.engine.execute_with_format(
-                query.strip(), fmt=fmt, user=user, password=pw,
-                database=database or None, extra_settings=extra or None,
+            interval_s = (
+                int(extra.pop("http_headers_progress_interval_ms", "100") or 100)
+                / 1000.0
+            )
+        except ValueError:
+            interval_s = 0.1
+
+        def _progress_json(elapsed_ns: int, rows: int = 0, nbytes: int = 0) -> str:
+            return _json.dumps(
+                {
+                    "read_rows": str(rows),
+                    "read_bytes": str(nbytes),
+                    "total_rows_to_read": "0",
+                    "written_rows": "0",
+                    "written_bytes": "0",
+                    "elapsed_ns": str(elapsed_ns),
+                },
+                separators=(",", ":"),
+            )
+
+        started = False  # status line already committed (progress mode)
+        t0 = _time.time()
+        outcome: dict = {}
+        if want_progress:
+            done = threading.Event()
+
+            def work():
+                try:
+                    outcome["ok"] = self.engine.execute_with_format(
+                        query.strip(), fmt=fmt, user=user, password=pw,
+                        database=database or None, extra_settings=extra or None,
+                    )
+                except Exception as e:  # noqa: BLE001 — re-raised below
+                    outcome["err"] = e
+                finally:
+                    done.set()
+
+            threading.Thread(target=work, daemon=True).start()
+            while not done.wait(interval_s):
+                if not started:
+                    # commit 200 + start streaming headers (same
+                    # contract as clickhouse-server: with progress
+                    # headers on, a late failure arrives in-body)
+                    self.send_response(200)
+                    self.send_header("X-ClickHouse-Server-Display-Name", "moospark")
+                    for k, v in hdrs.items():
+                        self.send_header(k, v)
+                    if cors:
+                        self.send_header("Access-Control-Allow-Origin", "*")
+                    started = True
+                self.send_header(
+                    "X-ClickHouse-Progress",
+                    _progress_json(int((_time.time() - t0) * 1e9)),
+                )
+                self.wfile.flush()
+        try:
+            if want_progress:
+                if "err" in outcome:
+                    raise outcome["err"]
+                body, used_fmt, stats = outcome["ok"]
+            else:
+                body, used_fmt, stats = self.engine.execute_with_format(
+                    query.strip(), fmt=fmt, user=user, password=pw,
+                    database=database or None, extra_settings=extra or None,
+                )
+            summary = _progress_json(
+                stats.get("elapsed_ns", 0),
+                stats.get("result_rows", 0),
+                stats.get("result_bytes", 0),
             )
             hdrs["X-ClickHouse-Format"] = used_fmt
             hdrs["X-ClickHouse-Summary"] = _json.dumps(
@@ -149,12 +221,39 @@ class _Handler(BaseHTTPRequestHandler):
                 },
                 separators=(",", ":"),
             )
+            if want_progress:
+                # final progress frame (CH always sends one)
+                if started:
+                    self.send_header("X-ClickHouse-Progress", summary)
+                    self.send_header("X-ClickHouse-Format", used_fmt)
+                    self.send_header("X-ClickHouse-Summary", hdrs["X-ClickHouse-Summary"])
+                    self.send_header("Content-Type", content_type(used_fmt))
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                hdrs["X-ClickHouse-Progress"] = summary
             self._send(200, body, content_type(used_fmt), cors=cors, extra_headers=hdrs)
         except EngineError as e:
+            err_body = (str(e) + "\n").encode("utf-8")
+            if started:  # status already committed; error goes in-body
+                self.send_header("X-ClickHouse-Exception-Code", str(e.code))
+                self.send_header("Content-Type", "text/plain; charset=UTF-8")
+                self.send_header("Content-Length", str(len(err_body)))
+                self.end_headers()
+                self.wfile.write(err_body)
+                return
             hdrs["X-ClickHouse-Exception-Code"] = str(e.code)
-            self._send(400, (str(e) + "\n").encode("utf-8"), cors=cors, extra_headers=hdrs)
+            self._send(400, err_body, cors=cors, extra_headers=hdrs)
         except Exception as e:  # engine bug → 500, not a hang
-            self._send(500, (f"Code: 1000. Internal error: {e}\n").encode("utf-8"))
+            err_body = (f"Code: 1000. Internal error: {e}\n").encode("utf-8")
+            if started:
+                self.send_header("Content-Type", "text/plain; charset=UTF-8")
+                self.send_header("Content-Length", str(len(err_body)))
+                self.end_headers()
+                self.wfile.write(err_body)
+                return
+            self._send(500, err_body)
 
     # -- routes -----------------------------------------------------------
 

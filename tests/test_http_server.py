@@ -357,3 +357,57 @@ class TestResponseHeaders:
         except urllib.error.HTTPError as e:
             assert e.code == 400
             assert e.headers["X-ClickHouse-Exception-Code"] is not None
+
+
+class TestProgressHeaders:
+    def test_final_progress_frame_always_sent(self, http):
+        """send_progress_in_http_headers=1 → at least one
+        X-ClickHouse-Progress header frame (CH clients poll these)."""
+        req = urllib.request.Request(
+            http
+            + "/?query="
+            + urllib.parse.quote("SELECT count(*) AS c FROM numbers(1000)")
+            + "&send_progress_in_http_headers=1"
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+            frames = r.headers.get_all("X-ClickHouse-Progress")
+            assert frames and len(frames) >= 1
+            last = json.loads(frames[-1])
+            assert last["read_rows"] == "1"  # final frame = result rows
+            assert int(last["elapsed_ns"]) > 0
+            assert r.read() == b"1000\n"
+
+    def test_streaming_frames_on_slow_query(self, http):
+        """A query slower than the progress interval streams >=2
+        frames before the body commits."""
+        q = (
+            "SELECT count(*) AS c FROM ("
+            "SELECT sum(number) FROM numbers(3000000) GROUP BY number % 500000)"
+        )
+        req = urllib.request.Request(
+            http
+            + "/?query="
+            + urllib.parse.quote(q)
+            + "&send_progress_in_http_headers=1&http_headers_progress_interval_ms=50"
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+            frames = r.headers.get_all("X-ClickHouse-Progress")
+            assert frames and len(frames) >= 2
+            assert r.read() == b"500000\n"
+
+    def test_progress_mode_error_still_completes(self, http):
+        """Failure under progress mode: either a clean 400 (failed
+        before the first progress tick) or — like clickhouse-server —
+        a committed 200 whose body carries the exception text."""
+        try:
+            status, body = get(
+                http,
+                "SELECT bogus_column FROM numbers(1)",
+                send_progress_in_http_headers="1",
+            )
+            assert status == 200 and b"Code:" in body
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert e.headers["X-ClickHouse-Exception-Code"] is not None
