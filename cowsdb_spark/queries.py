@@ -913,9 +913,25 @@ def t08(spark, sf_dir):
 
 
 @qdef(
-    "x09_lang_id",
-    None,
-    "[ext: text] heuristic language-ID vs gold label (rows-only check)",
+    "t26_lang_id",
+    "WITH n AS (SELECT doc_id, lang, text, "
+    "  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM documents), "
+    "t AS (SELECT doc_id, lang, text, string_split(norm, ' ') AS tk FROM n), "
+    "h AS (SELECT doc_id, lang, "
+    "  len(list_filter(tk, x -> x IN ('the','and','of','is','with'))) AS en, "
+    "  len(list_filter(tk, x -> x IN ('der','die','und','ist','das'))) AS de, "
+    "  len(list_filter(tk, x -> x IN ('le','la','et','les','des'))) AS fr, "
+    "  len(list_filter(tk, x -> x IN ('el','los','las','una','es'))) AS esn, "
+    "  length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk FROM t) "
+    "SELECT lang, CASE WHEN cjk > 0 THEN 'zh' "
+    "  WHEN greatest(en, de, fr, esn) = 0 THEN 'und' "
+    "  WHEN en = greatest(en, de, fr, esn) THEN 'en' "
+    "  WHEN de = greatest(en, de, fr, esn) THEN 'de' "
+    "  WHEN fr = greatest(en, de, fr, esn) THEN 'fr' "
+    "  ELSE 'es' END AS lang_pred, CAST(COUNT(*) AS BIGINT) AS c "
+    "FROM h GROUP BY 1, 2 ORDER BY lang, lang_pred",
+    "[ext: text] heuristic language-ID confusion matrix vs full "
+    "DuckDB replica of the marker heuristic (rows-only before r3)",
 )
 def t09(spark, sf_dir):
     from .operators.text import lang_id
@@ -931,9 +947,25 @@ def t09(spark, sf_dir):
 
 
 @qdef(
-    "x10_quality",
-    None,
-    "[ext: text] composite quality score (rows-only check)",
+    "t27_quality_full",
+    "WITH n AS (SELECT doc_id, text, "
+    "  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM documents), "
+    "t AS (SELECT doc_id, text, string_split(norm, ' ') AS tk FROM n), "
+    "m AS (SELECT doc_id, len(tk) AS n_tok, length(text) AS n_char, "
+    "  len(list_filter(tk, x -> x IN ('the','a','an','and','or','of','to','in','is'))) AS stop_hits, "
+    "  length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct, "
+    "  list_sum(list_transform(tk, x -> length(x))) AS tok_chars FROM t) "
+    "SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens, "
+    "ROUND(CASE WHEN n_tok > 0 THEN stop_hits * 1.0 / n_tok ELSE 0.0 END, 4) AS stop_ratio, "
+    "ROUND(CASE WHEN n_char > 0 THEN punct * 1.0 / n_char ELSE 0.0 END, 4) AS punct_ratio, "
+    "ROUND(CASE WHEN n_tok > 0 THEN tok_chars * 1.0 / n_tok ELSE 0.0 END, 4) AS mean_word_len, "
+    "ROUND(least(n_tok / 100.0, 1.0) * 0.4 "
+    "  + least((CASE WHEN n_tok > 0 THEN stop_hits * 1.0 / n_tok ELSE 0.0 END) * 5, 1.0) * 0.3 "
+    "  + CASE WHEN (CASE WHEN n_tok > 0 THEN tok_chars * 1.0 / n_tok ELSE 0.0 END) "
+    "      BETWEEN 3 AND 10 THEN 0.3 ELSE 0.0 END, 4) AS quality "
+    "FROM m ORDER BY doc_id LIMIT 200",
+    "[ext: text] full composite quality score (length/punct/stopword/"
+    "word-length signals) vs DuckDB replica (rows-only before r3)",
 )
 def t10(spark, sf_dir):
     from .operators.text import quality_score
@@ -962,6 +994,67 @@ def t11(spark, sf_dir):
     joined = asof_join(left, right, on="user_id")
     return (
         joined.select("event_id", "user_id", F.col("value_r").alias("last_purchase"))
+        .orderBy("event_id")
+        .limit(200)
+    )
+
+
+@qdef(
+    "t24_asof_forward",
+    "SELECT l.event_id, l.user_id, r.value AS next_purchase FROM "
+    "(SELECT * FROM events WHERE event_type = 'signup') l "
+    "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r "
+    "ON l.user_id = r.user_id AND l.ts <= r.ts "
+    "ORDER BY l.event_id LIMIT 200",
+    "[J6] ASOF forward direction vs DuckDB's native forward ASOF "
+    "(was pytest-only; driver-oracled since r3)",
+)
+def t24(spark, sf_dir):
+    from .operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "signup")
+    right = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value")
+    )
+    joined = asof_join(left, right, on="user_id", direction="forward")
+    return (
+        joined.select("event_id", "user_id", F.col("value_r").alias("next_purchase"))
+        .orderBy("event_id")
+        .limit(200)
+    )
+
+
+@qdef(
+    "t25_asof_nearest",
+    "WITH l AS (SELECT * FROM events WHERE event_type = 'signup'), "
+    "r AS (SELECT * FROM events WHERE event_type = 'purchase'), "
+    "b AS (SELECT l.event_id, r.ts AS bts, r.value AS bval FROM l "
+    "  ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts), "
+    "f AS (SELECT l.event_id, r.ts AS fts, r.value AS fval FROM l "
+    "  ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts) "
+    "SELECT l.event_id, l.user_id, "
+    "CASE WHEN bts IS NOT NULL AND (fts IS NULL "
+    "  OR (epoch(l.ts) - epoch(bts)) <= (epoch(fts) - epoch(l.ts))) "
+    "  THEN bval ELSE fval END AS nearest_purchase "
+    "FROM l JOIN b USING(event_id) JOIN f USING(event_id) "
+    "ORDER BY l.event_id LIMIT 200",
+    "[J6] ASOF nearest (ties backward) vs two-direction DuckDB oracle "
+    "(was pytest-only; driver-oracled since r3)",
+)
+def t25(spark, sf_dir):
+    from .operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "signup")
+    right = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value")
+    )
+    joined = asof_join(left, right, on="user_id", direction="nearest")
+    return (
+        joined.select(
+            "event_id", "user_id", F.col("value_r").alias("nearest_purchase")
+        )
         .orderBy("event_id")
         .limit(200)
     )
