@@ -1156,6 +1156,24 @@ def t15(spark, sf_dir):
 
 
 @qdef(
+    "t28_streaming_dedup",
+    "SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique FROM events",
+    "[ext: streaming] watermarked cross-batch exact dedup "
+    "(dropDuplicatesWithinWatermark, bounded state), drained via "
+    "availableNow; survivor count equals batch COUNT(DISTINCT)",
+)
+def t28(spark, sf_dir):
+    from .streaming import dedup_stream, stream_events
+    from .streaming.windows import run_to_memory
+
+    s = dedup_stream(stream_events(spark, sf_dir), keys=["event_id"])
+    run_to_memory(s, "t28_out", "append")
+    return spark.table("t28_out").agg(
+        F.count(F.lit(1)).cast("long").alias("n_unique")
+    )
+
+
+@qdef(
     "x16_streaming_tumbling",
     None,  # Structured Streaming drain — no SQL oracle (rows-only)
     "[ext: streaming] watermarked tumbling-window counts, drained via availableNow",

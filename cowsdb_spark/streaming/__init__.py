@@ -7,11 +7,18 @@ stream, with watermarked windowed aggregation, session windows, and
 a custom stateful operator via ``applyInPandasWithState``.
 """
 
-from .windows import session_counts, sessionize_stateful, stream_events, tumbling_counts
+from .windows import (
+    dedup_stream,
+    session_counts,
+    sessionize_stateful,
+    stream_events,
+    tumbling_counts,
+)
 
 __all__ = [
     "stream_events",
     "tumbling_counts",
     "session_counts",
     "sessionize_stateful",
+    "dedup_stream",
 ]

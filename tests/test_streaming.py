@@ -120,3 +120,43 @@ class TestStatefulSessionize:
         for k, v in got.items():
             assert k in want, f"spurious session {k}"
             assert v == want[k], f"session {k}: {v} != {want[k]}"
+
+
+class TestStreamingDedup:
+    def test_cross_batch_dedup_matches_batch_distinct(self, spark, tmp_path):
+        """Redelivered rows (same event_id, one watermark apart at
+        most) must be dropped across micro-batches; the drained result
+        equals batch dropDuplicates."""
+        import shutil
+
+        from cowsdb_spark.streaming import dedup_stream
+        from cowsdb_spark.streaming.windows import run_to_memory
+
+        src = load_table(spark, "/root/testdata/sf0.001", "events").limit(500)
+        d = str(tmp_path / "dup_stream")
+        # two identical files = two micro-batches of the same rows
+        src.coalesce(1).write.parquet(d)
+        part = [
+            f for f in __import__("os").listdir(d) if f.endswith(".parquet")
+        ][0]
+        shutil.copy(f"{d}/{part}", f"{d}/copy-{part}")
+
+        raw = (
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        s = dedup_stream(raw, keys=["event_id"], watermark="10 years")
+        run_to_memory(s, "dedup_out", "append")
+        got = spark.table("dedup_out").count()
+        want = src.dropDuplicates(["event_id"]).count()
+        assert got == want > 0
+
+    def test_state_is_keyed_not_unbounded(self, spark):
+        """Plan shape: the dedup uses the watermark-evicting operator
+        (dropDuplicatesWithinWatermark), not plain dropDuplicates —
+        the difference between bounded and unbounded state at scale."""
+        from cowsdb_spark.streaming import dedup_stream, stream_events
+
+        s = dedup_stream(stream_events(spark, "/root/testdata/sf0.001"))
+        assert "deduplicatewithinwatermark" in s._jdf.queryExecution().logical().toString().lower()
