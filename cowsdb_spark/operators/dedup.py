@@ -263,6 +263,15 @@ def simhash_pairs(
     hamming distance ≤ max_hamming share at least one exact band
     when max_hamming < 4·…  (pigeonhole for ≤3 differing bands).
     Shuffle key: (band_index, band_value).
+
+    Scale note: the self-join evaluates the signature pipeline once
+    per side (Spark 4's AQE doesn't reuse the exchange across the two
+    projections; verified on the physical plan). At corpus scale,
+    materialize the signatures first — ``withsim`` is exactly the
+    frame you'd write to a ``simhash`` column table, after which both
+    join sides are a column scan, not a recompute. Locally the double
+    Python stage is ~0.1 s and not worth an operator-internal
+    persist().
     """
     # three staged projections keep every higher-order lambda working
     # on a materialized attribute (tokens → shingles → simhash); the

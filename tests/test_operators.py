@@ -532,6 +532,30 @@ class TestAsofDirections:
         with _pytest.raises(ValueError):
             asof_join(left, right, on="k", direction="sideways")
 
+    def test_single_shuffle_plan_all_directions(self, spark, sf_dir):
+        """The union+window rewrite's scale contract: ONE hash
+        exchange on the join key, same as the equi-join ClickHouse
+        plans — nearest's second ordering is a re-sort of the same
+        partitions, not a second shuffle."""
+        from pyspark.sql import functions as F
+
+        from cowsdb_spark.catalog import load_table
+
+        e = load_table(spark, sf_dir, "events")
+        left = e.filter(F.col("event_type") == "signup")
+        right = e.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "value"
+        )
+        for d in ("backward", "forward", "nearest"):
+            plan = (
+                asof_join(left, right, on="user_id", direction=d)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            n = plan.count("Exchange hashpartitioning") - plan.count("ReusedExchange")
+            assert n == 1, f"{d}: {n} shuffles"
+
 
 class TestExactQuantile:
     """Histogram-refinement exact percentile (operators/quantile.py):
