@@ -107,6 +107,10 @@ def main() -> None:
             con = duckdb.connect()
             con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
             con.execute(f"CREATE VIEW hits AS SELECT * FROM read_parquet('{p10}')")
+            # each engine runs its whole sweep hot (ClickBench
+            # convention: systems measured separately, not interleaved
+            # — interleaving thrashes the page/dictionary caches of
+            # both and inflated ratios by ~1.5x in round 3 testing)
             cbs: dict[str, float] = {}
             cbd: dict[str, float] = {}
             for q in QUERIES:
@@ -115,13 +119,17 @@ def main() -> None:
                     t0 = time.perf_counter()
                     eng.execute_to_df(q["sql"])[0].collect()
                     cbs[q["id"]] = round(time.perf_counter() - t0, 3)
+                except Exception as e:  # noqa: BLE001
+                    errs[f"10m_{q['id']}"] = repr(e)[:300]
+            for q in QUERIES:
+                try:
                     dsql = q.get("oracle", q["sql"])
                     con.execute(dsql).fetchall()  # warm-up
                     t0 = time.perf_counter()
                     con.execute(dsql).fetchall()
                     cbd[q["id"]] = round(time.perf_counter() - t0, 3)
                 except Exception as e:  # noqa: BLE001
-                    errs[f"10m_{q['id']}"] = repr(e)[:300]
+                    errs[f"10m_ddb_{q['id']}"] = repr(e)[:300]
             hits_10m = {
                 "rows": 10_000_000,
                 "spark": round(sum(cbs.values()), 3),
