@@ -68,7 +68,6 @@ RENAMES: dict[str, str] = {
     "arraydistinct": "array_distinct",
     "arrayintersect": "array_intersect",
     "arrayflatten": "flatten",
-    "arraycompact": "array_distinct",
     "mapkeys": "map_keys",
     "mapvalues": "map_values",
     # aggregates
@@ -387,4 +386,54 @@ TEMPLATES["cutfragment"] = "regexp_replace({0}, '#.*', '')"
 TEMPLATES["cutquerystringandfragment"] = "regexp_replace({0}, '[?#].*', '')"
 TEMPLATES["cutwww"] = (
     "regexp_replace({0}, '^(([a-z]+://)?)(www\\\\.)', '$1')"
+)
+
+# function breadth (gap-probe round 3): 12 misses from a 57-function
+# sweep of common CH spellings through the engine
+RENAMES["bitcount"] = "bit_count"
+RENAMES["lowerutf8"] = "lower"  # Spark strings are UTF-8 native
+RENAMES["upperutf8"] = "upper"
+RENAMES["concatwithseparator"] = "concat_ws"
+RENAMES["base64encode"] = "base64"
+TEMPLATES["base64decode"] = "CAST(unbase64({0}) AS STRING)"
+# CH returns '' (not NULL) when the input is not valid base64
+TEMPLATES["trybase64decode"] = (
+    "coalesce(CAST(try_to_binary({0}, 'base64') AS STRING), '')"
+)
+TEMPLATES["tonullable"] = "{0}"
+TEMPLATES["ifempty"] = "CASE WHEN {0} = '' THEN {1} ELSE {0} END"
+TEMPLATES["replaceone"] = (
+    "CASE WHEN instr({0}, {1}) > 0 THEN concat("
+    "substring({0}, 1, instr({0}, {1}) - 1), {2}, "
+    "substring({0}, instr({0}, {1}) + length({1}))) ELSE {0} END"
+)
+TEMPLATES["replaceregexpone"] = "regexp_replace({0}, {1}, {2})"  # best effort
+TEMPLATES["arrayuniq"] = "size(array_distinct({0}))"
+TEMPLATES["tostartoffiveminutes"] = (
+    "timestamp_seconds(CAST(floor(unix_timestamp({0}) / 300) AS BIGINT) * 300)"
+)
+TEMPLATES["tostartoftenminutes"] = (
+    "timestamp_seconds(CAST(floor(unix_timestamp({0}) / 600) AS BIGINT) * 600)"
+)
+TEMPLATES["tostartoffifteenminutes"] = (
+    "timestamp_seconds(CAST(floor(unix_timestamp({0}) / 900) AS BIGINT) * 900)"
+)
+# JSONLength: array length, else object key count (CH does both)
+TEMPLATES["jsonlength"] = (
+    "coalesce(json_array_length({0}), size(json_object_keys({0})))"
+)
+# erf via Abramowitz-Stegun 7.1.26 (|error| <= 1.5e-7; Spark has no
+# native erf; good enough for CH-parity analytics use)
+TEMPLATES["erf"] = (
+    "(sign({0}) * (1.0 - (((((1.061405429 * (1.0 / (1.0 + 0.3275911 * abs({0}))) "
+    "- 1.453152027) * (1.0 / (1.0 + 0.3275911 * abs({0}))) + 1.421413741) "
+    "* (1.0 / (1.0 + 0.3275911 * abs({0}))) - 0.284496736) "
+    "* (1.0 / (1.0 + 0.3275911 * abs({0}))) + 0.254829592) "
+    "* (1.0 / (1.0 + 0.3275911 * abs({0}))) * exp(-({0}) * ({0})))))"
+)
+# arrayCompact removes CONSECUTIVE duplicates only (order-preserving);
+# the old array_distinct rename dropped non-adjacent repeats too
+TEMPLATES["arraycompact"] = (
+    "transform(filter(transform({0}, (x, i) -> struct(x AS v, i AS ix)), "
+    "s -> s.ix = 0 OR NOT (s.v <=> element_at({0}, s.ix))), s -> s.v)"
 )

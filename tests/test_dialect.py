@@ -485,3 +485,47 @@ class TestRemoteTableFunctions:
         assert "FROM default.rt" in self._sql(
             "SELECT x FROM cluster('c', default.rt)"
         )
+
+
+class TestRound3FunctionBreadth:
+    """Value-level checks for the 12 spellings the round-3 gap probe
+    found missing, plus the arrayCompact semantics fix."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from cowsdb_spark.engine import Engine
+
+        return Engine(spark)
+
+    @pytest.mark.parametrize(
+        "q,want",
+        [
+            ("SELECT replaceOne('aaa','a','b')", b"baa\n"),
+            ("SELECT arrayUniq([1,1,2])", b"2\n"),
+            ("SELECT arrayCompact([1,1,2,2,1])", b"[1,2,1]\n"),
+            ("SELECT bitCount(255)", b"8\n"),
+            ("SELECT base64Encode('abc')", b"YWJj\n"),
+            ("SELECT base64Decode('YWJj')", b"abc\n"),
+            ("SELECT tryBase64Decode('!!bad!!')", b"\n"),
+            ("SELECT JSONLength('[1,2,3]')", b"3\n"),
+            ('SELECT JSONLength(\'{"a":1,"b":2}\')', b"2\n"),
+            ("SELECT toNullable(1)", b"1\n"),
+            ("SELECT ifEmpty('', 'x')", b"x\n"),
+            ("SELECT ifEmpty('y', 'x')", b"y\n"),
+            ("SELECT lowerUTF8('ABC'), upperUTF8('abc')", b"abc\tABC\n"),
+            ("SELECT concatWithSeparator('-', 'a', 'b')", b"a-b\n"),
+            ("SELECT round(erf(1), 6)", b"0.842701\n"),
+            ("SELECT round(erf(-1), 6)", b"-0.842701\n"),
+            ("SELECT erf(0)", b"0\n"),
+            (
+                "SELECT toStartOfFifteenMinutes(toDateTime('2024-01-01 00:07:00'))",
+                b"2024-01-01 00:00:00\n",
+            ),
+            (
+                "SELECT toStartOfFiveMinutes(toDateTime('2024-01-01 00:07:00'))",
+                b"2024-01-01 00:05:00\n",
+            ),
+        ],
+    )
+    def test_value(self, eng, q, want):
+        assert eng.execute(q) == want
