@@ -204,6 +204,21 @@ def parse_ddl(sql: str):
             else:
                 break
         return RenameTables(pairs=pairs) if pairs else None
+    if head == "EXCHANGE" and len(toks) >= 2 and toks[1].text.upper() == "TABLES":
+        # EXCHANGE TABLES a AND b → three renames through a temp name
+        # (CH's is atomic; ours is best-effort sequential, documented)
+        db_a, n_a, i = _parse_qualname(toks, 2)
+        if i < len(toks) and toks[i].text.upper() == "AND":
+            i += 1
+        db_b, n_b, i = _parse_qualname(toks, i)
+        tmp = f"__xchg_{n_a}__{n_b}"
+        return RenameTables(
+            pairs=[
+                (db_a, n_a, db_a, tmp),
+                (db_b, n_b, db_a, n_a),
+                (db_a, tmp, db_b, n_b),
+            ]
+        )
     if head == "OPTIMIZE" and len(toks) >= 2 and toks[1].text.upper() == "TABLE":
         db, name, i = _parse_qualname(toks, 2)
         final = any(t.text.upper() == "FINAL" for t in toks[i:])

@@ -437,3 +437,45 @@ TEMPLATES["arraycompact"] = (
     "transform(filter(transform({0}, (x, i) -> struct(x AS v, i AS ix)), "
     "s -> s.ix = 0 OR NOT (s.v <=> element_at({0}, s.ix))), s -> s.v)"
 )
+
+# aggregate breadth (gap-probe round 3, second sweep)
+RENAMES["anyheavy"] = "mode"        # approximate majority element
+RENAMES["sumwithoverflow"] = "sum"  # non-ANSI sum wraps, like CH
+RENAMES["laginframe"] = "lag"
+RENAMES["leadinframe"] = "lead"
+RENAMES["skewpop"] = "skewness"     # both are population mu3/sigma^3
+RENAMES["covarpop"] = "covar_pop"
+RENAMES["covarsamp"] = "covar_samp"
+RENAMES["stddevpop"] = "stddev_pop"
+RENAMES["stddevsamp"] = "stddev_samp"
+RENAMES["varpop"] = "var_pop"
+RENAMES["varsamp"] = "var_samp"
+# Spark kurtosis is EXCESS population kurtosis; CH kurtPop is raw
+TEMPLATES["kurtpop"] = "(kurtosis({0}) + 3.0)"
+TEMPLATES["countequal"] = "size(filter({0}, v -> v <=> {1}))"
+TEMPLATES["avgweighted"] = "(sum({0} * {1}) / sum({1}))"
+# conditional arg-extrema: null ordering key excludes the row
+TEMPLATES["argminif"] = "min_by({0}, CASE WHEN {2} THEN {1} END)"
+TEMPLATES["argmaxif"] = "max_by({0}, CASE WHEN {2} THEN {1} END)"
+TEMPLATES["countdistinctif"] = "count(DISTINCT CASE WHEN {1} THEN {0} END)"
+TEMPLATES["uniqexactif"] = "count(DISTINCT CASE WHEN {1} THEN {0} END)"
+# (k, b) = least-squares slope/intercept, CH's named-tuple shape
+TEMPLATES["simplelinearregression"] = (
+    "named_struct('k', (covar_pop({0}, {1}) / var_pop({0})), "
+    "'b', (avg({1}) - (covar_pop({0}, {1}) / var_pop({0})) * avg({0})))"
+)
+# (y at max x - y at min x) / (max x - min x)
+TEMPLATES["boundingratio"] = (
+    "((max_by({1}, {0}) - min_by({1}, {0})) / (max({0}) - min({0})))"
+)
+# parameterized: name(params)(args)
+PARAMETERIZED["topk"] = (
+    # frequency-ranked distinct values, top p0; exact (CH's is approx)
+    "transform(slice(array_sort(transform(array_distinct(collect_list({0})), "
+    "d -> struct(size(filter(collect_list({0}), v -> v <=> d)) AS c, d AS v)), "
+    "(a, b) -> CASE WHEN a.c > b.c THEN -1 WHEN a.c < b.c THEN 1 "
+    "WHEN a.v < b.v THEN -1 WHEN a.v > b.v THEN 1 ELSE 0 END), "
+    "1, {p0}), s -> s.v)"
+)
+PARAMETERIZED["grouparraysample"] = "slice(shuffle(collect_list({0})), 1, {p0})"
+PARAMETERIZED["grouparray"] = "slice(collect_list({0}), 1, {p0})"  # groupArray(n)(x)

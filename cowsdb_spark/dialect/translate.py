@@ -197,6 +197,65 @@ def _multi_if(args: list[str]) -> str:
     return " ".join(parts)
 
 
+def _generate_random(args: list[str]) -> str:
+    """CH ``generateRandom('a Int64, b String'[, seed])`` table
+    function → seeded-rand subquery over a lazy ``range`` scan.
+
+    CH's stream is unbounded until LIMIT; ours is bounded at 100M
+    rows, which a LocalLimit stops lazily — a bare un-LIMITed scan is
+    a user error either way. Value distributions are type-plausible,
+    deterministic for a given seed, and not byte-compatible with CH
+    (CH's are generator-version-dependent too).
+    """
+    from pyspark.sql import types as T
+
+    from .types import _split_args, ch_type_to_spark
+
+    schema = args[0].strip() if args else "'x Int64'"
+    if schema and schema[0] in "'\"":
+        schema = schema[1:-1]
+    try:
+        seed = int(float(args[1])) if len(args) > 1 else 42
+    except ValueError:
+        seed = 42
+
+    def expr_for(dtype, k: int) -> str:
+        r = f"rand({seed + k})"
+        if isinstance(dtype, T.ByteType):
+            return f"CAST(floor({r} * 200 - 100) AS TINYINT)"
+        if isinstance(dtype, T.ShortType):
+            return f"CAST(floor({r} * 60000 - 30000) AS SMALLINT)"
+        if isinstance(dtype, (T.IntegerType, T.LongType)):
+            cast = "INT" if isinstance(dtype, T.IntegerType) else "BIGINT"
+            return f"CAST(floor({r} * 2000000000 - 1000000000) AS {cast})"
+        if isinstance(dtype, (T.FloatType, T.DoubleType)):
+            return f"CAST({r} * 2000 - 1000 AS DOUBLE)"
+        if isinstance(dtype, T.DecimalType):
+            return f"CAST({r} * 1000 AS DECIMAL({dtype.precision}, {dtype.scale}))"
+        if isinstance(dtype, T.BooleanType):
+            return f"({r} > 0.5)"
+        if isinstance(dtype, T.DateType):
+            return f"date_add(DATE'2000-01-01', CAST(floor({r} * 9000) AS INT))"
+        if isinstance(dtype, T.TimestampType):
+            return f"timestamp_seconds(CAST(floor({r} * 1600000000) AS BIGINT))"
+        if isinstance(dtype, T.ArrayType):
+            inner = [expr_for(dtype.elementType, k * 7 + j) for j in range(3)]
+            return (
+                f"slice(array({', '.join(inner)}), 1, "
+                f"CAST(floor(rand({seed + k + 101}) * 4) AS INT))"
+            )
+        return f"substring(md5(CAST({r} AS STRING)), 1, 10)"  # String & rest
+
+    cols = []
+    for k, part in enumerate(_split_args(schema)):
+        bits = part.split(None, 1)
+        name = bits[0].strip("`")
+        dtype = ch_type_to_spark(bits[1]) if len(bits) == 2 else T.LongType()
+        cols.append(f"{expr_for(dtype, k)} AS `{name}`")
+    # \x00-guard as in numbers(): keep the fixpoint loop off range()
+    return f"(SELECT {', '.join(cols)} FROM \x00range\x00(100000000))"
+
+
 # arity- or argument-shape-dependent rewrites handled in code, not
 # via the TEMPLATES table (e.g. Spark's 2-arg HOF transform() must
 # pass through while CH's 3/4-arg decode-style transform() rewrites)
@@ -289,6 +348,7 @@ def _rewrite_functions(sql: str) -> str:
                     or lname in TEMPLATES
                     or lname in PARAMETERIZED
                     or lname == "numbers"
+                    or lname == "generaterandom"
                     or lname in _SPECIAL_FNS
                 ):
                     close = _find_call_close(toks, j)
@@ -323,6 +383,11 @@ def _rewrite_functions(sql: str) -> str:
                         out.append(
                             f"(SELECT id AS number FROM \x00range\x00({', '.join(args)}))"
                         )
+                        i = close + 1
+                        changed = True
+                        continue
+                    if lname == "generaterandom":
+                        out.append(_generate_random(args))
                         i = close + 1
                         changed = True
                         continue
@@ -1534,7 +1599,7 @@ def translate(sql: str) -> list[Statement]:
         if first == "USE" and len(sig) >= 2:
             db = toks[sig[1]].text.strip("`")
             out.append(Statement(kind="use", database=db, original=stmt))
-        elif first in ("CREATE", "DROP", "ALTER", "TRUNCATE", "RENAME", "OPTIMIZE", "DELETE"):
+        elif first in ("CREATE", "DROP", "ALTER", "TRUNCATE", "RENAME", "EXCHANGE", "OPTIMIZE", "DELETE"):
             out.append(Statement(kind="ddl", spark_sql=stmt, original=stmt))
         elif first == "EXISTS":
             # EXISTS [TABLE] [db.]name → one row, column `result` UInt8

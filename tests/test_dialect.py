@@ -529,3 +529,60 @@ class TestRound3FunctionBreadth:
     )
     def test_value(self, eng, q, want):
         assert eng.execute(q) == want
+
+
+class TestRound3AggregateBreadth:
+    """Second gap sweep: aggregates, parameterized combinators,
+    generateRandom, EXCHANGE TABLES."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from cowsdb_spark.engine import Engine
+
+        return Engine(spark)
+
+    @pytest.mark.parametrize(
+        "q,want",
+        [
+            ("SELECT countEqual([1,2,2,3], 2)", b"2\n"),
+            ("SELECT avgWeighted(number, 2) FROM numbers(10)", b"4.5\n"),
+            ("SELECT argMinIf(number, number, number > 2) FROM numbers(10)", b"3\n"),
+            ("SELECT argMaxIf(number, number, number < 5) FROM numbers(10)", b"4\n"),
+            (
+                "SELECT countDistinctIf(number % 3, number > 3) FROM numbers(10)",
+                b"3\n",
+            ),
+            ("SELECT boundingRatio(number, number * 2) FROM numbers(10)", b"2\n"),
+            ("SELECT sumWithOverflow(number) FROM numbers(10)", b"45\n"),
+            ("SELECT topK(2)(number % 3) FROM numbers(10)", b"[0,1]\n"),
+            ("SELECT anyHeavy(intDiv(number, 8)) FROM numbers(10)", b"0\n"),
+            ("SELECT round(kurtPop(number % 2), 4) FROM numbers(10)", b"1\n"),
+        ],
+    )
+    def test_value(self, eng, q, want):
+        assert eng.execute(q) == want
+
+    def test_simple_linear_regression(self, eng):
+        out = eng.execute(
+            "SELECT simpleLinearRegression(number, number * 3 + 1) FROM numbers(10)"
+        )
+        assert out == b"(3,1)\n"
+
+    def test_generate_random_deterministic_and_bounded(self, eng):
+        a = eng.execute("SELECT * FROM generateRandom('a Int64, b String', 7) LIMIT 3")
+        b = eng.execute("SELECT * FROM generateRandom('a Int64, b String', 7) LIMIT 3")
+        assert a == b and len(a.splitlines()) == 3
+        n = eng.execute(
+            "SELECT count(*) FROM (SELECT * FROM generateRandom('a Int8', 1) LIMIT 100)"
+        )
+        assert n == b"100\n"
+
+    def test_exchange_tables(self, eng):
+        u = {"user": "xchg"}
+        eng.execute("CREATE TABLE ex1 (a Int64) ENGINE=Memory", **u)
+        eng.execute("CREATE TABLE ex2 (a Int64) ENGINE=Memory", **u)
+        eng.execute("INSERT INTO ex1 VALUES (1)", **u)
+        eng.execute("INSERT INTO ex2 VALUES (2)", **u)
+        eng.execute("EXCHANGE TABLES ex1 AND ex2", **u)
+        assert eng.execute("SELECT * FROM ex1", **u) == b"2\n"
+        assert eng.execute("SELECT * FROM ex2", **u) == b"1\n"
