@@ -479,3 +479,10 @@ PARAMETERIZED["topk"] = (
 )
 PARAMETERIZED["grouparraysample"] = "slice(shuffle(collect_list({0})), 1, {p0})"
 PARAMETERIZED["grouparray"] = "slice(collect_list({0}), 1, {p0})"  # groupArray(n)(x)
+
+# server-context spellings (third sweep)
+TEMPLATES["currentuser"] = "current_user()"
+TEMPLATES["fqdn"] = "'localhost'"    # single-node engine, like the ref
+TEMPLATES["hostname"] = "'localhost'"
+TEMPLATES["tomodifiedjulianday"] = "datediff(CAST({0} AS DATE), DATE'1858-11-17')"
+TEMPLATES["frommodifiedjulianday"] = "date_add(DATE'1858-11-17', CAST({0} AS INT))"

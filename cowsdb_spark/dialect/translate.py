@@ -261,7 +261,7 @@ def _generate_random(args: list[str]) -> str:
 # pass through while CH's 3/4-arg decode-style transform() rewrites)
 _SPECIAL_FNS = {
     "count", "transform", "tostartofinterval", "tupleelement", "hex",
-    "remote", "remotesecure", "cluster", "clusterallreplicas",
+    "remote", "remotesecure", "cluster", "clusterallreplicas", "view",
 }
 
 
@@ -388,6 +388,12 @@ def _rewrite_functions(sql: str) -> str:
                         continue
                     if lname == "generaterandom":
                         out.append(_generate_random(args))
+                        i = close + 1
+                        changed = True
+                        continue
+                    if lname == "view":
+                        # table fn view(SELECT …) → plain subquery
+                        out.append(f"({', '.join(args)})")
                         i = close + 1
                         changed = True
                         continue
@@ -831,6 +837,127 @@ def _append_select_items(core: str, items: list[str]) -> str:
                 + "".join(x.text for x in toks[i:])
             )
     return core
+
+
+def _rewrite_qualify(toks: list[Tok]) -> list[Tok]:
+    """CH/ANSI ``QUALIFY <window predicate>`` → subquery rewrite.
+
+    Spark has no QUALIFY; the predicate becomes a projected boolean in
+    a subquery and an outer WHERE (same shape as the LIMIT BY rewrite):
+    ``SELECT ... QUALIFY p ORDER BY o`` →
+    ``SELECT * EXCEPT (__ch_q) FROM (SELECT ..., (p) AS __ch_q ...)
+    WHERE __ch_q ORDER BY o``.
+    """
+    sig = _sig(toks)
+    depth = 0
+    q_at = None
+    for si, i in enumerate(sig):
+        t = toks[i]
+        if t.kind == "op":
+            depth += t.text.count("(") - t.text.count(")")
+        elif depth == 0 and t.kind == "ident" and t.text.upper() == "QUALIFY":
+            q_at = si
+            break
+    if q_at is None:
+        return toks
+    end = len(sig)
+    depth = 0
+    for sj in range(q_at + 1, len(sig)):
+        t = toks[sig[sj]]
+        if t.kind == "op":
+            depth += t.text.count("(") - t.text.count(")")
+        elif depth == 0 and t.kind == "ident" and t.text.upper() in (
+            "ORDER",
+            "LIMIT",
+            "SETTINGS",
+            "FORMAT",
+        ):
+            end = sj
+            break
+    core = "".join(toks[j].text for j in range(sig[q_at])).strip()
+    qexpr = "".join(
+        toks[j].text
+        for j in range(sig[q_at] + 1, sig[end] if end < len(sig) else len(toks))
+    ).strip()
+    tail = (
+        "".join(toks[j].text for j in range(sig[end], len(toks))).strip()
+        if end < len(sig)
+        else ""
+    )
+    core_aug = _append_select_items(core, [f"({qexpr}) AS __ch_q"])
+    new_sql = (
+        f"SELECT * EXCEPT (__ch_q) FROM ({core_aug}) __q_in WHERE __ch_q"
+    )
+    if tail:
+        new_sql += " " + tail
+    return tokenize(new_sql)
+
+
+def _rewrite_where_alias(toks: list[Tok]) -> list[Tok]:
+    """CH lets WHERE/HAVING reference SELECT-list aliases
+    (``SELECT x + 1 AS y … WHERE y > 3``); Spark resolves WHERE against
+    the source only. Substitute top-level alias definitions into the
+    top-level WHERE/HAVING clauses (subquery clauses keep their own
+    scope and are left alone)."""
+    sig = _sig(toks)
+    if not sig or toks[sig[0]].text.upper() != "SELECT":
+        return toks  # WITH-headed or non-SELECT: skip (safe subset)
+    # collect alias → expr from the top-level projection
+    depth = 0
+    from_at = None
+    for si in range(1, len(sig)):
+        t = toks[sig[si]]
+        if t.kind == "op":
+            depth += t.text.count("(") - t.text.count(")")
+        elif depth == 0 and t.kind == "ident" and t.text.upper() == "FROM":
+            from_at = si
+            break
+    if from_at is None:
+        return toks
+    sel_list = "".join(
+        toks[j].text for j in range(sig[1], sig[from_at])
+    )
+    aliases: dict[str, str] = {}
+    for item in _split_top_level_text(sel_list):
+        m = re.match(r"(?is)^(.*\S)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$", item.strip())
+        if m:
+            aliases[m.group(2).lower()] = m.group(1).strip()
+    if not aliases:
+        return toks
+    # substitute in top-level WHERE and HAVING clause ranges
+    out: list[Tok] = list(toks)
+    depth = 0
+    in_clause = False
+    for si in range(from_at, len(sig)):
+        i = sig[si]
+        t = toks[i]
+        if t.kind == "op":
+            depth += t.text.count("(") - t.text.count(")")
+            continue
+        if depth != 0:
+            continue
+        if t.kind == "ident":
+            up = t.text.upper()
+            if up in ("WHERE", "HAVING", "PREWHERE"):
+                in_clause = True
+                continue
+            if up in (
+                "GROUP", "ORDER", "LIMIT", "WINDOW", "UNION", "INTERSECT",
+                "EXCEPT", "SETTINGS", "FORMAT", "QUALIFY",
+            ):
+                in_clause = False
+                continue
+            if in_clause and t.text.lower() in aliases:
+                # not a function call, not a qualified name part
+                nxt = next(
+                    (toks[j] for j in sig[si + 1 : si + 2]), None
+                )
+                prv = toks[sig[si - 1]] if si > 0 else None
+                if (nxt is None or nxt.text not in ("(",)) and (
+                    prv is None or prv.text != "."
+                ) and (nxt is None or nxt.text != "."):
+                    out[i] = Tok("ident", f"({aliases[t.text.lower()]})")
+    return out
 
 
 def _rewrite_limit_comma(toks: list[Tok]) -> list[Tok]:
@@ -1496,6 +1623,8 @@ def translate_select(sql: str) -> Statement:
     toks = _rewrite_join_strictness(toks)
     toks = _rewrite_array_join(toks)
     toks = _rewrite_star_replace(toks)
+    toks = _rewrite_qualify(toks)
+    toks = _rewrite_where_alias(toks)
     toks = _rewrite_group_by_empty(toks)
     toks = _rewrite_distinct_on(toks)
     toks = _rewrite_limit_by(toks)

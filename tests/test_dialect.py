@@ -586,3 +586,52 @@ class TestRound3AggregateBreadth:
         eng.execute("EXCHANGE TABLES ex1 AND ex2", **u)
         assert eng.execute("SELECT * FROM ex1", **u) == b"2\n"
         assert eng.execute("SELECT * FROM ex2", **u) == b"1\n"
+
+
+class TestQualifyAndAliasScope:
+    """Third gap sweep: QUALIFY clause, CH alias-in-WHERE/HAVING
+    scoping, view() table function, server-context spellings."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from cowsdb_spark.engine import Engine
+
+        return Engine(spark)
+
+    @pytest.mark.parametrize(
+        "q,want",
+        [
+            ("SELECT number + 1 AS y FROM numbers(5) WHERE y > 3", b"4\n5\n"),
+            (
+                "SELECT number * 2 AS d, number AS n FROM numbers(5) "
+                "WHERE d >= 6 AND n < 4",
+                b"6\t3\n",
+            ),
+            (
+                "SELECT number FROM numbers(10) "
+                "QUALIFY row_number() OVER (ORDER BY number) <= 2",
+                b"0\n1\n",
+            ),
+            (
+                "SELECT number % 3 AS g, count() AS c FROM numbers(10) "
+                "GROUP BY g QUALIFY c > 3 ORDER BY g",
+                b"0\t4\n",
+            ),
+            (
+                "SELECT * FROM view(SELECT number FROM numbers(3)) WHERE number > 1",
+                b"2\n",
+            ),
+            ("SELECT FQDN(), hostName()", b"localhost\tlocalhost\n"),
+            ("SELECT toModifiedJulianDay('1858-11-17')", b"0\n"),
+            ("SELECT fromModifiedJulianDay(0)", b"1858-11-17\n"),
+            # scope regressions: real columns and deeper clauses intact
+            (
+                "SELECT number AS n FROM numbers(5) WHERE number > 2 "
+                "ORDER BY n DESC LIMIT 1",
+                b"4\n",
+            ),
+            ("SELECT sum(number) AS s FROM numbers(10) HAVING s > 40", b"45\n"),
+        ],
+    )
+    def test_value(self, eng, q, want):
+        assert eng.execute(q) == want
