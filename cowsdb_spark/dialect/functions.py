@@ -486,3 +486,26 @@ TEMPLATES["fqdn"] = "'localhost'"    # single-node engine, like the ref
 TEMPLATES["hostname"] = "'localhost'"
 TEMPLATES["tomodifiedjulianday"] = "datediff(CAST({0} AS DATE), DATE'1858-11-17')"
 TEMPLATES["frommodifiedjulianday"] = "date_add(DATE'1858-11-17', CAST({0} AS INT))"
+
+# map-valued aggregates: per-key fold over the collected maps (keys
+# preserved, values widened to double like CH widens to the sum type);
+# O(n_rows x n_distinct_keys) per group, the semantics' cost either way
+_MAP_KEYS_UNION = (
+    "array_sort(array_distinct(flatten("
+    "transform(collect_list({0}), m -> map_keys(m)))))"
+)
+TEMPLATES["summap"] = (
+    "map_from_entries(transform(" + _MAP_KEYS_UNION + ", "
+    "k -> struct(k, aggregate(collect_list({0}), CAST(0 AS DOUBLE), "
+    "(acc, m) -> acc + coalesce(CAST(element_at(m, k) AS DOUBLE), 0)))))"
+)
+TEMPLATES["minmap"] = (
+    "map_from_entries(transform(" + _MAP_KEYS_UNION + ", "
+    "k -> struct(k, array_min(transform(collect_list({0}), "
+    "m -> CAST(element_at(m, k) AS DOUBLE))))))"
+)
+TEMPLATES["maxmap"] = (
+    "map_from_entries(transform(" + _MAP_KEYS_UNION + ", "
+    "k -> struct(k, array_max(transform(collect_list({0}), "
+    "m -> CAST(element_at(m, k) AS DOUBLE))))))"
+)

@@ -960,6 +960,52 @@ def _rewrite_where_alias(toks: list[Tok]) -> list[Tok]:
     return out
 
 
+def _rewrite_limit_with_ties(toks: list[Tok]) -> list[Tok]:
+    """``ORDER BY o LIMIT n WITH TIES`` → rank-window rewrite.
+
+    WITH TIES extends the first n rows with every row tying the n-th
+    on the sort key — exactly ``rank() OVER (ORDER BY o) <= n``:
+    ``SELECT * EXCEPT (__ch_wt) FROM (SELECT *, rank() OVER (ORDER BY
+    o) AS __ch_wt FROM (core)) WHERE __ch_wt <= n ORDER BY o``.
+    """
+    sig = _sig(toks)
+    depth = 0
+    limit_at = order_at = None
+    for si, i in enumerate(sig):
+        t = toks[i]
+        if t.kind == "op":
+            depth += t.text.count("(") - t.text.count(")")
+        elif depth == 0 and t.kind == "ident":
+            up = t.text.upper()
+            if up == "ORDER" and si + 1 < len(sig) and toks[sig[si + 1]].text.upper() == "BY":
+                order_at = si
+            elif up == "LIMIT":
+                limit_at = si
+    if limit_at is None or order_at is None:
+        return toks
+    # shape check: LIMIT <n> WITH TIES at the very end
+    if limit_at + 3 != len(sig) - 1:
+        return toks
+    n_tok = toks[sig[limit_at + 1]]
+    if (
+        n_tok.kind != "number"
+        or toks[sig[limit_at + 2]].text.upper() != "WITH"
+        or toks[sig[limit_at + 3]].text.upper() != "TIES"
+    ):
+        return toks
+    core = "".join(toks[j].text for j in range(sig[order_at])).strip()
+    order_list = "".join(
+        toks[j].text for j in range(sig[order_at + 2], sig[limit_at])
+    ).strip()
+    new_sql = (
+        f"SELECT * EXCEPT (__ch_wt) FROM ("
+        f"SELECT *, rank() OVER (ORDER BY {order_list}) AS __ch_wt "
+        f"FROM ({core}) __wt_in) __wt_out WHERE __ch_wt <= {n_tok.text} "
+        f"ORDER BY {order_list}"
+    )
+    return tokenize(new_sql)
+
+
 def _rewrite_limit_comma(toks: list[Tok]) -> list[Tok]:
     """CH ``LIMIT offset, count`` → ``LIMIT count OFFSET offset``."""
     sig = _sig(toks)
@@ -1628,6 +1674,7 @@ def translate_select(sql: str) -> Statement:
     toks = _rewrite_group_by_empty(toks)
     toks = _rewrite_distinct_on(toks)
     toks = _rewrite_limit_by(toks)
+    toks = _rewrite_limit_with_ties(toks)
     toks = _rewrite_limit_comma(toks)
     toks, with_fill = _rewrite_with_fill(toks)
     toks, with_totals = _rewrite_with_totals(toks)

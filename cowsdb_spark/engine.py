@@ -451,6 +451,39 @@ class Engine:
                 raise EngineError(f"url()/file() source failed: {e}") from e
         return self._remap_databases(sess, sql, created_views)
 
+    def _expand_schema_macros(self, sql: str) -> str:
+        """CH select-list macros that need the source schema:
+        ``SELECT * APPLY (fn) FROM rest`` applies *fn* to every source
+        column; ``COLUMNS('re')`` expands to the columns matching the
+        regex. Schema comes from an analysis-only LIMIT 0 plan of the
+        remainder — no execution."""
+        import re as _re2
+
+        m = _re2.match(
+            r"(?is)^\s*SELECT\s+\*\s+APPLY\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+FROM\s+(.*)$",
+            sql,
+        )
+        if m:
+            fn, rest = m.group(1), m.group(2)
+            cols = self.spark.sql(f"SELECT * FROM {rest} LIMIT 0").columns
+            proj = ", ".join(
+                f"{fn}(`{c}`) AS `{fn}({c})`" for c in cols
+            )
+            return f"SELECT {proj} FROM {rest}"
+        m = _re2.match(
+            r"(?is)^\s*SELECT\s+COLUMNS\s*\(\s*'([^']*)'\s*\)(.*?)\s+FROM\s+(.*)$",
+            sql,
+        )
+        if m:
+            pat, rest_sel, rest = m.group(1), m.group(2), m.group(3)
+            cols = self.spark.sql(f"SELECT * FROM {rest} LIMIT 0").columns
+            keep = [c for c in cols if _re2.search(pat, c)]
+            if not keep:
+                raise EngineError(f"COLUMNS('{pat}') matched no columns", 51)
+            proj = ", ".join(f"`{c}`" for c in keep)
+            return f"SELECT {proj}{rest_sel} FROM {rest}"
+        return sql
+
     def _run_select(self, sess: UserSession, sql: str) -> DataFrame:
         # Lock-free: every table ref is fully qualified by
         # _remap_databases, so no shared-session current-database
@@ -458,7 +491,10 @@ class Engine:
         self._ensure_db(sess.spark_db())
         created: list = []
         try:
-            return self.spark.sql(self._prepare_sql(sess, sql, created))
+            prepared = self._prepare_sql(sess, sql, created)
+            if " apply " in prepared.lower() or "columns(" in prepared.lower().replace(" ", ""):
+                prepared = self._expand_schema_macros(prepared)
+            return self.spark.sql(prepared)
         except EngineError:
             raise
         except Exception as e:

@@ -635,3 +635,56 @@ class TestQualifyAndAliasScope:
     )
     def test_value(self, eng, q, want):
         assert eng.execute(q) == want
+
+
+class TestSchemaMacrosAndTies:
+    """Fourth gap sweep: * APPLY, COLUMNS('re'), LIMIT WITH TIES,
+    map-valued aggregates."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from cowsdb_spark.engine import Engine
+
+        return Engine(spark)
+
+    @pytest.mark.parametrize(
+        "q,want",
+        [
+            (
+                "SELECT * APPLY (sum) FROM "
+                "(SELECT number AS a, number * 2 AS b FROM numbers(3))",
+                b"3\t6\n",
+            ),
+            (
+                "SELECT COLUMNS('^a') FROM (SELECT number AS a1, "
+                "number AS a2, number AS b FROM numbers(1))",
+                b"0\t0\n",
+            ),
+            (
+                "SELECT COLUMNS('^a'), b FROM "
+                "(SELECT number AS a1, number AS b FROM numbers(1))",
+                b"0\t0\n",
+            ),
+            # idents named like the macros must pass through untouched
+            ("SELECT number AS apply FROM numbers(1)", b"0\n"),
+            (
+                "SELECT number FROM numbers(10) ORDER BY number % 3 "
+                "LIMIT 2 WITH TIES",
+                b"0\n3\n6\n9\n",
+            ),
+            (
+                "SELECT sumMap(map(number % 3, number)) FROM numbers(10)",
+                b"{0:18,1:12,2:15}\n",
+            ),
+            (
+                "SELECT minMap(map(number % 2, number)) FROM numbers(6)",
+                b"{0:0,1:1}\n",
+            ),
+            (
+                "SELECT maxMap(map(number % 2, number)) FROM numbers(6)",
+                b"{0:4,1:5}\n",
+            ),
+        ],
+    )
+    def test_value(self, eng, q, want):
+        assert eng.execute(q) == want
