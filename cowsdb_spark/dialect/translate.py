@@ -39,6 +39,9 @@ KNOWN_FORMATS = {
     "prettycompact": "Pretty",
     "values": "Values",
     "null": "Null",
+    "parquet": "Parquet",
+    "arrow": "Arrow",
+    "arrowstream": "ArrowStream",
 }
 
 

@@ -1405,8 +1405,16 @@ def _parse_set(stmt: str) -> dict:
 import re as _re
 
 _INSERT_DATA_RE = _re.compile(
+    # data block starts after a newline — except FORMAT Values, whose
+    # rows may follow on the same line (clickhouse-client does this)
     r"^\s*INSERT\s+INTO\s+(?P<ref>`[^`]+`(?:\s*\.\s*`[^`]+`)?|[\w.]+)\s*"
-    r"(?:\((?P<cols>[^)]*)\)\s*)?FORMAT\s+(?P<fmt>\w+)\s*?\n(?P<data>.+)$",
+    r"(?:\((?P<cols>[^)]*)\)\s*)?FORMAT\s+(?P<fmt>\w+)[ \t]*\n(?P<data>.+)$",
+    _re.IGNORECASE | _re.DOTALL,
+)
+
+_INSERT_VALUES_INLINE_RE = _re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<ref>`[^`]+`(?:\s*\.\s*`[^`]+`)?|[\w.]+)\s*"
+    r"(?:\((?P<cols>[^)]*)\)\s*)?FORMAT\s+Values[ \t]+(?P<data>\(.+)$",
     _re.IGNORECASE | _re.DOTALL,
 )
 
@@ -1416,12 +1424,15 @@ def _match_insert_data(query: str):
     None if the query isn't an inline-data insert (e.g. the data block
     is empty — then it's a plain statement)."""
     m = _INSERT_DATA_RE.match(query)
+    fmt = m.group("fmt") if m else "Values"
+    if not m:
+        m = _INSERT_VALUES_INLINE_RE.match(query)
     if not m or not m.group("data").strip():
         return None
     cols = [
         c.strip().strip("`") for c in (m.group("cols") or "").split(",") if c.strip()
     ]
-    return m.group("ref"), cols, m.group("fmt"), m.group("data")
+    return m.group("ref"), cols, fmt, m.group("data")
 
 
 def _tsv_field(v: str, raw: bool) -> Optional[str]:

@@ -163,10 +163,65 @@ def to_pretty(res: QueryResult, limit: Optional[int] = None) -> bytes:
     return ("\n".join(out) + "\n").encode("utf-8")
 
 
+def _to_arrow_table(res: QueryResult, limit: Optional[int]):
+    """Rows → pyarrow Table (column-name-keyed; schema inferred by
+    Arrow from the Python values, which came out of Spark types)."""
+    import pyarrow as pa
+
+    rows = list(_limited(res.rows, limit))
+    cols = {c: [r[i] for r in rows] for i, c in enumerate(res.columns)}
+    return pa.table(cols) if rows else pa.table(
+        {c: pa.array([], type=pa.string()) for c in res.columns}
+    )
+
+
+def to_parquet(res: QueryResult, limit: Optional[int] = None) -> bytes:
+    """CH ``FORMAT Parquet``: one parquet file in the response body."""
+    import io
+
+    import pyarrow.parquet as pq
+
+    buf = io.BytesIO()
+    pq.write_table(_to_arrow_table(res, limit), buf)
+    return buf.getvalue()
+
+
+def to_arrow(res: QueryResult, limit: Optional[int] = None) -> bytes:
+    """CH ``FORMAT Arrow``: Arrow IPC file format."""
+    import io
+
+    import pyarrow as pa
+
+    table = _to_arrow_table(res, limit)
+    buf = io.BytesIO()
+    with pa.ipc.new_file(buf, table.schema) as w:
+        w.write_table(table)
+    return buf.getvalue()
+
+
+def to_arrow_stream(res: QueryResult, limit: Optional[int] = None) -> bytes:
+    """CH ``FORMAT ArrowStream``: Arrow IPC streaming format."""
+    import io
+
+    import pyarrow as pa
+
+    table = _to_arrow_table(res, limit)
+    buf = io.BytesIO()
+    with pa.ipc.new_stream(buf, table.schema) as w:
+        w.write_table(table)
+    return buf.getvalue()
+
+
 def serialize(res: QueryResult, fmt: str, max_result_rows: Optional[int] = None) -> bytes:
     from .native import to_native
 
     f = fmt.lower()
+    if f == "parquet":
+        return to_parquet(res, limit=max_result_rows)
+    if f == "arrow":
+        return to_arrow(res, limit=max_result_rows)
+    if f == "arrowstream":
+        return to_arrow_stream(res, limit=max_result_rows)
     if f in ("tsv", "tabseparated"):
         return to_tsv(res, limit=max_result_rows)
     if f in ("tsvwithnames", "tabseparatedwithnames"):
@@ -210,6 +265,9 @@ CONTENT_TYPES = {
     "prettycompact": "text/plain; charset=UTF-8",
     "native": "application/octet-stream",
     "null": "text/plain; charset=UTF-8",
+    "parquet": "application/octet-stream",
+    "arrow": "application/vnd.apache.arrow.file",
+    "arrowstream": "application/vnd.apache.arrow.stream",
 }
 
 

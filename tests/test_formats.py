@@ -103,3 +103,47 @@ class TestMaxResultRows:
     def test_serializer_limit(self):
         out = to_tsv(res(["x"], ["Int64"], [(i,) for i in range(100)]), limit=3)
         assert out == b"0\n1\n2\n"
+
+
+class TestBinaryOutputFormats:
+    """FORMAT Parquet / Arrow / ArrowStream response bodies + the
+    same-line FORMAT Values insert spelling."""
+
+    import pytest as _pytest
+
+    @_pytest.fixture(scope="class")
+    def engine(self, spark):
+        from cowsdb_spark.engine import Engine
+
+        return Engine(spark)
+
+    def test_parquet_roundtrip(self, engine):
+        import io
+
+        import pyarrow.parquet as pq
+
+        out = engine.execute(
+            "SELECT number AS n, 'x' || toString(number) AS s "
+            "FROM numbers(3) FORMAT Parquet"
+        )
+        t = pq.read_table(io.BytesIO(out))
+        assert t.to_pydict() == {"n": [0, 1, 2], "s": ["x0", "x1", "x2"]}
+
+    def test_arrow_file_and_stream(self, engine):
+        import io
+
+        import pyarrow as pa
+
+        out = engine.execute("SELECT 1 AS x FORMAT Arrow")
+        assert pa.ipc.open_file(io.BytesIO(out)).read_all().to_pydict() == {"x": [1]}
+        out = engine.execute("SELECT 1 AS x FORMAT ArrowStream")
+        assert pa.ipc.open_stream(io.BytesIO(out)).read_all().to_pydict() == {"x": [1]}
+
+    def test_insert_format_values_same_line(self, engine):
+        u = {"user": "fmtv"}
+        engine.execute("CREATE TABLE finv (a Int64, b String) ENGINE=Memory", **u)
+        engine.execute("INSERT INTO finv FORMAT Values (5, 'v'), (6, 'w')", **u)
+        engine.execute("INSERT INTO finv FORMAT Values\n(7, 'x')", **u)
+        assert engine.execute("SELECT * FROM finv ORDER BY a", **u) == (
+            b"5\tv\n6\tw\n7\tx\n"
+        )
