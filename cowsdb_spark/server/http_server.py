@@ -131,6 +131,29 @@ class _Handler(BaseHTTPRequestHandler):
         # (and the go/python drivers) read it back from this header
         qid = extra.pop("query_id", "") or _uuid.uuid4().hex
         hdrs = {"X-ClickHouse-Query-Id": qid, "X-ClickHouse-Timezone": "UTC"}
+        # `enable_http_compression=1` + Accept-Encoding: gzip|deflate →
+        # compressed response body with Content-Encoding (the CH HTTP
+        # compression contract clickhouse-connect negotiates).
+        want_compress = extra.pop("enable_http_compression", "0") in ("1", "true")
+        accept_enc = (self.headers.get("Accept-Encoding") or "").lower()
+        encoding = None
+        if want_compress:
+            if "gzip" in accept_enc:
+                encoding = "gzip"
+            elif "deflate" in accept_enc:
+                encoding = "deflate"
+
+        def _encode_body(b: bytes) -> bytes:
+            if encoding == "gzip":
+                import gzip as _gzip
+
+                return _gzip.compress(b, 6)
+            if encoding == "deflate":
+                import zlib as _zlib
+
+                return _zlib.compress(b, 6)
+            return b
+
         # `send_progress_in_http_headers=1`: stream X-ClickHouse-Progress
         # header frames while the query runs (CH HTTP interface; clients
         # poll them on long queries). Beyond the reference, which sends
@@ -221,12 +244,17 @@ class _Handler(BaseHTTPRequestHandler):
                 },
                 separators=(",", ":"),
             )
+            if encoding is not None:
+                body = _encode_body(body)
+                hdrs["Content-Encoding"] = encoding
             if want_progress:
                 # final progress frame (CH always sends one)
                 if started:
                     self.send_header("X-ClickHouse-Progress", summary)
                     self.send_header("X-ClickHouse-Format", used_fmt)
                     self.send_header("X-ClickHouse-Summary", hdrs["X-ClickHouse-Summary"])
+                    if encoding is not None:
+                        self.send_header("Content-Encoding", encoding)
                     self.send_header("Content-Type", content_type(used_fmt))
                     self.send_header("Content-Length", str(len(body)))
                     self.end_headers()
@@ -278,7 +306,23 @@ class _Handler(BaseHTTPRequestHandler):
         url = urlparse(self.path)
         qs = parse_qs(url.query)
         length = int(self.headers.get("Content-Length") or 0)
-        body = self.rfile.read(length).decode("utf-8", "replace") if length else ""
+        raw = self.rfile.read(length) if length else b""
+        # compressed request bodies (CH accepts Content-Encoding on
+        # ingestion; clickhouse-connect gzips large INSERT payloads)
+        enc = (self.headers.get("Content-Encoding") or "").lower()
+        try:
+            if enc in ("gzip", "x-gzip"):
+                import gzip as _gzip
+
+                raw = _gzip.decompress(raw)
+            elif enc == "deflate":
+                import zlib as _zlib
+
+                raw = _zlib.decompress(raw)
+        except Exception:
+            self._send(400, b"Error: malformed compressed request body\n")
+            return
+        body = raw.decode("utf-8", "replace") if raw else ""
         query_param = (qs.get("query") or [""])[0]
         # param + body concatenation (main.py:873-890), no flattening
         query = (query_param + ("\n" if query_param and body else "") + body).strip()

@@ -411,3 +411,47 @@ class TestProgressHeaders:
         except urllib.error.HTTPError as e:
             assert e.code == 400
             assert e.headers["X-ClickHouse-Exception-Code"] is not None
+
+
+class TestHttpCompression:
+    def test_gzip_response(self, http):
+        import gzip
+
+        req = urllib.request.Request(
+            http
+            + "/?query="
+            + urllib.parse.quote("SELECT number FROM numbers(100)")
+            + "&enable_http_compression=1"
+        )
+        req.add_header("Accept-Encoding", "gzip")
+        with urllib.request.urlopen(req) as r:
+            assert r.headers["Content-Encoding"] == "gzip"
+            body = gzip.decompress(r.read())
+        assert body == ("".join(f"{i}\n" for i in range(100))).encode()
+
+    def test_no_compression_without_setting(self, http):
+        req = urllib.request.Request(
+            http + "/?query=" + urllib.parse.quote("SELECT 1")
+        )
+        req.add_header("Accept-Encoding", "gzip")
+        with urllib.request.urlopen(req) as r:
+            assert r.headers.get("Content-Encoding") is None
+            assert r.read() == b"1\n"
+
+    def test_gzipped_post_body(self, http):
+        import gzip
+
+        q = gzip.compress(b"SELECT 40 + 2")
+        req = urllib.request.Request(http + "/", data=q, method="POST")
+        req.add_header("Content-Encoding", "gzip")
+        with urllib.request.urlopen(req) as r:
+            assert r.read() == b"42\n"
+
+    def test_malformed_gzip_body_is_400(self, http):
+        req = urllib.request.Request(http + "/", data=b"not gzip", method="POST")
+        req.add_header("Content-Encoding", "gzip")
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
