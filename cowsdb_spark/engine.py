@@ -449,7 +449,42 @@ class Engine:
                 sql = resolve_table_functions(self.spark, sql)
             except Exception as e:
                 raise EngineError(f"url()/file() source failed: {e}") from e
+        if "merge(" in low.replace(" ", ""):
+            sql = self._expand_merge(sess, sql)
         return self._remap_databases(sess, sql, created_views)
+
+    def _expand_merge(self, sess: UserSession, sql: str) -> str:
+        """CH ``merge('db', 'table_regex')`` / ``merge(db, 'regex')``
+        table function → UNION ALL of the matching tables in that
+        database (name-matched against the session's visible names)."""
+        import re as _re2
+
+        def repl(m: "_re2.Match[str]") -> str:
+            db = m.group("db").strip().strip("'\"`") if m.group("db") else sess.current_db
+            pat = m.group("pat")
+            spark_db = sess.spark_db(db)
+            try:
+                names = [
+                    t.name
+                    for t in self.spark.catalog.listTables(spark_db)
+                    if t.tableType != "TEMPORARY" and _re2.search(pat, t.name)
+                ]
+            except Exception:
+                names = []
+            if not names:
+                raise EngineError(
+                    f"merge('{db}', '{pat}') matched no tables", 60
+                )
+            union = " UNION ALL ".join(
+                f"SELECT * FROM `{db}`.`{n}`" for n in sorted(names)
+            )
+            return f"({union})"
+
+        return _re2.sub(
+            r"(?is)\bmerge\s*\(\s*(?:(?P<db>[^,()]+)\s*,\s*)?'(?P<pat>[^']*)'\s*\)",
+            repl,
+            sql,
+        )
 
     def _expand_schema_macros(self, sql: str) -> str:
         """CH select-list macros that need the source schema:

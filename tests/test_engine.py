@@ -593,3 +593,27 @@ class TestLockFreeReads:
             if t.name.startswith("__moospark_system_")
         ]
         assert leftovers == []
+
+
+class TestMergeTableFunction:
+    def test_merge_unions_matching_tables(self, engine):
+        u = {"user": "mrgt"}
+        engine.execute("CREATE TABLE m_2024_01 (v Int64) ENGINE=Memory", **u)
+        engine.execute("CREATE TABLE m_2024_02 (v Int64) ENGINE=Memory", **u)
+        engine.execute("CREATE TABLE other (v Int64) ENGINE=Memory", **u)
+        engine.execute("INSERT INTO m_2024_01 VALUES (1)", **u)
+        engine.execute("INSERT INTO m_2024_02 VALUES (2)", **u)
+        engine.execute("INSERT INTO other VALUES (99)", **u)
+        assert engine.execute(
+            "SELECT sum(v) AS s FROM merge('default', '^m_2024')", **u
+        ) == b"3\n"
+        # one-arg form: current database
+        assert engine.execute("SELECT sum(v) AS s FROM merge('^m_')", **u) == b"3\n"
+
+    def test_merge_no_match_is_clean_error(self, engine):
+        import pytest as _pytest
+
+        from cowsdb_spark.engine import EngineError
+
+        with _pytest.raises(EngineError):
+            engine.execute("SELECT * FROM merge('default', '^zzz')", user="mrgt")
