@@ -509,3 +509,12 @@ TEMPLATES["maxmap"] = (
     "k -> struct(k, array_max(transform(collect_list({0}), "
     "m -> CAST(element_at(m, k) AS DOUBLE))))))"
 )
+
+# Shannon entropy (log2) of the value distribution — per-distinct
+# frequency fold over the collected group, like the map aggregates
+TEMPLATES["entropy"] = (
+    "aggregate(transform(array_distinct(collect_list({0})), "
+    "d -> size(filter(collect_list({0}), v -> v <=> d)) "
+    "/ CAST(size(collect_list({0})) AS DOUBLE)), "
+    "CAST(0 AS DOUBLE), (acc, p) -> acc - p * log2(p))"
+)

@@ -684,6 +684,8 @@ class TestSchemaMacrosAndTies:
                 "SELECT maxMap(map(number % 2, number)) FROM numbers(6)",
                 b"{0:4,1:5}\n",
             ),
+            ("SELECT round(entropy(number % 4), 6) FROM numbers(16)", b"2\n"),
+            ("SELECT entropy(number - number) FROM numbers(8)", b"0\n"),
         ],
     )
     def test_value(self, eng, q, want):
