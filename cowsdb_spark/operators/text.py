@@ -167,3 +167,34 @@ def tf_idf(
         .filter(F.col("rk") <= top_k)
         .select(id_col, "term", "tf", "score", "rk")
     )
+
+
+def repetition_ratio(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Gopher-style within-document repetition signal: the fraction of
+    duplicate word n-grams, ``1 - distinct / total`` (0 for docs with
+    fewer than *n* tokens). High values flag boilerplate/generated
+    text; one of the standard pretraining-corpus filters.
+
+    Pure codegen'd expressions over a materialized token array — the
+    n-gram list is built once per row, no shuffle, no UDF.
+    """
+    docs = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    )
+    toks = F.col("_toks")
+    n_tok = F.size(toks)
+    total = n_tok - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(total, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    ratio = F.when(
+        n_tok >= n,
+        F.lit(1.0) - F.size(F.array_distinct(grams)) / total.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col),
+        F.round(ratio, 4).alias("rep_ratio"),
+    )

@@ -1156,6 +1156,26 @@ def t15(spark, sf_dir):
 
 
 @qdef(
+    "t29_repetition_ratio",
+    "WITH t AS (SELECT doc_id, string_split("
+    "  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk FROM documents), "
+    "g AS (SELECT doc_id, len(tk) AS n_tok, "
+    "  CASE WHEN len(tk) >= 3 THEN list_transform(generate_series(1, len(tk) - 2), "
+    "    i -> array_to_string(tk[i:i+2], ' ')) ELSE [] END AS gr FROM t) "
+    "SELECT doc_id, ROUND(CASE WHEN n_tok >= 3 "
+    "  THEN 1.0 - len(list_distinct(gr)) * 1.0 / len(gr) ELSE 0.0 END, 4) AS rep_ratio "
+    "FROM g ORDER BY doc_id LIMIT 200",
+    "[ext: text] Gopher-style duplicate word-3-gram fraction per doc "
+    "(boilerplate filter for pretraining corpora)",
+)
+def t29(spark, sf_dir):
+    from .operators.text import repetition_ratio
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_ratio(d).orderBy("doc_id").limit(200)
+
+
+@qdef(
     "t28_streaming_dedup",
     "SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique FROM events",
     "[ext: streaming] watermarked cross-batch exact dedup "
