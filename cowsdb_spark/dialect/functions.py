@@ -518,3 +518,28 @@ TEMPLATES["entropy"] = (
     "/ CAST(size(collect_list({0})) AS DOUBLE)), "
     "CAST(0 AS DOUBLE), (acc, p) -> acc - p * log2(p))"
 )
+
+# date/time family gaps (round-3 fifth sweep)
+TEMPLATES["tostartofsecond"] = "date_trunc('second', {0})"
+TEMPLATES["totime"] = (  # CH maps to 1970-01-02 preserving time-of-day
+    "(TIMESTAMP'1970-01-02 00:00:00' + make_interval(0, 0, 0, 0, "
+    "hour({0}), minute({0}), second({0})))"
+)
+TEMPLATES["now64"] = "current_timestamp()"  # micros precision in Spark
+TEMPLATES["nowinblock"] = "current_timestamp()"
+TEMPLATES["tounixtimestamp64milli"] = "(unix_millis({0}))"
+TEMPLATES["tounixtimestamp64micro"] = "(unix_micros({0}))"
+TEMPLATES["tounixtimestamp64nano"] = "(unix_micros({0}) * 1000)"
+TEMPLATES["timezone"] = "current_timezone()"
+TEMPLATES["servertimezone"] = "current_timezone()"
+TEMPLATES["tolastdayofweek"] = "date_add(date_trunc('week', {0}), 6)"
+TEMPLATES["toyyyymmdd"] = "CAST(date_format({0}, 'yyyyMMdd') AS INT)"
+TEMPLATES["toyyyymmddhhmmss"] = (
+    "CAST(date_format({0}, 'yyyyMMddHHmmss') AS BIGINT)"
+)
+TEMPLATES["torelativehournum"] = "CAST(floor(unix_timestamp({0}) / 3600) AS BIGINT)"
+TEMPLATES["torelativeminutenum"] = "CAST(floor(unix_timestamp({0}) / 60) AS BIGINT)"
+TEMPLATES["torelativesecondnum"] = "unix_timestamp({0})"
+TEMPLATES["todayssinceyearzero"] = (
+    "(datediff(CAST({0} AS DATE), DATE'1970-01-01') + 719528)"
+)

@@ -690,3 +690,45 @@ class TestSchemaMacrosAndTies:
     )
     def test_value(self, eng, q, want):
         assert eng.execute(q) == want
+
+
+class TestRound3DateTimeBreadth:
+    """Fifth gap sweep: date/time spellings."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from cowsdb_spark.engine import Engine
+
+        return Engine(spark)
+
+    @pytest.mark.parametrize(
+        "q,want",
+        [
+            (
+                "SELECT toStartOfSecond(toDateTime('2024-01-01 01:02:03'))",
+                b"2024-01-01 01:02:03\n",
+            ),
+            (
+                "SELECT toTime(toDateTime('2024-05-10 13:14:15'))",
+                b"1970-01-02 13:14:15\n",
+            ),
+            (
+                "SELECT toUnixTimestamp64Milli(toDateTime('1970-01-01 00:00:01'))",
+                b"1000\n",
+            ),
+            ("SELECT timeZone()", b"UTC\n"),
+            ("SELECT toLastDayOfWeek(toDate('2024-01-10'))", b"2024-01-14\n"),
+            ("SELECT toYYYYMMDD(toDate('2024-01-10'))", b"20240110\n"),
+            (
+                "SELECT toYYYYMMDDhhmmss(toDateTime('2024-01-10 01:02:03'))",
+                b"20240110010203\n",
+            ),
+            (
+                "SELECT toRelativeHourNum(toDateTime('1970-01-01 05:00:00'))",
+                b"5\n",
+            ),
+            ("SELECT toDaysSinceYearZero(toDate('1970-01-01'))", b"719528\n"),
+        ],
+    )
+    def test_value(self, eng, q, want):
+        assert eng.execute(q) == want
