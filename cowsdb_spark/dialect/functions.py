@@ -543,3 +543,28 @@ TEMPLATES["torelativesecondnum"] = "unix_timestamp({0})"
 TEMPLATES["todayssinceyearzero"] = (
     "(datediff(CAST({0} AS DATE), DATE'1970-01-01') + 719528)"
 )
+
+# string/JSON/map family gaps (round-3 sixth sweep)
+RENAMES["substringindex"] = "substring_index"
+RENAMES["mid"] = "substring"
+RENAMES["jsonextractkeys"] = "json_object_keys"
+RENAMES["jsonarraylength"] = "json_array_length"
+RENAMES["mapcontains"] = "map_contains_key"
+RENAMES["mapfromarrays"] = "map_from_arrays"
+TEMPLATES["tovalidutf8"] = "{0}"  # Spark strings are already valid UTF-8
+TEMPLATES["splitbyregexp"] = "split({1}, {0})"
+TEMPLATES["splitbywhitespace"] = "filter(split({0}, '\\\\s+'), x -> x != '')"
+TEMPLATES["tokens"] = "filter(split({0}, '[^A-Za-z0-9]+'), x -> x != '')"
+TEMPLATES["ngrams"] = (
+    "CASE WHEN length({0}) < {1} THEN array() "
+    "ELSE transform(sequence(1, length({0}) - {1} + 1), "
+    "i -> substring({0}, i, {1})) END"
+)
+TEMPLATES["isvalidjson"] = "(get_json_object({0}, '$') IS NOT NULL)"
+TEMPLATES["bytesize"] = "octet_length(CAST({0} AS STRING))"
+TEMPLATES["todecimalstring"] = "replace(format_number(CAST({0} AS DOUBLE), {1}), ',', '')"
+# query-literal anonymizer: strings then bare numbers → ?
+TEMPLATES["normalizequery"] = (
+    "regexp_replace(regexp_replace({0}, \"'[^']*'\", '?'), "
+    "'(^|[^A-Za-z0-9_])[0-9]+', '$1?')"
+)

@@ -265,6 +265,7 @@ def _generate_random(args: list[str]) -> str:
 _SPECIAL_FNS = {
     "count", "transform", "tostartofinterval", "tupleelement", "hex",
     "remote", "remotesecure", "cluster", "clusterallreplicas", "view",
+    "format",
 }
 
 
@@ -397,6 +398,22 @@ def _rewrite_functions(sql: str) -> str:
                     if lname == "view":
                         # table fn view(SELECT …) → plain subquery
                         out.append(f"({', '.join(args)})")
+                        i = close + 1
+                        changed = True
+                        continue
+                    if lname == "format" and len(args) >= 2:
+                        # CH format('{} x {}', a, b) → format_string
+                        # with %s placeholders (positional {N} not
+                        # supported; plain {} only)
+                        rest = ", ".join(args[1:])
+                        out.append(
+                            f"format_string(replace({args[0]}, '{{}}', '%s'), {rest})"
+                        )
+                        i = close + 1
+                        changed = True
+                        continue
+                    if lname == "arraystringconcat" and len(args) == 1:
+                        out.append(f"array_join({args[0]}, '')")
                         i = close + 1
                         changed = True
                         continue

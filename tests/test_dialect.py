@@ -732,3 +732,45 @@ class TestRound3DateTimeBreadth:
     )
     def test_value(self, eng, q, want):
         assert eng.execute(q) == want
+
+
+class TestRound3StringBreadth:
+    """Sixth gap sweep: string / JSON / map spellings."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from cowsdb_spark.engine import Engine
+
+        return Engine(spark)
+
+    @pytest.mark.parametrize(
+        "q,want",
+        [
+            ("SELECT substringIndex('a.b.c', '.', 2)", b"a.b\n"),
+            ("SELECT splitByRegexp('[,;]', 'a,b;c')", b"['a','b','c']\n"),
+            ("SELECT splitByWhitespace('a  b c')", b"['a','b','c']\n"),
+            ("SELECT tokens('a,b!!c d')", b"['a','b','c','d']\n"),
+            ("SELECT ngrams('abcd', 2)", b"['ab','bc','cd']\n"),
+            ("SELECT ngrams('a', 3)", b"[]\n"),
+            ("SELECT format('{} and {}', 'a', 'b')", b"a and b\n"),
+            ("SELECT arrayStringConcat(['a','b'])", b"ab\n"),
+            ("SELECT arrayStringConcat(['a','b'], '-')", b"a-b\n"),
+            ("SELECT mid('hello', 2, 3)", b"ell\n"),
+            (
+                'SELECT isValidJSON(\'{"a":1}\'), isValidJSON(\'nope{\')',
+                b"true\tfalse\n",
+            ),
+            ('SELECT JSONExtractKeys(\'{"a":1,"b":2}\')', b"['a','b']\n"),
+            ("SELECT JSONArrayLength('[1,2]')", b"2\n"),
+            ("SELECT mapContains(map('a', 1), 'a')", b"true\n"),
+            ("SELECT mapFromArrays(['a'], [1])", b"{'a':1}\n"),
+            ("SELECT byteSize('abc')", b"3\n"),
+            ("SELECT toDecimalString(3.14159, 2)", b"3.14\n"),
+            (
+                "SELECT normalizeQuery('SELECT 12, ''x'' FROM t')",
+                b"SELECT ?, ? FROM t\n",
+            ),
+        ],
+    )
+    def test_value(self, eng, q, want):
+        assert eng.execute(q) == want
