@@ -568,3 +568,72 @@ TEMPLATES["normalizequery"] = (
     "regexp_replace(regexp_replace({0}, \"'[^']*'\", '?'), "
     "'(^|[^A-Za-z0-9_])[0-9]+', '$1?')"
 )
+
+# hash/bit/geo/random families (round-3 seventh sweep)
+# Hash stand-ins marked (*) are stable uniform hashes but NOT
+# bit-identical to CH's (CH's own values are engine-version-dependent;
+# uniqueness/distribution semantics preserved)
+RENAMES["murmurhash3_32"] = "hash"          # Spark hash IS murmur3-32 (*seed differs)
+TEMPLATES["murmurhash2_64"] = "xxhash64({*})"   # (*)
+TEMPLATES["murmurhash3_64"] = "xxhash64({*})"   # (*)
+TEMPLATES["wyhash64"] = "xxhash64({*})"         # (*)
+TEMPLATES["siphash128"] = "unhex(md5({0}))"     # (*) 16-byte digest
+# exact Java String.hashCode (int32 wraparound fold)
+TEMPLATES["javahash"] = (
+    "aggregate(split({0}, ''), 0, "
+    "(acc, c) -> CAST(acc * 31 + coalesce(ascii(c), 0) AS INT))"
+)
+TEMPLATES["sha1"] = "unhex(\x00sha1\x00({0}))"
+TEMPLATES["sha224"] = "unhex(sha2({0}, 224))"
+TEMPLATES["sha512"] = "unhex(sha2({0}, 512))"
+TEMPLATES["crc32"] = "\x00crc32\x00(CAST({0} AS BINARY))"
+TEMPLATES["crc32ieee"] = "\x00crc32\x00(CAST({0} AS BINARY))"
+TEMPLATES["bittest"] = "CAST((shiftrightunsigned({0}, {1}) & 1) AS TINYINT)"
+TEMPLATES["bitrotateleft"] = (
+    "(shiftleft({0}, {1}) | shiftrightunsigned({0}, 64 - {1}))"
+)
+TEMPLATES["bitrotateright"] = (
+    "(shiftrightunsigned({0}, {1}) | shiftleft({0}, 64 - {1}))"
+)
+TEMPLATES["bithammingdistance"] = "bit_count({0} ^ {1})"
+# haversine great-circle distance in meters (CH uses a close sphere
+# radius; values agree to ~0.3%)
+_HAVERSINE = (
+    "(2 * 6371000.0 * asin(sqrt("
+    "pow(sin(radians({3} - {1}) / 2), 2) + cos(radians({1})) "
+    "* cos(radians({3})) * pow(sin(radians({2} - {0}) / 2), 2))))"
+)
+TEMPLATES["greatcircledistance"] = _HAVERSINE
+TEMPLATES["geodistance"] = _HAVERSINE
+TEMPLATES["pointinellipses"] = (
+    "CAST((pow(({0} - {2}) / {4}, 2) + pow(({1} - {3}) / {5}, 2) <= 1) AS TINYINT)"
+)
+TEMPLATES["toipv4"] = "{0}"  # engine stores IPv4 as its string form
+TEMPLATES["ipv4numtostring"] = (
+    "concat(CAST((({0}) div 16777216) % 256 AS STRING), '.', "
+    "CAST((({0}) div 65536) % 256 AS STRING), '.', "
+    "CAST((({0}) div 256) % 256 AS STRING), '.', "
+    "CAST(({0}) % 256 AS STRING))"
+)
+TEMPLATES["ipv4stringtonum"] = (
+    "aggregate(transform(split({0}, '\\\\.'), x -> CAST(x AS BIGINT)), "
+    "CAST(0 AS BIGINT), (acc, x) -> acc * 256 + x)"
+)
+TEMPLATES["isipv4string"] = (
+    "CAST({0} RLIKE '^((25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])\\\\.)"
+    "(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])\\\\."
+    "(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])\\\\."
+    "(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])$' AS TINYINT)"
+)
+TEMPLATES["randomstring"] = (
+    "substring(repeat(md5(CAST(rand() AS STRING)), "
+    "CAST({0} / 32 + 1 AS INT)), 1, CAST({0} AS INT))"
+)
+TEMPLATES["randomprintableascii"] = (
+    "substring(repeat(md5(CAST(rand() AS STRING)), "
+    "CAST({0} / 32 + 1 AS INT)), 1, CAST({0} AS INT))"
+)
+TEMPLATES["randconstant"] = "CAST(floor(rand(42) * 4294967296) AS BIGINT)"
+TEMPLATES["randuniform"] = "({0} + rand() * ({1} - {0}))"
+TEMPLATES["randnormal"] = "({0} + randn() * {1})"
+TEMPLATES["randexponential"] = "(-ln(1 - rand()) / {0})"

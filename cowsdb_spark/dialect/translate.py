@@ -265,7 +265,7 @@ def _generate_random(args: list[str]) -> str:
 _SPECIAL_FNS = {
     "count", "transform", "tostartofinterval", "tupleelement", "hex",
     "remote", "remotesecure", "cluster", "clusterallreplicas", "view",
-    "format",
+    "format", "bittestall", "bittestany",
 }
 
 
@@ -417,6 +417,17 @@ def _rewrite_functions(sql: str) -> str:
                         i = close + 1
                         changed = True
                         continue
+                    if lname in ("bittestall", "bittestany") and len(args) >= 2:
+                        # variadic bit positions → forall/exists over them
+                        hof = "forall" if lname == "bittestall" else "exists"
+                        pos = ", ".join(args[1:])
+                        out.append(
+                            f"CAST({hof}(array({pos}), p -> "
+                            f"(shiftrightunsigned({args[0]}, p) & 1) = 1) AS TINYINT)"
+                        )
+                        i = close + 1
+                        changed = True
+                        continue
                     if lname == "multiif":
                         out.append(_multi_if(args))
                         i = close + 1
@@ -518,9 +529,9 @@ def _rewrite_functions(sql: str) -> str:
             i += 1
         new_sql = "".join(out)
         if not changed:
-            return new_sql.replace("\x00range\x00", "range")
+            return new_sql.replace("\x00", "")
         sql = new_sql
-    return sql.replace("\x00range\x00", "range")
+    return sql.replace("\x00", "")
 
 
 _TERNARY_LEFT_STOP = {",", "(", "[", ";"}

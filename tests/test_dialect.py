@@ -774,3 +774,51 @@ class TestRound3StringBreadth:
     )
     def test_value(self, eng, q, want):
         assert eng.execute(q) == want
+
+
+class TestRound3HashBitGeoBreadth:
+    """Seventh gap sweep: hash / bit / geo / IPv4 / random families.
+    Hash stand-ins are stable uniform hashes, not CH-bit-identical
+    (documented in functions.py); values here test OUR semantics."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from cowsdb_spark.engine import Engine
+
+        return Engine(spark)
+
+    @pytest.mark.parametrize(
+        "q,want",
+        [
+            ("SELECT bitTest(5, 0), bitTest(5, 1)", b"1\t0\n"),
+            ("SELECT bitTestAll(5, 0, 2), bitTestAll(5, 0, 1)", b"1\t0\n"),
+            ("SELECT bitTestAny(5, 1), bitTestAny(5, 0, 1)", b"0\t1\n"),
+            ("SELECT bitHammingDistance(5, 6)", b"2\n"),
+            ("SELECT bitRotateLeft(1, 2), bitRotateRight(4, 2)", b"4\t1\n"),
+            ("SELECT javaHash('hello')", b"99162322\n"),  # Java String.hashCode
+            (
+                "SELECT round(greatCircleDistance(0.0, 0.0, 0.0, 1.0) / 1000)",
+                b"111\n",
+            ),
+            (
+                "SELECT pointInEllipses(0.5, 0.0, 0.0, 0.0, 1.0, 1.0), "
+                "pointInEllipses(2.0, 0.0, 0.0, 0.0, 1.0, 1.0)",
+                b"1\t0\n",
+            ),
+            ("SELECT IPv4NumToString(16909060)", b"1.2.3.4\n"),
+            ("SELECT IPv4StringToNum('1.2.3.4')", b"16909060\n"),
+            (
+                "SELECT isIPv4String('1.2.3.4'), isIPv4String('999.1.1.1'), "
+                "isIPv4String('x')",
+                b"1\t0\t0\n",
+            ),
+            ("SELECT length(randomString(10))", b"10\n"),
+            (
+                "SELECT length(SHA1('x')), length(SHA224('x')), length(SHA512('x'))",
+                b"20\t28\t64\n",
+            ),
+            ("SELECT crc32('x') > 0", b"true\n"),
+        ],
+    )
+    def test_value(self, eng, q, want):
+        assert eng.execute(q) == want
