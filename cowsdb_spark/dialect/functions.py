@@ -637,3 +637,71 @@ TEMPLATES["randconstant"] = "CAST(floor(rand(42) * 4294967296) AS BIGINT)"
 TEMPLATES["randuniform"] = "({0} + rand() * ({1} - {0}))"
 TEMPLATES["randnormal"] = "({0} + randn() * {1})"
 TEMPLATES["randexponential"] = "(-ln(1 - rand()) / {0})"
+
+# array family deep cuts (round-3 eighth sweep)
+RENAMES["arraymin"] = "array_min"
+RENAMES["arraymax"] = "array_max"
+RENAMES["arrayshuffle"] = "shuffle"
+RENAMES["arrayunion"] = "array_union"
+TEMPLATES["arraycumsum"] = (
+    "transform(sequence(1, size({0})), "
+    "i -> aggregate(slice({0}, 1, i), CAST(0 AS DOUBLE), (a, x) -> a + x))"
+)
+TEMPLATES["arraydifference"] = (
+    "transform(sequence(1, size({0})), i -> CASE WHEN i = 1 THEN 0 "
+    "ELSE element_at({0}, i) - element_at({0}, i - 1) END)"
+)
+# 1-based occurrence index of each value among its equals so far
+TEMPLATES["arrayenumerateuniq"] = (
+    "transform(sequence(1, size({0})), "
+    "i -> size(filter(slice({0}, 1, i), v -> v <=> element_at({0}, i))))"
+)
+TEMPLATES["arrayfold"] = "aggregate({1}, {2}, {0})"  # CH arg order: fn, arr, init
+TEMPLATES["arrayproduct"] = (
+    "aggregate({0}, CAST(1 AS DOUBLE), (a, x) -> a * x)"
+)
+TEMPLATES["arraylast"] = "element_at(filter({1}, {0}), -1)"
+TEMPLATES["arraylastindex"] = (
+    "coalesce(array_position({1}, element_at(filter({1}, {0}), -1)), 0)"
+)
+TEMPLATES["arrayreversesort"] = "reverse(array_sort({0}))"
+TEMPLATES["arraypopback"] = "slice({0}, 1, greatest(size({0}) - 1, 0))"
+TEMPLATES["arraypopfront"] = (
+    "CASE WHEN size({0}) <= 1 THEN array() ELSE slice({0}, 2, size({0}) - 1) END"
+)
+TEMPLATES["arrayresize"] = (
+    "CASE WHEN size({0}) >= {1} THEN slice({0}, 1, {1}) "
+    "ELSE concat({0}, array_repeat({2}, CAST({1} - size({0}) AS INT))) END"
+)
+TEMPLATES["arraywithconstant"] = "array_repeat({1}, CAST({0} AS INT))"
+TEMPLATES["arrayavg"] = (
+    "(aggregate({0}, CAST(0 AS DOUBLE), (acc, x) -> acc + x) / size({0}))"
+)
+TEMPLATES["arrayjaccardindex"] = (
+    "(size(array_intersect({0}, {1})) * 1.0 / size(array_union({0}, {1})))"
+)
+TEMPLATES["arrayrotateleft"] = (
+    "CASE WHEN size({0}) = 0 THEN {0} ELSE concat("
+    "slice({0}, CAST(pmod({1}, size({0})) AS INT) + 1, size({0})), "
+    "slice({0}, 1, CAST(pmod({1}, size({0})) AS INT))) END"
+)
+TEMPLATES["arrayrotateright"] = (
+    "CASE WHEN size({0}) = 0 THEN {0} ELSE concat("
+    "slice({0}, size({0}) - CAST(pmod({1}, size({0})) AS INT) + 1, size({0})), "
+    "slice({0}, 1, size({0}) - CAST(pmod({1}, size({0})) AS INT))) END"
+)
+TEMPLATES["arraypartialsort"] = (  # CH: first k sorted, rest unspecified —
+    "array_sort({1})"              # fully sorted satisfies the contract
+)
+TEMPLATES["arraysymmetricdifference"] = (
+    "array_union(array_except({0}, {1}), array_except({1}, {0}))"
+)
+TEMPLATES["hasall"] = "(size(array_except({1}, {0})) = 0)"
+TEMPLATES["hasany"] = "arrays_overlap({0}, {1})"
+# contiguous-subsequence containment
+TEMPLATES["hassubstr"] = (
+    "(size({1}) = 0 OR exists(sequence(1, greatest(size({0}) - size({1}) + 1, 0)), "
+    "i -> slice({0}, i, size({1})) = {1}))"
+)
+TEMPLATES["indexofassumesorted"] = "coalesce(array_position({0}, {1}), 0)"
+TEMPLATES["countmatches"] = "size(regexp_extract_all({0}, {1}, 0))"

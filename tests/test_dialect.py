@@ -822,3 +822,53 @@ class TestRound3HashBitGeoBreadth:
     )
     def test_value(self, eng, q, want):
         assert eng.execute(q) == want
+
+
+class TestRound3ArrayBreadth:
+    """Eighth gap sweep: array family deep cuts."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from cowsdb_spark.engine import Engine
+
+        return Engine(spark)
+
+    @pytest.mark.parametrize(
+        "q,want",
+        [
+            ("SELECT arrayCumSum([1,2,3])", b"[1,3,6]\n"),
+            ("SELECT arrayDifference([1,4,9])", b"[0,3,5]\n"),
+            ("SELECT arrayEnumerateUniq([10,20,10])", b"[1,1,2]\n"),
+            ("SELECT arrayFold((acc, x) -> acc + x, [1,2,3], 0)", b"6\n"),
+            ("SELECT arrayMin([3,1,2]), arrayMax([3,1,2])", b"1\t3\n"),
+            ("SELECT arrayProduct([2,3,4])", b"24\n"),
+            ("SELECT arrayLast(x -> x < 3, [1,2,3])", b"2\n"),
+            ("SELECT arrayReverseSort([1,3,2])", b"[3,2,1]\n"),
+            (
+                "SELECT arrayPopBack([1,2,3]), arrayPopFront([1,2,3])",
+                b"[1,2]\t[2,3]\n",
+            ),
+            ("SELECT arrayPopFront([7])", b"[]\n"),
+            (
+                "SELECT arrayResize([1,2], 4, 0), arrayResize([1,2,3], 2, 0)",
+                b"[1,2,0,0]\t[1,2]\n",
+            ),
+            ("SELECT arrayWithConstant(3, 'x')", b"['x','x','x']\n"),
+            ("SELECT round(arrayJaccardIndex([1,2], [2,3]), 4)", b"0.3333\n"),
+            (
+                "SELECT arrayRotateLeft([1,2,3], 1), arrayRotateRight([1,2,3], 1)",
+                b"[2,3,1]\t[3,1,2]\n",
+            ),
+            ("SELECT arraySymmetricDifference([1,2],[2,3])", b"[1,3]\n"),
+            ("SELECT hasAll([1,2,3],[1,2]), hasAll([1,2],[3])", b"true\tfalse\n"),
+            ("SELECT hasAny([1,2],[3,2]), hasAny([1],[2])", b"true\tfalse\n"),
+            (
+                "SELECT hasSubstr([1,2,3],[2,3]), hasSubstr([1,2,3],[1,3])",
+                b"true\tfalse\n",
+            ),
+            ("SELECT indexOfAssumeSorted([1,2,3], 2)", b"2\n"),
+            ("SELECT countMatches('a1b22c', '[0-9]+')", b"2\n"),
+        ],
+    )
+    def test_value(self, eng, q, want):
+        assert eng.execute(q) == want
