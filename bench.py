@@ -111,23 +111,33 @@ def main() -> None:
             # convention: systems measured separately, not interleaved
             # — interleaving thrashes the page/dictionary caches of
             # both and inflated ratios by ~1.5x in round 3 testing)
+            # ClickBench convention: hot time = min of 3 runs after a
+            # warm-up (r3's closing artifact was a single contended
+            # pass — cb32 read 13.5s vs a 1.1-1.9s steady state; min-of-3
+            # makes the artifact robust to transient box load)
             cbs: dict[str, float] = {}
             cbd: dict[str, float] = {}
             for q in QUERIES:
                 try:
                     eng.execute_to_df(q["sql"])[0].collect()  # warm-up
-                    t0 = time.perf_counter()
-                    eng.execute_to_df(q["sql"])[0].collect()
-                    cbs[q["id"]] = round(time.perf_counter() - t0, 3)
+                    best = float("inf")
+                    for _ in range(3):
+                        t0 = time.perf_counter()
+                        eng.execute_to_df(q["sql"])[0].collect()
+                        best = min(best, time.perf_counter() - t0)
+                    cbs[q["id"]] = round(best, 3)
                 except Exception as e:  # noqa: BLE001
                     errs[f"10m_{q['id']}"] = repr(e)[:300]
             for q in QUERIES:
                 try:
                     dsql = q.get("oracle", q["sql"])
                     con.execute(dsql).fetchall()  # warm-up
-                    t0 = time.perf_counter()
-                    con.execute(dsql).fetchall()
-                    cbd[q["id"]] = round(time.perf_counter() - t0, 3)
+                    best = float("inf")
+                    for _ in range(3):
+                        t0 = time.perf_counter()
+                        con.execute(dsql).fetchall()
+                        best = min(best, time.perf_counter() - t0)
+                    cbd[q["id"]] = round(best, 3)
                 except Exception as e:  # noqa: BLE001
                     errs[f"10m_ddb_{q['id']}"] = repr(e)[:300]
             hits_10m = {

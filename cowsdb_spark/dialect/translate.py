@@ -1123,6 +1123,109 @@ def _rewrite_group_by_empty(toks: list[Tok]) -> list[Tok]:
     return toks
 
 
+_GB_STOP = {
+    "HAVING", "ORDER", "LIMIT", "SETTINGS", "UNION", "INTERSECT",
+    "EXCEPT", "WINDOW", "WITH", "FORMAT", "QUALIFY", "INTO",
+}
+_GB_ARITH_OPS = {"+", "-", "*", "/", "%", "(", ")"}
+
+
+def _rewrite_group_by_fdeps(toks: list[Tok]) -> list[Tok]:
+    """Drop functionally-dependent GROUP BY keys.
+
+    ``GROUP BY k, k - 1, k - 2`` groups identically to ``GROUP BY k``:
+    a key that is a pure arithmetic expression over columns already
+    present as bare keys adds no grouping power, but widens every
+    shuffle row (ClickBench Q35 ships 4×8 bytes per row instead of 8).
+    Catalyst only removes *exact* duplicate group expressions
+    (RemoveRepetitionFromGroupExpressions), not derived ones.
+
+    Scope is deliberately narrow so semantics can't shift: an item is
+    dropped only when every token is (a) an identifier that is itself
+    a bare GROUP BY key, (b) a numeric literal, or (c) +-*/% or
+    grouping parens. No function calls (could be nondeterministic),
+    no bare literals/ordinals (``GROUP BY 1`` is positional in CH and
+    Spark), no GROUPING SETS/ROLLUP/CUBE clauses.
+    """
+    sig = _sig(toks)
+    for si in range(len(sig) - 2):
+        if not (
+            toks[sig[si]].upper == "GROUP" and toks[sig[si + 1]].upper == "BY"
+        ):
+            continue
+        first = toks[sig[si + 2]].upper
+        if first in ("GROUPING", "ROLLUP", "CUBE", "ALL"):
+            continue
+        # collect item spans [start_si, end_si) at relative depth 0
+        items: list[tuple[int, int]] = []
+        start = si + 2
+        depth = 0
+        end = len(sig)
+        k = si + 2
+        while k < len(sig):
+            tx = toks[sig[k]].text
+            up = toks[sig[k]].upper
+            if tx == "(":
+                depth += 1
+            elif tx == ")":
+                if depth == 0:
+                    end = k
+                    break
+                depth -= 1
+            elif depth == 0 and (up in _GB_STOP or tx == ";"):
+                end = k
+                break
+            elif depth == 0 and tx == ",":
+                items.append((start, k))
+                start = k + 1
+            k += 1
+        if k >= len(sig):
+            end = len(sig)
+        items.append((start, end))
+        if len(items) < 2:
+            continue
+        # bare keys: single-token identifier items
+        bare: set[str] = set()
+        for a, b in items:
+            if b - a == 1 and toks[sig[a]].kind in ("ident", "bquote"):
+                bare.add(toks[sig[a]].text.strip("`"))
+        if not bare:
+            continue
+
+        def droppable(a: int, b: int) -> bool:
+            if b - a < 2:
+                return False  # bare keys and single literals stay
+            saw_key = False
+            for j in range(a, b):
+                t = toks[sig[j]]
+                if t.kind in ("ident", "bquote"):
+                    nxt = toks[sig[j + 1]].text if j + 1 < len(sig) else ""
+                    if nxt == "(" or t.text.strip("`") not in bare:
+                        return False  # function call / foreign column
+                    saw_key = True
+                elif t.kind == "number":
+                    continue
+                elif t.text in _GB_ARITH_OPS:
+                    continue
+                else:
+                    return False
+            return saw_key
+
+        changed = False
+        for idx, (a, b) in enumerate(items):
+            if droppable(a, b):
+                for j in range(a, b):
+                    toks[sig[j]].text = ""
+                # blank the separating comma (prefer the left one)
+                comma_si = a - 1 if idx > 0 else b
+                if si + 2 < comma_si < end and toks[sig[comma_si]].text == ",":
+                    toks[sig[comma_si]].text = ""
+                changed = True
+        if changed:
+            break  # one GROUP BY per pass is enough for our workloads
+    return toks
+
+
 def _rewrite_distinct_on(toks: list[Tok]) -> list[Tok]:
     """CH ``SELECT DISTINCT ON (keys) …`` ≡ ``… LIMIT 1 BY keys``
     (first row per key group under the query's ORDER BY)."""
@@ -1703,6 +1806,7 @@ def translate_select(sql: str) -> Statement:
     toks = _rewrite_qualify(toks)
     toks = _rewrite_where_alias(toks)
     toks = _rewrite_group_by_empty(toks)
+    toks = _rewrite_group_by_fdeps(toks)
     toks = _rewrite_distinct_on(toks)
     toks = _rewrite_limit_by(toks)
     toks = _rewrite_limit_with_ties(toks)

@@ -872,3 +872,64 @@ class TestRound3ArrayBreadth:
     )
     def test_value(self, eng, q, want):
         assert eng.execute(q) == want
+
+
+class TestGroupByFdeps:
+    """Functional-dependency GROUP BY key elimination (ClickBench Q35
+    family: derived arithmetic keys widen the shuffle row for nothing)."""
+
+    def test_derived_keys_dropped(self):
+        st = one(
+            "SELECT ClientIP, ClientIP - 1 AS m1, COUNT(*) AS c FROM hits "
+            "GROUP BY ClientIP, ClientIP - 1, ClientIP - 2, ClientIP - 3 "
+            "ORDER BY c DESC LIMIT 10"
+        )
+        gb = st.spark_sql.split("GROUP BY")[1].split("ORDER BY")[0]
+        assert gb.replace(" ", "") == "ClientIP"
+
+    def test_ordinals_untouched(self):
+        st = one("SELECT 1 AS one, URL, COUNT(*) AS c FROM t GROUP BY 1, URL")
+        assert "GROUP BY 1, URL" in st.spark_sql
+
+    def test_function_calls_untouched(self):
+        st = one("SELECT k, f(k) FROM t GROUP BY k, f(k)")
+        assert "f(k)" in st.spark_sql.split("GROUP BY")[1]
+
+    def test_foreign_column_untouched(self):
+        st = one("SELECT a, b - 1 FROM t GROUP BY a, b - 1")
+        assert "b - 1" in st.spark_sql.split("GROUP BY")[1]
+
+    def test_values_identical(self, spark):
+        from cowsdb_spark.engine import Engine
+
+        eng = Engine(spark)
+        spark.range(0, 1000).selectExpr(
+            "CAST(id % 37 AS BIGINT) AS ClientIP"
+        ).createOrReplaceTempView("fdep_t")
+        got = eng.execute_to_df(
+            "SELECT ClientIP, ClientIP - 1 AS m1, COUNT(*) AS c FROM fdep_t "
+            "GROUP BY ClientIP, ClientIP - 1 ORDER BY c DESC, ClientIP LIMIT 5"
+        )[0].collect()
+        want = spark.sql(
+            "SELECT ClientIP, ClientIP - 1 AS m1, COUNT(*) AS c FROM fdep_t "
+            "GROUP BY ClientIP, ClientIP - 1 ORDER BY c DESC, ClientIP LIMIT 5"
+        ).collect()
+        assert got == want
+
+
+class TestSmallScanFastPath:
+    """Small inputs plan statically (no AdaptiveSparkPlan); the session
+    AQE conf is restored afterwards (engine.py Engine._plan_select)."""
+
+    def test_static_plan_and_conf_restored(self, spark):
+        from cowsdb_spark.engine import Engine
+
+        eng = Engine(spark)
+        spark.range(0, 100).createOrReplaceTempView("fp_small")
+        df = eng.execute_to_df(
+            "SELECT id % 3 AS k, COUNT(*) AS c FROM fp_small GROUP BY id % 3"
+        )[0]
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "AdaptiveSparkPlan" not in plan
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+        assert df.count() == 3

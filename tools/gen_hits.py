@@ -189,9 +189,13 @@ def generate(path: str = DEFAULT_PATH, n: int = N_ROWS) -> str:
     ]
     table = pa.Table.from_arrays(arrays, schema=schema)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    # big fixtures get big row groups (fewer footer/page-index round
-    # trips per scan; matches how a real 100 TB table would be laid out)
-    pq.write_table(table, path, row_group_size=32768 if n <= 1_000_000 else 1 << 20)
+    # Row groups are the scan-parallelism quantum for BOTH engines
+    # (Spark assigns row groups to tasks by split midpoint; DuckDB
+    # parallelizes over row groups). 1M-row groups left a 10M-row file
+    # with only 10 groups — 10 busy cores out of 32. 256k rows/group
+    # (~15 MB) gives 38 groups at 10M: every core works, and the size
+    # still matches a sane 100 TB layout (~16-64 MB groups).
+    pq.write_table(table, path, row_group_size=32768 if n <= 1_000_000 else 1 << 18)
     return path
 
 
