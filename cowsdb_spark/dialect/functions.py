@@ -661,8 +661,15 @@ TEMPLATES["arrayproduct"] = (
     "aggregate({0}, CAST(1 AS DOUBLE), (a, x) -> a * x)"
 )
 TEMPLATES["arraylast"] = "element_at(filter({1}, {0}), -1)"
+# index computed positionally: array_position would find the FIRST
+# occurrence of the last matching VALUE ([1,2,1] with x->x=1 must be
+# 3, not 1). The single-element filter(array(element_at(..)), {0})
+# applies the caller's one-arg lambda to position i without needing
+# lambda composition.
 TEMPLATES["arraylastindex"] = (
-    "coalesce(array_position({1}, element_at(filter({1}, {0}), -1)), 0)"
+    "CASE WHEN size({1}) = 0 THEN 0 ELSE "
+    "coalesce(array_max(filter(sequence(1, size({1})), "
+    "i -> size(filter(array(element_at({1}, i)), {0})) = 1)), 0) END"
 )
 TEMPLATES["arrayreversesort"] = "reverse(array_sort({0}))"
 TEMPLATES["arraypopback"] = "slice({0}, 1, greatest(size({0}) - 1, 0))"
@@ -698,10 +705,15 @@ TEMPLATES["arraysymmetricdifference"] = (
 )
 TEMPLATES["hasall"] = "(size(array_except({1}, {0})) = 0)"
 TEMPLATES["hasany"] = "arrays_overlap({0}, {1})"
-# contiguous-subsequence containment
+# contiguous-subsequence containment. CASE (not OR/AND) so the
+# sequence/slice arm is never evaluated when the needle is longer
+# than the haystack: sequence(1, 0) yields the DESCENDING [1, 0]
+# (auto-step -1) and slice then sees start index 0, which raises.
 TEMPLATES["hassubstr"] = (
-    "(size({1}) = 0 OR exists(sequence(1, greatest(size({0}) - size({1}) + 1, 0)), "
-    "i -> slice({0}, i, size({1})) = {1}))"
+    "CASE WHEN size({1}) = 0 THEN true "
+    "WHEN size({0}) < size({1}) THEN false "
+    "ELSE exists(sequence(1, size({0}) - size({1}) + 1), "
+    "i -> slice({0}, i, size({1})) = {1}) END"
 )
 TEMPLATES["indexofassumesorted"] = "coalesce(array_position({0}, {1}), 0)"
 TEMPLATES["countmatches"] = "size(regexp_extract_all({0}, {1}, 0))"

@@ -955,30 +955,57 @@ def _rewrite_where_alias(toks: list[Tok]) -> list[Tok]:
             aliases[m.group(2).lower()] = m.group(1).strip()
     if not aliases:
         return toks
-    # substitute in top-level WHERE and HAVING clause ranges
+    # Substitute in the top-level WHERE/HAVING clause ranges at ANY
+    # paren depth — ``WHERE abs(y) > 1`` and ``WHERE (y > 3)`` must
+    # resolve like bare ``WHERE y > 3`` does. Skipped frames: a
+    # subquery ``(SELECT …)`` keeps its own alias scope, and a frame
+    # containing a lambda ``->`` may bind the same name as a lambda
+    # parameter (``arrayExists(y -> y > 1, a)``).
     out: list[Tok] = list(toks)
-    depth = 0
+    stack: list[bool] = []  # per open paren: True = do-not-substitute frame
     in_clause = False
+
+    def _frame_blocked(open_si: int) -> bool:
+        """True if the frame opened at sig[open_si] is a subquery or
+        contains a lambda arrow anywhere inside it."""
+        nxt = toks[sig[open_si + 1]] if open_si + 1 < len(sig) else None
+        if nxt is not None and nxt.upper == "SELECT":
+            return True
+        d = 0
+        for sj in range(open_si, len(sig)):
+            tx = toks[sig[sj]].text
+            if tx == "(":
+                d += 1
+            elif tx == ")":
+                d -= 1
+                if d == 0:
+                    return False
+            elif tx == "->":
+                return True
+        return False
+
     for si in range(from_at, len(sig)):
         i = sig[si]
         t = toks[i]
-        if t.kind == "op":
-            depth += t.text.count("(") - t.text.count(")")
+        if t.text == "(":
+            stack.append(_frame_blocked(si))
             continue
-        if depth != 0:
+        if t.text == ")":
+            if stack:
+                stack.pop()
             continue
         if t.kind == "ident":
             up = t.text.upper()
-            if up in ("WHERE", "HAVING", "PREWHERE"):
+            if not stack and up in ("WHERE", "HAVING", "PREWHERE"):
                 in_clause = True
                 continue
-            if up in (
+            if not stack and up in (
                 "GROUP", "ORDER", "LIMIT", "WINDOW", "UNION", "INTERSECT",
                 "EXCEPT", "SETTINGS", "FORMAT", "QUALIFY",
             ):
                 in_clause = False
                 continue
-            if in_clause and t.text.lower() in aliases:
+            if in_clause and not any(stack) and t.text.lower() in aliases:
                 # not a function call, not a qualified name part
                 nxt = next(
                     (toks[j] for j in sig[si + 1 : si + 2]), None

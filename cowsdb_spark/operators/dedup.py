@@ -21,6 +21,8 @@ whole-stage codegen; no Python UDF anywhere.
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -351,7 +353,10 @@ def ngram_jaccard_pairs(
 # (df identity, n_blocks) → (df ref, assigned, centroid matrix, radii).
 # The angular IVF screen index is built once per input table, like any
 # real vector index; entries hold a strong df ref so id() stays valid.
-_IVF_INDEX_CACHE: dict = {}
+# Bounded LRU (a long-lived server indexing many tables must not pin
+# every DataFrame it ever saw — that leaks driver memory and blocks GC).
+_IVF_INDEX_CACHE: OrderedDict = OrderedDict()
+_IVF_INDEX_CACHE_MAX = 4
 
 
 def embedding_neardup_pairs(
@@ -432,6 +437,7 @@ def embedding_neardup_pairs(
     key = (id(emb), B)
     hit = _IVF_INDEX_CACHE.get(key)
     if hit is not None and hit[0] is emb:
+        _IVF_INDEX_CACHE.move_to_end(key)
         _, assigned, cent_arr, delta = hit
     else:
         # angular blocks + exact per-block radii (δ_k); the assignment
@@ -471,6 +477,8 @@ def embedding_neardup_pairs(
             for r in radii_rows
         }
         _IVF_INDEX_CACHE[key] = (emb, assigned, cent_arr, delta)
+        while len(_IVF_INDEX_CACHE) > _IVF_INDEX_CACHE_MAX:
+            _IVF_INDEX_CACHE.popitem(last=False)
 
     theta_max = math.acos(max(-1.0, min(1.0, slack)))  # pairs beyond this angle can't match
     cn = np.linalg.norm(cent_arr, axis=1)

@@ -166,6 +166,9 @@ class _Handler(BaseHTTPRequestHandler):
             )
         except ValueError:
             interval_s = 0.1
+        # interval 0 would turn done.wait(0) into a busy-spin that
+        # accumulates header frames unboundedly; clamp to 10ms
+        interval_s = max(interval_s, 0.01)
 
         def _progress_json(elapsed_ns: int, rows: int = 0, nbytes: int = 0) -> str:
             return _json.dumps(
@@ -214,7 +217,11 @@ class _Handler(BaseHTTPRequestHandler):
                     "X-ClickHouse-Progress",
                     _progress_json(int((_time.time() - t0) * 1e9)),
                 )
-                self.wfile.flush()
+                # send_header only appends to _headers_buffer;
+                # flush_headers actually writes each frame to the
+                # socket NOW (wfile.flush alone flushes nothing —
+                # the frames would all arrive after the query ends)
+                self.flush_headers()
         try:
             if want_progress:
                 if "err" in outcome:

@@ -933,3 +933,63 @@ class TestSmallScanFastPath:
         assert "AdaptiveSparkPlan" not in plan
         assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
         assert df.count() == 3
+
+
+class TestAdviceFixes:
+    """Value-level locks for the round-3 advisor findings."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from cowsdb_spark.engine import Engine
+
+        return Engine(spark)
+
+    # hasSubstr: needle longer than haystack must be 0, not a
+    # sequence/slice runtime error (sequence(1,0) is DESCENDING)
+    @pytest.mark.parametrize(
+        "q,want",
+        [
+            ("SELECT hasSubstr([1,2], [1,2,3]) AS r", b"false\n"),
+            ("SELECT hasSubstr([1,2,3], [2,3]) AS r", b"true\n"),
+            ("SELECT hasSubstr([1,2,3], []) AS r", b"true\n"),
+            # arrayLastIndex: LAST matching position, not the first
+            # position of the last matching value
+            ("SELECT arrayLastIndex(x -> x = 1, [1,2,1]) AS r", b"3\n"),
+            ("SELECT arrayLastIndex(x -> x > 5, [1,2,1]) AS r", b"0\n"),
+            ("SELECT arrayLastIndex(x -> x = 1, CAST([] AS ARRAY<INT>)) AS r", b"0\n"),
+            ("SELECT arrayLastIndex(x -> x % 2 = 0, [2,4,6,7]) AS r", b"3\n"),
+        ],
+    )
+    def test_value(self, eng, q, want):
+        assert eng.execute(q) == want
+
+    # WHERE-alias resolution must work inside parens and calls, not
+    # just at paren depth 0
+    @pytest.mark.parametrize(
+        "where",
+        ["y > 3", "(y > 3)", "abs(y) > 3", "((y) > 3)", "abs(y + 0) > 3"],
+    )
+    def test_where_alias_any_depth(self, eng, where):
+        got = eng.execute(
+            f"SELECT number * 2 AS y FROM numbers(5) WHERE {where} ORDER BY y"
+        )
+        assert got == b"4\n6\n8\n", (where, got)
+
+    def test_where_alias_lambda_scope_untouched(self, eng):
+        # alias y must NOT be substituted into the lambda that binds y
+        got = eng.execute(
+            "SELECT number + 10 AS y FROM numbers(3) "
+            "WHERE arrayExists(y -> y = 99, [99]) ORDER BY y"
+        )
+        assert got == b"10\n11\n12\n"
+
+    def test_ivf_cache_bounded(self):
+        from cowsdb_spark.operators import dedup
+
+        dedup._IVF_INDEX_CACHE.clear()
+        for k in range(dedup._IVF_INDEX_CACHE_MAX + 3):
+            dedup._IVF_INDEX_CACHE[(k, 8)] = (None, None, None, None)
+            while len(dedup._IVF_INDEX_CACHE) > dedup._IVF_INDEX_CACHE_MAX:
+                dedup._IVF_INDEX_CACHE.popitem(last=False)
+        assert len(dedup._IVF_INDEX_CACHE) <= dedup._IVF_INDEX_CACHE_MAX
+        dedup._IVF_INDEX_CACHE.clear()

@@ -455,3 +455,61 @@ class TestHttpCompression:
             raise AssertionError("expected 400")
         except urllib.error.HTTPError as e:
             assert e.code == 400
+
+
+class TestProgressStreamingTiming:
+    def test_first_frame_arrives_before_completion(self, http):
+        """Progress frames must hit the socket as they are produced
+        (flush_headers per frame), not in one burst after the query:
+        the first X-ClickHouse-Progress line must arrive well before
+        the blank line that ends the header block."""
+        import socket
+        import time as _t
+        import urllib.parse as _p
+
+        host, port = http.replace("http://", "").split(":")
+        q = _p.quote(
+            "SELECT count(*) AS c FROM ("
+            "SELECT sum(number) FROM numbers(5000000) GROUP BY number % 1000000)"
+        )
+        s = socket.create_connection((host, int(port)), timeout=30)
+        try:
+            s.sendall(
+                (
+                    f"GET /?query={q}&send_progress_in_http_headers=1"
+                    "&http_headers_progress_interval_ms=50 HTTP/1.1\r\n"
+                    f"Host: {host}\r\nConnection: close\r\n\r\n"
+                ).encode()
+            )
+            buf = b""
+            t_first = t_done = None
+            t0 = _t.time()
+            while b"\r\n\r\n" not in buf:
+                chunk = s.recv(4096)
+                if not chunk:
+                    break
+                buf += chunk
+                if t_first is None and b"X-ClickHouse-Progress" in buf:
+                    t_first = _t.time() - t0
+            t_done = _t.time() - t0
+            assert t_first is not None, "no progress frame seen"
+            # buffered-burst behavior would put t_first ≈ t_done; a
+            # streamed frame lands at ~50-200ms on a multi-second query
+            assert t_done - t_first > 0.2, (t_first, t_done)
+        finally:
+            s.close()
+
+    def test_interval_zero_clamped(self, http):
+        """http_headers_progress_interval_ms=0 must not busy-spin; the
+        query still completes with frames present."""
+        import urllib.request
+
+        req = urllib.request.Request(
+            http
+            + "/?query="
+            + urllib.parse.quote("SELECT count(*) AS c FROM numbers(100000)")
+            + "&send_progress_in_http_headers=1&http_headers_progress_interval_ms=0"
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+            assert r.read() == b"100000\n"
