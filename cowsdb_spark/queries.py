@@ -298,34 +298,31 @@ def q14(spark, sf_dir):
 # ---------------------------------------------------------------- set ops / windows
 
 
-@qdef(
-    "q15_intersect",
-    "SELECT x FROM (SELECT l_suppkey AS x FROM lineitem "
-    "INTERSECT SELECT s_suppkey AS x FROM supplier) t ORDER BY x LIMIT 20",
-    "[2.6] INTERSECT set op",
-)
-def q15(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("x"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("x"))
-    return li.intersect(s).orderBy("x").limit(20)
+# (q15_intersect merged into q28_union_all — the set-op row now
+# exercises UNION ALL + UNION DISTINCT + INTERSECT + EXCEPT.)
 
 
 @qdef(
     "q16_window_rank",
-    "SELECT o_custkey, o_orderkey, rn, prev_p, next_p FROM ("
+    "SELECT o_custkey, o_orderkey, rn, prev_p, next_p, run FROM ("
     "  SELECT o_custkey, o_orderkey, CAST(ROW_NUMBER() OVER ("
     "    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn, "
     "  LAG(o_totalprice) OVER ("
     "    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS prev_p, "
     "  LEAD(o_totalprice) OVER ("
-    "    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS next_p"
+    "    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS next_p, "
+    "  ROUND(SUM(o_totalprice) OVER ("
+    "    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey "
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run"
     "  FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn LIMIT 100",
-    "[2.7] ranking window / CH LIMIT BY equivalent + lag/lead over the "
-    "same frame (absorbed q44_lag_lead)",
+    "[2.7] ranking window / CH LIMIT BY equivalent + lag/lead + running "
+    "aggregate frame over the same window (absorbed q44_lag_lead, "
+    "q17_running_sum)",
 )
 def q16(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     return (
         o.select(
             "o_custkey",
@@ -333,6 +330,7 @@ def q16(spark, sf_dir):
             F.row_number().over(w).cast("long").alias("rn"),
             F.lag("o_totalprice").over(w).alias("prev_p"),
             F.lead("o_totalprice").over(w).alias("next_p"),
+            F.round(F.sum("o_totalprice").over(wrun), 2).alias("run"),
         )
         .filter(F.col("rn") <= 3)
         .orderBy("o_custkey", "rn")
@@ -341,69 +339,68 @@ def q16(spark, sf_dir):
 
 
 @qdef(
-    "q17_running_sum",
-    "SELECT o_orderkey, ROUND(SUM(o_totalprice) OVER ("
-    "ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run "
-    "FROM orders ORDER BY o_orderkey LIMIT 100",
-    "[2.7] running aggregate frame",
-)
-def q17(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders")
-    w = W.orderBy("o_orderkey").rowsBetween(W.unboundedPreceding, W.currentRow)
-    return (
-        o.select("o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("run"))
-        .orderBy("o_orderkey")
-        .limit(100)
-    )
-
-
-@qdef(
     "q18_rollup",
-    "SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls, "
-    "ROUND(SUM(l_quantity), 2) AS q FROM lineitem "
-    "GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls",
-    "[A9] ROLLUP grouping sets",
+    "SELECT scope, k1, k2, v FROM ("
+    "  SELECT 'rollup' AS scope, COALESCE(l_returnflag, 'ALL') AS k1, "
+    "  COALESCE(l_linestatus, 'ALL') AS k2, "
+    "  CAST(ROUND(SUM(l_quantity), 2) AS DOUBLE) AS v FROM lineitem "
+    "  GROUP BY ROLLUP(l_returnflag, l_linestatus) "
+    "  UNION ALL "
+    "  SELECT 'cube' AS scope, COALESCE(o_orderstatus, 'ALL') AS k1, "
+    "  COALESCE(o_orderpriority, 'ALL') AS k2, "
+    "  CAST(COUNT(*) AS DOUBLE) AS v FROM orders "
+    "  GROUP BY CUBE(o_orderstatus, o_orderpriority)"
+    ") t ORDER BY scope, k1, k2",
+    "[A9] ROLLUP + CUBE grouping sets in one Expand pipeline "
+    "(absorbed q43_cube)",
 )
 def q18(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    return (
+    o = _t(spark, sf_dir, "orders")
+    roll = (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("q"))
+        .agg(F.round(F.sum("l_quantity"), 2).cast("double").alias("v"))
         .select(
-            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
-            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
-            "q",
+            F.lit("rollup").alias("scope"),
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("k1"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("k2"),
+            "v",
         )
-        .orderBy("rf", "ls")
     )
+    cub = (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("double").alias("v"))
+        .select(
+            F.lit("cube").alias("scope"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("k1"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("k2"),
+            "v",
+        )
+    )
+    return roll.unionByName(cub).orderBy("scope", "k1", "k2")
 
 
 @qdef(
     "q19_offset",
-    "SELECT l_orderkey, l_linenumber FROM lineitem "
-    "ORDER BY l_orderkey, l_linenumber LIMIT 10 OFFSET 100",
-    "[O4] offset pagination (ClickBench Q38-Q42)",
+    "SELECT rf, ls, sm FROM ("
+    "  SELECT DISTINCT l_returnflag AS rf, l_linestatus AS ls, "
+    "  CAST(date_trunc('month', l_shipdate) AS DATE) AS sm FROM lineitem) t "
+    "ORDER BY rf, ls, sm LIMIT 10 OFFSET 100",
+    "[O4+O5] DISTINCT + offset pagination (ClickBench Q38-Q42; "
+    "absorbed q20_distinct)",
 )
 def q19(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
-        li.select("l_orderkey", "l_linenumber")
-        .orderBy("l_orderkey", "l_linenumber")
+        li.select(
+            F.col("l_returnflag").alias("rf"),
+            F.col("l_linestatus").alias("ls"),
+            F.date_trunc("month", "l_shipdate").cast("date").alias("sm"),
+        )
+        .distinct()
+        .orderBy("rf", "ls", "sm")
         .offset(100)
         .limit(10)
-    )
-
-
-@qdef(
-    "q20_distinct",
-    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem "
-    "ORDER BY l_returnflag, l_linestatus",
-    "[O5] DISTINCT",
-)
-def q20(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    return li.select("l_returnflag", "l_linestatus").distinct().orderBy(
-        "l_returnflag", "l_linestatus"
     )
 
 
@@ -554,9 +551,16 @@ def q27(spark, sf_dir):
     "  SELECT 'customer' AS src, COUNT(*) AS c FROM customer "
     "  UNION ALL SELECT 'supplier' AS src, COUNT(*) AS c FROM supplier "
     "  UNION ALL SELECT 'keys_distinct' AS src, COUNT(*) AS c FROM ("
-    "    SELECT n_regionkey AS x FROM nation UNION SELECT r_regionkey AS x FROM region) u"
+    "    SELECT n_regionkey AS x FROM nation UNION SELECT r_regionkey AS x FROM region) u "
+    "  UNION ALL SELECT 'supp_intersect' AS src, COUNT(*) AS c FROM ("
+    "    SELECT l_suppkey AS x FROM lineitem INTERSECT SELECT s_suppkey AS x FROM supplier) i "
+    "  UNION ALL SELECT 'brands_except' AS src, COUNT(*) AS c FROM ("
+    "    SELECT DISTINCT p_brand FROM part "
+    "    EXCEPT SELECT DISTINCT p_brand FROM part WHERE p_size < 10) e"
     ") t ORDER BY src",
-    "[2.6] UNION ALL + UNION DISTINCT (absorbed q41_union_distinct)",
+    "[2.6] UNION ALL + UNION DISTINCT + INTERSECT + EXCEPT — the full "
+    "set-op family in one row (absorbed q41_union_distinct, "
+    "q15_intersect, q29_except)",
 )
 def q28(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").agg(F.count(F.lit(1)).alias("c")).select(
@@ -573,20 +577,23 @@ def q28(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("c"))
         .select(F.lit("keys_distinct").alias("src"), "c")
     )
-    return c.unionByName(s).unionByName(ud).orderBy("src")
-
-
-@qdef(
-    "q29_except",
-    "SELECT p_brand FROM (SELECT DISTINCT p_brand FROM part "
-    "EXCEPT SELECT DISTINCT p_brand FROM part WHERE p_size < 10) t ORDER BY p_brand",
-    "[2.6] EXCEPT (distinct semantics)",
-)
-def q29(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("x"))
+    sk = _t(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("x"))
+    inter = (
+        li.intersect(sk)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.lit("supp_intersect").alias("src"), "c")
+    )
     p = _t(spark, sf_dir, "part")
-    a = p.select("p_brand").distinct()
-    b = p.filter(F.col("p_size") < 10).select("p_brand").distinct()
-    return a.exceptAll(b).distinct().orderBy("p_brand")
+    exc = (
+        p.select("p_brand")
+        .distinct()
+        .exceptAll(p.filter(F.col("p_size") < 10).select("p_brand").distinct())
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.lit("brands_except").alias("src"), "c")
+    )
+    return c.unionByName(s).unionByName(ud).unionByName(inter).unionByName(exc).orderBy("src")
 
 
 @qdef(
@@ -785,56 +792,34 @@ def q38(spark, sf_dir):
 
 @qdef(
     "q39_theta_join",
-    "SELECT r1.r_name AS a, r2.r_name AS b FROM region r1 JOIN region r2 "
-    "ON r1.r_regionkey < r2.r_regionkey ORDER BY a, b",
-    "[J5] inequality (theta) join via broadcast nested loop",
+    "SELECT a, b, cross_n FROM ("
+    "  SELECT r1.r_name AS a, r2.r_name AS b FROM region r1 JOIN region r2 "
+    "  ON r1.r_regionkey < r2.r_regionkey) t CROSS JOIN ("
+    "  SELECT COUNT(*) AS cross_n FROM region CROSS JOIN nation) x "
+    "ORDER BY a, b",
+    "[J5+J3] inequality (theta) join via broadcast nested loop, plus an "
+    "explicit CROSS JOIN both as the region x nation product and as the "
+    "1-row attach (absorbed q40_cross_join)",
 )
 def q39(spark, sf_dir):
     r1 = _t(spark, sf_dir, "region").alias("r1")
     r2 = _t(spark, sf_dir, "region").alias("r2")
-    return (
+    theta = (
         r1.join(r2, F.col("r1.r_regionkey") < F.col("r2.r_regionkey"))
         .select(F.col("r1.r_name").alias("a"), F.col("r2.r_name").alias("b"))
-        .orderBy("a", "b")
     )
-
-
-@qdef(
-    "q40_cross_join",
-    "SELECT COUNT(*) AS c FROM region CROSS JOIN nation",
-    "[J3] CROSS JOIN",
-)
-def q40(spark, sf_dir):
-    r = _t(spark, sf_dir, "region")
-    n = _t(spark, sf_dir, "nation")
-    return r.crossJoin(n).agg(F.count(F.lit(1)).alias("c"))
+    cross_n = (
+        _t(spark, sf_dir, "region")
+        .crossJoin(_t(spark, sf_dir, "nation"))
+        .agg(F.count(F.lit(1)).alias("cross_n"))
+    )
+    return theta.crossJoin(F.broadcast(cross_n)).orderBy("a", "b")
 
 
 # (q41_union_distinct merged into q28_union_all; q42_grouping_sets
 # dropped — explicit GROUPING SETS stays covered by the dialect tests
-# and by q18 ROLLUP / q43 CUBE, which plan through the same
-# Expand-based grouping-set machinery.)
-
-
-@qdef(
-    "q43_cube",
-    "SELECT COALESCE(o_orderstatus, 'ALL') AS st, COALESCE(o_orderpriority, 'ALL') AS pr, "
-    "COUNT(*) AS c FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) "
-    "ORDER BY st, pr",
-    "[A9] CUBE",
-)
-def q43(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders")
-    return (
-        o.cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .select(
-            F.coalesce("o_orderstatus", F.lit("ALL")).alias("st"),
-            F.coalesce("o_orderpriority", F.lit("ALL")).alias("pr"),
-            "c",
-        )
-        .orderBy("st", "pr")
-    )
+# and by q18, whose ROLLUP + CUBE halves plan through the same
+# Expand-based grouping-set machinery; q43_cube merged into q18.)
 
 
 # (q44_lag_lead merged into q16_window_rank; q45_dense_rank merged
