@@ -209,6 +209,29 @@ def sample_frames(media: DataFrame, every_ms: int = 250) -> DataFrame:
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
+# Inputs at or below this row count coalesce to one partition before a
+# Python (Arrow) stage: one Python round-trip instead of one per
+# upstream partition. Above it, the input keeps its partitioning — a
+# real corpus coalesced to 1 would serialize the whole stage.
+SMALL_PY_STAGE_ROWS = 100_000
+
+
+def prep_python_stage_input(media: DataFrame, n_rows: int | None = None) -> DataFrame:
+    """Shape a frame for a mapInPandas stage, scale-safely.
+
+    Fixture-sized inputs (``n_rows`` known and tiny) pay ~32 sequential
+    Python worker round-trips if left at session parallelism — the
+    x13/x23 slowdown round 2 flagged. But an unconditional
+    ``coalesce(1)`` is exactly wrong at scale, so the coalesce applies
+    ONLY when the caller attests the row count is below
+    ``SMALL_PY_STAGE_ROWS``; unknown or large inputs pass through
+    untouched (the scale-safe default).
+    """
+    if n_rows is not None and n_rows <= SMALL_PY_STAGE_ROWS:
+        return media.coalesce(1)
+    return media
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests (seeded bytes).
 

@@ -143,23 +143,30 @@ def tf_idf(
 
     Plan shape (the 100 TB story): explode tokens → per-(doc, term)
     counts (one shuffle on (doc, term)) → document frequencies per
-    term (one shuffle on term, result is |vocab|-sized and would be
-    broadcast at scale) → join back → per-doc top-k via window.
-    idf = ln(N / df); score = tf * idf, rounded for oracle parity.
+    term (one shuffle on term) → join back ON term → per-doc top-k
+    via window. idf = ln(N / df); score = tf * idf, rounded for
+    oracle parity.
+
+    Scale notes: the tf⋈df join carries NO broadcast hint — at 100 TB
+    the distinct-term table is itself huge (an unconditional broadcast
+    is a driver/executor OOM), both sides are already keyed by term,
+    and AQE still elects a broadcast when df_ turns out small. N rides
+    along as a 1-row broadcast cross join instead of a separate
+    ``docs.count()`` job.
     """
     from pyspark.sql import Window
 
-    n_docs = docs.count()  # scalar, driver-side by design
+    ndf = docs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     toks = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     ).filter(F.col("term") != "")
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(df_), "term").select(
+    scored = tf.join(df_, "term").crossJoin(F.broadcast(ndf)).select(
         id_col,
         "term",
         "tf",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("score"),
+        F.round(F.col("tf") * F.log(F.col("_n") / F.col("df")), 6).alias("score"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
     return (

@@ -1065,15 +1065,18 @@ def t12(spark, sf_dir):
     "[ext: multimodal] binary payload → feature vector via mapInPandas (stubbed codec)",
 )
 def t13(spark, sf_dir):
-    from .operators.multimodal import extract_features, synthetic_media
+    from .operators.multimodal import (
+        extract_features,
+        prep_python_stage_input,
+        synthetic_media,
+    )
 
-    # Coalesce the INPUT of the Python stage, then sort within the one
-    # partition: a global orderBy would re-execute the pipeline for
-    # RangePartitioner sampling, and coalescing AFTER mapInPandas runs
-    # the 32 upstream partitions serially in one task (32 sequential
-    # Python round-trips ≈ 5 s — the x13/x23 'regression' VERDICT r2
-    # flagged). Output is fixture-sized; at scale keep the orderBy.
-    media = synthetic_media(spark, 64).coalesce(1)
+    # Input shaping is size-conditional (prep_python_stage_input): the
+    # 64-row fixture coalesces to one Python round-trip; a real corpus
+    # would pass through with its partitioning intact. In-partition
+    # sort (not orderBy) so the pipeline isn't re-executed for
+    # RangePartitioner sampling.
+    media = prep_python_stage_input(synthetic_media(spark, 64), n_rows=64)
     return extract_features(media).sortWithinPartitions("media_id")
 
 
@@ -1351,10 +1354,14 @@ def t22(spark, sf_dir):
     "[ext: multimodal] video frame sampling fan-out + per-frame features",
 )
 def t23(spark, sf_dir):
-    from .operators.multimodal import sample_frames, synthetic_media
+    from .operators.multimodal import (
+        prep_python_stage_input,
+        sample_frames,
+        synthetic_media,
+    )
 
-    # input-side coalesce + in-partition sort — see x13's comment
-    media = synthetic_media(spark, 48).coalesce(1)
+    # size-conditional input coalesce + in-partition sort — see x13
+    media = prep_python_stage_input(synthetic_media(spark, 48), n_rows=48)
     frames = sample_frames(media, every_ms=250)
     return (
         frames.select(

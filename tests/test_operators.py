@@ -603,3 +603,42 @@ class TestExactQuantile:
         ) == [7.0, 7.0]
         dup = spark.createDataFrame([(1.0,)] * 500 + [(2.0,)] * 500, "v double")
         assert exact_percentiles(dup, "v", [0.25, 0.5, 0.75]) == [1.0, 1.5, 2.0]
+
+
+class TestScaleShapeFixes:
+    """Round-3 verdict items 4-5: tf_idf must not force-broadcast the
+    vocabulary; the multimodal Python-stage coalesce must be
+    size-conditional."""
+
+    def test_tfidf_no_forced_vocab_broadcast(self, spark, sf_dir):
+        from cowsdb_spark.catalog import load_table
+        from cowsdb_spark.operators.text import tf_idf
+
+        d = load_table(spark, sf_dir, "documents")
+        out = tf_idf(d, top_k=3)
+        # the tf-df join must not carry a broadcast HINT on the
+        # vocabulary side (AQE may still ELECT broadcast at runtime,
+        # which is fine — the optimized logical plan is hint-free)
+        logical = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "ResolvedHint" not in logical
+        # value sanity: scores still produced
+        assert out.filter("doc_id < 5").count() > 0
+
+    def test_prep_python_stage_input_conditional(self, spark):
+        from cowsdb_spark.operators.multimodal import (
+            SMALL_PY_STAGE_ROWS,
+            prep_python_stage_input,
+            synthetic_media,
+        )
+
+        small = prep_python_stage_input(synthetic_media(spark, 8), n_rows=8)
+        assert small.rdd.getNumPartitions() == 1
+        big = synthetic_media(spark, 8)
+        n_before = big.rdd.getNumPartitions()
+        # attested-large and unknown sizes both pass through untouched
+        assert (
+            prep_python_stage_input(big, n_rows=SMALL_PY_STAGE_ROWS + 1)
+            .rdd.getNumPartitions()
+            == n_before
+        )
+        assert prep_python_stage_input(big).rdd.getNumPartitions() == n_before
