@@ -717,3 +717,121 @@ TEMPLATES["hassubstr"] = (
 )
 TEMPLATES["indexofassumesorted"] = "coalesce(array_position({0}, {1}), 0)"
 TEMPLATES["countmatches"] = "size(regexp_extract_all({0}, {1}, 0))"
+
+
+# ------------------------------------------------------------------
+# Aggregate-combinator algebra (round-4: general suffix rewrite).
+#
+# ClickHouse combinators are STACKABLE suffixes on any aggregate:
+# sumIf, minArray, groupArrayDistinct, sumArrayOrNull, uniqExactIf …
+# Rather than enumerating every spelling, parse the suffix chain
+# right-to-left down to a known aggregate base and rebuild the
+# expression; the emitted base call (e.g. ``any(…)``) is translated
+# by the normal tables on the next fixpoint pass of
+# translate._rewrite_functions. Explicit table entries always win —
+# this only fires for names no table knows.
+#
+# Supported: -If (filter rows: condition is the last argument),
+# -Array (aggregate over array elements), -Distinct, -OrNull (NULL
+# instead of the default on an empty set), -OrDefault (the CH type
+# default on an empty set). -State/-Merge/-Map/-ForEach/-Resample are
+# NOT handled here (no partial-state surface; sumMap has an explicit
+# entry).
+
+# bases the combinator expander may bottom out on (CH spellings; the
+# emitted call is re-translated by the existing tables)
+_COMB_BASES = {
+    "sum", "count", "avg", "min", "max", "any", "anylast", "anyheavy",
+    "uniq", "uniqexact", "uniqcombined", "uniqhll12", "grouparray",
+    "groupuniqarray", "argmin", "argmax", "stddevpop", "stddevsamp",
+    "varpop", "varsamp", "corr", "covarpop", "covarsamp", "median",
+    "skewpop", "skewsamp", "kurtpop", "kurtsamp", "entropy",
+    "avgweighted",
+}
+# bases that return a count (0, never NULL, on an empty set in Spark)
+_COMB_COUNT_BASES = {"count", "uniq", "uniqexact", "uniqcombined", "uniqhll12"}
+# bases returning arrays (empty array, never NULL, on an empty set)
+_COMB_ARR_BASES = {"grouparray", "groupuniqarray"}
+# -Array element-wise forms ({0} = the array argument, already
+# If-wrapped when stacked with -If; coalesce() so a filtered-out row
+# contributes nothing rather than NULL-poisoning the fold)
+_COMB_ARRAY_FORMS = {
+    "sum": "sum(aggregate(coalesce({0}, array()), CAST(0 AS DOUBLE), (acc, x) -> acc + x))",
+    "count": "sum(coalesce(size({0}), 0))",
+    "min": "min(array_min({0}))",
+    "max": "max(array_max({0}))",
+    "avg": "(sum(aggregate(coalesce({0}, array()), CAST(0 AS DOUBLE), (acc, x) -> acc + x))"
+    " / sum(coalesce(size({0}), 0)))",
+    "grouparray": "flatten(collect_list({0}))",
+    "groupuniqarray": "array_distinct(flatten(collect_list({0})))",
+    "uniqexact": "size(array_distinct(flatten(collect_list({0}))))",
+}
+_COMB_SUFFIXES = ("ornull", "ordefault", "if", "array", "distinct")
+
+
+def parse_combinator(lname: str):
+    """``sumarrayornull`` → ("sum", ["array", "ornull"]) or None.
+
+    Returns (base, suffixes-in-application-order) only when at least
+    one suffix was stripped and the base is a known aggregate.
+    """
+    rest, stripped = lname, []
+    while rest not in _COMB_BASES:
+        for suf in _COMB_SUFFIXES:
+            if rest.endswith(suf) and len(rest) > len(suf):
+                stripped.append(suf)
+                rest = rest[: -len(suf)]
+                break
+        else:
+            return None
+    if not stripped:
+        return None
+    return rest, list(reversed(stripped))
+
+
+def expand_combinator(lname: str, args: list[str]):
+    """SQL expression for a combinator spelling, or None if the name
+    (or this argument shape) isn't expressible."""
+    parsed = parse_combinator(lname)
+    if parsed is None:
+        return None
+    base, sufs = parsed
+    args = [a.strip() for a in args if a.strip()]
+    distinct = "distinct" in sufs
+    is_array = "array" in sufs
+    if distinct and is_array:
+        return None  # no meaningful CH spelling stacks these two
+    if "if" in sufs:
+        if not args:
+            return None
+        cond = args.pop()
+        if not args:  # countIf(cond)-style: aggregate a filtered 1
+            args = [f"CASE WHEN {cond} THEN 1 END"]
+        else:
+            args = [f"CASE WHEN {cond} THEN {a} END" for a in args]
+    if not args:
+        return None
+    if is_array:
+        form = _COMB_ARRAY_FORMS.get(base)
+        if form is None or len(args) != 1:
+            return None
+        core = form.format(args[0])
+    elif distinct:
+        core = f"{base}(DISTINCT {', '.join(args)})"
+    else:
+        core = f"{base}({', '.join(args)})"
+    # empty-set behavior: -OrNull = NULL, -OrDefault = the type default
+    if "ornull" in sufs:
+        if is_array and base in ("grouparray", "groupuniqarray"):
+            core = f"CASE WHEN size({core}) = 0 THEN NULL ELSE {core} END"
+        elif not is_array and base in _COMB_COUNT_BASES:
+            core = f"nullif({core}, 0)"
+        elif not is_array and base in _COMB_ARR_BASES:
+            core = f"CASE WHEN size({core}) = 0 THEN NULL ELSE {core} END"
+        # numeric aggs over an empty/filtered-out set are already NULL
+    elif "ordefault" in sufs:
+        if base in _COMB_ARR_BASES or (is_array and base in ("grouparray", "groupuniqarray")):
+            pass  # collect_list's empty-set value IS the default ([])
+        else:
+            core = f"coalesce({core}, 0)"
+    return core

@@ -18,7 +18,13 @@ import re
 from dataclasses import dataclass, field
 from typing import Optional
 
-from .functions import PARAMETERIZED, RENAMES, TEMPLATES
+from .functions import (
+    PARAMETERIZED,
+    RENAMES,
+    TEMPLATES,
+    expand_combinator,
+    parse_combinator,
+)
 from .tokenizer import Tok, tokenize
 
 # Formats the serializer layer knows (formats/__init__.py registry
@@ -354,6 +360,7 @@ def _rewrite_functions(sql: str) -> str:
                     or lname == "numbers"
                     or lname == "generaterandom"
                     or lname in _SPECIAL_FNS
+                    or parse_combinator(lname) is not None
                 ):
                     close = _find_call_close(toks, j)
                     if close == -1:
@@ -518,6 +525,16 @@ def _rewrite_functions(sql: str) -> str:
                     if lname in RENAMES:
                         inner = "".join(tok.text for tok in toks[j + 1 : close])
                         out.append(f"{RENAMES[lname]}({inner})")
+                        i = close + 1
+                        changed = True
+                        continue
+                    # aggregate-combinator algebra: any stackable
+                    # -If/-Array/-Distinct/-OrNull/-OrDefault chain on
+                    # a known aggregate base; the emitted base call is
+                    # translated on the next fixpoint pass
+                    comb = expand_combinator(lname, args)
+                    if comb is not None:
+                        out.append(comb)
                         i = close + 1
                         changed = True
                         continue

@@ -993,3 +993,73 @@ class TestAdviceFixes:
                 dedup._IVF_INDEX_CACHE.popitem(last=False)
         assert len(dedup._IVF_INDEX_CACHE) <= dedup._IVF_INDEX_CACHE_MAX
         dedup._IVF_INDEX_CACHE.clear()
+
+
+class TestCombinatorAlgebra:
+    """General stackable aggregate-combinator suffixes
+    (-If/-Array/-Distinct/-OrNull/-OrDefault) — round-4 sweep item.
+    Spellings here have NO explicit table entry; they exercise the
+    suffix parser + expression rebuild in functions.expand_combinator."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from cowsdb_spark.engine import Engine
+
+        return Engine(spark)
+
+    @pytest.mark.parametrize(
+        "q,want",
+        [
+            ("SELECT anyIf(number, number > 2) AS r FROM numbers(5)", b"3\n"),
+            ("SELECT maxIf(number, number < 3) AS r FROM numbers(10)", b"2\n"),
+            ("SELECT uniqExactIf(number % 3, number > 0) AS r FROM numbers(10)", b"3\n"),
+            ("SELECT sumArray([1,2,3]) AS r", b"6\n"),
+            ("SELECT minArray([5,1,9]) AS r", b"1\n"),
+            ("SELECT maxArray([5,1,9]) AS r", b"9\n"),
+            ("SELECT countArray([1,2,3]) AS r", b"3\n"),
+            ("SELECT avgArray([2,4]) AS r", b"3\n"),
+            (
+                "SELECT groupArrayArray(x) AS r FROM "
+                "(SELECT [number, number+10] AS x FROM numbers(2))",
+                b"[0,10,1,11]\n",
+            ),
+            (
+                "SELECT uniqExactArray(x) AS r FROM "
+                "(SELECT [number % 2, 1] AS x FROM numbers(4))",
+                b"2\n",
+            ),
+            ("SELECT sumDistinct(number % 3) AS r FROM numbers(9)", b"3\n"),
+            ("SELECT avgDistinct(number % 2) AS r FROM numbers(8)", b"0.5\n"),
+            # empty-set spellings: -OrNull → NULL, -OrDefault → 0
+            ("SELECT countIfOrNull(number > 100) AS r FROM numbers(5)", b"\\N\n"),
+            ("SELECT sumIfOrDefault(number, number > 100) AS r FROM numbers(5)", b"0\n"),
+            ("SELECT sumIfOrNull(number, number > 2) AS r FROM numbers(5)", b"7\n"),
+            ("SELECT minIfOrDefault(number, number > 100) AS r FROM numbers(5)", b"0\n"),
+            ("SELECT groupArrayIf(number, number > 2) AS r FROM numbers(5)", b"[3,4]\n"),
+            ("SELECT groupUniqArrayIf(number % 2, number > 0) AS r FROM numbers(5)", b"[0,1]\n"),
+            # -Array stacked with -If: row filter THEN element fold
+            (
+                "SELECT sumArrayIf(x, number > 0) AS r FROM "
+                "(SELECT number, [number, number] AS x FROM numbers(3))",
+                b"6\n",
+            ),
+            ("SELECT stddevPopIf(number, number < 2) AS r FROM numbers(10)", b"0.5\n"),
+            # multi-arg bases filter every argument
+            ("SELECT argMinIf(number, number % 3, number > 0) AS r FROM numbers(6)", b"3\n"),
+            ("SELECT avgWeightedIf(number, 1, number >= 4) AS r FROM numbers(6)", b"4.5\n"),
+            ("SELECT medianIf(number, number < 5) AS r FROM numbers(100)", b"2\n"),
+            ("SELECT groupArrayOrNull(number) AS r FROM numbers(3) WHERE number > 99", b"\\N\n"),
+        ],
+    )
+    def test_value(self, eng, q, want):
+        assert eng.execute(q) == want
+
+    def test_unknown_base_untouched(self):
+        from cowsdb_spark.dialect.functions import parse_combinator
+
+        assert parse_combinator("notif") is None          # base not an agg
+        assert parse_combinator("sum") is None            # no suffix
+        assert parse_combinator("summap") is None         # -Map not algebraic
+        assert parse_combinator("sumstate") is None       # no state surface
+        assert parse_combinator("sumarrayornull") == ("sum", ["array", "ornull"])
+        assert parse_combinator("uniqexactif") == ("uniqexact", ["if"])
