@@ -13,7 +13,17 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+def _cpus_as_int(default: int = 32) -> int:
+    """SPARK_GRAFT_CPUS may be ``*`` (all cores — the container image
+    default) or a number; shuffle width needs the numeric value."""
+    raw = os.environ.get("SPARK_GRAFT_CPUS", str(default))
+    try:
+        return int(raw)
+    except ValueError:
+        return os.cpu_count() or default
+
+
+DEFAULT_SHUFFLE_PARTITIONS = _cpus_as_int()
 
 
 def get_spark(app_name: str = "moospark", shuffle_partitions: int | None = None) -> SparkSession:

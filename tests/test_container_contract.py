@@ -1,0 +1,179 @@
+"""Container-contract test: boot the real entrypoint, drive both wires.
+
+The reference ships a container whose CI boots the image and points
+clients at HTTP:8123 / native:9000 (reference Dockerfile:1,
+.github/workflows/test.yml:20-26, fly/fly.toml).  Docker isn't
+available in this test environment, so this suite exercises the exact
+process the Dockerfile CMD runs — ``python -m cowsdb_spark`` as a
+subprocess with ephemeral ports — and replays the reference's own
+``test_suite.py`` battery (HTTP basics:109-179, native
+handshake/query:182-366, cross-protocol session reuse) against it.
+"""
+
+from __future__ import annotations
+
+import base64
+import os
+import subprocess
+import sys
+import time
+import urllib.error
+import urllib.parse
+import urllib.request
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from tests.test_native_server import Client  # raw-socket native client
+
+
+@pytest.fixture(scope="module")
+def server():
+    """Spawn ``python -m cowsdb_spark`` (the Dockerfile CMD) and parse
+    the advertised ports from its banner."""
+    env = dict(os.environ)
+    env["MOOSPARK_WAREHOUSE"] = f"/tmp/moospark-container-test-{os.getpid()}"
+    env["SPARK_GRAFT_CPUS"] = "4"  # small inner session; the suite's own uses the cores
+    env.setdefault("SPARK_DRIVER_MEMORY", "4g")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "cowsdb_spark", "--host", "127.0.0.1",
+         "--port", "0", "--native-port", "0"],
+        cwd=REPO,
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+    )
+    http_port = native_port = None
+    deadline = time.time() + 120  # Spark JVM cold start
+    try:
+        while time.time() < deadline and (http_port is None or native_port is None):
+            line = proc.stdout.readline()
+            if not line:
+                if proc.poll() is not None:
+                    raise RuntimeError(f"entrypoint died rc={proc.returncode}")
+                time.sleep(0.1)
+                continue
+            if line.startswith("HTTP API:"):
+                http_port = int(line.rsplit(":", 1)[1])
+            elif line.startswith("Native protocol:"):
+                native_port = int(line.rsplit(":", 1)[1])
+        if http_port is None or native_port is None:
+            raise RuntimeError("entrypoint never advertised its ports")
+        # CI contract: wait for /ping before issuing queries
+        # (.github/workflows/test.yml:31-34 "Wait for CowsDB API")
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{http_port}/ping", timeout=2
+                ) as r:
+                    if r.read() == b"Ok\n":
+                        break
+            except OSError:
+                time.sleep(0.5)
+        else:
+            raise RuntimeError("/ping never came up")
+        yield {"http": http_port, "native": native_port, "proc": proc}
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(timeout=15)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+
+
+def get(port, query=None, user=None, password=None, path="/", **params):
+    if query is not None:
+        params["query"] = query
+    url = f"http://127.0.0.1:{port}" + path + (
+        "?" + urllib.parse.urlencode(params) if params else ""
+    )
+    req = urllib.request.Request(url)
+    if user is not None:
+        cred = base64.b64encode(f"{user}:{password or ''}".encode()).decode()
+        req.add_header("Authorization", f"Basic {cred}")
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return r.status, r.read()
+
+
+class TestHTTPContract:
+    def test_ping(self, server):
+        assert get(server["http"], path="/ping") == (200, b"Ok\n")
+
+    def test_version_now(self, server):
+        # the CI smoke query (.github/workflows/test.yml:36-38), with
+        # the basic-auth credentials the workflow uses
+        status, body = get(
+            server["http"], "SELECT version(), now()", user="test", password="test"
+        )
+        assert status == 200 and body.count(b"\t") == 1
+
+    def test_basic_query(self, server):
+        assert get(server["http"], "SELECT 1 AS num") == (200, b"1\n")
+
+    def test_data_types(self, server):
+        status, body = get(
+            server["http"], "SELECT 1 AS i, 'hello' AS s, 3.14 AS f, toDate('2024-01-15') AS d"
+        )
+        assert status == 200 and body == b"1\thello\t3.14\t2024-01-15\n"
+
+    def test_formats(self, server):
+        for fmt, probe in [
+            ("JSON", b'"num"'),
+            ("CSV", b"1\n"),
+            ("TSVWithNames", b"num\n1\n"),
+            ("Pretty", b"num"),
+        ]:
+            status, body = get(
+                server["http"], "SELECT 1 AS num", default_format=fmt
+            )
+            assert status == 200 and probe in body, (fmt, body)
+
+    def test_ddl_roundtrip(self, server):
+        q = lambda sql: get(server["http"], sql)  # noqa: E731
+        assert q("CREATE DATABASE IF NOT EXISTS contract")[0] == 200
+        assert q(
+            "CREATE TABLE contract.t (id UInt32, name String) ENGINE = MergeTree() ORDER BY id"
+        )[0] == 200
+        assert q("INSERT INTO contract.t VALUES (1, 'alpha'), (2, 'beta')")[0] == 200
+        assert q("SELECT name FROM contract.t ORDER BY id")[1] == b"alpha\nbeta\n"
+
+    def test_error_is_400_with_code(self, server):
+        try:
+            get(server["http"], "SELECT * FROM no_such_table_xyz")
+            raise AssertionError("expected HTTPError")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert b"Code:" in e.read()
+
+    def test_play_ui_served(self, server):
+        status, body = get(server["http"], path="/play")
+        assert status == 200 and b"html" in body.lower()
+
+
+class TestNativeContract:
+    def test_handshake_and_ping(self, server):
+        c = Client(server["native"])
+        assert c.server_hello["name"] == "moospark"
+        assert c.server_hello["timezone"] == "UTC"
+        assert c.ping()
+        c.close()
+
+    def test_select(self, server):
+        c = Client(server["native"])
+        cols, rows = c.query("SELECT 42 AS answer, 'moo' AS s")
+        assert [n for n, _t in cols] == ["answer", "s"] and rows == [(42, "moo")]
+        c.close()
+
+    def test_cross_protocol_catalog(self, server):
+        # one shared Engine: a table created over HTTP reads over native
+        get(server["http"], "CREATE DATABASE IF NOT EXISTS xwire")
+        get(server["http"], "CREATE TABLE xwire.t (v Int64) ENGINE = Memory")
+        get(server["http"], "INSERT INTO xwire.t VALUES (7), (8)")
+        c = Client(server["native"])
+        _cols, rows = c.query("SELECT sum(v) AS s FROM xwire.t")
+        assert rows == [(15,)]
+        c.close()
