@@ -41,6 +41,16 @@ from .sources.url import resolve_table_functions
 from .system_tables import materialize as _materialize_system
 
 
+# Per-query settings the engine actually acts on.  Anything else in a
+# statement SETTINGS clause or the HTTP URL params is accepted (CH
+# compatibility: clients send tuning knobs freely) but reported on the
+# warning channel so the caller can tell it had no effect.  The
+# HTTP-layer settings (query_id, enable_http_compression,
+# send_progress_in_http_headers, http_headers_progress_interval_ms) are
+# consumed by the server before the engine sees them.
+ACTED_SETTINGS = frozenset({"default_format", "max_result_rows"})
+
+
 class EngineError(Exception):
     """Query failure; message is the CH-style error text (the
     reference surfaces engine stderr as HTTP 400, main.py:823-847)."""
@@ -155,8 +165,22 @@ class Engine:
         sess = self.get_session(user, password)
         merged = {**sess.settings, **(extra_settings or {}), **settings}
         use_fmt = out_fmt or fmt or merged.get("default_format") or "TSV"
+        # Warning channel (reference main.py:863-868: a query can succeed
+        # WITH non-fatal stderr text and still return 200).  Our analog:
+        # per-query settings the engine accepted but does not act on are
+        # reported as warnings in the stats dict; servers surface them
+        # without failing the query.  Session-level SET values don't
+        # re-warn on every subsequent statement.
+        warnings = [
+            f"Setting '{k}' was accepted but is ignored by this engine"
+            for k in {**(extra_settings or {}), **settings}
+            if k not in ACTED_SETTINGS
+        ]
         if df is None:
-            return b"", use_fmt, {"result_rows": 0, "elapsed_ns": int(elapsed * 1e9)}
+            stats0 = {"result_rows": 0, "elapsed_ns": int(elapsed * 1e9)}
+            if warnings:
+                stats0["warnings"] = warnings
+            return b"", use_fmt, stats0
         res = QueryResult.from_dataframe(df, elapsed=elapsed)
         res.elapsed = elapsed
         res.totals = getattr(df, "_moospark_totals", None)
@@ -182,6 +206,8 @@ class Engine:
             "result_bytes": len(body),
             "elapsed_ns": int(elapsed * 1e9),
         }
+        if warnings:
+            stats["warnings"] = warnings
         return body, use_fmt, stats
 
     def execute_to_df(
@@ -545,14 +571,17 @@ class Engine:
                 except Exception:
                     pass
 
-    # Scans below this total size plan WITHOUT adaptive execution
-    # (AQE's per-stage materialize/re-optimize barrier costs
-    # ~100-150ms per shuffle — pure overhead on interactive queries
-    # whose whole input fits in memory, measured at 10M rows:
-    # 0.23s -> 0.11s per query). Big scans keep AQE: runtime
-    # coalescing + skew-join splitting is the 100 TB story, and any
-    # 100 TB table blows past this threshold on its first leaf.
-    SMALL_SCAN_BYTES = int(os.environ.get("MOOSPARK_SMALL_SCAN_BYTES", str(2 << 30)))
+    # Scans below this total size plan WITHOUT adaptive execution and
+    # with a statically-sized shuffle width (one partition per ~16 MB).
+    # AQE's per-stage materialize/re-optimize barrier is pure overhead
+    # when the whole input fits in one or two partitions; the r4
+    # interleaved min-of-3 A/B puts the crossover near this size:
+    # 100k-row sample (6 MB): static 3.59s vs AQE 4.29s sweep total;
+    # 10M rows (590 MB): static 13.3s vs AQE 12.8s.  Above the
+    # threshold AQE keeps runtime coalescing + skew-join splitting —
+    # the 100 TB story; any real table blows past this on its first
+    # leaf.
+    SMALL_SCAN_BYTES = int(os.environ.get("MOOSPARK_SMALL_SCAN_BYTES", str(64 << 20)))
 
     def _plan_select(self, prepared: str) -> DataFrame:
         """spark.sql + the small-scan fast path (static planning).
@@ -570,7 +599,17 @@ class Engine:
             size = self._leaf_scan_bytes(df)
             if size is None or size > self.SMALL_SCAN_BYTES:
                 return df
+            # Static planning loses AQE's partition coalescing, so pick
+            # the shuffle width AQE would have picked — one partition
+            # per ~16 MB of input, capped at the session default.  The
+            # r4 A/B on the 100k-row ClickBench sample: leaving width
+            # at 32 made the static path a net LOSS (10.3s vs 6.7s
+            # sweep); sizing it statically keeps both the no-barrier
+            # win and the small-shuffle win.
+            prev_parts = self.spark.conf.get("spark.sql.shuffle.partitions")
+            parts = max(1, min(int(prev_parts), (size >> 24) + 1))
             self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(parts))
             try:
                 # physical planning hasn't run yet (spark.sql is
                 # analysis-eager only); forcing it now, with AQE off,
@@ -578,6 +617,7 @@ class Engine:
                 df._jdf.queryExecution().executedPlan()  # noqa: SLF001
             finally:
                 self.spark.conf.set("spark.sql.adaptive.enabled", "true")
+                self.spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
             return df
         except Exception:  # noqa: BLE001 — fast path must never break a query
             return df

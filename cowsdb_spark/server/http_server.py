@@ -13,8 +13,11 @@ Behavior parity, cited to the reference:
 - Basic auth accepted for ANY credentials — credentials select a
   session namespace, they don't gate access (main.py:816-821).
 - Success → 200 with formatted bytes; failure → 400 with the error
-  text (main.py:863-868). Partial-failure warning path collapses to
-  clean success/failure here (we have no stderr side channel).
+  text (main.py:863-868). Partial success (result + non-fatal
+  warning, the reference's 200-with-stderr path main.py:863-868)
+  returns 200 with the result plus an ``X-ClickHouse-Warning``
+  header carrying the engine's warning text (e.g. accepted-but-
+  ignored SETTINGS), and logs it server-side like the reference.
 - GET /ping → "Ok\\n" (main.py:911-913); 404 → Play UI
   (main.py:915-917).
 
@@ -26,6 +29,7 @@ the reference's session_lock (main.py:34).
 from __future__ import annotations
 
 import base64
+import sys
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
@@ -232,6 +236,15 @@ class _Handler(BaseHTTPRequestHandler):
                     query.strip(), fmt=fmt, user=user, password=pw,
                     database=database or None, extra_settings=extra or None,
                 )
+            # Partial-success warning channel (reference main.py:863-868:
+            # result + stderr text → 200 with the result, warning logged).
+            # We additionally surface the text to the client in an
+            # X-ClickHouse-Warning header so it's observable, not just
+            # server-side log noise.
+            warn = "; ".join(stats.pop("warnings", []))
+            if warn:
+                print(f"warning: {warn}", file=sys.stderr)
+                hdrs["X-ClickHouse-Warning"] = warn
             summary = _progress_json(
                 stats.get("elapsed_ns", 0),
                 stats.get("result_rows", 0),
@@ -260,6 +273,8 @@ class _Handler(BaseHTTPRequestHandler):
                     self.send_header("X-ClickHouse-Progress", summary)
                     self.send_header("X-ClickHouse-Format", used_fmt)
                     self.send_header("X-ClickHouse-Summary", hdrs["X-ClickHouse-Summary"])
+                    if "X-ClickHouse-Warning" in hdrs:
+                        self.send_header("X-ClickHouse-Warning", hdrs["X-ClickHouse-Warning"])
                     if encoding is not None:
                         self.send_header("Content-Encoding", encoding)
                     self.send_header("Content-Type", content_type(used_fmt))

@@ -925,6 +925,7 @@ class TestSmallScanFastPath:
         from cowsdb_spark.engine import Engine
 
         eng = Engine(spark)
+        before_parts = spark.conf.get("spark.sql.shuffle.partitions")
         spark.range(0, 100).createOrReplaceTempView("fp_small")
         df = eng.execute_to_df(
             "SELECT id % 3 AS k, COUNT(*) AS c FROM fp_small GROUP BY id % 3"
@@ -932,6 +933,10 @@ class TestSmallScanFastPath:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "AdaptiveSparkPlan" not in plan
         assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+        # shuffle width is statically sized to the input (1 partition
+        # for a 100-row table), then the session conf is restored
+        assert ", 1)," in plan or "Exchange" not in plan
+        assert spark.conf.get("spark.sql.shuffle.partitions") == before_parts
         assert df.count() == 3
 
 

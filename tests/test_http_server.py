@@ -513,3 +513,50 @@ class TestProgressStreamingTiming:
         with urllib.request.urlopen(req) as r:
             assert r.status == 200
             assert r.read() == b"100000\n"
+
+
+class TestWarningChannel:
+    """Partial-success parity (reference main.py:863-868): a query that
+    succeeds with non-fatal warning text returns 200 WITH the result;
+    the warning is observable (header here; server log in the
+    reference)."""
+
+    def test_ignored_setting_warns_but_succeeds(self, http):
+        url = http + "/?query=" + urllib.parse.quote(
+            "SELECT 1 AS x SETTINGS optimize_read_in_order = 1"
+        )
+        with urllib.request.urlopen(url) as r:
+            assert r.status == 200
+            assert r.read() == b"1\n"
+            warn = r.headers.get("X-ClickHouse-Warning", "")
+            assert "optimize_read_in_order" in warn and "ignored" in warn
+
+    def test_ignored_url_setting_warns(self, http):
+        url = http + "/?query=" + urllib.parse.quote("SELECT 2 AS x") + "&max_threads=8"
+        with urllib.request.urlopen(url) as r:
+            assert r.status == 200
+            assert r.read() == b"2\n"
+            assert "max_threads" in r.headers.get("X-ClickHouse-Warning", "")
+
+    def test_acted_settings_do_not_warn(self, http):
+        url = (
+            http
+            + "/?query="
+            + urllib.parse.quote("SELECT 3 AS x SETTINGS max_result_rows = 10")
+            + "&default_format=TSV"
+        )
+        with urllib.request.urlopen(url) as r:
+            assert r.status == 200
+            assert r.headers.get("X-ClickHouse-Warning") is None
+
+    def test_warning_survives_progress_mode(self, http):
+        url = (
+            http
+            + "/?query="
+            + urllib.parse.quote("SELECT count(*) AS c FROM numbers(100000) SETTINGS optimize_x = 1")
+            + "&send_progress_in_http_headers=1"
+        )
+        with urllib.request.urlopen(url) as r:
+            assert r.status == 200
+            assert r.read() == b"100000\n"
+            assert "optimize_x" in r.headers.get("X-ClickHouse-Warning", "")
