@@ -41,9 +41,17 @@ def generate(path: str = DEFAULT_PATH, n: int = N_ROWS) -> str:
         "mail video photo music shop game sport auto home cat".split()
     )
 
-    def phrases(count, empty_frac):
-        # vectorized: up to 3 words, masked concatenation (the per-row
-        # " ".join loop was O(n) Python — minutes at n=10M)
+    # Cardinality realism (r4): the first fixture drew strings from
+    # tiny fixed pools — 61 distinct URLs / 12.7k titles / 5k users at
+    # 10M rows.  Real ClickBench hits has ~1.8M distinct URLs, ~230k
+    # phrases and ~120k users per 10M rows; low-cardinality pools let
+    # any dictionary-aware engine evaluate string predicates on the
+    # dictionary (dozens of comparisons) instead of the data, which is
+    # NOT the workload ClickBench represents.  Strings therefore carry
+    # a zipf-distributed long-tail id so distinct counts scale with n.
+    def phrases(count, empty_frac, tail_card):
+        # vectorized: up to 3 words + a long-tail id suffix, masked
+        # concatenation (a per-row " ".join loop is minutes at 10M)
         k = rng.integers(1, 4, size=count)
         w = words[rng.integers(0, len(words), size=(count, 3))]
         out = w[:, 0].astype(object)
@@ -51,6 +59,8 @@ def generate(path: str = DEFAULT_PATH, n: int = N_ROWS) -> str:
         out[m2] = out[m2] + " " + w[m2, 1]
         m3 = k >= 3
         out[m3] = out[m3] + " " + w[m3, 2]
+        tail = _zipf_choice(rng, rng.permutation(max(tail_card, 1)), count, a=1.2)
+        out = out + " " + tail.astype(str).astype(object)
         out[rng.random(count) < empty_frac] = ""
         return out
 
@@ -58,19 +68,26 @@ def generate(path: str = DEFAULT_PATH, n: int = N_ROWS) -> str:
         ["example.com", "google.com", "news.site", "shop.org", "maps.google.com",
          "video.host", "blog.net", "wiki.org", "mail.ru", "images.google.com"]
     )
-    paths = np.array(["", "index", "page/1", "search?q=x", "item/42", "a/b/c"])
+    path_words = np.array(["index", "page", "search", "item", "story", "watch"])
 
-    def urls(count, empty_frac, dom=domains):
+    def urls(count, empty_frac, tail_card, dom=domains):
         d = _zipf_choice(rng, dom, count)
-        p = rng.choice(paths, size=count)
-        out = np.char.add(np.char.add("http://", d.astype(str)), np.char.add("/", p.astype(str))).astype(object)
+        p = rng.choice(path_words, size=count)
+        # long-tail path id: head URLs repeat (zipf), tail is ~unique
+        t = _zipf_choice(rng, rng.permutation(max(tail_card, 1)), count, a=1.2)
+        out = (
+            np.char.add(
+                np.char.add(np.char.add("http://", d.astype(str)), np.char.add("/", p.astype(str))),
+                np.char.add("/", t.astype(str)),
+            ).astype(object)
+        )
         out[rng.random(count) < empty_frac] = ""
         return out
 
     event_time = np.sort(
         rng.integers(1372636800, 1375315200, size=n)  # 2013-07-01..08-01 UTC
     ).astype("datetime64[s]")
-    user_id = _zipf_choice(rng, rng.integers(1, 2**61, size=5000), n)
+    user_id = _zipf_choice(rng, rng.integers(1, 2**61, size=max(n // 80, 1000)), n, a=1.2)
     user_id[0] = USER_ID_POINT
     referer_hash = rng.integers(0, 2**62, size=n)
     referer_hash[rng.random(n) < 0.001] = REFERER_HASH_POINT
@@ -108,7 +125,7 @@ def generate(path: str = DEFAULT_PATH, n: int = N_ROWS) -> str:
     cols = {
         "WatchID": np.arange(1, n + 1, dtype=np.int64) * 977 + 11,
         "JavaEnable": rng.integers(0, 2, size=n).astype(np.int16),
-        "Title": phrases(n, 0.30),
+        "Title": phrases(n, 0.30, n // 20),
         "EventTime": event_time,
         "EventDate": event_time.astype("datetime64[D]"),
         "CounterID": counter_id,
@@ -116,15 +133,15 @@ def generate(path: str = DEFAULT_PATH, n: int = N_ROWS) -> str:
         "RegionID": _zipf_choice(rng, np.arange(1, 200), n).astype(np.int32),
         "UserID": user_id,
         "OS": rng.integers(0, 12, size=n).astype(np.int16),
-        "URL": urls(n, 0.05),
-        "Referer": urls(n, 0.25),
+        "URL": urls(n, 0.05, n // 5),
+        "Referer": urls(n, 0.25, n // 10),
         "IsRefresh": (rng.random(n) < 0.05).astype(np.int16),
         "RefererCategories": (lambda L: list_array(
             L, rng.integers(0, 100, size=int(L.sum())).astype(np.int32), pa.int32()
         ))(rng.integers(0, 6, size=n)),
         "ResolutionWidth": rng.choice([1024, 1280, 1368, 1440, 1920, 2560], size=n).astype(np.int32),
         "SearchEngineID": rng.choice([0, 0, 0, 2, 3, 13, 49], size=n).astype(np.int32),
-        "SearchPhrase": phrases(n, 0.70),
+        "SearchPhrase": phrases(n, 0.70, n // 40),
         "AdvEngineID": np.where(rng.random(n) < 0.95, 0, rng.integers(1, 30, size=n)).astype(np.int16),
         "DontCountHits": (rng.random(n) < 0.02).astype(np.int16),
         "MobilePhone": np.where(mobile_model == "", 0, rng.integers(1, 6, size=n)).astype(np.int16),

@@ -1,0 +1,217 @@
+"""Dialect gap-probe harness (round-4 sweep 9+).
+
+Feeds candidate ClickHouse spellings through the engine and compares
+the TSV result against the expected text.  Used interactively to find
+translator gaps: failures become the work-list for the next breadth
+commit, then graduate into value-level tests in tests/test_dialect.py.
+
+Usage: python tools/probe_sweep.py [section ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+# (sql, expected TSV without trailing newline; None = just expect no error)
+PROBES: dict[str, list[tuple[str, str | None]]] = {
+    "tuple": [
+        ("SELECT tuple(1, 'a') AS t", None),
+        ("SELECT tupleElement(tuple(1, 2), 1) AS r", "1"),
+        ("SELECT tuple(1, 2).1 AS r", "1"),
+        ("SELECT tupleElement(tuple('x', 'y'), 2) AS r", "y"),
+    ],
+    "null": [
+        ("SELECT assumeNotNull(CAST(NULL AS Nullable(Int32))) AS r", "0"),
+        ("SELECT assumeNotNull(toNullable(7)) AS r", "7"),
+        ("SELECT toNullable(3) AS r", "3"),
+        ("SELECT nullIf(1, 1) AS r", "\\N"),
+        ("SELECT nullIf(2, 1) AS r", "2"),
+        ("SELECT isZeroOrNull(0) AS r", "true"),
+        ("SELECT isZeroOrNull(5) AS r", "false"),
+    ],
+    "string": [
+        ("SELECT leftPad('x', 3, '_') AS r", "__x"),
+        ("SELECT rightPad('x', 3, '_') AS r", "x__"),
+        ("SELECT trimLeft('  a ') AS r", "a "),
+        ("SELECT trimRight(' a  ') AS r", " a"),
+        ("SELECT trimBoth(' a ') AS r", "a"),
+        ("SELECT startsWith('hello', 'he') AS r", "true"),
+        ("SELECT endsWith('hello', 'lo') AS r", "true"),
+        ("SELECT substringIndex('a.b.c', '.', 2) AS r", "a.b"),
+        ("SELECT splitByChar(',', 'a,b,c') AS r", "['a','b','c']"),
+        ("SELECT splitByString('::', 'a::b') AS r", "['a','b']"),
+        ("SELECT splitByRegexp('[0-9]+', 'a1b22c') AS r", "['a','b','c']"),
+        ("SELECT arrayStringConcat(['a','b'], '-') AS r", "a-b"),
+        ("SELECT repeat('ab', 3) AS r", "ababab"),
+        ("SELECT space(3) AS r", "   "),
+        ("SELECT left('hello', 2) AS r", "he"),
+        ("SELECT right('hello', 2) AS r", "lo"),
+        ("SELECT concatWithSeparator('-', 'a', 'b') AS r", "a-b"),
+        ("SELECT base64Encode('abc') AS r", "YWJj"),
+        ("SELECT base64Decode('YWJj') AS r", "abc"),
+        ("SELECT hex(255) AS r", "FF"),
+        ("SELECT unhex('414243') AS r", "ABC"),
+        ("SELECT bin(5) AS r", None),
+        ("SELECT ascii('A') AS r", "65"),
+        ("SELECT char(72, 105) AS r", "Hi"),
+        ("SELECT format('{}-{}', 'a', 'b') AS r", "a-b"),
+        ("SELECT initcap('hello world') AS r", "Hello World"),
+        ("SELECT normalizeQuery('SELECT 1, 2') AS r", None),
+        ("SELECT tokens('a b  c') AS r", "['a','b','c']"),
+    ],
+    "date": [
+        ("SELECT toUnixTimestamp(toDateTime('1970-01-02 00:00:00')) AS r", "86400"),
+        ("SELECT fromUnixTimestamp(86400) AS r", "1970-01-02 00:00:00"),
+        ("SELECT formatDateTime(toDateTime('2024-03-05 07:08:09'), '%Y/%m/%d') AS r", "2024/03/05"),
+        ("SELECT parseDateTimeBestEffort('2024-03-05 07:08:09') AS r", "2024-03-05 07:08:09"),
+        ("SELECT monthName(toDate('2024-03-05')) AS r", "March"),
+        ("SELECT toQuarter(toDate('2024-05-05')) AS r", "2"),
+        ("SELECT toISOWeek(toDate('2024-01-04')) AS r", "1"),
+        ("SELECT toISOYear(toDate('2024-01-04')) AS r", "2024"),
+        ("SELECT timeSlot(toDateTime('2024-01-01 10:44:00')) AS r", "2024-01-01 10:30:00"),
+        ("SELECT dateName('month', toDate('2024-03-05')) AS r", "March"),
+        ("SELECT age('day', toDate('2024-01-01'), toDate('2024-01-31')) AS r", "30"),
+        ("SELECT dateAdd(day, 3, toDate('2024-01-01')) AS r", "2024-01-04"),
+        ("SELECT timestampAdd(toDateTime('2024-01-01 00:00:00'), INTERVAL 1 HOUR) AS r", "2024-01-01 01:00:00"),
+        ("SELECT toStartOfInterval(toDateTime('2024-01-01 10:44:00'), INTERVAL 15 MINUTE) AS r", "2024-01-01 10:30:00"),
+        ("SELECT toRelativeDayNum(toDate('1970-01-10')) AS r", "9"),
+        ("SELECT toStartOfFifteenMinutes(toDateTime('2024-01-01 10:44:00')) AS r", "2024-01-01 10:30:00"),
+    ],
+    "math": [
+        ("SELECT intDiv(7, 2) AS r", "3"),
+        ("SELECT intDivOrZero(7, 0) AS r", "0"),
+        ("SELECT moduloOrZero(7, 0) AS r", "0"),
+        ("SELECT gcd(12, 18) AS r", "6"),
+        ("SELECT lcm(4, 6) AS r", "12"),
+        ("SELECT exp2(3) AS r", "8.0"),
+        ("SELECT exp10(2) AS r", "100.0"),
+        ("SELECT cbrt(27) AS r", "3.0"),
+        ("SELECT degrees(pi()) AS r", "180.0"),
+        ("SELECT radians(180) AS r", None),
+        ("SELECT sign(-5) AS r", "-1"),
+        ("SELECT factorial(5) AS r", "120"),
+        ("SELECT isFinite(1.0) AS r", "true"),
+        ("SELECT isInfinite(1.0 / 0.0) AS r", "true"),
+        ("SELECT isNaN(0.0 / 0.0) AS r", "true"),
+        ("SELECT roundBankers(2.5) AS r", "2.0"),
+        ("SELECT roundToExp2(100) AS r", "64"),
+        ("SELECT trunc(3.77, 1) AS r", "3.7"),
+    ],
+    "agg": [
+        ("SELECT quantiles(0.5, 0.9)(x) AS r FROM (SELECT number AS x FROM numbers(101))", None),
+        ("SELECT groupArray(x) AS r FROM (SELECT number AS x FROM numbers(3))", "[0,1,2]"),
+        ("SELECT groupUniqArray(x % 2) AS r FROM (SELECT number AS x FROM numbers(4))", None),
+        ("SELECT groupBitAnd(x) AS r FROM (SELECT 6 AS x UNION ALL SELECT 7)", "6"),
+        ("SELECT groupBitOr(x) AS r FROM (SELECT 4 AS x UNION ALL SELECT 1)", "5"),
+        ("SELECT groupBitXor(x) AS r FROM (SELECT 5 AS x UNION ALL SELECT 3)", "6"),
+        ("SELECT sumCount(x) AS r FROM (SELECT number AS x FROM numbers(4))", "(6,4)"),
+        ("SELECT deltaSum(x) AS r FROM (SELECT number AS x FROM numbers(5))", "4"),
+        ("SELECT stddevPop(x) AS r FROM (SELECT number AS x FROM numbers(2))", "0.5"),
+        ("SELECT varSamp(x) AS r FROM (SELECT number AS x FROM numbers(3))", "1.0"),
+        ("SELECT corr(x, y) AS r FROM (SELECT number AS x, number * 2 AS y FROM numbers(10))", "1.0"),
+        ("SELECT covarPop(x, x) AS r FROM (SELECT number AS x FROM numbers(2))", "0.25"),
+        ("SELECT first_value(x) AS r FROM (SELECT number AS x FROM numbers(3) ORDER BY x)", "0"),
+        ("SELECT last_value(x) AS r FROM (SELECT number AS x FROM numbers(3) ORDER BY x)", "2"),
+        ("SELECT minMap(m) AS r FROM (SELECT map('a', 2) AS m UNION ALL SELECT map('a', 1))", None),
+        ("SELECT uniqCombined(x) AS r FROM (SELECT number % 10 AS x FROM numbers(100))", None),
+        ("SELECT uniqHLL12(x) AS r FROM (SELECT number % 10 AS x FROM numbers(100))", None),
+    ],
+    "url": [
+        ("SELECT domain('http://www.example.com/a/b') AS r", "www.example.com"),
+        ("SELECT domainWithoutWWW('http://www.example.com/a') AS r", "example.com"),
+        ("SELECT topLevelDomain('http://www.example.com/a') AS r", "com"),
+        ("SELECT protocol('https://x.y/z') AS r", "https"),
+        ("SELECT path('http://x.y/a/b?q=1') AS r", "/a/b"),
+        ("SELECT pathFull('http://x.y/a/b?q=1') AS r", "/a/b?q=1"),
+        ("SELECT queryString('http://x.y/a?q=1&w=2') AS r", "q=1&w=2"),
+        ("SELECT fragment('http://x.y/a#frag') AS r", "frag"),
+        ("SELECT extractURLParameter('http://x.y/a?q=1&w=2', 'w') AS r", "2"),
+        ("SELECT extractURLParameters('http://x.y/a?q=1&w=2') AS r", "['q=1','w=2']"),
+        ("SELECT cutQueryString('http://x.y/a?q=1') AS r", "http://x.y/a"),
+        ("SELECT cutWWW('http://www.x.y/a') AS r", "http://x.y/a"),
+        ("SELECT netloc('http://u:p@x.y:8080/a') AS r", None),
+        ("SELECT decodeURLComponent('a%20b') AS r", "a b"),
+        ("SELECT encodeURLComponent('a b') AS r", "a%20b"),
+        ("SELECT firstSignificantSubdomain('http://news.example.com.cn/a') AS r", None),
+        ("SELECT cutToFirstSignificantSubdomain('http://a.b.example.com/x') AS r", None),
+        ("SELECT URLHierarchy('http://x.y/a/b') AS r", None),
+        ("SELECT URLPathHierarchy('http://x.y/a/b') AS r", None),
+    ],
+    "bit": [
+        ("SELECT bitTest(5, 0) AS r", "1"),
+        ("SELECT bitTest(5, 1) AS r", "0"),
+        ("SELECT bitTestAll(7, 0, 1) AS r", "1"),
+        ("SELECT bitTestAny(4, 0, 1) AS r", "0"),
+        ("SELECT bitRotateLeft(1, 3) AS r", "8"),
+        ("SELECT bitCount(7) AS r", "3"),
+        ("SELECT bitHammingDistance(5, 6) AS r", "2"),
+    ],
+    "uuid": [
+        ("SELECT toUUID('61f0c404-5cb3-11e7-907b-a6006ad3dba0') AS r", "61f0c404-5cb3-11e7-907b-a6006ad3dba0"),
+        ("SELECT length(toString(generateUUIDv4())) AS r", "36"),
+        ("SELECT UUIDStringToNum('61f0c404-5cb3-11e7-907b-a6006ad3dba0') AS r", None),
+        ("SELECT empty(toUUID('00000000-0000-0000-0000-000000000000')) AS r", None),
+    ],
+    "json2": [
+        ("SELECT simpleJSONExtractInt('{\"a\": 5}', 'a') AS r", "5"),
+        ("SELECT simpleJSONExtractString('{\"a\": \"x\"}', 'a') AS r", "x"),
+        ("SELECT simpleJSONHas('{\"a\": 1}', 'a') AS r", "true"),
+        ("SELECT visitParamExtractInt('{\"a\": 5}', 'a') AS r", "5"),
+        ("SELECT JSONExtractKeys('{\"a\":1,\"b\":2}') AS r", "['a','b']"),
+        ("SELECT JSONType('{\"a\":1}') AS r", "Object"),
+        ("SELECT JSONArrayLength('[1,2,3]') AS r", "3"),
+    ],
+    "format_readable": [
+        ("SELECT formatReadableSize(1024) AS r", "1.00 KiB"),
+        ("SELECT formatReadableQuantity(1500) AS r", "1.50 thousand"),
+        ("SELECT formatReadableTimeDelta(90) AS r", None),
+    ],
+    "misc": [
+        ("SELECT sleep(0) AS r", "0"),
+        ("SELECT hostName() AS r", None),
+        ("SELECT currentUser() AS r", "default"),
+        ("SELECT currentDatabase() AS r", "default"),
+        ("SELECT transform(2, [1,2,3], ['a','b','c'], 'z') AS r", "b"),
+        ("SELECT transform(9, [1,2,3], ['a','b','c'], 'z') AS r", "z"),
+        ("SELECT greatest(1, 2, 3) AS r", "3"),
+        ("SELECT least(1, 2, 3) AS r", "1"),
+        ("SELECT bar(5, 0, 10, 10) AS r", None),
+        ("SELECT formatRow('CSV', 1, 'a') AS r", None),
+        ("SELECT toTypeName(1) AS r", None),
+        ("SELECT identity(42) AS r", "42"),
+        ("SELECT materialize(42) AS r", "42"),
+        ("SELECT ignore(1, 2) AS r", "0"),
+        ("SELECT isConstant(1) AS r", None),
+        ("SELECT rowNumberInAllBlocks() AS r FROM numbers(1)", "0"),
+        ("SELECT arrayJoin([1,2]) AS r", "1\n2"),
+        ("SELECT indexHint(1) AS r", None),
+        ("SELECT countDigits(1234) AS r", "4"),
+    ],
+}
+
+
+def main() -> None:
+    from cowsdb_spark.engine import Engine
+    from cowsdb_spark.session import get_spark
+
+    sections = sys.argv[1:] or list(PROBES)
+    eng = Engine(get_spark("probe-sweep"))
+    ok = miss = err = 0
+    for sec in sections:
+        for sql, want in PROBES[sec]:
+            try:
+                got = eng.execute(sql).decode().rstrip("\n")
+                if want is None or got == want:
+                    ok += 1
+                else:
+                    miss += 1
+                    print(f"MISMATCH [{sec}] {sql}\n  want={want!r} got={got!r}")
+            except Exception as e:  # noqa: BLE001
+                err += 1
+                msg = str(e).replace("\n", " ")[:160]
+                print(f"ERROR    [{sec}] {sql}\n  {msg}")
+    print(f"\n{ok} ok, {miss} mismatch, {err} error")
+
+
+if __name__ == "__main__":
+    main()
