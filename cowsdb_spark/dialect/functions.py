@@ -766,6 +766,164 @@ _COMB_ARRAY_FORMS = {
     "groupuniqarray": "array_distinct(flatten(collect_list({0})))",
     "uniqexact": "size(array_distinct(flatten(collect_list({0}))))",
 }
+# --- r4 sweep 9: URL family, simpleJSON aliases, UUID, server misc ----------
+
+# ClickHouse monthName is the FULL name; Spark 4's builtin monthname()
+# returns the 3-letter abbreviation, so it must be shadowed.
+TEMPLATES["monthname"] = "date_format({0}, 'MMMM')"
+TEMPLATES["iszeroornull"] = "({0} IS NULL OR {0} = 0)"
+# Euclid fold: 96 steps bounds the worst case (consecutive Fibonacci
+# numbers) for 64-bit inputs; each step is a cheap struct swap in
+# whole-stage codegen, no data-dependent iteration needed.
+_GCD = (
+    "aggregate(sequence(1, 96), "
+    "named_struct('a', CAST(abs({0}) AS BIGINT), 'b', CAST(abs({1}) AS BIGINT)), "
+    "(acc, i) -> IF(acc.b = 0, acc, named_struct('a', acc.b, 'b', acc.a % acc.b)), "
+    "acc -> acc.a)"
+)
+TEMPLATES["gcd"] = _GCD
+TEMPLATES["lcm"] = (
+    "(CASE WHEN {0} = 0 OR {1} = 0 THEN 0 ELSE abs({0}) div " + _GCD + " * abs({1}) END)"
+)
+RENAMES["roundbankers"] = "bround"
+# CH truncate(x, n): toward zero at n decimals (Spark trunc() is
+# date-only, so only the canonical name is mapped)
+TEMPLATES["truncate"] = (
+    "(sign({0}) * floor(abs({0}) * power(10, {1})) / power(10, {1}))"
+)
+# CH char(c1, c2, ...) builds a string from code points (Spark char is 1-arg)
+TEMPLATES["char"] = "array_join(transform(array({*}), __c -> char(__c)), '')"
+# CH timestampAdd/timestampSub take EITHER (datetime, INTERVAL n unit)
+# or (unit, n, datetime) — arity-dispatched in translate.py (a template
+# can't branch, and the 3-arg spelling is also dateAdd's fixpoint
+# output, which must not be re-captured)
+
+# bitwise aggregates
+RENAMES["groupbitand"] = "bit_and"
+RENAMES["groupbitor"] = "bit_or"
+RENAMES["groupbitxor"] = "bit_xor"
+TEMPLATES["sumcount"] = "named_struct('sum', sum({0}), 'count', count({0}))"
+# deltaSum sums positive deltas in block order; for its canonical use
+# (monotonic counters) that equals max-min, which is order-free and
+# therefore the only distributed-safe reading. Non-monotonic inputs
+# are order-dependent in CH itself (block-order sensitive).
+TEMPLATES["deltasum"] = "(max({0}) - min({0}))"
+
+# URL family over Spark's parse_url (HOST/PATH/QUERY/REF/PROTOCOL/
+# AUTHORITY/USERINFO are the JVM-side parts CH's parsers expose)
+TEMPLATES["extracturlparameters"] = (
+    "coalesce(filter(split(parse_url({0}, 'QUERY'), '&'), __x -> __x != ''), array())"
+)
+TEMPLATES["netloc"] = "parse_url({0}, 'AUTHORITY')"
+# CH decodeURLComponent does NOT decode '+' as space; Spark url_decode
+# does — shield it. Conversely url_encode emits '+' for space where CH
+# emits %20.
+TEMPLATES["decodeurlcomponent"] = "url_decode(replace({0}, '+', '%2B'))"
+TEMPLATES["encodeurlcomponent"] = "replace(url_encode({0}), '+', '%20')"
+# firstSignificantSubdomain: CH resolves against a public-suffix list;
+# the portable approximation treats a second-level domain from the
+# common shared-registration set as part of the suffix.
+_2LD = "('com','net','org','co','gov','edu','mil','ac','biz','info')"
+_HOSTPARTS = "split(parse_url({0}, 'HOST'), '\\\\.')"
+TEMPLATES["firstsignificantsubdomain"] = (
+    f"(CASE WHEN size({_HOSTPARTS}) >= 3 AND "
+    f"element_at({_HOSTPARTS}, -2) IN {_2LD} "
+    f"THEN element_at({_HOSTPARTS}, -3) "
+    f"WHEN size({_HOSTPARTS}) >= 2 THEN element_at({_HOSTPARTS}, -2) "
+    f"ELSE element_at({_HOSTPARTS}, -1) END)"
+)
+TEMPLATES["cuttofirstsignificantsubdomain"] = (
+    f"(CASE WHEN size({_HOSTPARTS}) >= 3 AND "
+    f"element_at({_HOSTPARTS}, -2) IN {_2LD} "
+    f"THEN array_join(slice({_HOSTPARTS}, -3, 3), '.') "
+    f"WHEN size({_HOSTPARTS}) >= 2 THEN array_join(slice({_HOSTPARTS}, -2, 2), '.') "
+    f"ELSE parse_url({{0}}, 'HOST') END)"
+)
+_PATHSEGS = "filter(split(parse_url({0}, 'PATH'), '/'), __s -> __s != '')"
+TEMPLATES["urlpathhierarchy"] = (
+    f"transform(sequence(1, size({_PATHSEGS})), "
+    f"__i -> concat('/', array_join(slice({_PATHSEGS}, 1, __i), '/'), "
+    f"IF(__i < size({_PATHSEGS}), '/', '')))"
+)
+TEMPLATES["urlhierarchy"] = (
+    f"transform(sequence(0, size({_PATHSEGS})), "
+    f"__i -> concat(parse_url({{0}}, 'PROTOCOL'), '://', parse_url({{0}}, 'HOST'), "
+    f"IF(__i = 0, '/', concat('/', array_join(slice({_PATHSEGS}, 1, __i), '/'), "
+    f"IF(__i < size({_PATHSEGS}), '/', '')))))"
+)
+
+# UUIDs are carried as canonical lowercase strings (the CH UUID wire
+# type maps to String in our type map, dialect/types.py)
+TEMPLATES["touuid"] = "lower({0})"
+# NB: templates substitute by literal '{0}'/'{*}' replacement (no
+# str.format), so regex quantifier braces below are written plainly
+TEMPLATES["touuidornull"] = (
+    "(CASE WHEN {0} RLIKE '^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+    "-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$' THEN lower({0}) END)"
+)
+TEMPLATES["uuidstringtonum"] = "unhex(replace({0}, '-', ''))"
+TEMPLATES["uuidnumtostring"] = (
+    "lower(concat(substr(hex({0}), 1, 8), '-', substr(hex({0}), 9, 4), '-', "
+    "substr(hex({0}), 13, 4), '-', substr(hex({0}), 17, 4), '-', "
+    "substr(hex({0}), 21, 12)))"
+)
+
+# simpleJSON*/visitParam* are the fast-path spellings of the same
+# accessors (key, not JSONPath)
+TEMPLATES["simplejsonextractstring"] = TEMPLATES["jsonextractstring"]
+TEMPLATES["simplejsonextractint"] = TEMPLATES["jsonextractint"]
+TEMPLATES["simplejsonextractfloat"] = TEMPLATES["jsonextractfloat"]
+TEMPLATES["simplejsonextractbool"] = TEMPLATES["jsonextractbool"]
+TEMPLATES["simplejsonhas"] = TEMPLATES["jsonhas"]
+TEMPLATES["visitparamextractint"] = TEMPLATES["jsonextractint"]
+TEMPLATES["visitparamextractfloat"] = TEMPLATES["jsonextractfloat"]
+TEMPLATES["visitparamextractbool"] = TEMPLATES["jsonextractbool"]
+TEMPLATES["jsontype"] = (
+    "(CASE WHEN {0} IS NULL OR ltrim({0}) = '' THEN 'Null' "
+    "WHEN ltrim({0}) LIKE '{%' THEN 'Object' "
+    "WHEN ltrim({0}) LIKE '[%' THEN 'Array' "
+    "WHEN ltrim({0}) LIKE '\"%' THEN 'String' "
+    "WHEN trim({0}) IN ('true', 'false') THEN 'Bool' "
+    "WHEN trim({0}) = 'null' THEN 'Null' "
+    "WHEN trim({0}) RLIKE '^-?[0-9]+$' THEN 'Int64' "
+    "WHEN trim({0}) RLIKE '^-?[0-9.eE+-]+$' THEN 'Double' "
+    "ELSE 'Null' END)"
+)
+
+TEMPLATES["formatreadabletimedelta"] = (
+    "concat_ws(', ', "
+    "IF(CAST({0} AS BIGINT) div 3600 > 0, "
+    "concat(CAST(CAST({0} AS BIGINT) div 3600 AS STRING), "
+    "IF(CAST({0} AS BIGINT) div 3600 = 1, ' hour', ' hours')), NULL), "
+    "IF(CAST({0} AS BIGINT) % 3600 div 60 > 0, "
+    "concat(CAST(CAST({0} AS BIGINT) % 3600 div 60 AS STRING), "
+    "IF(CAST({0} AS BIGINT) % 3600 div 60 = 1, ' minute', ' minutes')), NULL), "
+    "IF(CAST({0} AS BIGINT) % 60 > 0 OR CAST({0} AS BIGINT) = 0, "
+    "concat(CAST(CAST({0} AS BIGINT) % 60 AS STRING), "
+    "IF(CAST({0} AS BIGINT) % 60 = 1, ' second', ' seconds')), NULL))"
+)
+
+# server/debug spellings (no-op semantics preserved, no actual sleeping
+# — a distributed engine must not serialize executors on a literal)
+TEMPLATES["sleep"] = "(0 * CAST(ceil({0}) AS INT))"
+TEMPLATES["sleepeachrow"] = "(0 * CAST(ceil({0}) AS INT))"
+TEMPLATES["identity"] = "({0})"
+TEMPLATES["materialize"] = "({0})"
+TEMPLATES["ignore"] = "IF(isnotnull(struct({*})), 0, 0)"
+TEMPLATES["rownumberinallblocks"] = (
+    "(row_number() OVER (ORDER BY monotonically_increasing_id()) - 1)"
+)
+# indexHint reads as TRUE row-wise; the pruning side is Catalyst's job
+TEMPLATES["indexhint"] = "(({0}) IS NOT NULL OR TRUE)"
+TEMPLATES["countdigits"] = (
+    "length(regexp_replace(CAST(abs({0}) AS STRING), '[^0-9]', ''))"
+)
+# session-aware: the engine substitutes the authenticated user at
+# prepare time (engine.py _prepare_sql) — Spark's current_user() is
+# the OS user, which is not the CH session identity
+TEMPLATES["currentuser"] = "'__MOOSPARK_SESSION_USER__'"
+TEMPLATES["user"] = "'__MOOSPARK_SESSION_USER__'"
+
 _COMB_SUFFIXES = ("ornull", "ordefault", "if", "array", "distinct")
 
 

@@ -272,6 +272,8 @@ _SPECIAL_FNS = {
     "count", "transform", "tostartofinterval", "tupleelement", "hex",
     "remote", "remotesecure", "cluster", "clusterallreplicas", "view",
     "format", "bittestall", "bittestany",
+    "timestampadd", "timestampsub", "timestamp_add", "timestamp_sub",
+    "formatrow", "isconstant",
 }
 
 
@@ -459,6 +461,38 @@ def _rewrite_functions(sql: str) -> str:
                         continue
                     if lname == "tostartofinterval" and len(args) >= 2:
                         out.append(_start_of_interval(args[0], args[1]))
+                        i = close + 1
+                        changed = True
+                        continue
+                    if lname in ("timestampadd", "timestampsub", "timestamp_add", "timestamp_sub") and len(args) == 2:
+                        # CH 2-arg form: (datetime, INTERVAL n unit).
+                        # The 3-arg (unit, n, datetime) form falls
+                        # through to Spark's own timestampadd.
+                        op = "+" if "add" in lname else "-"
+                        out.append(f"({args[0]} {op} {args[1]})")
+                        i = close + 1
+                        changed = True
+                        continue
+                    if lname == "formatrow" and len(args) >= 2:
+                        # formatRow('CSV'|'TSV', v1, v2, ...) → the
+                        # serialized row incl. trailing newline (CH
+                        # row-format contract)
+                        fmt_name = args[0].strip().strip("'\"").lower()
+                        sep = {"csv": ",", "tsv": "\\t", "tabseparated": "\\t"}.get(fmt_name)
+                        if sep is not None:
+                            vals = ", ".join(f"CAST({a} AS STRING)" for a in args[1:])
+                            out.append(f"concat(concat_ws('{sep}', {vals}), '\\n')")
+                            i = close + 1
+                            changed = True
+                            continue
+                    if lname == "isconstant" and len(args) == 1:
+                        # constant-foldable iff the argument references
+                        # no column (only literals/operators/parens)
+                        is_const = not re.search(
+                            r"[A-Za-z_][A-Za-z0-9_]*",
+                            re.sub(r"'[^']*'", "", args[0]),
+                        )
+                        out.append("1" if is_const else "0")
                         i = close + 1
                         changed = True
                         continue
@@ -1834,15 +1868,87 @@ def _rewrite_with_totals(toks: list[Tok]) -> tuple[list[Tok], bool]:
     return tokenize(new_sql), True
 
 
+def _rewrite_tuple_dot(toks: list[Tok]) -> list[Tok]:
+    """CH positional tuple access ``expr.1`` → Spark ``.col1``.
+
+    The tokenizer lexes ``.1`` after an expression as a number token
+    (Spark would parse it as a decimal literal and fail); when the
+    preceding significant token can end a tuple-valued expression
+    (``)`` or an identifier), rebrand it as the struct field Spark
+    gives unnamed ``struct()`` members."""
+    sig = _sig(toks)
+    for k in range(1, len(sig)):
+        t = toks[sig[k]]
+        if t.kind == "number" and t.text.startswith(".") and t.text[1:].isdigit():
+            prev = toks[sig[k - 1]]
+            if prev.kind in ("ident", "bquote") or prev.text == ")":
+                t.text = ".col" + t.text[1:]
+                t.kind = "op"  # no longer a number: keep the Float64
+                # literal pass from suffixing it with D
+    return toks
+
+
+def _rewrite_cast_types(toks: list[Tok]) -> list[Tok]:
+    """CH type names inside ``CAST(expr AS <CHType>)`` → Spark types.
+
+    ``CAST(NULL AS Nullable(Int32))`` must parse even though Spark has
+    no Nullable() wrapper; the DDL type map (dialect/types.py) already
+    knows every CH spelling, so reuse it for the query-side cast.
+    Types it can't parse (including Spark-native spellings wrapped in
+    generics) are left untouched."""
+    from .types import ch_type_to_spark
+
+    sig = _sig(toks)
+    for i in range(len(sig) - 1):
+        if not (
+            toks[sig[i]].kind == "ident"
+            and toks[sig[i]].upper == "CAST"
+            and toks[sig[i + 1]].text == "("
+        ):
+            continue
+        depth = 0
+        as_at = close = None
+        for k in range(i + 1, len(sig)):
+            tx = toks[sig[k]].text
+            if tx == "(":
+                depth += 1
+            elif tx == ")":
+                depth -= 1
+                if depth == 0:
+                    close = k
+                    break
+            elif (
+                depth == 1
+                and toks[sig[k]].kind == "ident"
+                and toks[sig[k]].upper == "AS"
+            ):
+                as_at = k
+        if as_at is None or close is None or as_at + 1 >= close:
+            continue
+        type_txt = "".join(
+            toks[j].text for j in range(sig[as_at + 1], sig[close])
+        ).strip()
+        try:
+            spark_t = ch_type_to_spark(type_txt).simpleString()
+        except Exception:  # noqa: BLE001 — unknown spelling: leave as written
+            continue
+        for j in range(sig[as_at + 1], sig[close]):
+            toks[j].text = ""
+        toks[sig[as_at + 1]].text = spark_t
+    return toks
+
+
 def translate_select(sql: str) -> Statement:
     toks = tokenize(sql)
     toks = _rewrite_scalar_with(toks)
     toks, fmt = _strip_trailing_format(toks)
     toks, settings = _strip_trailing_settings(toks)
     _rewrite_sample(toks)  # before double-literals: SAMPLE 0.5 is a fraction
+    toks = _rewrite_tuple_dot(toks)  # before double-literals: expr.1 is access
     _rewrite_double_literals(toks)
     explain_graph = _rewrite_explain(toks)
     _rewrite_brackets(toks)
+    toks = _rewrite_cast_types(toks)
     toks = _rewrite_ch_modifiers(toks)
     toks = _rewrite_join_strictness(toks)
     toks = _rewrite_array_join(toks)

@@ -470,6 +470,10 @@ class Engine:
     def _prepare_sql(
         self, sess: UserSession, sql: str, created_views: Optional[list] = None
     ) -> str:
+        if "__MOOSPARK_SESSION_USER__" in sql:
+            # currentUser()/user() — the CH session identity, which is
+            # the authenticated user, not the JVM OS user
+            sql = sql.replace("__MOOSPARK_SESSION_USER__", sess.user.replace("'", "''"))
         low = sql.lower()
         if "url(" in low or "file(" in low:
             try:

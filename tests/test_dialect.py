@@ -1068,3 +1068,131 @@ class TestCombinatorAlgebra:
         assert parse_combinator("sumstate") is None       # no state surface
         assert parse_combinator("sumarrayornull") == ("sum", ["array", "ornull"])
         assert parse_combinator("uniqexactif") == ("uniqexact", ["if"])
+
+
+class TestSweep9:
+    """Round-4 sweep 9: URL family, simpleJSON aliases, UUID, tuple
+    positional access, CH types in query-side CAST, server misc.
+    Found by tools/probe_sweep.py; each row is CH-documented behavior."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from cowsdb_spark.engine import Engine
+
+        return Engine(spark)
+
+    @pytest.mark.parametrize(
+        "q,want",
+        [
+            # tuple positional access + CH CAST types
+            ("SELECT tuple(1, 2).1 AS r", b"1\n"),
+            ("SELECT tuple('x', 'y').2 AS r", b"y\n"),
+            ("SELECT CAST(NULL AS Nullable(Int32)) AS r", b"\\N\n"),
+            ("SELECT CAST('7' AS Nullable(UInt16)) AS r", b"7\n"),
+            ("SELECT CAST(3.9 AS Int64) AS r", b"3\n"),
+            # math
+            ("SELECT gcd(12, 18) AS r", b"6\n"),
+            ("SELECT gcd(17, 5) AS r", b"1\n"),
+            ("SELECT lcm(4, 6) AS r", b"12\n"),
+            ("SELECT lcm(0, 5) AS r", b"0\n"),
+            ("SELECT roundBankers(2.5) AS r", b"2\n"),
+            ("SELECT roundBankers(3.5) AS r", b"4\n"),
+            ("SELECT truncate(3.77, 1) AS r", b"3.7\n"),
+            ("SELECT truncate(-3.77, 1) AS r", b"-3.7\n"),
+            ("SELECT isZeroOrNull(0) AS r", b"true\n"),
+            ("SELECT isZeroOrNull(5) AS r", b"false\n"),
+            ("SELECT countDigits(1234) AS r", b"4\n"),
+            ("SELECT countDigits(-50) AS r", b"2\n"),
+            # strings / misc
+            ("SELECT char(72, 105) AS r", b"Hi\n"),
+            ("SELECT monthName(toDate('2024-03-05')) AS r", b"March\n"),
+            ("SELECT identity(42) AS r", b"42\n"),
+            ("SELECT materialize(42) AS r", b"42\n"),
+            ("SELECT ignore(1, 'x') AS r", b"0\n"),
+            ("SELECT sleep(0) AS r", b"0\n"),
+            ("SELECT indexHint(1 = 2) AS r", b"true\n"),
+            ("SELECT isConstant(1 + 2) AS r", b"1\n"),
+            # the value's embedded TAB/newline come back TSV-escaped
+            ("SELECT formatRow('TSV', 1, 'a') AS r", b"1\\ta\\n\n"),
+            # timestampAdd 2-arg (CH form) and 3-arg (dateAdd fixpoint)
+            (
+                "SELECT timestampAdd(toDateTime('2024-01-01 00:00:00'), INTERVAL 1 HOUR) AS r",
+                b"2024-01-01 01:00:00\n",
+            ),
+            (
+                "SELECT timestampSub(toDateTime('2024-01-01 01:00:00'), INTERVAL 1 HOUR) AS r",
+                b"2024-01-01 00:00:00\n",
+            ),
+            # bit aggregates + sumCount
+            ("SELECT groupBitAnd(x) AS r FROM (SELECT 6 AS x UNION ALL SELECT 7)", b"6\n"),
+            ("SELECT groupBitOr(x) AS r FROM (SELECT 4 AS x UNION ALL SELECT 1)", b"5\n"),
+            ("SELECT groupBitXor(x) AS r FROM (SELECT 5 AS x UNION ALL SELECT 3)", b"6\n"),
+            ("SELECT sumCount(x) AS r FROM (SELECT number AS x FROM numbers(4))", b"(6,4)\n"),
+            ("SELECT deltaSum(x) AS r FROM (SELECT number AS x FROM numbers(5))", b"4\n"),
+            # URL family
+            (
+                "SELECT extractURLParameters('http://x.y/a?q=1&w=2') AS r",
+                b"['q=1','w=2']\n",
+            ),
+            ("SELECT netloc('http://u:p@x.y:8080/a') AS r", b"u:p@x.y:8080\n"),
+            ("SELECT decodeURLComponent('a%20b+c') AS r", b"a b+c\n"),
+            ("SELECT encodeURLComponent('a b') AS r", b"a%20b\n"),
+            (
+                "SELECT firstSignificantSubdomain('http://news.example.com.cn/a') AS r",
+                b"example\n",
+            ),
+            (
+                "SELECT firstSignificantSubdomain('http://a.b.site.org/x') AS r",
+                b"site\n",
+            ),
+            (
+                "SELECT cutToFirstSignificantSubdomain('http://a.b.example.com/x') AS r",
+                b"example.com\n",
+            ),
+            (
+                "SELECT URLPathHierarchy('http://x.y/a/b') AS r",
+                b"['/a/','/a/b']\n",
+            ),
+            (
+                "SELECT URLHierarchy('http://x.y/a/b') AS r",
+                b"['http://x.y/','http://x.y/a/','http://x.y/a/b']\n",
+            ),
+            # UUID
+            (
+                "SELECT toUUID('61F0C404-5CB3-11E7-907B-A6006AD3DBA0') AS r",
+                b"61f0c404-5cb3-11e7-907b-a6006ad3dba0\n",
+            ),
+            (
+                "SELECT UUIDNumToString(UUIDStringToNum('61f0c404-5cb3-11e7-907b-a6006ad3dba0')) AS r",
+                b"61f0c404-5cb3-11e7-907b-a6006ad3dba0\n",
+            ),
+            # simpleJSON / visitParam aliases + JSONType
+            ("SELECT simpleJSONExtractInt('{\"a\": 5}', 'a') AS r", b"5\n"),
+            ("SELECT simpleJSONExtractString('{\"a\": \"x\"}', 'a') AS r", b"x\n"),
+            ("SELECT simpleJSONHas('{\"a\": 1}', 'a') AS r", b"true\n"),
+            ("SELECT visitParamExtractInt('{\"a\": 5}', 'a') AS r", b"5\n"),
+            ("SELECT JSONType('{\"a\":1}') AS r", b"Object\n"),
+            ("SELECT JSONType('[1]') AS r", b"Array\n"),
+            ("SELECT JSONType('3.5') AS r", b"Double\n"),
+            # readable formatting
+            (
+                "SELECT formatReadableTimeDelta(90) AS r",
+                b"1 minute, 30 seconds\n",
+            ),
+            (
+                "SELECT formatReadableTimeDelta(3661) AS r",
+                b"1 hour, 1 minute, 1 second\n",
+            ),
+        ],
+    )
+    def test_value(self, eng, q, want):
+        assert eng.execute(q) == want
+
+    def test_current_user_is_session_user(self, eng):
+        assert eng.execute("SELECT currentUser() AS r") == b"default\n"
+        assert eng.execute("SELECT currentUser() AS r", user="alice") == b"alice\n"
+
+    def test_row_number_in_all_blocks(self, eng):
+        assert eng.execute(
+            "SELECT rowNumberInAllBlocks() AS r FROM numbers(3)"
+        ) == b"0\n1\n2\n"
