@@ -924,6 +924,34 @@ TEMPLATES["countdigits"] = (
 TEMPLATES["currentuser"] = "'__MOOSPARK_SESSION_USER__'"
 TEMPLATES["user"] = "'__MOOSPARK_SESSION_USER__'"
 
+# --- r4 sweep 10: string distance, bitmask expansion, quantifiers ----------
+
+RENAMES["editdistance"] = "levenshtein"
+RENAMES["levenshteindistance"] = "levenshtein"
+RENAMES["editdistanceutf8"] = "levenshtein"
+# byte-1-gram Jaccard over the two strings' character sets
+_CHARSET = "array_distinct(transform(sequence(1, length({0})), __i -> substring({0}, __i, 1)))"
+_CHARSET1 = _CHARSET.replace("{0}", "{1}")
+TEMPLATES["stringjaccardindex"] = (
+    f"(CASE WHEN length({{0}}) = 0 AND length({{1}}) = 0 THEN 0.0 ELSE "
+    f"CAST(size(array_intersect({_CHARSET}, {_CHARSET1})) AS DOUBLE) / "
+    f"size(array_union({_CHARSET}, {_CHARSET1})) END)"
+)
+# set-bit expansion: 63 candidate positions, JVM-side filter — the CH
+# UInt64 surface maps to BIGINT so bit 63 (sign) is out of domain
+_SETBITS = (
+    "filter(sequence(0, 62), __i -> "
+    "(CAST({0} AS BIGINT) & shiftleft(CAST(1 AS BIGINT), __i)) != 0)"
+)
+TEMPLATES["bitpositionstoarray"] = _SETBITS
+TEMPLATES["bitmasktoarray"] = (
+    f"transform({_SETBITS}, __i -> shiftleft(CAST(1 AS BIGINT), __i))"
+)
+TEMPLATES["bitmasktolist"] = (
+    f"array_join(transform({_SETBITS}, "
+    f"__i -> CAST(shiftleft(CAST(1 AS BIGINT), __i) AS STRING)), ',')"
+)
+
 _COMB_SUFFIXES = ("ornull", "ordefault", "if", "array", "distinct")
 
 

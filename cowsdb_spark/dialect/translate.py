@@ -273,7 +273,7 @@ _SPECIAL_FNS = {
     "remote", "remotesecure", "cluster", "clusterallreplicas", "view",
     "format", "bittestall", "bittestany",
     "timestampadd", "timestampsub", "timestamp_add", "timestamp_sub",
-    "formatrow", "isconstant",
+    "formatrow", "isconstant", "defaultvalueoftypename",
 }
 
 
@@ -482,6 +482,31 @@ def _rewrite_functions(sql: str) -> str:
                         if sep is not None:
                             vals = ", ".join(f"CAST({a} AS STRING)" for a in args[1:])
                             out.append(f"concat(concat_ws('{sep}', {vals}), '\\n')")
+                            i = close + 1
+                            changed = True
+                            continue
+                    if lname == "defaultvalueoftypename" and len(args) == 1:
+                        from . import types as _ty
+                        from pyspark.sql import types as _T
+
+                        try:
+                            dt = _ty.ch_type_to_spark(args[0].strip().strip("'\""))
+                        except Exception:  # noqa: BLE001
+                            dt = None
+                        if dt is not None:
+                            if isinstance(dt, _T.StringType):
+                                dv = "''"
+                            elif isinstance(dt, (_T.DateType,)):
+                                dv = "DATE'1970-01-01'"
+                            elif isinstance(dt, _T.TimestampType):
+                                dv = "TIMESTAMP'1970-01-01 00:00:00'"
+                            elif isinstance(dt, _T.ArrayType):
+                                dv = f"CAST(array() AS {dt.simpleString()})"
+                            elif isinstance(dt, _T.MapType):
+                                dv = f"CAST(map() AS {dt.simpleString()})"
+                            else:
+                                dv = f"CAST(0 AS {dt.simpleString()})"
+                            out.append(dv)
                             i = close + 1
                             changed = True
                             continue
@@ -1938,6 +1963,166 @@ def _rewrite_cast_types(toks: list[Tok]) -> list[Tok]:
     return toks
 
 
+_TUPLE_CTX_KW = frozenset(
+    "SELECT WHERE AND OR NOT ON WHEN THEN ELSE BY HAVING PREWHERE "
+    "DISTINCT ALL CASE".split()
+)
+
+
+def _structify_group(toks: list[Tok], sig: list[int], start: int) -> None:
+    """Turn the paren group opening at sig[start] into
+    ``struct(m1 AS __t1, m2 AS __t2, …)`` — explicit member aliases,
+    because Spark's struct() derives field names from the expressions
+    and IN/= on structs is field-NAME-sensitive.  No-op unless the
+    group has a top-level comma (i.e. actually is a tuple)."""
+    depth = 0
+    has_comma = False
+    for j in range(start, len(sig)):
+        tx = toks[sig[j]].text
+        if tx == "(":
+            depth += 1
+        elif tx == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        elif depth == 1 and tx == ",":
+            has_comma = True
+    if not has_comma:
+        return
+    depth = 0
+    n = 1
+    for j in range(start, len(sig)):
+        tx = toks[sig[j]].text
+        if tx == "(":
+            depth += 1
+        elif tx == ")":
+            depth -= 1
+            if depth == 0:
+                toks[sig[j]].text = f" AS __t{n})"
+                break
+        elif depth == 1 and tx == ",":
+            toks[sig[j]].text = f" AS __t{n},"
+            n += 1
+    toks[sig[start]].text = "struct("
+
+
+def _rewrite_tuple_in(toks: list[Tok]) -> list[Tok]:
+    """``(a, b) IN ((1, 1), (2, 2))`` → aliased struct() on both sides.
+
+    Spark parses a bare parenthesized tuple as named_struct with field
+    names derived from the member expressions, so the left side's
+    names (e.g. ``number``) never match the literal side's ``col1`` —
+    DATA_DIFF_TYPES.  Both sides are rebuilt as struct(… AS __tN, …)
+    so the names agree.  A group counts as a tuple when it has a
+    top-level comma and the previous significant token cannot start a
+    function call."""
+    sig = _sig(toks)
+    # find "IN (" at any depth; handle the groups around it
+    for k in range(len(sig) - 1):
+        if not (toks[sig[k]].upper == "IN" and toks[sig[k + 1]].text == "("):
+            continue
+        # (a, b) IN (SELECT …): Spark's native multi-column IN-subquery
+        # handles the naming itself — leave untouched
+        if k + 2 < len(sig) and toks[sig[k + 2]].upper == "SELECT":
+            continue
+        # left side: walk back over one balanced group ending at sig[k-1]
+        if k >= 1 and toks[sig[k - 1]].text == ")":
+            depth = 0
+            start = None
+            has_comma = False
+            for j in range(k - 1, -1, -1):
+                tx = toks[sig[j]].text
+                if tx == ")":
+                    depth += 1
+                elif tx == "(":
+                    depth -= 1
+                    if depth == 0:
+                        start = j
+                        break
+                elif depth == 1 and tx == ",":
+                    has_comma = True
+            if start is not None and has_comma:
+                prev = toks[sig[start - 1]] if start > 0 else None
+                # an identifier directly before "(" is a function call —
+                # unless it's a keyword that can precede an expression
+                if (
+                    prev is None
+                    or prev.kind not in ("ident", "bquote")
+                    or prev.upper in _TUPLE_CTX_KW
+                ):
+                    # right side: collect each top-level tuple start in
+                    # the IN list on the unmodified text, then rewrite
+                    depth = 0
+                    tuple_starts = []
+                    for j in range(k + 1, len(sig)):
+                        tx = toks[sig[j]].text
+                        if tx == "(":
+                            depth += 1
+                            if depth == 2:
+                                pj = toks[sig[j - 1]]
+                                if pj.kind not in ("ident", "bquote"):
+                                    tuple_starts.append(j)
+                        elif tx == ")":
+                            depth -= 1
+                            if depth == 0:
+                                break
+                    for j in tuple_starts:
+                        _structify_group(toks, sig, j)
+                    _structify_group(toks, sig, start)
+    return toks
+
+
+# quantified comparison → aggregate-over-subquery (Spark has no
+# ALL/ANY); empty-set semantics shift from vacuous-true to NULL-false,
+# an edge CH workloads don't rely on (CH docs mark them rarely used)
+_QUANT_AGG = {
+    (">", "ALL"): "MAX", (">=", "ALL"): "MAX",
+    ("<", "ALL"): "MIN", ("<=", "ALL"): "MIN",
+    (">", "ANY"): "MIN", (">=", "ANY"): "MIN",
+    ("<", "ANY"): "MAX", ("<=", "ANY"): "MAX",
+}
+
+
+def _rewrite_quantified(toks: list[Tok]) -> list[Tok]:
+    """``x > ALL (SELECT …)`` → ``x > (SELECT MAX(__v) FROM (…) …)``;
+    ``= ANY`` → IN, ``!= ALL`` → NOT IN."""
+    sig = _sig(toks)
+    for k in range(1, len(sig) - 1):
+        t = toks[sig[k]]
+        if t.kind != "ident" or t.upper not in ("ALL", "ANY"):
+            continue
+        if toks[sig[k + 1]].text != "(" or toks[sig[k + 2]].upper != "SELECT":
+            continue
+        op = toks[sig[k - 1]].text
+        quant = t.upper
+        if (op, quant) in _QUANT_AGG:
+            agg = _QUANT_AGG[(op, quant)]
+            # find matching close of the subquery group
+            depth = 0
+            close = None
+            for j in range(k + 1, len(sig)):
+                tx = toks[sig[j]].text
+                if tx == "(":
+                    depth += 1
+                elif tx == ")":
+                    depth -= 1
+                    if depth == 0:
+                        close = j
+                        break
+            if close is None:
+                continue
+            t.text = ""  # drop the quantifier keyword
+            toks[sig[k + 1]].text = f"(SELECT {agg}(__chq.__v) FROM ("
+            toks[sig[close]].text = ") AS __chq(__v))"
+        elif op in ("=", "==") and quant == "ANY":
+            toks[sig[k - 1]].text = "IN"
+            t.text = ""
+        elif op in ("!=", "<>") and quant == "ALL":
+            toks[sig[k - 1]].text = "NOT IN"
+            t.text = ""
+    return toks
+
+
 def translate_select(sql: str) -> Statement:
     toks = tokenize(sql)
     toks = _rewrite_scalar_with(toks)
@@ -1949,6 +2134,8 @@ def translate_select(sql: str) -> Statement:
     explain_graph = _rewrite_explain(toks)
     _rewrite_brackets(toks)
     toks = _rewrite_cast_types(toks)
+    toks = _rewrite_tuple_in(toks)
+    toks = _rewrite_quantified(toks)
     toks = _rewrite_ch_modifiers(toks)
     toks = _rewrite_join_strictness(toks)
     toks = _rewrite_array_join(toks)

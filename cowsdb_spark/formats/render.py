@@ -39,6 +39,16 @@ def _num_repr(v: float) -> str:
     return str(v)
 
 
+def _timedelta_repr(v: _dt.timedelta) -> str:
+    """CH has no interval output type: Date − Date is Int32 days and
+    toIntervalN prints its count — render whole-day deltas as days,
+    sub-day ones as seconds."""
+    secs = v.total_seconds()
+    if secs == int(secs) and int(secs) % 86400 == 0:
+        return str(int(secs) // 86400)
+    return _num_repr(secs)
+
+
 def plain_text(v) -> str:
     """Unescaped scalar text (building block for all text formats)."""
     if v is None:
@@ -49,6 +59,8 @@ def plain_text(v) -> str:
         return _num_repr(v)
     if isinstance(v, _dt.datetime):
         return _dt_text(v)
+    if isinstance(v, _dt.timedelta):
+        return _timedelta_repr(v)
     if isinstance(v, _dt.date):
         return v.isoformat()
     if isinstance(v, (bytes, bytearray)):
@@ -109,6 +121,8 @@ def json_value(v):
         return v
     if isinstance(v, _dt.datetime):
         return _dt_text(v)
+    if isinstance(v, _dt.timedelta):
+        return _timedelta_repr(v)
     if isinstance(v, _dt.date):
         return v.isoformat()
     if isinstance(v, (bytes, bytearray)):

@@ -1196,3 +1196,80 @@ class TestSweep9:
         assert eng.execute(
             "SELECT rowNumberInAllBlocks() AS r FROM numbers(3)"
         ) == b"0\n1\n2\n"
+
+
+class TestSweep10:
+    """Round-4 sweep 10: quantified comparisons, tuple-IN, interval
+    rendering, string distance, bitmask expansion, codec UDFs."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from cowsdb_spark.engine import Engine
+
+        return Engine(spark)
+
+    @pytest.mark.parametrize(
+        "q,want",
+        [
+            # quantified comparisons
+            (
+                "SELECT number FROM numbers(5) WHERE number > ALL (SELECT number FROM numbers(3)) ORDER BY number",
+                b"3\n4\n",
+            ),
+            (
+                "SELECT number FROM numbers(5) WHERE number < ALL (SELECT number + 2 FROM numbers(3)) ORDER BY number",
+                b"0\n1\n",
+            ),
+            (
+                "SELECT number FROM numbers(5) WHERE number >= ANY (SELECT number + 3 FROM numbers(2)) ORDER BY number",
+                b"3\n4\n",
+            ),
+            (
+                "SELECT number FROM numbers(4) WHERE number = ANY (SELECT number * 2 FROM numbers(2)) ORDER BY number",
+                b"0\n2\n",
+            ),
+            (
+                "SELECT number FROM numbers(4) WHERE number != ALL (SELECT number FROM numbers(2)) ORDER BY number",
+                b"2\n3\n",
+            ),
+            # tuple IN tuple-list
+            (
+                "SELECT number FROM numbers(3) WHERE (number, number * 2) IN ((1, 2), (5, 10)) ORDER BY number",
+                b"1\n",
+            ),
+            # tuple IN subquery stays on Spark's native path
+            (
+                "SELECT number FROM numbers(4) WHERE (number, number) IN (SELECT number, number FROM numbers(2)) ORDER BY number",
+                b"0\n1\n",
+            ),
+            # interval rendering: Date − Date is days; sub-day is seconds
+            ("SELECT toDate('2024-03-05') - toDate('2024-03-01') AS r", b"4\n"),
+            ("SELECT toDate('2024-01-31') + INTERVAL 1 MONTH AS r", b"2024-02-29\n"),
+            # string distance
+            ("SELECT editDistance('kitten', 'sitting') AS r", b"3\n"),
+            ("SELECT levenshteinDistance('abc', 'abd') AS r", b"1\n"),
+            ("SELECT damerauLevenshteinDistance('abc', 'acb') AS r", b"1\n"),
+            ("SELECT round(stringJaccardIndex('abc', 'bcd'), 2) AS r", b"0.5\n"),
+            # bitmask expansion
+            ("SELECT bitmaskToArray(10) AS r", b"[2,8]\n"),
+            ("SELECT bitmaskToList(10) AS r", b"2,8\n"),
+            ("SELECT bitPositionsToArray(10) AS r", b"[1,3]\n"),
+            # codecs (python-UDF backed, register at engine init)
+            ("SELECT base58Encode('abc') AS r", b"ZiCa\n"),
+            ("SELECT base58Decode('ZiCa') AS r", b"abc\n"),
+            ("SELECT base32Encode('abc') AS r", b"MFRGG===\n"),
+            ("SELECT base32Decode('MFRGG===') AS r", b"abc\n"),
+            ("SELECT punycodeDecode(punycodeEncode('abc')) AS r", b"abc\n"),
+            # defaults
+            ("SELECT defaultValueOfTypeName('Int32') AS r", b"0\n"),
+            ("SELECT defaultValueOfTypeName('String') AS r", b"\n"),
+            ("SELECT defaultValueOfTypeName('Date') AS r", b"1970-01-01\n"),
+            # named windows
+            (
+                "SELECT number, row_number() OVER w AS r FROM numbers(3) WINDOW w AS (ORDER BY number) ORDER BY number",
+                b"0\t1\n1\t2\n2\t3\n",
+            ),
+        ],
+    )
+    def test_value(self, eng, q, want):
+        assert eng.execute(q) == want

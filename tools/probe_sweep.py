@@ -192,6 +192,79 @@ PROBES: dict[str, list[tuple[str, str | None]]] = {
     ],
 }
 
+PROBES["window2"] = [
+    ("SELECT number, ntile(2) OVER (ORDER BY number) AS r FROM numbers(4) ORDER BY number", "0\t1\n1\t1\n2\t2\n3\t2"),
+    ("SELECT number, percent_rank() OVER (ORDER BY number) AS r FROM numbers(3) ORDER BY number", None),
+    ("SELECT number, cume_dist() OVER (ORDER BY number) AS r FROM numbers(2) ORDER BY number", None),
+    ("SELECT number, nth_value(number, 2) OVER (ORDER BY number ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS r FROM numbers(3) ORDER BY number", None),
+    ("SELECT number, anyLast(number) OVER (ORDER BY number ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r FROM numbers(3) ORDER BY number", None),
+    ("SELECT groupArray(number) OVER (ORDER BY number ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS r FROM numbers(3) ORDER BY 1", None),
+    ("SELECT number, row_number() OVER w AS r FROM numbers(3) WINDOW w AS (ORDER BY number) ORDER BY number", "0\t1\n1\t2\n2\t3"),
+]
+PROBES["subquery"] = [
+    ("SELECT number FROM numbers(5) WHERE number IN (SELECT number FROM numbers(2)) ORDER BY number", "0\n1"),
+    ("SELECT number FROM numbers(5) WHERE number NOT IN (SELECT number FROM numbers(4)) ORDER BY number", "4"),
+    ("SELECT number FROM numbers(5) WHERE number GLOBAL IN (SELECT number FROM numbers(2)) ORDER BY number", "0\n1"),
+    ("SELECT (number, number) IN ((1, 1), (2, 2)) AS r FROM numbers(3) ORDER BY number", None),
+    ("SELECT number FROM numbers(3) WHERE EXISTS (SELECT 1 WHERE number > 1) ORDER BY number", None),
+    ("SELECT number FROM numbers(5) WHERE number > ALL (SELECT number FROM numbers(3)) ORDER BY number", "3\n4"),
+    ("SELECT number FROM numbers(5) WHERE number >= ANY (SELECT number + 3 FROM numbers(2)) ORDER BY number", "3\n4"),
+    ("WITH top AS (SELECT number FROM numbers(3)) SELECT count(*) AS c FROM top", "3"),
+    ("SELECT (SELECT max(number) FROM numbers(5)) AS r", "4"),
+]
+PROBES["interval"] = [
+    ("SELECT toDate('2024-01-31') + INTERVAL 1 MONTH AS r", "2024-02-29"),
+    ("SELECT toDateTime('2024-01-01 00:00:00') - INTERVAL 90 SECOND AS r", "2023-12-31 23:58:30"),
+    ("SELECT toIntervalDay(2) + toDate('2024-01-01') AS r", "2024-01-03"),
+    ("SELECT INTERVAL 2 DAY + toDate('2024-01-01') AS r", "2024-01-03"),
+    ("SELECT toDate('2024-03-05') - toDate('2024-03-01') AS r", "4"),
+]
+PROBES["stringdist"] = [
+    ("SELECT editDistance('kitten', 'sitting') AS r", "3"),
+    ("SELECT levenshteinDistance('abc', 'abd') AS r", "1"),
+    ("SELECT editDistanceUTF8('abc', 'abd') AS r", "1"),
+    ("SELECT soundex('Robert') AS r", "R163"),
+    ("SELECT stringJaccardIndex('abc', 'bcd') AS r", None),
+    ("SELECT damerauLevenshteinDistance('abc', 'acb') AS r", None),
+]
+PROBES["trig"] = [
+    ("SELECT sinh(0) AS r", "0"),
+    ("SELECT cosh(0) AS r", "1"),
+    ("SELECT tanh(0) AS r", "0"),
+    ("SELECT asinh(0) AS r", "0"),
+    ("SELECT acosh(1) AS r", "0"),
+    ("SELECT atanh(0) AS r", "0"),
+    ("SELECT atan2(0, 1) AS r", "0"),
+    ("SELECT hypot(3, 4) AS r", "5"),
+    ("SELECT log1p(0) AS r", "0"),
+    ("SELECT expm1(0) AS r", "0"),
+]
+PROBES["encode"] = [
+    ("SELECT base58Encode('abc') AS r", None),
+    ("SELECT base58Decode(base58Encode('abc')) AS r", "abc"),
+    ("SELECT base32Encode('abc') AS r", None),
+    ("SELECT bitmaskToList(10) AS r", "2,8"),
+    ("SELECT bitmaskToArray(10) AS r", "[2,8]"),
+    ("SELECT bitPositionsToArray(10) AS r", "[1,3]"),
+    ("SELECT toDecimalString(3.14159, 3) AS r", "3.142"),
+    ("SELECT punycodeEncode('abc') AS r", None),
+]
+PROBES["select_modifiers"] = [
+    ("SELECT * EXCEPT (b) FROM (SELECT 1 AS a, 2 AS b)", "1"),
+    ("SELECT * REPLACE (a + 1 AS a) FROM (SELECT 1 AS a, 2 AS b)", "2\t2"),
+    ("SELECT COLUMNS('a|b') FROM (SELECT 1 AS a, 2 AS b, 3 AS c)", "1\t2"),
+    ("SELECT any(a), any(b) FROM (SELECT 1 AS a, 2 AS b)", "1\t2"),
+]
+PROBES["null_funcs"] = [
+    ("SELECT toString(NULL) AS r", "\\N"),
+    ("SELECT coalesce(NULL, NULL, 7) AS r", "7"),
+    ("SELECT ifNull(NULL, 'x') AS r", "x"),
+    ("SELECT defaultValueOfTypeName('Int32') AS r", None),
+    ("SELECT emptyArrayInt32() AS r", "[]"),
+    ("SELECT emptyArrayString() AS r", "[]"),
+    ("SELECT notEmpty('x') AS r", "true"),
+]
+
 
 def main() -> None:
     from cowsdb_spark.engine import Engine
