@@ -82,6 +82,59 @@ class UserSession:
         return f"{self.ns}__{db or self.current_db}"
 
 
+def bind_query_params(sql: str, params: dict[str, str]) -> str:
+    """Server-side binding of ``{name:Type}`` placeholders (the CH
+    parameterized-query protocol: HTTP ``param_<name>=…`` URL params,
+    native-protocol parameter entries).
+
+    Token-aware: placeholders inside string literals are data, not
+    parameters (CH parses placeholders as AST nodes).  Values bind as
+    ``CAST('v' AS type)`` — never raw splicing, so a value can't
+    inject SQL — with ``from_json`` for composite types."""
+    from .dialect.tokenizer import tokenize
+    from .dialect.types import ch_type_to_spark
+
+    toks = tokenize(sql)
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.kind == "op" and t.text == "{":
+            # collect {name : type-tokens}
+            j = i + 1
+            inner: list = []
+            while j < len(toks) and not (toks[j].kind == "op" and "}" in toks[j].text):
+                inner.append(toks[j])
+                j += 1
+            name_toks = [x for x in inner if x.kind not in ("ws", "comment")]
+            if (
+                j < len(toks)
+                and name_toks
+                and name_toks[0].kind == "ident"
+                and len(name_toks) >= 3
+                and name_toks[1].text == ":"
+            ):
+                name = name_toks[0].text
+                chtype = "".join(x.text for x in name_toks[2:]).strip()
+                if name not in params:
+                    raise EngineError(f"Substitution `{name}` is not set", 456)
+                try:
+                    s = ch_type_to_spark(chtype).simpleString()
+                except ValueError as e:
+                    raise EngineError(str(e), 456) from e
+                val = params[name]
+                esc = val.replace("\\", "\\\\").replace("'", "\\'")
+                if s.startswith(("array", "map", "struct")):
+                    out.append(f"from_json('{esc}', '{s}')")
+                else:
+                    out.append(f"CAST('{esc}' AS {s})")
+                i = j + 1
+                continue
+        out.append(t.text)
+        i += 1
+    return "".join(out)
+
+
 class Engine:
     """ClickHouse-dialect front door over Spark SQL."""
 
@@ -140,13 +193,16 @@ class Engine:
         user: str = "default",
         password: str = "",
         database: Optional[str] = None,
+        params: Optional[dict] = None,
     ) -> bytes:
         """Run a (possibly multi-statement) CH-dialect query; returns
         the LAST statement's result serialized per the CH precedence
         FORMAT clause > caller ``fmt`` > session ``SET default_format``
         > TSV (reference semantics: USE prefixing + single result,
         main.py:859-860)."""
-        return self.execute_with_format(query, fmt, user, password, database)[0]
+        return self.execute_with_format(
+            query, fmt, user, password, database, params=params
+        )[0]
 
     def execute_with_format(
         self,
@@ -156,6 +212,7 @@ class Engine:
         password: str = "",
         database: Optional[str] = None,
         extra_settings: Optional[dict] = None,
+        params: Optional[dict] = None,
     ) -> tuple[bytes, str, dict]:
         """Like :meth:`execute`, also returning the format actually
         used (FORMAT clause / caller / session SET / TSV) so servers
@@ -163,7 +220,7 @@ class Engine:
         X-ClickHouse-Summary response header. ``extra_settings`` are
         query-level settings (CH URL params): above session SET,
         below an explicit statement SETTINGS clause."""
-        df, out_fmt, settings, elapsed = self.execute_to_df(query, user, password, database)
+        df, out_fmt, settings, elapsed = self.execute_to_df(query, user, password, database, params=params)
         sess = self.get_session(user, password)
         merged = {**sess.settings, **(extra_settings or {}), **settings}
         use_fmt = out_fmt or fmt or merged.get("default_format") or "TSV"
@@ -218,7 +275,13 @@ class Engine:
         user: str = "default",
         password: str = "",
         database: Optional[str] = None,
+        params: Optional[dict] = None,
     ) -> tuple[Optional[DataFrame], Optional[str], dict, float]:
+        if params or "{" in query:
+            # also runs with no bindings so an unbound {name:Type}
+            # reports "Substitution not set" (CH code 456), not a
+            # Spark parse error; queries without braces skip the pass
+            query = bind_query_params(query, params or {})
         sess = self.get_session(user, password)
         if database:
             sess.current_db = database

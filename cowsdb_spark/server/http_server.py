@@ -131,6 +131,14 @@ class _Handler(BaseHTTPRequestHandler):
             for k, v in (qs or {}).items()
             if k not in _NON_SETTING_PARAMS and v
         }
+        # server-side query parameters (`param_<name>` URL params bind
+        # `{name:Type}` placeholders — the CH parameterized-query
+        # protocol); not settings, so claim them before the warning
+        # channel sees them
+        qparams = {
+            k[len("param_"):]: extra.pop(k)
+            for k in [k for k in extra if k.startswith("param_")]
+        }
         # CH echoes the client's query_id or generates one; clients
         # (and the go/python drivers) read it back from this header
         qid = extra.pop("query_id", "") or _uuid.uuid4().hex
@@ -198,6 +206,7 @@ class _Handler(BaseHTTPRequestHandler):
                     outcome["ok"] = self.engine.execute_with_format(
                         query.strip(), fmt=fmt, user=user, password=pw,
                         database=database or None, extra_settings=extra or None,
+                        params=qparams or None,
                     )
                 except Exception as e:  # noqa: BLE001 — re-raised below
                     outcome["err"] = e
@@ -235,6 +244,7 @@ class _Handler(BaseHTTPRequestHandler):
                 body, used_fmt, stats = self.engine.execute_with_format(
                     query.strip(), fmt=fmt, user=user, password=pw,
                     database=database or None, extra_settings=extra or None,
+                    params=qparams or None,
                 )
             # Partial-success warning channel (reference main.py:863-868:
             # result + stderr text → 200 with the result, warning logged).

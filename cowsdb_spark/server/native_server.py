@@ -271,14 +271,21 @@ class NativeServer:
             except zlib.error:
                 pass
         query = raw.decode("utf-8", "replace")
+        params: dict[str, str] = {}
         if rev >= MIN_REV_PARAMETERS:
             while True:
                 pname = r.binary_str()
                 if not pname:
                     break
                 r.uint8()
-                r.binary_str()
-        return query, settings
+                pval = r.binary_str()
+                # clients send parameter values as escaped CH literals
+                # ('abc' for strings); the engine binder adds its own
+                # quoting, so strip one literal layer if present
+                if len(pval) >= 2 and pval[0] == "'" and pval[-1] == "'":
+                    pval = pval[1:-1].replace("\\'", "'").replace("\\\\", "\\")
+                params[pname] = pval
+        return query, settings, params
 
     def _read_data_block(self, r: _Reader, state: dict):
         """Read one client DATA packet body (table name on the raw
@@ -289,7 +296,7 @@ class NativeServer:
         return read_block(src, state["revision"] >= MIN_REV_CUSTOM_SERIALIZATION)
 
     def _handle_query(self, client: socket.socket, r: _Reader, state: dict):
-        query, _settings = self._read_query_packet(r, state)
+        query, _settings, qparams = self._read_query_packet(r, state)
         m = _NATIVE_INSERT_RE.match(query)
         if m:
             self._handle_insert(client, r, state, m)
@@ -300,6 +307,7 @@ class NativeServer:
                 user=state["user"],
                 password=state["password"],
                 database=state.get("database"),
+                params=qparams or None,
             )
             if df is not None:
                 res = QueryResult.from_dataframe(df, elapsed=elapsed, stream=False)

@@ -560,3 +560,55 @@ class TestWarningChannel:
             assert r.status == 200
             assert r.read() == b"100000\n"
             assert "optimize_x" in r.headers.get("X-ClickHouse-Warning", "")
+
+
+class TestQueryParameters:
+    """CH parameterized queries: param_<name> URL params bind
+    {name:Type} placeholders server-side."""
+
+    def test_int_param(self, http):
+        status, body = get(http, "SELECT {n:UInt8} * 2 AS r", param_n="21")
+        assert (status, body) == (200, b"42\n")
+
+    def test_string_param_is_data_not_sql(self, http):
+        status, body = get(
+            http, "SELECT {s:String} AS r", param_s="x' OR '1'='1"
+        )
+        assert status == 200 and body == b"x' OR '1'='1\n"
+
+    def test_array_param(self, http):
+        status, body = get(
+            http,
+            "SELECT arraySum({xs:Array(Int64)}) AS r",
+            param_xs="[1,2,3]",
+        )
+        assert (status, body) == (200, b"6\n")
+
+    def test_date_param(self, http):
+        status, body = get(
+            http, "SELECT toYear({d:Date}) AS r", param_d="2024-03-05"
+        )
+        assert (status, body) == (200, b"2024\n")
+
+    def test_placeholder_in_string_untouched(self, http):
+        status, body = get(http, "SELECT '{n:Int32}' AS r")
+        assert (status, body) == (200, b"{n:Int32}\n")
+
+    def test_missing_param_is_400(self, http):
+        import urllib.error
+
+        try:
+            get(http, "SELECT {nope:Int32} AS r")
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400 and b"nope" in e.read()
+
+    def test_params_do_not_warn(self, http):
+        import urllib.request
+
+        url = http + "/?" + urllib.parse.urlencode(
+            {"query": "SELECT {n:Int64} AS r", "param_n": "7"}
+        )
+        with urllib.request.urlopen(url) as r:
+            assert r.read() == b"7\n"
+            assert r.headers.get("X-ClickHouse-Warning") is None

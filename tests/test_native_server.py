@@ -105,7 +105,7 @@ class Client:
         self.sock.sendall(write_varint(4))
         return self.varint() == 4  # PONG
 
-    def query(self, sql: str):
+    def query(self, sql: str, params: dict | None = None):
         pkt = (
             write_varint(1)  # QUERY
             + write_str("test-query-id")
@@ -128,8 +128,11 @@ class Client:
             + write_varint(2)  # stage: complete
             + write_varint(0)  # no compression
             + write_str(sql)
-            + write_str("")  # end of parameters
         )
+        for name, val in (params or {}).items():
+            # custom-setting shape: name, flags byte, escaped literal
+            pkt += write_str(name) + bytes([0]) + write_str(val)
+        pkt += write_str("")  # end of parameters
         self.sock.sendall(pkt)
         return self._read_response()
 
@@ -485,4 +488,23 @@ class TestNativeInsert:
         _, rows = c.query("SELECT k, v FROM no WHERE k = 2")
         assert rows == [(2, 20)]
         c.query("DROP TABLE no")
+        c.close()
+
+
+class TestQueryParameters:
+    """Server-side {name:Type} binding over the native wire (the
+    parameter entries after the query string in the QUERY packet)."""
+
+    def test_int_param(self, native_port):
+        c = Client(native_port)
+        cols, rows = c.query("SELECT {n:Int32} + 1 AS r", params={"n": "41"})
+        assert rows == [(42,)]
+        c.close()
+
+    def test_string_param_quoted_literal(self, native_port):
+        c = Client(native_port)
+        _cols, rows = c.query(
+            "SELECT concat({s:String}, '!') AS r", params={"s": "'moo'"}
+        )
+        assert rows == [("moo!",)]
         c.close()
