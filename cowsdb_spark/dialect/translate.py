@@ -1963,6 +1963,38 @@ def _rewrite_cast_types(toks: list[Tok]) -> list[Tok]:
     return toks
 
 
+def _rewrite_map_literals(toks: list[Tok]) -> list[Tok]:
+    """CH map literal ``{'a': 1, 'b': 2}`` → ``map('a', 1, 'b', 2)``.
+
+    Only braces whose first significant member is a string/number
+    literal qualify — ``{name:Type}`` query parameters (ident first)
+    are someone else's job (engine.bind_query_params), and JSON text
+    lives inside string tokens the tokenizer already protects."""
+    sig = _sig(toks)
+    for k in range(len(sig)):
+        if toks[sig[k]].text != "{":
+            continue
+        if k + 1 >= len(sig) or toks[sig[k + 1]].kind not in ("string", "number"):
+            continue
+        depth = 0
+        close = None
+        for j in range(k, len(sig)):
+            tx = toks[sig[j]].text
+            if tx in ("{", "(", "["):
+                depth += 1
+            elif tx in ("}", ")", "]"):
+                depth -= 1
+                if depth == 0:
+                    close = j
+                    break
+            elif tx == ":" and depth == 1:
+                toks[sig[j]].text = ","
+        if close is not None and toks[sig[close]].text == "}":
+            toks[sig[k]].text = "map("
+            toks[sig[close]].text = ")"
+    return toks
+
+
 _TUPLE_CTX_KW = frozenset(
     "SELECT WHERE AND OR NOT ON WHEN THEN ELSE BY HAVING PREWHERE "
     "DISTINCT ALL CASE".split()
@@ -2132,6 +2164,7 @@ def translate_select(sql: str) -> Statement:
     toks = _rewrite_tuple_dot(toks)  # before double-literals: expr.1 is access
     _rewrite_double_literals(toks)
     explain_graph = _rewrite_explain(toks)
+    toks = _rewrite_map_literals(toks)  # before brackets: {m}[k] subscripts
     _rewrite_brackets(toks)
     toks = _rewrite_cast_types(toks)
     toks = _rewrite_tuple_in(toks)

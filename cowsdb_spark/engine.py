@@ -62,6 +62,20 @@ class EngineError(Exception):
 
 
 @dataclass
+class DictionarySpec:
+    """CREATE DICTIONARY registration: a keyed view over a source
+    table.  dictGet* rewrites to a correlated scalar subquery over the
+    source, which Catalyst turns into a (broadcastable) left join —
+    exactly the dimension-lookup plan a dictionary is for."""
+
+    name: str
+    source: str  # table reference as written (db.table or table)
+    key: str
+    # attr name -> (CH type string, DEFAULT literal or None)
+    attrs: dict = field(default_factory=dict)
+
+
+@dataclass
 class UserSession:
     user: str
     password: str
@@ -70,6 +84,8 @@ class UserSession:
     # session-level SET k = v (CH sessions persist settings; we honor
     # default_format / max_result_rows, accept the rest silently)
     settings: dict = field(default_factory=dict)
+    # CREATE DICTIONARY registry (name -> DictionarySpec)
+    dictionaries: dict = field(default_factory=dict)
 
     @property
     def ns(self) -> str:
@@ -494,7 +510,7 @@ class Engine:
                         # synthesized introspection tables (SURVEY §1.1;
                         # Play UI queries system.settings, index.html:27)
                         tbl = toks[sig[k + 2]].text.strip("`")
-                        view = _materialize_system(self.spark, sess.ns, tbl)
+                        view = _materialize_system(self.spark, sess.ns, tbl, sess)
                         if view is not None:
                             if created_views is not None:
                                 created_views.append(view)
@@ -547,6 +563,8 @@ class Engine:
                 raise EngineError(f"url()/file() source failed: {e}") from e
         if "merge(" in low.replace(" ", ""):
             sql = self._expand_merge(sess, sql)
+        if sess.dictionaries and ("dictget" in low or "dicthas" in low):
+            sql = self._expand_dict_functions(sess, sql)
         return self._remap_databases(sess, sql, created_views)
 
     def _expand_merge(self, sess: UserSession, sql: str) -> str:
@@ -968,10 +986,191 @@ class Engine:
         df.write.insertInto(tbl)
         return True
 
+    _DICT_CREATE_RE = None  # compiled lazily below
+
+    def _create_dictionary(self, sess: UserSession, sql: str) -> None:
+        """CREATE DICTIONARY name (attrs…) PRIMARY KEY k
+        SOURCE(CLICKHOUSE(TABLE 't' [DB 'd'])) LAYOUT(…) LIFETIME(…).
+
+        LAYOUT/LIFETIME are storage/refresh policy in CH — here the
+        'layout' is whatever plan Catalyst picks for the lookup join
+        (broadcast for any real dictionary) and freshness is the
+        source table itself, so both parse and are ignored."""
+        import re as _re
+
+        m = _re.match(
+            r"(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?DICTIONARY\s+"
+            r"(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.`\"]+)\s*\((?P<attrs>.*?)\)\s*"
+            r"PRIMARY\s+KEY\s+(?P<key>[\w`\", ]+?)\s+SOURCE\s*\(",
+            sql,
+        )
+        if not m:
+            raise EngineError("Cannot parse CREATE DICTIONARY statement", 62)
+        name = m.group("name").strip("`\"")
+        key = m.group("key").strip().strip("`\"")
+        if "," in key:
+            raise EngineError("composite dictionary keys are not supported", 48)
+        tm = _re.search(r"(?i)TABLE\s+'(?P<t>[^']+)'", sql)
+        dbm = _re.search(r"(?i)\bDB\s+'(?P<d>[^']+)'", sql)
+        if not tm:
+            raise EngineError("SOURCE(... TABLE '...') is required", 62)
+        source = tm.group("t")
+        if dbm:
+            source = f"{dbm.group('d')}.{source}"
+        attrs: dict = {}
+        for a in _split_top_level(m.group("attrs")):
+            parts = a.strip().split()
+            if len(parts) < 2:
+                continue
+            aname = parts[0].strip("`\"")
+            atype = parts[1]
+            default = None
+            low = [p.upper() for p in parts]
+            if "DEFAULT" in low:
+                default = " ".join(parts[low.index("DEFAULT") + 1 :])
+                for stop in ("EXPRESSION", "HIERARCHICAL", "INJECTIVE"):
+                    if stop in default.upper():
+                        default = default[: default.upper().index(stop)].strip()
+            attrs[aname] = (atype, default)
+        ine = _re.search(r"(?i)IF\s+NOT\s+EXISTS", sql)
+        if name in sess.dictionaries and ine:
+            return
+        sess.dictionaries[name] = DictionarySpec(
+            name=name, source=source, key=key, attrs=attrs
+        )
+
+    def _attr_default(self, spec: DictionarySpec, attr: str) -> str:
+        ch_type, default = spec.attrs.get(attr, ("String", None))
+        if default is not None:
+            return default
+        from .dialect.types import ch_type_to_spark
+
+        try:
+            from pyspark.sql import types as _T
+
+            dt = ch_type_to_spark(ch_type)
+            if isinstance(dt, _T.StringType):
+                return "''"
+            if isinstance(dt, _T.DateType):
+                return "DATE'1970-01-01'"
+            if isinstance(dt, _T.TimestampType):
+                return "TIMESTAMP'1970-01-01 00:00:00'"
+            return f"CAST(0 AS {dt.simpleString()})"
+        except Exception:  # noqa: BLE001
+            return "NULL"
+
+    def _expand_dict_functions(self, sess: UserSession, sql: str) -> str:
+        """dictGet family → correlated scalar subquery over the source
+        table (Catalyst: RewriteCorrelatedScalarSubquery → left join,
+        broadcast for dictionary-sized sources)."""
+        from .dialect.tokenizer import tokenize as _tok
+        from .dialect.types import ch_type_to_spark
+
+        toks = _tok(sql)
+        out: list[str] = []
+        i = 0
+        n = len(toks)
+        while i < n:
+            t = toks[i]
+            low = t.text.lower() if t.kind == "ident" else ""
+            if low.startswith(("dictget", "dicthas")):
+                # find "(" then split balanced args
+                j = i + 1
+                while j < n and toks[j].kind in ("ws", "comment"):
+                    j += 1
+                if j < n and toks[j].text == "(":
+                    depth = 0
+                    args: list[str] = []
+                    cur: list[str] = []
+                    k = j
+                    while k < n:
+                        tx = toks[k].text
+                        if tx == "(":
+                            depth += 1
+                            if depth > 1:
+                                cur.append(tx)
+                        elif tx == ")":
+                            depth -= 1
+                            if depth == 0:
+                                args.append("".join(cur).strip())
+                                break
+                            cur.append(tx)
+                        elif tx == "," and depth == 1:
+                            args.append("".join(cur).strip())
+                            cur = []
+                        else:
+                            cur.append(tx)
+                        k += 1
+                    expanded = self._dict_call(sess, low, [a for a in args if a])
+                    if expanded is not None:
+                        out.append(expanded)
+                        i = k + 1
+                        continue
+            out.append(t.text)
+            i += 1
+        return "".join(out)
+
+    def _dict_call(self, sess: UserSession, fname: str, args: list):
+        if not args:
+            return None
+        dname = args[0].strip().strip("'\"`")
+        spec = sess.dictionaries.get(dname)
+        if spec is None:
+            # not a registered dictionary: leave the call untouched so
+            # the normal unknown-function error names it
+            return None
+        src, key = spec.source, spec.key
+        if fname == "dicthas" and len(args) == 2:
+            return f"((SELECT count(*) FROM {src} WHERE {key} = ({args[1]})) > 0)"
+        if len(args) < 3:
+            return None
+        attr = args[1].strip().strip("'\"")
+        lookup = f"(SELECT max({attr}) FROM {src} WHERE {key} = ({args[2]}))"
+        if fname == "dictgetornull":
+            return lookup
+        if fname == "dictgetordefault" and len(args) >= 4:
+            return f"coalesce({lookup}, {args[3]})"
+        # typed variants: dictGetString / dictGetUInt64 / … → cast
+        cast_to = None
+        if fname.startswith("dictget") and fname not in ("dictget",):
+            ch_t = fname[len("dictget") :]
+            if ch_t.endswith("ordefault"):
+                ch_t = ch_t[: -len("ordefault")]
+            try:
+                from .dialect.types import ch_type_to_spark as _c2s
+
+                cast_to = _c2s(ch_t).simpleString()
+            except Exception:  # noqa: BLE001
+                cast_to = None
+        body = f"coalesce({lookup}, {self._attr_default(spec, attr)})"
+        if fname.endswith("ordefault") and len(args) >= 4:
+            body = f"coalesce({lookup}, {args[3]})"
+        if cast_to:
+            return f"CAST({body} AS {cast_to})"
+        return body
+
     def _run_ddl(self, sess: UserSession, sql: str) -> None:
         self._order_by_cache.clear()  # DDL may change table properties
         self._tables_cache.clear()  # table set may change
         self._dbs_ensured.clear()  # DROP DATABASE invalidates
+        up = sql.lstrip().upper()
+        if up.startswith(("CREATE DICTIONARY", "CREATE OR REPLACE DICTIONARY")) or (
+            up.startswith("CREATE") and " DICTIONARY " in up.split("(", 1)[0]
+        ):
+            self._create_dictionary(sess, sql)
+            return
+        if up.startswith("DROP DICTIONARY"):
+            import re as _re
+
+            dm = _re.match(
+                r"(?is)\s*DROP\s+DICTIONARY\s+(?:IF\s+EXISTS\s+)?([\w.`\"]+)", sql
+            )
+            if dm:
+                name = dm.group(1).strip("`\"")
+                if name not in sess.dictionaries and "IF EXISTS" not in up:
+                    raise EngineError(f"Dictionary {name} does not exist", 36)
+                sess.dictionaries.pop(name, None)
+            return
         parsed = parse_ddl(sql)
         with self._lock:
             if isinstance(parsed, CreateDatabase):

@@ -101,6 +101,18 @@ def system_columns(spark: SparkSession, ns: str) -> DataFrame:
     return local_df(spark, sorted(rows), schema_s)
 
 
+def system_dictionaries(spark: SparkSession, ns: str, session=None) -> DataFrame:
+    """Registered CREATE DICTIONARY entries for this credential pair
+    (the engine passes its UserSession; None → empty)."""
+    rows = []
+    for spec in (getattr(session, "dictionaries", None) or {}).values():
+        rows.append(
+            (spec.name, spec.source, spec.key, ",".join(spec.attrs), "FLAT")
+        )
+    schema = "name string, source string, key string, attribute_names string, layout string"
+    return local_df(spark, sorted(rows), schema) if rows else local_df(spark, [], schema)
+
+
 PROVIDERS = {
     "one": system_one,
     "databases": system_databases,
@@ -109,10 +121,14 @@ PROVIDERS = {
     "functions": system_functions,
     "numbers": system_numbers,
     "columns": system_columns,
+    "dictionaries": system_dictionaries,
 }
 
+# providers that take the engine's UserSession as a third argument
+_SESSION_PROVIDERS = {"dictionaries"}
 
-def materialize(spark: SparkSession, ns: str, table: str) -> str | None:
+
+def materialize(spark: SparkSession, ns: str, table: str, session=None) -> str | None:
     """Build system.<table> and return a temp view name, or None.
 
     The name embeds the credential namespace and a uuid so concurrent
@@ -125,5 +141,6 @@ def materialize(spark: SparkSession, ns: str, table: str) -> str | None:
     if fn is None:
         return None
     view = f"__moospark_system_{ns}_{table.lower()}_{uuid.uuid4().hex[:8]}"
-    fn(spark, ns).createOrReplaceTempView(view)
+    df = fn(spark, ns, session) if table.lower() in _SESSION_PROVIDERS else fn(spark, ns)
+    df.createOrReplaceTempView(view)
     return view

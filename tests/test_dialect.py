@@ -1273,3 +1273,30 @@ class TestSweep10:
     )
     def test_value(self, eng, q, want):
         assert eng.execute(q) == want
+
+
+class TestMapLiterals:
+    """CH map literal syntax {'k': v, ...} → map(); distinguished from
+    {name:Type} query parameters by the literal first member."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from cowsdb_spark.engine import Engine
+
+        return Engine(spark)
+
+    @pytest.mark.parametrize(
+        "q,want",
+        [
+            ("SELECT {'a': 1, 'b': 2} AS m", b"{'a':1,'b':2}\n"),
+            ("SELECT {'a': 1}['a'] AS v", b"1\n"),
+            ("SELECT {1: 'one', 2: 'two'}[2] AS v", b"two\n"),
+            ("SELECT mapKeys({'x': 10, 'y': 20}) AS k", b"['x','y']\n"),
+            # nested map values
+            ("SELECT {'x': {'inner': 5}}['x']['inner'] AS v", b"5\n"),
+            # JSON text in a string literal is untouched
+            ("SELECT '{\"a\": 1}' AS s", b'{"a": 1}\n'),
+        ],
+    )
+    def test_value(self, eng, q, want):
+        assert eng.execute(q) == want

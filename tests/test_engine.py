@@ -617,3 +617,91 @@ class TestMergeTableFunction:
 
         with _pytest.raises(EngineError):
             engine.execute("SELECT * FROM merge('default', '^zzz')", user="mrgt")
+
+
+class TestDictionaries:
+    """CREATE DICTIONARY + dictGet family: keyed lookups over a source
+    table, rewritten to correlated scalar subqueries that Catalyst
+    plans as a broadcast left join (asserted below) — the dimension-
+    lookup shape a CH dictionary exists for."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from cowsdb_spark.engine import Engine
+
+        eng = Engine(spark)
+        eng.execute("CREATE DATABASE IF NOT EXISTS dictdb")
+        eng.execute(
+            "CREATE TABLE dictdb.countries (code UInt64, name String, pop UInt64) ENGINE = Memory"
+        )
+        eng.execute(
+            "INSERT INTO dictdb.countries VALUES (1, 'Iceland', 400000), (2, 'Malta', 500000)"
+        )
+        eng.execute(
+            "CREATE DICTIONARY country_dict ("
+            " code UInt64, name String DEFAULT 'unknown', pop UInt64"
+            ") PRIMARY KEY code"
+            " SOURCE(CLICKHOUSE(TABLE 'countries' DB 'dictdb'))"
+            " LAYOUT(FLAT()) LIFETIME(MIN 0 MAX 300)"
+        )
+        return eng
+
+    def test_hit(self, eng):
+        assert eng.execute("SELECT dictGet('country_dict', 'name', 1) AS r") == b"Iceland\n"
+
+    def test_miss_uses_declared_default(self, eng):
+        assert eng.execute("SELECT dictGet('country_dict', 'name', 99) AS r") == b"unknown\n"
+
+    def test_miss_uses_type_default(self, eng):
+        assert eng.execute("SELECT dictGet('country_dict', 'pop', 99) AS r") == b"0\n"
+
+    def test_get_or_default(self, eng):
+        assert (
+            eng.execute("SELECT dictGetOrDefault('country_dict', 'name', 99, 'n/a') AS r")
+            == b"n/a\n"
+        )
+
+    def test_get_or_null(self, eng):
+        assert eng.execute("SELECT dictGetOrNull('country_dict', 'name', 99) AS r") == b"\\N\n"
+
+    def test_dict_has(self, eng):
+        assert (
+            eng.execute("SELECT dictHas('country_dict', 2) AS a, dictHas('country_dict', 9) AS b")
+            == b"true\tfalse\n"
+        )
+
+    def test_typed_variant(self, eng):
+        assert eng.execute("SELECT dictGetUInt64('country_dict', 'pop', 2) AS r") == b"500000\n"
+
+    def test_correlated_per_row_lookup(self, eng):
+        got = eng.execute(
+            "SELECT number, dictGet('country_dict', 'name', number) AS nm "
+            "FROM numbers(3) ORDER BY number"
+        )
+        assert got == b"0\tunknown\n1\tIceland\n2\tMalta\n"
+
+    def test_plan_is_broadcast_join(self, eng):
+        df = eng.execute_to_df(
+            "SELECT number, dictGet('country_dict', 'name', number) AS nm FROM numbers(10)"
+        )[0]
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+    def test_system_dictionaries(self, eng):
+        body = eng.execute("SELECT name, key FROM system.dictionaries")
+        assert body == b"country_dict\tcode\n"
+
+    def test_drop(self, eng):
+        eng.execute("CREATE DICTIONARY tmp_d (k UInt64, v String) PRIMARY KEY k "
+                    "SOURCE(CLICKHOUSE(TABLE 'countries' DB 'dictdb')) LAYOUT(FLAT()) LIFETIME(0)")
+        eng.execute("DROP DICTIONARY tmp_d")
+        from cowsdb_spark.engine import EngineError
+
+        with pytest.raises(EngineError):
+            eng.execute("SELECT dictGet('tmp_d', 'v', 1) AS r")
+
+    def test_unknown_dict_is_normal_error(self, eng):
+        from cowsdb_spark.engine import EngineError
+
+        with pytest.raises(EngineError):
+            eng.execute("SELECT dictGet('never_registered', 'v', 1) AS r")
