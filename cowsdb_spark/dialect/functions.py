@@ -1021,3 +1021,577 @@ def expand_combinator(lname: str, args: list[str]):
         else:
             core = f"coalesce({core}, 0)"
     return core
+
+
+# --- r4 sweep 11: window-misc, multiset n-grams, multi-search, map HOFs,
+# sequence aggregates, t-tests, snowflake IDs, geometry --------------------
+
+# positionCaseInsensitive was wrongly RENAMEd to case-sensitive instr
+RENAMES.pop("positioncaseinsensitive", None)
+TEMPLATES["positioncaseinsensitive"] = "instr(lower({0}), lower({1}))"
+TEMPLATES["positioncaseinsensitiveutf8"] = "instr(lower({0}), lower({1}))"
+
+# dense first-appearance rank per element (reference exposes the CH
+# spelling via chDB; Spark reading: rank = position in the distinct-
+# preserving prefix, reference main.py:190 delegate surface)
+TEMPLATES["arrayenumeratedense"] = (
+    "transform({0}, __x -> array_position(array_distinct({0}), __x))"
+)
+
+# multi-needle search family: transform to per-needle probes, then
+# fold JVM-side — no UDF, stays in whole-stage codegen
+TEMPLATES["multisearchfirstindex"] = (
+    "array_position(transform({1}, __n -> instr({0}, __n) > 0), true)"
+)
+TEMPLATES["multisearchfirstposition"] = (
+    "coalesce(array_min(filter(transform({1}, __n -> instr({0}, __n)), "
+    "__p -> __p > 0)), 0)"
+)
+TEMPLATES["multisearchallpositions"] = "transform({1}, __n -> instr({0}, __n))"
+TEMPLATES["multisearchanycaseinsensitive"] = (
+    "exists({1}, __n -> instr(lower({0}), lower(__n)) > 0)"
+)
+# regexp variants: regexp_like accepts a non-foldable pattern (compiled
+# per row — the cost CH pays too for non-constant needles)
+TEMPLATES["multimatchany"] = "exists({1}, __p -> regexp_like({0}, __p))"
+TEMPLATES["multimatchanyindex"] = (
+    "array_position(transform({1}, __p -> regexp_like({0}, __p)), true)"
+)
+
+# 4-gram multiset distance/search (CH ngramDistance/ngramSearch family,
+# byte-4-gram multisets). Multiset counts via filter-size over the
+# gram arrays; strings are short so the O(g^2) distinct-scan is cheap
+# and stays inside codegen.
+def _grams4(e: str) -> str:
+    return (
+        f"transform(sequence(1, greatest(char_length({e}) - 3, 1)), "
+        f"__i -> substring({e}, __i, 4))"
+    )
+
+
+_G0, _G1 = _grams4("{0}"), _grams4("{1}")
+TEMPLATES["ngramdistance"] = (
+    f"(aggregate(array_distinct(concat({_G0}, {_G1})), 0, (__acc, __g) -> "
+    f"__acc + abs(size(filter({_G0}, __x -> __x = __g)) "
+    f"- size(filter({_G1}, __x -> __x = __g)))) "
+    f"/ CAST(size({_G0}) + size({_G1}) AS DOUBLE))"
+)
+TEMPLATES["ngramdistancecaseinsensitive"] = TEMPLATES["ngramdistance"].replace(
+    "{0}", "lower({0})"
+).replace("{1}", "lower({1})")
+TEMPLATES["ngramsearch"] = (
+    f"(aggregate(array_distinct({_G1}), 0, (__acc, __g) -> "
+    f"__acc + least(size(filter({_G1}, __x -> __x = __g)), "
+    f"size(filter({_G0}, __x -> __x = __g)))) "
+    f"/ CAST(size({_G1}) AS DOUBLE))"
+)
+TEMPLATES["ngramsearchcaseinsensitive"] = TEMPLATES["ngramsearch"].replace(
+    "{0}", "lower({0})"
+).replace("{1}", "lower({1})")
+
+# map HOFs: Spark has native map_filter; apply/update/sort compose
+# from entries (CH arg order puts the lambda first)
+TEMPLATES["mapfilter"] = "map_filter({1}, {0})"
+TEMPLATES["mapupdate"] = (
+    "map_concat(map_filter({0}, (__k, __v) -> "
+    "NOT array_contains(map_keys({1}), __k)), {1})"
+)
+TEMPLATES["mapsort"] = "map_from_entries(array_sort(map_entries({0})))"
+# mapExists/mapAll: code handlers below (lambda-body substitution)
+
+TEMPLATES["timediff"] = "(unix_timestamp({1}) - unix_timestamp({0}))"
+
+# block-order functions: CH defines these over block arrival order; the
+# Spark reading is a global window over the scan order surrogate
+# (monotonically_increasing_id is partition-ordered, like CH blocks)
+TEMPLATES["runningdifference"] = (
+    "({0} - lag({0}, 1, {0}) OVER (ORDER BY monotonically_increasing_id()))"
+)
+
+# Twitter snowflake IDs (epoch 1288834974657 ms, ms timestamp << 22)
+TEMPLATES["snowflaketodatetime"] = (
+    "timestamp_seconds(CAST((({0} >> 22) + 1288834974657) / 1000 AS BIGINT))"
+)
+TEMPLATES["snowflaketodatetime64"] = (
+    "timestamp_millis(({0} >> 22) + 1288834974657)"
+)
+TEMPLATES["datetimetosnowflake"] = (
+    "((unix_timestamp({0}) * 1000 - 1288834974657) << 22)"
+)
+TEMPLATES["datetime64tosnowflake"] = (
+    "((unix_millis({0}) - 1288834974657) << 22)"
+)
+
+# CH type-name spelling for the common scalar types (Spark typeof()
+# vocabulary otherwise leaks through; literal ints type as Int32 not
+# CH's narrowest-fit UInt8 — documented divergence, Spark literal typing)
+TEMPLATES["totypename"] = (
+    "CASE typeof({0}) "
+    "WHEN 'tinyint' THEN 'Int8' WHEN 'smallint' THEN 'Int16' "
+    "WHEN 'int' THEN 'Int32' WHEN 'bigint' THEN 'Int64' "
+    "WHEN 'float' THEN 'Float32' WHEN 'double' THEN 'Float64' "
+    "WHEN 'string' THEN 'String' WHEN 'boolean' THEN 'Bool' "
+    "WHEN 'date' THEN 'Date' WHEN 'timestamp' THEN 'DateTime' "
+    "WHEN 'timestamp_ntz' THEN 'DateTime' "
+    "ELSE typeof({0}) END"
+)
+
+# two-sample t-tests as pure aggregate-expression algebra; p-value via
+# the normal approximation erfc(|t|/sqrt 2) (erf template above, A&S
+# 7.1.26) — exact Student CDF needs the incomplete beta, out of SQL
+# reach; for the n where anyone trusts a t-test the normal tail is
+# within ~1e-2 of Student and documented as approximate.
+def _ttest(welch: bool) -> str:
+    n0 = "count(CASE WHEN ({1}) = 0 THEN 1 END)"
+    n1 = "count(CASE WHEN ({1}) = 1 THEN 1 END)"
+    m0 = "avg(CASE WHEN ({1}) = 0 THEN {0} END)"
+    m1 = "avg(CASE WHEN ({1}) = 1 THEN {0} END)"
+    v0 = "var_samp(CASE WHEN ({1}) = 0 THEN {0} END)"
+    v1 = "var_samp(CASE WHEN ({1}) = 1 THEN {0} END)"
+    if welch:
+        se2 = f"(({v0}) / ({n0}) + ({v1}) / ({n1}))"
+    else:
+        sp2 = (
+            f"(((({n0}) - 1) * ({v0}) + (({n1}) - 1) * ({v1})) "
+            f"/ (({n0}) + ({n1}) - 2))"
+        )
+        se2 = f"({sp2} * (1.0 / ({n0}) + 1.0 / ({n1})))"
+    t = f"((({m0}) - ({m1})) / sqrt({se2}))"
+    p = f"(1.0 - erf(abs({t}) / sqrt(2.0)))"
+    return f"struct(CAST({t} AS DOUBLE), CAST({p} AS DOUBLE))"
+
+
+TEMPLATES["studentttest"] = _ttest(welch=False)
+TEMPLATES["welchttest"] = _ttest(welch=True)
+
+
+# --- code-shaped rewrites (argument-inspecting; hooked by translate.py
+# right before the _SPECIAL_FNS pass-through). Handler returns the
+# replacement expression, or None to pass the call through unchanged.
+
+import re as _re
+
+
+def _lit_str(arg: str) -> str | None:
+    """Unquote a string literal argument, else None."""
+    a = arg.strip()
+    if len(a) >= 2 and a[0] in "'\"" and a[-1] == a[0]:
+        return a[1:-1]
+    return None
+
+
+def _fn_array_reduce(args: list[str]) -> str | None:
+    """arrayReduce('agg', arr) for the scalar-state aggregate names."""
+    if len(args) != 2:
+        return None
+    name = (_lit_str(args[0]) or "").lower()
+    a = args[1]
+    forms = {
+        "sum": f"aggregate({a}, CAST(0 AS DOUBLE), (__acc, __x) -> __acc + __x)",
+        "min": f"array_min({a})",
+        "max": f"array_max({a})",
+        "avg": (
+            f"(aggregate({a}, CAST(0 AS DOUBLE), (__acc, __x) -> __acc + __x)"
+            f" / size({a}))"
+        ),
+        "count": f"size({a})",
+        "any": f"element_at({a}, 1)",
+        "anylast": f"element_at({a}, -1)",
+        "uniq": f"size(array_distinct({a}))",
+        "uniqexact": f"size(array_distinct({a}))",
+        "grouparray": f"({a})",
+        "median": (
+            f"element_at(array_sort({a}), CAST((size({a}) + 1) / 2 AS INT))"
+        ),
+    }
+    return forms.get(name)
+
+
+def _count_capture_groups(pat: str) -> int:
+    """Capturing groups in a regex literal: '(' not escaped, not '(?'."""
+    n = 0
+    i = 0
+    while i < len(pat):
+        c = pat[i]
+        if c == "\\":
+            i += 2
+            continue
+        if c == "(" and not pat[i + 1 : i + 2] == "?":
+            n += 1
+        i += 1
+    return n
+
+
+def _fn_extract_all(args: list[str]) -> str | None:
+    """CH extractAll: group 1 if the pattern has a capture group, else
+    the whole match (Spark's regexp_extract_all has no such default)."""
+    if len(args) != 2:
+        return None
+    pat = _lit_str(args[1])
+    idx = 1 if (pat is not None and _count_capture_groups(pat) > 0) else 0
+    return f"regexp_extract_all({args[0]}, {args[1]}, {idx})"
+
+
+def _fn_extract_groups(args: list[str]) -> str | None:
+    """extractGroups(h, 're') → array of the first match's groups."""
+    if len(args) != 2:
+        return None
+    pat = _lit_str(args[1])
+    if pat is None:
+        return None
+    n = _count_capture_groups(pat)
+    if n == 0:
+        return None
+    parts = ", ".join(f"regexp_extract({args[0]}, {args[1]}, {k})" for k in range(1, n + 1))
+    return f"array({parts})"
+
+
+def _fn_extract_all_groups_horizontal(args: list[str]) -> str | None:
+    """extractAllGroupsHorizontal → array per group of all its matches."""
+    if len(args) != 2:
+        return None
+    pat = _lit_str(args[1])
+    if pat is None:
+        return None
+    n = _count_capture_groups(pat)
+    if n == 0:
+        return None
+    parts = ", ".join(
+        f"regexp_extract_all({args[0]}, {args[1]}, {k})" for k in range(1, n + 1)
+    )
+    return f"array({parts})"
+
+
+def _fn_untuple(args: list[str]) -> str | None:
+    """untuple(tuple(a, b, …)) → a, b, … (select-list expansion).
+    Only the literal-tuple shape is statically expandable — arity of a
+    general expression is unknown at translate time."""
+    if len(args) != 1:
+        return None
+    a = args[0].strip()
+    m = _re.match(r"(?is)^(?:tuple|struct)\s*\((.*)\)$", a)
+    if not m:
+        return None
+    return m.group(1)
+
+
+def _fn_initialize_aggregation(args: list[str]) -> str | None:
+    """initializeAggregation('agg', v): the single-value aggregate state
+    for the scalar-state family (sum/min/max/any = the value itself)."""
+    if len(args) < 2:
+        return None
+    name = (_lit_str(args[0]) or "").lower()
+    if name in ("sum", "min", "max", "any", "anylast"):
+        return f"({args[1]})"
+    if name == "count":
+        return "1"
+    if name in ("grouparray", "groupuniqarray"):
+        return f"array({args[1]})"
+    return None
+
+
+def _fn_finalize_aggregation(args: list[str]) -> str | None:
+    if len(args) != 1:
+        return None
+    return f"({args[0]})"
+
+
+def _fn_neighbor(args: list[str]) -> str | None:
+    """neighbor(col, offset[, default]) → lead over scan order (CH
+    block-order surrogate). Without a default CH fills the type default;
+    we fill NULL — the type is unknown at translate time (documented)."""
+    if len(args) == 2:
+        body = f"lead({args[0]}, {args[1]})"
+    elif len(args) == 3:
+        body = f"lead({args[0]}, {args[1]}, {args[2]})"
+    else:
+        return None
+    return f"({body} OVER (ORDER BY monotonically_increasing_id()))"
+
+
+def _fn_map_apply(args: list[str]) -> str | None:
+    """mapApply((k, v) -> (k', v'), m): rebuild via entries. The lambda
+    body must be a 2-tuple; param names substitute to the entry fields."""
+    if len(args) != 2:
+        return None
+    m = _re.match(r"(?s)^\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)\s*->\s*(.*)$", args[0])
+    if not m:
+        return None
+    kname, vname, body = m.group(1), m.group(2), m.group(3).strip()
+    mt = _re.match(r"(?s)^(?:tuple\s*)?\((.*)\)$", body)
+    if not mt:
+        return None
+    # split the tuple body on the top-level comma
+    inner = mt.group(1)
+    depth = 0
+    split_at = -1
+    in_str: str | None = None
+    for i, c in enumerate(inner):
+        if in_str:
+            if c == in_str:
+                in_str = None
+            continue
+        if c in "'\"":
+            in_str = c
+        elif c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif c == "," and depth == 0:
+            split_at = i
+            break
+    if split_at < 0:
+        return None
+    ke, ve = inner[:split_at].strip(), inner[split_at + 1 :].strip()
+    for name, repl in ((kname, "__e.key"), (vname, "__e.value")):
+        ke = _re.sub(rf"\b{name}\b", repl, ke)
+        ve = _re.sub(rf"\b{name}\b", repl, ve)
+    return (
+        f"map_from_entries(transform(map_entries({args[1]}), "
+        f"__e -> struct({ke}, {ve})))"
+    )
+
+
+def _fn_array_shift(left: bool):
+    def h(args: list[str]) -> str | None:
+        if len(args) not in (2, 3):
+            return None
+        a, n = args[0], f"({args[1]})"
+        d = args[2] if len(args) == 3 else "NULL"  # CH: type default; NULL here
+        if left:
+            body = (
+                f"concat(slice({a}, {n} + 1, size({a}) - {n}), "
+                f"array_repeat({d}, {n}))"
+            )
+        else:
+            body = (
+                f"concat(array_repeat({d}, {n}), "
+                f"slice({a}, 1, size({a}) - {n}))"
+            )
+        return (
+            f"CASE WHEN {n} >= size({a}) THEN transform({a}, __x -> {d}) "
+            f"ELSE {body} END"
+        )
+
+    return h
+
+
+def _fn_point_in_polygon(args: list[str]) -> str | None:
+    """pointInPolygon((x, y), [(x1, y1), …]) → even-odd ray cast, pure
+    fold over the vertex array (struct fields col1/col2 from tuple())."""
+    if len(args) != 2:
+        return None
+    pt = args[0].strip()
+    if pt.startswith("(") and not _re.match(r"(?i)^(tuple|struct)\s*\(", pt):
+        pt = f"struct{pt}"
+    # bare tuples inside the vertex array → struct(...) ( '(' not
+    # preceded by an identifier char or ')' is a tuple opener )
+    poly = _re.sub(r"(?<![\w)])\(", "struct(", args[1])
+    v = poly
+    def at(idx: str) -> str:
+        return f"element_at({v}, {idx})"
+    nxt = f"1 + (__i % size({v}))"
+    cond = (
+        f"(({at('__i')}.col2 > {pt}.col2) != ({at(nxt)}.col2 > {pt}.col2)) "
+        f"AND ({pt}.col1 < ({at(nxt)}.col1 - {at('__i')}.col1) "
+        f"* ({pt}.col2 - {at('__i')}.col2) "
+        f"/ ({at(nxt)}.col2 - {at('__i')}.col2) + {at('__i')}.col1)"
+    )
+    return (
+        f"(aggregate(sequence(1, size({v})), 0, "
+        f"(__acc, __i) -> __acc + IF({cond}, 1, 0)) % 2)"
+    )
+
+
+def _fn_values_table(args: list[str]) -> str | None:
+    """CH VALUES('a Int32, b String', (1, 'x'), …) table function →
+    typed subquery over Spark's FROM VALUES. Plain Spark VALUES rows
+    (no schema-literal first arg) pass through untouched."""
+    if len(args) < 2:
+        return None
+    schema = _lit_str(args[0])
+    if schema is None or " " not in schema:
+        return None
+    # disambiguate from INSERT … VALUES ('a b', …): the table-function
+    # shape has tuple rows and Capitalized CH type names
+    if not all(a.strip().startswith("(") for a in args[1:]):
+        return None
+    from .types import _split_args, ch_type_to_spark
+
+    cols = []
+    for part in _split_args(schema):
+        bits = part.strip().split(None, 1)
+        if len(bits) != 2 or not bits[1][:1].isupper():
+            return None
+        cols.append((bits[0].strip("`"), ch_type_to_spark(bits[1]).simpleString()))
+    rows = ", ".join(args[1:])
+    holders = ", ".join(f"`__c{i}`" for i in range(len(cols)))
+    sel = ", ".join(
+        f"CAST(`__c{i}` AS {typ}) AS `{name}`" for i, (name, typ) in enumerate(cols)
+    )
+    return f"(SELECT {sel} FROM VALUES {rows} AS __vals({holders}))"
+
+
+CODE_FNS: dict[str, "callable"] = {
+    "arrayreduce": _fn_array_reduce,
+    "extractall": _fn_extract_all,
+    "extractgroups": _fn_extract_groups,
+    "extractallgroupshorizontal": _fn_extract_all_groups_horizontal,
+    "untuple": _fn_untuple,
+    "initializeaggregation": _fn_initialize_aggregation,
+    "finalizeaggregation": _fn_finalize_aggregation,
+    "neighbor": _fn_neighbor,
+    "mapapply": _fn_map_apply,
+    "arrayshiftleft": _fn_array_shift(left=True),
+    "arrayshiftright": _fn_array_shift(left=False),
+    "pointinpolygon": _fn_point_in_polygon,
+    "values": _fn_values_table,
+}
+
+# extractAll's old unconditional rename mapped to regexp_extract_all
+# group 1, which errors on group-less patterns (and diverges from CH's
+# whole-match default) — superseded by the code handler above
+RENAMES.pop("extractall", None)
+
+
+# --- parametric sequence aggregates: sequenceMatch / sequenceCount /
+# windowFunnel as pure collect_list + sorted-fold aggregate expressions
+# (same algorithm as operators/funnel.py, reachable from SQL). Only the
+# ordered-existence pattern family '(?a).*(?b)…' is expressible
+# statically; time-constrained patterns ('(?t<=3600)') return None and
+# surface CH's own not-supported error shape.
+
+def _parse_seq_pattern(param: str) -> list[int] | None:
+    pat = _lit_str(param)
+    if pat is None:
+        return None
+    parts = pat.split(".*")
+    idxs: list[int] = []
+    for p in parts:
+        m = _re.fullmatch(r"\(\?(\d+)\)", p.strip())
+        if not m:
+            return None
+        idxs.append(int(m.group(1)))
+    return idxs or None
+
+
+def _seq_label(conds: list[str], chain: list[int]) -> str:
+    # first-match labeling: an event carries the earliest chain slot
+    # whose condition it satisfies (CH evaluates all conds per event;
+    # for the disjoint conds of real funnels the semantics coincide)
+    whens = " ".join(
+        f"WHEN ({conds[ci - 1]}) THEN {slot + 1}"
+        for slot, ci in enumerate(chain)
+    )
+    return f"CASE {whens} ELSE 0 END"
+
+
+def _sorted_events(ts: str, lab: str) -> str:
+    # collect_list skips NULLs: non-matching events never enter the fold
+    return (
+        f"array_sort(collect_list(IF(({lab}) > 0, "
+        f"struct(CAST({ts} AS DOUBLE) AS t, {lab} AS lab), NULL)))"
+    )
+
+
+def _pfn_sequence_match(args: list[str], params: list[str]) -> str | None:
+    chain = _parse_seq_pattern(params[0]) if params else None
+    if chain is None or len(args) < 2 or max(chain) > len(args) - 1:
+        return None
+    n = len(chain)
+    lab = _seq_label(args[1:], chain)
+    return (
+        f"CAST(aggregate({_sorted_events(args[0], lab)}, 0, "
+        f"(__acc, __e) -> IF(__acc < {n} AND __e.lab = __acc + 1, "
+        f"__acc + 1, __acc)) = {n} AS INT)"
+    )
+
+
+def _pfn_sequence_count(args: list[str], params: list[str]) -> str | None:
+    chain = _parse_seq_pattern(params[0]) if params else None
+    if chain is None or len(args) < 2 or max(chain) > len(args) - 1:
+        return None
+    n = len(chain)
+    lab = _seq_label(args[1:], chain)
+    return (
+        f"aggregate({_sorted_events(args[0], lab)}, "
+        f"struct(0 AS cnt, 0 AS lvl), "
+        f"(__a, __e) -> IF(__e.lab = __a.lvl + 1, "
+        f"IF(__a.lvl + 1 = {n}, named_struct('cnt', __a.cnt + 1, 'lvl', 0), "
+        f"named_struct('cnt', __a.cnt, 'lvl', __a.lvl + 1)), __a), "
+        f"__a -> __a.cnt)"
+    )
+
+
+def _pfn_window_funnel(args: list[str], params: list[str]) -> str | None:
+    """windowFunnel(window)(ts, c1, …): CH's chain-start propagation —
+    acc[k] holds the chain-start ts of the best chain reaching level k
+    (level 1 keeps the latest start, maximizing window headroom);
+    max level = contiguous non-null prefix."""
+    if not params or len(args) < 2:
+        return None
+    if any(_lit_str(p) is not None for p in params):
+        return None  # mode params ('strict_order', …) unsupported
+    w = params[0]
+    n = len(args) - 1
+    lab = _seq_label(args[1:], list(range(1, n + 1)))
+    prev = "element_at(__acc, __k - 1)"
+    step = (
+        f"transform(sequence(1, {n}), __k -> "
+        f"CASE WHEN __e.lab = __k AND (__k = 1 OR ({prev} IS NOT NULL "
+        f"AND __e.t - {prev} <= ({w}))) "
+        f"THEN IF(__k = 1, __e.t, {prev}) "
+        f"ELSE element_at(__acc, __k) END)"
+    )
+    return (
+        f"aggregate({_sorted_events(args[0], lab)}, "
+        f"array_repeat(CAST(NULL AS DOUBLE), {n}), "
+        f"(__acc, __e) -> {step}, "
+        f"__acc -> size(filter(__acc, __x -> __x IS NOT NULL)))"
+    )
+
+
+PARAMETERIZED["sequencematch"] = _pfn_sequence_match
+PARAMETERIZED["sequencecount"] = _pfn_sequence_count
+PARAMETERIZED["windowfunnel"] = _pfn_window_funnel
+
+
+def _fn_geohash_encode(args: list[str]) -> str | None:
+    """geohashEncode(lon, lat[, precision=12]) → the registered
+    pandas UDF (fixed arity — default filled here)."""
+    if len(args) == 2:
+        return f"chGeohashEncode({args[0]}, {args[1]}, 12)"
+    if len(args) == 3:
+        return f"chGeohashEncode({args[0]}, {args[1]}, {args[2]})"
+    return None
+
+
+CODE_FNS["geohashencode"] = _fn_geohash_encode
+
+
+def _subst_2param_lambda(lam: str) -> str | None:
+    """Rewrite a CH two-param lambda '(k, v) -> body' into an entry-based
+    body over ``__e.key``/``__e.value``; None if the shape differs."""
+    m = _re.match(r"(?s)^\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)\s*->\s*(.*)$", lam)
+    if not m:
+        return None
+    kname, vname, body = m.group(1), m.group(2), m.group(3).strip()
+    body = _re.sub(rf"\b{kname}\b", "__e.key", body)
+    body = _re.sub(rf"\b{vname}\b", "__e.value", body)
+    return body
+
+
+def _fn_map_pred(hof: str):
+    def h(args: list[str]) -> str | None:
+        if len(args) != 2:
+            return None
+        body = _subst_2param_lambda(args[0])
+        if body is None:
+            return None
+        return f"{hof}(map_entries({args[1]}), __e -> ({body}))"
+
+    return h
+
+
+CODE_FNS["mapexists"] = _fn_map_pred("exists")
+CODE_FNS["mapall"] = _fn_map_pred("forall")

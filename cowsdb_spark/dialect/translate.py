@@ -19,6 +19,7 @@ from dataclasses import dataclass, field
 from typing import Optional
 
 from .functions import (
+    CODE_FNS,
     PARAMETERIZED,
     RENAMES,
     TEMPLATES,
@@ -359,6 +360,7 @@ def _rewrite_functions(sql: str) -> str:
                     lname in RENAMES
                     or lname in TEMPLATES
                     or lname in PARAMETERIZED
+                    or lname in CODE_FNS
                     or lname == "numbers"
                     or lname == "generaterandom"
                     or lname in _SPECIAL_FNS
@@ -383,12 +385,17 @@ def _rewrite_functions(sql: str) -> str:
                         close2 = _find_call_close(toks, k)
                         if close2 != -1:
                             real_args = _split_call_args(toks[k + 1 : close2])
-                            out.append(
-                                _apply_template(PARAMETERIZED[lname], real_args, args)
+                            entry = PARAMETERIZED[lname]
+                            res = (
+                                entry(real_args, args)
+                                if callable(entry)
+                                else _apply_template(entry, real_args, args)
                             )
-                            i = close2 + 1
-                            changed = True
-                            continue
+                            if res is not None:
+                                out.append(res)
+                                i = close2 + 1
+                                changed = True
+                                continue
                     if lname == "numbers":
                         # \x00-guard keeps the fixpoint loop from
                         # rewriting Spark's range() table function via
@@ -562,6 +569,16 @@ def _rewrite_functions(sql: str) -> str:
                         out.append(".".join(p for p in parts if p))
                         i = close + 1
                         changed = True
+                        continue
+                    if lname in CODE_FNS:
+                        res = CODE_FNS[lname](args)
+                        if res is not None:
+                            out.append(res)
+                            i = close + 1
+                            changed = True
+                            continue
+                        out.append(t.text)  # shape didn't match: pass through
+                        i += 1
                         continue
                     if lname in _SPECIAL_FNS:
                         out.append(t.text)  # shape didn't match: pass through
@@ -1138,6 +1155,78 @@ def _rewrite_limit_with_ties(toks: list[Tok]) -> list[Tok]:
         f"ORDER BY {order_list}"
     )
     return tokenize(new_sql)
+
+
+def _rewrite_radix_literals(toks: list[Tok]) -> list[Tok]:
+    """CH ``0b101`` / ``0x1F`` integer literals → decimal (Spark parses
+    neither; the tokenizer splits them into number '0' + ident)."""
+    for k, t in enumerate(toks):
+        if (
+            t.kind == "number"
+            and t.text == "0"
+            and k + 1 < len(toks)
+            and toks[k + 1].kind == "ident"
+        ):
+            nxt = toks[k + 1].text
+            m = re.fullmatch(r"b([01]+)", nxt)
+            if m:
+                t.text = str(int(m.group(1), 2))
+                toks[k + 1].text = ""
+                continue
+            m = re.fullmatch(r"[xX]([0-9a-fA-F]+)", nxt)
+            if m:
+                t.text = str(int(m.group(1), 16))
+                toks[k + 1].text = ""
+    return toks
+
+
+def _rewrite_offset_fetch(toks: list[Tok]) -> list[Tok]:
+    """ANSI ``OFFSET n ROWS [FETCH FIRST|NEXT m ROWS ONLY]`` and bare
+    ``FETCH FIRST m ROWS ONLY`` → Spark's ``LIMIT m OFFSET n``."""
+    sig = _sig(toks)
+
+    def up(si: int) -> str:
+        return toks[sig[si]].text.upper() if 0 <= si < len(sig) else ""
+
+    for si in range(len(sig)):
+        if (
+            up(si) == "OFFSET"
+            and si + 1 < len(sig)
+            and toks[sig[si + 1]].kind == "number"
+        ):
+            n = toks[sig[si + 1]].text
+            j = si + 2
+            if up(j) in ("ROW", "ROWS"):
+                toks[sig[j]].text = ""
+                j += 1
+            else:
+                continue  # plain OFFSET n — already Spark syntax
+            if (
+                up(j) == "FETCH"
+                and up(j + 1) in ("FIRST", "NEXT")
+                and j + 2 < len(sig)
+                and toks[sig[j + 2]].kind == "number"
+                and up(j + 3) in ("ROW", "ROWS")
+                and up(j + 4) == "ONLY"
+            ):
+                m = toks[sig[j + 2]].text
+                toks[sig[si]].text = f"LIMIT {m} OFFSET"
+                for k in range(j, j + 5):
+                    toks[sig[k]].text = ""
+            break
+        if (
+            up(si) == "FETCH"
+            and up(si + 1) in ("FIRST", "NEXT")
+            and si + 2 < len(sig)
+            and toks[sig[si + 2]].kind == "number"
+            and up(si + 3) in ("ROW", "ROWS")
+            and up(si + 4) == "ONLY"
+        ):
+            toks[sig[si]].text = f"LIMIT {toks[sig[si + 2]].text}"
+            for k in range(si + 1, si + 5):
+                toks[sig[k]].text = ""
+            break
+    return toks
 
 
 def _rewrite_limit_comma(toks: list[Tok]) -> list[Tok]:
@@ -2181,6 +2270,8 @@ def translate_select(sql: str) -> Statement:
     toks = _rewrite_limit_by(toks)
     toks = _rewrite_limit_with_ties(toks)
     toks = _rewrite_limit_comma(toks)
+    toks = _rewrite_offset_fetch(toks)
+    toks = _rewrite_radix_literals(toks)
     toks, with_fill = _rewrite_with_fill(toks)
     toks, with_totals = _rewrite_with_totals(toks)
     body = "".join(t.text for t in toks).strip()

@@ -36,6 +36,7 @@ from .dialect.ddl import (
 from .formats import QueryResult, serialize
 from .functions.ch_hashes import register_all as _register_hashes
 from .functions.codecs import register_all as _register_codecs
+from .functions.misc_udfs import register_all as _register_misc
 from .localdf import local_df
 from .session import get_spark
 from .sources.url import resolve_table_functions
@@ -165,6 +166,7 @@ class Engine:
         self.spark.conf.set("spark.sql.ansi.enabled", "false")
         _register_hashes(self.spark)
         _register_codecs(self.spark)
+        _register_misc(self.spark)
         self._sessions: dict[tuple[str, str], UserSession] = {}
         self._order_by_cache: dict[str, Optional[str]] = {}
         # per-Spark-db table-name sets for lock-free qualification of

@@ -1300,3 +1300,156 @@ class TestMapLiterals:
     )
     def test_value(self, eng, q, want):
         assert eng.execute(q) == want
+
+
+class TestSweep11FunctionBreadth:
+    """Value-level checks for the round-4 sweep-11 additions: window-misc
+    (neighbor/runningDifference), multiset n-gram distance, multi-search
+    and multi-match, map HOFs, extractGroups family, arrayReduce,
+    radix literals, OFFSET/FETCH, VALUES table function, sequence
+    aggregates, t-tests, snowflake IDs, geohash, point-in-polygon."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from cowsdb_spark.engine import Engine
+
+        return Engine(spark)
+
+    @pytest.mark.parametrize(
+        "q,want",
+        [
+            ("SELECT positionCaseInsensitive('Hello','hel')", b"1\n"),
+            ("SELECT arrayEnumerateDense([10,20,10])", b"[1,2,1]\n"),
+            ("SELECT arrayReduce('sum', [1,2,3])", b"6\n"),
+            ("SELECT arrayReduce('max', [3,1,2])", b"3\n"),
+            ("SELECT arrayReduce('median', [3,1,2])", b"2\n"),
+            ("SELECT multiSearchFirstIndex('hello', ['xx','ell'])", b"2\n"),
+            ("SELECT multiSearchFirstPosition('hello world', ['wor','ello'])", b"2\n"),
+            ("SELECT multiSearchAllPositions('hello', ['l','x'])", b"[3,0]\n"),
+            ("SELECT multiMatchAny('hello', ['^x', 'l+o$'])", b"true\n"),
+            ("SELECT multiMatchAnyIndex('hello', ['^x', 'l+o$'])", b"2\n"),
+            # CH docs example: ngramDistance('ClickHouse','House')=0.5555556
+            ("SELECT round(ngramDistance('ClickHouse','House'), 4)", b"0.5556\n"),
+            ("SELECT ngramSearch('ClickHouse','House')", b"1\n"),
+            ("SELECT extractAll('a1b22c', '[0-9]+')", b"['1','22']\n"),
+            ("SELECT extractAll('a1b22c', '([0-9])[0-9]*')", b"['1','2']\n"),
+            (r"SELECT extractGroups('a=1', '(\\w+)=(\\w+)')", b"['a','1']\n"),
+            (
+                r"SELECT extractAllGroupsHorizontal('k1=v1, k2=v2', '(\\w+)=(\\w+)')",
+                b"[['k1','k2'],['v1','v2']]\n",
+            ),
+            ("SELECT mapFilter((k, v) -> v > 1, map('a',1,'b',2))", b"{'b':2}\n"),
+            ("SELECT mapApply((k, v) -> (k, v * 2), map('a', 1))", b"{'a':2}\n"),
+            ("SELECT mapUpdate(map('a',1,'c',3), map('a',2))", b"{'a':2,'c':3}\n"),
+            ("SELECT mapSort(map('b',1,'a',2))", b"{'a':2,'b':1}\n"),
+            ("SELECT mapExists((k, v) -> v > 1, map('a',1,'b',2))", b"true\n"),
+            ("SELECT mapAll((k, v) -> v > 1, map('a',1,'b',2))", b"false\n"),
+            ("SELECT arrayShiftLeft([1,2,3], 1, 0)", b"[2,3,0]\n"),
+            ("SELECT arrayShiftRight([1,2,3], 1, 0)", b"[0,1,2]\n"),
+            (
+                "SELECT timeDiff(toDateTime('2024-01-01 00:00:00'), "
+                "toDateTime('2024-01-01 01:00:00'))",
+                b"3600\n",
+            ),
+            ("SELECT 0b101", b"5\n"),
+            ("SELECT 0x1F", b"31\n"),
+            ("SELECT untuple(tuple(1, 'a')), 9", b"1\ta\t9\n"),
+            ("SELECT initializeAggregation('sum', 3)", b"3\n"),
+            ("SELECT finalizeAggregation(initializeAggregation('max', 7))", b"7\n"),
+            ("SELECT toTypeName(1), toTypeName('x'), toTypeName(1.5)",
+             b"Int32\tString\tFloat64\n"),
+            (
+                "SELECT snowflakeToDateTime(1426860702823350272)",
+                b"2021-08-15 10:57:56\n",
+            ),
+            ("SELECT geohashEncode(-5.60302734375, 42.593994140625, 5)", b"ezs42\n"),
+            (
+                "SELECT pointInPolygon((3., 3.), [(6, 0), (8, 4), (5, 8), (0, 2)]), "
+                "pointInPolygon((10., 10.), [(6, 0), (8, 4), (5, 8), (0, 2)])",
+                b"1\t0\n",
+            ),
+            ("SELECT round(jaroSimilarity('abc','abd'), 4)", b"0.7778\n"),
+            ("SELECT jaroWinklerSimilarity('abc','abc')", b"1\n"),
+            ("SELECT normalizeUTF8NFC('abc')", b"abc\n"),
+        ],
+    )
+    def test_value(self, eng, q, want):
+        assert eng.execute(q) == want
+
+    def test_running_difference_and_neighbor(self, eng):
+        assert eng.execute(
+            "SELECT runningDifference(n) AS r FROM "
+            "(SELECT number * number AS n FROM numbers(4))"
+        ) == b"0\n1\n3\n5\n"
+        assert eng.execute(
+            "SELECT neighbor(number, -1, 99) AS r FROM numbers(3)"
+        ) == b"99\n0\n1\n"
+
+    def test_offset_fetch_forms(self, eng):
+        assert eng.execute(
+            "SELECT number FROM numbers(5) ORDER BY number "
+            "OFFSET 2 ROWS FETCH FIRST 2 ROWS ONLY"
+        ) == b"2\n3\n"
+        assert eng.execute(
+            "SELECT number FROM numbers(5) ORDER BY number OFFSET 3 ROWS"
+        ) == b"3\n4\n"
+        assert eng.execute(
+            "SELECT number FROM numbers(5) ORDER BY number "
+            "FETCH FIRST 2 ROWS ONLY"
+        ) == b"0\n1\n"
+
+    def test_values_table_function(self, eng):
+        assert eng.execute(
+            "SELECT b, a FROM VALUES('a Int32, b String', (1, 'x'), (2, 'y')) "
+            "ORDER BY a"
+        ) == b"x\t1\ny\t2\n"
+
+    def test_sequence_aggregates(self, eng):
+        base = (
+            "(SELECT 1 AS ts, 'A' AS ev UNION ALL SELECT 2, 'B' "
+            "UNION ALL SELECT 3, 'A' UNION ALL SELECT 4, 'B')"
+        )
+        assert eng.execute(
+            f"SELECT sequenceMatch('(?1).*(?2)')(ts, ev = 'A', ev = 'B') FROM {base}"
+        ) == b"1\n"
+        assert eng.execute(
+            f"SELECT sequenceMatch('(?2).*(?1)')(ts, ev = 'A', ev = 'B') "
+            f"FROM (SELECT 1 AS ts, 'A' AS ev UNION ALL SELECT 2, 'B')"
+        ) == b"0\n"
+        assert eng.execute(
+            f"SELECT sequenceCount('(?1).*(?2)')(ts, ev = 'A', ev = 'B') FROM {base}"
+        ) == b"2\n"
+
+    def test_window_funnel_sql(self, eng):
+        # user 1: A..B within 10 but C at +19 from chain start — level 2;
+        # user 2: full chain inside the window — level 3
+        rows = (
+            "(SELECT 1 AS u, 1 AS ts, 'A' AS ev UNION ALL SELECT 1, 5, 'B' "
+            "UNION ALL SELECT 1, 20, 'C' UNION ALL SELECT 2, 1, 'A' "
+            "UNION ALL SELECT 2, 3, 'B' UNION ALL SELECT 2, 8, 'C')"
+        )
+        assert eng.execute(
+            f"SELECT u, windowFunnel(10)(ts, ev = 'A', ev = 'B', ev = 'C') "
+            f"FROM {rows} GROUP BY u ORDER BY u"
+        ) == b"1\t2\n2\t3\n"
+        # a later chain restart (A at t=10) rescues the window
+        assert eng.execute(
+            "SELECT windowFunnel(2)(ts, ev = 'A', ev = 'B') FROM "
+            "(SELECT 1 AS ts, 'A' AS ev UNION ALL SELECT 10, 'A' "
+            "UNION ALL SELECT 11, 'B')"
+        ) == b"2\n"
+
+    def test_ttest_aggregates(self, eng):
+        # equal groups {0,2,4,...} vs {1,3,5,...}: means differ by 1
+        out = eng.execute(
+            "SELECT studentTTest(v, g) FROM "
+            "(SELECT number AS v, number % 2 AS g FROM numbers(10))"
+        ).decode().strip()
+        t = float(out.strip("()").split(",")[0])
+        assert abs(t - (-0.5)) < 1e-9
+        out2 = eng.execute(
+            "SELECT welchTTest(v, g) FROM "
+            "(SELECT number AS v, number % 2 AS g FROM numbers(10))"
+        ).decode().strip()
+        t2 = float(out2.strip("()").split(",")[0])
+        assert abs(t2 - (-0.5)) < 1e-9

@@ -266,6 +266,40 @@ PROBES["null_funcs"] = [
 ]
 
 
+PROBES["sweep11"] = [
+    ("SELECT positionCaseInsensitive('Hello','hel') AS r", "1"),
+    ("SELECT arrayEnumerateDense([10,20,10]) AS r", "[1,2,1]"),
+    ("SELECT arrayReduce('sum', [1,2,3]) AS r", "6"),
+    ("SELECT multiSearchFirstIndex('hello', ['xx','ell']) AS r", "2"),
+    ("SELECT multiSearchAllPositions('hello', ['l','x']) AS r", "[3,0]"),
+    ("SELECT multiMatchAny('hello', ['^x', 'l+o$']) AS r", "true"),
+    ("SELECT round(ngramDistance('ClickHouse','House'), 4) AS r", "0.5556"),
+    ("SELECT extractAll('a1b22c', '[0-9]+') AS r", "['1','22']"),
+    (r"SELECT extractGroups('a=1', '(\\w+)=(\\w+)') AS r", "['a','1']"),
+    ("SELECT mapFilter((k, v) -> v > 1, map('a',1,'b',2)) AS r", "{'b':2}"),
+    ("SELECT mapApply((k, v) -> (k, v * 2), map('a', 1)) AS r", "{'a':2}"),
+    ("SELECT mapSort(map('b',1,'a',2)) AS r", "{'a':2,'b':1}"),
+    ("SELECT arrayShiftLeft([1,2,3], 1, 0) AS r", "[2,3,0]"),
+    ("SELECT timeDiff(toDateTime('2024-01-01 00:00:00'), toDateTime('2024-01-01 01:00:00')) AS r", "3600"),
+    ("SELECT 0b101 AS r", "5"),
+    ("SELECT 0x1F AS r", "31"),
+    ("SELECT untuple(tuple(1, 'a')) AS a, 9 AS b", "1\ta\t9"),
+    ("SELECT initializeAggregation('sum', 3) AS r", "3"),
+    ("SELECT toTypeName(1) AS r", "Int32"),
+    ("SELECT snowflakeToDateTime(1426860702823350272) AS r", "2021-08-15 10:57:56"),
+    ("SELECT geohashEncode(-5.60302734375, 42.593994140625, 5) AS r", "ezs42"),
+    ("SELECT pointInPolygon((3., 3.), [(6, 0), (8, 4), (5, 8), (0, 2)]) AS r", "1"),
+    ("SELECT round(jaroSimilarity('abc','abd'), 4) AS r", "0.7778"),
+    ("SELECT normalizeUTF8NFC('abc') AS r", "abc"),
+    ("SELECT runningDifference(n) AS r FROM (SELECT number * number AS n FROM numbers(3))", "0\n1\n3"),
+    ("SELECT neighbor(number, 1) AS r FROM numbers(2)", "1\n\\N"),
+    ("SELECT number AS r FROM numbers(5) ORDER BY number OFFSET 2 ROWS FETCH FIRST 2 ROWS ONLY", "2\n3"),
+    ("SELECT b AS r FROM VALUES('a Int32, b String', (1, 'x')) ", "x"),
+    ("SELECT sequenceMatch('(?1).*(?2)')(ts, ev = 'A', ev = 'B') AS r FROM (SELECT 1 AS ts, 'A' AS ev UNION ALL SELECT 2, 'B')", "1"),
+    ("SELECT windowFunnel(10)(ts, ev = 'A', ev = 'B') AS r FROM (SELECT 1 AS ts, 'A' AS ev UNION ALL SELECT 5, 'B')", "2"),
+]
+
+
 def main() -> None:
     from cowsdb_spark.engine import Engine
     from cowsdb_spark.session import get_spark
