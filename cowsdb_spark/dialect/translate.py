@@ -42,6 +42,9 @@ KNOWN_FORMATS = {
     "jsoncompactcolumns": "JSONCompactColumns",
     "jsoneachrow": "JSONEachRow",
     "native": "Native",
+    "rowbinary": "RowBinary",
+    "rowbinarywithnames": "RowBinaryWithNames",
+    "rowbinarywithnamesandtypes": "RowBinaryWithNamesAndTypes",
     "pretty": "Pretty",
     "prettycompact": "Pretty",
     "values": "Values",

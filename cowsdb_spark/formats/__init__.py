@@ -212,6 +212,32 @@ def to_arrow_stream(res: QueryResult, limit: Optional[int] = None) -> bytes:
     return buf.getvalue()
 
 
+def to_row_binary(
+    res: QueryResult,
+    with_names: bool = False,
+    with_types: bool = False,
+    limit: Optional[int] = None,
+) -> bytes:
+    """RowBinary / RowBinaryWithNames / RowBinaryWithNamesAndTypes:
+    optional varint-ncols + name/type header, then rows encoded
+    value-by-value in wire order."""
+    from .native import encode_row_value, wire_type, write_varint, write_varstr
+
+    wires = [wire_type(t) for t in res.ch_types]
+    out = bytearray()
+    if with_names:
+        out += write_varint(len(res.columns))
+        for name in res.columns:
+            out += write_varstr(name)
+        if with_types:
+            for w in wires:
+                out += write_varstr(w)
+    for r in _limited(res.rows, limit):
+        for w, v in zip(wires, r):
+            out += encode_row_value(w, v)
+    return bytes(out)
+
+
 def serialize(res: QueryResult, fmt: str, max_result_rows: Optional[int] = None) -> bytes:
     from .native import to_native
 
@@ -244,6 +270,12 @@ def serialize(res: QueryResult, fmt: str, max_result_rows: Optional[int] = None)
         return to_pretty(res, limit=max_result_rows)
     if f == "native":
         return to_native(res, limit=max_result_rows)
+    if f == "rowbinary":
+        return to_row_binary(res, limit=max_result_rows)
+    if f == "rowbinarywithnames":
+        return to_row_binary(res, with_names=True, limit=max_result_rows)
+    if f == "rowbinarywithnamesandtypes":
+        return to_row_binary(res, with_names=True, with_types=True, limit=max_result_rows)
     if f == "null":
         for _ in res.rows:
             pass
@@ -264,6 +296,9 @@ CONTENT_TYPES = {
     "pretty": "text/plain; charset=UTF-8",
     "prettycompact": "text/plain; charset=UTF-8",
     "native": "application/octet-stream",
+    "rowbinary": "application/octet-stream",
+    "rowbinarywithnames": "application/octet-stream",
+    "rowbinarywithnamesandtypes": "application/octet-stream",
     "null": "text/plain; charset=UTF-8",
     "parquet": "application/octet-stream",
     "arrow": "application/vnd.apache.arrow.file",

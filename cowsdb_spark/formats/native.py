@@ -260,6 +260,47 @@ def encode_column(ch_type: str, values: list) -> bytes:
     return bytes(out)
 
 
+def encode_row_value(ch_type: str, v) -> bytes:
+    """One value in RowBinary layout (row-wise, unlike Native's
+    columnar blocks): Nullable = 1 flag byte then value; Array/Map =
+    varint count then elements inline; Tuple = elements concatenated;
+    scalars share Native's fixed-width/varstr encodings.
+
+    Reference surface: the chDB engine behind the reference accepts
+    ``FORMAT RowBinary*`` on any query (main.py:190 delegates the
+    whole format list); this writer covers the three RowBinary
+    spellings natively."""
+    inner, nullable = _strip_nullable(ch_type)
+    out = bytearray()
+    if nullable:
+        out += b"\x01" if v is None else b"\x00"
+        if v is None:
+            # CH still writes a default value after the null flag only
+            # for fixed-width types inside Native blocks; RowBinary
+            # writes nothing after the 1 flag.
+            return bytes(out)
+    if inner.startswith("Array(") and inner.endswith(")"):
+        elem_t = _inner(inner, "Array")
+        items = list(v) if v is not None else []
+        out += write_varint(len(items))
+        for e in items:
+            out += encode_row_value(elem_t, e)
+    elif inner.startswith("Map(") and inner.endswith(")"):
+        k_t, v_t = split_top_level(_inner(inner, "Map"))
+        items = list(v.items()) if v is not None else []
+        out += write_varint(len(items))
+        for k, x in items:
+            out += encode_row_value(k_t, k)
+            out += encode_row_value(v_t, x)
+    elif inner.startswith("Tuple(") and inner.endswith(")"):
+        elems = _tuple_elems(inner)
+        for i, (_, et) in enumerate(elems):
+            out += encode_row_value(et, None if v is None else v[i])
+    else:
+        out += _encode_scalar(inner, v)
+    return bytes(out)
+
+
 def to_native(res, limit: Optional[int] = None) -> bytes:
     """Serialize a QueryResult as a single Native block."""
     rows = []

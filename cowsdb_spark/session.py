@@ -56,7 +56,15 @@ def get_spark(app_name: str = "moospark", shuffle_partitions: int | None = None)
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
+        # 12g, not "as much as the box has": measured on the 10M-row
+        # ClickBench sweep (local[32], JDK17 G1), repeat-run latency of
+        # the shuffle-heavy high-cardinality aggs is tight at 12g
+        # (cb32 1.38-2.19s over 7 reps) but catastrophically unstable
+        # at 32g (2.6-38.2s — the near-empty giant heap defers
+        # collection until region scavenges stall the 32 task threads).
+        # At cluster scale the analog is right-sizing executor heaps
+        # instead of maximizing them.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "12g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # 32 MB scan splits: a 0.5 GB file fans out to ~16 scan tasks

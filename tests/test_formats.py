@@ -99,6 +99,60 @@ class TestNative:
         assert len(back) == 1000 and back[-1] == (999,)
 
 
+class TestRowBinary:
+    """RowBinary family: row-wise wire layout (reference surface via
+    chDB's format list, main.py:190)."""
+
+    def test_scalars_and_strings(self):
+        import struct
+
+        from cowsdb_spark.formats import to_row_binary
+
+        out = to_row_binary(
+            res(["a", "b"], ["Int32", "String"], [(5, "hi"), (-1, "")])
+        )
+        assert out == (
+            struct.pack("<i", 5) + b"\x02hi" + struct.pack("<i", -1) + b"\x00"
+        )
+
+    def test_nullable_and_array(self):
+        import struct
+
+        from cowsdb_spark.formats import to_row_binary
+
+        out = to_row_binary(
+            res(
+                ["n", "arr"],
+                ["Nullable(Int64)", "Array(UInt8)"],
+                [(None, [1, 2]), (7, [])],
+            )
+        )
+        assert out == (
+            b"\x01" + b"\x02\x01\x02" + b"\x00" + struct.pack("<q", 7) + b"\x00"
+        )
+
+    def test_with_names_and_types_header(self):
+        from cowsdb_spark.formats import to_row_binary
+
+        out = to_row_binary(
+            res(["x"], ["UInt16"], [(3,)]), with_names=True, with_types=True
+        )
+        assert out == b"\x01\x01x\x06UInt16" + b"\x03\x00"
+
+    def test_engine_format_clause(self, spark):
+        import struct
+
+        from cowsdb_spark.engine import Engine
+
+        eng = Engine(spark)
+        out = eng.execute(
+            "SELECT toInt32(number) AS n FROM numbers(3) FORMAT RowBinary"
+        )
+        assert out == b"".join(struct.pack("<i", i) for i in range(3))
+        out = eng.execute("SELECT 'a' AS s FORMAT RowBinaryWithNames")
+        assert out.startswith(b"\x01\x01s")
+
+
 class TestMaxResultRows:
     def test_serializer_limit(self):
         out = to_tsv(res(["x"], ["Int64"], [(i,) for i in range(100)]), limit=3)
