@@ -39,6 +39,7 @@ class CreateTable:
     if_not_exists: bool
     columns: list[ColumnDef]
     engine: str = "MergeTree"
+    engine_args: str = ""  # e.g. the ver column of ReplacingMergeTree(ver)
     partition_by: Optional[str] = None
     order_by: Optional[str] = None
     sample_by: Optional[str] = None
@@ -522,15 +523,21 @@ def _parse_table_clauses(toks: list[Tok], ct: CreateTable) -> None:
                 i += 1
                 if i < n and toks[i].text == "(":
                     depth = 0
+                    args: list[str] = []
                     while i < n:
                         if toks[i].text == "(":
                             depth += 1
+                            if depth == 1:
+                                i += 1
+                                continue
                         elif toks[i].text == ")":
                             depth -= 1
                             if depth == 0:
                                 i += 1
                                 break
+                        args.append(toks[i].text)
                         i += 1
+                    ct.engine_args = "".join(args).strip()
         elif kw in ("PARTITION", "ORDER", "PRIMARY", "SAMPLE") and i + 1 < n and toks[
             i + 1
         ].text.upper() == "BY":

@@ -1788,7 +1788,8 @@ def _rewrite_ch_modifiers(toks: list[Tok]) -> list[Tok]:
       PREWHERE is a physical hint (filter before reading remaining
       columns); Catalyst's pushdown already does this, so semantic
       merge into WHERE is exact.
-    - ``FROM t FINAL`` → drop (we have no unmerged-parts state).
+    - ``FROM t FINAL`` → pass through (engine resolves with catalog
+      metadata: ReplacingMergeTree keep-latest dedup, else dropped).
     - ``GLOBAL IN/JOIN`` → drop GLOBAL (Spark distributes natively,
       SURVEY §2.3 J7).
     """
@@ -1805,10 +1806,9 @@ def _rewrite_ch_modifiers(toks: list[Tok]) -> list[Tok]:
             pre_at = si
         elif up == "WHERE" and pre_at is not None and where_at is None:
             where_at = si
-        elif up == "FINAL" and si > 0 and (
-            toks[sig[si - 1]].kind in ("ident", "bquote") or toks[sig[si - 1]].text == ")"
-        ):
-            t.text = ""
+        # ``FROM t FINAL`` passes through: the engine resolves it with
+        # catalog metadata (ReplacingMergeTree keep-latest dedup, else
+        # dropped — translate has no table properties).
         elif up == "GLOBAL" and si + 1 < len(sig) and toks[sig[si + 1]].text.upper() in (
             "IN", "JOIN", "ANY", "ALL", "NOT", "LEFT", "RIGHT", "INNER", "FULL", "CROSS",
         ):
@@ -1885,6 +1885,34 @@ def _rewrite_scalar_with(toks: list[Tok]) -> list[Tok]:
     return out_toks
 
 
+def _split_top_level_commas(s: str) -> list[str]:
+    """Split on commas not nested inside parens or quotes."""
+    parts, depth, cur, q = [], 0, [], None
+    for ch in s:
+        if q:
+            cur.append(ch)
+            if ch == q:
+                q = None
+            continue
+        if ch in "'\"":
+            q = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
 def _rewrite_with_fill(toks: list[Tok]) -> tuple[list[Tok], Optional[dict]]:
     """Strip ``ORDER BY col [ASC|DESC] WITH FILL [FROM a] [TO b]
     [STEP s]`` and return the fill spec; the engine materializes the
@@ -1913,7 +1941,7 @@ def _rewrite_with_fill(toks: list[Tok]) -> tuple[list[Tok], Optional[dict]]:
             break
     if fill_at is None:
         return toks, None
-    spec: dict = {"col": col, "from": None, "to": None, "step": None}
+    spec: dict = {"col": col, "from": None, "to": None, "step": None, "interpolate": None}
     j = fill_at + 2
     end = j
     while j < len(sig):
@@ -1924,6 +1952,41 @@ def _rewrite_with_fill(toks: list[Tok]) -> tuple[list[Tok], Optional[dict]]:
             end = j
         else:
             break
+    # INTERPOLATE (col [AS expr], ...) — filled rows compute these
+    # columns from the previous row's value instead of defaulting
+    if j < len(sig) and toks[sig[j]].text.upper() == "INTERPOLATE":
+        # collect raw text between the parens (all tokens, not just
+        # signal ones, so expressions keep their spacing)
+        k = sig[j] + 1
+        while k < len(toks) and toks[k].text != "(":
+            k += 1
+        depth2 = 0
+        body = []
+        k2 = k
+        while k2 < len(toks):
+            txt = toks[k2].text
+            depth2 += txt.count("(") - txt.count(")")
+            body.append(txt)
+            if depth2 == 0 and ")" in txt:
+                break
+            k2 += 1
+        inner = "".join(body).strip()
+        if inner.startswith("("):
+            inner = inner[1:]
+        if inner.endswith(")"):
+            inner = inner[:-1]
+        items = []
+        for part in _split_top_level_commas(inner):
+            part = part.strip()
+            m2 = re.match(r"^(`[^`]+`|\w+)\s+AS\s+(.+)$", part, re.IGNORECASE | re.DOTALL)
+            if m2:
+                items.append((m2.group(1).strip("`"), m2.group(2).strip()))
+            elif part:
+                items.append((part.strip("`"), None))
+        spec["interpolate"] = items or None
+        for k3 in range(sig[j], k2 + 1):
+            toks[k3].text = ""
+        end = j  # already blanked through k2
     for k in range(fill_at, end):
         toks[sig[k]].text = ""
     return toks, spec

@@ -168,7 +168,7 @@ class Engine:
         _register_codecs(self.spark)
         _register_misc(self.spark)
         self._sessions: dict[tuple[str, str], UserSession] = {}
-        self._order_by_cache: dict[str, Optional[str]] = {}
+        self._order_by_cache: dict[str, dict] = {}  # tbl -> moospark.* props
         # per-Spark-db table-name sets for lock-free qualification of
         # unqualified refs on the read path; cleared on any DDL
         self._tables_cache: dict[str, set] = {}
@@ -567,7 +567,86 @@ class Engine:
             sql = self._expand_merge(sess, sql)
         if sess.dictionaries and ("dictget" in low or "dicthas" in low):
             sql = self._expand_dict_functions(sess, sql)
-        return self._remap_databases(sess, sql, created_views)
+        sql = self._remap_databases(sess, sql, created_views)
+        if "final" in sql.lower():
+            sql = self._expand_final(sql)
+        return sql
+
+    def _expand_final(self, sql: str) -> str:
+        """``FROM t FINAL`` after db-remapping: for a table whose
+        declared engine is Replacing*, substitute the keep-latest
+        dedup (row_number over the MergeTree ORDER BY key, latest =
+        max of the ReplacingMergeTree(ver) column when declared, else
+        an arbitrary survivor — matching CH, where pre-merge survivor
+        choice without ``ver`` is unspecified). Non-Replacing tables
+        (and views/temp tables with no properties) just drop FINAL,
+        which is exact for them: there is no unmerged-parts state.
+
+        Scale note: the dedup is one window over the table's own sort
+        key — at cluster scale that is a single hash-partitioned
+        shuffle on the primary key, the same cost ClickHouse pays for
+        a FINAL read's merge pass."""
+        from .dialect.tokenizer import tokenize
+
+        toks = tokenize(sql)
+        sig = [i for i, t in enumerate(toks) if t.kind not in ("ws", "comment")]
+        changed = False
+        for si, i in enumerate(sig):
+            t = toks[i]
+            if t.kind != "ident" or t.text.upper() != "FINAL" or si == 0:
+                continue
+            prev = toks[sig[si - 1]]
+            if prev.kind not in ("ident", "bquote"):
+                continue
+            if prev.kind == "ident" and prev.text.upper() in (
+                "SELECT", "AS", "FROM", "JOIN", "WHERE", "AND", "OR", "ON",
+                "BY", "HAVING", "WHEN", "THEN", "ELSE", "IN", "NOT", ",",
+            ):
+                continue  # FINAL here is an identifier, not the modifier
+            # table ref: walk back over [AS alias] and `db`.`tbl`
+            j = si - 1
+            alias = None
+            if (
+                j >= 2
+                and toks[sig[j - 1]].kind == "ident"
+                and toks[sig[j - 1]].text.upper() == "AS"
+            ):
+                alias = toks[sig[j]].text.strip("`")
+                j -= 2  # ref ends before AS
+            ref_idx = [sig[j]]
+            if (
+                j >= 2
+                and toks[sig[j - 1]].text == "."
+                and toks[sig[j - 2]].kind in ("ident", "bquote")
+            ):
+                ref_idx = [sig[j - 2], sig[j - 1], sig[j]]
+            ref_text = "".join(toks[k].text for k in ref_idx)
+            bare = alias or toks[ref_idx[-1]].text.strip("`")
+            props = self._table_moospark_props(ref_text)
+            eng = props.get("engine", "")
+            keys_txt = props.get("order_by")
+            t.text = ""  # FINAL never reaches Spark
+            changed = True
+            if not eng.startswith("Replacing") or not keys_txt:
+                continue
+            keys = ", ".join(
+                f"`{k.strip().strip('`')}`"
+                for k in keys_txt.strip().strip("()").split(",")
+                if k.strip()
+            )
+            ver = props.get("engine_args", "").strip()
+            order = f"`{ver.strip('`')}` DESC" if ver else keys
+            toks[ref_idx[0]].text = (
+                f"(SELECT * EXCEPT (__ch_fin) FROM (SELECT *, row_number() "
+                f"OVER (PARTITION BY {keys} ORDER BY {order}) AS __ch_fin "
+                f"FROM {ref_text}) WHERE __ch_fin = 1) AS `{bare}`"
+            )
+            for k in ref_idx[1:]:
+                toks[k].text = ""
+            if alias is not None:  # blank the original AS alias tokens
+                toks[sig[si - 2]].text = ""
+                toks[sig[si - 1]].text = ""
+        return "".join(t.text for t in toks) if changed else sql
 
     def _expand_merge(self, sess: UserSession, sql: str) -> str:
         """CH ``merge('db', 'table_regex')`` / ``merge(db, 'regex')``
@@ -929,15 +1008,20 @@ class Engine:
 
     def _table_order_by(self, tbl: str) -> Optional[str]:
         """moospark.order_by property of ``tbl`` (cached), or None."""
+        return self._table_moospark_props(tbl).get("order_by")
+
+    def _table_moospark_props(self, tbl: str) -> dict:
+        """The ``moospark.*`` TBLPROPERTIES of ``tbl`` (cached):
+        order_by / engine / engine_args / partition_by."""
         if tbl not in self._order_by_cache:
-            val = None
+            props: dict = {}
             try:
                 for r in self.spark.sql(f"SHOW TBLPROPERTIES {tbl}").collect():
-                    if r["key"] == "moospark.order_by":
-                        val = r["value"]
+                    if r["key"].startswith("moospark."):
+                        props[r["key"][len("moospark."):]] = r["value"]
             except Exception:
-                val = None
-            self._order_by_cache[tbl] = val
+                props = {}
+            self._order_by_cache[tbl] = props
         return self._order_by_cache[tbl]
 
     def _insert_sorted(self, sess: UserSession, sql: str) -> bool:
@@ -1242,6 +1326,8 @@ class Engine:
         props = []
         if ct.engine:
             props.append(f"'moospark.engine' = '{ct.engine}'")
+        if ct.engine_args:
+            props.append(f"'moospark.engine_args' = '{_esc(ct.engine_args)}'")
         if ct.columns:
             # declared CH types (UUID/Enum/LowCardinality/...) survive
             # the Spark-schema round trip for SHOW CREATE TABLE
@@ -1322,11 +1408,58 @@ class Engine:
             else:
                 axis = axis.filter(F.col(f"`{col}`") < hi_c.cast(dt))
             axis = axis.unionByName(df.select(F.col(f"`{col}`"))).distinct()
-        filled = axis.join(df, on=col, how="left")
+        interp = dict(spec.get("interpolate") or [])
+        df_in = df.withColumn("__ch_real", F.lit(1)) if interp else df
+        filled = axis.join(df_in, on=col, how="left")
+        if interp:
+            # INTERPOLATE (c [AS expr]): filled rows derive c from the
+            # previous row instead of defaulting. Group every filled
+            # row with the real row preceding it (running count of
+            # real markers), then value = expr applied `offset` times
+            # to the real row's value (bare c = carry-forward). The
+            # global window is fine here: WITH FILL shapes a final,
+            # presentation-sized result set (CH applies it at the same
+            # post-aggregation point), not a table-scale transform.
+            from pyspark.sql import Window
+
+            w_run = Window.orderBy(col).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+            filled = filled.withColumn("__ch_grp", F.count("__ch_real").over(w_run))
+            w_grp = Window.partitionBy("__ch_grp").orderBy(col)
+            filled = filled.withColumn("__ch_off", F.row_number().over(w_grp) - 1)
+            w_base = w_grp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         cols = []
         for f in df.schema.fields:
             if f.name == col:
                 cols.append(F.col(f"`{col}`"))
+            elif f.name in interp:
+                base = F.first(F.col(f"`{f.name}`"), ignorenulls=True).over(w_base)
+                expr_txt = interp[f.name]
+                dt_sql = f.dataType.simpleString()
+                if expr_txt is None:
+                    stepped = base
+                else:
+                    acc_expr = self._translate_expr(
+                        self._substitute_ident(expr_txt, f.name, "__ch_acc__")
+                    ).replace("__ch_acc__", "acc")
+                    filled = filled.withColumn(f"__ch_base_{f.name}", base)
+                    stepped = F.expr(
+                        f"aggregate(sequence(1, __ch_off), "
+                        f"CAST(`__ch_base_{f.name}` AS {dt_sql}), "
+                        f"(acc, i) -> CAST({acc_expr} AS {dt_sql}))"
+                    )
+                    base = F.col(f"`__ch_base_{f.name}`")
+                val = (
+                    F.when(F.col("__ch_real").isNotNull(), F.col(f"`{f.name}`"))
+                    .when(base.isNotNull(), stepped)
+                    .otherwise(
+                        F.lit(0).cast(f.dataType)
+                        if isinstance(f.dataType, T.NumericType)
+                        else (F.lit("") if isinstance(f.dataType, T.StringType) else F.lit(None))
+                    )
+                )
+                cols.append(val.alias(f.name))
             elif isinstance(f.dataType, T.NumericType):
                 cols.append(
                     F.coalesce(F.col(f"`{f.name}`"), F.lit(0).cast(f.dataType)).alias(f.name)
@@ -1336,6 +1469,24 @@ class Engine:
             else:
                 cols.append(F.col(f"`{f.name}`"))
         return filled.select(*cols).orderBy(col)
+
+    @staticmethod
+    def _substitute_ident(expr: str, name: str, repl: str) -> str:
+        """Replace bare identifier ``name`` in a CH expression with
+        ``repl``, skipping function-call names and quoted strings."""
+        from .dialect.tokenizer import tokenize
+
+        toks = [t for t in tokenize(expr)]
+        sig = [i for i, t in enumerate(toks) if t.kind not in ("ws", "comment")]
+        for si, i in enumerate(sig):
+            t = toks[i]
+            if t.kind not in ("ident", "bquote") or t.text.strip("`") != name:
+                continue
+            nxt = toks[sig[si + 1]].text if si + 1 < len(sig) else ""
+            if nxt.startswith("("):
+                continue  # function call, not a column ref
+            t.text = repl
+        return "".join(t.text for t in toks)
 
     # --------------------------------------------------- SHOW statements
 
@@ -1399,6 +1550,8 @@ class Engine:
         stmt = f"CREATE TABLE {visible}\n(\n{cols}\n)\nENGINE = " + props.get(
             "moospark.engine", "MergeTree"
         )
+        if props.get("moospark.engine_args"):
+            stmt += f"({props['moospark.engine_args']})"
         if props.get("moospark.partition_by"):
             stmt += f"\nPARTITION BY {props['moospark.partition_by']}"
         if props.get("moospark.order_by"):
@@ -1602,9 +1755,27 @@ class Engine:
 
     def _run_optimize(self, sess: UserSession, o: OptimizeTable) -> None:
         """OPTIMIZE TABLE ≈ part merge: compact the table to fewer,
-        larger, sorted files (row-group pruning stays effective)."""
+        larger, sorted files (row-group pruning stays effective).
+        With FINAL on a Replacing* table, the merge also collapses
+        key-duplicate rows to the latest version — the CH semantics
+        of forcing the Replacing merge to completion."""
         tbl = f"`{sess.spark_db(o.database)}`.`{o.name}`"
-        src = self._sql_or_raise(f"SELECT * FROM {tbl}")
+        props = self._table_moospark_props(tbl)
+        if o.final and props.get("engine", "").startswith("Replacing") and props.get("order_by"):
+            keys = ", ".join(
+                f"`{k.strip().strip('`')}`"
+                for k in props["order_by"].strip().strip("()").split(",")
+                if k.strip()
+            )
+            ver = props.get("engine_args", "").strip()
+            order = f"`{ver.strip('`')}` DESC" if ver else keys
+            src = self._sql_or_raise(
+                f"SELECT * EXCEPT (__ch_fin) FROM (SELECT *, row_number() "
+                f"OVER (PARTITION BY {keys} ORDER BY {order}) AS __ch_fin "
+                f"FROM {tbl}) WHERE __ch_fin = 1"
+            )
+        else:
+            src = self._sql_or_raise(f"SELECT * FROM {tbl}")
         n = max(1, self.spark.sparkContext.defaultParallelism // 4)
         self._swap_rewrite(sess, o.database, o.name, src.coalesce(n))
 

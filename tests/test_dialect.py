@@ -262,9 +262,11 @@ class TestChModifiers:
     def test_prewhere_alone_becomes_where(self):
         assert "WHERE a > 1" in self._sql("SELECT x FROM t PREWHERE a > 1")
 
-    def test_final_dropped(self):
+    def test_final_passes_through_to_engine(self):
+        # FINAL is resolved by the engine (catalog-aware Replacing
+        # dedup, test_engine::TestReplacingFinal); translate keeps it
         s = self._sql("SELECT x FROM t FINAL WHERE a = 1")
-        assert "FINAL" not in s and "WHERE a = 1" in s
+        assert "FINAL" in s and "WHERE a = 1" in s
 
     def test_global_in_and_join_dropped(self):
         assert "GLOBAL" not in self._sql("SELECT x FROM t WHERE a GLOBAL IN (1, 2)")

@@ -498,6 +498,27 @@ class TestWithFill:
         assert out == b"1\t10\ta\n4\t40\tb\n"
         engine.execute("DROP TABLE wfill")
 
+    def test_interpolate_carry_and_expr(self, engine):
+        # INTERPOLATE (v AS v + 1, s): filled rows step v from the
+        # previous row's value; bare column carries forward
+        self._mk(engine)
+        out = engine.execute(
+            "SELECT x, v, s FROM wfill ORDER BY x "
+            "WITH FILL INTERPOLATE (v AS v + 1, s)"
+        )
+        assert out == b"1\t10\ta\n2\t11\ta\n3\t12\ta\n4\t40\tb\n"
+        engine.execute("DROP TABLE wfill")
+
+    def test_interpolate_before_first_real_row_defaults(self, engine):
+        self._mk(engine)
+        out = engine.execute(
+            "SELECT x, v, s FROM wfill ORDER BY x "
+            "WITH FILL FROM 0 INTERPOLATE (v)"
+        )
+        # x=0 precedes every real row: no previous value, default 0
+        assert out == b"0\t0\t\n1\t10\ta\n2\t10\t\n3\t10\t\n4\t40\tb\n"
+        engine.execute("DROP TABLE wfill")
+
     def test_fill_dates(self, engine):
         engine.execute("DROP TABLE IF EXISTS wfd2")
         engine.execute("CREATE TABLE wfd2 (d Date, c Int64)")
@@ -505,6 +526,70 @@ class TestWithFill:
         out = engine.execute("SELECT d, c FROM wfd2 ORDER BY d WITH FILL")
         assert out == b"2024-01-01\t5\n2024-01-02\t0\n2024-01-03\t7\n"
         engine.execute("DROP TABLE wfd2")
+
+
+class TestReplacingFinal:
+    """FROM t FINAL on ReplacingMergeTree: keep-latest dedup over the
+    MergeTree ORDER BY key (ver column picks the survivor when
+    declared). Reference behavior via chDB's MergeTree implementation;
+    non-Replacing tables drop FINAL (no unmerged-parts state)."""
+
+    def test_final_dedups_by_version(self, engine):
+        engine.execute("DROP TABLE IF EXISTS rmt")
+        engine.execute(
+            "CREATE TABLE rmt (k Int64, v String, ver Int64) "
+            "ENGINE=ReplacingMergeTree(ver) ORDER BY k"
+        )
+        engine.execute("INSERT INTO rmt VALUES (1,'a',1), (1,'b',2), (2,'x',5)")
+        assert engine.execute("SELECT count() AS c FROM rmt") == b"3\n"
+        out = engine.execute("SELECT k, v, ver FROM rmt FINAL ORDER BY k")
+        assert out == b"1\tb\t2\n2\tx\t5\n"
+        # alias form
+        out = engine.execute("SELECT r.k, r.v FROM rmt AS r FINAL ORDER BY r.k")
+        assert out == b"1\tb\n2\tx\n"
+        engine.execute("DROP TABLE rmt")
+
+    def test_final_without_version_collapses_keys(self, engine):
+        engine.execute("DROP TABLE IF EXISTS rmt2")
+        engine.execute(
+            "CREATE TABLE rmt2 (k Int64, v String) "
+            "ENGINE=ReplacingMergeTree ORDER BY k"
+        )
+        engine.execute("INSERT INTO rmt2 VALUES (1,'a'), (1,'b'), (2,'x')")
+        assert engine.execute("SELECT count() AS c FROM rmt2 FINAL") == b"2\n"
+        engine.execute("DROP TABLE rmt2")
+
+    def test_final_on_plain_mergetree_is_noop(self, engine):
+        engine.execute("DROP TABLE IF EXISTS mt3")
+        engine.execute(
+            "CREATE TABLE mt3 (k Int64) ENGINE=MergeTree ORDER BY k"
+        )
+        engine.execute("INSERT INTO mt3 VALUES (1), (1), (2)")
+        assert engine.execute("SELECT count() AS c FROM mt3 FINAL") == b"3\n"
+        engine.execute("DROP TABLE mt3")
+
+    def test_optimize_final_rewrites_storage(self, engine):
+        engine.execute("DROP TABLE IF EXISTS rmt4")
+        engine.execute(
+            "CREATE TABLE rmt4 (k Int64, v String, ver Int64) "
+            "ENGINE=ReplacingMergeTree(ver) ORDER BY k"
+        )
+        engine.execute("INSERT INTO rmt4 VALUES (1,'a',1), (1,'b',2), (2,'x',5)")
+        engine.execute("OPTIMIZE TABLE rmt4 FINAL")
+        # plain SELECT (no FINAL) now sees the merged state
+        out = engine.execute("SELECT k, v FROM rmt4 ORDER BY k")
+        assert out == b"1\tb\n2\tx\n"
+        engine.execute("DROP TABLE rmt4")
+
+    def test_show_create_keeps_engine_args(self, engine):
+        engine.execute("DROP TABLE IF EXISTS rmt5")
+        engine.execute(
+            "CREATE TABLE rmt5 (k Int64, ver Int64) "
+            "ENGINE=ReplacingMergeTree(ver) ORDER BY k"
+        )
+        out = engine.execute("SHOW CREATE TABLE rmt5").decode()
+        assert "ReplacingMergeTree(ver)" in out
+        engine.execute("DROP TABLE rmt5")
 
 
 class TestLockFreeReads:
