@@ -1357,7 +1357,14 @@ def _fn_array_shift(left: bool):
         if len(args) not in (2, 3):
             return None
         a, n = args[0], f"({args[1]})"
-        d = args[2] if len(args) == 3 else "NULL"  # CH: type default; NULL here
+        # CH fills with the element type's default; for the numeric
+        # common case that is 0 (typed via a NULL-of-element-type
+        # coalesce so int arrays stay int)
+        d = (
+            args[2]
+            if len(args) == 3
+            else f"ifnull(element_at(slice({a}, 1, 0), 1), 0)"
+        )
         if left:
             body = (
                 f"concat(slice({a}, {n} + 1, size({a}) - {n}), "
@@ -1595,3 +1602,126 @@ def _fn_map_pred(hof: str):
 
 CODE_FNS["mapexists"] = _fn_map_pred("exists")
 CODE_FNS["mapall"] = _fn_map_pred("forall")
+
+
+# ---------------------------------------------------------------- sweep 12
+# Vector distance family (CH's array-as-vector functions; the same
+# expressions the similarity operators use, exposed as SQL spellings).
+_DOT = (
+    "aggregate(zip_with({0}, {1}, (x, y) -> CAST(x AS DOUBLE) * y), "
+    "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+TEMPLATES["arraydotproduct"] = _DOT
+TEMPLATES["dotproduct"] = _DOT
+TEMPLATES["l2squareddistance"] = (
+    "aggregate(zip_with({0}, {1}, (x, y) -> (CAST(x AS DOUBLE) - y) * "
+    "(CAST(x AS DOUBLE) - y)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+TEMPLATES["l2distance"] = (
+    "sqrt(aggregate(zip_with({0}, {1}, (x, y) -> (CAST(x AS DOUBLE) - y) * "
+    "(CAST(x AS DOUBLE) - y)), CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+)
+TEMPLATES["l1distance"] = (
+    "aggregate(zip_with({0}, {1}, (x, y) -> abs(CAST(x AS DOUBLE) - y)), "
+    "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+TEMPLATES["linfdistance"] = (
+    "array_max(zip_with({0}, {1}, (x, y) -> abs(CAST(x AS DOUBLE) - y)))"
+)
+TEMPLATES["l2norm"] = (
+    "sqrt(aggregate({0}, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x))"
+)
+TEMPLATES["l1norm"] = "aggregate({0}, CAST(0 AS DOUBLE), (acc, x) -> acc + abs(x))"
+TEMPLATES["linfnorm"] = "array_max(transform({0}, x -> abs(CAST(x AS DOUBLE))))"
+TEMPLATES["cosinedistance"] = (
+    "(1.0 - (" + _DOT + ") / "
+    "(sqrt(aggregate({0}, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)) * "
+    "sqrt(aggregate({1}, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x))))"
+)
+TEMPLATES["l2normalize"] = (
+    "transform({0}, x -> CAST(x AS DOUBLE) / "
+    "sqrt(aggregate({0}, CAST(0 AS DOUBLE), (acc, y) -> acc + y * y)))"
+)
+
+# Bitmap family: CH models these as roaring-bitmap aggregate states;
+# the value-level algebra (build/and/or/xor/cardinality/contains) maps
+# exactly onto sorted distinct arrays, which is how they're expressed
+# here. Array-backed, so they compose with every array function.
+TEMPLATES["bitmapbuild"] = "array_sort(array_distinct({0}))"
+TEMPLATES["bitmaptoarray"] = "array_sort(array_distinct({0}))"
+TEMPLATES["bitmapcardinality"] = "size(array_distinct({0}))"
+TEMPLATES["bitmapmin"] = "array_min({0})"
+TEMPLATES["bitmapmax"] = "array_max({0})"
+TEMPLATES["bitmapcontains"] = "array_contains({0}, {1})"
+TEMPLATES["bitmapand"] = "array_sort(array_intersect({0}, {1}))"
+TEMPLATES["bitmapor"] = "array_sort(array_union({0}, {1}))"
+TEMPLATES["bitmapxor"] = (
+    "array_sort(array_union(array_except({0}, {1}), array_except({1}, {0})))"
+)
+TEMPLATES["bitmapandnot"] = "array_sort(array_except({0}, {1}))"
+TEMPLATES["bitmapandcardinality"] = "size(array_intersect({0}, {1}))"
+TEMPLATES["bitmaporcardinality"] = "size(array_union({0}, {1}))"
+TEMPLATES["bitmapxorcardinality"] = (
+    "size(array_union(array_except({0}, {1}), array_except({1}, {0})))"
+)
+TEMPLATES["bitmapandnotcardinality"] = "size(array_except({0}, {1}))"
+TEMPLATES["bitmaphasall"] = "forall({1}, x -> array_contains({0}, x))"
+TEMPLATES["bitmaphasany"] = "arrays_overlap({0}, {1})"
+TEMPLATES["groupbitmap"] = "count(DISTINCT {0})"
+
+# DateTime64 epoch constructors (inverse of toUnixTimestamp64*)
+TEMPLATES["fromunixtimestamp64milli"] = "timestamp_millis(CAST({0} AS BIGINT))"
+TEMPLATES["fromunixtimestamp64micro"] = "timestamp_micros(CAST({0} AS BIGINT))"
+TEMPLATES["fromunixtimestamp64nano"] = (
+    "timestamp_micros(CAST(({0}) DIV 1000 AS BIGINT))"
+)
+
+# byteSwap: width follows the value's magnitude the way CH's literal
+# typing does (UInt8 -> identity, UInt16/32/64 -> 2/4/8-byte swap).
+TEMPLATES["byteswap"] = (
+    "CASE WHEN ({0}) BETWEEN 0 AND 255 THEN ({0}) "
+    "WHEN ({0}) BETWEEN 0 AND 65535 THEN "
+    "(shiftleft(({0}) & 255, 8) | (shiftrightunsigned({0}, 8) & 255)) "
+    "WHEN ({0}) BETWEEN 0 AND 4294967295 THEN "
+    "(shiftleft(({0}) & 255, 24) | shiftleft(shiftrightunsigned({0}, 8) & 255, 16) | "
+    "shiftleft(shiftrightunsigned({0}, 16) & 255, 8) | (shiftrightunsigned({0}, 24) & 255)) "
+    "ELSE (shiftleft(({0}) & 255, 56) | shiftleft(shiftrightunsigned({0}, 8) & 255, 48) | "
+    "shiftleft(shiftrightunsigned({0}, 16) & 255, 40) | "
+    "shiftleft(shiftrightunsigned({0}, 24) & 255, 32) | "
+    "shiftleft(shiftrightunsigned({0}, 32) & 255, 24) | "
+    "shiftleft(shiftrightunsigned({0}, 40) & 255, 16) | "
+    "shiftleft(shiftrightunsigned({0}, 48) & 255, 8) | "
+    "(shiftrightunsigned({0}, 56) & 255)) END"
+)
+
+# parseReadableSize('1 KiB') -> 1024 (binary and decimal units)
+_RSIZE_MULT = (
+    "CASE lower(regexp_extract({0}, '([A-Za-z]+)\\\\s*$', 1)) "
+    "WHEN 'b' THEN 1.0 WHEN 'kb' THEN 1e3 WHEN 'mb' THEN 1e6 "
+    "WHEN 'gb' THEN 1e9 WHEN 'tb' THEN 1e12 WHEN 'pb' THEN 1e15 "
+    "WHEN 'eb' THEN 1e18 WHEN 'kib' THEN 1024.0 WHEN 'mib' THEN 1048576.0 "
+    "WHEN 'gib' THEN 1073741824.0 WHEN 'tib' THEN 1099511627776.0 "
+    "WHEN 'pib' THEN 1125899906842624.0 ELSE NULL END"
+)
+TEMPLATES["parsereadablesize"] = (
+    "CAST(round(CAST(regexp_extract({0}, '^\\\\s*([0-9.]+)', 1) AS DOUBLE) * "
+    + _RSIZE_MULT + ") AS BIGINT)"
+)
+TEMPLATES["parsereadablesizeorzero"] = (
+    "COALESCE(CAST(round(CAST(regexp_extract({0}, '^\\\\s*([0-9.]+)', 1) AS DOUBLE) * "
+    + _RSIZE_MULT + ") AS BIGINT), 0)"
+)
+TEMPLATES["parsereadablesizeornull"] = (
+    "CAST(round(CAST(regexp_extract({0}, '^\\\\s*([0-9.]+)', 1) AS DOUBLE) * "
+    + _RSIZE_MULT + ") AS BIGINT)"
+)
+
+# byteSize: storage width by runtime type; String = length + 9 (CH's
+# varint-prefixed layout)
+TEMPLATES["bytesize"] = (
+    "CASE typeof({0}) WHEN 'tinyint' THEN 1 WHEN 'smallint' THEN 2 "
+    "WHEN 'int' THEN 4 WHEN 'bigint' THEN 8 WHEN 'float' THEN 4 "
+    "WHEN 'double' THEN 8 WHEN 'boolean' THEN 1 WHEN 'date' THEN 2 "
+    "WHEN 'timestamp' THEN 4 "
+    "ELSE octet_length(CAST({0} AS STRING)) + 9 END"
+)

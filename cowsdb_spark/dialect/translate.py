@@ -403,8 +403,14 @@ def _rewrite_functions(sql: str) -> str:
                         # \x00-guard keeps the fixpoint loop from
                         # rewriting Spark's range() table function via
                         # the CH scalar-range template.
+                        # CH numbers(offset, count) = [offset,
+                        # offset+count); Spark range(a, b) = [a, b).
+                        if len(args) == 2:
+                            rng = f"({args[0]}), ({args[0]}) + ({args[1]})"
+                        else:
+                            rng = ", ".join(args)
                         out.append(
-                            f"(SELECT id AS number FROM \x00range\x00({', '.join(args)}))"
+                            f"(SELECT id AS number FROM \x00range\x00({rng}))"
                         )
                         i = close + 1
                         changed = True

@@ -766,7 +766,9 @@ class TestRound3StringBreadth:
             ("SELECT JSONArrayLength('[1,2]')", b"2\n"),
             ("SELECT mapContains(map('a', 1), 'a')", b"true\n"),
             ("SELECT mapFromArrays(['a'], [1])", b"{'a':1}\n"),
-            ("SELECT byteSize('abc')", b"3\n"),
+            # String byteSize = length + 9 (CH's varint-prefixed
+            # layout; sweep 12 replaced the bare octet_length mapping)
+            ("SELECT byteSize('abc')", b"12\n"),
             ("SELECT toDecimalString(3.14159, 2)", b"3.14\n"),
             (
                 "SELECT normalizeQuery('SELECT 12, ''x'' FROM t')",
@@ -1455,3 +1457,79 @@ class TestSweep11FunctionBreadth:
         ).decode().strip()
         t2 = float(out2.strip("()").split(",")[0])
         assert abs(t2 - (-0.5)) < 1e-9
+
+
+class TestSweep12FunctionBreadth:
+    """Value-level checks for the round-4 sweep-12 additions: vector
+    distance family, array-backed bitmap algebra, numbers(offset,
+    count) semantics, DateTime64 epoch constructors, byteSwap,
+    parseReadableSize, typed byteSize, arrayShift default fill."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from cowsdb_spark.engine import Engine
+
+        return Engine(spark)
+
+    @pytest.mark.parametrize(
+        "q,want",
+        [
+            # numbers(offset, count) = [offset, offset+count)
+            ("SELECT count() AS c, min(number) AS lo, max(number) AS hi FROM numbers(4, 4)", b"4\t4\t7\n"),
+            # vector distances
+            ("SELECT arrayDotProduct([1,2], [3,4])", b"11\n"),
+            ("SELECT dotProduct([1,2,3], [1,1,1])", b"6\n"),
+            ("SELECT L2Distance([0,0], [3,4])", b"5\n"),
+            ("SELECT L2SquaredDistance([0,0], [3,4])", b"25\n"),
+            ("SELECT L1Distance([1,1], [3,4])", b"5\n"),
+            ("SELECT LinfDistance([1,1], [3,5])", b"4\n"),
+            ("SELECT L2Norm([3,4])", b"5\n"),
+            ("SELECT L1Norm([3,-4])", b"7\n"),
+            ("SELECT LinfNorm([3,-4])", b"4\n"),
+            ("SELECT cosineDistance([1,0], [0,1])", b"1\n"),
+            ("SELECT round(cosineDistance([1,2], [2,4]), 6)", b"0\n"),
+            ("SELECT L2Normalize([3,4])", b"[0.6,0.8]\n"),
+            # bitmap algebra over sorted distinct arrays
+            ("SELECT bitmapCardinality(bitmapBuild([1,2,3,3]))", b"3\n"),
+            ("SELECT bitmapToArray(bitmapBuild([3,1,2]))", b"[1,2,3]\n"),
+            ("SELECT bitmapContains(bitmapBuild([1,2]), 2)", b"true\n"),
+            ("SELECT bitmapAnd(bitmapBuild([1,2,3]), bitmapBuild([2,3,4]))", b"[2,3]\n"),
+            ("SELECT bitmapOr(bitmapBuild([1,2]), bitmapBuild([2,3]))", b"[1,2,3]\n"),
+            ("SELECT bitmapXor(bitmapBuild([1,2,3]), bitmapBuild([2,3,4]))", b"[1,4]\n"),
+            ("SELECT bitmapAndnot(bitmapBuild([1,2,3]), bitmapBuild([2]))", b"[1,3]\n"),
+            ("SELECT bitmapAndCardinality(bitmapBuild([1,2]), bitmapBuild([2,3]))", b"1\n"),
+            ("SELECT bitmapOrCardinality(bitmapBuild([1,2]), bitmapBuild([2,3]))", b"3\n"),
+            ("SELECT bitmapXorCardinality(bitmapBuild([1,2]), bitmapBuild([2,3]))", b"2\n"),
+            ("SELECT bitmapHasAll(bitmapBuild([1,2,3]), bitmapBuild([2,3]))", b"true\n"),
+            ("SELECT bitmapHasAll(bitmapBuild([1,2]), bitmapBuild([2,3]))", b"false\n"),
+            ("SELECT bitmapHasAny(bitmapBuild([1,2]), bitmapBuild([2,3]))", b"true\n"),
+            ("SELECT bitmapMin(bitmapBuild([3,1,2]))", b"1\n"),
+            ("SELECT bitmapMax(bitmapBuild([3,1,2]))", b"3\n"),
+            ("SELECT groupBitmap(x) FROM (SELECT arrayJoin([1,2,2,3]) AS x)", b"3\n"),
+            # epoch constructors (values as UTC timestamps)
+            ("SELECT toUnixTimestamp64Milli(fromUnixTimestamp64Milli(1704067200123))", b"1704067200123\n"),
+            ("SELECT fromUnixTimestamp64Milli(1704067200000)", b"2024-01-01 00:00:00\n"),
+            # byteSwap (CH docs examples)
+            ("SELECT byteSwap(3351772109)", b"3455829959\n"),
+            # 64-bit swap; engine-wide UInt64 policy renders as signed
+            # Int64 (same as toUInt64), so CH's 18439412204227788800
+            # appears as its two's-complement twin
+            ("SELECT byteSwap(123294967295)", b"-7331869481762816\n"),
+            ("SELECT byteSwap(54)", b"54\n"),
+            # parseReadableSize family
+            ("SELECT parseReadableSize('1 KiB')", b"1024\n"),
+            ("SELECT parseReadableSize('3 MB')", b"3000000\n"),
+            ("SELECT parseReadableSizeOrZero('oops')", b"0\n"),
+            ("SELECT parseReadableSizeOrNull('2.5 GiB')", b"2684354560\n"),
+            # byteSize by runtime type; String = length + 9
+            ("SELECT byteSize(toInt32(1))", b"4\n"),
+            ("SELECT byteSize(toInt64(1))", b"8\n"),
+            ("SELECT byteSize('abc')", b"12\n"),
+            # arrayShift fills the numeric default, not NULL
+            ("SELECT arrayShiftLeft([1,2,3], 1)", b"[2,3,0]\n"),
+            ("SELECT arrayShiftRight([1,2,3], 1)", b"[0,1,2]\n"),
+            ("SELECT arrayShiftLeft([1,2,3], 1, 9)", b"[2,3,9]\n"),
+        ],
+    )
+    def test_engine_eval(self, eng, q, want):
+        assert eng.execute(q + " AS r") == want

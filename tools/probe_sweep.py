@@ -325,3 +325,26 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+PROBES["sweep12_vector"] = [
+    ("SELECT arrayDotProduct([1,2], [3,4]) AS r", "11"),
+    ("SELECT L2Distance([0,0], [3,4]) AS r", "5"),
+    ("SELECT cosineDistance([1,0], [0,1]) AS r", "1"),
+    ("SELECT L2Normalize([3,4]) AS r", "[0.6,0.8]"),
+]
+
+PROBES["sweep12_bitmap"] = [
+    ("SELECT bitmapCardinality(bitmapBuild([1,2,3,3])) AS r", "3"),
+    ("SELECT bitmapAnd(bitmapBuild([1,2,3]), bitmapBuild([2,3,4])) AS r", "[2,3]"),
+    ("SELECT bitmapHasAll(bitmapBuild([1,2,3]), bitmapBuild([2,3])) AS r", "true"),
+    ("SELECT groupBitmap(x) AS r FROM (SELECT arrayJoin([1,2,2,3]) AS x)", "3"),
+]
+
+PROBES["sweep12_misc"] = [
+    ("SELECT count() AS c FROM numbers(4, 4)", "4"),
+    ("SELECT byteSwap(3351772109) AS r", "3455829959"),
+    ("SELECT parseReadableSize('1 KiB') AS r", "1024"),
+    ("SELECT byteSize(toInt32(1)) AS r", "4"),
+    ("SELECT fromUnixTimestamp64Milli(1704067200000) AS r", "2024-01-01 00:00:00"),
+    ("SELECT arrayShiftLeft([1,2,3], 1) AS r", "[2,3,0]"),
+]
