@@ -562,3 +562,80 @@ def embedding_neardup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Cluster near-duplicate pairs into components: (id, component)
+    where ``component`` is the minimum node id reachable from ``id``.
+    The missing last step of large-scale dedup — pair generators
+    (MinHash-LSH, SimHash, n-gram Jaccard) emit edges; the keep-one
+    decision needs the transitive closure (A~B, B~C => {A,B,C} is one
+    duplicate group even when A~C was never emitted).
+
+    Algorithm: min-label propagation with pointer jumping
+    (comp <- comp[comp] each round), the standard distributed
+    connected-components recipe (cf. the large-star/small-star
+    family). Per iteration: one shuffle by node id for the neighbor
+    min, one self-join for the jump; labels are localCheckpoint'ed so
+    lineage stays O(1) instead of O(iterations) — without that, the
+    plan doubles every round and the job dies long before 100 TB.
+    Pointer jumping makes chain graphs converge in O(log diameter)
+    rounds, not O(diameter). Convergence check is a single scalar
+    aggregate per round (bounded driver traffic).
+
+    Nodes that appear in no edge are absent from the output (they are
+    their own singleton clusters; callers left-join if they need
+    them). Deterministic: min-labels do not depend on partitioning.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    )
+    e = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    lab = (
+        e.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        # neighbor-min: every edge forwards its endpoint's label
+        cand = e.join(lab.withColumnRenamed("id", "a"), "a").select(
+            F.col("b").alias("id"), "comp"
+        )
+        new = (
+            lab.select("id", "comp")
+            .union(cand)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+        )
+        # pointer jump: comp <- comp[comp] (labels are node ids, so
+        # the lookup is a self-join; missing = already a root)
+        jumped = (
+            new.join(
+                new.select(
+                    F.col("id").alias("comp"), F.col("comp").alias("comp2")
+                ),
+                "comp",
+                "left",
+            )
+            .select("id", F.least("comp", F.coalesce("comp2", "comp")).alias("comp"))
+        )
+        jumped = jumped.localCheckpoint(eager=True)
+        # convergence: min-propagation only ever lowers labels, so the
+        # label sum is strictly decreasing until the fixpoint — one
+        # scalar aggregate, no join against the previous labels
+        cur = jumped.agg(F.sum("comp")).first()[0]
+        lab = jumped
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return lab

@@ -1372,3 +1372,48 @@ def t23(spark, sf_dir):
         )
         .sortWithinPartitions("media_id", "frame_idx")
     )
+
+
+@qdef(
+    "t30_dedup_clusters",
+    # DuckDB oracle: same 3-gram Jaccard edges as t08 thresholded at
+    # 0.5, then the transitive closure via WITH RECURSIVE min-label
+    # reachability — cluster = min doc_id reachable, size = members.
+    "WITH RECURSIVE g AS (SELECT doc_id, list_distinct(list_transform("
+    "  generate_series(1, greatest(length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) - 2, 1)), "
+    "  i -> substring(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), i, 3))) AS gr "
+    "FROM documents), "
+    "e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM g a "
+    "JOIN g b ON b.doc_id = a.doc_id + 1 "
+    "WHERE ROUND(len(list_intersect(a.gr, b.gr)) * 1.0 / len(list_distinct(list_concat(a.gr, b.gr))), 4) >= 0.5), "
+    "eu AS (SELECT id_a AS a, id_b AS b FROM e "
+    "UNION SELECT id_b, id_a FROM e), "
+    "r(id, comp) AS ("
+    "  SELECT a, a FROM eu "
+    "  UNION SELECT eu.b, r.comp FROM r JOIN eu ON eu.a = r.id), "
+    "lab AS (SELECT id, min(comp) AS comp FROM r GROUP BY id) "
+    "SELECT comp AS cluster, count(*) AS size FROM lab "
+    "GROUP BY comp ORDER BY cluster",
+    "[ext: dedup] connected components over thresholded near-dup "
+    "pairs: transitive closure -> duplicate groups (cluster = min "
+    "member id, size = group size). The keep-one step after any pair "
+    "generator; Spark side is min-label propagation with pointer "
+    "jumping (operators/dedup.py::connected_components).",
+)
+def t30(spark, sf_dir):
+    from .operators.dedup import connected_components, ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = (
+        d.select(F.col("doc_id").alias("id_a"))
+        .withColumn("id_b", F.col("id_a") + 1)
+        .join(d.select(F.col("doc_id").alias("id_b")), "id_b", "inner")
+    )
+    edges = ngram_jaccard_pairs(d, pairs, n=3).filter(F.col("jaccard") >= 0.5)
+    comp = connected_components(edges)
+    return (
+        comp.groupBy("comp")
+        .agg(F.count("*").alias("size"))
+        .select(F.col("comp").alias("cluster"), "size")
+        .orderBy("cluster")
+    )

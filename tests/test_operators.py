@@ -642,3 +642,37 @@ class TestScaleShapeFixes:
             == n_before
         )
         assert prep_python_stage_input(big).rdd.getNumPartitions() == n_before
+
+
+class TestConnectedComponents:
+    """Transitive closure of near-dup pairs: chains, cliques, and
+    disjoint parts resolve to min-id component labels."""
+
+    def _cc(self, spark, edges):
+        from cowsdb_spark.operators.dedup import connected_components
+
+        e = spark.createDataFrame(edges, "id_a long, id_b long")
+        return {
+            r.id: r.comp for r in connected_components(e).collect()
+        }
+
+    def test_chain_collapses_to_min(self, spark):
+        # 1-2-3-4-5 chain: all label 1 (needs transitivity, pairs
+        # never connect 1 to 5 directly)
+        out = self._cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+        assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+    def test_disjoint_components(self, spark):
+        out = self._cc(spark, [(1, 2), (5, 6), (6, 7), (10, 10)])
+        assert out == {1: 1, 2: 1, 5: 5, 6: 5, 7: 5, 10: 10}
+
+    def test_direction_and_duplicates_ignored(self, spark):
+        out = self._cc(spark, [(2, 1), (1, 2), (2, 3), (3, 1)])
+        assert out == {1: 1, 2: 1, 3: 1}
+
+    def test_long_chain_converges(self, spark):
+        # 64-node chain: pointer jumping must converge well inside
+        # max_iter (plain propagation would need 63 rounds)
+        edges = [(i, i + 1) for i in range(64)]
+        out = self._cc(spark, edges)
+        assert set(out.values()) == {0} and len(out) == 65
