@@ -37,8 +37,17 @@ def main() -> None:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     con.execute(f"CREATE VIEW hits AS SELECT * FROM read_parquet('{ensure_hits()}')")
 
+    # Oracles that are correctness artifacts, not performance
+    # baselines: t30's WITH RECURSIVE transitive closure materializes
+    # every (node, reachable-label) pair — quadratic on chain graphs,
+    # >5 min at sf0.1 where the Spark operator (pointer jumping)
+    # takes ~5 s. The driver's correctness gate runs it at sf0.01.
+    skip_slow = {"t30_dedup_clusters"}
+
     timings: dict[str, float] = {}
     for name, sql in sorted(entrymod.oracle_sql().items()):
+        if name in skip_slow:
+            continue
         try:
             con.execute(sql).fetchall()  # warm
             t0 = time.perf_counter()
