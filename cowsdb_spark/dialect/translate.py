@@ -2452,6 +2452,19 @@ def translate(sql: str) -> list[Statement]:
                 j = 2
             ref = "".join(toks[k].text for k in sig[j:]).strip()
             out.append(Statement(kind="exists", spark_sql=ref, original=stmt))
+        elif first == "CHECK":
+            # CHECK TABLE [db.]name → one row, `result` UInt8
+            j = 1
+            if len(sig) > 1 and toks[sig[1]].text.upper() == "TABLE":
+                j = 2
+            ref = "".join(toks[k].text for k in sig[j:]).strip()
+            out.append(Statement(kind="check", spark_sql=ref, original=stmt))
+        elif first == "KILL":
+            out.append(Statement(kind="kill", original=stmt))
+        elif first == "SYSTEM":
+            # SYSTEM FLUSH LOGS / RELOAD ... — stateless engine, no-op
+            # (surfaced on the warning channel)
+            out.append(Statement(kind="system", original=stmt))
         elif first == "INSERT":
             s = translate_select(stmt)
             s.kind = "insert"

@@ -239,6 +239,7 @@ class Engine:
         query-level settings (CH URL params): above session SET,
         below an explicit statement SETTINGS clause."""
         df, out_fmt, settings, elapsed = self.execute_to_df(query, user, password, database, params=params)
+        eng_warnings = settings.pop("__engine_warnings__", [])
         sess = self.get_session(user, password)
         merged = {**sess.settings, **(extra_settings or {}), **settings}
         use_fmt = out_fmt or fmt or merged.get("default_format") or "TSV"
@@ -248,7 +249,7 @@ class Engine:
         # reported as warnings in the stats dict; servers surface them
         # without failing the query.  Session-level SET values don't
         # re-warn on every subsequent statement.
-        warnings = [
+        warnings = eng_warnings + [
             f"Setting '{k}' was accepted but is ignored by this engine"
             for k in {**(extra_settings or {}), **settings}
             if k not in ACTED_SETTINGS
@@ -334,6 +335,20 @@ class Engine:
                 result_df = None
             elif st.kind == "exists":
                 result_df = self._run_exists(sess, st.spark_sql)
+            elif st.kind == "check":
+                result_df = self._run_check(sess, st.spark_sql)
+            elif st.kind == "kill":
+                # no async query registry: nothing to kill; CH shape
+                result_df = self.spark.createDataFrame(
+                    [],
+                    "kill_status string, query_id string, user string, query string",
+                )
+            elif st.kind == "system":
+                settings.setdefault("__engine_warnings__", []).append(
+                    "SYSTEM statement accepted but is a no-op in this "
+                    f"engine: {st.original.strip()}"
+                )
+                result_df = None
             else:
                 out_fmt = st.format or out_fmt
                 settings.update(st.settings)
@@ -1502,9 +1517,55 @@ class Engine:
         from .system_tables import system_databases, system_tables
 
         toks = [t for t in tokenize(sql) if t.kind not in ("ws", "comment")]
-        if not toks or toks[0].text.upper() != "SHOW":
+        if not toks:
+            return None
+        head = toks[0].text.upper()
+        if head in ("DESCRIBE", "DESC"):
+            # CH DESCRIBE shape (7 columns, declared CH types) for the
+            # plain `DESCRIBE [TABLE] ref` form; anything more complex
+            # (subqueries) falls through to Spark's DESCRIBE.
+            j = 1
+            if len(toks) > 1 and toks[1].text.upper() == "TABLE":
+                j = 2
+            ref = "".join(t.text for t in toks[j:]).strip()
+            if ref and all(
+                t.kind in ("ident", "bquote") or t.text == "."
+                for t in toks[j:]
+            ):
+                names, ch_types = self.table_columns(
+                    ref, sess.user, sess.password
+                )
+                # declared CH types win over the Spark-schema round
+                # trip (same policy as SHOW CREATE TABLE)
+                try:
+                    import json as _json
+
+                    tbl = self.resolve_table(ref, sess.user, sess.password)
+                    decl_raw = self._table_moospark_props(tbl).get("ch_types")
+                    if decl_raw:
+                        decl = dict(_json.loads(decl_raw))
+                        ch_types = [
+                            decl.get(n, t) for n, t in zip(names, ch_types)
+                        ]
+                except Exception:
+                    pass
+                return local_df(
+                    self.spark,
+                    [(n, t, "", "", "", "", "") for n, t in zip(names, ch_types)],
+                    "name string, type string, default_type string, "
+                    "default_expression string, comment string, "
+                    "codec_expression string, ttl_expression string",
+                )
+            return None
+        if head != "SHOW":
             return None
         second = toks[1].text.upper() if len(toks) > 1 else ""
+        if second == "PROCESSLIST":
+            # synchronous engine: no long-running query registry
+            return self.spark.createDataFrame(
+                [],
+                "query_id string, user string, query string, elapsed double",
+            )
         if second == "DATABASES":
             return system_databases(self.spark, sess.ns).orderBy("name")
         if second == "TABLES":
@@ -1642,6 +1703,19 @@ class Engine:
         with self._lock:
             v = 1 if self._table_exists(sess, db, name) else 0
         return self.spark.range(1).select(F.lit(v).cast("smallint").alias("result"))
+
+    def _run_check(self, sess: UserSession, table_ref: str):
+        """``CHECK TABLE t`` → one row, `result` UInt8. Parquet-backed
+        tables have no CH part checksums; a successful schema
+        resolution + zero-row read is the integrity statement this
+        storage offers (missing table errors, as CH does)."""
+        from pyspark.sql import functions as F
+
+        tbl = self.resolve_table(table_ref, sess.user, sess.password)
+        self._sql_or_raise(f"SELECT * FROM {tbl} LIMIT 0").collect()
+        return self.spark.range(1).select(
+            F.lit(1).cast("smallint").alias("result")
+        )
 
     def _translate_expr(self, expr: str) -> str:
         """CH-dialect scalar expression → Spark SQL expression text."""

@@ -236,3 +236,52 @@ class TestShowStatements:
         engine.execute("CREATE DATABASE IF NOT EXISTS privdb", user="u1", password="p1")
         out = engine.execute("SHOW DATABASES", user="u2", password="p2").decode()
         assert "privdb" not in out
+
+
+class TestAdminStatements:
+    """CHECK TABLE / KILL QUERY / SYSTEM / SHOW PROCESSLIST / CH-shaped
+    DESCRIBE — the admin surface a CH client touches (reference
+    delegates all of these to chDB, main.py:190)."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from cowsdb_spark.engine import Engine
+
+        e = Engine(spark)
+        e.execute("DROP TABLE IF EXISTS admt", user="admt")
+        e.execute(
+            "CREATE TABLE admt (x Int64, s String) ENGINE=Memory", user="admt"
+        )
+        return e
+
+    def test_check_table(self, eng):
+        assert eng.execute("CHECK TABLE admt", user="admt") == b"1\n"
+
+    def test_check_missing_table_errors(self, eng):
+        from cowsdb_spark.engine import EngineError
+
+        with pytest.raises(EngineError):
+            eng.execute("CHECK TABLE no_such_t", user="admt")
+
+    def test_describe_ch_shape(self, eng):
+        out = eng.execute("DESCRIBE TABLE admt", user="admt")
+        assert out == b"x\tInt64\t\t\t\t\t\ns\tString\t\t\t\t\t\n"
+        assert eng.execute("DESC admt", user="admt") == out
+
+    def test_kill_query_empty_result(self, eng):
+        assert eng.execute(
+            "KILL QUERY WHERE query_id = 'nope'", user="admt"
+        ) == b""
+
+    def test_show_processlist_empty(self, eng):
+        assert eng.execute("SHOW PROCESSLIST", user="admt") == b""
+
+    def test_system_is_warned_noop(self, eng):
+        # warnings ride execute_to_df's settings channel (execute()
+        # folds them into the stats dict the servers surface)
+        _df, _fmt, settings, _el = eng.execute_to_df(
+            "SYSTEM RELOAD DICTIONARIES", user="admt"
+        )
+        warns = settings.get("__engine_warnings__", [])
+        assert warns and "no-op" in warns[0]
+        assert eng.execute("SYSTEM FLUSH LOGS", user="admt") == b""
