@@ -1725,3 +1725,145 @@ TEMPLATES["bytesize"] = (
     "WHEN 'timestamp' THEN 4 "
     "ELSE octet_length(CAST({0} AS STRING)) + 9 END"
 )
+
+
+# ---------------------------------------------------------------- sweep 13
+# Parameterized aggregate breadth. Where CH's variant is approximate
+# (quantileTiming/BFloat16, topKWeighted) the exact computation is a
+# valid instance of the contract, like topk above.
+PARAMETERIZED["quantilebfloat16"] = "percentile_approx({0}, {p0})"
+PARAMETERIZED["quantiletiming"] = "percentile_approx({0}, {p0})"
+PARAMETERIZED["quantileddsketch"] = "percentile_approx({0}, {p0})"
+# uniqUpTo(N): exact count while <= N, else N+1
+PARAMETERIZED["uniqupto"] = "least(count(DISTINCT {0}), CAST({p0} AS BIGINT) + 1)"
+# groupConcat(sep)(x) — CH's groupConcat / STRING_AGG shape
+PARAMETERIZED["groupconcat"] = "array_join(collect_list(CAST({0} AS STRING)), {p0})"
+TEMPLATES["groupconcat"] = "array_join(collect_list(CAST({0} AS STRING)), '')"
+# moving aggregates over insertion order (CH semantics; stable given a
+# sorted/one-partition input, like CH's own block order)
+PARAMETERIZED["grouparraymovingsum"] = (
+    "transform(sequence(1, size(collect_list({0}))), i -> "
+    "aggregate(slice(collect_list({0}), greatest(i - ({p0}) + 1, 1), "
+    "i - greatest(i - ({p0}) + 1, 1) + 1), CAST(0 AS DOUBLE), (a, x) -> a + x))"
+)
+PARAMETERIZED["grouparraymovingavg"] = (
+    # CH divides by the window size (not the elements summed); ints
+    # divide integrally in CH — we emit the double value
+    "transform(sequence(1, size(collect_list({0}))), i -> "
+    "aggregate(slice(collect_list({0}), greatest(i - ({p0}) + 1, 1), "
+    "i - greatest(i - ({p0}) + 1, 1) + 1), CAST(0 AS DOUBLE), (a, x) -> a + x) "
+    "/ ({p0}))"
+)
+# topKWeighted(k)(x, w): values ranked by total weight
+PARAMETERIZED["topkweighted"] = (
+    "transform(slice(array_sort(transform(array_distinct(collect_list({0})), "
+    "d -> struct(aggregate(filter(collect_list(struct({0} AS v, {1} AS w)), "
+    "p -> p.v <=> d), CAST(0 AS DOUBLE), (a, p) -> a + p.w) AS c, d AS v)), "
+    "(a, b) -> CASE WHEN a.c > b.c THEN -1 WHEN a.c < b.c THEN 1 "
+    "WHEN a.v < b.v THEN -1 WHEN a.v > b.v THEN 1 ELSE 0 END), "
+    "1, {p0}), s -> s.v)"
+)
+
+# Interval aggregates: fold the collected endpoints once, JVM-side.
+# maxIntersections: sweep-line over +1/-1 events (end sorts before a
+# coincident start -> half-open [s, e) like CH).
+TEMPLATES["maxintersections"] = (
+    "aggregate(array_sort(concat("
+    "transform(collect_list({0}), s -> struct(CAST(s AS DOUBLE) AS t, 1 AS d)), "
+    "transform(collect_list({1}), e -> struct(CAST(e AS DOUBLE) AS t, -1 AS d)))), "
+    "struct(0 AS cur, 0 AS mx), "
+    "(acc, ev) -> struct(acc.cur + ev.d, greatest(acc.mx, acc.cur + ev.d))).mx"
+)
+# intervalLengthSum: union length of [s, e) intervals — sort by start,
+# extend a covered-through cursor
+TEMPLATES["intervallengthsum"] = (
+    "CAST(aggregate(array_sort(collect_list(struct(CAST({0} AS DOUBLE) AS s, "
+    "CAST({1} AS DOUBLE) AS e))), "
+    "struct(CAST(-1e308 AS DOUBLE) AS ce, CAST(0 AS DOUBLE) AS tot), "
+    "(acc, iv) -> struct(greatest(acc.ce, iv.e), "
+    "acc.tot + greatest(CAST(0 AS DOUBLE), iv.e - greatest(iv.s, acc.ce)))).tot "
+    "AS BIGINT)"
+)
+TEMPLATES["singlevalueornull"] = (
+    "CASE WHEN count(DISTINCT {0}) = 1 THEN max({0}) END"
+)
+
+
+# Categorical association aggregates (cramersV / contingency /
+# theilsU) and Spearman rankCorr: computed exactly from one collected
+# pair list per group — the contingency table is folded JVM-side with
+# array HOFs (O(|distinct| * n) per group, the group-local cost CH
+# pays too). Composed from shared pieces for readability.
+_PAIRS = "collect_list(struct({0} AS a, {1} AS b))"
+_N = f"CAST(size({_PAIRS}) AS DOUBLE)"
+# chi-squared over the FULL distinct-a x distinct-b grid (zero-
+# observation cells carry (0-exp)^2/exp, so iterating only observed
+# pairs understates chi2)
+_GRID = (
+    f"flatten(transform(array_distinct(transform({_PAIRS}, p -> p.a)), av -> "
+    f"transform(array_distinct(transform({_PAIRS}, p -> p.b)), bv -> "
+    f"struct(av AS a, bv AS b))))"
+)
+_CHI2 = (
+    f"aggregate(transform({_GRID}, d -> "
+    f"(CAST(size(filter({_PAIRS}, p -> p.a <=> d.a AND p.b <=> d.b)) AS DOUBLE) - "
+    f"CAST(size(filter({_PAIRS}, p -> p.a <=> d.a)) AS DOUBLE) * "
+    f"size(filter({_PAIRS}, p -> p.b <=> d.b)) / {_N}) * "
+    f"(CAST(size(filter({_PAIRS}, p -> p.a <=> d.a AND p.b <=> d.b)) AS DOUBLE) - "
+    f"CAST(size(filter({_PAIRS}, p -> p.a <=> d.a)) AS DOUBLE) * "
+    f"size(filter({_PAIRS}, p -> p.b <=> d.b)) / {_N}) / "
+    f"(CAST(size(filter({_PAIRS}, p -> p.a <=> d.a)) AS DOUBLE) * "
+    f"size(filter({_PAIRS}, p -> p.b <=> d.b)) / {_N})), "
+    f"CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+)
+_KA = f"size(array_distinct(transform({_PAIRS}, p -> p.a)))"
+_KB = f"size(array_distinct(transform({_PAIRS}, p -> p.b)))"
+TEMPLATES["cramersv"] = (
+    f"sqrt(({_CHI2}) / ({_N} * greatest(least({_KA}, {_KB}) - 1, 1)))"
+)
+TEMPLATES["contingency"] = f"sqrt(({_CHI2}) / (({_CHI2}) + {_N}))"
+
+
+def _entropy_over(expr_list: str, pairs: str = _PAIRS, n: str = _N) -> str:
+    """-sum p*ln(p) over the distinct values of a transformed list."""
+    return (
+        f"aggregate(transform(array_distinct({expr_list}), v -> "
+        f"-(CAST(size(filter({expr_list}, u -> u <=> v)) AS DOUBLE) / {n}) * "
+        f"ln(CAST(size(filter({expr_list}, u -> u <=> v)) AS DOUBLE) / {n})), "
+        f"CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+_H_A = _entropy_over(f"transform({_PAIRS}, p -> p.a)")
+_H_B = _entropy_over(f"transform({_PAIRS}, p -> p.b)")
+_H_AB = _entropy_over(_PAIRS)
+# Theil's U (uncertainty coefficient) U(a|b) = (H(a)+H(b)-H(a,b))/H(a)
+TEMPLATES["theilsu"] = f"(({_H_A}) + ({_H_B}) - ({_H_AB})) / ({_H_A})"
+
+# Spearman rank correlation: Pearson corr of fractional (midrank)
+# ranks, computed positionally from the collected value lists
+_RANKS_A = (
+    f"transform({_PAIRS}, q -> "
+    f"CAST(size(filter({_PAIRS}, p -> p.a < q.a)) AS DOUBLE) + "
+    f"(CAST(size(filter({_PAIRS}, p -> p.a <=> q.a)) AS DOUBLE) + 1) / 2)"
+)
+_RANKS_B = (
+    f"transform({_PAIRS}, q -> "
+    f"CAST(size(filter({_PAIRS}, p -> p.b < q.b)) AS DOUBLE) + "
+    f"(CAST(size(filter({_PAIRS}, p -> p.b <=> q.b)) AS DOUBLE) + 1) / 2)"
+)
+
+
+def _arr_mean(a: str) -> str:
+    return f"(aggregate({a}, CAST(0 AS DOUBLE), (s, x) -> s + x) / size({a}))"
+
+
+TEMPLATES["rankcorr"] = (
+    f"aggregate(zip_with({_RANKS_A}, {_RANKS_B}, (x, y) -> "
+    f"(x - {_arr_mean(_RANKS_A)}) * (y - {_arr_mean(_RANKS_B)})), "
+    f"CAST(0 AS DOUBLE), (s, v) -> s + v) / "
+    f"(sqrt(aggregate(transform({_RANKS_A}, x -> (x - {_arr_mean(_RANKS_A)}) * "
+    f"(x - {_arr_mean(_RANKS_A)})), CAST(0 AS DOUBLE), (s, v) -> s + v)) * "
+    f"sqrt(aggregate(transform({_RANKS_B}, y -> (y - {_arr_mean(_RANKS_B)}) * "
+    f"(y - {_arr_mean(_RANKS_B)})), CAST(0 AS DOUBLE), (s, v) -> s + v)))"
+)

@@ -1533,3 +1533,53 @@ class TestSweep12FunctionBreadth:
     )
     def test_engine_eval(self, eng, q, want):
         assert eng.execute(q + " AS r") == want
+
+
+class TestSweep13AggregateBreadth:
+    """Value-level checks for sweep 13: parameterized aggregate
+    variants (moving window, uniqUpTo, topKWeighted, groupConcat,
+    quantile spellings), interval aggregates (maxIntersections,
+    intervalLengthSum), and categorical association statistics
+    (cramersV, contingency, theilsU, rankCorr) computed exactly via
+    group-local array folds."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from cowsdb_spark.engine import Engine
+
+        return Engine(spark)
+
+    @pytest.mark.parametrize(
+        "q,want",
+        [
+            ("SELECT groupArrayMovingSum(2)(number) FROM numbers(4)", b"[0,1,3,5]\n"),
+            # CH divides by the window size; double division here
+            ("SELECT groupArrayMovingAvg(2)(number) FROM numbers(4)", b"[0,0.5,1.5,2.5]\n"),
+            ("SELECT uniqUpTo(2)(number) FROM numbers(5)", b"3\n"),
+            ("SELECT uniqUpTo(8)(number) FROM numbers(5)", b"5\n"),
+            # value 2 carries weights {2,5,8}=15, value 1 {1,4,7}=12, value 0 {0,3,6,9}=18
+            ("SELECT topKWeighted(2)(number % 3, number) FROM numbers(10)", b"[0,2]\n"),
+            ("SELECT groupConcat(',')(toString(number)) FROM numbers(3)", b"0,1,2\n"),
+            ("SELECT groupConcat(toString(number)) FROM numbers(3)", b"012\n"),
+            ("SELECT quantileBFloat16(0.5)(number) FROM numbers(101)", b"50\n"),
+            ("SELECT quantileTiming(0.5)(number) FROM numbers(101)", b"50\n"),
+            # 5 unit-staggered [i, i+3) intervals: peak overlap 3
+            ("SELECT maxIntersections(s, e) FROM (SELECT number AS s, number + 3 AS e FROM numbers(5))", b"3\n"),
+            # [0,2),[1,3),[2,4) union = [0,4) -> 4
+            ("SELECT intervalLengthSum(s, e) FROM (SELECT number AS s, number + 2 AS e FROM numbers(3))", b"4\n"),
+            # disjoint [0,1),[10,11): 2
+            ("SELECT intervalLengthSum(s, e) FROM (SELECT number * 10 AS s, number * 10 + 1 AS e FROM numbers(2))", b"2\n"),
+            ("SELECT singleValueOrNull(number) FROM numbers(1)", b"0\n"),
+            ("SELECT singleValueOrNull(number) FROM numbers(3)", b"\\N\n"),
+            # association statistics on hand-checkable tables
+            ("SELECT round(cramersV(number % 2, number % 2), 6) FROM numbers(12)", b"1\n"),
+            ("SELECT round(cramersV(number % 2, number % 3), 6) FROM numbers(12)", b"0\n"),
+            ("SELECT round(contingency(number % 2, number % 2), 4) FROM numbers(12)", b"0.7071\n"),
+            ("SELECT round(theilsU(number % 2, number % 2), 6) FROM numbers(12)", b"1\n"),
+            ("SELECT round(theilsU(number % 2, number % 3), 6) FROM numbers(12)", b"0\n"),
+            ("SELECT round(rankCorr(number, number * 2), 6) FROM numbers(10)", b"1\n"),
+            ("SELECT round(rankCorr(number, -number), 6) FROM numbers(10)", b"-1\n"),
+        ],
+    )
+    def test_engine_eval(self, eng, q, want):
+        assert eng.execute(q + " AS r") == want
