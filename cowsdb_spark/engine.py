@@ -82,6 +82,12 @@ class UserSession:
     password: str
     current_db: str = "default"
     created_at: float = field(default_factory=time.time)
+    # CH HTTP sessions: `session_id` scopes SET/USE state per client
+    # session (same credential namespace/catalog); sessions with an
+    # id expire `session_timeout` seconds after their last use
+    session_id: str = ""
+    last_used: float = field(default_factory=time.time)
+    session_timeout: float = 3600.0
     # session-level SET k = v (CH sessions persist settings; we honor
     # default_format / max_result_rows, accept the rest silently)
     settings: dict = field(default_factory=dict)
@@ -187,14 +193,44 @@ class Engine:
 
     # ------------------------------------------------------------ sessions
 
-    def get_session(self, user: str = "default", password: str = "") -> UserSession:
-        key = (user, password)
+    def get_session(
+        self,
+        user: str = "default",
+        password: str = "",
+        session_id: str = "",
+        session_timeout: Optional[float] = None,
+    ) -> UserSession:
+        key = (user, password, session_id)
+        now = time.time()
         with self._lock:
+            # evict expired id-keyed sessions (CH session_timeout)
+            for k in [
+                k
+                for k, s in self._sessions.items()
+                if s.session_id and now - s.last_used > s.session_timeout
+            ]:
+                del self._sessions[k]
             if key not in self._sessions:
-                sess = UserSession(user=user, password=password)
+                sess = UserSession(
+                    user=user, password=password, session_id=session_id
+                )
                 self._sessions[key] = sess
                 self._ensure_db(sess.spark_db("default"))
-            return self._sessions[key]
+            sess = self._sessions[key]
+            sess.last_used = now
+            if session_timeout is not None:
+                sess.session_timeout = session_timeout
+            return sess
+
+    def has_session(
+        self, user: str = "default", password: str = "", session_id: str = ""
+    ) -> bool:
+        """True if an unexpired session exists (CH ``session_check=1``)."""
+        with self._lock:
+            s = self._sessions.get((user, password, session_id))
+        return s is not None and (
+            not s.session_id or time.time() - s.last_used <= s.session_timeout
+        )
 
     def _ensure_db(self, spark_db: str) -> None:
         if spark_db in self._dbs_ensured:
@@ -212,6 +248,7 @@ class Engine:
         password: str = "",
         database: Optional[str] = None,
         params: Optional[dict] = None,
+        session_id: str = "",
     ) -> bytes:
         """Run a (possibly multi-statement) CH-dialect query; returns
         the LAST statement's result serialized per the CH precedence
@@ -219,7 +256,8 @@ class Engine:
         > TSV (reference semantics: USE prefixing + single result,
         main.py:859-860)."""
         return self.execute_with_format(
-            query, fmt, user, password, database, params=params
+            query, fmt, user, password, database, params=params,
+            session_id=session_id
         )[0]
 
     def execute_with_format(
@@ -231,6 +269,7 @@ class Engine:
         database: Optional[str] = None,
         extra_settings: Optional[dict] = None,
         params: Optional[dict] = None,
+        session_id: str = "",
     ) -> tuple[bytes, str, dict]:
         """Like :meth:`execute`, also returning the format actually
         used (FORMAT clause / caller / session SET / TSV) so servers
@@ -238,9 +277,11 @@ class Engine:
         X-ClickHouse-Summary response header. ``extra_settings`` are
         query-level settings (CH URL params): above session SET,
         below an explicit statement SETTINGS clause."""
-        df, out_fmt, settings, elapsed = self.execute_to_df(query, user, password, database, params=params)
+        df, out_fmt, settings, elapsed = self.execute_to_df(
+            query, user, password, database, params=params, session_id=session_id
+        )
         eng_warnings = settings.pop("__engine_warnings__", [])
-        sess = self.get_session(user, password)
+        sess = self.get_session(user, password, session_id)
         merged = {**sess.settings, **(extra_settings or {}), **settings}
         use_fmt = out_fmt or fmt or merged.get("default_format") or "TSV"
         # Warning channel (reference main.py:863-868: a query can succeed
@@ -295,13 +336,14 @@ class Engine:
         password: str = "",
         database: Optional[str] = None,
         params: Optional[dict] = None,
+        session_id: str = "",
     ) -> tuple[Optional[DataFrame], Optional[str], dict, float]:
         if params or "{" in query:
             # also runs with no bindings so an unbound {name:Type}
             # reports "Substitution not set" (CH code 456), not a
             # Spark parse error; queries without braces skip the pass
             query = bind_query_params(query, params or {})
-        sess = self.get_session(user, password)
+        sess = self.get_session(user, password, session_id)
         if database:
             sess.current_db = database
         t0 = time.time()

@@ -141,6 +141,26 @@ class _Handler(BaseHTTPRequestHandler):
         }
         # CH echoes the client's query_id or generates one; clients
         # (and the go/python drivers) read it back from this header
+        # CH HTTP sessions: session_id scopes SET/USE state across
+        # requests; session_timeout (seconds) expires it after idle;
+        # session_check=1 errors if the session does not exist yet.
+        session_id = extra.pop("session_id", "")
+        session_timeout = extra.pop("session_timeout", "")
+        session_check = extra.pop("session_check", "0") in ("1", "true")
+        if session_check and session_id and not self.engine.has_session(
+            user, pw, session_id
+        ):
+            self._send(
+                400,
+                f"Code: 372. Session not found: {session_id}\n".encode(),
+            )
+            return
+        if session_id:
+            try:
+                t = float(session_timeout) if session_timeout else None
+            except ValueError:
+                t = None
+            self.engine.get_session(user, pw, session_id, session_timeout=t)
         qid = extra.pop("query_id", "") or _uuid.uuid4().hex
         hdrs = {"X-ClickHouse-Query-Id": qid, "X-ClickHouse-Timezone": "UTC"}
         # `enable_http_compression=1` + Accept-Encoding: gzip|deflate →
@@ -206,7 +226,7 @@ class _Handler(BaseHTTPRequestHandler):
                     outcome["ok"] = self.engine.execute_with_format(
                         query.strip(), fmt=fmt, user=user, password=pw,
                         database=database or None, extra_settings=extra or None,
-                        params=qparams or None,
+                        params=qparams or None, session_id=session_id,
                     )
                 except Exception as e:  # noqa: BLE001 — re-raised below
                     outcome["err"] = e
@@ -244,7 +264,7 @@ class _Handler(BaseHTTPRequestHandler):
                 body, used_fmt, stats = self.engine.execute_with_format(
                     query.strip(), fmt=fmt, user=user, password=pw,
                     database=database or None, extra_settings=extra or None,
-                    params=qparams or None,
+                    params=qparams or None, session_id=session_id,
                 )
             # Partial-success warning channel (reference main.py:863-868:
             # result + stderr text → 200 with the result, warning logged).

@@ -131,6 +131,54 @@ class TestErrorsAndSessions:
         )
 
 
+class TestHttpSessionId:
+    """CH HTTP sessions: session_id scopes SET/USE state across
+    requests; session_check=1 errors on a missing session (CH code
+    372); session_timeout expires idle sessions."""
+
+    def test_set_scoped_to_session_id(self, http):
+        get(http, "SET default_format = 'JSONCompact'", session_id="sidA")
+        # same session: SET is visible (JSON body, not TSV)
+        _, body = get(http, "SELECT 1 AS v", session_id="sidA")
+        assert body.lstrip().startswith(b"{")
+        # no session_id: base per-credential session, unaffected
+        assert get(http, "SELECT 1 AS v") == (200, b"1\n")
+        # different session id: also unaffected
+        assert get(http, "SELECT 1 AS v", session_id="sidB") == (200, b"1\n")
+
+    def test_use_scoped_to_session_id(self, http):
+        get(http, "CREATE DATABASE IF NOT EXISTS sdb")
+        get(http, "CREATE TABLE IF NOT EXISTS sdb.st (x Int64) ENGINE=Memory")
+        get(http, "INSERT INTO sdb.st VALUES (7)")
+        get(http, "USE sdb", session_id="sidU")
+        assert get(http, "SELECT x FROM st", session_id="sidU") == (200, b"7\n")
+        # the USE did not leak into the id-less session
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError):
+            get(http, "SELECT x FROM st")
+
+    def test_session_check_missing_errors(self, http):
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            get(http, "SELECT 1", session_id="never_made", session_check="1")
+        assert ei.value.code == 400
+        assert b"372" in ei.value.read()
+
+    def test_session_timeout_expires(self, http):
+        import time as _t
+
+        get(http, "SET default_format = 'JSONCompact'",
+            session_id="sidT", session_timeout="1")
+        _t.sleep(1.2)
+        # expired: session_check now fails
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError):
+            get(http, "SELECT 1", session_id="sidT", session_check="1")
+
+
 class TestLambdaHandler:
     """Stateless entry parity (lambda/lambda.py:6-19)."""
 
