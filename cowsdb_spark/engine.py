@@ -175,6 +175,13 @@ class Engine:
         _register_misc(self.spark)
         self._sessions: dict[tuple[str, str], UserSession] = {}
         self._order_by_cache: dict[str, dict] = {}  # tbl -> moospark.* props
+        # system.query_log backing store: per-credential-namespace ring
+        # buffer (each user sees only their own history, like the
+        # namespace isolation everywhere else)
+        from collections import deque as _deque
+
+        self._query_log: dict[str, object] = {}
+        self._query_log_maxlen = 1000
         # per-Spark-db table-name sets for lock-free qualification of
         # unqualified refs on the read path; cleared on any DDL
         self._tables_cache: dict[str, set] = {}
@@ -221,6 +228,41 @@ class Engine:
             if session_timeout is not None:
                 sess.session_timeout = session_timeout
             return sess
+
+    def _log_query(
+        self,
+        user: str,
+        password: str,
+        query: str,
+        elapsed: float,
+        result_rows: int,
+        qtype: str,
+        exception: str,
+    ) -> None:
+        import datetime as _dt
+        from collections import deque as _deque
+
+        ns = self.get_session(user, password).ns
+        with self._lock:
+            buf = self._query_log.get(ns)
+            if buf is None:
+                buf = _deque(maxlen=self._query_log_maxlen)
+                self._query_log[ns] = buf
+            buf.append(
+                (
+                    qtype,
+                    _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None),
+                    round(elapsed * 1000.0, 3),
+                    query,
+                    result_rows,
+                    user,
+                    exception,
+                )
+            )
+
+    def query_log_rows(self, ns: str) -> list:
+        with self._lock:
+            return list(self._query_log.get(ns, []))
 
     def has_session(
         self, user: str = "default", password: str = "", session_id: str = ""
@@ -277,9 +319,15 @@ class Engine:
         X-ClickHouse-Summary response header. ``extra_settings`` are
         query-level settings (CH URL params): above session SET,
         below an explicit statement SETTINGS clause."""
-        df, out_fmt, settings, elapsed = self.execute_to_df(
-            query, user, password, database, params=params, session_id=session_id
-        )
+        t_start = time.time()
+        try:
+            df, out_fmt, settings, elapsed = self.execute_to_df(
+                query, user, password, database, params=params, session_id=session_id
+            )
+        except EngineError as e:
+            self._log_query(user, password, query, time.time() - t_start, 0,
+                            "ExceptionWhileProcessing", str(e))
+            raise
         eng_warnings = settings.pop("__engine_warnings__", [])
         sess = self.get_session(user, password, session_id)
         merged = {**sess.settings, **(extra_settings or {}), **settings}
@@ -299,6 +347,7 @@ class Engine:
             stats0 = {"result_rows": 0, "elapsed_ns": int(elapsed * 1e9)}
             if warnings:
                 stats0["warnings"] = warnings
+            self._log_query(user, password, query, elapsed, 0, "QueryFinish", "")
             return b"", use_fmt, stats0
         res = QueryResult.from_dataframe(df, elapsed=elapsed)
         res.elapsed = elapsed
@@ -327,6 +376,9 @@ class Engine:
         }
         if warnings:
             stats["warnings"] = warnings
+        self._log_query(
+            user, password, query, elapsed, counted["n"], "QueryFinish", ""
+        )
         return body, use_fmt, stats
 
     def execute_to_df(
@@ -569,7 +621,7 @@ class Engine:
                         # synthesized introspection tables (SURVEY §1.1;
                         # Play UI queries system.settings, index.html:27)
                         tbl = toks[sig[k + 2]].text.strip("`")
-                        view = _materialize_system(self.spark, sess.ns, tbl, sess)
+                        view = _materialize_system(self.spark, sess.ns, tbl, sess, engine=self)
                         if view is not None:
                             if created_views is not None:
                                 created_views.append(view)

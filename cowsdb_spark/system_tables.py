@@ -122,13 +122,37 @@ PROVIDERS = {
     "numbers": system_numbers,
     "columns": system_columns,
     "dictionaries": system_dictionaries,
+    "query_log": None,  # engine-backed, resolved in materialize()
+    "processes": None,
 }
 
 # providers that take the engine's UserSession as a third argument
 _SESSION_PROVIDERS = {"dictionaries"}
 
 
-def materialize(spark: SparkSession, ns: str, table: str, session=None) -> str | None:
+def system_query_log(spark: SparkSession, ns: str, engine) -> DataFrame:
+    """CH-shaped query history (ring buffer per credential namespace;
+    CH's table is server-wide — namespace scoping here matches the
+    engine's everywhere-else isolation)."""
+    rows = engine.query_log_rows(ns) if engine is not None else []
+    return local_df(
+        spark,
+        rows,
+        "type string, event_time timestamp, query_duration_ms double, "
+        "query string, result_rows long, user string, exception string",
+    )
+
+
+def system_processes(spark: SparkSession, ns: str, engine) -> DataFrame:
+    """Empty by construction: the engine executes synchronously, so a
+    query can never observe another one still running in this
+    snapshot-materialized view."""
+    return spark.createDataFrame(
+        [], "query_id string, user string, query string, elapsed double"
+    )
+
+
+def materialize(spark: SparkSession, ns: str, table: str, session=None, engine=None) -> str | None:
     """Build system.<table> and return a temp view name, or None.
 
     The name embeds the credential namespace and a uuid so concurrent
@@ -137,10 +161,17 @@ def materialize(spark: SparkSession, ns: str, table: str, session=None) -> str |
     view once the statement's plan is analyzed."""
     import uuid
 
-    fn = PROVIDERS.get(table.lower())
-    if fn is None:
+    t = table.lower()
+    if t not in PROVIDERS:
         return None
-    view = f"__moospark_system_{ns}_{table.lower()}_{uuid.uuid4().hex[:8]}"
-    df = fn(spark, ns, session) if table.lower() in _SESSION_PROVIDERS else fn(spark, ns)
+    view = f"__moospark_system_{ns}_{t}_{uuid.uuid4().hex[:8]}"
+    if t == "query_log":
+        df = system_query_log(spark, ns, engine)
+    elif t == "processes":
+        df = system_processes(spark, ns, engine)
+    elif t in _SESSION_PROVIDERS:
+        df = PROVIDERS[t](spark, ns, session)
+    else:
+        df = PROVIDERS[t](spark, ns)
     df.createOrReplaceTempView(view)
     return view

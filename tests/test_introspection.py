@@ -285,3 +285,38 @@ class TestAdminStatements:
         warns = settings.get("__engine_warnings__", [])
         assert warns and "no-op" in warns[0]
         assert eng.execute("SYSTEM FLUSH LOGS", user="admt") == b""
+
+
+class TestQueryLog:
+    """system.query_log: per-namespace ring buffer of executed
+    queries; system.processes: empty (synchronous engine)."""
+
+    def test_query_log_records_success_and_failure(self, spark):
+        from cowsdb_spark.engine import Engine, EngineError
+
+        eng = Engine(spark)
+        u = {"user": "qlog_t"}
+        eng.execute("SELECT 41 AS v", **u)
+        with pytest.raises(EngineError):
+            eng.execute("SELECT * FROM missing_qlog_t", **u)
+        out = eng.execute(
+            "SELECT type, query, result_rows FROM system.query_log "
+            "ORDER BY event_time", **u
+        ).decode()
+        lines = out.strip().split("\n")
+        assert lines[0] == "QueryFinish\tSELECT 41 AS v\t1"
+        assert lines[1].startswith("ExceptionWhileProcessing\t")
+        # other credentials see their own (empty) log
+        other = eng.execute(
+            "SELECT count() AS c FROM system.query_log", user="qlog_other"
+        )
+        # the count query itself is not yet in the log it reads
+        assert other == b"0\n"
+
+    def test_processes_empty(self, spark):
+        from cowsdb_spark.engine import Engine
+
+        eng = Engine(spark)
+        assert eng.execute(
+            "SELECT count() AS c FROM system.processes", user="qlog_t2"
+        ) == b"0\n"
