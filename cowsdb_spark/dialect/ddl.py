@@ -40,6 +40,7 @@ class CreateTable:
     columns: list[ColumnDef]
     engine: str = "MergeTree"
     engine_args: str = ""  # e.g. the ver column of ReplacingMergeTree(ver)
+    temporary: bool = False  # CREATE TEMPORARY TABLE (session-scoped)
     partition_by: Optional[str] = None
     order_by: Optional[str] = None
     sample_by: Optional[str] = None
@@ -181,6 +182,16 @@ def parse_ddl(sql: str):
         return DropObject(what=what, database=db, name=name, if_exists=ie)
     if head == "CREATE" and len(toks) >= 2 and toks[1].text.upper() == "TABLE":
         return _parse_create_table(sql, toks)
+    if (
+        head == "CREATE"
+        and len(toks) >= 3
+        and toks[1].text.upper() == "TEMPORARY"
+        and toks[2].text.upper() == "TABLE"
+    ):
+        ct = _parse_create_table(sql, [toks[0]] + toks[2:])
+        if ct is not None:
+            ct.temporary = True
+        return ct
     if head == "TRUNCATE":
         i = 1
         if i < len(toks) and toks[i].text.upper() == "TABLE":

@@ -93,6 +93,8 @@ class UserSession:
     settings: dict = field(default_factory=dict)
     # CREATE DICTIONARY registry (name -> DictionarySpec)
     dictionaries: dict = field(default_factory=dict)
+    # CREATE TEMPORARY TABLE names living in this session's hidden db
+    temp_tables: set = field(default_factory=set)
 
     @property
     def ns(self) -> str:
@@ -103,6 +105,15 @@ class UserSession:
 
     def spark_db(self, db: Optional[str] = None) -> str:
         return f"{self.ns}__{db or self.current_db}"
+
+    @property
+    def temp_db(self) -> str:
+        """Hidden database for TEMPORARY tables: the `tmp` prefix
+        keeps it outside the `u<hash>__` pattern every catalog listing
+        filters on, so other sessions (and SHOW DATABASES) never see
+        it."""
+        sid = hashlib.sha256(self.session_id.encode()).hexdigest()[:8]
+        return f"tmp{self.ns}_s{sid}"
 
 
 def bind_query_params(sql: str, params: dict[str, str]) -> str:
@@ -216,7 +227,14 @@ class Engine:
                 for k, s in self._sessions.items()
                 if s.session_id and now - s.last_used > s.session_timeout
             ]:
-                del self._sessions[k]
+                expired = self._sessions.pop(k)
+                if expired.temp_tables:
+                    try:
+                        self.spark.sql(
+                            f"DROP DATABASE IF EXISTS `{expired.temp_db}` CASCADE"
+                        )
+                    except Exception:
+                        pass
             if key not in self._sessions:
                 sess = UserSession(
                     user=user, password=password, session_id=session_id
@@ -642,7 +660,9 @@ class Engine:
                     # namespace, not resolve against whatever current
                     # database another thread last set). Only CTEs and
                     # temp views stay unqualified.
-                    if (
+                    if name in sess.temp_tables:
+                        out[i] = f"`{sess.temp_db}`.`{name}`"
+                    elif (
                         name.lower() not in cte
                         and not name.startswith("__moospark")
                         and (
@@ -1024,6 +1044,8 @@ class Engine:
         parts = [p.strip().strip("`") for p in table_ref.split(".")]
         if len(parts) == 2:
             return f"`{sess.spark_db(parts[0])}`.`{parts[1]}`"
+        if parts[0] in sess.temp_tables:
+            return f"`{sess.temp_db}`.`{parts[0]}`"
         return f"`{sess.spark_db()}`.`{parts[0]}`"
 
     def table_columns(
@@ -1377,6 +1399,12 @@ class Engine:
                     self.spark.sql(
                         f"DROP DATABASE {ie}`{sess.spark_db(parsed.name)}` CASCADE"
                     )
+                elif parsed.database is None and parsed.name in sess.temp_tables:
+                    self.spark.sql(
+                        f"DROP TABLE {ie}`{sess.temp_db}`.`{parsed.name}`"
+                    )
+                    sess.temp_tables.discard(parsed.name)
+                    return
                 else:
                     db = sess.spark_db(parsed.database)
                     qual = f"`{db}`.`{parsed.name}`"
@@ -1426,7 +1454,11 @@ class Engine:
                 raise EngineError(_clean_spark_error(e), _ch_error_code(str(e))) from e
 
     def _create_table(self, sess: UserSession, ct: CreateTable) -> None:
-        db = sess.spark_db(ct.database)
+        if ct.temporary:
+            db = sess.temp_db
+            sess.temp_tables.add(ct.table)
+        else:
+            db = sess.spark_db(ct.database)
         self._ensure_db(db)
         ine = "IF NOT EXISTS " if ct.if_not_exists else ""
         cols = ", ".join(

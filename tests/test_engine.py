@@ -790,3 +790,53 @@ class TestDictionaries:
 
         with pytest.raises(EngineError):
             eng.execute("SELECT dictGet('never_registered', 'v', 1) AS r")
+
+
+class TestTemporaryTables:
+    """CREATE TEMPORARY TABLE: session-scoped (keyed by session_id),
+    invisible to other sessions and to SHOW DATABASES, dropped with
+    the session's expiry."""
+
+    def test_scoped_to_session(self, engine):
+        u = {"user": "tmpu"}
+        engine.execute("CREATE TEMPORARY TABLE ttab (x Int64)", session_id="s1", **u)
+        engine.execute("INSERT INTO ttab VALUES (1), (2)", session_id="s1", **u)
+        assert engine.execute(
+            "SELECT sum(x) AS s FROM ttab", session_id="s1", **u
+        ) == b"3\n"
+        # another session of the same credentials cannot see it
+        with pytest.raises(Exception):
+            engine.execute("SELECT * FROM ttab", session_id="s2", **u)
+        # hidden from the catalog listing
+        assert b"tmp" not in engine.execute("SHOW DATABASES", session_id="s1", **u)
+        engine.execute("DROP TABLE ttab", session_id="s1", **u)
+        with pytest.raises(Exception):
+            engine.execute("SELECT * FROM ttab", session_id="s1", **u)
+
+    def test_temp_shadows_then_reveals_regular(self, engine):
+        u = {"user": "tmpv"}
+        engine.execute("CREATE TABLE shad (x Int64) ENGINE=Memory", **u)
+        engine.execute("INSERT INTO shad VALUES (10)", **u)
+        engine.execute("CREATE TEMPORARY TABLE shad (x Int64)", session_id="sv", **u)
+        engine.execute("INSERT INTO shad VALUES (99)", session_id="sv", **u)
+        # CH: the temporary table shadows the regular one in its session
+        assert engine.execute("SELECT x FROM shad", session_id="sv", **u) == b"99\n"
+        # the regular table is untouched for the base session
+        assert engine.execute("SELECT x FROM shad", **u) == b"10\n"
+        engine.execute("DROP TABLE shad", session_id="sv", **u)  # temp first
+        assert engine.execute("SELECT x FROM shad", session_id="sv", **u) == b"10\n"
+        engine.execute("DROP TABLE shad", **u)
+
+    def test_expiry_drops_temp_storage(self, engine):
+        import time as _t
+
+        u = {"user": "tmpw"}
+        engine.execute("CREATE TEMPORARY TABLE et (x Int64)", session_id="se", **u)
+        sess = engine.get_session(u["user"], "", "se")
+        tdb = sess.temp_db
+        sess.session_timeout = 0.2
+        _t.sleep(0.4)
+        engine.get_session(u["user"], "", "other")  # triggers eviction sweep
+        assert not engine.has_session(u["user"], "", "se")
+        dbs = [d.name for d in engine.spark.catalog.listDatabases()]
+        assert tdb not in dbs
