@@ -35,6 +35,17 @@ KNOWN_FORMATS = {
     "tabseparated": "TSV",
     "tsvwithnames": "TSVWithNames",
     "tabseparatedwithnames": "TSVWithNames",
+    "tsvwithnamesandtypes": "TSVWithNamesAndTypes",
+    "tabseparatedwithnamesandtypes": "TSVWithNamesAndTypes",
+    "tsvraw": "TSVRaw",
+    "tabseparatedraw": "TSVRaw",
+    "csvwithnamesandtypes": "CSVWithNamesAndTypes",
+    "jsonstrings": "JSONStrings",
+    "jsoncolumns": "JSONColumns",
+    "jsoncompacteachrow": "JSONCompactEachRow",
+    "jsoncompactstringseachrow": "JSONCompactStringsEachRow",
+    "vertical": "Vertical",
+    "markdown": "Markdown",
     "csv": "CSV",
     "csvwithnames": "CSVWithNames",
     "json": "JSON",

@@ -55,22 +55,38 @@ def _limited(rows: Iterable[tuple], limit: Optional[int]) -> Iterator[tuple]:
         yield r
 
 
-def to_tsv(res: QueryResult, with_names: bool = False, limit: Optional[int] = None) -> bytes:
+def to_tsv(
+    res: QueryResult,
+    with_names: bool = False,
+    with_types: bool = False,
+    raw: bool = False,
+    limit: Optional[int] = None,
+) -> bytes:
     out: list[str] = []
     if with_names:
         out.append("\t".join(res.columns) + "\n")
+        if with_types:
+            out.append("\t".join(res.ch_types) + "\n")
+    cell = plain_text if raw else tsv_cell  # Raw = no escaping (CH TSVRaw)
     for row in _limited(res.rows, limit):
-        out.append("\t".join(tsv_cell(v) for v in row) + "\n")
+        out.append("\t".join(cell(v) for v in row) + "\n")
     if res.totals is not None:
         # CH TSV WITH TOTALS: blank line, then the totals row
         out.append("\n" + "\t".join(tsv_cell(v) for v in res.totals) + "\n")
     return "".join(out).encode("utf-8")
 
 
-def to_csv(res: QueryResult, with_names: bool = False, limit: Optional[int] = None) -> bytes:
+def to_csv(
+    res: QueryResult,
+    with_names: bool = False,
+    with_types: bool = False,
+    limit: Optional[int] = None,
+) -> bytes:
     out: list[str] = []
     if with_names:
         out.append(",".join('"' + c.replace('"', '""') + '"' for c in res.columns) + "\n")
+        if with_types:
+            out.append(",".join('"' + t.replace('"', '""') + '"' for t in res.ch_types) + "\n")
     for row in _limited(res.rows, limit):
         out.append(",".join(csv_cell(v) for v in row) + "\n")
     return "".join(out).encode("utf-8")
@@ -134,6 +150,64 @@ def to_json_each_row(res: QueryResult, limit: Optional[int] = None) -> bytes:
         + "\n"
         for row in _limited(res.rows, limit)
     ]
+    return "".join(out).encode("utf-8")
+
+
+def to_json_strings(res: QueryResult, limit: Optional[int] = None) -> bytes:
+    """CH ``JSONStrings``: the JSON envelope with every value rendered
+    as a string."""
+    data = [
+        {c: plain_text(v) for c, v in zip(res.columns, row)}
+        for row in _limited(res.rows, limit)
+    ]
+    doc = {
+        "meta": _meta(res),
+        "data": data,
+        "rows": len(data),
+        "statistics": _statistics(res),
+    }
+    return (json.dumps(doc, ensure_ascii=False, indent=1) + "\n").encode("utf-8")
+
+
+def to_json_columns(res: QueryResult, limit: Optional[int] = None) -> bytes:
+    """CH ``JSONColumns``: one object of column -> value array."""
+    rows = list(_limited(res.rows, limit))
+    doc = {
+        c: [json_value(r[i]) for r in rows] for i, c in enumerate(res.columns)
+    }
+    return (json.dumps(doc, ensure_ascii=False) + "\n").encode("utf-8")
+
+
+def to_json_compact_each_row(
+    res: QueryResult, strings: bool = False, limit: Optional[int] = None
+) -> bytes:
+    conv = plain_text if strings else json_value
+    out = [
+        json.dumps([conv(v) for v in row], ensure_ascii=False) + "\n"
+        for row in _limited(res.rows, limit)
+    ]
+    return "".join(out).encode("utf-8")
+
+
+def to_vertical(res: QueryResult, limit: Optional[int] = None) -> bytes:
+    """CH ``Vertical`` (the clickhouse-client \\G layout)."""
+    w = max((len(c) for c in res.columns), default=0)
+    out = []
+    for i, row in enumerate(_limited(res.rows, limit), start=1):
+        out.append(f"Row {i}:\n──────\n")
+        for c, v in zip(res.columns, row):
+            out.append(f"{c.rjust(w)}: {plain_text(v)}\n")
+        out.append("\n")
+    return "".join(out).encode("utf-8")
+
+
+def to_markdown(res: QueryResult, limit: Optional[int] = None) -> bytes:
+    out = ["| " + " | ".join(res.columns) + " |\n"]
+    out.append("|" + "|".join("---" for _ in res.columns) + "|\n")
+    for row in _limited(res.rows, limit):
+        out.append(
+            "| " + " | ".join(plain_text(v).replace("|", "\\|") for v in row) + " |\n"
+        )
     return "".join(out).encode("utf-8")
 
 
@@ -252,6 +326,24 @@ def serialize(res: QueryResult, fmt: str, max_result_rows: Optional[int] = None)
         return to_tsv(res, limit=max_result_rows)
     if f in ("tsvwithnames", "tabseparatedwithnames"):
         return to_tsv(res, with_names=True, limit=max_result_rows)
+    if f in ("tsvwithnamesandtypes", "tabseparatedwithnamesandtypes"):
+        return to_tsv(res, with_names=True, with_types=True, limit=max_result_rows)
+    if f in ("tsvraw", "tabseparatedraw", "raw"):
+        return to_tsv(res, raw=True, limit=max_result_rows)
+    if f == "csvwithnamesandtypes":
+        return to_csv(res, with_names=True, with_types=True, limit=max_result_rows)
+    if f == "jsonstrings":
+        return to_json_strings(res, limit=max_result_rows)
+    if f == "jsoncolumns":
+        return to_json_columns(res, limit=max_result_rows)
+    if f == "jsoncompacteachrow":
+        return to_json_compact_each_row(res, limit=max_result_rows)
+    if f == "jsoncompactstringseachrow":
+        return to_json_compact_each_row(res, strings=True, limit=max_result_rows)
+    if f == "vertical":
+        return to_vertical(res, limit=max_result_rows)
+    if f == "markdown":
+        return to_markdown(res, limit=max_result_rows)
     if f == "csv":
         return to_csv(res, limit=max_result_rows)
     if f == "csvwithnames":
@@ -286,6 +378,15 @@ def serialize(res: QueryResult, fmt: str, max_result_rows: Optional[int] = None)
 CONTENT_TYPES = {
     "tsv": "text/tab-separated-values; charset=UTF-8",
     "tsvwithnames": "text/tab-separated-values; charset=UTF-8",
+    "tsvwithnamesandtypes": "text/tab-separated-values; charset=UTF-8",
+    "tsvraw": "text/tab-separated-values; charset=UTF-8",
+    "csvwithnamesandtypes": "text/csv; charset=UTF-8",
+    "jsonstrings": "application/json; charset=UTF-8",
+    "jsoncolumns": "application/json; charset=UTF-8",
+    "jsoncompacteachrow": "application/x-ndjson; charset=UTF-8",
+    "jsoncompactstringseachrow": "application/x-ndjson; charset=UTF-8",
+    "vertical": "text/plain; charset=UTF-8",
+    "markdown": "text/markdown; charset=UTF-8",
     "csv": "text/csv; charset=UTF-8",
     "csvwithnames": "text/csv; charset=UTF-8",
     "json": "application/json; charset=UTF-8",

@@ -201,3 +201,81 @@ class TestBinaryOutputFormats:
         assert engine.execute("SELECT * FROM finv ORDER BY a", **u) == (
             b"5\tv\n6\tw\n7\tx\n"
         )
+
+
+class TestMoreTextFormats:
+    """r4 format breadth: WithNamesAndTypes variants, TSVRaw,
+    JSONStrings/JSONColumns/JSONCompactEachRow, Vertical, Markdown."""
+
+    def test_tsv_with_names_and_types(self):
+        from cowsdb_spark.formats import serialize
+
+        out = serialize(res(["a", "b"], ["Int64", "String"], [(1, "x")]),
+                        "TSVWithNamesAndTypes")
+        assert out == b"a\tb\nInt64\tString\n1\tx\n"
+
+    def test_tsv_raw_no_escaping(self):
+        from cowsdb_spark.formats import serialize
+
+        out = serialize(res(["s"], ["String"], [("a\tb",)]), "TSVRaw")
+        assert out == b"a\tb\n"  # raw: the tab is NOT escaped
+        esc = serialize(res(["s"], ["String"], [("a\tb",)]), "TSV")
+        assert esc == b"a\\tb\n"
+
+    def test_csv_with_names_and_types(self):
+        from cowsdb_spark.formats import serialize
+
+        out = serialize(res(["a"], ["UInt8"], [(1,)]), "CSVWithNamesAndTypes")
+        assert out == b'"a"\n"UInt8"\n1\n'
+
+    def test_json_strings(self):
+        import json as _json
+
+        from cowsdb_spark.formats import serialize
+
+        doc = _json.loads(serialize(res(["n"], ["Int64"], [(7,)]), "JSONStrings"))
+        assert doc["data"] == [{"n": "7"}]
+
+    def test_json_columns(self):
+        import json as _json
+
+        from cowsdb_spark.formats import serialize
+
+        doc = _json.loads(
+            serialize(res(["a", "b"], ["Int64", "Int64"], [(1, 2), (3, 4)]), "JSONColumns")
+        )
+        assert doc == {"a": [1, 3], "b": [2, 4]}
+
+    def test_json_compact_each_row(self):
+        from cowsdb_spark.formats import serialize
+
+        out = serialize(res(["a", "b"], ["Int64", "String"], [(1, "x"), (2, "y")]),
+                        "JSONCompactEachRow")
+        assert out == b'[1, "x"]\n[2, "y"]\n'
+
+    def test_json_compact_strings_each_row(self):
+        from cowsdb_spark.formats import serialize
+
+        out = serialize(res(["a"], ["Int64"], [(1,)]), "JSONCompactStringsEachRow")
+        assert out == b'["1"]\n'
+
+    def test_vertical(self):
+        from cowsdb_spark.formats import serialize
+
+        out = serialize(res(["id", "name"], ["Int64", "String"], [(1, "x")]), "Vertical")
+        text = out.decode()
+        assert "Row 1:" in text and "  id: 1" in text and "name: x" in text
+
+    def test_markdown(self):
+        from cowsdb_spark.formats import serialize
+
+        out = serialize(res(["a"], ["Int64"], [(1,)]), "Markdown")
+        assert out == b"| a |\n|---|\n| 1 |\n"
+
+    def test_format_clause_reaches_new_formats(self, spark):
+        from cowsdb_spark.engine import Engine
+
+        eng = Engine(spark)
+        assert eng.execute("SELECT 1 AS x FORMAT Markdown") == b"| x |\n|---|\n| 1 |\n"
+        out = eng.execute("SELECT 1 AS x FORMAT TSVWithNamesAndTypes")
+        assert out.startswith(b"x\n")
