@@ -1417,3 +1417,32 @@ def t30(spark, sf_dir):
         .select(F.col("comp").alias("cluster"), "size")
         .orderBy("cluster")
     )
+
+
+@qdef(
+    "t31_sliding_window",
+    # DuckDB oracle: each event is replicated into the hour-long
+    # windows on the 15-minute grid that contain it (the definition of
+    # a hopping window), then grouped — exactly what Spark's
+    # window(ts, '1 hour', '15 minutes') computes.
+    # CAST(DOUBLE AS BIGINT) ROUNDS in DuckDB — floor() first, or a
+    # sub-second event near a grid boundary lands in the wrong window
+    "WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ep, event_type, value FROM events), "
+    "u AS (SELECT unnest(generate_series("
+    "CAST(floor((ep - 3600.0) / 900) AS BIGINT) + 1, "
+    "CAST(floor(ep / 900.0) AS BIGINT), 1)) * 900 AS ws, event_type, value FROM e) "
+    "SELECT make_timestamp(ws * 1000000) AS w_start, event_type, "
+    "count(*) AS c, round(sum(value), 2) AS value_sum "
+    "FROM u GROUP BY w_start, event_type ORDER BY w_start, event_type",
+    "[ext: streaming] sliding (hopping) window aggregation — batch "
+    "run of the same streaming plan (streaming/windows.py::"
+    "sliding_counts); the streaming-equals-batch equivalence is "
+    "asserted in tests/test_streaming.py.",
+)
+def t31(spark, sf_dir):
+    from .streaming.windows import sliding_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return sliding_counts(ev, "1 hour", "15 minutes").orderBy(
+        "w_start", "event_type"
+    )

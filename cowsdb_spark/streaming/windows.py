@@ -77,6 +77,33 @@ def tumbling_counts(
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding (hopping) windows: each event lands in window/slide
+    overlapping windows (F.window's slideDuration form). Same bounded
+    state story as tumbling — watermark caps active windows at
+    O(window/slide x key cardinality), the factor a capacity plan
+    must budget for at 100 TB/day stream rates."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            "event_type",
+            "c",
+            "value_sum",
+        )
+    )
+
+
 def session_counts(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
 ) -> DataFrame:

@@ -52,6 +52,30 @@ class TestTumbling:
         assert got == want and len(got) > 0
 
 
+class TestSliding:
+    def test_matches_batch(self, spark, sf_dir, batch_events):
+        from cowsdb_spark.streaming.windows import sliding_counts
+
+        s = sliding_counts(
+            stream_events(spark, sf_dir), window="1 hour", slide="15 minutes"
+        )
+        run_to_memory(s, "sliding_out", "complete")
+        got = {
+            (r.w_start, r.event_type): (r.c, r.value_sum)
+            for r in spark.table("sliding_out").collect()
+        }
+        want = {
+            (r.w_start, r.event_type): (r.c, r.value_sum)
+            for r in sliding_counts(
+                batch_events, window="1 hour", slide="15 minutes"
+            ).collect()
+        }
+        assert got == want and len(got) > 0
+        # every event lands in window/slide = 4 overlapping windows
+        n_events = batch_events.count()
+        assert sum(c for c, _ in want.values()) == 4 * n_events
+
+
 class TestSessionWindow:
     def test_matches_batch(self, spark, sf_dir, batch_events):
         s = session_counts(stream_events(spark, sf_dir), gap="30 minutes")
