@@ -205,3 +205,31 @@ def repetition_ratio(
         F.col(id_col),
         F.round(ratio, 4).alias("rep_ratio"),
     )
+
+
+def sample_per_key(
+    docs,
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    k: int = 5,
+    a: int = 48271,
+    m: int = 2147483647,
+):
+    """Deterministic stratified sample: the k "randomly" ranked rows
+    per key, where rank order is the Lehmer multiplicative hash
+    ``(id * a) % m`` — stable across engines and runs (no RNG state),
+    so a training-data subsample is reproducible and oracle-checkable.
+    One window per key partition: a single shuffle on the strata key;
+    skewed strata are bounded by k on output, and the Lehmer constants
+    keep the product under 2^63 for ids < 2^47.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    h = (F.col(id_col) * F.lit(a)) % F.lit(m)
+    w = Window.partitionBy(key_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -1446,3 +1446,69 @@ def t31(spark, sf_dir):
     return sliding_counts(ev, "1 hour", "15 minutes").orderBy(
         "w_start", "event_type"
     )
+
+
+@qdef(
+    "t32_sample_per_key",
+    # same Lehmer-hash ranking in DuckDB — deterministic, no RNG
+    "SELECT lang, doc_id FROM ("
+    "SELECT lang, doc_id, row_number() OVER (PARTITION BY lang "
+    "ORDER BY (doc_id * 48271) % 2147483647, doc_id) AS rn "
+    "FROM documents) WHERE rn <= 5 ORDER BY lang, doc_id",
+    "[ext: sampling] deterministic stratified sample: k rows per "
+    "stratum ranked by a Lehmer multiplicative hash — reproducible "
+    "training-data subsampling (operators/text.py::sample_per_key).",
+)
+def t32(spark, sf_dir):
+    from .operators.text import sample_per_key
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        sample_per_key(d, "lang", "doc_id", k=5)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
+
+
+@qdef(
+    "t33_dedup_keep_one",
+    # survivors = every doc except non-representative cluster members
+    # (same edge set + closure as t30; representative = min member id)
+    "WITH RECURSIVE g AS (SELECT doc_id, list_distinct(list_transform("
+    "  generate_series(1, greatest(length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) - 2, 1)), "
+    "  i -> substring(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), i, 3))) AS gr "
+    "FROM documents), "
+    "e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM g a "
+    "JOIN g b ON b.doc_id = a.doc_id + 1 "
+    "WHERE ROUND(len(list_intersect(a.gr, b.gr)) * 1.0 / len(list_distinct(list_concat(a.gr, b.gr))), 4) >= 0.5), "
+    "eu AS (SELECT id_a AS a, id_b AS b FROM e "
+    "UNION SELECT id_b, id_a FROM e), "
+    "r(id, comp) AS ("
+    "  SELECT a, a FROM eu "
+    "  UNION SELECT eu.b, r.comp FROM r JOIN eu ON eu.a = r.id), "
+    "lab AS (SELECT id, min(comp) AS comp FROM r GROUP BY id) "
+    "SELECT d.doc_id FROM documents d "
+    "WHERE d.doc_id NOT IN (SELECT id FROM lab WHERE id != comp) "
+    "ORDER BY d.doc_id",
+    "[ext: dedup] keep-one: drop every near-dup cluster member except "
+    "the min-id representative; singletons survive untouched. The "
+    "end-to-end dedup story: pairs (t08) -> clusters (t30) -> "
+    "survivor set (this).",
+)
+def t33(spark, sf_dir):
+    from .operators.dedup import connected_components, ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = (
+        d.select(F.col("doc_id").alias("id_a"))
+        .withColumn("id_b", F.col("id_a") + 1)
+        .join(d.select(F.col("doc_id").alias("id_b")), "id_b", "inner")
+    )
+    edges = ngram_jaccard_pairs(d, pairs, n=3).filter(F.col("jaccard") >= 0.5)
+    comp = connected_components(edges)
+    losers = comp.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias("doc_id")
+    )
+    return (
+        d.join(losers, "doc_id", "left_anti").select("doc_id").orderBy("doc_id")
+    )

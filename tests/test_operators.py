@@ -676,3 +676,26 @@ class TestConnectedComponents:
         edges = [(i, i + 1) for i in range(64)]
         out = self._cc(spark, edges)
         assert set(out.values()) == {0} and len(out) == 65
+
+
+class TestSamplePerKey:
+    def test_deterministic_and_bounded(self, spark):
+        from cowsdb_spark.operators.text import sample_per_key
+
+        rows = [(i, f"t{i}", "en" if i % 3 else "de") for i in range(100)]
+        d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        s1 = sorted((r.lang, r.doc_id) for r in sample_per_key(d, k=4).collect())
+        s2 = sorted((r.lang, r.doc_id) for r in sample_per_key(d, k=4).collect())
+        assert s1 == s2  # no RNG: identical across runs
+        from collections import Counter
+
+        per_key = Counter(l for l, _ in s1)
+        assert per_key == {"en": 4, "de": 4}
+
+    def test_k_larger_than_stratum(self, spark):
+        from cowsdb_spark.operators.text import sample_per_key
+
+        d = spark.createDataFrame(
+            [(1, "a", "xx"), (2, "b", "xx")], "doc_id long, text string, lang string"
+        )
+        assert sample_per_key(d, k=10).count() == 2
