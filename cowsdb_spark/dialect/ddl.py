@@ -97,11 +97,12 @@ class AlterMutation:
 class AlterColumn:
     database: Optional[str]
     name: str
-    action: str  # "add" | "drop"
+    action: str  # "add" | "drop" | "modify" | "rename"
     column: str
-    ch_type: Optional[str] = None  # add only
+    ch_type: Optional[str] = None  # add/modify
     default: Optional[str] = None  # add only, CH expr text
     if_clause: bool = False  # IF NOT EXISTS (add) / IF EXISTS (drop)
+    new_name: Optional[str] = None  # rename only
 
 
 @dataclass
@@ -300,6 +301,28 @@ def _parse_alter(toks: list[Tok]):
             action="update",
             where=_expr_text(toks[wh + 1 :]),
             assignments=assigns,
+        )
+    if verb == "MODIFY" and i + 1 < len(toks) and toks[i + 1].text.upper() == "COLUMN":
+        j = i + 2
+        if j + 2 < len(toks) and toks[j].text.upper() == "IF":
+            j += 2  # IF EXISTS
+        if j >= len(toks):
+            return None
+        col = _ident(toks[j])
+        ch_type = "".join(t.text for t in toks[j + 1 :]).strip()
+        return AlterColumn(
+            database=db, name=name, action="modify", column=col,
+            ch_type=ch_type or None,
+        )
+    if verb == "RENAME" and i + 1 < len(toks) and toks[i + 1].text.upper() == "COLUMN":
+        j = i + 2
+        if j + 2 < len(toks) and toks[j].text.upper() == "IF":
+            j += 2  # IF EXISTS
+        if j + 2 >= len(toks) or toks[j + 1].text.upper() != "TO":
+            return None
+        return AlterColumn(
+            database=db, name=name, action="rename",
+            column=_ident(toks[j]), new_name=_ident(toks[j + 2]),
         )
     if verb in ("ADD", "DROP") and i + 1 < len(toks) and toks[i + 1].text.upper() in (
         "COLUMN",

@@ -1945,13 +1945,53 @@ class Engine:
             )
             self._swap_rewrite(sess, a.database, a.name, out)
             return
-        # drop: parquet v1 tables can't drop columns in place → rewrite
         if a.column not in cols:
             if a.if_clause:
                 return
             raise EngineError(f"Unknown column {a.column}", 47)
         src = self._sql_or_raise(f"SELECT * FROM {tbl}")
+        if a.action == "modify":
+            # CH MODIFY COLUMN c NewType: cast in place via rewrite,
+            # recording the new declared type for SHOW CREATE/DESCRIBE
+            dt = ch_type_to_spark(a.ch_type or "String")
+            out = src.withColumn(a.column, F.col(f"`{a.column}`").cast(dt))
+            self._swap_rewrite(sess, a.database, a.name, out)
+            self._update_declared_type(tbl, a.column, a.ch_type)
+            return
+        if a.action == "rename":
+            out = src.withColumnRenamed(a.column, a.new_name)
+            self._swap_rewrite(sess, a.database, a.name, out)
+            self._update_declared_type(tbl, a.column, None, rename_to=a.new_name)
+            return
+        # drop: parquet v1 tables can't drop columns in place → rewrite
         self._swap_rewrite(sess, a.database, a.name, src.drop(a.column))
+
+    def _update_declared_type(
+        self, tbl: str, column: str, ch_type: Optional[str], rename_to: Optional[str] = None
+    ) -> None:
+        """Keep the moospark.ch_types declaration in sync with a
+        MODIFY/RENAME COLUMN (SHOW CREATE / DESCRIBE read it)."""
+        import json as _json
+
+        props = self._table_moospark_props(tbl)
+        decl_raw = props.get("ch_types")
+        if not decl_raw:
+            return
+        try:
+            decl = _json.loads(decl_raw)
+        except Exception:
+            return
+        out = []
+        for n, t in decl:
+            if n == column:
+                n = rename_to or n
+                t = ch_type or t
+            out.append([n, t])
+        self._sql_or_raise(
+            f"ALTER TABLE {tbl} SET TBLPROPERTIES ('moospark.ch_types' = "
+            f"'{_esc(_json.dumps(out))}')"
+        )
+        self._order_by_cache.clear()
 
     def _run_optimize(self, sess: UserSession, o: OptimizeTable) -> None:
         """OPTIMIZE TABLE ≈ part merge: compact the table to fewer,

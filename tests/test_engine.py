@@ -840,3 +840,37 @@ class TestTemporaryTables:
         assert not engine.has_session(u["user"], "", "se")
         dbs = [d.name for d in engine.spark.catalog.listDatabases()]
         assert tdb not in dbs
+
+
+class TestModifyRenameColumn:
+    """ALTER TABLE ... MODIFY COLUMN (type change via stage-and-swap
+    cast) and RENAME COLUMN; both keep the declared-CH-type metadata
+    in sync for SHOW CREATE / DESCRIBE."""
+
+    def test_modify_column_casts_and_records_type(self, engine):
+        engine.execute("DROP TABLE IF EXISTS amc1")
+        engine.execute("CREATE TABLE amc1 (x Int64, s String) ENGINE=Memory")
+        engine.execute("INSERT INTO amc1 VALUES (1, '7'), (2, '9')")
+        engine.execute("ALTER TABLE amc1 MODIFY COLUMN s Int32")
+        assert engine.execute("SELECT x, s + 1 AS sp FROM amc1 ORDER BY x") == b"1\t8\n2\t10\n"
+        assert b"`s` Int32" in engine.execute("SHOW CREATE TABLE amc1")
+        engine.execute("DROP TABLE amc1")
+
+    def test_rename_column(self, engine):
+        engine.execute("DROP TABLE IF EXISTS amc2")
+        engine.execute("CREATE TABLE amc2 (a Int64, b String) ENGINE=Memory")
+        engine.execute("INSERT INTO amc2 VALUES (1, 'x')")
+        engine.execute("ALTER TABLE amc2 RENAME COLUMN b TO c")
+        assert engine.execute("SELECT c FROM amc2") == b"x\n"
+        out = engine.execute("DESCRIBE amc2")
+        assert out.startswith(b"a\tInt64") and b"c\tString" in out
+        with pytest.raises(EngineError):
+            engine.execute("SELECT b FROM amc2")
+        engine.execute("DROP TABLE amc2")
+
+    def test_modify_unknown_column_errors(self, engine):
+        engine.execute("DROP TABLE IF EXISTS amc3")
+        engine.execute("CREATE TABLE amc3 (x Int64) ENGINE=Memory")
+        with pytest.raises(EngineError):
+            engine.execute("ALTER TABLE amc3 MODIFY COLUMN nope Int32")
+        engine.execute("DROP TABLE amc3")
