@@ -30,6 +30,9 @@ class ColumnDef:
     ch_type: str
     spark_type: T.DataType
     nullable: bool
+    # DEFAULT/MATERIALIZED/ALIAS expr (CH text); kind records which
+    default_kind: Optional[str] = None
+    default_expr: Optional[str] = None
 
 
 @dataclass
@@ -494,7 +497,11 @@ def _parse_columns(toks: list[Tok]) -> list[ColumnDef]:
         cname = _ident(g[0])
         # type = tokens up to DEFAULT/MATERIALIZED/ALIAS/CODEC/COMMENT/TTL
         type_toks = []
-        for t in g[1:]:
+        dkind = dexpr = None
+        it = iter(range(1, len(g)))
+        i2 = 1
+        while i2 < len(g):
+            t = g[i2]
             if t.kind == "ident" and t.text.upper() in (
                 "DEFAULT",
                 "MATERIALIZED",
@@ -503,17 +510,39 @@ def _parse_columns(toks: list[Tok]) -> list[ColumnDef]:
                 "COMMENT",
                 "TTL",
             ):
+                kw = t.text.upper()
+                if kw in ("DEFAULT", "MATERIALIZED", "ALIAS"):
+                    dkind = kw
+                    # expr = tokens up to the next attribute keyword
+                    j2 = i2 + 1
+                    expr_toks = []
+                    while j2 < len(g):
+                        t2 = g[j2]
+                        if t2.kind == "ident" and t2.text.upper() in (
+                            "CODEC", "COMMENT", "TTL",
+                        ):
+                            break
+                        expr_toks.append(t2.text)
+                        j2 += 1
+                    dexpr = "".join(expr_toks).strip()
                 break
             type_toks.append(t.text)
+            i2 += 1
         ch_type = " ".join(type_toks).replace(" ( ", "(").replace(" )", ")").replace("( ", "(")
         ch_type = ch_type.replace(" (", "(").replace(" ,", ",").strip()
         nullable = "NULLABLE(" in ch_type.upper()
+        if not ch_type and dkind:
+            # CH allows `c DEFAULT expr` with the type inferred; keep
+            # a permissive fallback type
+            ch_type = "String" if dkind == "DEFAULT" else "Float64"
         cols.append(
             ColumnDef(
                 name=cname,
                 ch_type=ch_type,
                 spark_type=ch_type_to_spark(ch_type),
                 nullable=nullable,
+                default_kind=dkind,
+                default_expr=dexpr,
             )
         )
     return cols

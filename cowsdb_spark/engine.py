@@ -1461,9 +1461,23 @@ class Engine:
             db = sess.spark_db(ct.database)
         self._ensure_db(db)
         ine = "IF NOT EXISTS " if ct.if_not_exists else ""
-        cols = ", ".join(
-            f"`{c.name}` {c.spark_type.simpleString()}" for c in ct.columns
-        )
+
+        def colspec(c):
+            # CH DEFAULT maps onto Spark's native column DEFAULT
+            # (applies on every insert path, including the DEFAULT
+            # keyword in VALUES); Spark requires a foldable expression
+            # — the non-constant case falls back below.
+            if c.default_kind == "DEFAULT" and c.default_expr:
+                try:
+                    return (
+                        f"`{c.name}` {c.spark_type.simpleString()} "
+                        f"DEFAULT {self._translate_expr(c.default_expr)}"
+                    )
+                except Exception:
+                    pass
+            return f"`{c.name}` {c.spark_type.simpleString()}"
+
+        cols = ", ".join(colspec(c) for c in ct.columns)
         props = []
         if ct.engine:
             props.append(f"'moospark.engine' = '{ct.engine}'")
@@ -1476,6 +1490,17 @@ class Engine:
 
             decl = _json.dumps([[c.name, c.ch_type] for c in ct.columns])
             props.append(f"'moospark.ch_types' = '{_esc(decl)}'")
+        if any(c.default_kind for c in ct.columns):
+            import json as _json
+
+            dflts = _json.dumps(
+                [
+                    [c.name, c.default_kind, c.default_expr or ""]
+                    for c in ct.columns
+                    if c.default_kind
+                ]
+            )
+            props.append(f"'moospark.col_defaults' = '{_esc(dflts)}'")
         if ct.order_by:
             props.append(f"'moospark.order_by' = '{_esc(ct.order_by)}'")
         if ct.partition_by:
@@ -1487,6 +1512,22 @@ class Engine:
         try:
             self.spark.sql(stmt)
         except Exception as e:
+            if " DEFAULT " in cols:
+                # non-foldable CH default (references other columns):
+                # Spark rejects it — create without, keep the metadata
+                plain = ", ".join(
+                    f"`{c.name}` {c.spark_type.simpleString()}" for c in ct.columns
+                )
+                stmt2 = f"CREATE TABLE {ine}{tbl} ({plain}) USING PARQUET"
+                if props:
+                    stmt2 += " TBLPROPERTIES (" + ", ".join(props) + ")"
+                try:
+                    self.spark.sql(stmt2)
+                    return
+                except Exception as e2:
+                    raise EngineError(
+                        _clean_spark_error(e2), _ch_error_code(str(e2))
+                    ) from e2
             raise EngineError(_clean_spark_error(e), _ch_error_code(str(e))) from e
 
 
@@ -1675,9 +1716,33 @@ class Engine:
                         ]
                 except Exception:
                     pass
+                dflts = {}
+                try:
+                    import json as _json
+
+                    raw = self._table_moospark_props(
+                        self.resolve_table(ref, sess.user, sess.password)
+                    ).get("col_defaults")
+                    if raw:
+                        dflts = {
+                            n: (k, e) for n, k, e in _json.loads(raw)
+                        }
+                except Exception:
+                    dflts = {}
                 return local_df(
                     self.spark,
-                    [(n, t, "", "", "", "", "") for n, t in zip(names, ch_types)],
+                    [
+                        (
+                            n,
+                            t,
+                            dflts.get(n, ("", ""))[0],
+                            dflts.get(n, ("", ""))[1],
+                            "",
+                            "",
+                            "",
+                        )
+                        for n, t in zip(names, ch_types)
+                    ],
                     "name string, type string, default_type string, "
                     "default_expression string, comment string, "
                     "codec_expression string, ttl_expression string",
@@ -1731,9 +1796,26 @@ class Engine:
                 ch_types = [decl.get(n, t) for n, t in zip(names, ch_types)]
             except Exception:
                 pass
-        cols = ",\n".join(
-            f"    `{n}` {t}" for n, t in zip(names, ch_types)
-        )
+        dflts = {}
+        if props.get("moospark.col_defaults"):
+            import json as _json
+
+            try:
+                dflts = {
+                    n: (k, e)
+                    for n, k, e in _json.loads(props["moospark.col_defaults"])
+                }
+            except Exception:
+                dflts = {}
+
+        def _colline(n, t):
+            line = f"    `{n}` {t}"
+            if n in dflts:
+                k, e = dflts[n]
+                line += f" {k} {e}" if e else f" {k}"
+            return line
+
+        cols = ",\n".join(_colline(n, t) for n, t in zip(names, ch_types))
         stmt = f"CREATE TABLE {visible}\n(\n{cols}\n)\nENGINE = " + props.get(
             "moospark.engine", "MergeTree"
         )

@@ -874,3 +874,43 @@ class TestModifyRenameColumn:
         with pytest.raises(EngineError):
             engine.execute("ALTER TABLE amc3 MODIFY COLUMN nope Int32")
         engine.execute("DROP TABLE amc3")
+
+
+class TestColumnDefaults:
+    """CH column DEFAULT clause (mapped onto Spark's native column
+    DEFAULT for constant expressions; non-constant CH defaults fall
+    back to nullable with the declaration preserved in metadata)."""
+
+    def test_default_fills_missing_insert_columns(self, engine):
+        engine.execute("DROP TABLE IF EXISTS cdef")
+        engine.execute(
+            "CREATE TABLE cdef (x Int64, c Int64 DEFAULT 42, "
+            "s String DEFAULT 'hi') ENGINE=Memory"
+        )
+        engine.execute("INSERT INTO cdef (x) VALUES (1)")
+        engine.execute("INSERT INTO cdef VALUES (2, 7, 'y')")
+        assert engine.execute("SELECT x, c, s FROM cdef ORDER BY x") == (
+            b"1\t42\thi\n2\t7\ty\n"
+        )
+        engine.execute("DROP TABLE cdef")
+
+    def test_show_create_and_describe_report_default(self, engine):
+        engine.execute("DROP TABLE IF EXISTS cdef2")
+        engine.execute(
+            "CREATE TABLE cdef2 (x Int64, c Int64 DEFAULT 42) ENGINE=Memory"
+        )
+        assert b"`c` Int64 DEFAULT 42" in engine.execute("SHOW CREATE TABLE cdef2")
+        out = engine.execute("DESCRIBE cdef2")
+        assert b"c\tInt64\tDEFAULT\t42" in out
+        engine.execute("DROP TABLE cdef2")
+
+    def test_non_constant_default_degrades_to_null(self, engine):
+        # Spark cannot evaluate column-referencing defaults at insert;
+        # the declaration survives in metadata, values read NULL
+        engine.execute("DROP TABLE IF EXISTS cdef3")
+        engine.execute(
+            "CREATE TABLE cdef3 (x Int64, m Int64 DEFAULT x * 2) ENGINE=Memory"
+        )
+        engine.execute("INSERT INTO cdef3 (x) VALUES (5)")
+        assert engine.execute("SELECT x, m FROM cdef3") == b"5\t\\N\n"
+        engine.execute("DROP TABLE cdef3")
