@@ -1867,3 +1867,56 @@ TEMPLATES["rankcorr"] = (
     f"sqrt(aggregate(transform({_RANKS_B}, y -> (y - {_arr_mean(_RANKS_B)}) * "
     f"(y - {_arr_mean(_RANKS_B)})), CAST(0 AS DOUBLE), (s, v) -> s + v)))"
 )
+
+
+# ---------------------------------------------------------------- sweep 14
+RENAMES["min2"] = "least"
+RENAMES["max2"] = "greatest"
+TEMPLATES["intexp2"] = "CAST(shiftleft(CAST(1 AS BIGINT), CAST({0} AS INT)) AS BIGINT)"
+TEMPLATES["intexp10"] = "CAST(round(pow(10, {0})) AS BIGINT)"
+TEMPLATES["yyyymmddtodate"] = "to_date(CAST(CAST({0} AS BIGINT) AS STRING), 'yyyyMMdd')"
+TEMPLATES["yyyymmddhhmmsstodatetime"] = (
+    "to_timestamp(CAST(CAST({0} AS BIGINT) AS STRING), 'yyyyMMddHHmmss')"
+)
+TEMPLATES["addinterval"] = "({0} + {1})"
+TEMPLATES["sumkahan"] = "sum(CAST({0} AS DOUBLE))"  # compensated sum's contract
+TEMPLATES["medianexact"] = "percentile({0}, 0.5)"
+PARAMETERIZED["quantilebfloat16weighted"] = "percentile_approx({0}, {p0})"
+# quantileGK(accuracy, level)(x): percentile_approx's accuracy knob IS
+# the Greenwald-Khanna accuracy parameter
+PARAMETERIZED["quantilegk"] = "percentile_approx({0}, {p1}, CAST({p0} AS INT))"
+# exact weighted quantile: Spark's percentile accepts a frequency arg
+PARAMETERIZED["quantileexactweighted"] = "percentile({0}, {p0}, CAST({1} AS BIGINT))"
+PARAMETERIZED["medianexactweighted"] = "percentile({0}, 0.5, CAST({1} AS BIGINT))"
+# decimal arithmetic with explicit result scale (3rd arg, default 10)
+CODE_FNS["dividedecimal"] = lambda args: (
+    f"CAST(CAST({args[0]} AS DOUBLE) / ({args[1]}) AS "
+    f"DECIMAL(38, {args[2] if len(args) > 2 else 10}))"
+    if len(args) in (2, 3)
+    else None
+)
+CODE_FNS["multiplydecimal"] = lambda args: (
+    f"CAST(CAST({args[0]} AS DOUBLE) * ({args[1]}) AS "
+    f"DECIMAL(38, {args[2] if len(args) > 2 else 10}))"
+    if len(args) in (2, 3)
+    else None
+)
+
+
+def _fn_array_resize(args: list[str]) -> str | None:
+    if len(args) not in (2, 3):
+        return None
+    a, n = args[0], f"({args[1]})"
+    # CH pads with the element default (0 for numerics) unless given
+    d = (
+        args[2]
+        if len(args) == 3
+        else f"ifnull(element_at(slice({a}, 1, 0), 1), 0)"
+    )
+    return (
+        f"CASE WHEN {n} <= size({a}) THEN slice({a}, 1, greatest({n}, 0)) "
+        f"ELSE concat({a}, array_repeat({d}, {n} - size({a}))) END"
+    )
+
+
+CODE_FNS["arrayresize"] = _fn_array_resize

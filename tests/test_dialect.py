@@ -1583,3 +1583,41 @@ class TestSweep13AggregateBreadth:
     )
     def test_engine_eval(self, eng, q, want):
         assert eng.execute(q + " AS r") == want
+
+
+class TestSweep14Breadth:
+    """Sweep 14: array resize, exponent/date-number constructors,
+    weighted/GK quantiles, decimal arithmetic, interval add."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from cowsdb_spark.engine import Engine
+
+        return Engine(spark)
+
+    @pytest.mark.parametrize(
+        "q,want",
+        [
+            ("SELECT arrayResize([1,2], 4)", b"[1,2,0,0]\n"),
+            ("SELECT arrayResize([1,2,3], 2)", b"[1,2]\n"),
+            ("SELECT arrayResize([1,2], 4, 9)", b"[1,2,9,9]\n"),
+            ("SELECT min2(3, 5)", b"3\n"),
+            ("SELECT max2(3, 5)", b"5\n"),
+            ("SELECT intExp2(4)", b"16\n"),
+            ("SELECT intExp10(3)", b"1000\n"),
+            ("SELECT YYYYMMDDToDate(20240305)", b"2024-03-05\n"),
+            ("SELECT YYYYMMDDhhmmssToDateTime(20240305060708)", b"2024-03-05 06:07:08\n"),
+            ("SELECT addInterval(toDate('2024-01-01'), INTERVAL 1 MONTH)", b"2024-02-01\n"),
+            ("SELECT sumKahan(number / 10) FROM numbers(11)", b"5.5\n"),
+            ("SELECT medianExact(number) FROM numbers(101)", b"50\n"),
+            ("SELECT quantileExactWeighted(0.5)(number, 1) FROM numbers(101)", b"50\n"),
+            # heavy weight on 10 pulls the weighted median to 10
+            ("SELECT quantileExactWeighted(0.5)(number, if(number = 10, 1000, 1)) FROM numbers(101)", b"10\n"),
+            ("SELECT quantileGK(100, 0.5)(number) FROM numbers(101)", b"50\n"),
+            # decimal rendering keeps the declared scale's digits
+            ("SELECT divideDecimal(toDecimal64(10.5, 2), toDecimal64(2.5, 2), 2)", b"4.20\n"),
+            ("SELECT multiplyDecimal(toDecimal64(2.5, 2), toDecimal64(4, 0), 1)", b"10.0\n"),
+        ],
+    )
+    def test_engine_eval(self, eng, q, want):
+        assert eng.execute(q + " AS r") == want
