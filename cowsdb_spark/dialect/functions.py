@@ -1920,3 +1920,6 @@ def _fn_array_resize(args: list[str]) -> str | None:
 
 
 CODE_FNS["arrayresize"] = _fn_array_resize
+
+RENAMES["uniqcombined64"] = "approx_count_distinct"
+RENAMES["positionutf8"] = "instr"
