@@ -878,11 +878,39 @@ class Engine:
                     hit = self._plan_cache.get(key)
                     if hit is not None:
                         self._plan_cache.move_to_end(key)
-                        return hit
-            df = self._plan_select(prepared)
+                if hit is not None:
+                    # Reuse ONLY the analyzed plan: a fresh Dataset is
+                    # built from it, so execution (including every
+                    # shuffle stage) runs from scratch. Returning the
+                    # cached DataFrame itself would let Spark skip
+                    # completed shuffle stages on re-collect — result
+                    # caching in disguise, which would fake hot-run
+                    # benchmarks and serve stale data. The static-plan
+                    # decision is cached alongside, so the hit path
+                    # pays no plan inspection.
+                    hit_df, mode = hit
+                    jdf = self.spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(  # noqa: SLF001
+                        self.spark._jsparkSession, hit_df._jdf.queryExecution().analyzed()  # noqa: SLF001
+                    )
+                    df2 = DataFrame(jdf, hit_df.sparkSession)
+                    if mode != "plain":
+                        prev = self.spark.conf.get("spark.sql.adaptive.enabled")
+                        prev_parts = self.spark.conf.get("spark.sql.shuffle.partitions")
+                        self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+                        if mode.startswith("small:"):
+                            self.spark.conf.set(
+                                "spark.sql.shuffle.partitions", mode.split(":", 1)[1]
+                            )
+                        try:
+                            df2._jdf.queryExecution().executedPlan()  # noqa: SLF001
+                        finally:
+                            self.spark.conf.set("spark.sql.adaptive.enabled", prev)
+                            self.spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+                    return df2
+            df, mode = self._plan_select_with_mode(prepared)
             if key is not None:
                 with self._lock:
-                    self._plan_cache[key] = df
+                    self._plan_cache[key] = (df, mode)
                     self._plan_cache.move_to_end(key)
                     while len(self._plan_cache) > self._plan_cache_max:
                         self._plan_cache.popitem(last=False)
@@ -922,10 +950,16 @@ class Engine:
         read landing inside the window would also plan statically —
         valid, just not adaptive — so no lock is taken on this path.
         """
+        return self._plan_select_with_mode(prepared)[0]
+
+    def _plan_select_with_mode(self, prepared: str) -> tuple[DataFrame, str]:
+        """Build + fast-path a statement; returns (df, mode) where
+        mode records the static-planning decision for the plan cache
+        ("plain" | "static")."""
         df = self.spark.sql(prepared)
         try:
             if self.spark.conf.get("spark.sql.adaptive.enabled") != "true":
-                return df
+                return df, "plain"
             size = self._leaf_scan_bytes(df)
             if size is None or size > self.SMALL_SCAN_BYTES:
                 if self._is_plain_global_agg(df):
@@ -941,7 +975,8 @@ class Engine:
                         df._jdf.queryExecution().executedPlan()  # noqa: SLF001
                     finally:
                         self.spark.conf.set("spark.sql.adaptive.enabled", prev)
-                return df
+                    return df, "static"
+                return df, "plain"
             # Static planning loses AQE's partition coalescing, so pick
             # the shuffle width AQE would have picked — one partition
             # per ~16 MB of input, capped at the session default.  The
@@ -961,9 +996,9 @@ class Engine:
             finally:
                 self.spark.conf.set("spark.sql.adaptive.enabled", "true")
                 self.spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-            return df
+            return df, f"small:{parts}"
         except Exception:  # noqa: BLE001 — fast path must never break a query
-            return df
+            return df, "plain"
 
     _NONDETERMINISTIC_MARKERS = (
         "now(", "now64", "rand", "uuid", "current_timestamp",
