@@ -104,6 +104,11 @@ def main() -> None:
 
             p10 = ensure_hits_10m()
             spark.read.parquet(p10).createOrReplaceTempView("hits")
+            # replacing the `hits` temp view bypasses the engine's
+            # DDL-keyed plan-cache invalidation (the documented temp
+            # view limit) — a fresh Engine guarantees the 10M sweep
+            # plans against the 10M view, not the cached 100k sample
+            eng = Engine(spark)
             con = duckdb.connect()
             con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
             con.execute(f"CREATE VIEW hits AS SELECT * FROM read_parquet('{p10}')")
