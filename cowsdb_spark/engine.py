@@ -878,6 +878,13 @@ class Engine:
                     hit = self._plan_cache.get(key)
                     if hit is not None:
                         self._plan_cache.move_to_end(key)
+                if hit is not None and not self._temp_views_unchanged(hit[2]):
+                    # a referenced TEMP VIEW was replaced directly on
+                    # the SparkSession (outside engine DDL): drop the
+                    # stale entry and re-plan
+                    with self._lock:
+                        self._plan_cache.pop(key, None)
+                    hit = None
                 if hit is not None:
                     # Reuse ONLY the analyzed plan: a fresh Dataset is
                     # built from it, so execution (including every
@@ -888,7 +895,7 @@ class Engine:
                     # benchmarks and serve stale data. The static-plan
                     # decision is cached alongside, so the hit path
                     # pays no plan inspection.
-                    hit_df, mode = hit
+                    hit_df, mode, _guards = hit
                     jdf = self.spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(  # noqa: SLF001
                         self.spark._jsparkSession, hit_df._jdf.queryExecution().analyzed()  # noqa: SLF001
                     )
@@ -910,7 +917,7 @@ class Engine:
             df, mode = self._plan_select_with_mode(prepared)
             if key is not None:
                 with self._lock:
-                    self._plan_cache[key] = (df, mode)
+                    self._plan_cache[key] = (df, mode, self._temp_view_guards(df))
                     self._plan_cache.move_to_end(key)
                     while len(self._plan_cache) > self._plan_cache_max:
                         self._plan_cache.popitem(last=False)
@@ -999,6 +1006,41 @@ class Engine:
             return df, f"small:{parts}"
         except Exception:  # noqa: BLE001 — fast path must never break a query
             return df, "plain"
+
+    def _temp_view_guards(self, df: DataFrame) -> dict:
+        """semanticHash fingerprints of every TEMP VIEW the analyzed
+        plan references — replacing a view directly on the
+        SparkSession changes its stored plan's hash, which is the one
+        catalog mutation the engine's DDL generation counter cannot
+        see."""
+        import re as _re
+
+        guards: dict[str, int] = {}
+        try:
+            txt = str(df._jdf.queryExecution().analyzed())  # noqa: SLF001
+            cat = self.spark._jsparkSession.sessionState().catalog()  # noqa: SLF001
+            for name in set(_re.findall(r"View \(`([^`]+)`", txt)):
+                opt = cat.getTempView(name)
+                if opt.isDefined():
+                    guards[name] = int(opt.get().semanticHash())
+        except Exception:  # noqa: BLE001 — guard failure = no caching risk
+            guards["__unguardable__"] = -1
+        return guards
+
+    def _temp_views_unchanged(self, guards: dict) -> bool:
+        if "__unguardable__" in guards:
+            return False
+        if not guards:
+            return True
+        try:
+            cat = self.spark._jsparkSession.sessionState().catalog()  # noqa: SLF001
+            for name, h in guards.items():
+                opt = cat.getTempView(name)
+                if not opt.isDefined() or int(opt.get().semanticHash()) != h:
+                    return False
+            return True
+        except Exception:  # noqa: BLE001
+            return False
 
     _NONDETERMINISTIC_MARKERS = (
         "now(", "now64", "rand", "uuid", "current_timestamp",
