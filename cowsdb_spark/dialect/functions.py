@@ -1923,3 +1923,110 @@ CODE_FNS["arrayresize"] = _fn_array_resize
 
 RENAMES["uniqcombined64"] = "approx_count_distinct"
 RENAMES["positionutf8"] = "instr"
+
+
+# ---------------------------------------------------------------- sweep 15
+# to<T>OrNull / to<T>OrZero conversion family: Spark try_cast with CH
+# range checks (unsigned widths have no Spark type — parse into the
+# next wider signed type and bound-check).
+_CONV_INTS = {
+    "int8": ("TINYINT", -128, 127),
+    "int16": ("SMALLINT", -32768, 32767),
+    "int32": ("INT", -2147483648, 2147483647),
+    "int64": ("BIGINT", None, None),
+    "uint8": ("SMALLINT", 0, 255),
+    "uint16": ("INT", 0, 65535),
+    "uint32": ("BIGINT", 0, 4294967295),
+    "uint64": ("BIGINT", 0, None),
+}
+for _n, (_st, _lo, _hi) in _CONV_INTS.items():
+    if _lo is None:
+        _ornull = "try_cast({0} AS BIGINT)"
+    elif _hi is None:
+        _ornull = (
+            f"CASE WHEN try_cast({{0}} AS BIGINT) >= {_lo} "
+            f"THEN try_cast({{0}} AS BIGINT) END"
+        )
+    else:
+        _ornull = (
+            f"CASE WHEN try_cast({{0}} AS BIGINT) BETWEEN {_lo} AND {_hi} "
+            f"THEN CAST(try_cast({{0}} AS BIGINT) AS {_st}) END"
+        )
+    TEMPLATES[f"to{_n}ornull"] = _ornull
+    TEMPLATES[f"to{_n}orzero"] = f"COALESCE({_ornull}, 0)"
+for _n, _st in (("float32", "FLOAT"), ("float64", "DOUBLE")):
+    TEMPLATES[f"to{_n}ornull"] = f"try_cast({{0}} AS {_st})"
+    TEMPLATES[f"to{_n}orzero"] = f"COALESCE(try_cast({{0}} AS {_st}), 0.0)"
+TEMPLATES["todateornull"] = "try_cast({0} AS DATE)"
+TEMPLATES["todateorzero"] = "COALESCE(try_cast({0} AS DATE), DATE '1970-01-01')"
+TEMPLATES["todate32ornull"] = "try_cast({0} AS DATE)"
+TEMPLATES["todatetimeornull"] = "try_cast({0} AS TIMESTAMP)"
+TEMPLATES["todatetimeorzero"] = (
+    "COALESCE(try_cast({0} AS TIMESTAMP), TIMESTAMP '1970-01-01 00:00:00')"
+)
+TEMPLATES["todatetime64ornull"] = "try_cast({0} AS TIMESTAMP)"
+for _p, _prec in (("32", 9), ("64", 18), ("128", 38)):
+    CODE_FNS[f"todecimal{_p}ornull"] = (
+        lambda args, prec=_prec: (
+            f"try_cast({args[0]} AS DECIMAL({prec}, {args[1]}))"
+            if len(args) == 2
+            else None
+        )
+    )
+
+
+def _accurate_cast(or_null: bool):
+    def h(args: list[str]) -> str | None:
+        if len(args) != 2:
+            return None
+        t = args[1].strip()
+        if not (t.startswith("'") and t.endswith("'")):
+            return None
+        ch_t = t[1:-1].lower()
+        if ch_t in _CONV_INTS and or_null:
+            st, lo, hi = _CONV_INTS[ch_t]
+            if lo is not None and hi is not None:
+                return (
+                    f"CASE WHEN try_cast({args[0]} AS BIGINT) BETWEEN {lo} AND {hi} "
+                    f"THEN CAST(try_cast({args[0]} AS BIGINT) AS {st}) END"
+                )
+        from .types import ch_type_to_spark
+
+        try:
+            st = ch_type_to_spark(t[1:-1]).simpleString()
+        except Exception:
+            return None
+        return (
+            f"try_cast({args[0]} AS {st})" if or_null else f"CAST({args[0]} AS {st})"
+        )
+
+    return h
+
+
+CODE_FNS["accuratecast"] = _accurate_cast(or_null=False)
+CODE_FNS["accuratecastornull"] = _accurate_cast(or_null=True)
+
+# reinterpret: little-endian byte views of small integers / strings
+TEMPLATES["reinterpretasuint8"] = "ascii(substring({0}, 1, 1))"
+TEMPLATES["reinterpretasuint16"] = (
+    "(ascii(substring({0}, 1, 1)) | shiftleft(ascii(substring({0}, 2, 1)), 8))"
+)
+TEMPLATES["reinterpretasuint32"] = (
+    "(ascii(substring({0}, 1, 1)) | shiftleft(ascii(substring({0}, 2, 1)), 8) | "
+    "shiftleft(ascii(substring({0}, 3, 1)), 16) | "
+    "shiftleft(ascii(substring({0}, 4, 1)), 24))"
+)
+# int -> its little-endian bytes as text (trailing NULs dropped)
+TEMPLATES["reinterpretasstring"] = (
+    "array_join(transform(filter(sequence(0, 7), i -> "
+    "(shiftrightunsigned(CAST({0} AS BIGINT), i * 8) & 255) != 0 OR "
+    "shiftrightunsigned(CAST({0} AS BIGINT), i * 8) != 0), "
+    "i -> char(shiftrightunsigned(CAST({0} AS BIGINT), i * 8) & 255)), '')"
+)
+RENAMES["lastdayofmonth"] = "last_day"
+# central angle between two lon/lat points, in degrees
+TEMPLATES["greatcircleangle"] = (
+    "degrees(2 * asin(sqrt(pow(sin(radians(({3}) - ({1})) / 2), 2) + "
+    "cos(radians({1})) * cos(radians({3})) * "
+    "pow(sin(radians(({2}) - ({0})) / 2), 2))))"
+)

@@ -2360,10 +2360,143 @@ def translate_select(sql: str) -> Statement:
     body = "".join(t.text for t in toks).strip()
     body = _rewrite_ternary(body)
     body = _rewrite_functions(body)
+    body = _rewrite_nested_explode(body)
     return Statement(
         kind="select", spark_sql=body, format=fmt, settings=settings, original=sql,
         with_totals=with_totals, explain_graph=explain_graph, with_fill=with_fill,
     )
+
+
+def _rewrite_nested_explode(body: str) -> str:
+    """CH allows ``arrayJoin(e)`` anywhere in an expression; Spark's
+    explode() must be a top-level generator. Hoist nested explode
+    calls into LATERAL VIEWs: every textually-identical call shares
+    one alias (matching CH: identical arrayJoin expressions expand
+    together), distinct calls chain LATERAL VIEWs (cross product,
+    also CH's behavior). Conservative scope: only single-SELECT
+    statements; a bare top-level ``SELECT explode(e)`` item is left
+    for Spark's native generator support."""
+    low = body.lower()
+    if "explode(" not in low:
+        return body
+    toks = tokenize(body)
+    sig = [i for i, t in enumerate(toks) if t.kind not in ("ws", "comment")]
+    # SUBQUERY depth at each signal token (parens that open a SELECT;
+    # plain function-call parens do not change scope). Call extents
+    # live in the OUTER query only — subquery explodes are their own
+    # scope and are left alone.
+    depth_at = {}
+    d = 0
+    stack = []  # True per open paren: is it a subquery paren?
+    for si, i in enumerate(sig):
+        depth_at[i] = d
+        for ch in toks[i].text:
+            if ch == "(":
+                nxt = toks[sig[si + 1]].text.upper() if si + 1 < len(sig) else ""
+                is_sub = nxt == "SELECT" and toks[i].text.endswith("(")
+                stack.append(is_sub)
+                if is_sub:
+                    d += 1
+            elif ch == ")" and stack:
+                if stack.pop():
+                    d -= 1
+    # find nested explode call extents: ident "explode" + "(" ... ")"
+    calls = []  # (start_tok, end_tok, args_text)
+    for si, i in enumerate(sig):
+        t = toks[i]
+        if t.kind != "ident" or t.text.lower() != "explode":
+            continue
+        if depth_at[i] != 0:
+            continue
+        if si + 1 >= len(sig) or not toks[sig[si + 1]].text.startswith("("):
+            continue
+        depth = 0
+        j = sig[si + 1]
+        end = None
+        for k in range(j, len(toks)):
+            depth += toks[k].text.count("(") - toks[k].text.count(")")
+            if depth == 0:
+                end = k
+                break
+        if end is None:
+            return body
+        args = "".join(toks[k].text for k in range(j, end + 1))[1:-1]
+        calls.append((i, end, args))
+    if not calls:
+        return body
+    # nested iff the call is not the entire select item: check the
+    # token before (must be SELECT or ',') AND after (',' or clause)
+    def _is_top_level_item(start, end):
+        pi = [k for k in sig if k < start and depth_at[k] == 0]
+        nxt = [k for k in sig if k > end and depth_at.get(k, 1) == 0]
+        prev_t = toks[pi[-1]].text.upper() if pi else ""
+        nxt_t = toks[nxt[0]].text.upper() if nxt else ""
+        return prev_t in ("SELECT", ",", "DISTINCT") and (
+            nxt_t in (",", "FROM", "") or nxt_t == "AS"
+        )
+
+    nested = [c for c in calls if not _is_top_level_item(c[0], c[1])]
+    if not nested:
+        return body
+    # one alias per distinct args text, in first-appearance order
+    aliases: dict[str, str] = {}
+    for _, _, args in nested:
+        if args not in aliases:
+            aliases[args] = f"__ch_aj{len(aliases) + 1}"
+    # replace every explode(args) occurrence (nested or not, same
+    # args) with its alias, back-to-front to keep indices valid
+    for start, end, args in sorted(calls, key=lambda c: -c[0]):
+        if args not in aliases:
+            continue
+        for k in range(start, end + 1):
+            toks[k].text = ""
+        toks[start].text = aliases[args]
+    out = "".join(t.text for t in toks)
+    lateral = "".join(
+        f" LATERAL VIEW explode({args}) __ch_ajv_{al} AS {al}"
+        for args, al in aliases.items()
+    )
+    # insert after the FROM source, before the next top-level clause
+    toks2 = tokenize(out)
+    sig2 = [i for i, t in enumerate(toks2) if t.kind not in ("ws", "comment")]
+    from_at = None
+    depth = 0
+    for i in sig2:
+        t = toks2[i]
+        depth += t.text.count("(") - t.text.count(")")
+        if depth == 0 and t.kind == "ident" and t.text.upper() == "FROM":
+            from_at = i
+            break
+    if from_at is None:
+        # no FROM: synthesize a one-row source
+        m = _re_mod.search(r"(?is)WHERE|GROUP|ORDER|LIMIT|$", out)
+        pos = m.start()
+        return out[:pos] + f" FROM (SELECT 1 AS __ch_one){lateral} " + out[pos:]
+    depth = 0
+    ins = len(toks2)
+    seen_source = False
+    for i in sig2:
+        if i <= from_at:
+            continue
+        t = toks2[i]
+        depth += t.text.count("(") - t.text.count(")")
+        if depth < 0:
+            ins = i
+            break
+        if depth == 0 and seen_source and t.kind == "ident" and t.text.upper() in (
+            "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET", "UNION",
+            "INTERSECT", "EXCEPT", "QUALIFY", "WINDOW",
+        ):
+            ins = i
+            break
+        if t.kind in ("ident", "bquote") or t.text == ")":
+            seen_source = True
+    prefix = "".join(t.text for t in toks2[:ins])
+    suffix = "".join(t.text for t in toks2[ins:])
+    return f"{prefix}{lateral} {suffix}"
+
+
+import re as _re_mod
 
 
 def _rewrite_values_tuples(sql: str) -> str:

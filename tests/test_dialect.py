@@ -1621,3 +1621,56 @@ class TestSweep14Breadth:
     )
     def test_engine_eval(self, eng, q, want):
         assert eng.execute(q + " AS r") == want
+
+
+class TestSweep15ConversionsAndArrayJoin:
+    """Sweep 15: the to*OrNull/OrZero conversion family (try_cast with
+    CH range checks), accurateCast family, reinterpret views, and
+    arrayJoin hoisting from arbitrary expression positions (CH allows
+    it anywhere; Spark generators are top-level only)."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from cowsdb_spark.engine import Engine
+
+        return Engine(spark)
+
+    @pytest.mark.parametrize(
+        "q,want",
+        [
+            ("SELECT toInt32OrNull('42')", b"42\n"),
+            ("SELECT toInt32OrNull('abc')", b"\\N\n"),
+            ("SELECT toInt32OrNull('1.5')", b"\\N\n"),  # strict integer parse
+            ("SELECT toInt32OrZero('abc')", b"0\n"),
+            ("SELECT toUInt8OrNull('200')", b"200\n"),
+            ("SELECT toUInt8OrNull('300')", b"\\N\n"),  # out of UInt8 range
+            ("SELECT toUInt8OrNull('-1')", b"\\N\n"),
+            ("SELECT toInt8OrNull('-128')", b"-128\n"),
+            ("SELECT toFloat64OrNull('1.5')", b"1.5\n"),
+            ("SELECT toFloat64OrZero('x')", b"0\n"),
+            ("SELECT toDateOrNull('nope')", b"\\N\n"),
+            ("SELECT toDateOrNull('2024-03-05')", b"2024-03-05\n"),
+            ("SELECT toDateOrZero('nope')", b"1970-01-01\n"),
+            ("SELECT toDateTimeOrNull('2024-03-05 06:07:08')", b"2024-03-05 06:07:08\n"),
+            ("SELECT toDecimal64OrNull('10.55', 2)", b"10.55\n"),
+            ("SELECT toDecimal64OrNull('x', 2)", b"\\N\n"),
+            ("SELECT accurateCast(5, 'UInt8')", b"5\n"),
+            ("SELECT accurateCastOrNull(-1, 'UInt8')", b"\\N\n"),
+            ("SELECT accurateCastOrNull(200, 'UInt8')", b"200\n"),
+            ("SELECT reinterpretAsUInt8('a')", b"97\n"),
+            ("SELECT reinterpretAsUInt16('ab')", b"25185\n"),
+            ("SELECT reinterpretAsString(97)", b"a\n"),
+            ("SELECT reinterpretAsString(25185)", b"ab\n"),
+            ("SELECT lastDayOfMonth(toDate('2024-02-15'))", b"2024-02-29\n"),
+            ("SELECT round(greatCircleAngle(0, 0, 45, 0), 2)", b"45\n"),
+            # arrayJoin in expression positions (hoisted LATERAL VIEW)
+            ("SELECT arrayJoin([1,2,3]) + 10 AS r", b"11\n12\n13\n"),
+            ("SELECT sum(arrayJoin([1,2,5,3,8])) AS r", b"19\n"),
+            # identical arrayJoin expressions share one expansion (CH)
+            ("SELECT arrayJoin([1,2]) * arrayJoin([1,2]) AS r", b"1\n4\n"),
+            ("SELECT sum(arrayJoin(xs)) AS r FROM (SELECT array(1,2,3) AS xs)", b"6\n"),
+        ],
+    )
+    def test_engine_eval(self, eng, q, want):
+        suffix = "" if " AS r" in q or " r " in q else " AS r"
+        assert eng.execute(q + suffix) == want
