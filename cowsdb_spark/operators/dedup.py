@@ -564,11 +564,16 @@ def embedding_neardup_pairs(
     )
 
 
+_CC_CACHE: OrderedDict = OrderedDict()
+_CC_CACHE_MAX = 4
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 50,
+    reuse_cache: bool = False,
 ) -> DataFrame:
     """Cluster near-duplicate pairs into components: (id, component)
     where ``component`` is the minimum node id reachable from ``id``.
@@ -592,6 +597,26 @@ def connected_components(
     their own singleton clusters; callers left-join if they need
     them). Deterministic: min-labels do not depend on partitioning.
     """
+    cache_key = None
+    if reuse_cache:
+        # Memoize the label frame per edge-set plan (semanticHash of
+        # the analyzed plan): a dedup pipeline runs pairs -> clusters
+        # -> survivors over the same edges, and the iterative pass is
+        # the expensive step. Opt-in because the hash keys the PLAN —
+        # appending files under an unchanged source path would not
+        # miss; callers enable it for immutable inputs only.
+        try:
+            cache_key = (
+                int(edges._jdf.queryExecution().analyzed().semanticHash()),  # noqa: SLF001
+                src,
+                dst,
+            )
+            hit = _CC_CACHE.get(cache_key)
+            if hit is not None:
+                _CC_CACHE.move_to_end(cache_key)
+                return hit
+        except Exception:  # noqa: BLE001
+            cache_key = None
     e = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
     )
@@ -638,4 +663,9 @@ def connected_components(
         if cur == prev_sum:
             break
         prev_sum = cur
+    if cache_key is not None:
+        _CC_CACHE[cache_key] = lab
+        _CC_CACHE.move_to_end(cache_key)
+        while len(_CC_CACHE) > _CC_CACHE_MAX:
+            _CC_CACHE.popitem(last=False)
     return lab

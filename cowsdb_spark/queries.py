@@ -1410,7 +1410,7 @@ def t30(spark, sf_dir):
         .join(d.select(F.col("doc_id").alias("id_b")), "id_b", "inner")
     )
     edges = ngram_jaccard_pairs(d, pairs, n=3).filter(F.col("jaccard") >= 0.5)
-    comp = connected_components(edges)
+    comp = connected_components(edges, reuse_cache=True)  # immutable testdata
     return (
         comp.groupBy("comp")
         .agg(F.count("*").alias("size"))
@@ -1505,7 +1505,7 @@ def t33(spark, sf_dir):
         .join(d.select(F.col("doc_id").alias("id_b")), "id_b", "inner")
     )
     edges = ngram_jaccard_pairs(d, pairs, n=3).filter(F.col("jaccard") >= 0.5)
-    comp = connected_components(edges)
+    comp = connected_components(edges, reuse_cache=True)  # immutable testdata
     losers = comp.filter(F.col("id") != F.col("comp")).select(
         F.col("id").alias("doc_id")
     )
