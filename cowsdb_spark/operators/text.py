@@ -233,3 +233,44 @@ def sample_per_key(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def contamination_flags(
+    docs,
+    eval_docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+):
+    """Benchmark-contamination screen: flag every training document
+    that shares at least one n-token contiguous span with any document
+    in ``eval_docs`` (the decontamination rule used for LLM training
+    corpora; n≈8..13 word-grams is the common setting).
+
+    Scale shape: the eval set is the small side — its distinct
+    n-grams broadcast; the corpus explodes its n-grams map-side and
+    LEFT SEMI broadcast-joins, so the corpus never shuffles and the
+    output is just the flagged id set. Returns (id_col, n_hits) with
+    n_hits = number of distinct contaminated n-grams per doc.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import normalized, shingles_of_tokens
+
+    def grams(df):
+        toks = F.split(normalized(F.col(text_col)), " ")
+        return df.select(
+            F.col(id_col), F.explode(shingles_of_tokens(toks, n)).alias("_g")
+        )
+
+    eval_grams = eval_docs.select(
+        F.explode(
+            shingles_of_tokens(F.split(normalized(F.col(text_col)), " "), n)
+        ).alias("_g")
+    ).distinct()
+    return (
+        grams(docs)
+        .join(F.broadcast(eval_grams), "_g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count_distinct("_g").alias("n_hits"))
+    )

@@ -718,3 +718,35 @@ class TestConnectedComponentsCache:
         _CC_CACHE.clear()
         connected_components(e1)
         assert len(_CC_CACHE) == 0
+
+
+class TestContamination:
+    def test_span_overlap_flags(self, spark):
+        from cowsdb_spark.operators.text import contamination_flags
+
+        ev = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string",
+        )
+        train = spark.createDataFrame(
+            [
+                # contains the full 8-gram "the quick ... lazy" span
+                (1, "prefix the quick brown fox jumps over the lazy end"),
+                # shares words but no 8-token contiguous span
+                (2, "the quick brown cat sleeps under the lazy dog"),
+                (3, "completely unrelated text with nothing shared here at all"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r.n_hits for r in contamination_flags(train, ev, n=8).collect()}
+        assert 1 in out and out[1] >= 1
+        assert 2 not in out and 3 not in out
+
+    def test_plan_broadcasts_eval_side(self, spark):
+        from cowsdb_spark.operators.text import contamination_flags
+        from cowsdb_spark.plans.inspect import explain_str
+
+        ev = spark.createDataFrame([(1, "a b c d e f g h")], "doc_id long, text string")
+        tr = spark.createDataFrame([(2, "a b c d e f g h i")], "doc_id long, text string")
+        plan = explain_str(contamination_flags(tr, ev, n=8))
+        assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
