@@ -1520,14 +1520,14 @@ def t33(spark, sf_dir):
     # if it shares an 8-token contiguous span with any eval doc
     "WITH tok AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk FROM documents), "
     "g AS (SELECT doc_id, list_distinct(list_transform("
-    "  generate_series(1, greatest(len(tk) - 7, 1)), "
-    "  i -> list_aggregate(list_slice(tk, i, i + 7), 'string_agg', ' '))) AS gr FROM tok), "
+    "  generate_series(1, greatest(len(tk) - 3, 1)), "
+    "  i -> list_aggregate(list_slice(tk, i, i + 3), 'string_agg', ' '))) AS gr FROM tok), "
     "ev AS (SELECT DISTINCT unnest(gr) AS g FROM g WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5)), "
     "tr AS (SELECT doc_id, unnest(gr) AS g FROM g WHERE doc_id NOT IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5)) "
     "SELECT tr.doc_id, count(DISTINCT tr.g) AS n_hits FROM tr "
     "JOIN ev ON ev.g = tr.g GROUP BY tr.doc_id ORDER BY tr.doc_id",
     "[ext: text] benchmark-contamination screen: training docs sharing "
-    "an 8-token span with the eval set (broadcast n-gram semi-join; "
+    "an n-token span with the eval set (broadcast n-gram semi-join; "
     "operators/text.py::contamination_flags).",
 )
 def t34(spark, sf_dir):
@@ -1537,4 +1537,4 @@ def t34(spark, sf_dir):
     ev_ids = d.orderBy("doc_id").limit(5).select("doc_id")
     ev = d.join(F.broadcast(ev_ids), "doc_id", "left_semi")
     train = d.join(F.broadcast(ev_ids), "doc_id", "left_anti")
-    return contamination_flags(train, ev, n=8).orderBy("doc_id")
+    return contamination_flags(train, ev, n=4).orderBy("doc_id")
