@@ -2030,3 +2030,95 @@ TEMPLATES["greatcircleangle"] = (
     "cos(radians({1})) * cos(radians({3})) * "
     "pow(sin(radians(({2}) - ({0})) / 2), 2))))"
 )
+
+
+# ---------------------------------------------------------------- sweep 16
+RENAMES["widthbucket"] = "width_bucket"
+RENAMES["width_bucket"] = "width_bucket"
+TEMPLATES["arrayshingles"] = (
+    "transform(sequence(1, greatest(size({0}) - ({1}) + 1, 1)), "
+    "i -> slice({0}, i, {1}))"
+)
+TEMPLATES["arrayrandomsample"] = "slice(shuffle({0}), 1, {1})"
+
+# z-crit lookup for the common confidence levels (no closed-form
+# probit in Spark SQL; unlisted levels fall back to 1.96)
+def _zcrit(conf: str) -> str:
+    return (
+        f"CASE CAST({conf} AS DECIMAL(4,3)) WHEN 0.90 THEN 1.6449 "
+        f"WHEN 0.95 THEN 1.9600 WHEN 0.99 THEN 2.5758 "
+        f"WHEN 0.999 THEN 3.2905 ELSE 1.9600 END"
+    )
+
+
+def _fn_proportions_ztest(args: list[str]) -> str | None:
+    """proportionsZTest(s1, s2, t1, t2, conf, 'pooled'|'unpooled') →
+    (z, p, ci_low, ci_high) for the difference p1 - p2."""
+    if len(args) not in (4, 5, 6):
+        return None
+    s1, s2, t1, t2 = args[:4]
+    conf = args[4] if len(args) > 4 else "0.95"
+    pooled = "unpooled" not in (args[5].lower() if len(args) > 5 else "'pooled'")
+    p1 = f"(CAST({s1} AS DOUBLE) / ({t1}))"
+    p2 = f"(CAST({s2} AS DOUBLE) / ({t2}))"
+    if pooled:
+        pp = f"((CAST({s1} AS DOUBLE) + ({s2})) / (({t1}) + ({t2})))"
+        se = f"sqrt({pp} * (1 - {pp}) * (1.0 / ({t1}) + 1.0 / ({t2})))"
+    else:
+        se = f"sqrt({p1} * (1 - {p1}) / ({t1}) + {p2} * (1 - {p2}) / ({t2}))"
+    se_u = f"sqrt({p1} * (1 - {p1}) / ({t1}) + {p2} * (1 - {p2}) / ({t2}))"
+    z = f"(({p1} - {p2}) / {se})"
+    p = f"(1.0 - erf(abs({z}) / sqrt(2.0)))"
+    zc = _zcrit(conf)
+    return (
+        f"struct(CAST({z} AS DOUBLE) AS z_statistic, "
+        f"CAST({p} AS DOUBLE) AS p_value, "
+        f"CAST(({p1} - {p2}) - {zc} * {se_u} AS DOUBLE) AS ci_low, "
+        f"CAST(({p1} - {p2}) + {zc} * {se_u} AS DOUBLE) AS ci_high)"
+    )
+
+
+CODE_FNS["proportionsztest"] = _fn_proportions_ztest
+
+# meanZTest(var_x, var_y, conf)(x, g): two-sample z-test with known
+# population variances (CH signature)
+_MZ_N0 = "count(CASE WHEN ({1}) = 0 THEN 1 END)"
+_MZ_N1 = "count(CASE WHEN ({1}) = 1 THEN 1 END)"
+_MZ_M0 = "avg(CASE WHEN ({1}) = 0 THEN {0} END)"
+_MZ_M1 = "avg(CASE WHEN ({1}) = 1 THEN {0} END)"
+_MZ_SE = f"sqrt(({{p0}}) / ({_MZ_N0}) + ({{p1}}) / ({_MZ_N1}))"
+_MZ_Z = f"((({_MZ_M0}) - ({_MZ_M1})) / {_MZ_SE})"
+PARAMETERIZED["meanztest"] = (
+    f"struct(CAST({_MZ_Z} AS DOUBLE) AS z_statistic, "
+    f"CAST(1.0 - erf(abs({_MZ_Z}) / sqrt(2.0)) AS DOUBLE) AS p_value, "
+    f"CAST((({_MZ_M0}) - ({_MZ_M1})) - "
+    + _zcrit("{p2}")
+    + f" * {_MZ_SE} AS DOUBLE) AS ci_low, "
+    f"CAST((({_MZ_M0}) - ({_MZ_M1})) + "
+    + _zcrit("{p2}")
+    + f" * {_MZ_SE} AS DOUBLE) AS ci_high)"
+)
+
+# mannWhitneyUTest(v, g): exact midrank U statistic, normal-approx p
+_MW_PAIRS = "collect_list(struct({0} AS v, {1} AS g))"
+_MW_RANKS = (
+    f"transform({_MW_PAIRS}, q -> struct("
+    f"CAST(size(filter({_MW_PAIRS}, p -> p.v < q.v)) AS DOUBLE) + "
+    f"(CAST(size(filter({_MW_PAIRS}, p -> p.v <=> q.v)) AS DOUBLE) + 1) / 2 AS r, "
+    f"q.g AS g))"
+)
+_MW_N0 = f"CAST(size(filter({_MW_PAIRS}, p -> p.g = 0)) AS DOUBLE)"
+_MW_N1 = f"CAST(size(filter({_MW_PAIRS}, p -> p.g != 0)) AS DOUBLE)"
+_MW_R0 = (
+    f"aggregate(filter({_MW_RANKS}, s -> s.g = 0), CAST(0 AS DOUBLE), "
+    f"(acc, s) -> acc + s.r)"
+)
+_MW_U = f"(({_MW_R0}) - ({_MW_N0}) * (({_MW_N0}) + 1) / 2)"
+_MW_Z = (
+    f"((({_MW_U}) - ({_MW_N0}) * ({_MW_N1}) / 2) / "
+    f"sqrt(({_MW_N0}) * ({_MW_N1}) * (({_MW_N0}) + ({_MW_N1}) + 1) / 12))"
+)
+TEMPLATES["mannwhitneyutest"] = (
+    f"struct(CAST({_MW_U} AS DOUBLE) AS u_statistic, "
+    f"CAST(1.0 - erf(abs({_MW_Z}) / sqrt(2.0)) AS DOUBLE) AS p_value)"
+)

@@ -1674,3 +1674,49 @@ class TestSweep15ConversionsAndArrayJoin:
     def test_engine_eval(self, eng, q, want):
         suffix = "" if " AS r" in q or " r " in q else " AS r"
         assert eng.execute(q + suffix) == want
+
+
+class TestSweep16Stats:
+    """Sweep 16: width_bucket, array shingles/sampling, and the
+    z-test family (proportionsZTest / meanZTest / mannWhitneyUTest)
+    as exact group-local computations with normal-approx p-values."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from cowsdb_spark.engine import Engine
+
+        return Engine(spark)
+
+    def test_width_bucket_and_shingles(self, eng):
+        assert eng.execute("SELECT widthBucket(5.3, 0, 10, 5) AS r") == b"3\n"
+        assert eng.execute("SELECT arrayShingles([1,2,3,4], 2) AS r") == b"[[1,2],[2,3],[3,4]]\n"
+        assert eng.execute("SELECT size(arrayRandomSample([1,2,3], 2)) AS r") == b"2\n"
+
+    def test_proportions_ztest_matches_ch_docs(self, eng):
+        # CH docs example: z = -0.2065672443594885
+        out = eng.execute(
+            "SELECT proportionsZTest(10, 11, 100, 101, 0.95, 'unpooled') AS r"
+        ).decode().strip().strip("()").split(",")
+        z, p, lo, hi = map(float, out)
+        assert abs(z - (-0.20656724435948853)) < 1e-12
+        assert abs(p - 0.8363478437079654) < 1e-5
+        assert abs(lo - (-0.09345975390115283)) < 1e-3
+        assert abs(hi - 0.07563797172826908) < 1e-3
+
+    def test_mean_ztest(self, eng):
+        out = eng.execute(
+            "SELECT meanZTest(1.0, 1.0, 0.95)(v, g) AS r FROM "
+            "(SELECT number AS v, number % 2 AS g FROM numbers(10))"
+        ).decode().strip().strip("()").split(",")
+        z = float(out[0])
+        # means 4 vs 5, se = sqrt(1/5 + 1/5) -> z = -1/sqrt(0.4)
+        assert abs(z - (-1.5811388300841895)) < 1e-12
+
+    def test_mann_whitney(self, eng):
+        out = eng.execute(
+            "SELECT mannWhitneyUTest(v, g) AS r FROM "
+            "(SELECT number AS v, number % 2 AS g FROM numbers(10))"
+        ).decode().strip().strip("()").split(",")
+        # group0 ranks {1,3,5,7,9}: R0=25, U = 25 - 15 = 10
+        assert float(out[0]) == 10.0
+        assert 0 < float(out[1]) < 1
