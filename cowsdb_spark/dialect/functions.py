@@ -2122,3 +2122,41 @@ TEMPLATES["mannwhitneyutest"] = (
     f"struct(CAST({_MW_U} AS DOUBLE) AS u_statistic, "
     f"CAST(1.0 - erf(abs({_MW_Z}) / sqrt(2.0)) AS DOUBLE) AS p_value)"
 )
+
+
+# kolmogorovSmirnovTest(v, g): exact D over the pooled sample,
+# asymptotic p via the Kolmogorov distribution (4 series terms)
+_KS_PAIRS = "collect_list(struct({0} AS v, {1} AS g))"
+_KS_N0 = f"CAST(size(filter({_KS_PAIRS}, p -> p.g = 0)) AS DOUBLE)"
+_KS_N1 = f"CAST(size(filter({_KS_PAIRS}, p -> p.g != 0)) AS DOUBLE)"
+_KS_D = (
+    f"array_max(transform({_KS_PAIRS}, q -> abs("
+    f"CAST(size(filter({_KS_PAIRS}, p -> p.g = 0 AND p.v <= q.v)) AS DOUBLE) / ({_KS_N0}) - "
+    f"CAST(size(filter({_KS_PAIRS}, p -> p.g != 0 AND p.v <= q.v)) AS DOUBLE) / ({_KS_N1}))))"
+)
+_KS_NE = f"(({_KS_N0}) * ({_KS_N1}) / (({_KS_N0}) + ({_KS_N1})))"
+_KS_LAM = f"((sqrt({_KS_NE}) + 0.12 + 0.11 / sqrt({_KS_NE})) * ({_KS_D}))"
+_KS_P = (
+    f"least(1.0, greatest(0.0, 2 * ("
+    f"exp(-2 * pow({_KS_LAM}, 2)) - exp(-8 * pow({_KS_LAM}, 2)) + "
+    f"exp(-18 * pow({_KS_LAM}, 2)) - exp(-32 * pow({_KS_LAM}, 2)))))"
+)
+TEMPLATES["kolmogorovsmirnovtest"] = (
+    f"struct(CAST({_KS_D} AS DOUBLE) AS d_statistic, "
+    f"CAST({_KS_P} AS DOUBLE) AS p_value)"
+)
+
+# bias-corrected Cramer's V (Bergsma 2013): phi2' = max(0, phi2 -
+# (r-1)(c-1)/(n-1)), dims shrunk by the same correction
+_CV_PHI2 = f"(({_CHI2}) / {_N})"
+_CV_R = f"CAST({_KA} AS DOUBLE)"
+_CV_C = f"CAST({_KB} AS DOUBLE)"
+_CV_PHI2C = (
+    f"greatest(CAST(0 AS DOUBLE), {_CV_PHI2} - "
+    f"(({_CV_R}) - 1) * (({_CV_C}) - 1) / ({_N} - 1))"
+)
+_CV_RC = f"(({_CV_R}) - pow(({_CV_R}) - 1, 2) / ({_N} - 1))"
+_CV_CC = f"(({_CV_C}) - pow(({_CV_C}) - 1, 2) / ({_N} - 1))"
+TEMPLATES["cramersvbiascorrected"] = (
+    f"sqrt(({_CV_PHI2C}) / greatest(least({_CV_RC}, {_CV_CC}) - 1, 1e-12))"
+)

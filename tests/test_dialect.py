@@ -1720,3 +1720,33 @@ class TestSweep16Stats:
         # group0 ranks {1,3,5,7,9}: R0=25, U = 25 - 15 = 10
         assert float(out[0]) == 10.0
         assert 0 < float(out[1]) < 1
+
+
+class TestSweep16KSAndCorrectedV:
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from cowsdb_spark.engine import Engine
+
+        return Engine(spark)
+
+    def test_ks_interleaved_vs_disjoint(self, eng):
+        out = eng.execute(
+            "SELECT kolmogorovSmirnovTest(v, g) AS r FROM "
+            "(SELECT number AS v, number % 2 AS g FROM numbers(10))"
+        ).decode().strip().strip("()").split(",")
+        d, p = float(out[0]), float(out[1])
+        assert abs(d - 0.2) < 1e-9 and p > 0.9  # interleaved: similar dists
+        out = eng.execute(
+            "SELECT kolmogorovSmirnovTest(v, g) AS r FROM "
+            "(SELECT number AS v, if(number < 50, 0, 1) AS g FROM numbers(100))"
+        ).decode().strip().strip("()").split(",")
+        d, p = float(out[0]), float(out[1])
+        assert d == 1.0 and p < 1e-10  # disjoint halves
+
+    def test_cramers_v_bias_corrected(self, eng):
+        assert eng.execute(
+            "SELECT round(cramersVBiasCorrected(number % 2, number % 2), 4) AS r FROM numbers(40)"
+        ) == b"1\n"
+        assert eng.execute(
+            "SELECT round(cramersVBiasCorrected(number % 2, number % 3), 4) AS r FROM numbers(36)"
+        ) == b"0\n"
