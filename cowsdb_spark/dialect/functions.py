@@ -2160,3 +2160,60 @@ _CV_CC = f"(({_CV_C}) - pow(({_CV_C}) - 1, 2) / ({_N} - 1))"
 TEMPLATES["cramersvbiascorrected"] = (
     f"sqrt(({_CV_PHI2C}) / greatest(least({_CV_RC}, {_CV_CC}) - 1, 1e-12))"
 )
+
+
+# ---------------------------------------------------------------- sweep 17
+# JSONExtractRaw was a bare get_json_object rename — CH passes keys,
+# not JSONPaths, so it always missed. Same key->path convention as
+# the other JSONExtract* entries.
+TEMPLATES["jsonextractraw"] = "get_json_object({0}, concat('$.', {1}))"
+TEMPLATES["jsonextractvalues"] = (
+    "map_values(from_json({0}, 'map<string,string>'))"
+)
+TEMPLATES["jsonextractarrayraw"] = (
+    "from_json(get_json_object({0}, concat('$.', {1})), 'array<string>')"
+)
+
+
+def _fn_json_keys_and_values(args: list[str]) -> str | None:
+    """JSONExtractKeysAndValues(json, 'T') -> array of (key, T) pairs."""
+    if len(args) != 2:
+        return None
+    t = _lit_str(args[1])
+    if t is None:
+        return None
+    from .types import ch_type_to_spark
+
+    try:
+        st = ch_type_to_spark(t).simpleString()
+    except Exception:
+        return None
+    return (
+        f"transform(map_entries(from_json({args[0]}, 'map<string,string>')), "
+        f"e -> struct(e.key AS key, CAST(e.value AS {st}) AS value))"
+    )
+
+
+CODE_FNS["jsonextractkeysandvalues"] = _fn_json_keys_and_values
+TEMPLATES["tojsonstring"] = "to_json({0})"
+# OrNull variants: element_at on an empty filter is already NULL
+TEMPLATES["arrayfirstornull"] = "element_at(filter({1}, {0}), 1)"
+TEMPLATES["arraylastornull"] = "element_at(filter({1}, {0}), -1)"
+RENAMES["mapconcat"] = "map_concat"
+RENAMES["tocolumntypename"] = None  # resolved below via totypename
+TEMPLATES["tocolumntypename"] = TEMPLATES["totypename"]
+del RENAMES["tocolumntypename"]
+TEMPLATES["mappopulateseries"] = (
+    "map_from_arrays("
+    "sequence(array_min(map_keys({0})), array_max(map_keys({0}))), "
+    "transform(sequence(array_min(map_keys({0})), array_max(map_keys({0}))), "
+    "k -> coalesce(element_at({0}, k), 0)))"
+)
+TEMPLATES["mapcontainskeylike"] = "exists(map_keys({0}), k -> k LIKE {1})"
+TEMPLATES["mapextractkeylike"] = (
+    "map_from_entries(filter(map_entries({0}), e -> e.key LIKE {1}))"
+)
+TEMPLATES["countsubstringscaseinsensitive"] = (
+    "CAST(CASE WHEN length({1}) = 0 THEN 0 ELSE "
+    "(length({0}) - length(replace(lower({0}), lower({1}), ''))) / length({1}) END AS BIGINT)"
+)

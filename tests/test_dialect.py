@@ -1750,3 +1750,37 @@ class TestSweep16KSAndCorrectedV:
         assert eng.execute(
             "SELECT round(cramersVBiasCorrected(number % 2, number % 3), 4) AS r FROM numbers(36)"
         ) == b"0\n"
+
+
+class TestSweep17JsonMapBreadth:
+    """Sweep 17: JSONExtract raw/values/array/keys-and-values (and the
+    JSONExtractRaw key->path fix — it was a bare get_json_object
+    rename that always missed), toJSONString, arrayFirst/LastOrNull,
+    map concat/populate/key-like helpers."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from cowsdb_spark.engine import Engine
+
+        return Engine(spark)
+
+    @pytest.mark.parametrize(
+        "q,want",
+        [
+            ("""SELECT JSONExtractRaw('{"a": {"b": 1}}', 'a')""", b'{"b":1}\n'),
+            ("""SELECT JSONExtractValues('{"a": "x", "b": "y"}')""", b"['x','y']\n"),
+            ("""SELECT JSONExtractArrayRaw('{"a": [1,2]}', 'a')""", b"['1','2']\n"),
+            ("""SELECT JSONExtractKeysAndValues('{"a": 1, "b": 2}', 'Int64')""", b"[('a',1),('b',2)]\n"),
+            ("SELECT toJSONString(map('a', 1))", b'{"a":1}\n'),
+            ("SELECT arrayFirstOrNull(x -> x > 5, [1,2,3])", b"\\N\n"),
+            ("SELECT arrayLastOrNull(x -> x > 1, [1,2,3])", b"3\n"),
+            ("SELECT mapConcat(map('a', 1), map('b', 2))", b"{'a':1,'b':2}\n"),
+            ("SELECT mapPopulateSeries(map(1, 10, 3, 30))", b"{1:10,2:0,3:30}\n"),
+            ("SELECT mapContainsKeyLike(map('abc', 1), 'ab%')", b"true\n"),
+            ("SELECT mapExtractKeyLike(map('abc', 1, 'xyz', 2), 'ab%')", b"{'abc':1}\n"),
+            ("SELECT toColumnTypeName(1)", b"Int32\n"),
+            ("SELECT countSubstringsCaseInsensitive('AbAb', 'ab')", b"2\n"),
+        ],
+    )
+    def test_engine_eval(self, eng, q, want):
+        assert eng.execute(q + " AS r") == want
