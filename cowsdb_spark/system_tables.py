@@ -122,6 +122,7 @@ PROVIDERS = {
     "numbers": system_numbers,
     "columns": system_columns,
     "dictionaries": system_dictionaries,
+    "parts": None,  # defined below, resolved in materialize()
     "query_log": None,  # engine-backed, resolved in materialize()
     "processes": None,
 }
@@ -165,7 +166,9 @@ def materialize(spark: SparkSession, ns: str, table: str, session=None, engine=N
     if t not in PROVIDERS:
         return None
     view = f"__moospark_system_{ns}_{t}_{uuid.uuid4().hex[:8]}"
-    if t == "query_log":
+    if t == "parts":
+        df = system_parts(spark, ns)
+    elif t == "query_log":
         df = system_query_log(spark, ns, engine)
     elif t == "processes":
         df = system_processes(spark, ns, engine)
@@ -175,3 +178,45 @@ def materialize(spark: SparkSession, ns: str, table: str, session=None, engine=N
         df = PROVIDERS[t](spark, ns)
     df.createOrReplaceTempView(view)
     return view
+
+
+def system_parts(spark: SparkSession, ns: str) -> DataFrame:
+    """Parquet files of the namespace's managed tables as CH "parts":
+    (database, table, name, rows, bytes_on_disk, active). Driver-side
+    metadata listing only — row counts come from parquet footers, no
+    data is read."""
+    import glob as _glob
+    import os as _os
+
+    rows = []
+    for db in spark.catalog.listDatabases():
+        if not db.name.startswith(ns + "__"):
+            continue
+        visible = db.name.split("__", 1)[1]
+        for t in spark.catalog.listTables(db.name):
+            if t.tableType == "TEMPORARY":
+                continue
+            try:
+                detail = spark.sql(
+                    f"DESCRIBE TABLE EXTENDED `{db.name}`.`{t.name}`"
+                ).collect()
+                loc = next(r[1] for r in detail if r[0] == "Location")
+            except Exception:
+                continue
+            path = loc.replace("file:", "")
+            for f in sorted(_glob.glob(_os.path.join(path, "*.parquet"))):
+                try:
+                    import pyarrow.parquet as pq
+
+                    md = pq.ParquetFile(f).metadata
+                    n, size = md.num_rows, _os.path.getsize(f)
+                except Exception:
+                    n, size = 0, 0
+                rows.append(
+                    (visible, t.name, _os.path.basename(f), n, size, 1)
+                )
+    schema = (
+        "database string, table string, name string, rows long, "
+        "bytes_on_disk long, active int"
+    )
+    return local_df(spark, rows, schema) if rows else local_df(spark, [], schema)

@@ -320,3 +320,16 @@ class TestQueryLog:
         assert eng.execute(
             "SELECT count() AS c FROM system.processes", user="qlog_t2"
         ) == b"0\n"
+
+
+class TestSystemParts:
+    def test_parts_reflect_storage(self, engine):
+        engine.execute("DROP TABLE IF EXISTS spt")
+        engine.execute("CREATE TABLE spt (x Int64) ENGINE=Memory")
+        engine.execute("INSERT INTO spt SELECT number FROM numbers(500)")
+        out = engine.execute(
+            "SELECT sum(rows) AS r, min(active) AS a, "
+            "min(bytes_on_disk) > 0 AS b FROM system.parts WHERE table = 'spt'"
+        )
+        assert out == b"500\t1\ttrue\n"
+        engine.execute("DROP TABLE spt")
