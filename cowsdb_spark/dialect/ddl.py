@@ -109,6 +109,14 @@ class AlterColumn:
 
 
 @dataclass
+class AttachDetach:
+    action: str  # "attach" | "detach"
+    database: Optional[str]
+    name: str
+    if_exists: bool = False
+
+
+@dataclass
 class OptimizeTable:
     database: Optional[str]
     name: str
@@ -196,6 +204,14 @@ def parse_ddl(sql: str):
         if ct is not None:
             ct.temporary = True
         return ct
+    if head in ("ATTACH", "DETACH") and len(toks) >= 2 and toks[1].text.upper() == "TABLE":
+        i = 2
+        ie = False
+        if i + 1 < len(toks) and toks[i].text.upper() == "IF" and toks[i + 1].text.upper() == "EXISTS":
+            ie = True
+            i += 2
+        db, name, _ = _parse_qualname(toks, i)
+        return AttachDetach(action=head.lower(), database=db, name=name, if_exists=ie)
     if head == "TRUNCATE":
         i = 1
         if i < len(toks) and toks[i].text.upper() == "TABLE":

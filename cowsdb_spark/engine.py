@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .dialect import translate
 from .dialect.ddl import (
     AlterColumn,
+    AttachDetach,
     AlterMutation,
     CreateDatabase,
     CreateTable,
@@ -1588,6 +1589,28 @@ class Engine:
                 return
             if isinstance(parsed, CreateView):
                 self._run_create_view(sess, parsed)
+                return
+            if isinstance(parsed, AttachDetach):
+                # DETACH hides the table under a reserved name (data
+                # kept); ATTACH restores it — the observable CH
+                # contract for the metadata-level pair
+                db = sess.spark_db(parsed.database)
+                hidden = f"__detached__{parsed.name}"
+                src, dst = (
+                    (parsed.name, hidden)
+                    if parsed.action == "detach"
+                    else (hidden, parsed.name)
+                )
+                if parsed.if_exists and not self._table_exists(
+                    sess, parsed.database, src
+                ):
+                    return
+                try:
+                    self.spark.sql(
+                        f"ALTER TABLE `{db}`.`{src}` RENAME TO `{db}`.`{dst}`"
+                    )
+                except Exception as e:
+                    raise EngineError(_clean_spark_error(e), 60) from e
                 return
             if isinstance(parsed, CreateTable):
                 self._create_table(sess, parsed)

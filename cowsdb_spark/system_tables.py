@@ -41,7 +41,7 @@ def system_tables(spark: SparkSession, ns: str) -> DataFrame:
             continue
         visible = db.name.split("__", 1)[1]
         for t in spark.catalog.listTables(db.name):
-            if t.tableType != "TEMPORARY":
+            if t.tableType != "TEMPORARY" and not t.name.startswith("__detached__"):
                 rows.append((visible, t.name, "MergeTree"))
     schema = "database string, name string, engine string"
     if not rows:
@@ -85,7 +85,7 @@ def system_columns(spark: SparkSession, ns: str) -> DataFrame:
             continue
         visible = db.name.split("__", 1)[1]
         for t in spark.catalog.listTables(db.name):
-            if t.tableType == "TEMPORARY":
+            if t.tableType == "TEMPORARY" or t.name.startswith("__detached__"):
                 continue
             try:
                 schema = spark.table(f"`{db.name}`.`{t.name}`").schema
@@ -194,7 +194,7 @@ def system_parts(spark: SparkSession, ns: str) -> DataFrame:
             continue
         visible = db.name.split("__", 1)[1]
         for t in spark.catalog.listTables(db.name):
-            if t.tableType == "TEMPORARY":
+            if t.tableType == "TEMPORARY" or t.name.startswith("__detached__"):
                 continue
             try:
                 detail = spark.sql(

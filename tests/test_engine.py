@@ -944,3 +944,27 @@ class TestPlanCacheGuards:
         # actually gets hits without changing results
         for _ in range(3):
             assert engine.execute("SELECT sum(number) AS s FROM numbers(100)") == b"4950\n"
+
+
+class TestAttachDetach:
+    """DETACH TABLE hides a table (data kept, invisible to queries
+    and listings); ATTACH TABLE restores it — the CH metadata pair."""
+
+    def test_detach_hides_attach_restores(self, engine):
+        u = {"user": "adx"}
+        engine.execute("CREATE TABLE adx (x Int64) ENGINE=Memory", **u)
+        engine.execute("INSERT INTO adx VALUES (7)", **u)
+        engine.execute("DETACH TABLE adx", **u)
+        with pytest.raises(EngineError):
+            engine.execute("SELECT * FROM adx", **u)
+        assert engine.execute("SHOW TABLES", **u) == b""
+        assert engine.execute("EXISTS TABLE adx", **u) == b"0\n"
+        engine.execute("ATTACH TABLE adx", **u)
+        assert engine.execute("SELECT x FROM adx", **u) == b"7\n"
+        assert engine.execute("SHOW TABLES", **u) == b"adx\n"
+        engine.execute("DROP TABLE adx", **u)
+
+    def test_detach_if_exists_noop(self, engine):
+        engine.execute("DETACH TABLE IF EXISTS never_was", user="adx")
+        with pytest.raises(EngineError):
+            engine.execute("DETACH TABLE never_was2", user="adx")
