@@ -2217,3 +2217,91 @@ TEMPLATES["countsubstringscaseinsensitive"] = (
     "CAST(CASE WHEN length({1}) = 0 THEN 0 ELSE "
     "(length({0}) - length(replace(lower({0}), lower({1}), ''))) / length({1}) END AS BIGINT)"
 )
+
+# ---------------------------------------------------------------------------
+# Sweep 18: date_diff/timestamp_diff snake spellings, change* date-part
+# setters, decimal readable size, L2 normalize, IPv6 validation, CIDR
+# ranges, URL form-encoding variants, parameter-name extraction.
+# (CH spellings per reference main.py's chDB delegation surface.)
+
+# CH accepts date_diff/timestamp_diff with a *quoted* unit; Spark's own
+# date_diff wants a bare keyword, so route the 3-arg quoted form through
+# the same timestampdiff rewrite dateDiff already uses.  Spark-native
+# 2-arg date_diff(end, start) passes through on the arity guard.
+TEMPLATES["date_diff"] = TEMPLATES["datediff"]
+TEMPLATES["timestamp_diff"] = TEMPLATES["datediff"]
+
+# changeYear/...: replace one datetime component, keeping the rest.
+# Interval arithmetic (rather than make_date) so out-of-range targets
+# saturate the way CH documents (Feb 29 -> Feb 28) instead of NULLing.
+TEMPLATES["changeyear"] = "({0} + make_interval({1} - year({0})))"
+TEMPLATES["changemonth"] = "({0} + make_interval(0, {1} - month({0})))"
+TEMPLATES["changeday"] = "({0} + make_interval(0, 0, 0, {1} - day({0})))"
+TEMPLATES["changehour"] = "({0} + make_interval(0, 0, 0, 0, {1} - hour({0})))"
+TEMPLATES["changeminute"] = "({0} + make_interval(0, 0, 0, 0, 0, {1} - minute({0})))"
+TEMPLATES["changesecond"] = (
+    "({0} + make_interval(0, 0, 0, 0, 0, 0, {1} - second({0})))"
+)
+
+TEMPLATES["formatreadabledecimalsize"] = (
+    "CASE WHEN {0} < 1000 THEN concat(regexp_replace(format_number(CAST({0} AS DOUBLE), 2), ',', ''), ' B') "
+    "WHEN {0} < 1000000 THEN concat(regexp_replace(format_number({0} / 1000.0, 2), ',', ''), ' KB') "
+    "WHEN {0} < 1000000000 THEN concat(regexp_replace(format_number({0} / 1000000.0, 2), ',', ''), ' MB') "
+    "ELSE concat(regexp_replace(format_number({0} / 1000000000.0, 2), ',', ''), ' GB') END"
+)
+
+# L2-normalize a vector; zero vectors divide to NULL elements (CH emits
+# nan there — both are "no direction", neither round-trips further math)
+TEMPLATES["normalizel2"] = (
+    "transform({0}, __x -> __x / "
+    "sqrt(aggregate({0}, CAST(0 AS DOUBLE), (__a, __v) -> __a + __v * __v)))"
+)
+
+# IPv6 validation: full-form groups or a single '::' compression; the
+# regex rejects multiple '::' (an empty group can't match between two
+# colons) but does not count groups or accept the embedded-IPv4 form.
+# Quantifiers are spelled with '?'/'*' only — '{n,m}' would collide
+# with the template placeholder syntax (replace-based, see
+# translate._apply_template).
+_H4 = "[0-9A-Fa-f][0-9A-Fa-f]?[0-9A-Fa-f]?[0-9A-Fa-f]?"
+TEMPLATES["isipv6string"] = (
+    "CAST({0} RLIKE '^("
+    + "(" + _H4 + ":)(" + _H4 + ":)(" + _H4 + ":)(" + _H4 + ":)"
+    + "(" + _H4 + ":)(" + _H4 + ":)(" + _H4 + ":)" + _H4
+    + "|((" + _H4 + ":)*" + _H4 + ")?::((" + _H4 + ":)*" + _H4 + ")?"
+    + ")$' AS TINYINT)"
+)
+
+# IPv4CIDRToRange(addr, prefix) -> tuple(lower, upper); addresses are
+# the engine's string IPv4 representation (see toipv4 above)
+_IP4N = (
+    "aggregate(transform(split({0}, '\\\\.'), __x -> CAST(__x AS BIGINT)), "
+    "CAST(0 AS BIGINT), (__a, __x) -> __a * 256 + __x)"
+)
+_CIDR_STEP = "CAST(pow(2, 32 - ({1})) AS BIGINT)"
+_CIDR_LOW = f"(({_IP4N}) div ({_CIDR_STEP}) * ({_CIDR_STEP}))"
+_CIDR_HIGH = f"({_CIDR_LOW} + {_CIDR_STEP} - 1)"
+
+
+def _ip4_render(num_expr: str) -> str:
+    return (
+        f"concat(CAST((({num_expr}) div 16777216) % 256 AS STRING), '.', "
+        f"CAST((({num_expr}) div 65536) % 256 AS STRING), '.', "
+        f"CAST((({num_expr}) div 256) % 256 AS STRING), '.', "
+        f"CAST(({num_expr}) % 256 AS STRING))"
+    )
+
+
+TEMPLATES["ipv4cidrtorange"] = (
+    f"struct({_ip4_render(_CIDR_LOW)}, {_ip4_render(_CIDR_HIGH)})"
+)
+
+# URL form-component coding: the '+'-for-space convention IS what
+# Spark's url_encode/url_decode implement, so these are direct
+TEMPLATES["encodeurlformcomponent"] = "url_encode({0})"
+TEMPLATES["decodeurlformcomponent"] = "url_decode({0})"
+TEMPLATES["extracturlparameternames"] = (
+    "transform("
+    "coalesce(filter(split(parse_url({0}, 'QUERY'), '&'), __p -> __p != ''), array()), "
+    "__p -> substring_index(__p, '=', 1))"
+)

@@ -1784,3 +1784,47 @@ class TestSweep17JsonMapBreadth:
     )
     def test_engine_eval(self, eng, q, want):
         assert eng.execute(q + " AS r") == want
+
+
+class TestSweep18DateIpUrlBreadth:
+    """Sweep 18: snake-case date_diff/timestamp_diff with quoted units,
+    the change* component setters (interval arithmetic so Feb-29
+    saturates like CH), formatReadableDecimalSize, normalizeL2,
+    isIPv6String, IPv4CIDRToRange, URL form-encoding variants."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from cowsdb_spark.engine import Engine
+
+        return Engine(spark)
+
+    @pytest.mark.parametrize(
+        "q,want",
+        [
+            ("SELECT date_diff('day', toDate('2024-01-01'), toDate('2024-01-05'))", b"4\n"),
+            ("SELECT timestamp_diff('hour', toDateTime('2024-01-01 00:00:00'), toDateTime('2024-01-01 05:00:00'))", b"5\n"),
+            # Spark-native 2-arg form must still pass through untouched
+            ("SELECT date_diff(toDate('2024-01-05'), toDate('2024-01-01'))", b"4\n"),
+            ("SELECT changeYear(toDate('2024-03-03'), 2020)", b"2020-03-03\n"),
+            ("SELECT changeYear(toDate('2020-02-29'), 2021)", b"2021-02-28\n"),
+            ("SELECT changeMonth(toDateTime('2024-03-03 10:00:00'), 7)", b"2024-07-03 10:00:00\n"),
+            ("SELECT changeDay(toDateTime('2024-03-03 10:00:00'), 15)", b"2024-03-15 10:00:00\n"),
+            ("SELECT changeHour(toDateTime('2024-03-03 10:00:00'), 5)", b"2024-03-03 05:00:00\n"),
+            ("SELECT changeMinute(toDateTime('2024-03-03 10:30:00'), 5)", b"2024-03-03 10:05:00\n"),
+            ("SELECT changeSecond(toDateTime('2024-03-03 10:30:30'), 5)", b"2024-03-03 10:30:05\n"),
+            ("SELECT formatReadableDecimalSize(1500000)", b"1.50 MB\n"),
+            ("SELECT normalizeL2([3.0, 4.0])", b"[0.6,0.8]\n"),
+            ("SELECT isIPv6String('::1')", b"1\n"),
+            ("SELECT isIPv6String('2001:db8::8a2e:370:7334')", b"1\n"),
+            ("SELECT isIPv6String('fe80:0:0:0:0:0:0:1')", b"1\n"),
+            ("SELECT isIPv6String('1::2::3')", b"0\n"),
+            ("SELECT isIPv6String('1.2.3.4')", b"0\n"),
+            ("SELECT tupleElement(IPv4CIDRToRange(toIPv4('192.168.5.2'), 16), 1)", b"192.168.0.0\n"),
+            ("SELECT tupleElement(IPv4CIDRToRange(toIPv4('192.168.5.2'), 16), 2)", b"192.168.255.255\n"),
+            ("SELECT encodeURLFormComponent('a b')", b"a+b\n"),
+            ("SELECT decodeURLFormComponent('a+b')", b"a b\n"),
+            ("SELECT extractURLParameterNames('http://x.com/?a=1&b=2')", b"['a','b']\n"),
+        ],
+    )
+    def test_engine_eval(self, eng, q, want):
+        assert eng.execute(q + " AS r") == want
