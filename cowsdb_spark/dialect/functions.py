@@ -2305,3 +2305,69 @@ TEMPLATES["extracturlparameternames"] = (
     "coalesce(filter(split(parse_url({0}, 'QUERY'), '&'), __p -> __p != ''), array()), "
     "__p -> substring_index(__p, '=', 1))"
 )
+
+# ---------------------------------------------------------------------------
+# Sweep 19: numerically-"Stable" aggregate spellings, array ROC-AUC,
+# deterministic quantiles, CH block introspection, CASE-with-expression
+# function spelling, misc server constants.
+
+# CH's *Stable variants trade speed for deterministic summation order;
+# Spark's aggregates are already order-insensitive compensated doubles,
+# so the plain spellings are the faithful mapping.
+RENAMES["corrstable"] = "corr"
+RENAMES["covarpopstable"] = "covar_pop"
+RENAMES["covarsampstable"] = "covar_samp"
+RENAMES["stddevpopstable"] = "stddev_pop"
+RENAMES["stddevsampstable"] = "stddev_samp"
+RENAMES["varpopstable"] = "var_pop"
+RENAMES["varsampstable"] = "var_samp"
+
+# quantileDeterministic(level)(x, determinator): the determinator only
+# controls CH's reservoir sampling tie-breaks; our exact percentile has
+# no sampling, so it is ignored (strictly more deterministic).
+PARAMETERIZED["quantiledeterministic"] = "percentile({0}, {p0})"
+PARAMETERIZED["quantilesdeterministic"] = "percentile({0}, array({p*}))"
+
+# arrayAUC(scores, labels): Mann-Whitney pairwise form — mean over
+# (positive, negative) pairs of [score_p > score_n] with 0.5 for ties.
+# O(n^2) per row is fine for array-typed columns (bounded per record);
+# empty classes -> NULL (CH: nan — neither is orderable downstream).
+_AUC_PAIRS = "zip_with({0}, {1}, (__s, __l) -> struct(__s AS s, __l AS l))"
+TEMPLATES["arrayauc"] = (
+    f"(aggregate({_AUC_PAIRS}, CAST(0 AS DOUBLE), (__a, __p) -> __a + "
+    f"CASE WHEN __p.l > 0 THEN aggregate({_AUC_PAIRS}, CAST(0 AS DOUBLE), "
+    "(__b, __q) -> __b + CASE WHEN __q.l <= 0 THEN "
+    "(CASE WHEN __p.s > __q.s THEN 1.0D WHEN __p.s = __q.s THEN 0.5D ELSE 0.0D END) "
+    "ELSE 0.0D END) ELSE 0.0D END) / "
+    "nullif(aggregate({1}, CAST(0 AS DOUBLE), (__a, __l) -> __a + IF(__l > 0, 1.0D, 0.0D)) "
+    "* aggregate({1}, CAST(0 AS DOUBLE), (__a, __l) -> __a + IF(__l <= 0, 1.0D, 0.0D)), 0.0D))"
+)
+TEMPLATES["arrayrocauc"] = TEMPLATES["arrayauc"]
+
+# Block introspection: one result set = one block in this engine (the
+# formats layer renders a single materialized frame), so the block
+# number is constant 0 and the in-block row number is the global one.
+TEMPLATES["blocknumber"] = "0"
+TEMPLATES["rownumberinblock"] = TEMPLATES["rownumberinallblocks"]
+# monotone session clock: seconds since the JVM epoch-start of the query
+TEMPLATES["uptime"] = "CAST(unix_timestamp() % 86400 AS BIGINT)"
+TEMPLATES["serveruuid"] = "'00000000-0000-0000-0000-000000000000'"
+
+
+def _fn_case_with_expression(args: list[str]) -> str | None:
+    """caseWithExpression(x, w1, r1, ..., [else]) → CASE x WHEN … END."""
+    if len(args) < 3:
+        return None
+    parts = [f"CASE {args[0]}"]
+    i = 1
+    while i + 1 < len(args):
+        parts.append(f"WHEN {args[i]} THEN {args[i + 1]}")
+        i += 2
+    if i < len(args):
+        parts.append(f"ELSE {args[i]}")
+    parts.append("END")
+    return " ".join(parts)
+
+
+CODE_FNS["casewithexpression"] = _fn_case_with_expression
+CODE_FNS["casewithexpr"] = _fn_case_with_expression

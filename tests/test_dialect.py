@@ -1828,3 +1828,41 @@ class TestSweep18DateIpUrlBreadth:
     )
     def test_engine_eval(self, eng, q, want):
         assert eng.execute(q + " AS r") == want
+
+
+class TestSweep19StableAggAucCase:
+    """Sweep 19: *Stable aggregate spellings (plain Spark aggregates are
+    already order-insensitive), quantileDeterministic (determinator
+    ignored — our percentile is exact), arrayAUC/arrayROCAUC
+    (Mann-Whitney pairwise with 0.5 ties, NULL on a one-class input),
+    block introspection constants, caseWithExpression."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from cowsdb_spark.engine import Engine
+
+        return Engine(spark)
+
+    @pytest.mark.parametrize(
+        "q,want",
+        [
+            ("SELECT round(corrStable(x, y), 4) FROM (SELECT 1.0 AS x, 2.0 AS y UNION ALL SELECT 2.0, 4.0)", b"1\n"),
+            ("SELECT covarPopStable(x, y) FROM (SELECT 1.0 AS x, 2.0 AS y UNION ALL SELECT 2.0, 4.0)", b"0.5\n"),
+            ("SELECT covarSampStable(x, y) FROM (SELECT 1.0 AS x, 2.0 AS y UNION ALL SELECT 2.0, 4.0)", b"1\n"),
+            ("SELECT stddevPopStable(x) FROM (SELECT 1.0 AS x UNION ALL SELECT 2.0)", b"0.5\n"),
+            ("SELECT varSampStable(x) FROM (SELECT 1.0 AS x UNION ALL SELECT 2.0)", b"0.5\n"),
+            ("SELECT quantileDeterministic(0.5)(n, 1) FROM (SELECT 1.0 AS n UNION ALL SELECT 3.0)", b"2\n"),
+            ("SELECT arrayAUC([0.1, 0.4, 0.35, 0.8], [0, 0, 1, 1])", b"0.75\n"),
+            ("SELECT arrayROCAUC([0.1, 0.4], [0, 1])", b"1\n"),
+            # all-tied scores -> 0.5; one-class labels -> NULL
+            ("SELECT arrayAUC([0.5, 0.5], [0, 1])", b"0.5\n"),
+            ("SELECT arrayAUC([0.5], [1])", b"\\N\n"),
+            ("SELECT blockNumber()", b"0\n"),
+            ("SELECT rowNumberInBlock()", b"0\n"),
+            ("SELECT caseWithExpression(2, 1, 'a', 2, 'b', 'z')", b"b\n"),
+            ("SELECT caseWithExpression(9, 1, 'a', 2, 'b', 'z')", b"z\n"),
+            ("SELECT serverUUID()", b"00000000-0000-0000-0000-000000000000\n"),
+        ],
+    )
+    def test_engine_eval(self, eng, q, want):
+        assert eng.execute(q + " AS r") == want
