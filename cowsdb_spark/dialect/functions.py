@@ -2371,3 +2371,45 @@ def _fn_case_with_expression(args: list[str]) -> str | None:
 
 CODE_FNS["casewithexpression"] = _fn_case_with_expression
 CODE_FNS["casewithexpr"] = _fn_case_with_expression
+
+# runningAccumulate(aggState(x)): CH folds an aggregate state over
+# block order.  The Spark reading is the matching aggregate over an
+# unbounded-preceding window in scan order; a bare (non-State) column
+# argument accumulates as a sum, CH's canonical use.
+_RUNNING_WIN = (
+    "OVER (ORDER BY monotonically_increasing_id() "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+)
+_STATE_AGGS = {
+    "sum": "sum", "count": "count", "min": "min", "max": "max",
+    "avg": "avg", "uniq": "count(DISTINCT {a})", "uniqexact": "count(DISTINCT {a})",
+    "grouparray": "collect_list",
+}
+
+
+def _fn_running_accumulate(args: list[str]) -> str | None:
+    if not args:
+        return None
+    import re as _re
+
+    m = _re.match(r"^\s*(\w+)State\s*\((.*)\)\s*$", args[0], _re.IGNORECASE | _re.DOTALL)
+    if m:
+        base, inner = m.group(1).lower(), m.group(2)
+        spark = _STATE_AGGS.get(base)
+        if spark is None:
+            return None
+        call = spark.format(a=inner) if "{a}" in spark else f"{spark}({inner})"
+        return f"({call} {_RUNNING_WIN})"
+    return f"(sum({args[0]}) {_RUNNING_WIN})"
+
+
+CODE_FNS["runningaccumulate"] = _fn_running_accumulate
+
+# nonNegativeDerivative(metric, ts[, INTERVAL]): per-second rate vs the
+# previous row in scan order, clamped at 0; first row = 0 (greatest()
+# skips the NULL lag on both engines' readings)
+TEMPLATES["nonnegativederivative"] = (
+    "greatest(CAST(({0} - lag({0}, 1) OVER (ORDER BY monotonically_increasing_id())) "
+    "/ nullif(unix_timestamp({1}) - unix_timestamp(lag({1}, 1) "
+    "OVER (ORDER BY monotonically_increasing_id())), 0) AS DOUBLE), CAST(0 AS DOUBLE))"
+)

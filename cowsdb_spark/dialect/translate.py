@@ -81,6 +81,13 @@ class Statement:
     # ORDER BY col WITH FILL [FROM a] [TO b] [STEP s] — engine applies
     # the fill over the result DataFrame (types known there)
     with_fill: Optional[dict] = None
+    # SELECT … INTO OUTFILE 'path' [AND STDOUT] [TRUNCATE|APPEND]
+    # — engine writes the serialized result to the file (chDB /
+    # clickhouse-local accept this server-side; reference main.py
+    # passes it straight through to chDB)
+    outfile: Optional[str] = None
+    outfile_mode: str = "error"  # error (CH default) | truncate | append
+    outfile_and_stdout: bool = False
 
 
 def split_statements(sql: str) -> list[str]:
@@ -126,6 +133,50 @@ def _strip_trailing_format(toks: list[Tok]) -> tuple[list[Tok], Optional[str]]:
                 fmt = KNOWN_FORMATS[toks[b].text.lower()]
                 return toks[:a], fmt
     return toks, None
+
+
+def _strip_trailing_outfile(
+    toks: list[Tok],
+) -> tuple[list[Tok], Optional[str], str, bool]:
+    """Remove a top-level trailing ``INTO OUTFILE '<path>' [AND STDOUT]
+    [TRUNCATE|APPEND]`` clause (FORMAT, which follows it in CH syntax,
+    must already be stripped)."""
+    sig = _sig(toks)
+    depth = 0
+    at = None  # sig index of INTO
+    for si, i in enumerate(sig):
+        t = toks[i]
+        if t.kind == "op":
+            depth += t.text.count("(") - t.text.count(")")
+        if (
+            depth == 0
+            and t.kind == "ident"
+            and t.text.upper() == "INTO"
+            and si + 2 < len(sig)
+            and toks[sig[si + 1]].text.upper() == "OUTFILE"
+            and toks[sig[si + 2]].kind == "string"
+        ):
+            at = si
+            break
+    if at is None:
+        return toks, None, "error", False
+    path = toks[sig[at + 2]].text.strip("'")
+    mode, and_stdout = "error", False
+    j = at + 3
+    while j < len(sig):
+        word = toks[sig[j]].text.upper()
+        if word == "TRUNCATE":
+            mode = "truncate"
+        elif word == "APPEND":
+            mode = "append"
+        elif word == "AND" and j + 1 < len(sig) and toks[sig[j + 1]].text.upper() == "STDOUT":
+            and_stdout = True
+            j += 1
+        else:
+            break
+        j += 1
+    rest = toks[: sig[at]] + (toks[sig[j]:] if j < len(sig) else [])
+    return rest, path, mode, and_stdout
 
 
 def _strip_trailing_settings(toks: list[Tok]) -> tuple[list[Tok], dict[str, str]]:
@@ -832,14 +883,19 @@ def _rewrite_sample(toks: list[Tok]) -> None:
     for si, i in enumerate(sig):
         t = toks[i]
         depth += t.text.count("(") - t.text.count(")")
+        # any depth: SAMPLE also appears inside subqueries; the
+        # [ident|)] SAMPLE <number> shape doesn't occur elsewhere
         if (
-            depth == 0
-            and t.kind == "ident"
+            t.kind == "ident"
             and t.text.upper() == "SAMPLE"
             and si + 1 < len(sig)
             and toks[sig[si + 1]].kind == "number"
             and si > 0
-            and toks[sig[si - 1]].kind in ("ident", "bquote")
+            and (
+                toks[sig[si - 1]].kind in ("ident", "bquote")
+                # table functions: numbers(10) SAMPLE 0.5
+                or toks[sig[si - 1]].text.endswith(")")
+            )
         ):
             num = toks[sig[si + 1]].text
             if "." in num and float(num) <= 1:
@@ -2331,6 +2387,7 @@ def translate_select(sql: str) -> Statement:
     toks = tokenize(sql)
     toks = _rewrite_scalar_with(toks)
     toks, fmt = _strip_trailing_format(toks)
+    toks, outfile, outfile_mode, outfile_stdout = _strip_trailing_outfile(toks)
     toks, settings = _strip_trailing_settings(toks)
     _rewrite_sample(toks)  # before double-literals: SAMPLE 0.5 is a fraction
     toks = _rewrite_tuple_dot(toks)  # before double-literals: expr.1 is access
@@ -2364,6 +2421,7 @@ def translate_select(sql: str) -> Statement:
     return Statement(
         kind="select", spark_sql=body, format=fmt, settings=settings, original=sql,
         with_totals=with_totals, explain_graph=explain_graph, with_fill=with_fill,
+        outfile=outfile, outfile_mode=outfile_mode, outfile_and_stdout=outfile_stdout,
     )
 
 

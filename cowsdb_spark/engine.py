@@ -365,6 +365,9 @@ class Engine:
                             "ExceptionWhileProcessing", str(e))
             raise
         eng_warnings = settings.pop("__engine_warnings__", [])
+        outfile = settings.pop("__outfile__", None)
+        outfile_mode = settings.pop("__outfile_mode__", "error")
+        outfile_stdout = settings.pop("__outfile_stdout__", False)
         sess = self.get_session(user, password, session_id)
         merged = {**sess.settings, **(extra_settings or {}), **settings}
         use_fmt = out_fmt or fmt or merged.get("default_format") or "TSV"
@@ -405,6 +408,21 @@ class Engine:
 
         res.rows = _counting(res.rows)
         body = serialize(res, use_fmt, max_result_rows=max_rows)
+        if outfile:
+            # INTO OUTFILE: result bytes go to the file; the wire body
+            # is empty unless AND STDOUT was given (CH semantics —
+            # default mode ERRORS on an existing file)
+            import os as _os
+
+            if outfile_mode == "error" and _os.path.exists(outfile):
+                raise EngineError(
+                    f"File '{outfile}' already exists "
+                    "(use TRUNCATE or APPEND to overwrite)", code=76
+                )
+            with open(outfile, "ab" if outfile_mode == "append" else "wb") as f:
+                f.write(body)
+            if not outfile_stdout:
+                body = b""
         stats = {
             "result_rows": counted["n"],
             "result_bytes": len(body),
@@ -483,6 +501,10 @@ class Engine:
             else:
                 out_fmt = st.format or out_fmt
                 settings.update(st.settings)
+                if st.outfile:
+                    settings["__outfile__"] = st.outfile
+                    settings["__outfile_mode__"] = st.outfile_mode
+                    settings["__outfile_stdout__"] = st.outfile_and_stdout
                 result_df = self._run_show(sess, st.spark_sql)
                 if result_df is None:
                     result_df = self._run_select(sess, st.spark_sql)

@@ -1866,3 +1866,51 @@ class TestSweep19StableAggAucCase:
     )
     def test_engine_eval(self, eng, q, want):
         assert eng.execute(q + " AS r") == want
+
+
+class TestIntoOutfileAndRunning:
+    """INTO OUTFILE clause (error/TRUNCATE/APPEND/AND STDOUT modes —
+    chDB accepts this server-side, reference main.py passes it
+    through), SAMPLE after a table function, runningAccumulate over
+    aggregate states, nonNegativeDerivative."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from cowsdb_spark.engine import Engine
+
+        return Engine(spark)
+
+    def test_outfile_modes(self, eng, tmp_path):
+        p = str(tmp_path / "out.csv")
+        assert eng.execute(f"SELECT 41 + 1 AS a INTO OUTFILE '{p}' FORMAT CSV") == b""
+        assert open(p).read() == "42\n"
+        # default mode errors on the existing file (CH code 76)
+        from cowsdb_spark.engine import EngineError
+
+        with pytest.raises(EngineError, match="already exists"):
+            eng.execute(f"SELECT 1 AS a INTO OUTFILE '{p}'")
+        assert eng.execute(f"SELECT 7 AS a INTO OUTFILE '{p}' TRUNCATE") == b""
+        assert open(p).read() == "7\n"
+        assert eng.execute(f"SELECT 8 AS a INTO OUTFILE '{p}' APPEND") == b""
+        assert open(p).read() == "7\n8\n"
+        out = eng.execute(f"SELECT 9 AS a INTO OUTFILE '{p}' AND STDOUT TRUNCATE")
+        assert out == b"9\n"
+        assert open(p).read() == "9\n"
+
+    def test_sample_after_table_function(self, eng):
+        rows = eng.execute("SELECT number FROM numbers(10) SAMPLE 3")
+        assert rows == b"0\n1\n2\n"
+        frac = eng.execute("SELECT count() AS c FROM (SELECT number FROM numbers(1000) SAMPLE 0.5)")
+        assert 300 < int(frac.strip()) < 700
+
+    @pytest.mark.parametrize(
+        "q,want",
+        [
+            ("SELECT runningAccumulate(sumState(number)) FROM numbers(4)", b"0\n1\n3\n6\n"),
+            ("SELECT runningAccumulate(number) FROM numbers(4)", b"0\n1\n3\n6\n"),
+            ("SELECT runningAccumulate(maxState(number)) FROM numbers(3)", b"0\n1\n2\n"),
+            ("SELECT nonNegativeDerivative(v, t) FROM (SELECT 1.0 AS v, toDateTime('2024-01-01 00:00:00') AS t UNION ALL SELECT 5.0, toDateTime('2024-01-01 00:00:02'))", b"0\n2\n"),
+        ],
+    )
+    def test_running_functions(self, eng, q, want):
+        assert eng.execute(q + " AS r") == want
