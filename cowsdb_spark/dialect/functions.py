@@ -2413,3 +2413,96 @@ TEMPLATES["nonnegativederivative"] = (
     "/ nullif(unix_timestamp({1}) - unix_timestamp(lag({1}, 1) "
     "OVER (ORDER BY monotonically_increasing_id())), 0) AS DOUBLE), CAST(0 AS DOUBLE))"
 )
+
+# ---------------------------------------------------------------------------
+# Sweep 20: regexp extraction breadth, UTF8 spellings, partial reverse
+# sort, case-insensitive match counting.
+
+TEMPLATES["arraypartialreversesort"] = (  # same contract note as arraypartialsort
+    "reverse(array_sort({1}))"
+)
+TEMPLATES["countmatchescaseinsensitive"] = (
+    "size(regexp_extract_all({0}, concat('(?i)', {1}), 0))"
+)
+RENAMES["translateutf8"] = "translate"
+RENAMES["reverseutf8"] = "reverse"
+
+
+def _fn_regexp_extract(args: list[str]) -> str | None:
+    """regexpExtract(haystack, pattern[, index]) — CH default index 1."""
+    if len(args) == 2:
+        return f"regexp_extract({args[0]}, {args[1]}, 1)"
+    if len(args) == 3:
+        return f"regexp_extract({args[0]}, {args[1]}, {args[2]})"
+    return None
+
+
+CODE_FNS["regexpextract"] = _fn_regexp_extract
+
+
+def _count_capture_groups(pattern_lit: str) -> int | None:
+    """Capture-group count of a *literal* regex (None if not literal).
+    Skips escaped parens and (?...) non-capturing/lookaround groups."""
+    s = pattern_lit.strip()
+    if len(s) < 2 or s[0] not in "'\"" or s[-1] != s[0]:
+        return None
+    body = s[1:-1]
+    n, i = 0, 0
+    while i < len(body):
+        c = body[i]
+        if c == "\\":
+            i += 2
+            continue
+        if c == "(" and not body.startswith("(?", i):
+            n += 1
+        i += 1
+    return n
+
+
+def _fn_extract_groups_horizontal(args: list[str]) -> str | None:
+    """extractAllGroupsHorizontal(s, re) → [[all g1], [all g2], …].
+    Needs a literal pattern (group count drives the projection)."""
+    if len(args) != 2:
+        return None
+    n = _count_capture_groups(args[1])
+    if not n:
+        return None
+    cols = ", ".join(
+        f"regexp_extract_all({args[0]}, {args[1]}, {g})" for g in range(1, n + 1)
+    )
+    return f"array({cols})"
+
+
+def _fn_extract_groups_vertical(args: list[str]) -> str | None:
+    """extractAllGroupsVertical(s, re) → [[g1, g2, …] per match]."""
+    if len(args) != 2:
+        return None
+    n = _count_capture_groups(args[1])
+    if not n:
+        return None
+    # zip the per-group streams back into per-match rows
+    fields = ", ".join(f"__z.`{g - 1}`" for g in range(1, n + 1))
+    zipped = ", ".join(
+        f"regexp_extract_all({args[0]}, {args[1]}, {g})" for g in range(1, n + 1)
+    )
+    return f"transform(arrays_zip({zipped}), __z -> array({fields}))"
+
+
+CODE_FNS["extractallgroupshorizontal"] = _fn_extract_groups_horizontal
+CODE_FNS["extractallgroupsvertical"] = _fn_extract_groups_vertical
+
+
+def _fn_extract_groups_first(args: list[str]) -> str | None:
+    """extractGroups(s, re) → [g1, g2, …] of the FIRST match."""
+    if len(args) != 2:
+        return None
+    n = _count_capture_groups(args[1])
+    if not n:
+        return None
+    cols = ", ".join(
+        f"regexp_extract({args[0]}, {args[1]}, {g})" for g in range(1, n + 1)
+    )
+    return f"array({cols})"
+
+
+CODE_FNS["extractgroups"] = _fn_extract_groups_first

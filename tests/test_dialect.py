@@ -1914,3 +1914,33 @@ class TestIntoOutfileAndRunning:
     )
     def test_running_functions(self, eng, q, want):
         assert eng.execute(q + " AS r") == want
+
+
+class TestSweep20RegexpGroups:
+    """Sweep 20: regexpExtract (CH default index 1), extractGroups /
+    extractAllGroupsVertical / Horizontal (group count read statically
+    from the literal pattern), UTF8 renames, partial reverse sort,
+    case-insensitive match counting."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from cowsdb_spark.engine import Engine
+
+        return Engine(spark)
+
+    @pytest.mark.parametrize(
+        "q,want",
+        [
+            ("SELECT arrayPartialReverseSort(2, [3,1,2])", b"[3,2,1]\n"),
+            ("SELECT countMatchesCaseInsensitive('AaA', 'a')", b"3\n"),
+            ("SELECT regexpExtract('foo123', '([0-9]+)')", b"123\n"),
+            ("SELECT regexpExtract('foo123bar7', '([0-9]+)[a-z]+([0-9]+)', 2)", b"7\n"),
+            ("SELECT translateUTF8('abc', 'ab', 'xy')", b"xyc\n"),
+            ("SELECT reverseUTF8('abc')", b"cba\n"),
+            ("SELECT extractGroups('a=1', '(\\\\w)=(\\\\d)')", b"['a','1']\n"),
+            ("SELECT extractAllGroupsVertical('a=1, b=2', '(\\\\w)=(\\\\d)')", b"[['a','1'],['b','2']]\n"),
+            ("SELECT extractAllGroupsHorizontal('a=1, b=2', '(\\\\w)=(\\\\d)')", b"[['a','b'],['1','2']]\n"),
+        ],
+    )
+    def test_engine_eval(self, eng, q, want):
+        assert eng.execute(q + " AS r") == want
