@@ -2440,23 +2440,14 @@ def _fn_regexp_extract(args: list[str]) -> str | None:
 CODE_FNS["regexpextract"] = _fn_regexp_extract
 
 
-def _count_capture_groups(pattern_lit: str) -> int | None:
-    """Capture-group count of a *literal* regex (None if not literal).
-    Skips escaped parens and (?...) non-capturing/lookaround groups."""
-    s = pattern_lit.strip()
-    if len(s) < 2 or s[0] not in "'\"" or s[-1] != s[0]:
+def _groups_of_literal(pattern_arg: str) -> int | None:
+    """Capture-group count of a *quoted literal* regex argument
+    (None when the pattern isn't a literal — the translation then
+    passes through untouched)."""
+    body = _lit_str(pattern_arg)
+    if body is None:
         return None
-    body = s[1:-1]
-    n, i = 0, 0
-    while i < len(body):
-        c = body[i]
-        if c == "\\":
-            i += 2
-            continue
-        if c == "(" and not body.startswith("(?", i):
-            n += 1
-        i += 1
-    return n
+    return _count_capture_groups(body)
 
 
 def _fn_extract_groups_horizontal(args: list[str]) -> str | None:
@@ -2464,7 +2455,7 @@ def _fn_extract_groups_horizontal(args: list[str]) -> str | None:
     Needs a literal pattern (group count drives the projection)."""
     if len(args) != 2:
         return None
-    n = _count_capture_groups(args[1])
+    n = _groups_of_literal(args[1])
     if not n:
         return None
     cols = ", ".join(
@@ -2477,7 +2468,7 @@ def _fn_extract_groups_vertical(args: list[str]) -> str | None:
     """extractAllGroupsVertical(s, re) → [[g1, g2, …] per match]."""
     if len(args) != 2:
         return None
-    n = _count_capture_groups(args[1])
+    n = _groups_of_literal(args[1])
     if not n:
         return None
     # zip the per-group streams back into per-match rows
@@ -2496,7 +2487,7 @@ def _fn_extract_groups_first(args: list[str]) -> str | None:
     """extractGroups(s, re) → [g1, g2, …] of the FIRST match."""
     if len(args) != 2:
         return None
-    n = _count_capture_groups(args[1])
+    n = _groups_of_literal(args[1])
     if not n:
         return None
     cols = ", ".join(
@@ -2506,3 +2497,49 @@ def _fn_extract_groups_first(args: list[str]) -> str | None:
 
 
 CODE_FNS["extractgroups"] = _fn_extract_groups_first
+
+# ---------------------------------------------------------------------------
+# Sweep 21: sub-second truncation, timezone introspection, Joda-syntax
+# formatting, array edit distance, interval subtraction, misc fills.
+
+# CH emptyArrayToSingle returns [type-default] for an empty input; the
+# portable Spark reading yields [NULL] (element_at on empty) — the one
+# divergence is the filler value, the shape contract holds.
+TEMPLATES["emptyarraytosingle"] = (
+    "IF(size({0}) = 0, array(element_at({0}, 1)), {0})"
+)
+TEMPLATES["replicate"] = "transform({1}, __r -> {0})"
+TEMPLATES["subtractinterval"] = "({0} - {1})"
+# timestamps are microsecond-precision: micro/nano truncation is identity
+TEMPLATES["tostartofmicrosecond"] = "{0}"
+TEMPLATES["tostartofnanosecond"] = "{0}"
+TEMPLATES["tostartofmillisecond"] = (
+    "timestamp_micros(CAST(unix_micros({0}) div 1000 * 1000 AS BIGINT))"
+)
+TEMPLATES["timezoneof"] = "current_timezone()"
+TEMPLATES["timezoneoffset"] = (
+    "CAST(unix_timestamp(from_utc_timestamp({0}, current_timezone())) "
+    "- unix_timestamp({0}) AS BIGINT)"
+)
+# Spark's datetime patterns ARE the Joda/java.time family
+TEMPLATES["fromunixtimestampinjodasyntax"] = "from_unixtime({0}, {1})"
+TEMPLATES["formatdatetimeinjodasyntax"] = "date_format({0}, {1})"
+TEMPLATES["validatenestedarraysizes"] = (
+    "(size({0}) = size({1}))"
+)
+
+# arrayLevenshteinDistance: classic one-row DP as a fold — outer
+# aggregate over {1} updates the row, inner aggregate over positions of
+# {0} builds each new row left-to-right.  Null-safe compares (<=>).
+# Empty-{0} guard: sequence(1, 0) would yield the DESCENDING [1, 0].
+TEMPLATES["arraylevenshteindistance"] = (
+    "CASE WHEN size({0}) = 0 THEN size({1}) ELSE "
+    "aggregate({1}, sequence(0, size({0})), "
+    "(__row, __b) -> aggregate(sequence(1, size({0})), "
+    "array(element_at(__row, 1) + 1), "
+    "(__nr, __i) -> concat(__nr, array(least("
+    "element_at(__nr, -1) + 1, "
+    "element_at(__row, __i + 1) + 1, "
+    "element_at(__row, __i) + IF(element_at({0}, __i) <=> __b, 0, 1)))) ), "
+    "__row -> element_at(__row, -1)) END"
+)

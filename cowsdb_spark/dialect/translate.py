@@ -2163,19 +2163,19 @@ def _rewrite_cast_types(toks: list[Tok]) -> list[Tok]:
         as_at = close = None
         for k in range(i + 1, len(sig)):
             tx = toks[sig[k]].text
-            if tx == "(":
-                depth += 1
-            elif tx == ")":
-                depth -= 1
-                if depth == 0:
-                    close = k
-                    break
-            elif (
+            # count parens inside composite tokens too — earlier
+            # rewrites emit tokens like "array(" (bracket literals)
+            if (
                 depth == 1
                 and toks[sig[k]].kind == "ident"
                 and toks[sig[k]].upper == "AS"
             ):
                 as_at = k
+                continue
+            depth += tx.count("(") - tx.count(")")
+            if depth == 0 and ")" in tx:
+                close = k
+                break
         if as_at is None or close is None or as_at + 1 >= close:
             continue
         type_txt = "".join(
@@ -2415,6 +2415,7 @@ def translate_select(sql: str) -> Statement:
     toks, with_fill = _rewrite_with_fill(toks)
     toks, with_totals = _rewrite_with_totals(toks)
     body = "".join(t.text for t in toks).strip()
+    body = _rewrite_in_frame(body)
     body = _rewrite_ternary(body)
     body = _rewrite_functions(body)
     body = _rewrite_nested_explode(body)
@@ -2423,6 +2424,45 @@ def translate_select(sql: str) -> Statement:
         with_totals=with_totals, explain_graph=explain_graph, with_fill=with_fill,
         outfile=outfile, outfile_mode=outfile_mode, outfile_and_stdout=outfile_stdout,
     )
+
+
+_IN_FRAME_RE = re.compile(r"\b(lag|lead)InFrame\s*\(", re.IGNORECASE)
+_FRAME_CLAUSE_RE = re.compile(
+    r"\s+(ROWS|RANGE|GROUPS)\s+(BETWEEN\s+.+|UNBOUNDED\s+PRECEDING|CURRENT\s+ROW|\d+\s+PRECEDING)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _rewrite_in_frame(body: str) -> str:
+    """``lagInFrame/leadInFrame(args) OVER (spec ROWS BETWEEN …)`` →
+    ``lag/lead(args) OVER (spec)``.  CH *requires* an explicit frame on
+    these; Spark *forbids* frames on lag/lead.  With the canonical
+    full frame the results are identical; a partial frame would differ
+    (CH limits the lookup to the frame) — the common spelling is the
+    full frame, so the frame is dropped rather than rejected."""
+    out = body
+    while True:
+        m = _IN_FRAME_RE.search(out)
+        if m is None:
+            return out
+        base = m.group(1).lower()
+        # find the matching close paren of the arg list
+        depth, j = 1, m.end()
+        while j < len(out) and depth:
+            depth += (out[j] == "(") - (out[j] == ")")
+            j += 1
+        head = out[: m.start()] + base + "(" + out[m.end():j]
+        rest = out[j:]
+        over = re.match(r"(\s+OVER\s*\()", rest, re.IGNORECASE)
+        if over:
+            depth, k = 1, over.end()
+            while k < len(rest) and depth:
+                depth += (rest[k] == "(") - (rest[k] == ")")
+                k += 1
+            spec = rest[over.end(): k - 1]
+            spec = _FRAME_CLAUSE_RE.sub("", spec)
+            rest = over.group(1) + spec + rest[k - 1:]
+        out = head + rest
 
 
 def _rewrite_nested_explode(body: str) -> str:

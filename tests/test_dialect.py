@@ -1944,3 +1944,40 @@ class TestSweep20RegexpGroups:
     )
     def test_engine_eval(self, eng, q, want):
         assert eng.execute(q + " AS r") == want
+
+
+class TestSweep21FramesSubSecondArrays:
+    """Sweep 21: lagInFrame/leadInFrame with CH's mandatory frame
+    clause (Spark forbids frames on lag/lead — the full frame is
+    dropped, identical results), CAST-type rewriting through bracket
+    literals, sub-second toStartOf*, timezone introspection,
+    Joda-syntax formatting, arrayLevenshteinDistance (DP fold)."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from cowsdb_spark.engine import Engine
+
+        return Engine(spark)
+
+    @pytest.mark.parametrize(
+        "q,want",
+        [
+            ("SELECT leadInFrame(number) OVER (ORDER BY number ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS r FROM numbers(3)", b"1\n2\n\\N\n"),
+            ("SELECT lagInFrame(number) OVER (ORDER BY number ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS r FROM numbers(3)", b"\\N\n0\n1\n"),
+            ("SELECT emptyArrayToSingle(CAST([] AS Array(Int64))) AS r", b"[NULL]\n"),
+            ("SELECT emptyArrayToSingle([7]) AS r", b"[7]\n"),
+            ("SELECT replicate(7, [1,2,3]) AS r", b"[7,7,7]\n"),
+            ("SELECT subtractInterval(toDate('2024-01-02'), INTERVAL 1 DAY) AS r", b"2024-01-01\n"),
+            ("SELECT toStartOfMillisecond(toDateTime64('2024-01-01 00:00:00.123456', 6)) AS r", b"2024-01-01 00:00:00.123\n"),
+            ("SELECT timeZoneOf(now()) AS r", b"UTC\n"),
+            ("SELECT timeZoneOffset(now()) AS r", b"0\n"),
+            ("SELECT fromUnixTimestampInJodaSyntax(0, 'yyyy-MM-dd') AS r", b"1970-01-01\n"),
+            ("SELECT formatDateTimeInJodaSyntax(toDateTime('2024-01-02 03:04:05'), 'yyyy-MM-dd') AS r", b"2024-01-02\n"),
+            ("SELECT arrayLevenshteinDistance([1,2],[1,3]) AS r", b"1\n"),
+            ("SELECT arrayLevenshteinDistance([1,2,3],[2,3,4]) AS r", b"2\n"),
+            ("SELECT arrayLevenshteinDistance(CAST([] AS Array(Int64)),[1,2]) AS r", b"2\n"),
+            ("SELECT arrayLevenshteinDistance([1,2,3],[1,2,3]) AS r", b"0\n"),
+        ],
+    )
+    def test_engine_eval(self, eng, q, want):
+        assert eng.execute(q) == want
