@@ -2543,3 +2543,75 @@ TEMPLATES["arraylevenshteindistance"] = (
     "element_at(__row, __i) + IF(element_at({0}, __i) <=> __b, 0, 1)))) ), "
     "__row -> element_at(__row, -1)) END"
 )
+
+# ---------------------------------------------------------------------------
+# Sweep 22: token search, bucket rounding, time-delta parsing, byte
+# distance, hiveHash, map-lambda fills.
+
+# CH tokenizes on non-alphanumeric ASCII (same splitter as the
+# tokenbf_v1 index); underscore separates, digits/letters group.
+TEMPLATES["hastoken"] = (
+    "array_contains(split({0}, '[^A-Za-z0-9]+'), {1})"
+)
+TEMPLATES["hastokencaseinsensitive"] = (
+    "array_contains(split(lower({0}), '[^A-Za-z0-9]+'), lower({1}))"
+)
+RENAMES["initcaputf8"] = "initcap"
+
+# roundDown: greatest array element <= x, else the array minimum
+TEMPLATES["rounddown"] = (
+    "coalesce(array_max(filter({1}, __e -> __e <= {0})), array_min({1}))"
+)
+# roundAge / roundDuration: CH's fixed demographic / session buckets
+TEMPLATES["roundage"] = (
+    "CAST(CASE WHEN {0} < 1 THEN 0 WHEN {0} < 18 THEN 17 "
+    "WHEN {0} < 25 THEN 18 WHEN {0} < 35 THEN 25 WHEN {0} < 45 THEN 35 "
+    "WHEN {0} < 55 THEN 45 ELSE 55 END AS TINYINT)"
+)
+TEMPLATES["roundduration"] = (
+    "CAST(coalesce(array_max(filter(array(1, 10, 30, 60, 120, 180, 240, "
+    "300, 600, 1200, 1800, 3600, 7200, 18000, 36000), "
+    "__e -> __e <= {0})), 0) AS INT)"
+)
+
+# parseTimeDelta('1h30m' / '2 days 3 hours') → Float64 seconds.
+# Unit ladder ordered so 'mo*' (months) wins over 'm*' (minutes) and
+# the two-letter sub-second units match before the 'm'/'s' prefixes.
+# Calendar units use CH's averages (month 365.25/12 d, year 365.25 d).
+TEMPLATES["parsetimedelta"] = (
+    "aggregate(regexp_extract_all(lower({0}), "
+    "'([0-9]+\\\\.?[0-9]*)\\\\s*([a-z]+)', 0), CAST(0.0 AS DOUBLE), "
+    "(__acc, __p) -> __acc + "
+    "CAST(regexp_extract(__p, '([0-9]+\\\\.?[0-9]*)', 1) AS DOUBLE) * "
+    "CASE WHEN regexp_extract(__p, '([a-z]+)', 1) LIKE 'mo%' THEN 2629746.0 "
+    "WHEN regexp_extract(__p, '([a-z]+)', 1) LIKE 'y%' THEN 31557600.0 "
+    "WHEN regexp_extract(__p, '([a-z]+)', 1) LIKE 'w%' THEN 604800.0 "
+    "WHEN regexp_extract(__p, '([a-z]+)', 1) LIKE 'd%' THEN 86400.0 "
+    "WHEN regexp_extract(__p, '([a-z]+)', 1) LIKE 'h%' THEN 3600.0 "
+    "WHEN regexp_extract(__p, '([a-z]+)', 1) IN ('ms', 'millisecond', "
+    "'milliseconds') THEN 0.001 "
+    "WHEN regexp_extract(__p, '([a-z]+)', 1) IN ('us', 'microsecond', "
+    "'microseconds') THEN 0.000001 "
+    "WHEN regexp_extract(__p, '([a-z]+)', 1) IN ('ns', 'nanosecond', "
+    "'nanoseconds') THEN 0.000000001 "
+    "WHEN regexp_extract(__p, '([a-z]+)', 1) LIKE 'm%' THEN 60.0 "
+    "WHEN regexp_extract(__p, '([a-z]+)', 1) LIKE 's%' THEN 1.0 "
+    "ELSE 0.0 END)"
+)
+
+# byteHammingDistance: positionwise byte mismatches; zip_with pads the
+# shorter side with NULL and <=> counts those as differences, which IS
+# the length-difference contribution.  split('', '') yields [''] in
+# Spark, hence the empty guards.
+TEMPLATES["bytehammingdistance"] = (
+    "size(filter(zip_with("
+    "IF({0} = '', array(), split({0}, '')), "
+    "IF({1} = '', array(), split({1}, '')), "
+    "(__a, __b) -> NOT (__a <=> __b)), __x -> __x))"
+)
+# hiveHash = javaHash with the sign bit zeroed (CH docs)
+TEMPLATES["hivehash"] = (
+    "CAST((aggregate(split({0}, ''), 0, "
+    "(__acc, __c) -> CAST(__acc * 31 + coalesce(ascii(__c), 0) AS INT)) "
+    "& 2147483647) AS INT)"
+)

@@ -38,6 +38,22 @@ class QueryResult:
     def from_dataframe(
         cls, df: DataFrame, elapsed: float = 0.0, stream: bool = True
     ) -> "QueryResult":
+        # CalendarIntervalType rows can't cross the Python converter
+        # (toIntervalDay(2) projected bare) — render as Spark's
+        # interval string instead of crashing the whole query
+        if any(
+            f.dataType.typeName() == "interval" for f in df.schema.fields
+        ):
+            from pyspark.sql import functions as F
+
+            df = df.select(
+                *[
+                    F.col(f.name).cast("string").alias(f.name)
+                    if f.dataType.typeName() == "interval"
+                    else F.col(f.name)
+                    for f in df.schema.fields
+                ]
+            )
         schema = df.schema
         cols = [f.name for f in schema.fields]
         ch_types = [spark_type_to_ch(f.dataType, f.nullable) for f in schema.fields]

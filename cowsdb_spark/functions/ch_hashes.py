@@ -52,8 +52,76 @@ def _int_hash32(s: pd.Series) -> pd.Series:
     return pd.Series(_int_hash32_np(vals).astype(np.int64))
 
 
+_XXH_P1 = 2654435761
+_XXH_P2 = 2246822519
+_XXH_P3 = 3266489917
+_XXH_P4 = 668265263
+_XXH_P5 = 374761393
+_M32 = 0xFFFFFFFF
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def _xxh32_bytes(data: bytes, seed: int = 0) -> int:
+    """Reference xxHash32 (public spec, github.com/Cyan4973/xxHash);
+    CH's xxHash32 is this algorithm with seed 0."""
+    n = len(data)
+    i = 0
+    if n >= 16:
+        v1 = (seed + _XXH_P1 + _XXH_P2) & _M32
+        v2 = (seed + _XXH_P2) & _M32
+        v3 = seed & _M32
+        v4 = (seed - _XXH_P1) & _M32
+        while i + 16 <= n:
+            for vi in range(4):
+                lane = int.from_bytes(data[i : i + 4], "little")
+                v = (v1, v2, v3, v4)[vi]
+                v = (v + lane * _XXH_P2) & _M32
+                v = (_rotl32(v, 13) * _XXH_P1) & _M32
+                if vi == 0:
+                    v1 = v
+                elif vi == 1:
+                    v2 = v
+                elif vi == 2:
+                    v3 = v
+                else:
+                    v4 = v
+                i += 4
+        h = (_rotl32(v1, 1) + _rotl32(v2, 7) + _rotl32(v3, 12) + _rotl32(v4, 18)) & _M32
+    else:
+        h = (seed + _XXH_P5) & _M32
+    h = (h + n) & _M32
+    while i + 4 <= n:
+        h = (h + int.from_bytes(data[i : i + 4], "little") * _XXH_P3) & _M32
+        h = (_rotl32(h, 17) * _XXH_P4) & _M32
+        i += 4
+    while i < n:
+        h = (h + data[i] * _XXH_P5) & _M32
+        h = (_rotl32(h, 11) * _XXH_P1) & _M32
+        i += 1
+    h ^= h >> 15
+    h = (h * _XXH_P2) & _M32
+    h ^= h >> 13
+    h = (h * _XXH_P3) & _M32
+    h ^= h >> 16
+    return h
+
+
+def _xx_hash32(s: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            None if v is None else _xxh32_bytes(str(v).encode("utf-8"))
+            for v in s
+        ],
+        dtype="Int64",
+    )
+
+
 def register_all(spark: SparkSession) -> None:
     # pandas_udf needs an active session — decorate at register time,
     # not import time
     spark.udf.register("intHash32", pandas_udf(_int_hash32, "long"))
     spark.udf.register("intHash64", pandas_udf(_int_hash64, "long"))
+    spark.udf.register("xxHash32", pandas_udf(_xx_hash32, "long"))

@@ -1981,3 +1981,55 @@ class TestSweep21FramesSubSecondArrays:
     )
     def test_engine_eval(self, eng, q, want):
         assert eng.execute(q) == want
+
+
+class TestSweep22TokensBucketsHashes:
+    """Sweep 22: hasToken (tokenbf splitter semantics), CH bucket
+    rounders (roundDown/roundAge/roundDuration), parseTimeDelta,
+    byteHammingDistance, hiveHash (javaHash, sign bit zeroed), real
+    xxHash32 (spec vector for ''), and bare-interval projection no
+    longer crashing the serializer (renders Spark's interval string)."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from cowsdb_spark.engine import Engine
+
+        return Engine(spark)
+
+    @pytest.mark.parametrize(
+        "q,want",
+        [
+            ("SELECT hasToken('hello world','world') AS r", b"true\n"),
+            ("SELECT hasToken('hello world','wor') AS r", b"false\n"),
+            # underscore IS a CH token separator (isTokenSeparator =
+            # !isAlphaNumericASCII), so 'a_b' tokenizes as 'a','b'
+            ("SELECT hasToken('a_b c','a') AS r", b"true\n"),
+            ("SELECT hasTokenCaseInsensitive('Hello World','world') AS r", b"true\n"),
+            ("SELECT initcapUTF8('hello world') AS r", b"Hello World\n"),
+            ("SELECT roundDown(5, [1,3,7]) AS r", b"3\n"),
+            ("SELECT roundDown(0, [1,3,7]) AS r", b"1\n"),
+            ("SELECT roundDown(7, [1,3,7]) AS r", b"7\n"),
+            ("SELECT roundAge(0) AS r", b"0\n"),
+            ("SELECT roundAge(17) AS r", b"17\n"),
+            ("SELECT roundAge(20) AS r", b"18\n"),
+            ("SELECT roundAge(50) AS r", b"45\n"),
+            ("SELECT roundAge(99) AS r", b"55\n"),
+            ("SELECT roundDuration(0) AS r", b"0\n"),
+            ("SELECT roundDuration(250) AS r", b"240\n"),
+            ("SELECT roundDuration(40000) AS r", b"36000\n"),
+            ("SELECT parseTimeDelta('1h30m') AS r", b"5400\n"),
+            ("SELECT parseTimeDelta('2 days 3 hours') AS r", b"183600\n"),
+            ("SELECT parseTimeDelta('1.5s') AS r", b"1.5\n"),
+            ("SELECT byteHammingDistance('abc','abd') AS r", b"1\n"),
+            ("SELECT byteHammingDistance('abc','ab') AS r", b"1\n"),
+            ("SELECT byteHammingDistance('','x') AS r", b"1\n"),
+            ("SELECT byteHammingDistance('','') AS r", b"0\n"),
+            ("SELECT hiveHash('abc') AS r", b"96354\n"),
+            # xxHash32('') = 0x02CC5D05 — the published spec vector
+            ("SELECT xxHash32('') AS r", b"46947589\n"),
+            ("SELECT toDate('2024-01-01') + toIntervalDay(2) AS r", b"2024-01-03\n"),
+            ("SELECT toIntervalDay(2) AS r", b"2 days\n"),
+        ],
+    )
+    def test_engine_eval(self, eng, q, want):
+        assert eng.execute(q) == want
