@@ -2615,3 +2615,137 @@ TEMPLATES["hivehash"] = (
     "(__acc, __c) -> CAST(__acc * 31 + coalesce(ascii(__c), 0) AS INT)) "
     "& 2147483647) AS INT)"
 )
+
+# ---------------------------------------------------------------------------
+# Sweep 23: avgMap, correlation matrices, time-ordered aggregate folds
+# (deltaSumTimestamp, exponentialMovingAverage), histogram, sparkbar.
+
+# avgMap: per-key mean over the rows that carry the key (CH divides by
+# the count of maps containing the key, not the row count)
+TEMPLATES["avgmap"] = (
+    "map_from_entries(transform(" + _MAP_KEYS_UNION + ", "
+    "k -> struct(k, aggregate(collect_list({0}), CAST(0 AS DOUBLE), "
+    "(acc, m) -> acc + coalesce(CAST(element_at(m, k) AS DOUBLE), 0)) "
+    "/ aggregate(collect_list({0}), CAST(0 AS DOUBLE), "
+    "(acc, m) -> acc + IF(element_at(m, k) IS NULL, 0, 1)))))"
+)
+
+
+def _fn_corr_matrix_factory(pair_fn: str):
+    """corrMatrix/covar*Matrix(x1..xn) → n×n array of pairwise stats
+    (CH returns Array(Array(Float64)); n is the literal arg count, so
+    the matrix expands to n² aggregate calls — Catalyst shares the
+    underlying partial aggregates)."""
+
+    def _fn(args: list[str]) -> str | None:
+        if len(args) < 2:
+            return None
+        rows = ", ".join(
+            "array("
+            + ", ".join(f"{pair_fn}({a}, {b})" for b in args)
+            + ")"
+            for a in args
+        )
+        return f"array({rows})"
+
+    return _fn
+
+
+CODE_FNS["corrmatrix"] = _fn_corr_matrix_factory("corr")
+CODE_FNS["covarsampmatrix"] = _fn_corr_matrix_factory("covar_samp")
+CODE_FNS["covarpopmatrix"] = _fn_corr_matrix_factory("covar_pop")
+
+# deltaSumTimestamp(value, ts): order by ts, sum the positive
+# consecutive differences (the counter-reset-aware rate primitive).
+# Spark aggregation has no row order, so the order is made explicit
+# with a sorted collect — the semantics CH only guarantees per-block.
+TEMPLATES["deltasumtimestamp"] = (
+    "aggregate(array_sort(collect_list(struct(CAST({1} AS DOUBLE) AS t, "
+    "CAST({0} AS DOUBLE) AS v))), "
+    "named_struct('s', CAST(0 AS DOUBLE), 'pv', CAST(NULL AS DOUBLE)), "
+    "(__st, __e) -> named_struct("
+    "'s', __st.s + IF(__st.pv IS NOT NULL AND __e.v > __st.pv, "
+    "__e.v - __st.pv, 0), 'pv', __e.v), __st -> __st.s)"
+)
+
+# exponentialMovingAverage(halflife)(value, time): CH's recurrence
+# num ← v + num·2^(−Δt/halflife), den ← 1 + den·2^(−Δt/halflife),
+# result num/den — a sorted fold (aggregation has no row order).
+PARAMETERIZED["exponentialmovingaverage"] = (
+    "aggregate(array_sort(collect_list(struct(CAST({1} AS DOUBLE) AS t, "
+    "CAST({0} AS DOUBLE) AS v))), "
+    "named_struct('n', CAST(0 AS DOUBLE), 'd', CAST(0 AS DOUBLE), "
+    "'pt', CAST(NULL AS DOUBLE)), "
+    "(__st, __e) -> named_struct("
+    "'n', __e.v + __st.n * IF(__st.pt IS NULL, CAST(0 AS DOUBLE), "
+    "power(0.5, (__e.t - __st.pt) / {p0})), "
+    "'d', 1.0 + __st.d * IF(__st.pt IS NULL, CAST(0 AS DOUBLE), "
+    "power(0.5, (__e.t - __st.pt) / {p0})), "
+    "'pt', __e.t), __st -> __st.n / __st.d)"
+)
+
+# histogram(N)(x): N bins over [min, max] with per-bin counts as
+# (lo, hi, height) triples.  (*) equal-width bins — CH's streaming
+# adaptive binning is block-order-dependent; the bin COUNT contract
+# and the (lo, hi, height) shape match.
+PARAMETERIZED["histogram"] = (
+    "CASE WHEN size(collect_list(CAST({0} AS DOUBLE))) = 0 THEN NULL "
+    "ELSE transform(sequence(0, CAST({p0} AS INT) - 1), __i -> "
+    "struct("
+    "array_min(collect_list(CAST({0} AS DOUBLE))) + "
+    "(array_max(collect_list(CAST({0} AS DOUBLE))) - "
+    "array_min(collect_list(CAST({0} AS DOUBLE)))) / CAST({p0} AS DOUBLE) * __i "
+    "AS lo, "
+    "array_min(collect_list(CAST({0} AS DOUBLE))) + "
+    "(array_max(collect_list(CAST({0} AS DOUBLE))) - "
+    "array_min(collect_list(CAST({0} AS DOUBLE)))) / CAST({p0} AS DOUBLE) * (__i + 1) "
+    "AS hi, "
+    "CAST(size(filter(collect_list(CAST({0} AS DOUBLE)), __v -> "
+    "__v >= array_min(collect_list(CAST({0} AS DOUBLE))) + "
+    "(array_max(collect_list(CAST({0} AS DOUBLE))) - "
+    "array_min(collect_list(CAST({0} AS DOUBLE)))) / CAST({p0} AS DOUBLE) * __i "
+    "AND (__v < array_min(collect_list(CAST({0} AS DOUBLE))) + "
+    "(array_max(collect_list(CAST({0} AS DOUBLE))) - "
+    "array_min(collect_list(CAST({0} AS DOUBLE)))) / CAST({p0} AS DOUBLE) * (__i + 1) "
+    "OR __i = CAST({p0} AS INT) - 1))) AS DOUBLE) AS height)) END"
+)
+
+# sparkbar(N)(x, y): bucket x into N equal-width buckets, sum y per
+# bucket, render 8-level block glyphs (CH's unicode bar chart),
+# normalized by the tallest bucket.
+
+
+def _pfn_sparkbar(args: list[str], params: list[str]) -> str | None:
+    if len(args) != 2 or len(params) != 1:
+        return None
+    x, y, n = args[0], args[1], params[0]
+    arr = (
+        f"collect_list(struct(CAST({x} AS DOUBLE) AS x, "
+        f"CAST({y} AS DOUBLE) AS y))"
+    )
+    lo = f"array_min(transform({arr}, __e -> __e.x))"
+    w = (
+        f"((array_max(transform({arr}, __e -> __e.x)) - {lo}) "
+        f"/ CAST({n} AS DOUBLE))"
+    )
+    # per-bucket sums (last bucket right-closed)
+    heights = (
+        f"transform(sequence(0, CAST({n} AS INT) - 1), __i -> "
+        f"aggregate(filter({arr}, __e -> "
+        f"__e.x >= {lo} + {w} * __i AND (__e.x < {lo} + {w} * (__i + 1) "
+        f"OR __i = CAST({n} AS INT) - 1)), CAST(0 AS DOUBLE), "
+        f"(__a, __e) -> __a + __e.y))"
+    )
+    # second fold so the heights array is computed once and its max is
+    # in scope for the glyph scaling
+    return (
+        f"aggregate(array({heights}), CAST('' AS STRING), "
+        f"(__acc, __hs) -> __acc || array_join(transform(__hs, __h -> "
+        f"CASE WHEN __h <= 0 THEN ' ' ELSE element_at("
+        f"array('▁', '▂', '▃', '▄', '▅', '▆', '▇', '█'), "
+        f"CAST(least(greatest(ceil(__h * 8 / array_max(__hs)), 1), 8) "
+        f"AS INT)) END), ''))"
+    )
+
+
+PARAMETERIZED["sparkbar"] = _pfn_sparkbar

@@ -2033,3 +2033,36 @@ class TestSweep22TokensBucketsHashes:
     )
     def test_engine_eval(self, eng, q, want):
         assert eng.execute(q) == want
+
+
+class TestSweep23AggregateFolds:
+    """Sweep 23: avgMap (per-key-presence divisor), pairwise stat
+    matrices (n² corr/covar calls, partial aggs shared by Catalyst),
+    time-ordered folds (deltaSumTimestamp, exponentialMovingAverage —
+    CH's num/den halflife recurrence over a sorted collect), equal-width
+    histogram(N) triples, sparkbar glyph rendering normalized by the
+    tallest bucket."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from cowsdb_spark.engine import Engine
+
+        return Engine(spark)
+
+    @pytest.mark.parametrize(
+        "q,want",
+        [
+            ("SELECT avgMap(map(number % 2, number)) AS r FROM numbers(4)", b"{0:1,1:2}\n"),
+            ("SELECT corrMatrix(number, number * 2) AS r FROM numbers(5)", b"[[1,1],[1,1]]\n"),
+            ("SELECT covarSampMatrix(number, number) AS r FROM numbers(5)", b"[[2.5,2.5],[2.5,2.5]]\n"),
+            # values 1,5,3,8 in t order: positive deltas 4 + 5 = 9
+            ("SELECT deltaSumTimestamp(if(number=0,1,if(number=1,5,if(number=2,3,8))), number) AS r FROM numbers(4)", b"9\n"),
+            # v=t=0..4, halflife 1: (4+1.5+.5+.125+0)/(1+.5+.25+.125+.0625)
+            ("SELECT round(exponentialMovingAverage(1)(number, number), 5) AS r FROM numbers(5)", b"3.16129\n"),
+            ("SELECT histogram(3)(number) AS r FROM numbers(9)", b"[(0,2.6666666666666665,3),(2.6666666666666665,5.333333333333333,3),(5.333333333333333,8,3)]\n"),
+            ("SELECT sparkbar(3)(number, 1) AS r FROM numbers(9)", "███\n".encode()),
+            ("SELECT sparkbar(5)(number, number) AS r FROM numbers(5)", " ▂▄▆█\n".encode()),
+        ],
+    )
+    def test_engine_eval(self, eng, q, want):
+        assert eng.execute(q) == want
