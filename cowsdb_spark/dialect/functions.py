@@ -2749,3 +2749,79 @@ def _pfn_sparkbar(args: list[str], params: list[str]) -> str | None:
 
 
 PARAMETERIZED["sparkbar"] = _pfn_sparkbar
+
+# ---------------------------------------------------------------------------
+# Sweep 24: range-windowed array reduction, year-zero dates, random
+# distributions, URL/introspection fills, heuristic detectLanguage.
+
+
+def _fn_array_reduce_in_ranges(args: list[str]) -> str | None:
+    """arrayReduceInRanges('agg', ranges, arr) — per (start, length)
+    1-based range, the same scalar reductions arrayReduce supports."""
+    if len(args) != 3:
+        return None
+    inner = _fn_array_reduce(
+        [args[0], f"slice({args[2]}, __rg.col1, __rg.col2)"]
+    )
+    if inner is None:
+        return None
+    return f"transform({args[1]}, __rg -> {inner})"
+
+
+CODE_FNS["arrayreduceinranges"] = _fn_array_reduce_in_ranges
+
+# days-since-year-zero calendar: year 0 is a 366-day leap year, so
+# day 366 is 0001-01-01 (proleptic Gregorian, matches CH)
+TEMPLATES["fromdayssinceyearzero"] = (
+    "date_add(DATE'0001-01-01', CAST({0} AS INT) - 366)"
+)
+TEMPLATES["fromdayssinceyearzero32"] = TEMPLATES["fromdayssinceyearzero"]
+TEMPLATES["utctimestamp"] = "current_timestamp()"
+
+TEMPLATES["randbernoulli"] = "CAST(IF(rand() < {0}, 1, 0) AS BIGINT)"
+TEMPLATES["randexponential"] = "(-ln(1 - rand()) / {0})"
+TEMPLATES["randlognormal"] = "exp({0} + {1} * randn())"
+
+TEMPLATES["querystringandfragment"] = (
+    "concat(coalesce(parse_url({0}, 'QUERY'), ''), "
+    "IF(parse_url({0}, 'REF') IS NULL, '', "
+    "concat('#', parse_url({0}, 'REF'))))"
+)
+# the whole result is one block in this engine (blockNumber() — sweep
+# 19 — is the same convention)
+TEMPLATES["blocksize"] = "count(1) OVER ()"
+TEMPLATES["queryid"] = "uuid()"          # non-deterministic lane
+TEMPLATES["initialqueryid"] = "uuid()"   # non-deterministic lane
+
+# detectLanguage: the same marker-word + CJK-script heuristic as
+# operators/text.py::lang_id, as a scalar expression (CH's version
+# needs the CLD model; 'un' = CH's unknown-language code).
+_LANG_MARKER_SQL = {
+    "en": "'the', 'and', 'of', 'is', 'with'",
+    "de": "'der', 'die', 'und', 'ist', 'das'",
+    "fr": "'le', 'la', 'et', 'les', 'des'",
+    "es": "'el', 'los', 'las', 'una', 'es'",
+}
+
+
+def _fn_detect_language(args: list[str]) -> str | None:
+    if len(args) != 1:
+        return None
+    toks = f"split(lower({args[0]}), '[^a-z]+')"
+    hit = {
+        lang: f"size(filter({toks}, __w -> __w IN ({ms})))"
+        for lang, ms in _LANG_MARKER_SQL.items()
+    }
+    best = f"greatest({hit['en']}, {hit['de']}, {hit['fr']}, {hit['es']})"
+    cjk = f"length(regexp_replace({args[0]}, '[^一-鿿]', ''))"
+    return (
+        f"CASE WHEN {cjk} > 0 THEN 'zh' "
+        f"WHEN {best} = 0 THEN 'un' "
+        f"WHEN {hit['en']} = {best} THEN 'en' "
+        f"WHEN {hit['de']} = {best} THEN 'de' "
+        f"WHEN {hit['fr']} = {best} THEN 'fr' "
+        f"ELSE 'es' END"
+    )
+
+
+CODE_FNS["detectlanguage"] = _fn_detect_language

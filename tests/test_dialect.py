@@ -2066,3 +2066,38 @@ class TestSweep23AggregateFolds:
     )
     def test_engine_eval(self, eng, q, want):
         assert eng.execute(q) == want
+
+
+class TestSweep24RangesDatesRandom:
+    """Sweep 24: arrayReduceInRanges (per-range slice through the
+    arrayReduce scalar forms), fromDaysSinceYearZero (year 0 = 366-day
+    leap year, day 366 = 0001-01-01), random distributions, URL
+    query+fragment, blockSize (whole-result-is-one-block convention),
+    and detectLanguage as the scalar twin of operators/text.lang_id."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from cowsdb_spark.engine import Engine
+
+        return Engine(spark)
+
+    @pytest.mark.parametrize(
+        "q,want",
+        [
+            ("SELECT arrayReduceInRanges('sum', [(1,2),(2,2)], [1,2,3]) AS r", b"[3,5]\n"),
+            ("SELECT arrayReduceInRanges('max', [(1,3)], [5,1,9]) AS r", b"[9]\n"),
+            ("SELECT fromDaysSinceYearZero(739136) AS r", b"2023-09-08\n"),
+            ("SELECT toDaysSinceYearZero(fromDaysSinceYearZero(713569)) AS r", b"713569\n"),
+            ("SELECT queryStringAndFragment('http://x.com/?a=1#f') AS r", b"a=1#f\n"),
+            ("SELECT queryStringAndFragment('http://x.com/page') AS r", b"\n"),
+            ("SELECT blockSize() AS r", b"1\n"),
+            ("SELECT randBernoulli(0.5) IN (0, 1) AS r", b"true\n"),
+            ("SELECT randExponential(2) >= 0 AS r", b"true\n"),
+            ("SELECT detectLanguage('the cat and the dog is here with us') AS r", b"en\n"),
+            ("SELECT detectLanguage('der hund und die katze ist das') AS r", b"de\n"),
+            ("SELECT detectLanguage('xyzzy qwerty') AS r", b"un\n"),
+            ("SELECT detectLanguage('你好世界') AS r", b"zh\n"),
+        ],
+    )
+    def test_engine_eval(self, eng, q, want):
+        assert eng.execute(q) == want
