@@ -2825,3 +2825,154 @@ def _fn_detect_language(args: list[str]) -> str | None:
 
 
 CODE_FNS["detectlanguage"] = _fn_detect_language
+
+# ---------------------------------------------------------------------------
+# Sweep 25: tuple vector arithmetic, morton curves, exact-quantile
+# variants, snowflake IDs, misc fills.
+
+
+def _tuple_elems(arg: str) -> list[str] | None:
+    """Top-level elements of a literal tuple argument — ``(a, b)``,
+    ``tuple(a, b)`` or the already-rewritten ``struct(a, b)``.  None
+    for non-literal tuples (column refs): field arity is unknowable
+    statically, the spelling then surfaces unresolved."""
+    s = arg.strip()
+    low = s.lower()
+    for pre in ("struct(", "tuple("):
+        if low.startswith(pre) and s.endswith(")"):
+            s = s[len(pre) : -1]
+            break
+    else:
+        if s.startswith("(") and s.endswith(")"):
+            s = s[1:-1]
+        else:
+            return None
+    parts: list[str] = []
+    depth = 0
+    cur = ""
+    for ch in s:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append(cur.strip())
+            cur = ""
+        else:
+            cur += ch
+    if cur.strip():
+        parts.append(cur.strip())
+    return parts if len(parts) >= 2 else None
+
+
+def _fn_tuple_zip_factory(op: str):
+    def _fn(args: list[str]) -> str | None:
+        if len(args) != 2:
+            return None
+        a, b = _tuple_elems(args[0]), _tuple_elems(args[1])
+        if a is None or b is None or len(a) != len(b):
+            return None
+        return "struct(" + ", ".join(
+            f"(({x}) {op} ({y}))" for x, y in zip(a, b)
+        ) + ")"
+
+    return _fn
+
+
+CODE_FNS["tupleplus"] = _fn_tuple_zip_factory("+")
+CODE_FNS["tupleminus"] = _fn_tuple_zip_factory("-")
+CODE_FNS["tuplemultiply"] = _fn_tuple_zip_factory("*")
+CODE_FNS["tupledivide"] = _fn_tuple_zip_factory("/")
+
+
+def _fn_tuple_scale_factory(op: str):
+    def _fn(args: list[str]) -> str | None:
+        if len(args) != 2:
+            return None
+        a = _tuple_elems(args[0])
+        if a is None:
+            return None
+        return "struct(" + ", ".join(
+            f"(({x}) {op} ({args[1]}))" for x in a
+        ) + ")"
+
+    return _fn
+
+
+CODE_FNS["tuplemultiplybynumber"] = _fn_tuple_scale_factory("*")
+CODE_FNS["tupledividebynumber"] = _fn_tuple_scale_factory("/")
+
+
+def _fn_tuple_negate(args: list[str]) -> str | None:
+    if len(args) != 1:
+        return None
+    a = _tuple_elems(args[0])
+    if a is None:
+        return None
+    return "struct(" + ", ".join(f"(-({x}))" for x in a) + ")"
+
+
+CODE_FNS["tuplenegate"] = _fn_tuple_negate
+
+TEMPLATES["clamp"] = "least(greatest({0}, {1}), {2})"
+TEMPLATES["ipv4toipv6"] = "concat('::ffff:', {0})"
+# string up to the first NUL byte (CH fixed-string helper)
+TEMPLATES["tostringcuttozero"] = "substring_index({0}, chr(0), 1)"
+
+# 2-D morton (Z-order) interleave: bit i of x → bit 2i, of y → 2i+1
+TEMPLATES["mortonencode"] = (
+    "aggregate(sequence(0, 31), CAST(0 AS BIGINT), (__acc, __i) -> "
+    "__acc | shiftleft(shiftrightunsigned(CAST({0} AS BIGINT), __i) & 1, 2 * __i) "
+    "| shiftleft(shiftrightunsigned(CAST({1} AS BIGINT), __i) & 1, 2 * __i + 1))"
+)
+TEMPLATES["mortondecode"] = (
+    "struct("
+    "aggregate(sequence(0, 31), CAST(0 AS BIGINT), (__acc, __i) -> "
+    "__acc | shiftleft(shiftrightunsigned(CAST({1} AS BIGINT), 2 * __i) & 1, __i)), "
+    "aggregate(sequence(0, 31), CAST(0 AS BIGINT), (__acc, __i) -> "
+    "__acc | shiftleft(shiftrightunsigned(CAST({1} AS BIGINT), 2 * __i + 1) & 1, __i)))"
+)
+
+# exact-quantile conventions over a sorted collect (n small enough to
+# collect is the quantileExact contract; the scalable path is
+# operators/quantile.py's histogram bisection)
+PARAMETERIZED["quantileexactlow"] = (
+    "element_at(array_sort(collect_list({0})), "
+    "CAST(floor({p0} * (count({0}) - 1)) AS INT) + 1)"
+)
+PARAMETERIZED["quantileexacthigh"] = (
+    "element_at(array_sort(collect_list({0})), "
+    "CAST(ceil({p0} * (count({0}) - 1)) AS INT) + 1)"
+)
+PARAMETERIZED["quantileexactinclusive"] = "percentile({0}, {p0})"
+# PERCENTILE.EXC: h = level·(n+1), clamped to [1, n], linear between
+PARAMETERIZED["quantileexactexclusive"] = (
+    "aggregate(array(array_sort(collect_list(CAST({0} AS DOUBLE)))), "
+    "CAST(0 AS DOUBLE), (__z, __arr) -> "
+    "element_at(__arr, CAST(floor(least(greatest({p0} * (size(__arr) + 1), "
+    "1.0), CAST(size(__arr) AS DOUBLE))) AS INT)) + "
+    "(least(greatest({p0} * (size(__arr) + 1), 1.0), "
+    "CAST(size(__arr) AS DOUBLE)) - "
+    "floor(least(greatest({p0} * (size(__arr) + 1), 1.0), "
+    "CAST(size(__arr) AS DOUBLE)))) * "
+    "(element_at(__arr, least(CAST(floor(least(greatest({p0} * "
+    "(size(__arr) + 1), 1.0), CAST(size(__arr) AS DOUBLE))) AS INT) + 1, "
+    "size(__arr))) - "
+    "element_at(__arr, CAST(floor(least(greatest({p0} * (size(__arr) + 1), "
+    "1.0), CAST(size(__arr) AS DOUBLE))) AS INT))))"
+)
+# (*) Spark's frequency-weighted percentile interpolates over repeat
+# counts — integer weights only, same interpolating intent
+PARAMETERIZED["quantileinterpolatedweighted"] = (
+    "percentile({0}, {p0}, CAST({1} AS BIGINT))"
+)
+
+# snowflake IDs: 41-bit ms timestamp above 22 low bits, Twitter epoch
+TEMPLATES["snowflakeidtodatetime"] = (
+    "timestamp_millis(shiftrightunsigned(CAST({0} AS BIGINT), 22) "
+    "+ 1288834974657)"
+)
+TEMPLATES["datetimetosnowflakeid"] = (
+    "shiftleft(unix_millis(CAST({0} AS TIMESTAMP)) - 1288834974657, 22)"
+)
+

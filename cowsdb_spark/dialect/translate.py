@@ -567,10 +567,17 @@ def _rewrite_functions(sql: str) -> str:
                         from . import types as _ty
                         from pyspark.sql import types as _T
 
+                        _tn = args[0].strip().strip("'\"")
                         try:
-                            dt = _ty.ch_type_to_spark(args[0].strip().strip("'\""))
+                            dt = _ty.ch_type_to_spark(_tn)
                         except Exception:  # noqa: BLE001
                             dt = None
+                        # CH: the default of a Nullable type is NULL
+                        if dt is not None and _tn.lower().startswith("nullable("):
+                            out.append(f"CAST(NULL AS {dt.simpleString()})")
+                            i = close + 1
+                            changed = True
+                            continue
                         if dt is not None:
                             if isinstance(dt, _T.StringType):
                                 dv = "''"

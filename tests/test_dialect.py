@@ -2101,3 +2101,44 @@ class TestSweep24RangesDatesRandom:
     )
     def test_engine_eval(self, eng, q, want):
         assert eng.execute(q) == want
+
+
+class TestSweep25TuplesMortonQuantiles:
+    """Sweep 25: literal-tuple vector arithmetic (struct arity is only
+    knowable for literals — column tuples stay unresolved), 2-D morton
+    interleave round-trip, the four exact-quantile index conventions,
+    snowflake ID round-trip (Twitter epoch, 22 low bits), Nullable
+    defaults, clamp, IPv4-mapped IPv6."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from cowsdb_spark.engine import Engine
+
+        return Engine(spark)
+
+    @pytest.mark.parametrize(
+        "q,want",
+        [
+            ("SELECT tuplePlus((1,2),(3,4)) AS r", b"(4,6)\n"),
+            ("SELECT tupleMinus((1,2),(3,4)) AS r", b"(-2,-2)\n"),
+            ("SELECT tupleMultiply((2,3),(4,5)) AS r", b"(8,15)\n"),
+            ("SELECT tupleNegate((1,-2)) AS r", b"(-1,2)\n"),
+            ("SELECT tupleMultiplyByNumber((1,2), 3) AS r", b"(3,6)\n"),
+            ("SELECT tupleDivideByNumber((2,4), 2) AS r", b"(1,2)\n"),
+            ("SELECT clamp(5, 1, 3) AS r", b"3\n"),
+            ("SELECT IPv4ToIPv6('1.2.3.4') AS r", b"::ffff:1.2.3.4\n"),
+            ("SELECT mortonEncode(1, 0) AS r", b"1\n"),
+            ("SELECT mortonEncode(0, 1) AS r", b"2\n"),
+            ("SELECT mortonDecode(2, mortonEncode(99, 46)) AS r", b"(99,46)\n"),
+            ("SELECT quantileExactLow(0.5)(number) AS r FROM numbers(4)", b"1\n"),
+            ("SELECT quantileExactHigh(0.5)(number) AS r FROM numbers(4)", b"2\n"),
+            ("SELECT quantileExactInclusive(0.5)(number) AS r FROM numbers(4)", b"1.5\n"),
+            ("SELECT quantileExactExclusive(0.5)(number) AS r FROM numbers(4)", b"1.5\n"),
+            ("SELECT quantileExactExclusive(0.25)(number) AS r FROM numbers(4)", b"0.25\n"),
+            ("SELECT snowflakeIDToDateTime(dateTimeToSnowflakeID(toDateTime('2021-08-15 18:57:56'))) AS r", b"2021-08-15 18:57:56\n"),
+            ("SELECT defaultValueOfTypeName('Nullable(Int32)') AS r", b"\\N\n"),
+            ("SELECT toStringCutToZero('ab') AS r", b"ab\n"),
+        ],
+    )
+    def test_engine_eval(self, eng, q, want):
+        assert eng.execute(q) == want
