@@ -2976,3 +2976,116 @@ TEMPLATES["datetimetosnowflakeid"] = (
     "shiftleft(unix_millis(CAST({0} AS TIMESTAMP)) - 1288834974657, 22)"
 )
 
+
+# ---------------------------------------------------------------------------
+# Sweep 26: arraySplit family, wide integers as DECIMAL(38), makeDate
+# arities, system introspection fills.
+
+RENAMES["concatassumeinjective"] = "concat"
+TEMPLATES["firstline"] = "substring_index({0}, chr(10), 1)"
+TEMPLATES["tobool"] = "CAST({0} AS BOOLEAN)"
+TEMPLATES["fullhostname"] = "'localhost'"
+TEMPLATES["displayname"] = "'localhost'"
+TEMPLATES["revision"] = "54468"  # server/native_server.py REVISION
+TEMPLATES["connectionid"] = "CAST(0 AS BIGINT)"
+TEMPLATES["currentprofiles"] = "array('default')"
+TEMPLATES["enabledprofiles"] = "array('default')"
+TEMPLATES["defaultprofiles"] = "array('default')"
+TEMPLATES["currentroles"] = "array('default')"
+TEMPLATES["enabledroles"] = "array('default')"
+TEMPLATES["defaultroles"] = "array('default')"
+TEMPLATES["currentschemas"] = "array(current_database())"
+
+# arraySplit cuts BEFORE elements matching the predicate (CH contract;
+# arrayReverseSplit cuts AFTER).  Empty-typed init via the slice trick
+# (transform of an empty slice carries the element type); the lambda is
+# applied through filter-on-a-singleton like arrayLastIndex above.
+TEMPLATES["arraysplit"] = (
+    "CASE WHEN size({1}) = 0 THEN transform(slice({1}, 1, 0), __x -> array(__x)) "
+    "ELSE aggregate(sequence(2, greatest(size({1}), 2)), "
+    "transform(slice({1}, 1, 1), __x -> array(__x)), "
+    "(__acc, __i) -> CASE WHEN __i > size({1}) THEN __acc "
+    "WHEN size(filter(array(element_at({1}, __i)), {0})) = 1 "
+    "THEN concat(__acc, array(array(element_at({1}, __i)))) "
+    "ELSE concat(slice(__acc, 1, size(__acc) - 1), "
+    "array(concat(element_at(__acc, -1), array(element_at({1}, __i))))) END) END"
+)
+TEMPLATES["arrayreversesplit"] = (
+    "CASE WHEN size({1}) = 0 THEN transform(slice({1}, 1, 0), __x -> array(__x)) "
+    "ELSE aggregate(sequence(2, greatest(size({1}), 2)), "
+    "transform(slice({1}, 1, 1), __x -> array(__x)), "
+    "(__acc, __i) -> CASE WHEN __i > size({1}) THEN __acc "
+    "WHEN size(filter(array(element_at({1}, __i - 1)), {0})) = 1 "
+    "THEN concat(__acc, array(array(element_at({1}, __i)))) "
+    "ELSE concat(slice(__acc, 1, size(__acc) - 1), "
+    "array(concat(element_at(__acc, -1), array(element_at({1}, __i))))) END) END"
+)
+
+# wide integers: DECIMAL(38, 0) carries 38 of Int128's 39 digits —
+# the widest exact integer Spark has; documented clamp of the surface
+for _wn, _wsigned in (
+    ("int128", True), ("uint128", False), ("int256", True), ("uint256", False)
+):
+    _wcast = f"CAST({{0}} AS DECIMAL(38, 0))"
+    _wnull = (
+        f"try_cast({{0}} AS DECIMAL(38, 0))"
+        if _wsigned
+        else (
+            f"CASE WHEN try_cast({{0}} AS DECIMAL(38, 0)) >= 0 "
+            f"THEN try_cast({{0}} AS DECIMAL(38, 0)) END"
+        )
+    )
+    TEMPLATES[f"to{_wn}"] = _wcast
+    TEMPLATES[f"to{_wn}ornull"] = _wnull
+    TEMPLATES[f"to{_wn}orzero"] = f"COALESCE({_wnull}, CAST(0 AS DECIMAL(38, 0)))"
+
+CODE_FNS["todecimal256"] = lambda args: (
+    f"CAST({args[0]} AS DECIMAL(38, {min(int(args[1]), 37) if args[1].strip().isdigit() else args[1]}))"
+    if len(args) == 2
+    else None
+)
+CODE_FNS["todecimal256ornull"] = lambda args: (
+    f"try_cast({args[0]} AS DECIMAL(38, {min(int(args[1]), 37) if args[1].strip().isdigit() else args[1]}))"
+    if len(args) == 2
+    else None
+)
+CODE_FNS["todatetime64orzero"] = lambda args: (
+    "COALESCE(try_cast({0} AS TIMESTAMP), TIMESTAMP '1970-01-01 00:00:00')".format(args[0])
+    if len(args) in (1, 2)
+    else None
+)
+
+
+def _fn_make_date(args: list[str]) -> str | None:
+    """makeDate(y, m, d) | makeDate(y, dayofyear) — both CH arities."""
+    if len(args) == 3:
+        return f"make_date({args[0]}, {args[1]}, {args[2]})"
+    if len(args) == 2:
+        return (
+            f"date_add(make_date({args[0]}, 1, 1), "
+            f"CAST({args[1]} AS INT) - 1)"
+        )
+    return None
+
+
+del RENAMES["makedate"]
+CODE_FNS["makedate"] = _fn_make_date
+CODE_FNS["makedate32"] = _fn_make_date
+
+
+def _fn_make_datetime64(args: list[str]) -> str | None:
+    """makeDateTime64(y,m,d,h,mi,s[,fraction[,precision[,tz]]]) —
+    fraction is in units of 10^-precision seconds (default 3)."""
+    if len(args) == 6:
+        return "make_timestamp(" + ", ".join(args) + ")"
+    if len(args) in (7, 8):
+        prec = args[7] if len(args) == 8 else "3"
+        return (
+            f"make_timestamp({args[0]}, {args[1]}, {args[2]}, {args[3]}, "
+            f"{args[4]}, CAST({args[5]} AS DOUBLE) + "
+            f"CAST({args[6]} AS DOUBLE) / power(10, {prec}))"
+        )
+    return None
+
+
+CODE_FNS["makedatetime64"] = _fn_make_datetime64

@@ -99,3 +99,21 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register(
         "damerauLevenshteinDistance", pandas_udf(_map2(_damerau), "long")
     )
+    # IDNA = lowercase + per-label punycode (Python's built-in codec
+    # implements RFC 3490 exactly, matching CH's idna library path)
+    spark.udf.register(
+        "idnaEncode",
+        pandas_udf(_map(lambda s: s.encode("idna").decode("ascii")), "string"),
+    )
+    spark.udf.register(
+        "idnaDecode",
+        pandas_udf(_map(lambda s: bytes(s, "ascii").decode("idna")), "string"),
+    )
+
+    def _try_idna(s: str) -> str:
+        try:
+            return s.encode("idna").decode("ascii")
+        except Exception:  # noqa: BLE001 — CH tryIdnaEncode contract
+            return ""
+
+    spark.udf.register("tryIdnaEncode", pandas_udf(_map(_try_idna), "string"))

@@ -169,3 +169,18 @@ def register_all(spark: SparkSession) -> None:
         spark.udf.register(f"normalizeUTF8{form}", _norm(form))
     spark.udf.register("jaroSimilarity", _jaro_sim)
     spark.udf.register("jaroWinklerSimilarity", _jw_sim)
+
+    # filesystem introspection (CH reports the data-path volume; the
+    # driver's working volume is the analog) — evaluated per call on
+    # the driver-side plan, constant within a query
+    import shutil
+
+    spark.udf.register(
+        "filesystemAvailable", lambda: shutil.disk_usage("/").free, "long"
+    )
+    spark.udf.register(
+        "filesystemCapacity", lambda: shutil.disk_usage("/").total, "long"
+    )
+    spark.udf.register(
+        "filesystemUnreserved", lambda: shutil.disk_usage("/").free, "long"
+    )

@@ -2142,3 +2142,47 @@ class TestSweep25TuplesMortonQuantiles:
     )
     def test_engine_eval(self, eng, q, want):
         assert eng.execute(q) == want
+
+
+class TestSweep26SplitsWideIntsSystem:
+    """Sweep 26: arraySplit/arrayReverseSplit (cut before/after matched
+    elements; empty-typed init via the empty-slice transform trick),
+    wide Int128/256 as DECIMAL(38,0) (38 of Int128's 39 digits — the
+    widest exact integer Spark has), makeDate's day-of-year arity,
+    makeDateTime64 fraction handling, IDNA codecs (Python's RFC 3490
+    codec = CH's idna library path), filesystem introspection."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from cowsdb_spark.engine import Engine
+
+        return Engine(spark)
+
+    @pytest.mark.parametrize(
+        "q,want",
+        [
+            ("SELECT arraySplit(x -> x = 1, [0,1,0,1,0]) AS r", b"[[0],[1,0],[1,0]]\n"),
+            ("SELECT arrayReverseSplit(x -> x = 1, [0,1,0,1,0]) AS r", b"[[0,1],[0,1],[0]]\n"),
+            ("SELECT arraySplit(x -> x = 1, CAST([] AS Array(Int64))) AS r", b"[]\n"),
+            ("SELECT arraySplit(x -> x > 0, [5]) AS r", b"[[5]]\n"),
+            ("SELECT concatAssumeInjective('a','b') AS r", b"ab\n"),
+            ("SELECT firstLine(concat('a', char(10), 'b')) AS r", b"a\n"),
+            ("SELECT toBool('true') AS r", b"true\n"),
+            ("SELECT revision() AS r", b"54468\n"),
+            ("SELECT toInt128('5') AS r", b"5\n"),
+            ("SELECT toUInt256OrZero('x') AS r", b"0\n"),
+            ("SELECT toUInt128OrNull('-3') AS r", b"\\N\n"),
+            ("SELECT toInt256OrNull('123456789012345678901234567890') AS r", b"123456789012345678901234567890\n"),
+            ("SELECT toDecimal256('5.5', 1) AS r", b"5.5\n"),
+            ("SELECT toDateTime64OrZero('x', 3) AS r", b"1970-01-01 00:00:00\n"),
+            ("SELECT makeDate(2024, 60) AS r", b"2024-02-29\n"),
+            ("SELECT makeDate32(2024, 3, 1) AS r", b"2024-03-01\n"),
+            ("SELECT makeDateTime64(2024, 1, 2, 3, 4, 5, 123) AS r", b"2024-01-02 03:04:05.123\n"),
+            ("SELECT idnaEncode('m\u00fcnchen.de') AS r", "xn--mnchen-3ya.de\n".encode()),
+            ("SELECT idnaDecode('xn--mnchen-3ya.de') AS r", "münchen.de\n".encode()),
+            ("SELECT filesystemAvailable() > 0 AS r", b"true\n"),
+            ("SELECT filesystemCapacity() >= filesystemAvailable() AS r", b"true\n"),
+        ],
+    )
+    def test_engine_eval(self, eng, q, want):
+        assert eng.execute(q) == want
