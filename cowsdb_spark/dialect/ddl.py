@@ -48,6 +48,7 @@ class CreateTable:
     order_by: Optional[str] = None
     sample_by: Optional[str] = None
     settings: dict[str, str] = field(default_factory=dict)
+    as_select: Optional[str] = None  # CTAS: CH-dialect SELECT text
 
     @property
     def spark_schema(self) -> T.StructType:
@@ -243,6 +244,10 @@ def parse_ddl(sql: str):
         if i < len(toks) and toks[i].text.upper() == "AND":
             i += 1
         db_b, n_b, i = _parse_qualname(toks, i)
+        if (db_a, n_a) == (db_b, n_b):
+            # self-exchange is a no-op — the rename chain would strand
+            # the table under the temp name when step 2 finds it gone
+            return RenameTables(pairs=[])
         tmp = f"__xchg_{n_a}__{n_b}"
         return RenameTables(
             pairs=[
@@ -469,25 +474,53 @@ def _parse_create_table(sql: str, toks: list[Tok]) -> Optional[CreateTable]:
         db = name
         name = _ident(toks[i + 1])
         i += 2
-    # column list
-    if i >= len(toks) or toks[i].text != "(":
-        return None
-    depth = 0
-    start = i
-    for j in range(i, len(toks)):
-        if toks[j].text == "(":
-            depth += 1
-        elif toks[j].text == ")":
-            depth -= 1
-            if depth == 0:
-                end = j
-                break
+    # optional column list (absent for the CTAS / clone forms)
+    cols: list[ColumnDef] = []
+    if i < len(toks) and toks[i].text == "(":
+        depth = 0
+        start = i
+        for j in range(i, len(toks)):
+            if toks[j].text == "(":
+                depth += 1
+            elif toks[j].text == ")":
+                depth -= 1
+                if depth == 0:
+                    end = j
+                    break
+        else:
+            return None
+        cols = _parse_columns(toks[start + 1 : end])
+        rest = toks[end + 1 :]
     else:
+        rest = toks[i:]
+    # top-level AS splits the clause section from a CTAS select /
+    # schema-clone source (``CREATE TABLE t [clauses] AS SELECT …`` or
+    # ``CREATE TABLE t AS other_table``)
+    as_select = None
+    depth = 0
+    for j, t in enumerate(rest):
+        if t.text == "(":
+            depth += 1
+        elif t.text == ")":
+            depth -= 1
+        elif depth == 0 and t.kind == "ident" and t.text.upper() == "AS":
+            tail = rest[j + 1 :]
+            if not tail:
+                break
+            head = tail[0].text.upper()
+            if head in ("SELECT", "WITH") or tail[0].text == "(":
+                as_select = _expr_text(tail)
+            else:
+                # clone form: empty table with the source's schema
+                src = _expr_text(tail)
+                as_select = f"SELECT * FROM {src} WHERE 1 = 0"
+            rest = rest[:j]
+            break
+    if not cols and as_select is None:
         return None
-    cols = _parse_columns(toks[start + 1 : end])
-    rest = toks[end + 1 :]
     ct = CreateTable(
-        database=db, table=name, if_not_exists=ine, columns=cols
+        database=db, table=name, if_not_exists=ine, columns=cols,
+        as_select=as_select,
     )
     _parse_table_clauses(rest, ct)
     return ct

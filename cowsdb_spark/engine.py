@@ -1674,6 +1674,30 @@ class Engine:
         else:
             db = sess.spark_db(ct.database)
         self._ensure_db(db)
+        # CTAS: run the CH-dialect select first — without a declared
+        # column list its schema IS the table schema
+        src_df = None
+        if ct.as_select:
+            from .dialect.translate import translate_select
+
+            # _run_select expects translated Spark SQL (the dispatch
+            # path translates before it; CTAS text is still CH dialect)
+            src_df = self._run_select(
+                sess, translate_select(ct.as_select).spark_sql
+            )
+            if not ct.columns:
+                from .dialect.ddl import ColumnDef
+                from .dialect.types import spark_type_to_ch
+
+                ct.columns = [
+                    ColumnDef(
+                        name=f.name,
+                        ch_type=spark_type_to_ch(f.dataType, f.nullable),
+                        spark_type=f.dataType,
+                        nullable=f.nullable,
+                    )
+                    for f in src_df.schema.fields
+                ]
         ine = "IF NOT EXISTS " if ct.if_not_exists else ""
 
         def colspec(c):
@@ -1737,12 +1761,34 @@ class Engine:
                     stmt2 += " TBLPROPERTIES (" + ", ".join(props) + ")"
                 try:
                     self.spark.sql(stmt2)
-                    return
                 except Exception as e2:
                     raise EngineError(
                         _clean_spark_error(e2), _ch_error_code(str(e2))
                     ) from e2
-            raise EngineError(_clean_spark_error(e), _ch_error_code(str(e))) from e
+            else:
+                raise EngineError(
+                    _clean_spark_error(e), _ch_error_code(str(e))
+                ) from e
+        if src_df is not None:
+            from pyspark.sql import functions as F
+
+            # MergeTree sort-on-write analog for the CTAS payload
+            # (tuple() = the explicit no-order spelling)
+            writer = src_df
+            ob = (ct.order_by or "").replace(" ", "")
+            if ob and ob.lower() != "tuple()":
+                try:
+                    writer = writer.sortWithinPartitions(
+                        F.expr(self._translate_expr(ct.order_by))
+                    )
+                except Exception:  # noqa: BLE001 — unsortable expr: keep data
+                    pass
+            try:
+                writer.write.insertInto(tbl)
+            except Exception as e:
+                raise EngineError(
+                    _clean_spark_error(e), _ch_error_code(str(e))
+                ) from e
 
 
     # -------------------------------------------------- ORDER BY WITH FILL

@@ -968,3 +968,56 @@ class TestAttachDetach:
         engine.execute("DETACH TABLE IF EXISTS never_was", user="adx")
         with pytest.raises(EngineError):
             engine.execute("DETACH TABLE never_was2", user="adx")
+
+
+class TestCreateTableAsSelect:
+    """CTAS (CREATE TABLE … [ENGINE …] AS SELECT — schema inferred
+    from the select when no column list is declared, positional insert
+    when one is), the AS <table> schema-clone form (empty copy), and
+    the EXCHANGE TABLES self-exchange no-op (the rename chain would
+    otherwise strand the table under its temp name)."""
+
+    def test_ctas_infers_schema(self, engine):
+        u = {"user": "ctasx"}
+        engine.execute(
+            "CREATE TABLE c1 ENGINE = MergeTree ORDER BY tuple() "
+            "AS SELECT number AS n, toString(number) AS s FROM numbers(3)",
+            **u,
+        )
+        assert engine.execute("SELECT sum(n) FROM c1", **u) == b"3\n"
+        assert engine.execute("SELECT s FROM c1 ORDER BY n LIMIT 1", **u) == b"0\n"
+
+    def test_ctas_declared_columns_positional(self, engine):
+        u = {"user": "ctasx"}
+        engine.execute(
+            "CREATE TABLE c2 (y Int64) ENGINE = MergeTree ORDER BY y "
+            "AS SELECT number FROM numbers(3)",
+            **u,
+        )
+        assert engine.execute("SELECT sum(y) FROM c2", **u) == b"3\n"
+
+    def test_clone_form_empty_copy(self, engine):
+        u = {"user": "ctasx"}
+        engine.execute("CREATE TABLE src (a Int32) ENGINE=Memory", **u)
+        engine.execute("INSERT INTO src VALUES (1), (2)", **u)
+        engine.execute("CREATE TABLE dup AS src", **u)
+        assert engine.execute("SELECT count() FROM dup", **u) == b"0\n"
+        engine.execute("INSERT INTO dup VALUES (9)", **u)
+        assert engine.execute("SELECT a FROM dup", **u) == b"9\n"
+
+    def test_exchange_self_noop(self, engine):
+        u = {"user": "ctasx"}
+        engine.execute("CREATE TABLE ex (a Int32) ENGINE=Memory", **u)
+        engine.execute("INSERT INTO ex VALUES (5)", **u)
+        engine.execute("EXCHANGE TABLES ex AND ex", **u)
+        assert engine.execute("SELECT a FROM ex", **u) == b"5\n"
+
+    def test_exchange_swaps(self, engine):
+        u = {"user": "ctasx"}
+        engine.execute("CREATE TABLE exa (a Int32) ENGINE=Memory", **u)
+        engine.execute("CREATE TABLE exb (a Int32) ENGINE=Memory", **u)
+        engine.execute("INSERT INTO exa VALUES (1)", **u)
+        engine.execute("INSERT INTO exb VALUES (2)", **u)
+        engine.execute("EXCHANGE TABLES exa AND exb", **u)
+        assert engine.execute("SELECT a FROM exa", **u) == b"2\n"
+        assert engine.execute("SELECT a FROM exb", **u) == b"1\n"
