@@ -49,6 +49,7 @@ class CreateTable:
     sample_by: Optional[str] = None
     settings: dict[str, str] = field(default_factory=dict)
     as_select: Optional[str] = None  # CTAS: CH-dialect SELECT text
+    or_replace: bool = False  # CREATE OR REPLACE / REPLACE TABLE
 
     @property
     def spark_schema(self) -> T.StructType:
@@ -101,12 +102,22 @@ class AlterMutation:
 class AlterColumn:
     database: Optional[str]
     name: str
-    action: str  # "add" | "drop" | "modify" | "rename"
+    action: str  # "add" | "drop" | "modify" | "rename" | "comment" | "clear"
     column: str
     ch_type: Optional[str] = None  # add/modify
     default: Optional[str] = None  # add only, CH expr text
     if_clause: bool = False  # IF NOT EXISTS (add) / IF EXISTS (drop)
     new_name: Optional[str] = None  # rename only
+    comment: Optional[str] = None  # comment only
+
+
+@dataclass
+class NoopDDL:
+    """Accepted-and-ignored DDL: data-skipping indexes and TTL have no
+    parquet analog (min/max row-group stats already provide the minmax
+    index behavior) — CH returns OK for these, so does the engine."""
+
+    reason: str
 
 
 @dataclass
@@ -195,6 +206,22 @@ def parse_ddl(sql: str):
         return DropObject(what=what, database=db, name=name, if_exists=ie)
     if head == "CREATE" and len(toks) >= 2 and toks[1].text.upper() == "TABLE":
         return _parse_create_table(sql, toks)
+    if (
+        head == "CREATE"
+        and len(toks) >= 4
+        and toks[1].text.upper() == "OR"
+        and toks[2].text.upper() == "REPLACE"
+        and toks[3].text.upper() == "TABLE"
+    ):
+        ct = _parse_create_table(sql, [toks[0]] + toks[3:])
+        if ct is not None:
+            ct.or_replace = True
+        return ct
+    if head == "REPLACE" and len(toks) >= 2 and toks[1].text.upper() == "TABLE":
+        ct = _parse_create_table(sql, toks)
+        if ct is not None:
+            ct.or_replace = True
+        return ct
     if (
         head == "CREATE"
         and len(toks) >= 3
@@ -387,6 +414,36 @@ def _parse_alter(toks: list[Tok]):
             default=default,
             if_clause=if_clause,
         )
+    if verb == "COMMENT" and i + 2 < len(toks) and toks[i + 1].text.upper() == "COLUMN":
+        j = i + 2
+        if j + 2 < len(toks) and toks[j].text.upper() == "IF":
+            j += 2  # IF EXISTS
+        if j + 1 >= len(toks):
+            return None
+        txt = toks[j + 1].text
+        if len(txt) >= 2 and txt[0] in "'\"":
+            txt = txt[1:-1]
+        return AlterColumn(
+            database=db, name=name, action="comment",
+            column=_ident(toks[j]), comment=txt,
+        )
+    if verb == "CLEAR" and i + 1 < len(toks) and toks[i + 1].text.upper() == "COLUMN":
+        j = i + 2
+        if j + 2 < len(toks) and toks[j].text.upper() == "IF":
+            j += 2  # IF EXISTS
+        if j >= len(toks):
+            return None
+        return AlterColumn(
+            database=db, name=name, action="clear", column=_ident(toks[j]),
+        )
+    if verb in ("ADD", "DROP", "MATERIALIZE", "CLEAR") and i + 1 < len(
+        toks
+    ) and toks[i + 1].text.upper() == "INDEX":
+        return NoopDDL(reason=f"{verb} INDEX")
+    if verb in ("MODIFY", "REMOVE") and i + 1 < len(toks) and toks[
+        i + 1
+    ].text.upper() == "TTL":
+        return NoopDDL(reason=f"{verb} TTL")
     return None
 
 

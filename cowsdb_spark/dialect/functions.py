@@ -3089,3 +3089,5 @@ def _fn_make_datetime64(args: list[str]) -> str | None:
 
 
 CODE_FNS["makedatetime64"] = _fn_make_datetime64
+
+TEMPLATES["isnotdistinctfrom"] = "({0} <=> {1})"

@@ -2692,7 +2692,11 @@ def translate(sql: str) -> list[Statement]:
         if first == "USE" and len(sig) >= 2:
             db = toks[sig[1]].text.strip("`")
             out.append(Statement(kind="use", database=db, original=stmt))
-        elif first in ("CREATE", "DROP", "ALTER", "TRUNCATE", "RENAME", "EXCHANGE", "OPTIMIZE", "DELETE", "ATTACH", "DETACH"):
+        elif first in ("CREATE", "DROP", "ALTER", "TRUNCATE", "RENAME", "EXCHANGE", "OPTIMIZE", "DELETE", "ATTACH", "DETACH") or (
+            first == "REPLACE"
+            and len(sig) > 1
+            and toks[sig[1]].text.upper() == "TABLE"
+        ):
             out.append(Statement(kind="ddl", spark_sql=stmt, original=stmt))
         elif first == "EXISTS":
             # EXISTS [TABLE] [db.]name → one row, column `result` UInt8

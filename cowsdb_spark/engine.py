@@ -29,6 +29,7 @@ from .dialect.ddl import (
     CreateTable,
     CreateView,
     DropObject,
+    NoopDDL,
     OptimizeTable,
     RenameTables,
     TruncateTable,
@@ -1634,6 +1635,8 @@ class Engine:
                 except Exception as e:
                     raise EngineError(_clean_spark_error(e), 60) from e
                 return
+            if isinstance(parsed, NoopDDL):
+                return  # accepted-and-ignored (indexes/TTL, see ddl.py)
             if isinstance(parsed, CreateTable):
                 self._create_table(sess, parsed)
                 return
@@ -1674,6 +1677,8 @@ class Engine:
         else:
             db = sess.spark_db(ct.database)
         self._ensure_db(db)
+        if ct.or_replace:
+            self._sql_or_raise(f"DROP TABLE IF EXISTS `{db}`.`{ct.table}`")
         # CTAS: run the CH-dialect select first — without a declared
         # column list its schema IS the table schema
         src_df = None
@@ -2304,6 +2309,31 @@ class Engine:
             out = src.withColumnRenamed(a.column, a.new_name)
             self._swap_rewrite(sess, a.database, a.name, out)
             self._update_declared_type(tbl, a.column, None, rename_to=a.new_name)
+            return
+        if a.action == "comment":
+            cmt = (a.comment or "").replace("'", "\\'")
+            self._sql_or_raise(
+                f"ALTER TABLE {tbl} ALTER COLUMN `{a.column}` COMMENT '{cmt}'"
+            )
+            return
+        if a.action == "clear":
+            # CH CLEAR COLUMN resets every row to the type default
+            dt = dict(zip(src.columns, [f.dataType for f in src.schema.fields]))[
+                a.column
+            ]
+            tn = dt.simpleString()
+            if tn in ("string",):
+                dv = F.lit("")
+            elif tn.startswith(("array", "map")):
+                dv = F.expr(f"CAST(array() AS {tn})") if tn.startswith("array") else F.expr(f"CAST(map() AS {tn})")
+            elif tn in ("date",):
+                dv = F.lit("1970-01-01").cast("date")
+            elif tn.startswith("timestamp"):
+                dv = F.lit("1970-01-01 00:00:00").cast(tn)
+            else:
+                dv = F.lit(0).cast(tn)
+            out = src.withColumn(a.column, dv)
+            self._swap_rewrite(sess, a.database, a.name, out)
             return
         # drop: parquet v1 tables can't drop columns in place → rewrite
         self._swap_rewrite(sess, a.database, a.name, src.drop(a.column))

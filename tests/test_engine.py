@@ -1021,3 +1021,47 @@ class TestCreateTableAsSelect:
         engine.execute("EXCHANGE TABLES exa AND exb", **u)
         assert engine.execute("SELECT a FROM exa", **u) == b"2\n"
         assert engine.execute("SELECT a FROM exb", **u) == b"1\n"
+
+
+class TestReplaceTableAndAlterBreadth:
+    """CREATE OR REPLACE / REPLACE TABLE (atomic re-create), COMMENT
+    COLUMN, CLEAR COLUMN (reset to type default), and the
+    accepted-and-ignored index/TTL DDL (parquet row-group min/max
+    stats already provide the minmax-index behavior)."""
+
+    def test_create_or_replace(self, engine):
+        u = {"user": "repx"}
+        engine.execute("CREATE OR REPLACE TABLE r1 (a Int32) ENGINE=Memory", **u)
+        engine.execute("INSERT INTO r1 VALUES (1), (2)", **u)
+        engine.execute(
+            "CREATE OR REPLACE TABLE r1 (a Int32, b Int32) ENGINE=Memory", **u
+        )
+        assert engine.execute("SELECT count() FROM r1", **u) == b"0\n"
+
+    def test_replace_table(self, engine):
+        u = {"user": "repx"}
+        engine.execute("CREATE TABLE r2 (a Int32) ENGINE=Memory", **u)
+        engine.execute("INSERT INTO r2 VALUES (7)", **u)
+        engine.execute("REPLACE TABLE r2 (a Int64) ENGINE=Memory", **u)
+        assert engine.execute("SELECT count() FROM r2", **u) == b"0\n"
+
+    def test_comment_and_clear_column(self, engine):
+        u = {"user": "repx"}
+        engine.execute("CREATE TABLE r3 (a Int32, s String) ENGINE=Memory", **u)
+        engine.execute("INSERT INTO r3 VALUES (5, 'x')", **u)
+        engine.execute("ALTER TABLE r3 COMMENT COLUMN a 'the a column'", **u)
+        engine.execute("ALTER TABLE r3 CLEAR COLUMN a", **u)
+        assert engine.execute("SELECT a, s FROM r3", **u) == b"0\tx\n"
+        engine.execute("ALTER TABLE r3 CLEAR COLUMN s", **u)
+        assert engine.execute("SELECT a, s FROM r3", **u) == b"0\t\n"
+
+    def test_index_and_ttl_noops(self, engine):
+        u = {"user": "repx"}
+        engine.execute("CREATE TABLE r4 (a Int32) ENGINE=Memory", **u)
+        engine.execute("INSERT INTO r4 VALUES (1)", **u)
+        engine.execute(
+            "ALTER TABLE r4 ADD INDEX idx a TYPE minmax GRANULARITY 1", **u
+        )
+        engine.execute("ALTER TABLE r4 DROP INDEX idx", **u)
+        engine.execute("ALTER TABLE r4 MODIFY TTL a", **u)
+        assert engine.execute("SELECT a FROM r4", **u) == b"1\n"
