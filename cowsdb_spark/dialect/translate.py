@@ -63,6 +63,23 @@ KNOWN_FORMATS = {
     "parquet": "Parquet",
     "arrow": "Arrow",
     "arrowstream": "ArrowStream",
+    "tskv": "TSKV",
+    "jsonobjecteachrow": "JSONObjectEachRow",
+    "jsonlines": "JSONLines",
+    "ndjson": "NDJSON",
+    "lineasstring": "LineAsString",
+    "prettyspace": "PrettySpace",
+    "prettyspacenoescapes": "PrettySpaceNoEscapes",
+    "prettynoescapes": "PrettyNoEscapes",
+    "prettycompactnoescapes": "PrettyCompactNoEscapes",
+    "prettymonoblock": "PrettyMonoBlock",
+    "prettycompactmonoblock": "PrettyCompactMonoBlock",
+    "prettynoescapesmonoblock": "PrettyNoEscapesMonoBlock",
+    "prettycompactnoescapesmonoblock": "PrettyCompactNoEscapesMonoBlock",
+    "sqlinsert": "SQLInsert",
+    "xml": "XML",
+    "customseparated": "CustomSeparated",
+    "orc": "ORC",
 }
 
 
@@ -122,7 +139,6 @@ def _strip_trailing_format(toks: list[Tok]) -> tuple[list[Tok], Optional[str]]:
             toks[a].kind == "ident"
             and toks[a].text.upper() == "FORMAT"
             and toks[b].kind == "ident"
-            and toks[b].text.lower() in KNOWN_FORMATS
         ):
             # ensure FORMAT is at paren depth 0
             depth = 0
@@ -130,7 +146,12 @@ def _strip_trailing_format(toks: list[Tok]) -> tuple[list[Tok], Optional[str]]:
                 if toks[i].kind == "op":
                     depth += toks[i].text.count("(") - toks[i].text.count(")")
             if depth == 0:
-                fmt = KNOWN_FORMATS[toks[b].text.lower()]
+                # unknown names strip too and pass through verbatim —
+                # the serializer raises CH code 73 (Unknown format),
+                # not a Spark parse error on the leftover clause
+                fmt = KNOWN_FORMATS.get(
+                    toks[b].text.lower(), toks[b].text
+                )
                 return toks[:a], fmt
     return toks, None
 

@@ -408,7 +408,13 @@ class Engine:
                 yield r
 
         res.rows = _counting(res.rows)
-        body = serialize(res, use_fmt, max_result_rows=max_rows)
+        try:
+            body = serialize(res, use_fmt, max_result_rows=max_rows)
+        except ValueError as e:
+            if "unknown format" in str(e).lower():
+                # CH code 73: UNKNOWN_FORMAT
+                raise EngineError(f"Unknown format {use_fmt}", 73) from e
+            raise
         if outfile:
             # INTO OUTFILE: result bytes go to the file; the wire body
             # is empty unless AND STDOUT was given (CH semantics —

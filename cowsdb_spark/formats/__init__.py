@@ -276,6 +276,17 @@ def to_parquet(res: QueryResult, limit: Optional[int] = None) -> bytes:
     return buf.getvalue()
 
 
+def to_orc(res: QueryResult, limit: Optional[int] = None) -> bytes:
+    """CH ``FORMAT ORC``: one ORC file in the response body."""
+    import io
+
+    import pyarrow.orc as po
+
+    buf = io.BytesIO()
+    po.write_table(_to_arrow_table(res, limit), buf)
+    return buf.getvalue()
+
+
 def to_arrow(res: QueryResult, limit: Optional[int] = None) -> bytes:
     """CH ``FORMAT Arrow``: Arrow IPC file format."""
     import io
@@ -328,6 +339,101 @@ def to_row_binary(
     return bytes(out)
 
 
+
+
+def to_tskv(res: QueryResult, limit: Optional[int] = None) -> bytes:
+    """CH ``TSKV``: name=value pairs, TSV-escaped, tab-separated."""
+    out = []
+    for row in _limited(res.rows, limit):
+        out.append(
+            "\t".join(
+                f"{c}={tsv_cell(v)}" for c, v in zip(res.columns, row)
+            )
+            + "\n"
+        )
+    return "".join(out).encode("utf-8")
+
+
+def to_json_object_each_row(res: QueryResult, limit: Optional[int] = None) -> bytes:
+    """CH ``JSONObjectEachRow``: one object keyed row_0001, row_0002…"""
+    doc = {}
+    for i, row in enumerate(_limited(res.rows, limit), start=1):
+        doc[f"row_{i}"] = {c: json_value(v) for c, v in zip(res.columns, row)}
+    return (json.dumps(doc, ensure_ascii=False, indent=1) + "\n").encode("utf-8")
+
+
+def to_line_as_string(res: QueryResult, limit: Optional[int] = None) -> bytes:
+    """CH ``LineAsString`` output: raw first-column text per line."""
+    out = []
+    for row in _limited(res.rows, limit):
+        out.append(plain_text(row[0]) + "\n" if row else "\n")
+    return "".join(out).encode("utf-8")
+
+
+def to_pretty_space(res: QueryResult, limit: Optional[int] = None) -> bytes:
+    """CH ``PrettySpace``: header + space-aligned rows, no frame."""
+    rows = [tuple(plain_text(v) for v in row) for row in _limited(res.rows, limit)]
+    widths = [
+        max([len(c)] + [len(r[i]) for r in rows])
+        for i, c in enumerate(res.columns)
+    ]
+    out = [" " + "   ".join(c.ljust(w) for c, w in zip(res.columns, widths)).rstrip() + "\n"]
+    for r in rows:
+        out.append(" " + "   ".join(x.ljust(w) for x, w in zip(r, widths)).rstrip() + "\n")
+    return "".join(out).encode("utf-8")
+
+
+def _sql_literal(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return str(v)
+    s = plain_text(v)
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def to_sql_insert(res: QueryResult, limit: Optional[int] = None) -> bytes:
+    """CH ``SQLInsert``: INSERT INTO table (cols) VALUES (…) batches."""
+    cols = ", ".join(f"`{c}`" for c in res.columns)
+    out = []
+    for row in _limited(res.rows, limit):
+        vals = ", ".join(_sql_literal(v) for v in row)
+        out.append(f"INSERT INTO table ({cols}) VALUES ({vals});\n")
+    return "".join(out).encode("utf-8")
+
+
+def _xml_escape(s: str) -> str:
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+
+
+def to_xml(res: QueryResult, limit: Optional[int] = None) -> bytes:
+    """CH ``XML``: result envelope with meta + per-row field elements."""
+    out = ["<?xml version='1.0' encoding='UTF-8' ?>\n<result>\n\t<meta>\n\t\t<columns>\n"]
+    for c, t in zip(res.columns, res.ch_types):
+        out.append(
+            f"\t\t\t<column>\n\t\t\t\t<name>{_xml_escape(c)}</name>\n"
+            f"\t\t\t\t<type>{_xml_escape(t)}</type>\n\t\t\t</column>\n"
+        )
+    out.append("\t\t</columns>\n\t</meta>\n\t<data>\n")
+    n = 0
+    for row in _limited(res.rows, limit):
+        n += 1
+        out.append("\t\t<row>\n")
+        for c, v in zip(res.columns, row):
+            tag = _xml_escape(c)
+            if v is None:
+                out.append(f"\t\t\t<{tag} xsi:nil=\"true\" />\n")
+            else:
+                out.append(f"\t\t\t<{tag}>{_xml_escape(plain_text(v))}</{tag}>\n")
+        out.append("\t\t</row>\n")
+    out.append(f"\t</data>\n\t<rows>{n}</rows>\n</result>\n")
+    return "".join(out).encode("utf-8")
+
+
 def serialize(res: QueryResult, fmt: str, max_result_rows: Optional[int] = None) -> bytes:
     from .native import to_native
 
@@ -338,6 +444,8 @@ def serialize(res: QueryResult, fmt: str, max_result_rows: Optional[int] = None)
         return to_arrow(res, limit=max_result_rows)
     if f == "arrowstream":
         return to_arrow_stream(res, limit=max_result_rows)
+    if f == "orc":
+        return to_orc(res, limit=max_result_rows)
     if f in ("tsv", "tabseparated"):
         return to_tsv(res, limit=max_result_rows)
     if f in ("tsvwithnames", "tabseparatedwithnames"):
@@ -360,6 +468,24 @@ def serialize(res: QueryResult, fmt: str, max_result_rows: Optional[int] = None)
         return to_vertical(res, limit=max_result_rows)
     if f == "markdown":
         return to_markdown(res, limit=max_result_rows)
+    if f == "tskv":
+        return to_tskv(res, limit=max_result_rows)
+    if f == "jsonobjecteachrow":
+        return to_json_object_each_row(res, limit=max_result_rows)
+    if f in ("jsonlines", "ndjson"):
+        return to_json_each_row(res, limit=max_result_rows)
+    if f == "lineasstring":
+        return to_line_as_string(res, limit=max_result_rows)
+    if f in ("prettyspace", "prettyspacenoescapes"):
+        return to_pretty_space(res, limit=max_result_rows)
+    if f == "sqlinsert":
+        return to_sql_insert(res, limit=max_result_rows)
+    if f == "xml":
+        return to_xml(res, limit=max_result_rows)
+    if f == "customseparated":
+        # default CustomSeparated settings = Escaped rule, tab/newline
+        # separators — byte-identical to TSV
+        return to_tsv(res, limit=max_result_rows)
     if f == "csv":
         return to_csv(res, limit=max_result_rows)
     if f == "csvwithnames":
@@ -374,7 +500,12 @@ def serialize(res: QueryResult, fmt: str, max_result_rows: Optional[int] = None)
         return to_json_each_row(res, limit=max_result_rows)
     if f == "values":
         return to_values(res, limit=max_result_rows)
-    if f in ("pretty", "prettycompact"):
+    if f in (
+        "pretty", "prettycompact", "prettynoescapes",
+        "prettycompactnoescapes", "prettymonoblock",
+        "prettycompactmonoblock", "prettynoescapesmonoblock",
+        "prettycompactnoescapesmonoblock",
+    ):
         return to_pretty(res, limit=max_result_rows)
     if f == "native":
         return to_native(res, limit=max_result_rows)

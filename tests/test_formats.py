@@ -6,6 +6,8 @@ from __future__ import annotations
 import datetime as dt
 import json
 
+import pytest
+
 from cowsdb_spark.formats import (
     QueryResult,
     serialize,
@@ -279,3 +281,68 @@ class TestMoreTextFormats:
         assert eng.execute("SELECT 1 AS x FORMAT Markdown") == b"| x |\n|---|\n| 1 |\n"
         out = eng.execute("SELECT 1 AS x FORMAT TSVWithNamesAndTypes")
         assert out.startswith(b"x\n")
+
+
+class TestSweep27FormatBreadth:
+    """TSKV, JSONObjectEachRow, JSONLines/NDJSON, LineAsString,
+    PrettySpace, SQLInsert, XML, CustomSeparated (default settings =
+    TSV), ORC round-trip, Pretty*NoEscapes/MonoBlock aliases, and the
+    clean CH code-73 error for schema-requiring formats."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from cowsdb_spark.engine import Engine
+
+        return Engine(spark)
+
+    def test_tskv(self, eng):
+        assert eng.execute("SELECT 1 AS a, 'x' AS b FORMAT TSKV") == b"a=1\tb=x\n"
+
+    def test_json_object_each_row(self, eng):
+        import json
+
+        out = eng.execute("SELECT 1 AS a FORMAT JSONObjectEachRow")
+        assert json.loads(out) == {"row_1": {"a": 1}}
+
+    def test_jsonlines_ndjson(self, eng):
+        for f in ("JSONLines", "NDJSON"):
+            out = eng.execute(f"SELECT 1 AS a FORMAT {f}")
+            assert out == b'{"a": 1}\n'
+
+    def test_line_as_string(self, eng):
+        assert eng.execute("SELECT 'a\\tb' AS s FORMAT LineAsString") == b"a\tb\n"
+
+    def test_pretty_space(self, eng):
+        out = eng.execute("SELECT 1 AS a, 'x' AS b FORMAT PrettySpace")
+        assert out == b" a   b\n 1   x\n"
+
+    def test_sql_insert(self, eng):
+        out = eng.execute("SELECT 1 AS a, 'x' AS b FORMAT SQLInsert")
+        assert out == b"INSERT INTO table (`a`, `b`) VALUES (1, 'x');\n"
+
+    def test_xml(self, eng):
+        out = eng.execute("SELECT 1 AS a FORMAT XML").decode()
+        assert "<name>a</name>" in out and "<rows>1</rows>" in out
+
+    def test_custom_separated_is_tsv(self, eng):
+        assert eng.execute("SELECT 1 AS a, 2 AS b FORMAT CustomSeparated") == b"1\t2\n"
+
+    def test_orc_roundtrip(self, eng):
+        import io
+
+        import pyarrow.orc as po
+
+        out = eng.execute("SELECT 1 AS a, 'x' AS b FORMAT ORC")
+        assert po.read_table(io.BytesIO(out)).to_pydict() == {"a": [1], "b": ["x"]}
+
+    def test_pretty_aliases(self, eng):
+        base = eng.execute("SELECT 1 AS a FORMAT PrettyCompact")
+        for f in ("PrettyNoEscapes", "PrettyCompactNoEscapes", "PrettyCompactMonoBlock"):
+            assert eng.execute(f"SELECT 1 AS a FORMAT {f}") == base
+
+    def test_unknown_format_code_73(self, eng):
+        from cowsdb_spark.engine import EngineError
+
+        with pytest.raises(EngineError) as ei:
+            eng.execute("SELECT 1 AS a FORMAT Protobuf")
+        assert ei.value.code == 73
