@@ -2141,7 +2141,7 @@ class Engine:
                 names = rdr[0]
                 rdr = rdr[1:]
             rows = [tuple(None if v == "\\N" else v for v in r) for r in rdr]
-        elif fmt == "JSONEACHROW":
+        elif fmt in ("JSONEACHROW", "JSONLINES", "NDJSON"):
             import json as _json
 
             dicts = [
@@ -2149,6 +2149,39 @@ class Engine:
             ]
             names = [n for n in names if any(n in d for d in dicts)] or names
             rows = [tuple(d.get(n) for n in names) for d in dicts]
+        elif fmt in ("JSONCOMPACTEACHROW", "JSONCOMPACTSTRINGSEACHROW"):
+            import json as _json
+
+            rows = [
+                tuple(_json.loads(ln))
+                for ln in payload.split("\n")
+                if ln.strip()
+            ]
+        elif fmt == "JSONOBJECTEACHROW":
+            import json as _json
+
+            doc = _json.loads(payload)
+            dicts = list(doc.values())
+            names = [n for n in names if any(n in d for d in dicts)] or names
+            rows = [tuple(d.get(n) for n in names) for d in dicts]
+        elif fmt == "TSKV":
+            rows = []
+            for ln in payload.split("\n"):
+                if not ln.strip():
+                    continue
+                kv = dict(
+                    f.split("=", 1) for f in ln.split("\t") if "=" in f
+                )
+                rows.append(
+                    tuple(
+                        _tsv_field(kv[n], False) if n in kv else None
+                        for n in names
+                    )
+                )
+        elif fmt == "LINEASSTRING":
+            # whole line → the single (String) column, no escaping
+            rows = [(ln,) for ln in payload.split("\n") if ln != ""]
+            names = names[:1]
         else:
             raise EngineError(f"Unsupported INSERT format: {fmt_name}", 73)
         if not rows:

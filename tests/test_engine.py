@@ -1065,3 +1065,36 @@ class TestReplaceTableAndAlterBreadth:
         engine.execute("ALTER TABLE r4 DROP INDEX idx", **u)
         engine.execute("ALTER TABLE r4 MODIFY TTL a", **u)
         assert engine.execute("SELECT a FROM r4", **u) == b"1\n"
+
+
+class TestInsertFormatBreadth:
+    """Inline INSERT … FORMAT payloads: JSONCompactEachRow (positional
+    arrays), TSKV (k=v pairs, missing keys → NULL), JSONObjectEachRow
+    (keyed envelope), LineAsString (whole line → single column)."""
+
+    def test_json_compact_each_row(self, engine):
+        u = {"user": "insfx"}
+        engine.execute("CREATE TABLE i1 (a Int32, b String) ENGINE=Memory", **u)
+        engine.execute('INSERT INTO i1 FORMAT JSONCompactEachRow\n[1, "x"]\n[2, "y"]', **u)
+        assert engine.execute("SELECT sum(a) FROM i1", **u) == b"3\n"
+
+    def test_tskv(self, engine):
+        u = {"user": "insfx"}
+        engine.execute("CREATE TABLE i2 (a Int32, b String) ENGINE=Memory", **u)
+        engine.execute("INSERT INTO i2 FORMAT TSKV\na=1\tb=x\nb=y", **u)
+        assert engine.execute("SELECT a, b FROM i2 ORDER BY b", **u) == b"1\tx\n\\N\ty\n"
+
+    def test_json_object_each_row(self, engine):
+        u = {"user": "insfx"}
+        engine.execute("CREATE TABLE i3 (a Int32) ENGINE=Memory", **u)
+        engine.execute(
+            'INSERT INTO i3 FORMAT JSONObjectEachRow\n{"r1": {"a": 5}, "r2": {"a": 6}}',
+            **u,
+        )
+        assert engine.execute("SELECT sum(a) FROM i3", **u) == b"11\n"
+
+    def test_line_as_string(self, engine):
+        u = {"user": "insfx"}
+        engine.execute("CREATE TABLE i4 (s String) ENGINE=Memory", **u)
+        engine.execute("INSERT INTO i4 FORMAT LineAsString\nhello\tworld", **u)
+        assert engine.execute("SELECT s FROM i4", **u) == b"hello\\tworld\n"
