@@ -209,10 +209,23 @@ def _strip_trailing_settings(toks: list[Tok]) -> tuple[list[Tok], dict[str, str]
         if t.kind == "op":
             depth += t.text.count("(") - t.text.count(")")
         if t.kind == "ident" and t.text.upper() == "SETTINGS" and depth == 0:
+            # `system.settings` is a table reference, not the clause
+            prev = next(
+                (
+                    toks[j]
+                    for j in range(i - 1, -1, -1)
+                    if toks[j].kind not in ("ws", "comment")
+                ),
+                None,
+            )
+            if prev is not None and prev.text == ".":
+                continue
             settings_at = i
     if settings_at is None:
         return toks, {}
     tail = [t for t in toks[settings_at + 1 :] if t.kind not in ("ws", "comment")]
+    if not tail:
+        return toks, {}  # bare trailing identifier, not a clause
     # parse k = v (, k = v)* — anything else means it wasn't a settings clause
     settings: dict[str, str] = {}
     i = 0

@@ -113,6 +113,143 @@ def system_dictionaries(spark: SparkSession, ns: str, session=None) -> DataFrame
     return local_df(spark, sorted(rows), schema) if rows else local_df(spark, [], schema)
 
 
+def system_formats(spark: SparkSession, ns: str) -> DataFrame:
+    from .dialect.translate import KNOWN_FORMATS
+
+    names = sorted({v for v in KNOWN_FORMATS.values()})
+    return local_df(
+        spark, [(n, True, True) for n in names],
+        "name string, is_input boolean, is_output boolean",
+    )
+
+
+def system_table_engines(spark: SparkSession, ns: str) -> DataFrame:
+    rows = [(e,) for e in (
+        "Memory", "MergeTree", "ReplacingMergeTree", "SummingMergeTree",
+        "AggregatingMergeTree", "Log", "TinyLog", "StripeLog", "View",
+        "MaterializedView", "Distributed", "URL", "File", "Merge",
+    )]
+    return local_df(spark, rows, "name string")
+
+
+def system_data_type_families(spark: SparkSession, ns: str) -> DataFrame:
+    rows = [(t, t.lower(), False) for t in (
+        "Int8", "Int16", "Int32", "Int64", "Int128", "Int256",
+        "UInt8", "UInt16", "UInt32", "UInt64", "UInt128", "UInt256",
+        "Float32", "Float64", "Decimal", "String", "FixedString",
+        "Date", "Date32", "DateTime", "DateTime64", "UUID", "IPv4",
+        "IPv6", "Enum8", "Enum16", "Array", "Tuple", "Map", "Nullable",
+        "LowCardinality", "Bool", "JSON", "Nothing",
+    )]
+    return local_df(
+        spark, rows,
+        "name string, case_insensitive_aliases string, alias_to boolean",
+    )
+
+
+def system_disks(spark: SparkSession, ns: str) -> DataFrame:
+    import shutil
+
+    du = shutil.disk_usage("/")
+    rows = [("default", "/", du.free, du.total, 0)]
+    return local_df(
+        spark, rows,
+        "name string, path string, free_space bigint, "
+        "total_space bigint, keep_free_space bigint",
+    )
+
+
+def system_clusters(spark: SparkSession, ns: str) -> DataFrame:
+    # single-node deployment: one local shard/replica (the CH default)
+    rows = [("default", 1, 1, 1, "localhost", "127.0.0.1", 9000, 1)]
+    return local_df(
+        spark, rows,
+        "cluster string, shard_num int, shard_weight int, replica_num int, "
+        "host_name string, host_address string, port int, is_local tinyint",
+    )
+
+
+def system_time_zones(spark: SparkSession, ns: str) -> DataFrame:
+    import zoneinfo
+
+    return local_df(
+        spark,
+        sorted((z,) for z in zoneinfo.available_timezones()),
+        "time_zone string",
+    )
+
+
+def system_macros(spark: SparkSession, ns: str) -> DataFrame:
+    return local_df(spark, [], "macro string, substitution string")
+
+
+def system_users(spark: SparkSession, ns: str) -> DataFrame:
+    return local_df(
+        spark, [("default", "local_directory")],
+        "name string, storage string",
+    )
+
+
+def system_warnings(spark: SparkSession, ns: str) -> DataFrame:
+    return local_df(spark, [], "message string")
+
+
+def system_build_options(spark: SparkSession, ns: str) -> DataFrame:
+    import pyspark
+
+    rows = [
+        ("VERSION_FULL", f"moospark (PySpark {pyspark.__version__})"),
+        ("BUILD_TYPE", "Release"),
+        ("SYSTEM", "Linux"),
+    ]
+    return local_df(spark, rows, "name string, value string")
+
+
+def system_contributors(spark: SparkSession, ns: str) -> DataFrame:
+    return local_df(spark, [("moospark",)], "name string")
+
+
+def system_licenses(spark: SparkSession, ns: str) -> DataFrame:
+    return local_df(
+        spark, [("pyspark", "Apache-2.0"), ("pyarrow", "Apache-2.0")],
+        "library_name string, license_type string",
+    )
+
+
+def _empty_activity(schema: str):
+    def provider(spark: SparkSession, ns: str) -> DataFrame:
+        return local_df(spark, [], schema)
+
+    return provider
+
+
+# no background merges / replication / mutations queue in this engine:
+# structurally-correct empty tables (clients poll these)
+system_merges = _empty_activity(
+    "database string, table string, elapsed double, progress double"
+)
+system_replicas = _empty_activity(
+    "database string, table string, is_leader tinyint, is_readonly tinyint"
+)
+system_mutations = _empty_activity(
+    "database string, table string, mutation_id string, command string, "
+    "is_done tinyint"
+)
+system_events = _empty_activity(
+    "event string, value bigint, description string"
+)
+system_metrics = _empty_activity(
+    "metric string, value bigint, description string"
+)
+system_asynchronous_metrics = _empty_activity(
+    "metric string, value double"
+)
+system_quotas = _empty_activity("name string, keys string")
+system_grants = _empty_activity(
+    "user_name string, access_type string, database string"
+)
+
+
 PROVIDERS = {
     "one": system_one,
     "databases": system_databases,
@@ -125,6 +262,26 @@ PROVIDERS = {
     "parts": None,  # defined below, resolved in materialize()
     "query_log": None,  # engine-backed, resolved in materialize()
     "processes": None,
+    "formats": system_formats,
+    "table_engines": system_table_engines,
+    "data_type_families": system_data_type_families,
+    "disks": system_disks,
+    "clusters": system_clusters,
+    "time_zones": system_time_zones,
+    "macros": system_macros,
+    "users": system_users,
+    "warnings": system_warnings,
+    "build_options": system_build_options,
+    "contributors": system_contributors,
+    "licenses": system_licenses,
+    "merges": system_merges,
+    "replicas": system_replicas,
+    "mutations": system_mutations,
+    "events": system_events,
+    "metrics": system_metrics,
+    "asynchronous_metrics": system_asynchronous_metrics,
+    "quotas": system_quotas,
+    "grants": system_grants,
 }
 
 # providers that take the engine's UserSession as a third argument

@@ -333,3 +333,53 @@ class TestSystemParts:
         )
         assert out == b"500\t1\ttrue\n"
         engine.execute("DROP TABLE spt")
+
+
+class TestSystemTableBreadth:
+    """The wider system.* surface: real providers (formats, disks,
+    clusters, time_zones, table_engines, data_type_families, users,
+    build_options) and the structurally-correct empty activity tables
+    (merges/replicas/mutations/events/metrics/quotas/grants — no
+    background machinery in this engine, but clients poll them).
+    `FROM system.settings` must not be eaten by the SETTINGS-clause
+    strip (the dot-prefix guard)."""
+
+    def test_settings_table_not_clause(self, engine):
+        out = engine.execute("SELECT count() > 0 AS r FROM system.settings")
+        assert out == b"true\n"
+
+    @pytest.mark.parametrize(
+        "tbl",
+        [
+            "formats", "table_engines", "data_type_families", "disks",
+            "clusters", "time_zones", "users", "build_options",
+            "contributors", "licenses",
+        ],
+    )
+    def test_populated_tables(self, engine, tbl):
+        out = engine.execute(f"SELECT count() > 0 AS r FROM system.{tbl}")
+        assert out == b"true\n", tbl
+
+    @pytest.mark.parametrize(
+        "tbl",
+        [
+            "merges", "replicas", "mutations", "events", "metrics",
+            "asynchronous_metrics", "quotas", "grants", "macros",
+            "warnings",
+        ],
+    )
+    def test_empty_activity_tables(self, engine, tbl):
+        out = engine.execute(f"SELECT count() AS c FROM system.{tbl}")
+        assert out == b"0\n", tbl
+
+    def test_formats_lists_json(self, engine):
+        out = engine.execute(
+            "SELECT name FROM system.formats WHERE name = 'JSON'"
+        )
+        assert out == b"JSON\n"
+
+    def test_clusters_single_local(self, engine):
+        out = engine.execute(
+            "SELECT cluster, is_local FROM system.clusters"
+        )
+        assert out == b"default\t1\n"
