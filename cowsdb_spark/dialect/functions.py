@@ -952,7 +952,8 @@ TEMPLATES["bitmasktolist"] = (
     f"__i -> CAST(shiftleft(CAST(1 AS BIGINT), __i) AS STRING)), ',')"
 )
 
-_COMB_SUFFIXES = ("ornull", "ordefault", "if", "array", "distinct")
+_COMB_SUFFIXES = ("ornull", "ordefault", "if", "array", "distinct",
+                  "simplestate", "state", "merge", "mergestate")
 
 
 def parse_combinator(lname: str):
@@ -983,6 +984,67 @@ def expand_combinator(lname: str, args: list[str]):
         return None
     base, sufs = parsed
     args = [a.strip() for a in args if a.strip()]
+    # -State / -SimpleState / -Merge: this engine has no opaque binary
+    # aggregate states — a state is a plain mergeable VALUE (the
+    # partial result for distributive aggregates, (sum, count) for
+    # avg, the distinct-set array for uniq*).  finalizeAggregation /
+    # xMerge consume these value-states.
+    if "simplestate" in sufs:
+        rest = [x for x in sufs if x != "simplestate"]
+        if rest:
+            return expand_combinator(base + "".join(rest), args)
+        return f"{base}({', '.join(args)})" if args else None
+    if "state" in sufs or "mergestate" in sufs:
+        inner_sufs = [x for x in sufs if x not in ("state", "mergestate")]
+        if "mergestate" in sufs:
+            # merge partial states, keep the state representation:
+            # value-states merge with xMerge then re-wrap = identity
+            return expand_combinator(base + "merge", args)
+        inner = (
+            expand_combinator(base + "".join(inner_sufs), args)
+            if inner_sufs
+            else (f"{base}({', '.join(args)})" if args else None)
+        )
+        if base in ("avg", "avgweighted"):
+            if inner_sufs or len(args) != 1:
+                return None
+            return (
+                f"named_struct('s', sum({args[0]}), 'c', count({args[0]}))"
+            )
+        if base in ("uniq", "uniqexact", "uniqcombined", "uniqhll12"):
+            if inner_sufs or len(args) != 1:
+                return None
+            return f"collect_set({args[0]})"
+        if base == "grouparray":
+            return f"collect_list({args[0]})" if len(args) == 1 else None
+        if base in (
+            "sum", "count", "min", "max", "any", "anylast",
+        ):
+            return inner
+        return None
+    if "merge" in sufs:
+        if [x for x in sufs if x != "merge"] or len(args) != 1:
+            return None
+        st = args[0]
+        if base in ("sum", "count"):
+            return f"sum({st})"
+        if base == "min":
+            return f"min({st})"
+        if base == "max":
+            return f"max({st})"
+        if base in ("any",):
+            return f"any_value({st})"
+        if base == "anylast":
+            return f"any_value({st})"
+        if base in ("avg", "avgweighted"):
+            return f"(sum(({st}).s) / sum(({st}).c))"
+        if base in ("uniq", "uniqexact", "uniqcombined", "uniqhll12"):
+            return f"size(array_distinct(flatten(collect_list({st}))))"
+        if base == "grouparray":
+            return f"flatten(collect_list({st}))"
+        if base == "groupuniqarray":
+            return f"array_distinct(flatten(collect_list({st})))"
+        return None
     distinct = "distinct" in sufs
     is_array = "array" in sufs
     if distinct and is_array:
@@ -3089,5 +3151,65 @@ def _fn_make_datetime64(args: list[str]) -> str | None:
 
 
 CODE_FNS["makedatetime64"] = _fn_make_datetime64
+
+
+def _fn_finalize_aggregation(args: list[str]) -> str | None:
+    """finalizeAggregation(state) — value-states finalize to
+    themselves except the two composite representations (see the
+    -State combinator above): avg's (s, c) struct and uniq's set."""
+    if len(args) != 1:
+        return None
+    probe = args[0].replace(" ", "").lower()
+    # the inner -State spelling may already be rewritten by an earlier
+    # fixpoint pass — recognize both the CH spelling and its value-
+    # state representation
+    if (
+        "avgstate(" in probe
+        or "avgweightedstate(" in probe
+        or "'avgstate'" in probe          # initializeAggregation literal
+        or "'avgweightedstate'" in probe
+        or probe.startswith("named_struct('s',")
+    ):
+        return f"(({args[0]}).s / ({args[0]}).c)"
+    if (
+        "uniqstate(" in probe
+        or "uniqexactstate(" in probe
+        or "uniqcombinedstate(" in probe
+        or "uniqhll12state(" in probe
+        or "'uniqstate'" in probe
+        or "'uniqexactstate'" in probe
+        or probe.startswith("collect_set(")
+    ):
+        return f"size({args[0]})"
+    return f"({args[0]})"
+
+
+CODE_FNS["finalizeaggregation"] = _fn_finalize_aggregation
+
+
+def _fn_initialize_aggregation(args: list[str]) -> str | None:
+    """initializeAggregation('aggState', v…) → the value-state of a
+    single row (the CH spelling for seeding a state column)."""
+    if len(args) < 2:
+        return None
+    name = (_lit_str(args[0]) or "").lower()
+    if name.endswith("state"):
+        name = name[: -len("state")]
+    vals = args[1:]
+    v = vals[0]
+    if name in ("sum", "min", "max", "any", "anylast"):
+        return f"({v})"
+    if name == "count":
+        return "CAST(1 AS BIGINT)"
+    if name in ("avg", "avgweighted"):
+        return f"named_struct('s', CAST({v} AS DOUBLE), 'c', CAST(1 AS BIGINT))"
+    if name in ("uniq", "uniqexact", "uniqcombined", "uniqhll12"):
+        return f"array({v})"
+    if name == "grouparray":
+        return f"array({v})"
+    return None
+
+
+CODE_FNS["initializeaggregation"] = _fn_initialize_aggregation
 
 TEMPLATES["isnotdistinctfrom"] = "({0} <=> {1})"

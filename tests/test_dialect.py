@@ -1069,7 +1069,8 @@ class TestCombinatorAlgebra:
         assert parse_combinator("notif") is None          # base not an agg
         assert parse_combinator("sum") is None            # no suffix
         assert parse_combinator("summap") is None         # -Map not algebraic
-        assert parse_combinator("sumstate") is None       # no state surface
+        # sweep 28 added the value-state surface
+        assert parse_combinator("sumstate") == ("sum", ["state"])
         assert parse_combinator("sumarrayornull") == ("sum", ["array", "ornull"])
         assert parse_combinator("uniqexactif") == ("uniqexact", ["if"])
 
@@ -2182,6 +2183,42 @@ class TestSweep26SplitsWideIntsSystem:
             ("SELECT idnaDecode('xn--mnchen-3ya.de') AS r", "münchen.de\n".encode()),
             ("SELECT filesystemAvailable() > 0 AS r", b"true\n"),
             ("SELECT filesystemCapacity() >= filesystemAvailable() AS r", b"true\n"),
+        ],
+    )
+    def test_engine_eval(self, eng, q, want):
+        assert eng.execute(q) == want
+
+
+class TestSweep28StateMerge:
+    """-State / -SimpleState / -Merge combinator family: states are
+    plain mergeable VALUES (the partial result for distributive
+    aggregates, an (s, c) struct for avg, the distinct-set array for
+    uniq*) — the MV incremental-aggregation pattern without opaque
+    binary states. finalizeAggregation/initializeAggregation
+    round-trip the same representations."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from cowsdb_spark.engine import Engine
+
+        return Engine(spark)
+
+    @pytest.mark.parametrize(
+        "q,want",
+        [
+            ("SELECT finalizeAggregation(sumState(number)) AS r FROM numbers(3)", b"3\n"),
+            ("SELECT sumMerge(s) AS r FROM (SELECT sumState(number) AS s FROM numbers(3))", b"3\n"),
+            ("SELECT countMerge(s) AS r FROM (SELECT countState(number) AS s FROM numbers(4) GROUP BY number % 2)", b"4\n"),
+            ("SELECT uniqMerge(u) AS r FROM (SELECT uniqState(number % 3) AS u FROM numbers(9) GROUP BY number % 2)", b"3\n"),
+            ("SELECT avgMerge(a) AS r FROM (SELECT avgState(number) AS a FROM numbers(4) GROUP BY number % 2)", b"1.5\n"),
+            ("SELECT finalizeAggregation(avgState(number)) AS r FROM numbers(4)", b"1.5\n"),
+            ("SELECT finalizeAggregation(uniqExactState(number % 2)) AS r FROM numbers(6)", b"2\n"),
+            ("SELECT sumSimpleState(number) AS r FROM numbers(3)", b"3\n"),
+            ("SELECT maxMerge(m) AS r FROM (SELECT maxState(number) AS m FROM numbers(5) GROUP BY number % 2)", b"4\n"),
+            ("SELECT initializeAggregation('sumState', 5) AS r", b"5\n"),
+            ("SELECT initializeAggregation('uniqState', 7) AS r", b"[7]\n"),
+            ("SELECT finalizeAggregation(initializeAggregation('avgState', 6)) AS r", b"6\n"),
+            ("SELECT sumIfState(number, number > 1) AS r FROM numbers(4)", b"5\n"),
         ],
     )
     def test_engine_eval(self, eng, q, want):
