@@ -1098,3 +1098,28 @@ class TestInsertFormatBreadth:
         engine.execute("CREATE TABLE i4 (s String) ENGINE=Memory", **u)
         engine.execute("INSERT INTO i4 FORMAT LineAsString\nhello\tworld", **u)
         assert engine.execute("SELECT s FROM i4", **u) == b"hello\\tworld\n"
+
+
+class TestAggregatingMergeTreeMV:
+    """The canonical CH incremental-aggregation workflow end-to-end:
+    a materialized view with -State aggregates over the source table,
+    per-insert partial states accumulating in the MV, and -Merge
+    finalizing across inserts at query time."""
+
+    def test_state_mv_merge_roundtrip(self, engine):
+        u = {"user": "aggmv"}
+        engine.execute("CREATE TABLE ev (k Int32, v Int64) ENGINE = MergeTree ORDER BY k", **u)
+        engine.execute(
+            "CREATE MATERIALIZED VIEW agg ENGINE = AggregatingMergeTree "
+            "ORDER BY k AS SELECT k, sumState(v) AS s, countState(v) AS c "
+            "FROM ev GROUP BY k",
+            **u,
+        )
+        engine.execute("INSERT INTO ev VALUES (1, 10), (1, 20), (2, 5)", **u)
+        engine.execute("INSERT INTO ev VALUES (1, 30), (2, 5)", **u)
+        out = engine.execute(
+            "SELECT k, sumMerge(s) AS total, countMerge(c) AS n "
+            "FROM agg GROUP BY k ORDER BY k",
+            **u,
+        )
+        assert out == b"1\t60\t3\n2\t10\t2\n"
