@@ -91,6 +91,30 @@ def get_spark(app_name: str = "moospark", shuffle_partitions: int | None = None)
         .config("spark.sql.sources.useV1SourceList", "")
         .config("spark.sql.parquet.aggregatePushdown", "true")
     )
+    # Shuffle/spill scratch on RAM-backed tmpfs when available: local
+    # mode writes every exchange to spark.local.dir, and /tmp here is
+    # spinning-VM block storage. Interleaved A/B at 10M rows
+    # (tools/probe_ab_10m.py, min-of-3 medians over 3 rounds): heavy
+    # agg subset 8.12s (/tmp) -> 7.07s (/dev/shm), uniform across the
+    # shuffle-bound queries; compression stays ON (lz4 off was a wash
+    # at best, 2x worse tail at worst). Cluster analog: point
+    # spark.local.dir at NVMe, which every managed Spark already does.
+    shm = "/dev/shm/moospark-local"
+    try:
+        os.makedirs(shm, exist_ok=True)
+        probe = os.path.join(shm, ".probe")
+        with open(probe, "w") as f:
+            f.write("ok")
+        os.remove(probe)
+        builder = builder.config("spark.local.dir", shm)
+    except OSError:
+        pass  # no tmpfs (or read-only) — Spark's default scratch dir
+    # Ad-hoc conf overrides for A/B perf probing (tools/probe_*.py):
+    # MOOSPARK_EXTRA_CONF="spark.local.dir=/dev/shm/x;spark.shuffle.compress=false"
+    extra = os.environ.get("MOOSPARK_EXTRA_CONF", "")
+    for pair in filter(None, extra.split(";")):
+        k, _, v = pair.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")

@@ -1,0 +1,91 @@
+"""Interleaved A/B config probe at 10M — each cell runs in a fresh
+subprocess (fresh JVM, so GC flags take effect), configs interleaved
+A,B,C,A,B,C..., medians over rounds.  Scratch tool.
+
+Usage: python tools/probe_ab_10m.py            # orchestrate
+       python tools/probe_ab_10m.py --cell k=v;k=v   # one cell (internal)
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SUBSET = {"cb00", "cb04", "cb08", "cb13", "cb17", "cb22", "cb28", "cb32", "cb34", "cb35"}
+
+CONFIGS = {
+    "shm": {"spark.local.dir": "/dev/shm/moospark-local"},
+    "shm_pgc": {
+        "spark.local.dir": "/dev/shm/moospark-local",
+        "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
+    },
+    "shm_offheap": {
+        "spark.local.dir": "/dev/shm/moospark-local",
+        "spark.memory.offHeap.enabled": "true",
+        "spark.memory.offHeap.size": "8g",
+    },
+    "shm_pgc_oh": {
+        "spark.local.dir": "/dev/shm/moospark-local",
+        "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
+        "spark.memory.offHeap.enabled": "true",
+        "spark.memory.offHeap.size": "8g",
+    },
+}
+
+ROUNDS = 3
+
+
+def run_cell_inproc(conf_str: str) -> None:
+    os.environ["MOOSPARK_EXTRA_CONF"] = conf_str
+    from cowsdb_spark.clickbench import QUERIES
+    from cowsdb_spark.engine import Engine
+    from cowsdb_spark.session import get_spark
+    from tools.gen_hits import ensure_hits_10m
+
+    spark = get_spark("probe-ab-cell")
+    spark.read.parquet(ensure_hits_10m()).createOrReplaceTempView("hits")
+    eng = Engine(spark)
+    total = 0.0
+    for q in QUERIES:
+        if q["id"] not in SUBSET:
+            continue
+        eng.execute_to_df(q["sql"])[0].collect()
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            eng.execute_to_df(q["sql"])[0].collect()
+            best = min(best, time.perf_counter() - t0)
+        total += best
+    print(f"CELL_TOTAL {total:.3f}")
+
+
+def main():
+    if len(sys.argv) > 2 and sys.argv[1] == "--cell":
+        run_cell_inproc(sys.argv[2])
+        return
+    results: dict[str, list[float]] = {k: [] for k in CONFIGS}
+    for r in range(ROUNDS):
+        for name, extra in CONFIGS.items():
+            conf_str = ";".join(f"{k}={v}" for k, v in extra.items())
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--cell", conf_str],
+                capture_output=True, text=True, timeout=300,
+            )
+            t = float("nan")
+            for line in out.stdout.splitlines():
+                if line.startswith("CELL_TOTAL"):
+                    t = float(line.split()[1])
+            results[name].append(t)
+            print(f"round {r} {name:12s} {t:7.3f}s", flush=True)
+    print("--- medians ---")
+    for name, ts in results.items():
+        print(f"{name:12s} median={statistics.median(ts):7.3f} all={[round(t,2) for t in ts]}")
+
+
+if __name__ == "__main__":
+    main()
