@@ -174,8 +174,17 @@ def bind_query_params(sql: str, params: dict[str, str]) -> str:
 class Engine:
     """ClickHouse-dialect front door over Spark SQL."""
 
-    def __init__(self, spark: Optional[SparkSession] = None):
+    def __init__(
+        self,
+        spark: Optional[SparkSession] = None,
+        user_files_dir: Optional[str] = None,
+    ):
         self.spark = spark or get_spark("moospark-engine")
+        # INTO OUTFILE confinement root (CH user_files_path analog);
+        # unset → the feature is disabled (see _confine_outfile)
+        self.user_files_dir = user_files_dir or os.environ.get(
+            "MOOSPARK_USER_FILES_DIR"
+        )
         # CH-style permissive INSERT coercion: string literals into
         # Date/DateTime/numeric columns must cast (ANSI store
         # assignment would reject `INSERT … VALUES (1, '2024-01-05')`).
@@ -227,6 +236,14 @@ class Engine:
         # done per-call with fully-qualified names instead of a
         # global USE where possible.
         self._lock = threading.RLock()
+        # Serializes the brief set-conf -> force-physical-plan ->
+        # restore-conf windows of the static-planning fast path: two
+        # concurrent readers could otherwise interleave so that one
+        # reads the other's temporary adaptive=false as its "previous"
+        # value and restores it permanently (observed as an
+        # order-dependent test flake). Planning is ms-scale; query
+        # EXECUTION happens outside the window and stays concurrent.
+        self._conf_lock = threading.Lock()
 
     # ------------------------------------------------------------ sessions
 
@@ -266,6 +283,42 @@ class Engine:
                 sess.session_timeout = session_timeout
             return sess
 
+    def _confine_outfile(self, path: str) -> str:
+        """Resolve an INTO OUTFILE path inside the engine's user-files
+        directory (CH's user_files_path model). Unconfigured → the
+        feature is disabled (CH code 344 SUPPORT_IS_DISABLED — real
+        ClickHouse handles INTO OUTFILE client-side and never writes
+        server-side). Relative paths resolve under the directory;
+        absolute paths must realpath inside it (symlink-escape safe:
+        the existing part of the path is fully resolved before the
+        containment check; CH code 481 PATH_ACCESS_DENIED)."""
+        import os as _os
+
+        root = self.user_files_dir
+        if not root:
+            raise EngineError(
+                "INTO OUTFILE is disabled on this server: no user-files "
+                "directory is configured (set MOOSPARK_USER_FILES_DIR or "
+                "pass user_files_dir=)", code=344,
+            )
+        root_real = _os.path.realpath(root)
+        cand = path if _os.path.isabs(path) else _os.path.join(root_real, path)
+        base = _os.path.basename(cand)
+        if not base:
+            raise EngineError(f"Invalid OUTFILE path '{path}'", code=481)
+        parent_real = _os.path.realpath(_os.path.dirname(cand))
+        target = _os.path.join(parent_real, base)
+        try:
+            inside = _os.path.commonpath([root_real, target]) == root_real
+        except ValueError:  # different drives (win) — definitely outside
+            inside = False
+        if not inside:
+            raise EngineError(
+                f"Path '{path}' is outside the user-files directory",
+                code=481,
+            )
+        return target
+
     def _log_query(
         self,
         user: str,
@@ -285,12 +338,15 @@ class Engine:
             if buf is None:
                 buf = _deque(maxlen=self._query_log_maxlen)
                 self._query_log[ns] = buf
+            # CH log_queries_cut_to_length (default 100 KB): bulk
+            # INSERT ... FORMAT payloads must not pin megabytes of
+            # text per ring-buffer slot (ADVICE r4)
             buf.append(
                 (
                     qtype,
                     _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None),
                     round(elapsed * 1000.0, 3),
-                    query,
+                    query[:100_000],
                     result_rows,
                     user,
                     exception,
@@ -418,15 +474,21 @@ class Engine:
         if outfile:
             # INTO OUTFILE: result bytes go to the file; the wire body
             # is empty unless AND STDOUT was given (CH semantics —
-            # default mode ERRORS on an existing file)
+            # default mode ERRORS on an existing file). The path is
+            # confined to the configured user-files directory — an
+            # unconfined write would hand any HTTP client an
+            # arbitrary-file-write primitive with server privileges
+            # (ADVICE r4; real ClickHouse treats INTO OUTFILE as
+            # client-side only and rejects it on the server).
             import os as _os
 
-            if outfile_mode == "error" and _os.path.exists(outfile):
+            target = self._confine_outfile(outfile)
+            if outfile_mode == "error" and _os.path.exists(target):
                 raise EngineError(
                     f"File '{outfile}' already exists "
                     "(use TRUNCATE or APPEND to overwrite)", code=76
                 )
-            with open(outfile, "ab" if outfile_mode == "append" else "wb") as f:
+            with open(target, "ab" if outfile_mode == "append" else "wb") as f:
                 f.write(body)
             if not outfile_stdout:
                 body = b""
@@ -767,11 +829,37 @@ class Engine:
 
         toks = tokenize(sql)
         sig = [i for i, t in enumerate(toks) if t.kind not in ("ws", "comment")]
+        # Clause-context scan: FINAL is a table modifier ONLY in
+        # FROM/JOIN position. Keying off the previous token alone
+        # mis-fired on the valid implicit column alias ``SELECT x
+        # final FROM t`` (alias silently renamed + junk props lookups
+        # — ADVICE r4). A linear pass suffices: FROM/JOIN open table
+        # context; any select-list / condition / clause keyword
+        # closes it (subquery SELECTs close it for their own list).
+        _OPEN = {"FROM", "JOIN"}
+        _CLOSE = {
+            "SELECT", "WHERE", "PREWHERE", "GROUP", "HAVING", "ORDER",
+            "LIMIT", "OFFSET", "SETTINGS", "UNION", "INTERSECT",
+            "EXCEPT", "ON", "USING", "WINDOW", "QUALIFY",
+        }
+        in_from: list[bool] = []
+        state = False
+        for i in sig:
+            tt = toks[i]
+            if tt.kind == "ident":
+                up = tt.text.upper()
+                if up in _OPEN:
+                    state = True
+                elif up in _CLOSE:
+                    state = False
+            in_from.append(state)
         changed = False
         for si, i in enumerate(sig):
             t = toks[i]
             if t.kind != "ident" or t.text.upper() != "FINAL" or si == 0:
                 continue
+            if not in_from[si]:
+                continue  # FINAL outside FROM/JOIN position: identifier
             prev = toks[sig[si - 1]]
             if prev.kind not in ("ident", "bquote"):
                 continue
@@ -801,18 +889,12 @@ class Engine:
             bare = alias or toks[ref_idx[-1]].text.strip("`")
             props = self._table_moospark_props(ref_text)
             eng = props.get("engine", "")
-            keys_txt = props.get("order_by")
             t.text = ""  # FINAL never reaches Spark
             changed = True
-            if not eng.startswith("Replacing") or not keys_txt:
+            spec = self._final_partition_order(props)
+            if not eng.startswith("Replacing") or spec is None:
                 continue
-            keys = ", ".join(
-                f"`{k.strip().strip('`')}`"
-                for k in keys_txt.strip().strip("()").split(",")
-                if k.strip()
-            )
-            ver = props.get("engine_args", "").strip()
-            order = f"`{ver.strip('`')}` DESC" if ver else keys
+            keys, order = spec
             toks[ref_idx[0]].text = (
                 f"(SELECT * EXCEPT (__ch_fin) FROM (SELECT *, row_number() "
                 f"OVER (PARTITION BY {keys} ORDER BY {order}) AS __ch_fin "
@@ -824,6 +906,37 @@ class Engine:
                 toks[sig[si - 2]].text = ""
                 toks[sig[si - 1]].text = ""
         return "".join(t.text for t in toks) if changed else sql
+
+    def _final_partition_order(self, props: dict) -> Optional[tuple[str, str]]:
+        """(partition_keys_sql, order_sql) for the FINAL keep-latest
+        window, from a table's moospark.* props. Sort keys split on
+        TOP-LEVEL commas only — ``ORDER BY (id, toYYYYMM(d))`` must
+        not shear the call in half (ADVICE r4) — and function-call
+        keys translate like any CH expression. The version column is
+        the FIRST engine argument: ReplacingMergeTree(ver, is_deleted)
+        orders by ver alone."""
+        keys_txt = (props.get("order_by") or "").strip()
+        if not keys_txt:
+            return None
+        raw = keys_txt[1:-1] if keys_txt.startswith("(") and keys_txt.endswith(")") else keys_txt
+        parts = [p.strip() for p in _split_top_level(raw) if p.strip()]
+        if not parts:
+            return None
+
+        def key_sql(p: str) -> str:
+            bare = p.strip("`")
+            if _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", bare):
+                return f"`{bare}`"
+            try:
+                return self._translate_expr(p)
+            except Exception:  # noqa: BLE001 — last resort: verbatim
+                return p
+
+        keys = ", ".join(key_sql(p) for p in parts)
+        args_raw = (props.get("engine_args") or "").strip()
+        ver = _split_top_level(args_raw)[0].strip() if args_raw else ""
+        order = f"`{ver.strip('`')}` DESC" if ver else keys
+        return keys, order
 
     def _expand_merge(self, sess: UserSession, sql: str) -> str:
         """CH ``merge('db', 'table_regex')`` / ``merge(db, 'regex')``
@@ -931,18 +1044,19 @@ class Engine:
                     )
                     df2 = DataFrame(jdf, hit_df.sparkSession)
                     if mode != "plain":
-                        prev = self.spark.conf.get("spark.sql.adaptive.enabled")
-                        prev_parts = self.spark.conf.get("spark.sql.shuffle.partitions")
-                        self.spark.conf.set("spark.sql.adaptive.enabled", "false")
-                        if mode.startswith("small:"):
-                            self.spark.conf.set(
-                                "spark.sql.shuffle.partitions", mode.split(":", 1)[1]
-                            )
-                        try:
-                            df2._jdf.queryExecution().executedPlan()  # noqa: SLF001
-                        finally:
-                            self.spark.conf.set("spark.sql.adaptive.enabled", prev)
-                            self.spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+                        with self._conf_lock:
+                            prev = self.spark.conf.get("spark.sql.adaptive.enabled")
+                            prev_parts = self.spark.conf.get("spark.sql.shuffle.partitions")
+                            self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+                            if mode.startswith("small:"):
+                                self.spark.conf.set(
+                                    "spark.sql.shuffle.partitions", mode.split(":", 1)[1]
+                                )
+                            try:
+                                df2._jdf.queryExecution().executedPlan()  # noqa: SLF001
+                            finally:
+                                self.spark.conf.set("spark.sql.adaptive.enabled", prev)
+                                self.spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
                     return df2
             df, mode = self._plan_select_with_mode(prepared)
             if key is not None:
@@ -1006,12 +1120,13 @@ class Engine:
                     # (measured at 10M rows: cb01 0.31->0.15s, cb02
                     # 0.22->0.14s). Scan width is unchanged; only the
                     # adaptive re-plan is skipped.
-                    prev = self.spark.conf.get("spark.sql.adaptive.enabled")
-                    self.spark.conf.set("spark.sql.adaptive.enabled", "false")
-                    try:
-                        df._jdf.queryExecution().executedPlan()  # noqa: SLF001
-                    finally:
-                        self.spark.conf.set("spark.sql.adaptive.enabled", prev)
+                    with self._conf_lock:
+                        prev = self.spark.conf.get("spark.sql.adaptive.enabled")
+                        self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+                        try:
+                            df._jdf.queryExecution().executedPlan()  # noqa: SLF001
+                        finally:
+                            self.spark.conf.set("spark.sql.adaptive.enabled", prev)
                     return df, "static"
                 return df, "plain"
             # Static planning loses AQE's partition coalescing, so pick
@@ -1021,18 +1136,19 @@ class Engine:
             # at 32 made the static path a net LOSS (10.3s vs 6.7s
             # sweep); sizing it statically keeps both the no-barrier
             # win and the small-shuffle win.
-            prev_parts = self.spark.conf.get("spark.sql.shuffle.partitions")
-            parts = max(1, min(int(prev_parts), (size >> 24) + 1))
-            self.spark.conf.set("spark.sql.adaptive.enabled", "false")
-            self.spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-            try:
-                # physical planning hasn't run yet (spark.sql is
-                # analysis-eager only); forcing it now, with AQE off,
-                # bakes the static plan into this QueryExecution
-                df._jdf.queryExecution().executedPlan()  # noqa: SLF001
-            finally:
-                self.spark.conf.set("spark.sql.adaptive.enabled", "true")
-                self.spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            with self._conf_lock:
+                prev_parts = self.spark.conf.get("spark.sql.shuffle.partitions")
+                parts = max(1, min(int(prev_parts), (size >> 24) + 1))
+                self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+                self.spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+                try:
+                    # physical planning hasn't run yet (spark.sql is
+                    # analysis-eager only); forcing it now, with AQE off,
+                    # bakes the static plan into this QueryExecution
+                    df._jdf.queryExecution().executedPlan()  # noqa: SLF001
+                finally:
+                    self.spark.conf.set("spark.sql.adaptive.enabled", "true")
+                    self.spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
             return df, f"small:{parts}"
         except Exception:  # noqa: BLE001 — fast path must never break a query
             return df, "plain"
@@ -1683,8 +1799,18 @@ class Engine:
         else:
             db = sess.spark_db(ct.database)
         self._ensure_db(db)
-        if ct.or_replace:
-            self._sql_or_raise(f"DROP TABLE IF EXISTS `{db}`.`{ct.table}`")
+        # CREATE OR REPLACE over an existing table swaps ATOMICALLY:
+        # build the new table (including the CTAS payload, which may
+        # legitimately read the OLD table) under a staging name, and
+        # only after the write succeeds drop + rename. Dropping first
+        # destroyed the old data on any select/write failure
+        # (ADVICE r4 — CH's REPLACE preserves the table on failure).
+        replace_target: Optional[str] = None
+        create_name = ct.table
+        if ct.or_replace and self.spark.catalog.tableExists(f"`{db}`.`{ct.table}`"):
+            replace_target = f"`{db}`.`{ct.table}`"
+            create_name = f"{ct.table}__moospark_replace"
+            self.spark.sql(f"DROP TABLE IF EXISTS `{db}`.`{create_name}`")
         # CTAS: run the CH-dialect select first — without a declared
         # column list its schema IS the table schema
         src_df = None
@@ -1754,7 +1880,7 @@ class Engine:
             props.append(f"'moospark.order_by' = '{_esc(ct.order_by)}'")
         if ct.partition_by:
             props.append(f"'moospark.partition_by' = '{_esc(ct.partition_by)}'")
-        tbl = f"`{db}`.`{ct.table}`"
+        tbl = f"`{db}`.`{create_name}`"
         stmt = f"CREATE TABLE {ine}{tbl} ({cols}) USING PARQUET"
         if props:
             stmt += " TBLPROPERTIES (" + ", ".join(props) + ")"
@@ -1797,9 +1923,22 @@ class Engine:
             try:
                 writer.write.insertInto(tbl)
             except Exception as e:
+                if replace_target is not None:
+                    # failed REPLACE payload: discard staging, keep
+                    # the original table untouched
+                    try:
+                        self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+                    except Exception:  # noqa: BLE001
+                        pass
                 raise EngineError(
                     _clean_spark_error(e), _ch_error_code(str(e))
                 ) from e
+        if replace_target is not None:
+            # the swap: old table survives any failure above; a crash
+            # between DROP and RENAME loses only atomicity of the
+            # visible name, never the new payload
+            self._sql_or_raise(f"DROP TABLE {replace_target}")
+            self._sql_or_raise(f"ALTER TABLE {tbl} RENAME TO {replace_target}")
 
 
     # -------------------------------------------------- ORDER BY WITH FILL
@@ -2412,14 +2551,13 @@ class Engine:
         of forcing the Replacing merge to completion."""
         tbl = f"`{sess.spark_db(o.database)}`.`{o.name}`"
         props = self._table_moospark_props(tbl)
-        if o.final and props.get("engine", "").startswith("Replacing") and props.get("order_by"):
-            keys = ", ".join(
-                f"`{k.strip().strip('`')}`"
-                for k in props["order_by"].strip().strip("()").split(",")
-                if k.strip()
-            )
-            ver = props.get("engine_args", "").strip()
-            order = f"`{ver.strip('`')}` DESC" if ver else keys
+        spec = (
+            self._final_partition_order(props)
+            if o.final and props.get("engine", "").startswith("Replacing")
+            else None
+        )
+        if spec is not None:
+            keys, order = spec
             src = self._sql_or_raise(
                 f"SELECT * EXCEPT (__ch_fin) FROM (SELECT *, row_number() "
                 f"OVER (PARTITION BY {keys} ORDER BY {order}) AS __ch_fin "

@@ -1872,17 +1872,24 @@ class TestSweep19StableAggAucCase:
 class TestIntoOutfileAndRunning:
     """INTO OUTFILE clause (error/TRUNCATE/APPEND/AND STDOUT modes —
     chDB accepts this server-side, reference main.py passes it
-    through), SAMPLE after a table function, runningAccumulate over
-    aggregate states, nonNegativeDerivative."""
+    through), confined to the engine's user-files directory (CH
+    user_files_path model; unconfined server-side writes were an
+    arbitrary-file-write primitive — ADVICE r4), SAMPLE after a table
+    function, runningAccumulate over aggregate states,
+    nonNegativeDerivative."""
 
     @pytest.fixture(scope="class")
-    def eng(self, spark):
+    def files_root(self, tmp_path_factory):
+        return tmp_path_factory.mktemp("user_files")
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark, files_root):
         from cowsdb_spark.engine import Engine
 
-        return Engine(spark)
+        return Engine(spark, user_files_dir=str(files_root))
 
-    def test_outfile_modes(self, eng, tmp_path):
-        p = str(tmp_path / "out.csv")
+    def test_outfile_modes(self, eng, files_root):
+        p = str(files_root / "out.csv")
         assert eng.execute(f"SELECT 41 + 1 AS a INTO OUTFILE '{p}' FORMAT CSV") == b""
         assert open(p).read() == "42\n"
         # default mode errors on the existing file (CH code 76)
@@ -1897,6 +1904,43 @@ class TestIntoOutfileAndRunning:
         out = eng.execute(f"SELECT 9 AS a INTO OUTFILE '{p}' AND STDOUT TRUNCATE")
         assert out == b"9\n"
         assert open(p).read() == "9\n"
+
+    def test_outfile_relative_path(self, eng, files_root):
+        assert eng.execute("SELECT 5 AS a INTO OUTFILE 'rel.tsv' TRUNCATE") == b""
+        assert (files_root / "rel.tsv").read_text() == "5\n"
+
+    def test_outfile_escape_rejected(self, eng, files_root):
+        from cowsdb_spark.engine import EngineError
+
+        for bad in (
+            "/etc/cron.d/evil",
+            "../outside.txt",
+            str(files_root) + "/../escape.txt",
+            "a/../../escape.txt",
+        ):
+            with pytest.raises(EngineError) as ei:
+                eng.execute(f"SELECT 1 AS a INTO OUTFILE '{bad}' TRUNCATE")
+            assert ei.value.code == 481
+
+    def test_outfile_symlink_escape_rejected(self, eng, files_root, tmp_path):
+        import os
+
+        from cowsdb_spark.engine import EngineError
+
+        link = files_root / "sneaky"
+        os.symlink(str(tmp_path), str(link))
+        with pytest.raises(EngineError) as ei:
+            eng.execute("SELECT 1 AS a INTO OUTFILE 'sneaky/pwn.txt' TRUNCATE")
+        assert ei.value.code == 481
+
+    def test_outfile_disabled_without_config(self, spark, monkeypatch):
+        from cowsdb_spark.engine import Engine, EngineError
+
+        monkeypatch.delenv("MOOSPARK_USER_FILES_DIR", raising=False)
+        bare = Engine(spark)
+        with pytest.raises(EngineError) as ei:
+            bare.execute("SELECT 1 AS a INTO OUTFILE '/tmp/x.txt'")
+        assert ei.value.code == 344
 
     def test_sample_after_table_function(self, eng):
         rows = eng.execute("SELECT number FROM numbers(10) SAMPLE 3")

@@ -559,6 +559,48 @@ class TestReplacingFinal:
         assert engine.execute("SELECT count() AS c FROM rmt2 FINAL") == b"2\n"
         engine.execute("DROP TABLE rmt2")
 
+    def test_final_with_function_sort_key(self, engine):
+        # ORDER BY (id, toYYYYMM(d)) — the key list must split on
+        # TOP-LEVEL commas only; shearing the call produced invalid
+        # SQL like `toYYYYMM(d` (ADVICE r4)
+        engine.execute("DROP TABLE IF EXISTS rmtf")
+        engine.execute(
+            "CREATE TABLE rmtf (id Int64, d Date, v String, ver Int64) "
+            "ENGINE=ReplacingMergeTree(ver) ORDER BY (id, toYYYYMM(d))"
+        )
+        engine.execute(
+            "INSERT INTO rmtf VALUES "
+            "(1,'2024-01-05','a',1), (1,'2024-01-20','b',2), (1,'2024-02-01','c',1)"
+        )
+        out = engine.execute("SELECT id, v FROM rmtf FINAL ORDER BY v")
+        assert out == b"1\tb\n1\tc\n"
+        engine.execute("DROP TABLE rmtf")
+
+    def test_final_multi_engine_args_uses_first_as_version(self, engine):
+        # ReplacingMergeTree(ver, is_deleted): version = FIRST arg;
+        # backticking the whole arg list made `ver, is_deleted`
+        # (ADVICE r4)
+        engine.execute("DROP TABLE IF EXISTS rmtd")
+        engine.execute(
+            "CREATE TABLE rmtd (k Int64, v String, ver Int64, is_deleted UInt8) "
+            "ENGINE=ReplacingMergeTree(ver, is_deleted) ORDER BY k"
+        )
+        engine.execute(
+            "INSERT INTO rmtd VALUES (1,'old',1,0), (1,'new',2,0)"
+        )
+        assert engine.execute("SELECT v FROM rmtd FINAL") == b"new\n"
+        engine.execute("DROP TABLE rmtd")
+
+    def test_final_as_implicit_column_alias(self, engine):
+        # `SELECT x final FROM t` is a valid implicit alias — FINAL
+        # outside FROM/JOIN position must not be eaten (ADVICE r4)
+        engine.execute("DROP TABLE IF EXISTS aft")
+        engine.execute("CREATE TABLE aft (x Int64) ENGINE=Memory")
+        engine.execute("INSERT INTO aft VALUES (7)")
+        out = engine.execute("SELECT x final FROM aft FORMAT TSVWithNames")
+        assert out == b"final\n7\n"
+        engine.execute("DROP TABLE aft")
+
     def test_final_on_plain_mergetree_is_noop(self, engine):
         engine.execute("DROP TABLE IF EXISTS mt3")
         engine.execute(
@@ -1044,6 +1086,36 @@ class TestReplaceTableAndAlterBreadth:
         engine.execute("INSERT INTO r2 VALUES (7)", **u)
         engine.execute("REPLACE TABLE r2 (a Int64) ENGINE=Memory", **u)
         assert engine.execute("SELECT count() FROM r2", **u) == b"0\n"
+
+    def test_replace_self_referencing_ctas(self, engine):
+        # CREATE OR REPLACE TABLE t AS SELECT ... FROM t is valid CH:
+        # the select must read the OLD table (staging swap, ADVICE r4)
+        u = {"user": "repx"}
+        engine.execute("CREATE TABLE rs (a Int32) ENGINE=Memory", **u)
+        engine.execute("INSERT INTO rs VALUES (1), (2), (3)", **u)
+        # alias `b` (not `a`): CH alias resolution substitutes select
+        # aliases into WHERE, so a shadowing alias would change the
+        # filter's meaning (CH behaves the same way)
+        engine.execute(
+            "CREATE OR REPLACE TABLE rs ENGINE=Memory AS "
+            "SELECT a * 10 AS b FROM rs WHERE a < 3", **u
+        )
+        assert engine.execute("SELECT b FROM rs ORDER BY b", **u) == b"10\n20\n"
+
+    def test_replace_failure_preserves_old_table(self, engine):
+        # a failing CTAS select must leave the original table intact
+        # (the old drop-first flow destroyed it — ADVICE r4)
+        from cowsdb_spark.engine import EngineError
+
+        u = {"user": "repx"}
+        engine.execute("CREATE TABLE rf (a Int32) ENGINE=Memory", **u)
+        engine.execute("INSERT INTO rf VALUES (42)", **u)
+        with pytest.raises(EngineError):
+            engine.execute(
+                "CREATE OR REPLACE TABLE rf ENGINE=Memory AS "
+                "SELECT no_such_column FROM rf", **u
+            )
+        assert engine.execute("SELECT a FROM rf", **u) == b"42\n"
 
     def test_comment_and_clear_column(self, engine):
         u = {"user": "repx"}
