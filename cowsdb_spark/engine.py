@@ -2321,13 +2321,28 @@ class Engine:
             # whole line → the single (String) column, no escaping
             rows = [(ln,) for ln in payload.split("\n") if ln != ""]
             names = names[:1]
+        elif fmt == "AVRO":
+            # binary payload: the HTTP layer decodes the request body
+            # with surrogateescape, so encoding the same way recovers
+            # the original bytes losslessly
+            from .formats.avro import read_ocf
+
+            raw = payload.encode("utf-8", "surrogateescape")
+            avro_names, rows = read_ocf(raw)
+            if avro_names and avro_names != ["value"]:
+                names = [n for n in avro_names if n in names] or avro_names
         else:
             raise EngineError(f"Unsupported INSERT format: {fmt_name}", 73)
         if not rows:
             return
         # text formats arrive as strings; declare String sources and let
-        # insert_rows cast to the column types (LEGACY store assignment)
-        src_types = ["Nullable(String)"] * len(names) if fmt != "JSONEACHROW" else None
+        # insert_rows cast to the column types (LEGACY store assignment);
+        # JSONEachRow and Avro carry native typed values
+        src_types = (
+            ["Nullable(String)"] * len(names)
+            if fmt not in ("JSONEACHROW", "AVRO")
+            else None
+        )
         self.insert_rows(
             table_ref, list(names), rows, sess.user, sess.password, ch_types=src_types
         )

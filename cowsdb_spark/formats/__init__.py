@@ -515,6 +515,10 @@ def serialize(res: QueryResult, fmt: str, max_result_rows: Optional[int] = None)
         return to_row_binary(res, with_names=True, limit=max_result_rows)
     if f == "rowbinarywithnamesandtypes":
         return to_row_binary(res, with_names=True, with_types=True, limit=max_result_rows)
+    if f == "avro":
+        from .avro import write_ocf
+
+        return write_ocf(res.columns, res.ch_types, res.rows, limit=max_result_rows)
     if f == "null":
         for _ in res.rows:
             pass

@@ -374,7 +374,11 @@ class _Handler(BaseHTTPRequestHandler):
         except Exception:
             self._send(400, b"Error: malformed compressed request body\n")
             return
-        body = raw.decode("utf-8", "replace") if raw else ""
+        # surrogateescape, not replace: binary INSERT payloads (FORMAT
+        # Avro / RowBinary-style) must round-trip losslessly through
+        # the str-typed engine path — .encode("utf-8","surrogateescape")
+        # recovers the exact original bytes; valid UTF-8 is unaffected
+        body = raw.decode("utf-8", "surrogateescape") if raw else ""
         query_param = (qs.get("query") or [""])[0]
         # param + body concatenation (main.py:873-890), no flattening
         query = (query_param + ("\n" if query_param and body else "") + body).strip()

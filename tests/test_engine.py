@@ -1195,3 +1195,52 @@ class TestAggregatingMergeTreeMV:
             **u,
         )
         assert out == b"1\t60\t3\n2\t10\t2\n"
+
+
+class TestAvroEngine:
+    """FORMAT Avro through the engine: SELECT output and inline
+    INSERT payloads (binary, surrogateescape-decoded as on the HTTP
+    path)."""
+
+    def test_select_format_avro(self, engine):
+        from cowsdb_spark.formats.avro import read_ocf
+
+        out = engine.execute(
+            "SELECT number AS n, toString(number) AS s FROM numbers(3) FORMAT Avro",
+            user="avx",
+        )
+        names, rows = read_ocf(out)
+        assert names == ["n", "s"]
+        assert rows == [(0, "0"), (1, "1"), (2, "2")]
+
+    def test_insert_format_avro(self, engine):
+        from cowsdb_spark.formats.avro import write_ocf
+
+        u = {"user": "avx"}
+        engine.execute("CREATE TABLE av1 (a Int64, s String) ENGINE=Memory", **u)
+        blob = write_ocf(["a", "s"], ["Int64", "String"], [(1, "x"), (2, "y")])
+        payload = blob.decode("utf-8", "surrogateescape")  # HTTP body path
+        engine.execute(f"INSERT INTO av1 FORMAT Avro\n{payload}", **u)
+        assert engine.execute("SELECT a, s FROM av1 ORDER BY a", **u) == b"1\tx\n2\ty\n"
+
+    def test_avro_http_round_trip(self, engine):
+        """Full wire loop: SELECT ... FORMAT Avro output re-ingested
+        via INSERT FORMAT Avro."""
+        u = {"user": "avx"}
+        engine.execute(
+            "CREATE TABLE av2 (d Date, t DateTime, f Float64, n Nullable(Int64)) "
+            "ENGINE=Memory", **u,
+        )
+        engine.execute(
+            "INSERT INTO av2 VALUES ('2024-03-05', '2024-03-05 01:02:03', 1.5, NULL), "
+            "('2020-01-01', '2020-01-01 00:00:00', -2.25, 9)", **u,
+        )
+        blob = engine.execute("SELECT * FROM av2 ORDER BY d FORMAT Avro", **u)
+        engine.execute("CREATE TABLE av3 AS av2", **u)
+        engine.execute(
+            "INSERT INTO av3 FORMAT Avro\n" + blob.decode("utf-8", "surrogateescape"),
+            **u,
+        )
+        want = engine.execute("SELECT * FROM av2 ORDER BY d", **u)
+        got = engine.execute("SELECT * FROM av3 ORDER BY d", **u)
+        assert got == want

@@ -346,3 +346,92 @@ class TestSweep27FormatBreadth:
         with pytest.raises(EngineError) as ei:
             eng.execute("SELECT 1 AS a FORMAT Protobuf")
         assert ei.value.code == 73
+
+
+class TestAvro:
+    """FORMAT Avro in/out — pure-Python Object Container File codec
+    (formats/avro.py). The reference serves Avro through chDB's
+    delegation; here the wire layer encodes the spec directly."""
+
+    def test_round_trip_primitives(self):
+        from cowsdb_spark.formats.avro import read_ocf, write_ocf
+
+        cols = ["i", "s", "f", "b"]
+        types = ["Int64", "String", "Float64", "Bool"]
+        rows = [(1, "x", 1.5, True), (2, "y", -0.25, False)]
+        blob = write_ocf(cols, types, rows)
+        names, got = read_ocf(blob)
+        assert names == cols
+        assert got == rows
+
+    def test_round_trip_nullable_array_temporal(self):
+        import datetime as dtm
+
+        from cowsdb_spark.formats.avro import read_ocf, write_ocf
+
+        cols = ["n", "arr", "d", "t"]
+        types = ["Nullable(Int64)", "Array(Int64)", "Date", "DateTime"]
+        rows = [
+            (None, [1, 2], dtm.date(2024, 3, 5), dtm.datetime(2024, 3, 5, 1, 2, 3)),
+            (7, [], dtm.date(1970, 1, 1), dtm.datetime(1970, 1, 1)),
+        ]
+        blob = write_ocf(cols, types, rows)
+        names, got = read_ocf(blob)
+        assert names == cols
+        assert got == [
+            (None, [1, 2], dtm.date(2024, 3, 5), dtm.datetime(2024, 3, 5, 1, 2, 3)),
+            (7, [], dtm.date(1970, 1, 1), dtm.datetime(1970, 1, 1)),
+        ]
+
+    def test_serialize_entry_point(self):
+        from cowsdb_spark.formats.avro import read_ocf
+
+        blob = serialize(
+            res(["a", "b"], ["Int32", "String"], [(5, "q")]), "Avro"
+        )
+        assert blob[:4] == b"Obj\x01"
+        names, rows = read_ocf(blob)
+        assert names == ["a", "b"]
+        assert rows == [(5, "q")]
+
+    def test_deflate_codec_read(self):
+        """Readers must accept the deflate codec (Avro spec core)."""
+        import io
+        import json as js
+        import zlib
+
+        from cowsdb_spark.formats.avro import (
+            _SYNC,
+            MAGIC,
+            _write_bytes,
+            _write_long,
+            read_ocf,
+        )
+
+        schema = {
+            "type": "record",
+            "name": "row",
+            "fields": [{"name": "v", "type": "long"}],
+        }
+        out = io.BytesIO()
+        out.write(MAGIC)
+        _write_long(out, 2)
+        for k, v in (
+            ("avro.schema", js.dumps(schema).encode()),
+            ("avro.codec", b"deflate"),
+        ):
+            _write_bytes(out, k.encode())
+            _write_bytes(out, v)
+        _write_long(out, 0)
+        out.write(_SYNC)
+        body = io.BytesIO()
+        for n in (10, 20, 30):
+            _write_long(body, n)
+        comp = zlib.compress(body.getvalue())[2:-4]  # raw deflate
+        _write_long(out, 3)
+        _write_long(out, len(comp))
+        out.write(comp)
+        out.write(_SYNC)
+        names, rows = read_ocf(out.getvalue())
+        assert names == ["v"]
+        assert rows == [(10,), (20,), (30,)]

@@ -660,3 +660,30 @@ class TestQueryParameters:
         with urllib.request.urlopen(url) as r:
             assert r.read() == b"7\n"
             assert r.headers.get("X-ClickHouse-Warning") is None
+
+
+class TestAvroOverHttp:
+    """Binary Avro payloads through the real HTTP wire: the body
+    decode must be lossless (surrogateescape), or INSERT FORMAT Avro
+    corrupts (the old errors='replace' destroyed non-UTF8 bytes)."""
+
+    def test_binary_insert_and_select(self, http):
+        import urllib.request as _ur
+
+        from cowsdb_spark.formats.avro import read_ocf, write_ocf
+
+        get(http, "CREATE TABLE avh (a Int64, s String) ENGINE=Memory")
+        blob = write_ocf(
+            ["a", "s"], ["Int64", "String"],
+            [(300, "x\xffé"), (2, "plain")],  # multi-byte + high codepoints
+        )
+        stmt = b"INSERT INTO avh FORMAT Avro\n" + blob
+        req = _ur.Request(http + "/", data=stmt, method="POST")
+        with _ur.urlopen(req) as r:
+            assert r.status == 200
+        status, body = get(http, "SELECT a, s FROM avh ORDER BY a FORMAT Avro")
+        assert status == 200
+        names, rows = read_ocf(body)
+        assert names == ["a", "s"]
+        assert rows == [(2, "plain"), (300, "x\xffé")]
+        get(http, "DROP TABLE avh")
