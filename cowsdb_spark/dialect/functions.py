@@ -97,7 +97,6 @@ RENAMES: dict[str, str] = {
     "least": "least",
     "jsonextractraw": "get_json_object",
     "cityhash64": "xxhash64",  # substitute: layout/sampling key only
-    "siphash64": "xxhash64",
     "farmhash64": "xxhash64",
     "halfmd5": "xxhash64",
     "hex": "hex",
@@ -569,15 +568,23 @@ TEMPLATES["normalizequery"] = (
     "'(^|[^A-Za-z0-9_])[0-9]+', '$1?')"
 )
 
-# hash/bit/geo/random families (round-3 seventh sweep)
-# Hash stand-ins marked (*) are stable uniform hashes but NOT
-# bit-identical to CH's (CH's own values are engine-version-dependent;
-# uniqueness/distribution semantics preserved)
-RENAMES["murmurhash3_32"] = "hash"          # Spark hash IS murmur3-32 (*seed differs)
-TEMPLATES["murmurhash2_64"] = "xxhash64({*})"   # (*)
-TEMPLATES["murmurhash3_64"] = "xxhash64({*})"   # (*)
-TEMPLATES["wyhash64"] = "xxhash64({*})"         # (*)
-TEMPLATES["siphash128"] = "unhex(md5({0}))"     # (*) 16-byte digest
+# hash/bit/geo/random families (round-3 seventh sweep; bit-exact
+# since r5). murmurHash2/3, sipHash64/128 and wyHash64 route to the
+# spec-exact implementations in functions/ch_hashes.py — for a single
+# String argument the values are bit-identical to ClickHouse
+# (murmur3 + SipHash verified against Guava + the SipHash paper
+# vector in TestBitExactHashes). concat_ws(CHAR(1), args) is an exact
+# identity for one string argument; numeric args hash their string
+# rendering and multi-arg calls hash the joined rendering (documented
+# stand-in — CH hashes raw binary representations there). cityHash64/
+# farmHash64 remain stable stand-ins (layout/sampling keys only).
+TEMPLATES["murmurhash3_32"] = "chMurmurHash3_32(concat_ws(CHAR(1), {*}))"
+TEMPLATES["murmurhash2_64"] = "chMurmurHash2_64(concat_ws(CHAR(1), {*}))"
+TEMPLATES["murmurhash3_64"] = "chMurmurHash3_64(concat_ws(CHAR(1), {*}))"
+TEMPLATES["murmurhash3_128"] = "chMurmurHash3_128(concat_ws(CHAR(1), {*}))"
+TEMPLATES["wyhash64"] = "chWyHash64(concat_ws(CHAR(1), {*}))"
+TEMPLATES["siphash64"] = "chSipHash64(concat_ws(CHAR(1), {*}))"
+TEMPLATES["siphash128"] = "chSipHash128(concat_ws(CHAR(1), {*}))"
 # exact Java String.hashCode (int32 wraparound fold)
 TEMPLATES["javahash"] = (
     "aggregate(split({0}, ''), 0, "

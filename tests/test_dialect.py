@@ -2267,3 +2267,110 @@ class TestSweep28StateMerge:
     )
     def test_engine_eval(self, eng, q, want):
         assert eng.execute(q) == want
+
+
+class TestBitExactHashes:
+    """r5 bit-exact CH hash family (VERDICT r4 missing #2).
+
+    Verification strategy (no network, no CH binary in the
+    container): the murmur3 family and the SipHash-2-4 core are
+    checked value-for-value against an INDEPENDENT implementation —
+    Guava, bundled with Spark — plus the SipHash paper's official
+    test vector; MurmurHash64A and wyhash are careful transcriptions
+    of the public-domain reference code (the same code ClickHouse
+    vendors), exercised for determinism and tail-length coverage."""
+
+    CASES = [b"", b"a", b"abc", b"1234", b"12345678", b"123456789",
+             b"hello world", b"0123456789abcdef",
+             b"The quick brown fox jumps over the lazy dog",
+             bytes(range(256))]
+
+    def test_siphash_paper_vector(self):
+        # SipHash-2-4 official vector: key 000102..0f, empty input
+        from cowsdb_spark.functions.ch_hashes import _siphash24_state
+
+        v = _siphash24_state(b"", 0x0706050403020100, 0x0F0E0D0C0B0A0908)
+        assert (v[0] ^ v[1] ^ v[2] ^ v[3]) == 0x726FDB47DD0E0E31
+
+    def test_murmur3_128_matches_guava(self, spark):
+        from cowsdb_spark.functions.ch_hashes import _murmur3_x64_128
+
+        H = spark.sparkContext._jvm.com.google.common.hash.Hashing
+        for data in self.CASES:
+            h1, h2 = _murmur3_x64_128(data)
+            ours = h1.to_bytes(8, "little") + h2.to_bytes(8, "little")
+            theirs = bytes(H.murmur3_128(0).hashBytes(data).asBytes())
+            assert ours == theirs, f"murmur3_128 mismatch on {data[:16]!r}"
+
+    def test_murmur3_32_matches_guava(self, spark):
+        from cowsdb_spark.functions.ch_hashes import _murmur3_32
+
+        H = spark.sparkContext._jvm.com.google.common.hash.Hashing
+        for data in self.CASES:
+            theirs = H.murmur3_32_fixed(0).hashBytes(data).asInt() & 0xFFFFFFFF
+            assert _murmur3_32(data) == theirs, f"murmur3_32 mismatch on {data[:16]!r}"
+
+    def test_siphash64_matches_guava(self, spark):
+        from cowsdb_spark.functions.ch_hashes import _siphash64
+
+        H = spark.sparkContext._jvm.com.google.common.hash.Hashing
+        for data in self.CASES:
+            theirs = H.sipHash24(0, 0).hashBytes(data).asLong() & 0xFFFFFFFFFFFFFFFF
+            assert _siphash64(data) == theirs, f"siphash64 mismatch on {data[:16]!r}"
+
+    def test_murmur2_64_spec_anchors(self):
+        from cowsdb_spark.functions.ch_hashes import _murmur2_64a
+
+        # empty input at seed 0 folds to 0 by construction
+        assert _murmur2_64a(b"") == 0
+        # determinism + all tail lengths 1..7 distinct from each other
+        vals = {_murmur2_64a(b"x" * n) for n in range(1, 8)}
+        assert len(vals) == 7
+        assert _murmur2_64a(b"hello world") == _murmur2_64a(b"hello world")
+
+    def test_wyhash_structure(self):
+        from cowsdb_spark.functions.ch_hashes import _wyhash64
+
+        # every size-class branch (0, <4, 4..16, 17..48, >48) runs and
+        # produces 64-bit-stable, input-sensitive values
+        sizes = [0, 3, 8, 16, 17, 48, 49, 200]
+        vals = [_wyhash64(bytes(range(max(1, n)))[:n]) for n in sizes]
+        assert len(set(vals)) == len(vals)
+        for v in vals:
+            assert 0 <= v <= 0xFFFFFFFFFFFFFFFF
+
+    def test_engine_surface(self, spark):
+        from cowsdb_spark.engine import Engine
+        from cowsdb_spark.functions.ch_hashes import (
+            _murmur2_64a,
+            _murmur3_x64_128,
+            _siphash64,
+            _siphash128,
+            _to_signed64,
+            _wyhash64,
+        )
+
+        eng = Engine(spark)
+
+        def one(q):
+            return eng.execute(q + " AS r").decode().strip()
+
+        s = b"hello world"
+        h1, h2 = _murmur3_x64_128(s)
+        assert one("SELECT murmurHash2_64('hello world')") == str(
+            _to_signed64(_murmur2_64a(s))
+        )
+        assert one("SELECT murmurHash3_64('hello world')") == str(
+            _to_signed64(h1 ^ h2)
+        )
+        assert one("SELECT sipHash64('hello world')") == str(
+            _to_signed64(_siphash64(s))
+        )
+        assert one("SELECT wyHash64('hello world')") == str(
+            _to_signed64(_wyhash64(s))
+        )
+        assert one("SELECT hex(sipHash128('hello world'))") == _siphash128(s).hex().upper()
+        assert (
+            one("SELECT hex(murmurHash3_128('hello world'))")
+            == (h1.to_bytes(8, "little") + h2.to_bytes(8, "little")).hex().upper()
+        )
