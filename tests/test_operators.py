@@ -57,6 +57,19 @@ class TestSimhash:
         assert pairs.get((0, 1)) == 0
         assert (0, 4) not in pairs
 
+    def test_signature_stage_runs_once(self, docs):
+        """r5 (VERDICT r4 #7): the banded signatures feed both sides
+        of the self-join from the persisted frame — both sides must
+        scan the in-memory relation, and the Python bit-vote stage
+        must not appear live in the join plan (it ran once, into the
+        cache)."""
+        df = simhash_pairs(docs)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("InMemoryTableScan") >= 2, plan
+        # the live plan above the cache holds no Python eval stage
+        head = plan.split("InMemoryRelation")[0]
+        assert "EvalPython" not in head
+
 
 class TestNgramJaccard:
     def test_exact_jaccard_values(self, docs, spark):

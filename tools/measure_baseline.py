@@ -42,7 +42,7 @@ def main() -> None:
     # every (node, reachable-label) pair — quadratic on chain graphs,
     # >5 min at sf0.1 where the Spark operator (pointer jumping)
     # takes ~5 s. The driver's correctness gate runs it at sf0.01.
-    skip_slow = {"t30_dedup_clusters", "t33_dedup_keep_one"}
+    skip_slow = {"t30_dedup_clusters", "t37_dedup_keep_one"}
 
     timings: dict[str, float] = {}
     for name, sql in sorted(entrymod.oracle_sql().items()):
