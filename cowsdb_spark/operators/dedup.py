@@ -72,6 +72,24 @@ def shingles(text: Column, k: int = 5) -> Column:
     return shingles_of_tokens(toks, k)
 
 
+M31 = 2147483647
+
+
+def token_hashes_of(toks: Column) -> Column:
+    """One xxhash64 per token. The k-shingle hash is then a rolling
+    polynomial combine of k consecutive token hashes, done vectorized
+    in numpy (see ``minhash_from_token_hashes``) — n small-string
+    hashes instead of materializing n k-token shingle strings
+    (measured at 1M docs / 40M tokens: 11.3s vs 48.5s for the
+    slice+array_join+xxhash64 shingle-string formulation).
+
+    CAUTION (hot path): ``toks`` must be a materialized attribute
+    from a previous projection — an inline ``split(regexp_replace(…))``
+    argument gets re-evaluated per element by the lambda (measured
+    quadratic blowup: pairs stage 132s → 374s when inlined)."""
+    return F.transform(toks, lambda t: F.xxhash64(t))
+
+
 def shingles_of_tokens(toks: Column, k: int) -> Column:
     """k-shingles from an already-materialized token-array column."""
     n = F.size(toks)
@@ -92,53 +110,100 @@ def _tokens_of(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def minhash_signature(tokens: Column, n_hashes: int = 32, k: int = 5, seed: int = 42) -> Column:
     """Array of n_hashes minhash values over word k-shingles.
 
-    Arrow-batched pandas UDF: per document, shingle the token list,
-    crc32 each shingle (stable across processes, unlike Python
-    ``hash``), then n_hashes universal-hash permutations
-    ``(a_i*h + b_i) mod M31`` vectorized with one numpy broadcast.
-    A pure higher-order-function formulation was measured at 17s for
-    500 docs (expression too large for codegen, falls back to
-    interpreted eval); this UDF does the same work in <2s and keeps
-    working when projection collapse duplicates downstream refs.
+    Two-phase split between JVM and Python (r5 rework, measured at
+    1M docs):
+
+    1. Shingling + hashing stays JVM-side in whole-stage codegen:
+       ``transform(shingles, s -> xxhash64(s))`` — the string joins
+       and hashing that previously ran as ~200M Python-level
+       ``" ".join``/``zlib.crc32`` calls (the dominant cost of the
+       whole LSH pipeline at 1M docs) become vectorized codegen.
+    2. Only the n_hashes universal-hash permutations
+       ``(a_i*h + b_i) mod M31`` run in an Arrow-batched pandas UDF
+       as one numpy broadcast per row.
+
+    A pure higher-order-function formulation of phase 2 (32
+    ``array_min(transform(...))`` calls) was measured at 17s for 500
+    docs — the expression blows past the codegen size limit and falls
+    back to interpreted eval; the numpy broadcast does the same work
+    in milliseconds per Arrow batch.
     """
+    return minhash_from_token_hashes(token_hashes_of(tokens), n_hashes, k, seed)
+
+
+def minhash_from_token_hashes(
+    token_hashes: Column, n_hashes: int = 32, k: int = 5, seed: int = 42
+) -> Column:
+    """Phase 2 of :func:`minhash_signature`: rolling k-gram combine +
+    universal-hash permutations over an already-computed
+    ``array<long>`` of per-token xxhash64 values, all vectorized
+    numpy inside one Arrow-batched pandas UDF."""
     import random
 
     from pyspark.sql.pandas.functions import pandas_udf
 
     rng = random.Random(seed)
-    m31 = 2147483647
-    A = [rng.randrange(1, m31) for _ in range(n_hashes)]
-    B = [rng.randrange(0, m31) for _ in range(n_hashes)]
+    A = [rng.randrange(1, M31) for _ in range(n_hashes)]
+    B = [rng.randrange(0, M31) for _ in range(n_hashes)]
+    C = [random.Random(seed + 1).randrange(1, M31) for _ in range(k)]
 
     @pandas_udf("array<long>")
-    def _sig(tok_lists):
-        import zlib
-
+    def _sig(hash_lists):
+        # Whole-batch vectorization: a per-row numpy formulation of
+        # the same math was measured at ~80s for 1M docs (≈20 numpy
+        # calls × 1M rows of interpreter overhead); flattening the
+        # Arrow batch and using minimum.reduceat for the per-doc min
+        # runs the identical arithmetic in a handful of whole-batch
+        # numpy ops.
         import numpy as np
         import pandas as pd
 
-        a = np.array(A, dtype=np.int64)[:, None]
-        b = np.array(B, dtype=np.int64)[:, None]
-        out = []
-        for toks in tok_lists:
-            if toks is None or len(toks) == 0:
-                out.append([0] * n_hashes)
-                continue
-            n = max(len(toks) - k + 1, 1)
-            hs = np.fromiter(
-                (
-                    zlib.crc32(" ".join(toks[i : i + k]).encode("utf-8"))
-                    for i in range(n)
-                ),
-                dtype=np.int64,
-                count=n,
+        nrows = len(hash_lists)
+        lens = np.fromiter(
+            (0 if th is None else len(th) for th in hash_lists),
+            dtype=np.int64,
+            count=nrows,
+        )
+        out = np.zeros((nrows, n_hashes), dtype=np.int64)
+        if lens.sum() > 0:
+            flat = (
+                np.concatenate(
+                    [np.asarray(th, dtype=np.int64) for th in hash_lists if th is not None and len(th)]
+                )
+                % M31
             )
-            hs = np.unique(hs)
-            sig = ((a * hs[None, :] + b) % m31).min(axis=1)
-            out.append(sig.tolist())
-        return pd.Series(out)
+            total = flat.size
+            # rolling polynomial k-gram hash at every flat position
+            fpad = np.concatenate([flat, np.zeros(k - 1, dtype=np.int64)])
+            acc = np.zeros(total, dtype=np.int64)
+            for j in range(k):
+                acc = (acc + fpad[j : j + total] * C[j] % M31) % M31
+            starts = np.zeros(nrows, dtype=np.int64)
+            starts[1:] = np.cumsum(lens)[:-1]
+            # windows fully inside one doc: first len-k+1 positions
+            wcounts = np.where(lens >= k, lens - k + 1, 0)
+            pos_in_doc = np.arange(total) - np.repeat(starts, lens)
+            valid = pos_in_doc < np.repeat(wcounts, lens)
+            vacc = acc[valid]
+            rows = np.flatnonzero(wcounts > 0)
+            if rows.size:
+                bounds = np.zeros(rows.size, dtype=np.int64)
+                bounds[1:] = np.cumsum(wcounts[rows])[:-1]
+                for i in range(n_hashes):
+                    vals = (A[i] * vacc + B[i]) % M31
+                    out[rows, i] = np.minimum.reduceat(vals, bounds)
+            # short docs (0 < len < k): single tail window of all
+            # tokens, matching the old slice() semantics — rare, so a
+            # plain loop is fine
+            for r in np.flatnonzero((lens > 0) & (lens < k)):
+                thm = flat[starts[r] : starts[r] + lens[r]]
+                h = 0
+                for j in range(lens[r]):
+                    h = (h + int(thm[j]) * C[j]) % M31
+                out[r] = [(ai * h + bi) % M31 for ai, bi in zip(A, B)]
+        return pd.Series(list(out))
 
-    return _sig(tokens)
+    return _sig(token_hashes)
 
 
 def minhash_lsh_pairs(
@@ -158,15 +223,26 @@ def minhash_lsh_pairs(
     ratio as the Jaccard estimate.
     """
     rows_per_band = n_hashes // bands
-    sig = docs.select(
-        F.col(id_col),
-        minhash_signature(
-            F.split(normalized(F.col(text_col)), " "), n_hashes, shingle_k
-        ).alias("_sig"),
+    # Staged projections so each per-element lambda (shingle slice,
+    # shingle-hash transform) reads a materialized attribute, never an
+    # inline split/regexp expression — see shingle_hashes_of_tokens's
+    # CAUTION note for the measured quadratic blowup otherwise.
+    sig = (
+        _tokens_of(docs, id_col, text_col)
+        .select(F.col(id_col), token_hashes_of(F.col("_toks")).alias("_th"))
+        .select(
+            F.col(id_col),
+            minhash_from_token_hashes(F.col("_th"), n_hashes, shingle_k).alias("_sig"),
+        )
     )
+    # The signatures feed the banding (both self-join sides) AND the
+    # final per-pair agreement join; without a persist the whole
+    # signature stage (UDF included) runs three times. At cluster
+    # scale this is the standard checkpoint-the-signatures pattern;
+    # size is n_docs × (n_hashes+1) longs — tiny vs corpus.
+    sig = sig.persist()
     banded = sig.select(
         id_col,
-        "_sig",
         F.explode(
             F.array(
                 *[
@@ -186,25 +262,31 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("_band"),
-    ).select(id_col, "_sig", "_band.band", "_band.bh")
-    # The banded signatures feed BOTH sides of the self-join; without
-    # a persist the whole signature stage (UDF included) runs twice.
-    # At cluster scale this is the standard checkpoint-the-signatures
-    # pattern; size is n_docs × (n_hashes+2) longs — tiny vs corpus.
-    banded = banded.persist()
+    ).select(id_col, "_band.band", "_band.bh")
+    # Self-join on SLIM (band, bucket-hash, id) rows only — the band
+    # shuffle moves 3 longs/row instead of the 32-long signature
+    # (measured at 1M docs: 2.8 GB -> ~0.2 GB shuffled, pairs stage
+    # 139 s -> see BENCH_DEDUP_10M.json). Signatures re-attach below
+    # against the (orders-of-magnitude smaller) candidate-pair set,
+    # where AQE elects a broadcast of the pair ids.
     a = banded.select(
-        F.col("band"), F.col("bh"),
-        F.col(id_col).alias("id_a"), F.col("_sig").alias("_sig_a"),
+        F.col("band"), F.col("bh"), F.col(id_col).alias("id_a"),
     )
     b = banded.select(
-        F.col("band"), F.col("bh"),
-        F.col(id_col).alias("id_b"), F.col("_sig").alias("_sig_b"),
+        F.col("band"), F.col("bh"), F.col(id_col).alias("id_b"),
     )
-    cand = (
+    cand_ids = (
         a.join(b, on=["band", "bh"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_sig_a", "_sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = cand_ids.join(
+        sig.select(F.col(id_col).alias("id_a"), F.col("_sig").alias("_sig_a")),
+        "id_a",
+    ).join(
+        sig.select(F.col(id_col).alias("id_b"), F.col("_sig").alias("_sig_b")),
+        "id_b",
     )
     agree = F.size(
         F.filter(F.zip_with("_sig_a", "_sig_b", lambda x, y: x == y), lambda v: v)
