@@ -1113,13 +1113,23 @@ class Engine:
                 return df, "plain"
             size = self._leaf_scan_bytes(df)
             if size is None or size > self.SMALL_SCAN_BYTES:
-                if self._is_plain_global_agg(df):
-                    # A GROUP-BY-less aggregate shuffles only one
-                    # partial row per map task regardless of input
-                    # size — AQE's stage barrier is pure latency here
-                    # (measured at 10M rows: cb01 0.31->0.15s, cb02
-                    # 0.22->0.14s). Scan width is unchanged; only the
-                    # adaptive re-plan is skipped.
+                if self._is_single_shuffle_agg(df):
+                    # A single-Aggregate plan (grouped or not, no
+                    # distinct rewrite, no join/window) has exactly one
+                    # exchange, keyed on the grouping columns.  AQE
+                    # contributes only partition coalescing to such a
+                    # plan — its skew handling is join-only — and that
+                    # coalesce costs a materialize+re-plan barrier on
+                    # every run.  Global aggs shuffle one partial row
+                    # per map task (cb01 0.31->0.15s at 10M); grouped
+                    # aggs shuffle the partial-agg rows, where the
+                    # barrier is ~0.1-0.2s of pure latency (10M-row
+                    # A/B, min-of-3: cb32 1.18->1.00s, cb35
+                    # 0.82->0.70s, cb30/31/33 -0.09s each; the
+                    # multi-shuffle COUNT(DISTINCT) family *loses*
+                    # under static planning — cb04 0.31->0.42s — and
+                    # stays adaptive).  Shuffle width stays at the
+                    # session default, the same width AQE starts from.
                     with self._conf_lock:
                         prev = self.spark.conf.get("spark.sql.adaptive.enabled")
                         self.spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -1199,30 +1209,38 @@ class Engine:
         return not any(m in low for m in self._NONDETERMINISTIC_MARKERS)
 
     @staticmethod
-    def _is_plain_global_agg(df: DataFrame) -> bool:
-        """True iff the analyzed plan is a single Aggregate with no
-        grouping keys over a join-free, window-free subtree (wrapped
-        in Project/Limit/Sort at most). COUNT(DISTINCT) plans rewrite
-        to nested Aggregates and stay adaptive — their shuffle carries
-        the distinct keys, which AQE should keep coalescing at scale.
+    def _is_single_shuffle_agg(df: DataFrame) -> bool:
+        """True iff the analyzed plan is a single Aggregate (grouped
+        or global) over a join-free, window-free subtree (wrapped in
+        Project/Limit/Sort at most) with no DISTINCT aggregates.
+
+        Such a plan compiles to scan -> partial agg -> one exchange ->
+        final agg (+ TakeOrderedAndProject for the ORDER BY ... LIMIT
+        form), and AQE's only possible contribution is coalescing that
+        one exchange — skew splitting applies to joins only.
+        COUNT(DISTINCT) plans rewrite to nested Aggregates with two
+        exchanges whose intermediate width AQE should keep coalescing
+        at scale; they stay adaptive (measured regression otherwise,
+        see _plan_select_with_mode).
         """
         try:
             node = df._jdf.queryExecution().analyzed()  # noqa: SLF001
-            for _ in range(4):
+            for _ in range(5):
                 name = node.getClass().getSimpleName()
-                if name in ("Project", "GlobalLimit", "LocalLimit", "Sort"):
+                # Filter here is a HAVING clause (post-aggregation);
+                # WHERE filters sit below the Aggregate node.
+                if name in ("Project", "GlobalLimit", "LocalLimit", "Sort", "Filter"):
                     node = node.children().head()
                 else:
                     break
             if node.getClass().getSimpleName() != "Aggregate":
-                return False
-            if not node.groupingExpressions().isEmpty():
                 return False
             sub = node.toString()
             return (
                 sub.count("Aggregate") == 1
                 and "Join" not in sub
                 and "Window" not in sub
+                and "distinct" not in sub
             )
         except Exception:  # noqa: BLE001
             return False

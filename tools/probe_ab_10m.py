@@ -8,6 +8,7 @@ Usage: python tools/probe_ab_10m.py            # orchestrate
 
 from __future__ import annotations
 
+import json
 import os
 import statistics
 import subprocess
@@ -16,24 +17,19 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SUBSET = {"cb00", "cb04", "cb08", "cb13", "cb17", "cb22", "cb28", "cb32", "cb34", "cb35"}
+SUBSET = {"cb30", "cb31", "cb32", "cb33", "cb34", "cb35", "cb04", "cb08"}
 
 CONFIGS = {
-    "shm": {"spark.local.dir": "/dev/shm/moospark-local"},
-    "shm_pgc": {
-        "spark.local.dir": "/dev/shm/moospark-local",
-        "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
-    },
-    "shm_offheap": {
-        "spark.local.dir": "/dev/shm/moospark-local",
+    "base": {},
+    "offheap8": {
         "spark.memory.offHeap.enabled": "true",
         "spark.memory.offHeap.size": "8g",
     },
-    "shm_pgc_oh": {
-        "spark.local.dir": "/dev/shm/moospark-local",
-        "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
+    "pgc": {"spark.driver.extraJavaOptions": "-XX:+UseParallelGC"},
+    "offheap_pgc": {
         "spark.memory.offHeap.enabled": "true",
         "spark.memory.offHeap.size": "8g",
+        "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
     },
 }
 
@@ -51,6 +47,7 @@ def run_cell_inproc(conf_str: str) -> None:
     spark.read.parquet(ensure_hits_10m()).createOrReplaceTempView("hits")
     eng = Engine(spark)
     total = 0.0
+    per = {}
     for q in QUERIES:
         if q["id"] not in SUBSET:
             continue
@@ -61,6 +58,8 @@ def run_cell_inproc(conf_str: str) -> None:
             eng.execute_to_df(q["sql"])[0].collect()
             best = min(best, time.perf_counter() - t0)
         total += best
+        per[q["id"]] = round(best, 3)
+    print("CELL_JSON " + json.dumps(per))
     print(f"CELL_TOTAL {total:.3f}")
 
 
@@ -81,7 +80,11 @@ def main():
                 if line.startswith("CELL_TOTAL"):
                     t = float(line.split()[1])
             results[name].append(t)
-            print(f"round {r} {name:12s} {t:7.3f}s", flush=True)
+            pq = ""
+            for line in out.stdout.splitlines():
+                if line.startswith("CELL_JSON"):
+                    pq = line[len("CELL_JSON "):]
+            print(f"round {r} {name:12s} {t:7.3f}s {pq}", flush=True)
     print("--- medians ---")
     for name, ts in results.items():
         print(f"{name:12s} median={statistics.median(ts):7.3f} all={[round(t,2) for t in ts]}")
