@@ -65,6 +65,16 @@ def get_spark(app_name: str = "moospark", shuffle_partitions: int | None = None)
         # At cluster scale the analog is right-sizing executor heaps
         # instead of maximizing them.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "12g"))
+        # Throughput collector over G1: the analytics hot path churns
+        # short-lived UnsafeRow/string garbage across 32 task threads,
+        # and G1's mixed-collection pauses land mid-query — measured on
+        # the variance-prone 10M subset (tools/probe_gc.py, 7 reps,
+        # fresh JVM per config): G1 median-total 6.51s with cb23
+        # swinging 0.42-3.10s vs ParallelGC 4.93s with cb23 at
+        # 0.34-0.65s; GC time 4.0s -> 2.4s. ZGC and G1+pause-target
+        # landed between. Cluster analog: executor GC choice is a
+        # per-deployment JVM flag, same lever.
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # 32 MB scan splits: a 0.5 GB file fans out to ~16 scan tasks

@@ -959,7 +959,7 @@ class TestColumnDefaults:
 
 
 class TestPlanCacheGuards:
-    """The analyzed-plan cache must never serve stale results: engine
+    """The optimized-plan cache must never serve stale results: engine
     DDL/inserts bump the generation; direct temp-view replacement is
     caught by semanticHash guards on the referenced views."""
 
@@ -986,6 +986,19 @@ class TestPlanCacheGuards:
         # actually gets hits without changing results
         for _ in range(3):
             assert engine.execute("SELECT sum(number) AS s FROM numbers(100)") == b"4950\n"
+
+    def test_cache_hit_reruns_shuffle_stages(self, engine):
+        # execution honesty: a plan-cache hit must rebuild the Dataset
+        # from the cached optimized plan so every shuffle stage re-runs
+        # — observable as new Spark jobs on the second execution (a
+        # reused Dataset would answer a repeated collect from the
+        # registered map outputs without submitting the shuffle jobs)
+        sql = "SELECT number % 7 AS k, count() AS c FROM numbers(100000) GROUP BY k ORDER BY k"
+        engine.execute(sql)  # populate the cache
+        all_before = engine.spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+        engine.execute(sql)  # cache hit
+        all_after = engine.spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+        assert all_after > all_before, "cache hit executed zero Spark jobs"
 
 
 class TestAttachDetach:
