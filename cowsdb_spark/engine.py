@@ -53,7 +53,7 @@ from .system_tables import materialize as _materialize_system
 # HTTP-layer settings (query_id, enable_http_compression,
 # send_progress_in_http_headers, http_headers_progress_interval_ms) are
 # consumed by the server before the engine sees them.
-ACTED_SETTINGS = frozenset({"default_format", "max_result_rows"})
+ACTED_SETTINGS = frozenset({"default_format", "max_result_rows", "format_schema"})
 
 
 class EngineError(Exception):
@@ -179,12 +179,20 @@ class Engine:
         self,
         spark: Optional[SparkSession] = None,
         user_files_dir: Optional[str] = None,
+        format_schema_dir: Optional[str] = None,
     ):
         self.spark = spark or get_spark("moospark-engine")
         # INTO OUTFILE confinement root (CH user_files_path analog);
         # unset → the feature is disabled (see _confine_outfile)
         self.user_files_dir = user_files_dir or os.environ.get(
             "MOOSPARK_USER_FILES_DIR"
+        )
+        # Schema-file formats (Protobuf): CH's format_schema_path model
+        # — client-supplied format_schema names resolve inside this
+        # directory only (realpath-confined in formats/protobuf.py);
+        # unset → schema formats are disabled with a clear error
+        self.format_schema_dir = format_schema_dir or os.environ.get(
+            "MOOSPARK_FORMAT_SCHEMA_PATH"
         )
         # CH-style permissive INSERT coercion: string literals into
         # Date/DateTime/numeric columns must cast (ANSI store
@@ -479,12 +487,18 @@ class Engine:
 
         res.rows = _counting(res.rows)
         try:
-            body = serialize(res, use_fmt, max_result_rows=max_rows)
+            body = serialize(
+                res, use_fmt, max_result_rows=max_rows,
+                settings={**merged,
+                          "__format_schema_path__": self.format_schema_dir},
+            )
         except ValueError as e:
             if "unknown format" in str(e).lower():
                 # CH code 73: UNKNOWN_FORMAT
                 raise EngineError(f"Unknown format {use_fmt}", 73) from e
-            raise
+            # schema-file format misuse (missing/invalid format_schema,
+            # path escape, unknown message): CH BAD_ARGUMENTS
+            raise EngineError(str(e), 36) from e
         if outfile:
             # INTO OUTFILE: result bytes go to the file; the wire body
             # is empty unless AND STDOUT was given (CH semantics —
@@ -541,9 +555,11 @@ class Engine:
         settings: dict = {}
         data_insert = _match_insert_data(query)
         if data_insert is not None:
-            ref, col_list, fmt_name, payload = data_insert
+            ref, col_list, fmt_name, payload, ins_settings = data_insert
             self._invalidate_plans()
-            self._insert_formatted(sess, ref, col_list, fmt_name, payload)
+            self._insert_formatted(
+                sess, ref, col_list, fmt_name, payload, ins_settings
+            )
             return None, None, {}, time.time() - t0
         try:
             stmts = translate(query)
@@ -1134,22 +1150,22 @@ class Engine:
             size = self._leaf_scan_bytes(df)
             if size is None or size > self.SMALL_SCAN_BYTES:
                 if self._is_single_shuffle_agg(df):
-                    # A single-Aggregate plan (grouped or not, no
-                    # distinct rewrite, no join/window) has exactly one
-                    # exchange, keyed on the grouping columns.  AQE
-                    # contributes only partition coalescing to such a
-                    # plan — its skew handling is join-only — and that
-                    # coalesce costs a materialize+re-plan barrier on
-                    # every run.  Global aggs shuffle one partial row
-                    # per map task (cb01 0.31->0.15s at 10M); grouped
-                    # aggs shuffle the partial-agg rows, where the
-                    # barrier is ~0.1-0.2s of pure latency (10M-row
-                    # A/B, min-of-3: cb32 1.18->1.00s, cb35
-                    # 0.82->0.70s, cb30/31/33 -0.09s each; the
-                    # multi-shuffle COUNT(DISTINCT) family *loses*
-                    # under static planning — cb04 0.31->0.42s — and
-                    # stays adaptive).  Shuffle width stays at the
-                    # session default, the same width AQE starts from.
+                    # A single-Aggregate plan (grouped, global, or
+                    # distinct-rewritten; no join/window) compiles to
+                    # 1-3 chained exchanges keyed on grouping columns.
+                    # AQE contributes only partition coalescing to such
+                    # a plan — its skew handling is join-only — and
+                    # that coalesce costs a materialize+re-plan barrier
+                    # per exchange on every run.  Global aggs shuffle
+                    # one partial row per map task (cb01 0.31->0.15s at
+                    # 10M); grouped aggs shuffle the partial-agg rows
+                    # (cb32 1.18->1.00s, cb35 0.82->0.70s); the
+                    # COUNT(DISTINCT) family pays 2-3 barriers and wins
+                    # the most (cb04 0.33->0.20s, cb22 1.36->0.40s,
+                    # min-of-5 under ParallelGC — see
+                    # _is_single_shuffle_agg).  Shuffle width stays at
+                    # the session default, the same width AQE starts
+                    # from.
                     with self._conf_lock:
                         prev = self.spark.conf.get("spark.sql.adaptive.enabled")
                         self.spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -1234,14 +1250,20 @@ class Engine:
         or global) over a join-free, window-free subtree (wrapped in
         Project/Limit/Sort at most) with no DISTINCT aggregates.
 
-        Such a plan compiles to scan -> partial agg -> one exchange ->
+        Such a plan compiles to scan -> partial agg -> exchange ->
         final agg (+ TakeOrderedAndProject for the ORDER BY ... LIMIT
-        form), and AQE's only possible contribution is coalescing that
-        one exchange — skew splitting applies to joins only.
-        COUNT(DISTINCT) plans rewrite to nested Aggregates with two
-        exchanges whose intermediate width AQE should keep coalescing
-        at scale; they stay adaptive (measured regression otherwise,
-        see _plan_select_with_mode).
+        form), and AQE's only possible contribution is coalescing the
+        exchanges — skew splitting applies to joins only.
+        COUNT(DISTINCT) plans (one analyzed Aggregate whose expression
+        carries the distinct flag; RewriteDistinctAggregates splits it
+        at optimization) qualify too: they compile to 2-3 chained
+        exchanges, and submitting them as ONE DAGScheduler job beats
+        AQE's per-stage materialize barriers — 10M-row min-of-5 A/B
+        under ParallelGC: cb04 0.33->0.20s, cb22 1.36->0.40s, cb09
+        0.40->0.32s, worst case cb08 +0.02s. (Under the earlier G1
+        profile the same family measured the other way; the barrier
+        cost only dominates once GC pauses stop inflating every
+        stage.)
         """
         try:
             node = df._jdf.queryExecution().analyzed()  # noqa: SLF001
@@ -1260,7 +1282,6 @@ class Engine:
                 sub.count("Aggregate") == 1
                 and "Join" not in sub
                 and "Window" not in sub
-                and "distinct" not in sub
             )
         except Exception:  # noqa: BLE001
             return False
@@ -2334,6 +2355,7 @@ class Engine:
         col_list: list[str],
         fmt_name: str,
         payload: str,
+        settings: Optional[dict] = None,
     ) -> None:
         """``INSERT INTO t [(cols)] FORMAT <X>`` with the data inline
         after the statement — the standard ClickHouse HTTP ingestion
@@ -2419,6 +2441,35 @@ class Engine:
             avro_names, rows = read_ocf(raw)
             if avro_names and avro_names != ["value"]:
                 names = [n for n in avro_names if n in names] or avro_names
+        elif fmt in ("PROTOBUF", "PROTOBUFSINGLE", "PROTOBUFLIST"):
+            from .formats.protobuf import decode_rows, resolve_schema
+
+            fs = (settings or {}).get("format_schema")
+            if not fs:
+                raise EngineError(
+                    "INSERT FORMAT Protobuf requires SETTINGS "
+                    "format_schema='file.proto:Message'", 36
+                )
+            if not self.format_schema_dir:
+                raise EngineError(
+                    "format_schema_path is not configured on this server", 36
+                )
+            try:
+                fields, _msg = resolve_schema(str(fs), self.format_schema_dir)
+                raw = payload.encode("utf-8", "surrogateescape")
+                mode = {"PROTOBUF": "delimited", "PROTOBUFSINGLE": "single",
+                        "PROTOBUFLIST": "list"}[fmt]
+                pb_names, rows = decode_rows(fields, raw, mode=mode)
+            except (ValueError, IndexError, OSError) as e:
+                raise EngineError(str(e), 36) from e
+            # match protobuf fields to table columns case-insensitively
+            lower_map = {n.lower(): n for n in names}
+            keep = [i for i, p in enumerate(pb_names) if p.lower() in lower_map]
+            if keep:
+                names = [lower_map[pb_names[i].lower()] for i in keep]
+                rows = [tuple(r[i] for i in keep) for r in rows]
+            else:
+                names = pb_names
         else:
             raise EngineError(f"Unsupported INSERT format: {fmt_name}", 73)
         if not rows:
@@ -2428,7 +2479,8 @@ class Engine:
         # JSONEachRow and Avro carry native typed values
         src_types = (
             ["Nullable(String)"] * len(names)
-            if fmt not in ("JSONEACHROW", "AVRO")
+            if fmt not in ("JSONEACHROW", "AVRO", "PROTOBUF",
+                           "PROTOBUFSINGLE", "PROTOBUFLIST")
             else None
         )
         self.insert_rows(
@@ -2868,9 +2920,13 @@ import re as _re
 
 _INSERT_DATA_RE = _re.compile(
     # data block starts after a newline — except FORMAT Values, whose
-    # rows may follow on the same line (clickhouse-client does this)
+    # rows may follow on the same line (clickhouse-client does this);
+    # an optional SETTINGS clause (e.g. format_schema for Protobuf)
+    # may sit between the column list and FORMAT, as in CH
     r"^\s*INSERT\s+INTO\s+(?P<ref>`[^`]+`(?:\s*\.\s*`[^`]+`)?|[\w.]+)\s*"
-    r"(?:\((?P<cols>[^)]*)\)\s*)?FORMAT\s+(?P<fmt>\w+)[ \t]*\n(?P<data>.+)$",
+    r"(?:\((?P<cols>[^)]*)\)\s*)?"
+    r"(?:SETTINGS\s+(?P<settings>[^\n]*?)\s+)?"
+    r"FORMAT\s+(?P<fmt>\w+)[ \t]*\n(?P<data>.+)$",
     _re.IGNORECASE | _re.DOTALL,
 )
 
@@ -2887,6 +2943,7 @@ def _match_insert_data(query: str):
     is empty — then it's a plain statement)."""
     m = _INSERT_DATA_RE.match(query)
     fmt = m.group("fmt") if m else "Values"
+    settings_txt = (m.group("settings") or "") if m else ""
     if not m:
         m = _INSERT_VALUES_INLINE_RE.match(query)
     if not m or not m.group("data").strip():
@@ -2894,7 +2951,8 @@ def _match_insert_data(query: str):
     cols = [
         c.strip().strip("`") for c in (m.group("cols") or "").split(",") if c.strip()
     ]
-    return m.group("ref"), cols, fmt, m.group("data")
+    settings = _parse_set(f"SET {settings_txt}") if settings_txt.strip() else {}
+    return m.group("ref"), cols, fmt, m.group("data"), settings
 
 
 def _tsv_field(v: str, raw: bool) -> Optional[str]:

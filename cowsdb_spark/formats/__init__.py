@@ -434,10 +434,37 @@ def to_xml(res: QueryResult, limit: Optional[int] = None) -> bytes:
     return "".join(out).encode("utf-8")
 
 
-def serialize(res: QueryResult, fmt: str, max_result_rows: Optional[int] = None) -> bytes:
+def serialize(
+    res: QueryResult,
+    fmt: str,
+    max_result_rows: Optional[int] = None,
+    settings: Optional[dict] = None,
+) -> bytes:
     from .native import to_native
 
     f = fmt.lower()
+    if f in ("protobuf", "protobufsingle", "protobuflist"):
+        from .protobuf import encode_rows, resolve_schema
+
+        st = settings or {}
+        fs = st.get("format_schema")
+        if not fs:
+            raise ValueError(
+                "format Protobuf requires the format_schema setting "
+                "('file.proto:MessageName')"
+            )
+        sdir = st.get("__format_schema_path__")
+        if not sdir:
+            raise ValueError(
+                "format_schema_path is not configured on this server"
+            )
+        fields, _ = resolve_schema(str(fs), str(sdir))
+        mode = {"protobuf": "delimited", "protobufsingle": "single",
+                "protobuflist": "list"}[f]
+        return encode_rows(
+            fields, res.columns, res.ch_types, res.rows,
+            mode=mode, limit=max_result_rows,
+        )
     if f == "parquet":
         return to_parquet(res, limit=max_result_rows)
     if f == "arrow":
@@ -553,6 +580,9 @@ CONTENT_TYPES = {
     "rowbinarywithnamesandtypes": "application/octet-stream",
     "null": "text/plain; charset=UTF-8",
     "parquet": "application/octet-stream",
+    "protobuf": "application/octet-stream",
+    "protobufsingle": "application/octet-stream",
+    "protobuflist": "application/octet-stream",
     "arrow": "application/vnd.apache.arrow.file",
     "arrowstream": "application/vnd.apache.arrow.stream",
 }
