@@ -14,6 +14,7 @@ from __future__ import annotations
 import concurrent.futures
 import hashlib
 import os
+import struct as _struct
 import threading
 import time
 from dataclasses import dataclass, field
@@ -2470,6 +2471,33 @@ class Engine:
                 rows = [tuple(r[i] for i in keep) for r in rows]
             else:
                 names = pb_names
+        elif fmt == "CAPNPROTO":
+            from .formats.capnp import decode_rows as _capnp_decode
+            from .formats.capnp import resolve_schema as _capnp_resolve
+
+            fs = (settings or {}).get("format_schema")
+            if not fs:
+                raise EngineError(
+                    "INSERT FORMAT CapnProto requires SETTINGS "
+                    "format_schema='file.capnp:Struct'", 36
+                )
+            if not self.format_schema_dir:
+                raise EngineError(
+                    "format_schema_path is not configured on this server", 36
+                )
+            try:
+                fields, _msg = _capnp_resolve(str(fs), self.format_schema_dir)
+                raw = payload.encode("utf-8", "surrogateescape")
+                cp_names, rows = _capnp_decode(fields, raw)
+            except (ValueError, IndexError, OSError, _struct.error) as e:
+                raise EngineError(str(e), 36) from e
+            lower_map = {n.lower(): n for n in names}
+            keep = [i for i, p in enumerate(cp_names) if p.lower() in lower_map]
+            if keep:
+                names = [lower_map[cp_names[i].lower()] for i in keep]
+                rows = [tuple(r[i] for i in keep) for r in rows]
+            else:
+                names = cp_names
         else:
             raise EngineError(f"Unsupported INSERT format: {fmt_name}", 73)
         if not rows:
@@ -2480,7 +2508,7 @@ class Engine:
         src_types = (
             ["Nullable(String)"] * len(names)
             if fmt not in ("JSONEACHROW", "AVRO", "PROTOBUF",
-                           "PROTOBUFSINGLE", "PROTOBUFLIST")
+                           "PROTOBUFSINGLE", "PROTOBUFLIST", "CAPNPROTO")
             else None
         )
         self.insert_rows(

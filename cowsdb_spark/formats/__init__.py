@@ -465,6 +465,27 @@ def serialize(
             fields, res.columns, res.ch_types, res.rows,
             mode=mode, limit=max_result_rows,
         )
+    if f == "capnproto":
+        from .capnp import encode_rows as _capnp_encode
+        from .capnp import resolve_schema as _capnp_resolve
+
+        st = settings or {}
+        fs = st.get("format_schema")
+        if not fs:
+            raise ValueError(
+                "format CapnProto requires the format_schema setting "
+                "('file.capnp:StructName')"
+            )
+        sdir = st.get("__format_schema_path__")
+        if not sdir:
+            raise ValueError(
+                "format_schema_path is not configured on this server"
+            )
+        fields, _ = _capnp_resolve(str(fs), str(sdir))
+        return _capnp_encode(
+            fields, res.columns, res.ch_types, res.rows,
+            limit=max_result_rows,
+        )
     if f == "parquet":
         return to_parquet(res, limit=max_result_rows)
     if f == "arrow":
@@ -583,6 +604,7 @@ CONTENT_TYPES = {
     "protobuf": "application/octet-stream",
     "protobufsingle": "application/octet-stream",
     "protobuflist": "application/octet-stream",
+    "capnproto": "application/octet-stream",
     "arrow": "application/vnd.apache.arrow.file",
     "arrowstream": "application/vnd.apache.arrow.stream",
 }

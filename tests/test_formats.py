@@ -344,7 +344,7 @@ class TestSweep27FormatBreadth:
         from cowsdb_spark.engine import EngineError
 
         with pytest.raises(EngineError) as ei:
-            eng.execute("SELECT 1 AS a FORMAT CapnProto")
+            eng.execute("SELECT 1 AS a FORMAT NoSuchFormat")
         assert ei.value.code == 73
 
 

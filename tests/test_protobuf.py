@@ -213,9 +213,11 @@ class TestEngineProtobuf:
             eng.execute("SELECT 1 AS a FORMAT Protobuf")
         assert ei.value.code == 36
 
-    def test_capnproto_still_unknown(self, eng):
+    def test_capnproto_without_schema_is_bad_arguments(self, eng):
+        # CapnProto is implemented (formats/capnp.py) — without a
+        # format_schema it fails with BAD_ARGUMENTS, not UNKNOWN_FORMAT
         from cowsdb_spark.engine import EngineError
 
         with pytest.raises(EngineError) as ei:
             eng.execute("SELECT 1 AS a FORMAT CapnProto")
-        assert ei.value.code == 73
+        assert ei.value.code == 36
