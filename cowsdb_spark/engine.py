@@ -1061,27 +1061,51 @@ class Engine:
                         self._prebuilt.pop(key, None)
                     hit = None
                 if hit is not None:
-                    # Reuse ONLY the optimized logical plan: a fresh
-                    # Dataset is built from it, so execution (including
-                    # every shuffle stage) runs from scratch — the
-                    # rebuilt QueryExecution creates new Exchange nodes
-                    # whose shuffle dependencies have never run.
-                    # Returning the cached DataFrame itself would let
+                    # Two reuse tiers, both execution-honest:
+                    #
+                    # HOT (non-AQE plans whose executed plan holds no
+                    # BroadcastExchange / Subquery / InMemoryTableScan):
+                    # return the SAME Dataset, after unregistering its
+                    # shuffles' map outputs with MapOutputTrackerMaster.
+                    # Scan/result stages always re-run on re-collect
+                    # (Spark caches no stage output outside shuffle
+                    # files), and dropping the map-output registration
+                    # forces the DAGScheduler to re-run every shuffle
+                    # map stage too — the exact recompute path executor
+                    # loss takes, so every byte is re-scanned, re-
+                    # aggregated and re-shuffled on each run. What the
+                    # hot tier skips is only driver-side plan
+                    # bookkeeping (doExecute RDD wiring + codegen
+                    # source generation, ~60 ms/query at 10M; cb15
+                    # fresh 0.28s vs hot 0.22s with map stages
+                    # verifiably re-running). Plans with broadcasts,
+                    # subqueries, or cached relations stay out: those
+                    # node types memoize their results inside the plan
+                    # object, which WOULD be result reuse.
+                    #
+                    # WARM (everything else): rebuild a fresh Dataset
+                    # from the cached optimized plan — new Exchange
+                    # nodes whose shuffle dependencies have never run.
+                    # Starting from optimizedPlan() (not analyzed())
+                    # skips the optimizer fixpoint re-run (measured
+                    # ~23 ms/query at 10M). Returning the cached
+                    # DataFrame without the map-output reset would let
                     # Spark skip completed shuffle stages on re-collect
                     # — result caching in disguise, which would fake
-                    # hot-run benchmarks and serve stale data. Starting
-                    # from optimizedPlan() (not analyzed()) skips the
-                    # expensive optimizer passes on the hit path — the
-                    # optimizer is a fixpoint, so re-running it over an
-                    # already-optimized tree converges immediately
-                    # (measured ~23 ms/query at 10M: 57-71 ms planning
-                    # from analyzed vs 34-48 ms from optimized). The
-                    # static-plan decision is cached alongside, so the
-                    # hit path pays no plan inspection. Staleness is
-                    # covered by the same guards as before: the cache
-                    # key carries _catalog_gen (bumped on every
-                    # DDL/INSERT) and TEMP VIEW semanticHash guards.
-                    hit_df, mode, _guards = hit
+                    # hot-run benchmarks and serve stale data.
+                    #
+                    # Staleness is covered by the same guards for both
+                    # tiers: the cache key carries _catalog_gen
+                    # (bumped on every DDL/INSERT) and TEMP VIEW
+                    # semanticHash guards.
+                    hit_df, mode, _guards, hot = hit
+                    if mode != "plain" and hot.get("state") != "unsafe":
+                        if hot.get("state") is None:
+                            st, ids = self._hot_reuse_info(hit_df)
+                            hot["state"], hot["ids"] = st, ids
+                        if hot.get("state") == "safe":
+                            self._reset_shuffle_outputs(hot["ids"])
+                            return hit_df
                     pre = None
                     with self._lock:
                         lst = self._prebuilt.get(key)
@@ -1096,7 +1120,9 @@ class Engine:
             df, mode = self._plan_select_with_mode(prepared)
             if key is not None:
                 with self._lock:
-                    self._plan_cache[key] = (df, mode, self._temp_view_guards(df))
+                    self._plan_cache[key] = (
+                        df, mode, self._temp_view_guards(df), {"state": None}
+                    )
                     self._plan_cache.move_to_end(key)
                     while len(self._plan_cache) > self._plan_cache_max:
                         old_key, _ = self._plan_cache.popitem(last=False)
@@ -1327,6 +1353,57 @@ class Engine:
                     self.spark.conf.set("spark.sql.adaptive.enabled", prev)
                     self.spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         return df2
+
+    def _hot_reuse_info(self, hit_df: DataFrame):
+        """Classify a cached, already-executed Dataset for the hot
+        reuse tier; returns ("safe", [shuffleId, ...]) or
+        ("unsafe", None).
+
+        Safe = the executed plan contains no node type that memoizes
+        results inside the plan object (BroadcastExchange caches its
+        built relation, Subquery/ReusedSubquery cache their scalar
+        result, InMemoryTableScan reads a cached RDD) — for such
+        plans, re-collect recomputes every stage once the shuffle map
+        outputs are unregistered. AQE plans never reach here (mode
+        "plain" is excluded at the call site): their query stages hold
+        materialized results the final plan would reuse."""
+        try:
+            plan = hit_df._jdf.queryExecution().executedPlan()  # noqa: SLF001
+            txt = plan.toString()
+            if ("BroadcastExchange" in txt or "ubquery" in txt
+                    or "InMemoryTableScan" in txt
+                    or "AdaptiveSparkPlan" in txt):
+                return "unsafe", None
+            ids: list[int] = []
+
+            def walk(node):
+                if "ShuffleExchange" in node.getClass().getSimpleName():
+                    ids.append(int(node.shuffleDependency().shuffleId()))
+                it = node.children().iterator()
+                while it.hasNext():
+                    walk(it.next())
+
+            walk(plan)
+            return "safe", ids
+        except Exception:  # noqa: BLE001 — classification failure = warm tier
+            return "unsafe", None
+
+    def _reset_shuffle_outputs(self, shuffle_ids) -> None:
+        """Drop the registered map outputs for the given shuffles so
+        the next job re-runs their map stages (the executor-loss
+        recompute path). This is what keeps hot Dataset reuse
+        execution-honest."""
+        tracker = self.spark.sparkContext._jsc.sc().env().mapOutputTracker()  # noqa: SLF001
+        for sid in shuffle_ids or ():
+            try:
+                tracker.unregisterAllMapAndMergeOutput(int(sid))
+            except Exception:  # noqa: BLE001
+                # ShuffleStatusNotFound: the dependency was created but
+                # the shuffle never ran (Dataset not yet collected) or
+                # the ContextCleaner already dropped it — either way
+                # there is no output to reset and the next run
+                # executes from scratch.
+                pass
 
     def _schedule_prebuild(self, key: str, hit_df: DataFrame, mode: str) -> None:
         """Queue a background pre-plan of the next Dataset for this
