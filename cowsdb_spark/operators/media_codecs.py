@@ -1,0 +1,243 @@
+"""Pure-Python media codecs for the multimodal operators.
+
+Decodes the container formats that need no external library:
+
+- **BMP** (Windows bitmap, BITMAPINFOHEADER, uncompressed 24/32-bit,
+  bottom-up or top-down) → HxWx3 uint8 numpy array.
+- **PPM/PGM** (netpbm P6/P5 binary) → HxWx3 / HxW uint8 array.
+- **WAV** (RIFF PCM, 8/16/32-bit int or 32-bit float) → mono float64
+  array in [-1, 1] + sample rate.
+
+JPEG/PNG decode is gated behind a try-import of PIL (absent in this
+container); video containers (mp4/mkv) have no pure-Python decoder —
+callers fall back to the deterministic stub for those, which keeps
+the pipeline testable everywhere (policy documented in
+operators/multimodal.py).
+
+Encoders (BMP, WAV) exist so resize output and test fixtures are
+themselves valid files the decoder round-trips.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Optional
+
+import numpy as np
+
+try:  # real deployments get JPEG/PNG via PIL; this container doesn't
+    from PIL import Image as _PIL_Image  # type: ignore
+
+    import io as _io
+except Exception:  # noqa: BLE001
+    _PIL_Image = None
+
+
+# ----------------------------------------------------------------- BMP
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """HxWx3 uint8 (RGB) → 24-bit uncompressed BMP bytes."""
+    h, w = img.shape[:2]
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    row_len = (w * 3 + 3) & ~3
+    body = bytearray()
+    pad = b"\x00" * (row_len - w * 3)
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = img[y, :, ::-1].tobytes()  # RGB -> BGR
+        body += row + pad
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    file_hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 54)
+    return file_hdr + info + bytes(body)
+
+
+def decode_bmp(data: bytes) -> Optional[np.ndarray]:
+    """BMP bytes → HxWx3 uint8 RGB, or None if not decodable here."""
+    if len(data) < 54 or data[:2] != b"BM":
+        return None
+    off, = struct.unpack_from("<I", data, 10)
+    hdr_size, = struct.unpack_from("<I", data, 14)
+    if hdr_size < 40:
+        return None
+    w, h = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    comp, = struct.unpack_from("<I", data, 30)
+    if comp != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+        return None
+    top_down = h < 0
+    h = abs(h)
+    bypp = bpp // 8
+    row_len = (w * bypp + 3) & ~3
+    if off + row_len * h > len(data):
+        return None
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for i in range(h):
+        y = i if top_down else h - 1 - i
+        row = np.frombuffer(data, dtype=np.uint8, count=w * bypp,
+                            offset=off + i * row_len)
+        px = row.reshape(w, bypp)
+        # BGR(A) -> RGB: first 3 bytes per pixel, reversed
+        out[y] = px[:, :3][:, ::-1]
+    return out
+
+
+# --------------------------------------------------------------- netpbm
+
+def decode_netpbm(data: bytes) -> Optional[np.ndarray]:
+    """P6 (RGB) / P5 (gray) binary netpbm → uint8 array."""
+    if len(data) < 2 or data[0:1] != b"P" or data[1:2] not in (b"5", b"6"):
+        return None
+    rgb = data[1:2] == b"6"
+    # header: magic, whitespace/comments, width, height, maxval, single ws
+    pos = 2
+    vals: list[int] = []
+    while len(vals) < 3 and pos < len(data):
+        c = data[pos:pos + 1]
+        if c == b"#":
+            while pos < len(data) and data[pos:pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < len(data) and not data[pos:pos + 1].isspace():
+                pos += 1
+            try:
+                vals.append(int(data[start:pos]))
+            except ValueError:
+                return None
+    if len(vals) < 3 or vals[2] > 255:
+        return None
+    pos += 1  # the single whitespace after maxval
+    w, h = vals[0], vals[1]
+    n = w * h * (3 if rgb else 1)
+    if pos + n > len(data):
+        return None
+    arr = np.frombuffer(data, dtype=np.uint8, count=n, offset=pos)
+    return arr.reshape((h, w, 3) if rgb else (h, w))
+
+
+# ------------------------------------------------------------------ WAV
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """mono float array in [-1, 1] → 16-bit PCM WAV bytes."""
+    pcm = np.clip(samples, -1.0, 1.0)
+    pcm = (pcm * 32767.0).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+
+
+def decode_wav(data: bytes) -> Optional[tuple[np.ndarray, int]]:
+    """RIFF PCM WAV → (mono float64 in [-1, 1], sample_rate)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = None
+    pcm = None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        sz, = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8:pos + 8 + sz]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or pcm is None:
+        return None
+    audio_format, channels, rate, _bps, block, bits = fmt
+    if channels < 1 or rate < 1:
+        return None
+    if audio_format == 1 and bits == 16:
+        arr = np.frombuffer(pcm, dtype="<i2").astype(np.float64) / 32768.0
+    elif audio_format == 1 and bits == 8:
+        arr = (np.frombuffer(pcm, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif audio_format == 1 and bits == 32:
+        arr = np.frombuffer(pcm, dtype="<i4").astype(np.float64) / 2147483648.0
+    elif audio_format == 3 and bits == 32:
+        arr = np.frombuffer(pcm, dtype="<f4").astype(np.float64)
+    else:
+        return None
+    if channels > 1:
+        n = (len(arr) // channels) * channels
+        arr = arr[:n].reshape(-1, channels).mean(axis=1)
+    return arr, rate
+
+
+# ---------------------------------------------------------------- image
+
+def decode_image(data: bytes) -> Optional[np.ndarray]:
+    """Sniff + decode any supported image container → HxWx3 uint8."""
+    if data is None or len(data) < 2:
+        return None
+    img = decode_bmp(data)
+    if img is None:
+        img = decode_netpbm(data)
+        if img is not None and img.ndim == 2:
+            img = np.stack([img] * 3, axis=-1)
+    if img is None and _PIL_Image is not None:
+        try:
+            img = np.asarray(
+                _PIL_Image.open(_io.BytesIO(data)).convert("RGB")
+            )
+        except Exception:  # noqa: BLE001
+            img = None
+    return img
+
+
+def resize_bilinear(img: np.ndarray, w: int, h: int) -> np.ndarray:
+    """HxWx3 uint8 → hxwx3 uint8, separable bilinear (numpy only)."""
+    src_h, src_w = img.shape[:2]
+    if src_h == h and src_w == w:
+        return img
+    # sample positions (align_corners=False convention)
+    ys = (np.arange(h) + 0.5) * src_h / h - 0.5
+    xs = (np.arange(w) + 0.5) * src_w / w - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, src_h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, src_w - 1)
+    y1 = np.clip(y0 + 1, 0, src_h - 1)
+    x1 = np.clip(x0 + 1, 0, src_w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    f = img.astype(np.float64)
+    top = f[y0][:, x0] * (1 - wx) + f[y0][:, x1] * wx
+    bot = f[y1][:, x0] * (1 - wx) + f[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+# -------------------------------------------------------------- features
+
+def image_features(img: np.ndarray) -> list[float]:
+    """8-float signature: w, h, channels, mean RGB, gray std, aspect."""
+    h, w = img.shape[:2]
+    f = img.astype(np.float64)
+    means = f.reshape(-1, 3).mean(axis=0)
+    gray = f @ np.array([0.299, 0.587, 0.114])
+    return [
+        float(w), float(h), 3.0,
+        float(means[0]), float(means[1]), float(means[2]),
+        float(gray.std()), float(w) / float(h),
+    ]
+
+
+def audio_features(samples: np.ndarray, rate: int) -> list[float]:
+    """8-float signature: duration_ms, rate, rms, zcr, peak, mean_abs,
+    n_samples, 0 (reserved)."""
+    n = len(samples)
+    if n == 0:
+        return [0.0, float(rate), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    rms = float(np.sqrt(np.mean(samples ** 2)))
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(samples).astype(np.int8)))))
+    return [
+        float(n) * 1000.0 / rate, float(rate), rms, zcr,
+        float(np.max(np.abs(samples))), float(np.mean(np.abs(samples))),
+        float(n), 0.0,
+    ]

@@ -3,11 +3,18 @@
 Images/audio/video are opaque ``binary`` columns plus a typed
 metadata struct. The Spark-side plumbing — schema, Arrow-batched
 pandas UDFs over ``mapInPandas``, partition discipline — is real
-and tested; the actual codec step is STUBBED (this container has no
-image/audio libraries) behind ``_decode_stub``, which produces a
-deterministic fake so tests can assert shapes end-to-end. Swap
-``_decode_stub`` for a PIL/ffmpeg call in a real deployment; the
-Spark plan does not change.
+and tested.
+
+Codec policy (operators/media_codecs.py): payloads that parse as
+BMP / PPM / PGM images or RIFF PCM WAV audio are REALLY decoded
+with the pure-Python codecs — features come from actual pixels and
+samples, resize is actual bilinear resampling re-encoded as BMP.
+JPEG/PNG route through PIL when it is importable (not in this
+container); video containers have no pure-Python decoder, so video
+payloads (and any undecodable blob) fall back to the deterministic
+byte-stats stub ``_decode_stub`` — the pipeline stays runnable and
+testable everywhere, and the fallback is visible in the feature
+vector (stub signatures carry the kind flag in slot 7).
 """
 
 from __future__ import annotations
@@ -50,12 +57,9 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def _decode_stub(payload: bytes, kind: str) -> list[float]:
-    """Deterministic fake feature vector (8 floats from byte stats).
-
-    REAL DEPLOYMENT: replace with PIL.Image.open / torchaudio /
-    ffmpeg frame sampling. Raising NotImplementedError here would be
-    correct too; a deterministic fake keeps the pipeline testable.
-    """
+    """Deterministic fallback feature vector (8 floats from byte
+    stats) for payloads no available codec can decode — video
+    containers, or JPEG/PNG when PIL is absent."""
     if payload is None:
         return []
     n = len(payload)
@@ -74,6 +78,23 @@ def _decode_stub(payload: bytes, kind: str) -> list[float]:
     ]
 
 
+def _feature_vector(payload: bytes, kind: str) -> list[float]:
+    """Real decode when a codec matches the payload; stub otherwise."""
+    from . import media_codecs as mc
+
+    if payload is None:
+        return []
+    if kind == "image":
+        img = mc.decode_image(bytes(payload))
+        if img is not None:
+            return mc.image_features(img)
+    elif kind == "audio":
+        wav = mc.decode_wav(bytes(payload))
+        if wav is not None:
+            return mc.audio_features(*wav)
+    return _decode_stub(payload, kind)
+
+
 def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     """binary payload → fixed-width feature vector via mapInPandas.
 
@@ -90,7 +111,8 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
                     "kind": pdf["kind"],
                     "n_bytes": pdf["payload"].map(lambda b: 0 if b is None else len(b)),
                     "feature": [
-                        _decode_stub(p, k) for p, k in zip(pdf["payload"], pdf["kind"])
+                        _feature_vector(p, k)
+                        for p, k in zip(pdf["payload"], pdf["kind"])
                     ],
                 }
             )
@@ -120,10 +142,8 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def _resize_stub(payload: bytes, w: int, h: int) -> bytes:
-    """Deterministic fake resize: sample/pad bytes to w*h/16 length.
-
-    REAL DEPLOYMENT: PIL Image.open(payload).resize((w, h)).tobytes().
-    """
+    """Deterministic fallback resize (sample/pad bytes to w*h/16
+    length) for image payloads no available codec can decode."""
     if payload is None:
         return None
     target = max(1, (w * h) // 16)
@@ -133,8 +153,22 @@ def _resize_stub(payload: bytes, w: int, h: int) -> bytes:
     return (payload * (target // max(1, len(payload)) + 1))[:target]
 
 
+def _resize_payload(payload: bytes, w: int, h: int) -> bytes:
+    """Real bilinear resize + BMP re-encode when the payload decodes;
+    stub otherwise."""
+    from . import media_codecs as mc
+
+    if payload is None:
+        return None
+    img = mc.decode_image(bytes(payload))
+    if img is not None:
+        return mc.encode_bmp(mc.resize_bilinear(img, w, h))
+    return _resize_stub(payload, w, h)
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize over mapInPandas (stubbed codec, real plumbing).
+    """Image resize over mapInPandas (real bilinear codec for
+    BMP/PPM/PGM — see module docstring; byte-stub fallback otherwise).
 
     Narrow (no shuffle): each partition transforms in place, so an
     upstream bucketing/partitioning by media_id survives. Non-image
@@ -145,7 +179,7 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
         for pdf in batches:
             is_img = pdf["kind"] == "image"
             payload = [
-                _resize_stub(p, width, height) if img else p
+                _resize_payload(p, width, height) if img else p
                 for p, img in zip(pdf["payload"], is_img)
             ]
             meta = [
@@ -233,7 +267,10 @@ def prep_python_stage_input(media: DataFrame, n_rows: int | None = None) -> Data
 
 
 def synthetic_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table for tests (seeded bytes).
+    """Deterministic media table for tests: REAL 16x12 BMP images and
+    REAL 8 kHz PCM WAV clips (seeded content, valid files the codecs
+    decode), plus opaque seeded bytes for video rows (exercising the
+    documented stub fallback).
 
     Built via pandas → Arrow, NOT createDataFrame(list): the classic
     list path parallelizes pickled rows over defaultParallelism slices
@@ -241,21 +278,46 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
     per execution at local[32] — the x23/x13 'regression' VERDICT r2
     flagged). Arrow batches live JVM-side; evaluations are pure JVM.
     """
+    import numpy as np
     import pandas as pd
+
+    from . import media_codecs as mc
 
     ids, kinds, payloads, metas = [], [], [], []
     for i in range(n):
-        payload = bytes(((i * 37 + j * 11) % 256) for j in range(64 + (i % 5) * 16))
         kind = ["image", "audio", "video"][i % 3]
+        if kind == "image":
+            yy, xx = np.mgrid[0:12, 0:16]
+            img = np.stack(
+                [
+                    (xx * 16 + i * 7) % 256,
+                    (yy * 21 + i * 13) % 256,
+                    (xx * yy + i) % 256,
+                ],
+                axis=-1,
+            ).astype(np.uint8)
+            payload = mc.encode_bmp(img)
+            w, h, dur = 16, 12, None
+        elif kind == "audio":
+            t = np.arange(800) / 8000.0  # 100 ms at 8 kHz
+            tone = 0.5 * np.sin(2 * np.pi * (220 + 55 * (i % 7)) * t)
+            payload = mc.encode_wav(tone, 8000)
+            w, h, dur = None, None, 100
+        else:
+            payload = bytes(
+                ((i * 37 + j * 11) % 256) for j in range(64 + (i % 5) * 16)
+            )
+            w, h, dur = 64, 48, 1000
         ids.append(i)
         kinds.append(kind)
         payloads.append(payload)
         metas.append(
             {
-                "mime": "application/octet-stream",
-                "width": 64,
-                "height": 48,
-                "duration_ms": 1000 if kind != "image" else None,
+                "mime": {"image": "image/bmp", "audio": "audio/wav",
+                         "video": "application/octet-stream"}[kind],
+                "width": w,
+                "height": h,
+                "duration_ms": dur,
             }
         )
     pdf = pd.DataFrame(

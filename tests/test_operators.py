@@ -154,6 +154,7 @@ class TestMultimodal:
         assert a == b
 
     def test_resize_images(self, spark):
+        from cowsdb_spark.operators.media_codecs import decode_bmp
         from cowsdb_spark.operators.multimodal import resize_images
 
         media = synthetic_media(spark, 9)
@@ -162,9 +163,30 @@ class TestMultimodal:
         for r in out:
             if r.kind == "image":
                 assert r.meta.width == 32 and r.meta.height == 16
-                assert len(r.payload) == (32 * 16) // 16
-            else:  # non-images pass through untouched
+                # real resize: the output is itself a decodable BMP
+                # at the requested dimensions
+                img = decode_bmp(bytes(r.payload))
+                assert img is not None and img.shape == (16, 32, 3)
+            elif r.kind == "video":  # non-images pass through untouched
                 assert r.meta.width == 64
+
+    def test_real_image_features(self, spark):
+        # image rows decode for real: slots are (w, h, channels,
+        # mean RGB..., gray std, aspect) — not byte stats
+        out = extract_features(synthetic_media(spark, 3)).collect()
+        img = [r for r in out if r.kind == "image"][0]
+        w, h, ch = img.feature[0], img.feature[1], img.feature[2]
+        assert (w, h, ch) == (16.0, 12.0, 3.0)
+        assert abs(img.feature[7] - 16.0 / 12.0) < 1e-6
+
+    def test_real_audio_features(self, spark):
+        # 100ms 8kHz 0.5-amplitude sine: duration and RMS recovered
+        # from the actual samples (sine RMS = amp/sqrt(2))
+        out = extract_features(synthetic_media(spark, 3)).collect()
+        aud = [r for r in out if r.kind == "audio"][0]
+        assert abs(aud.feature[0] - 100.0) < 1e-6   # duration_ms
+        assert aud.feature[1] == 8000.0             # sample rate
+        assert abs(aud.feature[2] - 0.5 / 2 ** 0.5) < 1e-3  # rms
 
     def test_sample_frames_fanout(self, spark):
         from cowsdb_spark.operators.multimodal import sample_frames
