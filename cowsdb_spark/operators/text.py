@@ -274,3 +274,58 @@ def contamination_flags(
         .groupBy(id_col)
         .agg(F.count_distinct("_g").alias("n_hits"))
     )
+
+
+# PII category -> (pattern, replacement token). Patterns restrict
+# themselves to syntax Java regex and RE2 (DuckDB) interpret
+# identically — no lookaround, no backreferences — so the DuckDB
+# conformance oracle runs the very same expressions. Scrub applies
+# them in THIS order (emails first: their local parts can contain
+# digit runs the later numeric patterns would otherwise clip).
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def pii_scan(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document PII hit counts (emails, SSNs, phone numbers,
+    IPv4 addresses) — the triage pass of a training-data PII policy.
+
+    Pure codegen (`regexp_count`), zero Python, zero shuffle: the
+    scan is embarrassingly parallel and runs at parquet-scan speed at
+    any corpus size. Returns (id, n_email, n_ssn, n_phone, n_ipv4,
+    pii_total).
+    """
+    cols = [F.col(id_col)]
+    counts = []
+    for name, pat, _tok in PII_PATTERNS:
+        c = F.regexp_count(F.col(text_col), F.lit(pat))
+        counts.append(c.alias(f"n_{name}"))
+    out = docs.select(*cols, *counts)
+    total = None
+    for name, _p, _t in PII_PATTERNS:
+        col = F.col(f"n_{name}")
+        total = col if total is None else total + col
+    return out.withColumn("pii_total", total.cast("int"))
+
+
+def pii_scrub(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Replace detected PII spans with placeholder tokens
+    (``<EMAIL>``/``<SSN>``/``<PHONE>``/``<IP>``), the standard
+    redaction step before corpus release.
+
+    Same narrow, codegen-only shape as ``pii_scan``; category order
+    is fixed (module constant) so results are reproducible across
+    engines. Returns (id, clean_text).
+    """
+    c = F.col(text_col)
+    for _name, pat, tok in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, tok)
+    return docs.select(F.col(id_col), c.alias("clean_text"))

@@ -1533,3 +1533,81 @@ def t34(spark, sf_dir):
     ev = d.join(F.broadcast(ev_ids), "doc_id", "left_semi")
     train = d.join(F.broadcast(ev_ids), "doc_id", "left_anti")
     return contamination_flags(train, ev, n=4).orderBy("doc_id")
+
+
+# Deterministic PII injection shared by t38/t39: the synthetic
+# documents corpus contains no organic PII, so both sides append the
+# same doc_id-derived snippets before scanning — the regex machinery
+# is then verified against real matches, not a sea of zeros.
+_PII_AUG_SPARK = (
+    "concat(text, CASE WHEN doc_id % 3 = 0 THEN concat(' contact u', "
+    "CAST(doc_id AS STRING), '@example.com or 10.0.', "
+    "CAST(doc_id % 256 AS STRING), '.7') "
+    "WHEN doc_id % 3 = 1 THEN ' call (415) 555-0133 ssn 078-05-1120' "
+    "ELSE '' END)"
+)
+_PII_AUG_DUCK = (
+    "concat(text, CASE WHEN doc_id % 3 = 0 THEN concat(' contact u', "
+    "CAST(doc_id AS VARCHAR), '@example.com or 10.0.', "
+    "CAST(doc_id % 256 AS VARCHAR), '.7') "
+    "WHEN doc_id % 3 = 1 THEN ' call (415) 555-0133 ssn 078-05-1120' "
+    "ELSE '' END)"
+)
+_PII_RE = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ssn": "\\b\\d{3}-\\d{2}-\\d{4}\\b",
+    "phone": "\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]\\d{4}",
+    "ipv4": "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+}
+
+
+@qdef(
+    "t38_pii_scan",
+    "WITH aug AS (SELECT doc_id, " + _PII_AUG_DUCK + " AS text FROM documents) "
+    "SELECT doc_id, "
+    f"CAST(len(regexp_extract_all(text, '{_PII_RE['email']}')) AS INT) AS n_email, "
+    f"CAST(len(regexp_extract_all(text, '{_PII_RE['ssn']}')) AS INT) AS n_ssn, "
+    f"CAST(len(regexp_extract_all(text, '{_PII_RE['phone']}')) AS INT) AS n_phone, "
+    f"CAST(len(regexp_extract_all(text, '{_PII_RE['ipv4']}')) AS INT) AS n_ipv4, "
+    f"CAST(len(regexp_extract_all(text, '{_PII_RE['email']}')) "
+    f"+ len(regexp_extract_all(text, '{_PII_RE['ssn']}')) "
+    f"+ len(regexp_extract_all(text, '{_PII_RE['phone']}')) "
+    f"+ len(regexp_extract_all(text, '{_PII_RE['ipv4']}')) AS INT) AS pii_total "
+    "FROM aug ORDER BY doc_id",
+    "[ext: text] PII triage scan: per-document email/SSN/phone/IPv4 "
+    "hit counts, pure regexp_count codegen, zero shuffle "
+    "(operators/text.py::pii_scan). Patterns restricted to the "
+    "Java-regex/RE2 common subset so DuckDB runs the identical "
+    "expressions.",
+)
+def t38(spark, sf_dir):
+    from .operators.text import pii_scan
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.expr(_PII_AUG_SPARK)
+    )
+    return pii_scan(d).orderBy("doc_id")
+
+
+@qdef(
+    "t39_pii_scrub",
+    "WITH aug AS (SELECT doc_id, " + _PII_AUG_DUCK + " AS text FROM documents) "
+    "SELECT doc_id, "
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, "
+    f"'{_PII_RE['email']}', '<EMAIL>', 'g'), "
+    f"'{_PII_RE['ssn']}', '<SSN>', 'g'), "
+    f"'{_PII_RE['phone']}', '<PHONE>', 'g'), "
+    f"'{_PII_RE['ipv4']}', '<IP>', 'g') AS clean_text "
+    "FROM aug ORDER BY doc_id",
+    "[ext: text] PII redaction: detected spans replaced with "
+    "placeholder tokens in a fixed category order "
+    "(operators/text.py::pii_scrub); Spark regexp_replace is "
+    "global-by-default, the oracle passes the 'g' flag explicitly.",
+)
+def t39(spark, sf_dir):
+    from .operators.text import pii_scrub
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.expr(_PII_AUG_SPARK)
+    )
+    return pii_scrub(d).orderBy("doc_id")
