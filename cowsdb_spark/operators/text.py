@@ -255,24 +255,37 @@ def contamination_flags(
     """
     from pyspark.sql import functions as F
 
-    from ..operators.dedup import normalized, shingles_of_tokens
+    from ..operators.dedup import _tokens_of, shingles_of_tokens
 
+    # Materialize the token array in its own projection BEFORE the
+    # higher-order shingle lambda (the _tokens_of discipline): an
+    # inlined split(regexp_replace(...)) re-evaluates once per gram
+    # inside transform() — O(tokens²) regex work per doc, measured 3.3s
+    # -> 0.1s on the sf0.1 corpus explode.
     def grams(df):
-        toks = F.split(normalized(F.col(text_col)), " ")
-        return df.select(
-            F.col(id_col), F.explode(shingles_of_tokens(toks, n)).alias("_g")
+        return _tokens_of(df, id_col, text_col).select(
+            F.col(id_col),
+            F.explode(shingles_of_tokens(F.col("_toks"), n)).alias("_g"),
         )
 
-    eval_grams = eval_docs.select(
-        F.explode(
-            shingles_of_tokens(F.split(normalized(F.col(text_col)), " "), n)
-        ).alias("_g")
-    ).distinct()
+    eval_grams = (
+        _tokens_of(eval_docs, id_col, text_col)
+        .select(F.explode(shingles_of_tokens(F.col("_toks"), n)).alias("_g"))
+        .distinct()
+    )
+    # Dense integer id per distinct eval gram (bijective within the
+    # run), attached via broadcast inner join: the count-distinct
+    # shuffle then carries (doc_id, int64) instead of (doc_id,
+    # n-token string) — same exact n_hits, ~10x narrower exchange on
+    # corpora with heavy span overlap (t34 was the heaviest bench
+    # entry before this). eval_grams is distinct, so the inner join
+    # keeps exactly the semi-join's row multiplicity.
+    eval_ids = eval_grams.withColumn("_gid", F.monotonically_increasing_id())
     return (
         grams(docs)
-        .join(F.broadcast(eval_grams), "_g", "left_semi")
+        .join(F.broadcast(eval_ids), "_g", "inner")
         .groupBy(id_col)
-        .agg(F.count_distinct("_g").alias("n_hits"))
+        .agg(F.count_distinct("_gid").alias("n_hits"))
     )
 
 
