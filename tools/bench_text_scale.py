@@ -1,0 +1,118 @@
+"""Text-pipeline scale run: PII scan/scrub, contamination screen,
+token stats, and quality scoring over a 10M-doc synthetic corpus,
+with per-stage wall-clock and shuffle bytes.
+
+Companion to bench_dedup_scale.py — together they cover every
+first-class training-data operator family at 10M documents. PII and
+quality stages are pure codegen with ZERO shuffle (the artifact
+records it), so their cluster-scale cost is exactly one parquet
+scan; the contamination screen shuffles only (doc_id, int64 gram id)
+pairs that matched the broadcast eval set.
+
+Writes BENCH_TEXT_10M.json.
+
+Usage: python tools/bench_text_scale.py [n_docs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from tools.bench_dedup_scale import _shuffle_totals  # noqa: E402
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    from cowsdb_spark.operators.text import (
+        contamination_flags,
+        pii_scan,
+        pii_scrub,
+        quality_score,
+        token_stats,
+    )
+    from cowsdb_spark.session import get_spark
+    from tools.gen_docs import generate
+
+    t0 = time.perf_counter()
+    path = generate(n=n_docs)
+    gen_s = round(time.perf_counter() - t0, 1)
+
+    spark = get_spark("text-scale")
+    docs = spark.read.parquet(path)
+
+    out: dict = {"n_docs": n_docs, "gen_s": gen_s, "stages": {}}
+
+    def stage(name: str, fn):
+        r0, w0 = _shuffle_totals(spark)
+        t0 = time.perf_counter()
+        result = fn()
+        wall = round(time.perf_counter() - t0, 1)
+        r1, w1 = _shuffle_totals(spark)
+        out["stages"][name] = {
+            "wall_s": wall,
+            "shuffle_read_mb": round((r1 - r0) / 1e6, 1) if r0 >= 0 else None,
+            "shuffle_write_mb": round((w1 - w0) / 1e6, 1) if w0 >= 0 else None,
+        }
+        print(f"{name}: {wall}s  {out['stages'][name]}", flush=True)
+        return result
+
+    # 1. PII triage: count docs with any hit (forces full evaluation
+    # of every regexp on every doc; the global agg shuffles one
+    # partial row per task)
+    out["pii_flagged"] = stage(
+        "pii_scan",
+        lambda: pii_scan(docs)
+        .filter(F.col("pii_total") > 0)
+        .count(),
+    )
+
+    # 2. PII scrub: checksum of cleaned lengths (forces every
+    # replacement; no shuffle beyond the 1-row agg)
+    out["scrub_len_sum"] = stage(
+        "pii_scrub",
+        lambda: pii_scrub(docs)
+        .agg(F.sum(F.length("clean_text"))).collect()[0][0],
+    )
+
+    # 3. quality + token stats (C4/Gopher-style signals), one pass
+    out["mean_quality"] = stage(
+        "quality_score",
+        lambda: float(
+            quality_score(docs).agg(F.avg("quality")).collect()[0][0]
+        ),
+    )
+    out["total_tokens"] = stage(
+        "token_stats",
+        lambda: token_stats(docs).agg(F.sum("n_tokens_ws")).collect()[0][0],
+    )
+
+    # 4. contamination screen: eval set = 1000 docs sampled from the
+    # corpus itself (worst case: every eval gram exists in training)
+    ev = docs.filter(F.col("doc_id") % (n_docs // 1000) == 0)
+    out["contaminated_docs"] = stage(
+        "contamination",
+        lambda: contamination_flags(
+            docs.join(F.broadcast(ev.select("doc_id")), "doc_id", "left_anti"),
+            ev,
+            n=8,
+        ).count(),
+    )
+
+    out["total_pipeline_s"] = round(
+        sum(s["wall_s"] for s in out["stages"].values()), 1
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "BENCH_TEXT_10M.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

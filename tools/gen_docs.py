@@ -9,9 +9,12 @@ phrases re-randomized → word-5-shingle Jaccard ≈ 0.63, above the
 pipeline's 0.5 threshold and detectable by 8×4 LSH banding with
 p≈0.8 per pair).
 
-Pure numpy + pyarrow (no Spark) and written in 1M-row row groups so
+Pure numpy + pyarrow (no Spark), generated in 1M-row batches so
 generation stays vectorized and memory-bounded at 10M rows — the
-same constraints as tools/gen_hits.py.
+same constraints as tools/gen_hits.py — but written in 64k-row row
+groups (~12 MB): Spark splits parquet scans at row-group boundaries,
+and a 1M-row group made the whole 1M-doc corpus a single task (one
+straggler thread doing 100% of every scan-bound stage).
 """
 
 from __future__ import annotations
@@ -67,7 +70,9 @@ def generate(path: str | None = None, n: int = 10_000_000) -> str:
         cols = [pa.array(phrases[idx[:, j]]) for j in range(DOC_PHRASES)]
         text = pc.binary_join_element_wise(*cols, " ")
         ids = pa.array(np.arange(done, done + m, dtype=np.int64))
-        writer.write_table(pa.table({"doc_id": ids, "text": text}))
+        writer.write_table(
+            pa.table({"doc_id": ids, "text": text}), row_group_size=65_536
+        )
         done += m
     writer.close()
     os.replace(tmp, path)
