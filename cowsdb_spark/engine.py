@@ -830,7 +830,10 @@ class Engine:
         low = sql.lower()
         if "url(" in low or "file(" in low:
             try:
-                sql = resolve_table_functions(self.spark, sql)
+                hint = self._insert_structure_hint(sess, sql)
+                sql = resolve_table_functions(self.spark, sql, default_schema=hint)
+            except EngineError:
+                raise
             except Exception as e:
                 raise EngineError(f"url()/file() source failed: {e}") from e
         if "merge(" in low.replace(" ", ""):
@@ -841,6 +844,58 @@ class Engine:
         if "final" in sql.lower():
             sql = self._expand_final(sql)
         return sql
+
+    def _insert_structure_hint(self, sess: UserSession, sql: str) -> Optional[str]:
+        """Spark DDL schema string for the target of ``INSERT INTO t
+        [(cols)] SELECT … FROM url()/file()`` — CH types bare text
+        sources from the insert target's schema (structure hint), so
+        ``SELECT * FROM url('…hits_v1.tsv.xz','TSV')`` parses all 105
+        columns with the table's names and types instead of yielding
+        untyped ``_c0…`` strings (reference CI load, test.yml:50).
+        Returns None when the statement is not such an INSERT or the
+        target does not (yet) exist — plain SELECTs keep inference."""
+        from .dialect.tokenizer import tokenize
+
+        toks = [t for t in tokenize(sql) if t.kind not in ("ws", "comment")]
+        if len(toks) < 4 or toks[0].text.upper() != "INSERT" or toks[1].text.upper() != "INTO":
+            return None
+        if toks[2].text.upper() in ("SELECT", "VALUES", "FUNCTION"):
+            return None
+        name = toks[2].text.strip("`")
+        i = 3
+        if i + 1 < len(toks) and toks[i].text == ".":
+            qual = f"`{sess.spark_db(name)}`.`{toks[i + 1].text.strip('`')}`"
+            i += 2
+        else:
+            qual = (
+                f"`{sess.temp_db}`.`{name}`"
+                if name in sess.temp_tables
+                else f"`{sess.spark_db()}`.`{name}`"
+            )
+        col_list: list[str] = []
+        if i < len(toks) and toks[i].text == "(":
+            depth = 0
+            while i < len(toks):
+                if toks[i].text == "(":
+                    depth += 1
+                elif toks[i].text == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                elif depth == 1 and toks[i].kind in ("ident", "bquote"):
+                    col_list.append(toks[i].text.strip("`"))
+                i += 1
+        try:
+            schema = self.spark.table(qual).schema
+        except Exception:
+            return None
+        fields = {f.name: f for f in schema.fields}
+        picked = (
+            [fields[c] for c in col_list if c in fields] if col_list else list(schema.fields)
+        )
+        if col_list and len(picked) != len(col_list):
+            return None
+        return ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in picked)
 
     def _expand_final(self, sql: str) -> str:
         """``FROM t FINAL`` after db-remapping: for a table whose

@@ -66,6 +66,42 @@ def _fetch(addr: str) -> str:
     return _decompress_if_needed(addr)
 
 
+def _to_spark_schema(structure: str):
+    """CH structure string (``'a Int64, b String'``) → StructType.
+    Falls back to Spark DDL parsing for structures already spelled in
+    Spark types (the engine's own structure hints)."""
+    from pyspark.sql import types as T
+
+    try:
+        return T.StructType.fromDDL(structure)
+    except Exception:
+        pass
+    from ..dialect.types import ch_type_to_spark
+
+    fields = []
+    depth = 0
+    cur = ""
+    parts: list[str] = []
+    for ch in structure:
+        if ch in "(<[":
+            depth += 1
+        elif ch in ")>]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append(cur)
+            cur = ""
+        else:
+            cur += ch
+    if cur.strip():
+        parts.append(cur)
+    for part in parts:
+        name, _, typ = part.strip().partition(" ")
+        fields.append(
+            T.StructField(name.strip("`"), ch_type_to_spark(typ.strip()), True)
+        )
+    return T.StructType(fields)
+
+
 def read_source(
     spark: SparkSession, addr: str, fmt: str = "TSV", schema: str | None = None
 ) -> DataFrame:
@@ -75,14 +111,31 @@ def read_source(
     path = _fetch(addr)
     reader = spark.read.format(spec["fmt"]).options(**spec["options"])
     if schema:
-        reader = reader.schema(schema)
+        reader = reader.schema(_to_spark_schema(schema))
+        if spec["fmt"] == "csv":
+            # CH text formats spell DateTime/Date without the ISO 'T';
+            # Spark's csv defaults would null such cells out under a
+            # typed schema (PERMISSIVE mode), so pin the CH shapes.
+            reader = reader.option("timestampFormat", "yyyy-MM-dd HH:mm:ss").option(
+                "dateFormat", "yyyy-MM-dd"
+            )
     elif spec["fmt"] == "csv":
         reader = reader.option("inferSchema", "true")
     return reader.load(path)
 
 
-def resolve_table_functions(spark: SparkSession, sql: str) -> str:
-    """Replace url()/file() calls in table position with temp views."""
+def resolve_table_functions(
+    spark: SparkSession, sql: str, default_schema: str | None = None
+) -> str:
+    """Replace url()/file() calls in table position with temp views.
+
+    ``default_schema`` is the CH *structure hint*: for ``INSERT INTO t
+    SELECT … FROM url(…, 'TSV')`` the engine passes the target table's
+    schema, and any call WITHOUT its own explicit structure argument is
+    parsed with the target's column names and types (reference CI
+    contract, test.yml:50 — the 105-column hits load names EventTime/
+    UserID/… straight out of the TSV). An explicit 3-arg structure
+    always wins."""
     toks = tokenize(sql)
     out: list[str] = []
     i = 0
@@ -131,7 +184,7 @@ def resolve_table_functions(spark: SparkSession, sql: str) -> str:
                 args = [_arg(g) for g in arg_tok_groups if g]
                 addr = args[0]
                 fmt = args[1] if len(args) > 1 else "TSV"
-                schema = args[2] if len(args) > 2 else None
+                schema = args[2] if len(args) > 2 else default_schema
                 view = f"__moospark_src_{uuid.uuid4().hex[:12]}_{counter}"
                 counter += 1
                 read_source(spark, addr, fmt, schema).createOrReplaceTempView(view)

@@ -90,13 +90,54 @@ class TestUrlFile:
         assert out == b"5\tcompressed\n"
 
     def test_insert_from_file(self, engine, tmp_path):
-        # INSERT INTO … SELECT * FROM url(...) — the CI load shape
+        # INSERT INTO … SELECT * FROM url(...) — the CI load shape.
+        # CH types the bare TSV from the INSERT target (structure
+        # hint), so the source exposes the target's column names.
         p = tmp_path / "load.tsv"
         p.write_text("1\n2\n3\n")
         engine.execute("CREATE TABLE loaded (v Int64) ENGINE=Memory")
-        engine.execute(f"INSERT INTO loaded SELECT _c0 FROM file('{p}', 'TSV')")
+        engine.execute(f"INSERT INTO loaded SELECT v FROM file('{p}', 'TSV')")
         assert engine.execute("SELECT sum(v) AS s FROM loaded") == b"6\n"
         engine.execute("DROP TABLE loaded")
+
+    def test_insert_structure_hint_types_and_names(self, engine, tmp_path):
+        # hits_v1-shaped load: DateTime + numerics + strings parse
+        # with the target's types straight out of the TSV
+        # (reference CI: test.yml:50)
+        p = tmp_path / "hits.tsv"
+        p.write_text(
+            "2013-07-15 05:44:55\t100\tfirst page\t1.5\n"
+            "2013-07-16 06:00:00\t200\tsecond page\t2.5\n"
+        )
+        engine.execute(
+            "CREATE TABLE mini_hits (EventTime DateTime, UserID UInt64,"
+            " Title String, Score Float64) ENGINE=MergeTree ORDER BY EventTime"
+        )
+        engine.execute(
+            f"INSERT INTO mini_hits SELECT * FROM file('{p}', 'TSV')"
+        )
+        out = engine.execute(
+            "SELECT toHour(EventTime) AS h, UserID + 1 AS u, Title,"
+            " Score * 2 AS s FROM mini_hits ORDER BY EventTime"
+        )
+        assert out == b"5\t101\tfirst page\t3\n6\t201\tsecond page\t5\n"
+        # target column names are usable INSIDE the source select too
+        engine.execute(
+            f"INSERT INTO mini_hits SELECT EventTime, UserID, Title, Score"
+            f" FROM file('{p}', 'TSV') WHERE UserID = 100"
+        )
+        assert engine.execute("SELECT count() AS c FROM mini_hits") == b"3\n"
+        engine.execute("DROP TABLE mini_hits")
+
+    def test_insert_explicit_structure_wins(self, engine, tmp_path):
+        p = tmp_path / "two.tsv"
+        p.write_text("7\tx\n")
+        engine.execute("CREATE TABLE dst2 (a Int64, b String) ENGINE=Memory")
+        engine.execute(
+            f"INSERT INTO dst2 SELECT n, s FROM file('{p}', 'TSV', 'n Int64, s String')"
+        )
+        assert engine.execute("SELECT a, b FROM dst2") == b"7\tx\n"
+        engine.execute("DROP TABLE dst2")
 
 
 class TestChHashes:
