@@ -358,3 +358,160 @@ def pii_scrub(
             repl = F.when(F.instr(c, guard) > 0, repl).otherwise(c)
         c = repl
     return docs.select(F.col(id_col), c.alias("clean_text"))
+
+
+def bigram_lm_score(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean log-likelihood under a bigram LM trained on
+    the corpus itself — the classic KenLM-style perplexity filter
+    (CCNet) with the model estimation folded into the same job.
+
+    Stages, all built-in expressions (no Python in the hot path):
+
+    1. bigram extraction: ``arrays_zip(slice(t,1,n-1), slice(t,2,n-1))``
+       exploded — narrow, whole-stage codegen.
+    2. LM estimation: ``GROUP BY (w1, w2)`` counts (the only shuffle
+       proportional to corpus bigrams), conditional probability via a
+       window sum over ``w1`` on the already-aggregated count table
+       (O(distinct bigrams), tiny vs corpus).
+    3. scoring: doc bigrams re-join the probability table on
+       (w1, w2); the LM side is orders of magnitude smaller than the
+       corpus, so AQE elects a broadcast below the threshold — at
+       100 TB the LM table for a capped vocabulary still fits the
+       broadcast budget after pruning rare bigrams upstream.
+
+    Tokenization is a plain single-space split (the corpus is
+    pre-normalized; callers with raw text should normalize first),
+    chosen so a SQL oracle (string_split) computes the identical
+    model. Docs with <2 tokens have no bigrams and drop out, like
+    the oracle's inner join.
+
+    Returns (id, lm_score = round(avg(ln p), 4), n_bigrams).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_t"))
+    staged = toks.select(
+        F.col(id_col),
+        F.slice("_t", 1, F.size("_t") - 1).alias("_a"),
+        F.expr("slice(_t, 2, size(_t) - 1)").alias("_b"),
+    )
+    pairs = staged.select(
+        F.col(id_col), F.explode(F.arrays_zip("_a", "_b")).alias("_p")
+    ).select(F.col(id_col), F.col("_p._a").alias("w1"), F.col("_p._b").alias("w2"))
+    # pairs feeds the LM estimation AND the scoring join — without a
+    # persist the split+zip+explode pipeline runs once per consumer
+    # (same checkpoint-the-intermediate pattern as minhash/simhash
+    # signatures; at full scale the exploded bigrams would be a
+    # written column table instead).
+    pairs = pairs.persist()
+    cnt = pairs.groupBy("w1", "w2").agg(F.count("*").alias("_c"))
+    prob = cnt.select(
+        "w1",
+        "w2",
+        (F.col("_c") / F.sum("_c").over(Window.partitionBy("w1"))).alias("_p"),
+    )
+    return (
+        pairs.join(prob, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg(F.log("_p")), 4).alias("lm_score"),
+            F.count("*").alias("n_bigrams"),
+        )
+    )
+
+
+def chunk_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 8,
+) -> DataFrame:
+    """Sub-document exact dedup: split each document into fixed-size
+    token chunks, keep only the globally-first occurrence of every
+    distinct chunk (ordered by (doc, chunk index)), and reassemble —
+    the line/paragraph-level dedup step of CCNet/Gopher-style
+    pipelines, expressed at token-chunk granularity because the
+    corpus has no line structure.
+
+    Plan: chunking is a narrow transform+slice; the first-occurrence
+    pick is ONE shuffle keyed on chunk text (row_number over the
+    chunk partition); reassembly is one shuffle back on the doc id.
+    At 100 TB the occurrence pick would key on a chunk fingerprint
+    (xxhash64) with the text carried only through the reassembly —
+    here the text IS the key so a SQL oracle reproduces it exactly
+    (same trade as ``exact_dedup``'s documented fingerprint lane).
+
+    Returns (id, n_chunks, n_kept, kept_text); a document whose every
+    chunk lost the race drops out (matches the oracle's group-by).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_t"))
+    nch = F.ceil(F.size("_t") / F.lit(chunk_tokens)).cast("int")
+    chunks = toks.select(
+        F.col(id_col),
+        nch.alias("_n"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nch - 1),
+                lambda i: F.array_join(
+                    F.slice("_t", i * chunk_tokens + 1, chunk_tokens), " "
+                ),
+            )
+        ).alias("idx", "chunk"),
+    )
+    w = Window.partitionBy("chunk").orderBy(id_col, "idx")
+    kept = chunks.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return kept.groupBy(id_col).agg(
+        F.first("_n").alias("n_chunks"),
+        F.count("*").cast("int").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 512,
+    strata_col: str = "source",
+) -> DataFrame:
+    """Deterministic concat-and-chunk sequence packing: within each
+    stratum, documents are laid end-to-end in ``id_col`` order and
+    cut into ``seq_len``-token training sequences; each document is
+    assigned to the bin where it starts.
+
+    This is the greedy packing every LLM pre-training loader runs;
+    making it a relational window (cumulative token count → bin =
+    floor(offset / seq_len)) keeps it ONE shuffle on the stratum key
+    and reproducible across engines — no RNG, no driver loop. Skewed
+    strata at 100 TB split naturally because the window partitions by
+    stratum only once and the output is pre-aggregated per bin.
+
+    Returns (stratum, bin, n_docs, bin_tokens).
+    """
+    from pyspark.sql import Window
+
+    d = docs.select(
+        F.col(strata_col),
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).alias("_tok"),
+    )
+    w = Window.partitionBy(strata_col).orderBy(id_col)
+    d = d.withColumn("_off", F.sum("_tok").over(w) - F.col("_tok"))
+    return (
+        d.withColumn("bin", F.floor(F.col("_off") / F.lit(seq_len)))
+        .groupBy(strata_col, "bin")
+        .agg(
+            F.count("*").cast("int").alias("n_docs"),
+            F.sum("_tok").alias("bin_tokens"),
+        )
+    )

@@ -1611,3 +1611,88 @@ def t39(spark, sf_dir):
         "text", F.expr(_PII_AUG_SPARK)
     )
     return pii_scrub(d).orderBy("doc_id")
+
+
+@qdef(
+    "t40_lm_score",
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+    "bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM "
+    "  (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)), "
+    "cnt AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2), "
+    "prob AS (SELECT w1, w2, c * 1.0 / sum(c) OVER (PARTITION BY w1) AS p FROM cnt) "
+    "SELECT bg.doc_id, round(avg(ln(p)), 4) AS lm_score, count(*) AS n_bigrams "
+    "FROM bg JOIN prob USING (w1, w2) GROUP BY bg.doc_id ORDER BY doc_id",
+    "[ext: text] bigram-LM perplexity filter (CCNet-style): model "
+    "estimated from the corpus (one GROUP BY shuffle), conditional "
+    "probs via window-sum on the aggregated count table, docs scored "
+    "by mean ln P(w2|w1) through a join AQE broadcasts "
+    "(operators/text.py::bigram_lm_score).",
+)
+def t40(spark, sf_dir):
+    from .operators.text import bigram_lm_score
+
+    return bigram_lm_score(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+# 8-token boilerplate prepended to every third doc so chunk-level
+# dedup has real duplicates to find (the synthetic corpus is
+# collision-free word salad) — same injection pattern as t38/t39.
+_BOILER = "standard license header applies to this shared document"
+
+
+@qdef(
+    "t42_chunk_dedup",
+    "WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN "
+    f"concat('{_BOILER} ', text) ELSE text END AS text FROM documents), "
+    "toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM aug), "
+    "ch AS (SELECT doc_id, t, CAST(ceil(len(t)/8.0) AS INT) AS n_chunks, "
+    "  unnest(range(0, CAST(ceil(len(t)/8.0) AS INT))) AS idx FROM toks), "
+    "chunks AS (SELECT doc_id, n_chunks, idx, "
+    "  array_to_string(t[(idx*8+1):(idx*8+8)], ' ') AS chunk FROM ch), "
+    "kept AS (SELECT *, row_number() OVER "
+    "  (PARTITION BY chunk ORDER BY doc_id, idx) AS rn FROM chunks) "
+    "SELECT doc_id, any_value(n_chunks) AS n_chunks, "
+    "CAST(count(*) AS INT) AS n_kept, "
+    "string_agg(chunk, ' ' ORDER BY idx) AS kept_text "
+    "FROM kept WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id",
+    "[ext: dedup] sub-document (chunk-level) exact dedup, the "
+    "line-dedup step of CCNet/Gopher pipelines: 8-token chunks, "
+    "global first-occurrence via one row_number shuffle on the chunk "
+    "key, reassembly preserves order "
+    "(operators/text.py::chunk_dedup).",
+)
+def t42(spark, sf_dir):
+    from .operators.text import chunk_dedup
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.expr(
+            "CASE WHEN doc_id % 3 = 0 THEN "
+            f"concat('{_BOILER} ', text) ELSE text END"
+        ),
+    )
+    return chunk_dedup(d, chunk_tokens=8).orderBy("doc_id")
+
+
+@qdef(
+    "t43_seq_packing",
+    "WITH d AS (SELECT source, doc_id, len(string_split(text, ' ')) AS tok "
+    "FROM documents), "
+    "o AS (SELECT source, doc_id, tok, "
+    "  sum(tok) OVER (PARTITION BY source ORDER BY doc_id "
+    "  ROWS UNBOUNDED PRECEDING) - tok AS off FROM d) "
+    "SELECT source, CAST(floor(off / 512.0) AS BIGINT) AS bin, "
+    "CAST(count(*) AS INT) AS n_docs, sum(tok) AS bin_tokens "
+    "FROM o GROUP BY source, bin ORDER BY source, bin",
+    "[ext: text] deterministic concat-and-chunk sequence packing "
+    "(the LLM pre-training loader's greedy packer as a relational "
+    "window): per-stratum running token offset -> 512-token bin, "
+    "one shuffle on the stratum key "
+    "(operators/text.py::pack_sequences).",
+)
+def t43(spark, sf_dir):
+    from .operators.text import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), seq_len=512).orderBy(
+        "source", "bin"
+    )

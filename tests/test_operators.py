@@ -785,3 +785,66 @@ class TestContamination:
         tr = spark.createDataFrame([(2, "a b c d e f g h i")], "doc_id long, text string")
         plan = explain_str(contamination_flags(tr, ev, n=8))
         assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+class TestBigramLmScore:
+    def test_probabilities_hand_computed(self, spark):
+        import math
+
+        # corpus: "a b" x2 and "a c" -> P(b|a)=2/3, P(c|a)=1/3
+        d = spark.createDataFrame(
+            [(0, "a b"), (1, "a b"), (2, "a c"), (3, "solo")],
+            "doc_id long, text string",
+        )
+        from cowsdb_spark.operators.text import bigram_lm_score
+
+        out = {r.doc_id: r for r in bigram_lm_score(d).collect()}
+        assert out[0].lm_score == round(math.log(2 / 3), 4)
+        assert out[2].lm_score == round(math.log(1 / 3), 4)
+        assert out[0].n_bigrams == 1
+        # <2 tokens -> no bigrams -> dropped
+        assert 3 not in out
+
+
+class TestChunkDedup:
+    def test_shared_prefix_chunk_removed_once(self, spark):
+        # chunk size 2: doc0 = [xx yy][a b], doc1 = [xx yy][c d]
+        d = spark.createDataFrame(
+            [(0, "xx yy a b"), (1, "xx yy c d")],
+            "doc_id long, text string",
+        )
+        from cowsdb_spark.operators.text import chunk_dedup
+
+        out = {r.doc_id: r for r in chunk_dedup(d, chunk_tokens=2).collect()}
+        assert out[0].n_chunks == 2 and out[0].n_kept == 2
+        assert out[0].kept_text == "xx yy a b"
+        # doc1 loses the shared first chunk, keeps order of the rest
+        assert out[1].n_chunks == 2 and out[1].n_kept == 1
+        assert out[1].kept_text == "c d"
+
+    def test_fully_duplicated_doc_drops_out(self, spark):
+        d = spark.createDataFrame(
+            [(0, "xx yy"), (1, "xx yy")], "doc_id long, text string"
+        )
+        from cowsdb_spark.operators.text import chunk_dedup
+
+        out = {r.doc_id: r for r in chunk_dedup(d, chunk_tokens=2).collect()}
+        assert 0 in out and 1 not in out
+
+
+class TestPackSequences:
+    def test_bins_by_running_offset(self, spark):
+        # stratum s: tokens 3,3,3 with seq_len 4 -> offsets 0,3,6
+        # -> bins 0,0,1
+        d = spark.createDataFrame(
+            [(0, "a b c", "s"), (1, "d e f", "s"), (2, "g h i", "s")],
+            "doc_id long, text string, source string",
+        )
+        from cowsdb_spark.operators.text import pack_sequences
+
+        out = {
+            r.bin: r
+            for r in pack_sequences(d, seq_len=4).collect()
+        }
+        assert out[0].n_docs == 2 and out[0].bin_tokens == 6
+        assert out[1].n_docs == 1 and out[1].bin_tokens == 3

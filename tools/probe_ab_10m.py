@@ -17,20 +17,18 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SUBSET = {"cb30", "cb31", "cb32", "cb33", "cb34", "cb35", "cb04", "cb08"}
+SUBSET = {"cb13", "cb16", "cb17", "cb18", "cb21", "cb28", "cb32", "cb35"}
 
 CONFIGS = {
     "base": {},
-    "offheap8": {
-        "spark.memory.offHeap.enabled": "true",
-        "spark.memory.offHeap.size": "8g",
+    "finalmap": {
+        "spark.sql.codegen.aggregate.map.twolevel.partialOnly": "false",
     },
-    "pgc": {"spark.driver.extraJavaOptions": "-XX:+UseParallelGC"},
-    "offheap_pgc": {
-        "spark.memory.offHeap.enabled": "true",
-        "spark.memory.offHeap.size": "8g",
-        "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
+    "vecmap": {
+        "spark.sql.codegen.aggregate.map.twolevel.partialOnly": "false",
+        "spark.sql.codegen.aggregate.map.vectorized.enable": "true",
     },
+    "sp64": {"spark.sql.shuffle.partitions": "64"},
 }
 
 ROUNDS = 3
