@@ -100,6 +100,16 @@ def get_spark(app_name: str = "moospark", shuffle_partitions: int | None = None)
         # MIN/MAX over a 10M-row column on one local box).
         .config("spark.sql.sources.useV1SourceList", "")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Codegen'd two-level fast hash map in the FINAL aggregate
+        # stage too (default is partial-only), with the vectorized
+        # row-batch variant: the high-cardinality GROUP BY family is
+        # final-agg-bound once the partial pass stops reducing.
+        # Measured (tools/probe_ab_10m.py, heavy-8 ClickBench subset
+        # at 10M rows, fresh-JVM interleaved cells, median of 3
+        # rounds): base 6.21 s -> 5.30 s, better in every round;
+        # scan-split 16 MB and shuffle-width 64 variants were noise.
+        .config("spark.sql.codegen.aggregate.map.twolevel.partialOnly", "false")
+        .config("spark.sql.codegen.aggregate.map.vectorized.enable", "true")
     )
     # Shuffle/spill scratch on RAM-backed tmpfs when available: local
     # mode writes every exchange to spark.local.dir, and /tmp here is

@@ -21,14 +21,16 @@ SUBSET = {"cb13", "cb16", "cb17", "cb18", "cb21", "cb28", "cb32", "cb35"}
 
 CONFIGS = {
     "base": {},
-    "finalmap": {
-        "spark.sql.codegen.aggregate.map.twolevel.partialOnly": "false",
-    },
     "vecmap": {
         "spark.sql.codegen.aggregate.map.twolevel.partialOnly": "false",
         "spark.sql.codegen.aggregate.map.vectorized.enable": "true",
     },
-    "sp64": {"spark.sql.shuffle.partitions": "64"},
+    "mpb16": {"spark.sql.files.maxPartitionBytes": "16777216"},
+    "mpb16_vecmap": {
+        "spark.sql.files.maxPartitionBytes": "16777216",
+        "spark.sql.codegen.aggregate.map.twolevel.partialOnly": "false",
+        "spark.sql.codegen.aggregate.map.vectorized.enable": "true",
+    },
 }
 
 ROUNDS = 3
