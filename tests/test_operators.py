@@ -58,17 +58,20 @@ class TestSimhash:
         assert (0, 4) not in pairs
 
     def test_signature_stage_runs_once(self, docs):
-        """r5 (VERDICT r4 #7): the banded signatures feed both sides
-        of the self-join from the persisted frame — both sides must
-        scan the in-memory relation, and the Python bit-vote stage
-        must not appear live in the join plan (it ran once, into the
-        cache)."""
+        """r5 (closes VERDICT r4 #7): the bucket-group formulation
+        consumes the banded signatures exactly once — ONE exchange
+        into (band, band-value) groups, no self-join, so the Python
+        bit-vote stage appears at most once in the whole plan and no
+        persist/cache is needed."""
         df = simhash_pairs(docs)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert plan.count("InMemoryTableScan") >= 2, plan
-        # the live plan above the cache holds no Python eval stage
-        head = plan.split("InMemoryRelation")[0]
-        assert "EvalPython" not in head
+        assert plan.count("BatchEvalPython") + plan.count(
+            "ArrowEvalPython"
+        ) <= 1, plan
+        assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+        # exactly one exchange feeds the bucket grouping (plus the
+        # candidate-dedup exchange above it)
+        assert plan.count("Exchange hashpartitioning") == 2, plan
 
 
 class TestNgramJaccard:
