@@ -294,6 +294,27 @@ def minhash_lsh_pairs(
         .select("_p.id_a", "_p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # Size-conditional pre-filter of the signature table down to the
+    # ids the candidate pairs actually reference. Planned statically
+    # the two re-attach joins are sort-merge joins that shuffle-WRITE
+    # the full signature table twice (~5 GB at 10M docs) — AQE
+    # converts them to broadcast at runtime but only after the map
+    # stages are queued, so the writes still happen. A broadcast
+    # LEFT SEMI on the (slim, deduped) referenced-id list streams the
+    # persisted signatures with NO shuffle, after which the re-attach
+    # joins move only ~|candidates| rows. The candidate count is an
+    # O(1)-driver-data decision on a frame that must materialize
+    # anyway (same pattern as the quantile-bisection / IVF radius
+    # collects); above the threshold (adversarial corpora where
+    # candidates ~ corpus) the plain shuffle joins stand — no
+    # unconditional broadcast (r4 tf_idf lesson).
+    cand_ids = cand_ids.persist()
+    if cand_ids.count() <= 20_000_000:
+        ids_needed = (
+            cand_ids.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
+            .distinct()
+        )
+        sig = sig.join(F.broadcast(ids_needed), id_col, "left_semi")
     cand = cand_ids.join(
         sig.select(F.col(id_col).alias("id_a"), F.col("_sig").alias("_sig_a")),
         "id_a",
