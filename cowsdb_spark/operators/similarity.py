@@ -182,21 +182,51 @@ def ivf_build(
     )
     centroids = _lloyd_kmeans(sample, n_centroids, seed=seed, max_iter=max_iter)
 
-    # distributed assignment: d²(v, c) per centroid, all JVM-side
-    dists = [
-        F.aggregate(
-            F.zip_with(
-                F.col("_v"),
-                F.array(*[F.lit(float(x)) for x in c]),
-                lambda a, b: (a - b) * (a - b),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        for c in centroids
-    ]
-    darr = F.array(*dists)
-    cell = (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+    # distributed assignment. Small configs stay JVM-side: one
+    # aggregate(zip_with) squared-distance fold per centroid inside
+    # whole-stage codegen. The expression tree is O(n_centroids × dim)
+    # literal nodes, and past ~2k nodes Catalyst falls out of codegen
+    # into interpreted eval (the same measured blowup documented at
+    # minhash_signature / simhash64) — above that, the assignment runs
+    # as ONE Arrow-batched GEMM per batch (‖x‖² + ‖c‖² − 2·x·cᵀ,
+    # argmin over the (batch, k) matrix), still a narrow map with no
+    # shuffle and no driver involvement.
+    if len(centroids) * len(centroids[0]) <= 2048:
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    F.col("_v"),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for c in centroids
+        ]
+        darr = F.array(*dists)
+        cell = (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+    else:
+        from pyspark.sql.pandas.functions import pandas_udf
+
+        cents = np.asarray(centroids, dtype=np.float64)
+        c2 = (cents * cents).sum(axis=1)
+
+        @pandas_udf("int")
+        def _assign(vs):
+            import pandas as pd
+
+            if not len(vs):
+                return pd.Series(np.zeros(0, dtype=np.int32))
+            mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+            d2 = (
+                (mat * mat).sum(axis=1)[:, None]
+                + c2[None, :]
+                - 2.0 * (mat @ cents.T)
+            )
+            return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+        cell = _assign(F.col("_v"))
     assigned = vecs.select(id_col, "_v", cell.alias("_cell"))
     return assigned, [list(c) for c in centroids]
 
@@ -210,19 +240,35 @@ def _lloyd_kmeans(points, k: int, seed: int = 42, max_iter: int = 10):
     import numpy as np
 
     rng = np.random.default_rng(seed)
+    points = np.asarray(points, dtype=float)
     n = len(points)
     k = min(k, n)
-    # k-means++ seeding
+    # k-means++ seeding, incremental form: keep the running min-d²
+    # and fold in only the NEWEST center each step — O(k·n·d). The
+    # previous formulation recomputed every center's distances per
+    # step (O(k²·n·d)): at the IVF-bench config (65k sample × 256
+    # cells × 64 dims) that is ~10^13 flops and hung the build.
     centers = [points[rng.integers(n)]]
+    best_d2 = ((points - centers[0]) ** 2).sum(axis=1)
     for _ in range(1, k):
-        d2 = np.min(
-            [((points - c) ** 2).sum(axis=1) for c in centers], axis=0
-        )
-        probs = d2 / d2.sum() if d2.sum() > 0 else None
-        centers.append(points[rng.choice(n, p=probs)])
+        s = best_d2.sum()
+        probs = best_d2 / s if s > 0 else None
+        c = points[rng.choice(n, p=probs)]
+        centers.append(c)
+        best_d2 = np.minimum(best_d2, ((points - c) ** 2).sum(axis=1))
     centers = np.asarray(centers)
+
+    def _d2_matrix(pts, cents):
+        # ||x||² + ||c||² − 2·x·cᵀ as one GEMM: an (n, k) matrix
+        # instead of the (n, k, d) broadcast tensor (8.6 GB at the
+        # bench config; 134 MB this way). Clamp tiny negatives from
+        # float cancellation.
+        x2 = (pts * pts).sum(axis=1)[:, None]
+        c2 = (cents * cents).sum(axis=1)[None, :]
+        return np.maximum(x2 + c2 - 2.0 * (pts @ cents.T), 0.0)
+
     for _ in range(max_iter):
-        d2 = ((points[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        d2 = _d2_matrix(points, centers)
         labels = d2.argmin(axis=1)
         new = np.empty_like(centers)
         for i in range(k):
@@ -272,4 +318,79 @@ def ivf_topk(
         .select(F.col(id_col), sim.alias("sim"))
         .orderBy(F.desc("sim"), id_col)
         .limit(k)
+    )
+
+
+def brute_topk_batch(
+    emb: DataFrame,
+    queries: dict[int, list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Exact cosine top-k for a BATCH of queries in one corpus pass.
+
+    The per-query form (``cosine_topk``) evaluates the dot as a
+    higher-order ``aggregate(zip_with(...))`` — HOFs run interpreted
+    per row, and Q queries mean Q full corpus scans. This batch form
+    is the scale-right exact baseline: the query matrix is a plan
+    constant (a closure-captured numpy array, broadcast with the
+    serialized task like any literal), each Arrow batch computes ALL
+    query similarities as ONE GEMM (batch × dims @ dims × Q), and
+    each partition keeps only its per-query top-k rows — the
+    map-side-combine of top-k — so the final global TakeOrdered sees
+    O(partitions × Q × k) rows, not corpus × Q.
+
+    Returns (query_id, vec_id, sim) with exactly k rows per query
+    (self-matches excluded when the query id exists in the corpus).
+    """
+    import numpy as np
+
+    qids = sorted(queries)
+    qmat = np.asarray([queries[q] for q in qids], dtype=np.float64)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    qid_arr = np.asarray(qids, dtype=np.int64)
+
+    src = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("_v"))
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
+            )
+            ids = pdf[id_col].to_numpy()
+            sims = (mat @ qmat.T) / (
+                np.sqrt((mat * mat).sum(axis=1))[:, None] * qnorm[None, :]
+            )
+            # per-query partial top-k within this batch
+            take = min(k + 1, len(ids))  # +1 absorbs a self-match
+            part = np.argpartition(-sims, take - 1, axis=0)[:take]
+            out_q, out_id, out_s = [], [], []
+            for j, q in enumerate(qid_arr):
+                rows = part[:, j]
+                keep = ids[rows] != q
+                out_q.extend([q] * int(keep.sum()))
+                out_id.extend(ids[rows][keep])
+                out_s.extend(sims[rows, j][keep])
+            yield pd.DataFrame(
+                {"query_id": out_q, "vec_id": out_id, "sim": out_s}
+            )
+
+    partial = src.mapInPandas(gen, "query_id long, vec_id long, sim double")
+    sim = F.round(F.col("sim"), round_to) if round_to is not None else F.col("sim")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_sim_r"), F.col("vec_id")
+    )
+    return (
+        partial.select("query_id", "vec_id", sim.alias("_sim_r"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", "vec_id", F.col("_sim_r").alias("sim"))
     )

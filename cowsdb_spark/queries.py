@@ -1696,3 +1696,33 @@ def t43(spark, sf_dir):
     return pack_sequences(_t(spark, sf_dir, "documents"), seq_len=512).orderBy(
         "source", "bin"
     )
+
+
+@qdef(
+    "t44_ann_batch",
+    "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
+    "FROM embeddings WHERE vec_id IN (0, 7, 13)), "
+    "s AS (SELECT q.query_id, e.vec_id, "
+    "ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS sim "
+    "FROM embeddings e, q WHERE e.vec_id <> q.query_id), "
+    "r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+    "ORDER BY sim DESC, vec_id) AS rn FROM s) "
+    "SELECT query_id, vec_id, sim FROM r WHERE rn <= 5 "
+    "ORDER BY query_id, vec_id",
+    "[ext: similarity] batch exact ANN: one corpus pass scores ALL "
+    "queries via an Arrow-batched GEMM with per-partition top-k "
+    "combine, so the exchange sees O(partitions x Q x k) rows "
+    "(operators/similarity.py::brute_topk_batch). The offline "
+    "counterpart of t05's per-query kernel; BENCH_ANN_1M.json "
+    "measures both regimes at 1M vectors.",
+)
+def t44(spark, sf_dir):
+    from .operators.similarity import brute_topk_batch
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qids = [0, 7, 13]
+    qvecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    }
+    return brute_topk_batch(emb, qvecs, k=5).orderBy("query_id", "vec_id")

@@ -851,3 +851,24 @@ class TestPackSequences:
         }
         assert out[0].n_docs == 2 and out[0].bin_tokens == 6
         assert out[1].n_docs == 1 and out[1].bin_tokens == 3
+
+
+class TestBruteTopkBatch:
+    def test_matches_per_query_exact(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        vecs = rng.normal(size=(300, 16)).astype(float)
+        rows = [(i, [float(x) for x in vecs[i]]) for i in range(300)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        from cowsdb_spark.operators.similarity import brute_topk_batch, cosine_topk
+
+        qids = [7, 123, 250]
+        queries = {q: [float(x) for x in vecs[q]] for q in qids}
+        got = brute_topk_batch(emb, queries, k=5).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r.query_id, []).append((r.vec_id, r.sim))
+        for q in qids:
+            exact = [(r.vec_id, r.sim) for r in cosine_topk(emb, q, k=5).collect()]
+            assert by_q[q] == exact, (q, by_q[q], exact)
