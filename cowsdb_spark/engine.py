@@ -1225,6 +1225,12 @@ class Engine:
         """Build + fast-path a statement; returns (df, mode) where
         mode records the static-planning decision for the plan cache
         ("plain" | "static")."""
+        if "(" in prepared and prepared.lstrip()[:12].upper().startswith(
+            "SELECT COUNT"
+        ):
+            early = self._try_early_limit_count(prepared)
+            if early is not None:
+                return early, "static"
         df = self.spark.sql(prepared)
         try:
             if self.spark.conf.get("spark.sql.adaptive.enabled") != "true":
@@ -1280,6 +1286,186 @@ class Engine:
             return df, f"small:{parts}"
         except Exception:  # noqa: BLE001 — fast path must never break a query
             return df, "plain"
+
+    # Probe sizes for the streaming-limit early exit, smallest first.
+    # 64k rows is one or two parquet pages; 8M covers the 10M fixture
+    # minus its tail, after which the full plan is cheaper anyway.
+    _EARLY_LIMIT_PROBE_ROWS = (1 << 16, 1 << 20, 1 << 23)
+
+    @staticmethod
+    def _top_level_find(s: str, word: str) -> int:
+        """Index of the first paren-depth-0, unquoted, word-bounded,
+        case-insensitive occurrence of ``word`` in ``s``; -1 if none."""
+        low = s.lower()
+        w = word.lower()
+        depth = 0
+        i = 0
+        n = len(s)
+        while i < n:
+            c = s[i]
+            if c in ("'", '"', "`"):
+                j = i + 1
+                while j < n:
+                    if s[j] == "\\" and c != "`":
+                        j += 2
+                        continue
+                    if s[j] == c:
+                        break
+                    j += 1
+                i = j + 1
+                continue
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth = max(0, depth - 1)
+            elif depth == 0 and low.startswith(w, i):
+                before_ok = i == 0 or not (low[i - 1].isalnum() or low[i - 1] == "_")
+                e = i + len(w)
+                after_ok = e >= n or not (low[e].isalnum() or low[e] == "_")
+                if before_ok and after_ok:
+                    return i
+            i += 1
+        return -1
+
+    def _try_early_limit_count(self, prepared: str) -> Optional[DataFrame]:
+        """Streaming-limit early exit for
+        ``SELECT COUNT(*) FROM (SELECT … GROUP BY g LIMIT k) t``.
+
+        The subquery's LIMIT carries no ORDER BY, so any k groups
+        satisfy it, and the outer COUNT consumes only the row count:
+        the query asks for ``least(k, |distinct g|)``. A streaming
+        engine (ClickHouse, DuckDB) stops aggregating the moment k
+        groups exist; Spark's hash aggregate has no early-out, so it
+        builds every group before limiting (ClickBench Q17 pays a full
+        two-column aggregation over the table to count 10 rows).
+
+        Rewrite: verify at plan time that the first M source rows
+        already contain >= k distinct key combinations, then serve a
+        plan that aggregates only a LIMIT-M slice of the source.
+        Soundness: groups over a row subset are a subset of groups over
+        the table, so >= k groups in the slice implies both plans
+        return exactly k; data is immutable within a catalog
+        generation (the plan cache key carries ``_catalog_gen``), so
+        the plan-time validation holds for every later execution. The
+        served plan re-scans its M-row slice on each run — no result
+        reuse. Shapes where the subquery's aggregate VALUES (not just
+        its cardinality) are consumed — ORDER BY, HAVING, joins,
+        set-ops, rollups — never match; on any doubt (alias-typed
+        group keys, positional keys, analysis errors) the full plan is
+        served instead.
+        """
+        import re as _re
+
+        s = prepared.strip().rstrip(";").strip()
+        m = _re.match(
+            r"(?is)^SELECT\s+COUNT\(\s*(?:\*|1)\s*\)\s+AS\s+(`\w+`|\w+)\s+FROM\s*\(",
+            s,
+        )
+        if m is None:
+            return None
+        alias = m.group(1)
+        # balanced-paren extraction of the derived table
+        start = m.end() - 1
+        depth = 0
+        end = -1
+        i = start
+        n = len(s)
+        while i < n:
+            c = s[i]
+            if c in ("'", '"', "`"):
+                j = i + 1
+                while j < n:
+                    if s[j] == "\\" and c != "`":
+                        j += 2
+                        continue
+                    if s[j] == c:
+                        break
+                    j += 1
+                i = j + 1
+                continue
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    end = i
+                    break
+            i += 1
+        if end < 0:
+            return None
+        inner = s[start + 1 : end].strip()
+        tail = s[end + 1 :].strip()
+        if tail and not _re.match(r"(?is)^(?:AS\s+)?(?:`\w+`|\w+)$", tail):
+            return None
+        if not _re.match(r"(?is)^SELECT\s", inner):
+            return None
+        gb = self._top_level_find(inner, "GROUP BY")
+        frm = self._top_level_find(inner, "FROM")
+        if gb < 0 or frm < 0 or frm > gb:
+            return None
+        for kw in (
+            "ORDER BY", "HAVING", "UNION", "INTERSECT", "EXCEPT", "JOIN",
+            "DISTINCT", "WINDOW", "QUALIFY", "ROLLUP", "CUBE",
+            "GROUPING SETS", "WITH",
+        ):
+            if self._top_level_find(inner, kw) >= 0:
+                return None
+        src = inner[frm + 4 : gb].strip()
+        rest = inner[gb + len("GROUP BY") :].strip()
+        lm = _re.search(r"(?is)\bLIMIT\s+(\d+)\s*$", rest)
+        if lm is None:
+            return None
+        k = int(lm.group(1))
+        keys = rest[: lm.start()].strip()
+        if not (0 < k <= 100_000) or not keys:
+            return None
+        if self._top_level_find(keys, "LIMIT") >= 0:
+            return None
+        # positional keys (GROUP BY 1) would turn into literals in the
+        # probe text — bail
+        from .dialect.translate import _split_top_level_commas
+
+        if any(
+            _re.fullmatch(r"\d+", p.strip())
+            for p in _split_top_level_commas(keys)
+        ):
+            return None
+        # single plain table ref (optionally WHERE-filtered): the probe
+        # wraps it in SELECT * ... LIMIT M, which is only
+        # unambiguous for one relation
+        ws = self._top_level_find(src, "WHERE")
+        table = (src[:ws] if ws >= 0 else src).strip()
+        if not _re.fullmatch(r"(?:`[^`]+`|\w+)(?:\.(?:`[^`]+`|\w+))*", table):
+            return None
+        for probe_rows in self._EARLY_LIMIT_PROBE_ROWS:
+            sql = (
+                f"SELECT COUNT(*) AS {alias} FROM ("
+                f"SELECT {keys} FROM (SELECT * FROM {src} "
+                f"LIMIT {probe_rows}) __cl_src "
+                f"GROUP BY {keys} LIMIT {k}) __cl_grp"
+            )
+            try:
+                df = self.spark.sql(sql)
+                with self._conf_lock:
+                    prev = self.spark.conf.get("spark.sql.adaptive.enabled")
+                    prev_parts = self.spark.conf.get(
+                        "spark.sql.shuffle.partitions"
+                    )
+                    self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+                    self.spark.conf.set("spark.sql.shuffle.partitions", "8")
+                    try:
+                        df._jdf.queryExecution().executedPlan()  # noqa: SLF001
+                    finally:
+                        self.spark.conf.set("spark.sql.adaptive.enabled", prev)
+                        self.spark.conf.set(
+                            "spark.sql.shuffle.partitions", prev_parts
+                        )
+                got = df.first()[0]
+            except Exception:  # noqa: BLE001 — fall back to the full plan
+                return None
+            if got >= k:
+                return df
+        return None
 
     def _temp_view_guards(self, df: DataFrame) -> dict:
         """semanticHash fingerprints of every TEMP VIEW the analyzed

@@ -1257,3 +1257,94 @@ class TestAvroEngine:
         want = engine.execute("SELECT * FROM av2 ORDER BY d", **u)
         got = engine.execute("SELECT * FROM av3 ORDER BY d", **u)
         assert got == want
+
+
+class TestEarlyLimitCount:
+    """Streaming-limit early exit: COUNT(*) over a LIMIT-without-ORDER
+    grouped subquery answers least(k, |groups|) from a bounded source
+    slice when the slice provably holds >= k groups
+    (engine._try_early_limit_count)."""
+
+    @pytest.fixture(scope="class")
+    def tbl(self, engine):
+        u = {"user": "elc"}
+        engine.execute("CREATE TABLE elc_t (id Int64, x Int64) ENGINE=Memory", **u)
+        engine.execute(
+            "INSERT INTO elc_t SELECT number AS id, number % 50 AS x "
+            "FROM numbers(5000)", **u,
+        )
+        return u
+
+    def test_early_exit_hits(self, engine, tbl):
+        out = engine.execute(
+            "SELECT COUNT(*) AS c FROM "
+            "(SELECT x, COUNT(*) AS n FROM elc_t GROUP BY x LIMIT 7) q",
+            **tbl,
+        )
+        assert out == b"7\n"
+
+    def test_fallback_when_fewer_groups(self, engine, tbl):
+        out = engine.execute(
+            "SELECT COUNT(*) AS c FROM "
+            "(SELECT x, COUNT(*) AS n FROM elc_t GROUP BY x LIMIT 100) q",
+            **tbl,
+        )
+        assert out == b"50\n"
+
+    def test_where_respected(self, engine, tbl):
+        # WHERE x < 5 -> 5 groups; LIMIT 3 of them
+        out = engine.execute(
+            "SELECT COUNT(*) AS c FROM (SELECT x, COUNT(*) AS n FROM elc_t "
+            "WHERE x < 5 GROUP BY x LIMIT 3) q",
+            **tbl,
+        )
+        assert out == b"3\n"
+
+    def test_order_by_inside_not_rewritten(self, engine, tbl):
+        # ORDER BY makes the subquery's row identity meaningful: the
+        # rewrite must not fire (result identical either way here, but
+        # the plan must be the full one)
+        assert (
+            engine._try_early_limit_count(
+                "SELECT COUNT(*) AS c FROM (SELECT x, COUNT(*) AS n "
+                "FROM some_table GROUP BY x ORDER BY n LIMIT 7) q"
+            )
+            is None
+        )
+
+    def test_having_not_rewritten(self, engine, tbl):
+        assert (
+            engine._try_early_limit_count(
+                "SELECT COUNT(*) AS c FROM (SELECT x FROM some_table "
+                "GROUP BY x HAVING COUNT(*) > 2 LIMIT 7) q"
+            )
+            is None
+        )
+
+    def test_positional_key_not_rewritten(self, engine, tbl):
+        assert (
+            engine._try_early_limit_count(
+                "SELECT COUNT(*) AS c FROM (SELECT x FROM some_table "
+                "GROUP BY 1 LIMIT 7) q"
+            )
+            is None
+        )
+
+    def test_alias_key_falls_back_correct(self, engine, tbl):
+        # group key is a select alias: the probe can't resolve it over
+        # SELECT *, so the full plan serves — and is correct
+        out = engine.execute(
+            "SELECT COUNT(*) AS c FROM (SELECT x % 3 AS a, COUNT(*) AS n "
+            "FROM elc_t GROUP BY a LIMIT 2) q",
+            **tbl,
+        )
+        assert out == b"2\n"
+
+    def test_expression_key(self, engine, tbl):
+        # verbatim expression keys resolve over the probe's SELECT *
+        out = engine.execute(
+            "SELECT COUNT(*) AS c FROM (SELECT x % 10 AS m, COUNT(*) AS n "
+            "FROM elc_t GROUP BY x % 10 LIMIT 4) q",
+            **tbl,
+        )
+        assert out == b"4\n"
