@@ -31,11 +31,20 @@ def _zipf_choice(rng, values, n, a=1.5):
     return np.asarray(values)[np.minimum(ranks - 1, len(values) - 1)]
 
 
-def generate(path: str = DEFAULT_PATH, n: int = N_ROWS) -> str:
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+def _build_table(n: int, seed: int = SEED, watch_offset: int = 0):
+    """One in-memory chunk of the fixture as a pyarrow Table.
 
-    rng = np.random.default_rng(SEED)
+    ``watch_offset`` keeps WatchID globally unique across chunks
+    (distinct inputs stay distinct under the affine map). All other
+    pools are chunk-local: per-chunk rng reseeding makes UserID pools
+    disjoint (distinct users scale with chunks) while URL/phrase tail
+    ids share the same 0..card-1 range (hot strings repeat across
+    chunks, total distinct strings stay at the 10M-realistic level —
+    the >10M points isolate row-volume scaling at fixed string
+    cardinality)."""
+    import pyarrow as pa
+
+    rng = np.random.default_rng(seed)
     words = np.array(
         "the quick brown fox jumps over lazy dog search phrase click news maps "
         "mail video photo music shop game sport auto home cat".split()
@@ -123,7 +132,9 @@ def generate(path: str = DEFAULT_PATH, n: int = N_ROWS) -> str:
     ).astype(object)
 
     cols = {
-        "WatchID": np.arange(1, n + 1, dtype=np.int64) * 977 + 11,
+        "WatchID": np.arange(
+            watch_offset + 1, watch_offset + n + 1, dtype=np.int64
+        ) * 977 + 11,
         "JavaEnable": rng.integers(0, 2, size=n).astype(np.int16),
         "Title": phrases(n, 0.30, n // 20),
         "EventTime": event_time,
@@ -204,7 +215,18 @@ def generate(path: str = DEFAULT_PATH, n: int = N_ROWS) -> str:
         else pa.array(cols[f.name], type=f.type)
         for f in schema
     ]
-    table = pa.Table.from_arrays(arrays, schema=schema)
+    return pa.Table.from_arrays(arrays, schema=schema)
+
+
+# A chunk this size peaks around a few GB during the numpy build; the
+# 100M fixture streams ten of them through one ParquetWriter instead
+# of holding 100M Python string objects at once.
+CHUNK_ROWS = 10_000_000
+
+
+def generate(path: str = DEFAULT_PATH, n: int = N_ROWS) -> str:
+    import pyarrow.parquet as pq
+
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     # Row groups are the scan-parallelism quantum for BOTH engines
     # (Spark assigns row groups to tasks by split midpoint; DuckDB
@@ -212,7 +234,29 @@ def generate(path: str = DEFAULT_PATH, n: int = N_ROWS) -> str:
     # with only 10 groups — 10 busy cores out of 32. 256k rows/group
     # (~15 MB) gives 38 groups at 10M: every core works, and the size
     # still matches a sane 100 TB layout (~16-64 MB groups).
-    pq.write_table(table, path, row_group_size=32768 if n <= 1_000_000 else 1 << 18)
+    rg = 32768 if n <= 1_000_000 else 1 << 18
+    if n <= CHUNK_ROWS:
+        # single-chunk path: byte-identical to the pre-chunking layout
+        pq.write_table(_build_table(n), path, row_group_size=rg)
+        return path
+    writer = None
+    try:
+        done = 0
+        i = 0
+        while done < n:
+            m = min(CHUNK_ROWS, n - done)
+            # per-chunk seed: disjoint UserID pools, fresh tails;
+            # EventTime sorts within a chunk — the file is ten sorted
+            # runs, the layout a 10-part MergeTree ingest produces
+            t = _build_table(m, seed=SEED + i, watch_offset=done)
+            if writer is None:
+                writer = pq.ParquetWriter(path, t.schema)
+            writer.write_table(t, row_group_size=rg)
+            done += m
+            i += 1
+    finally:
+        if writer is not None:
+            writer.close()
     return path
 
 
@@ -241,6 +285,17 @@ def ensure_hits_10m() -> str:
         os.path.dirname(DEFAULT_PATH), "hits_10m.parquet"
     )
     return ensure_hits(path, n=10_000_000)
+
+
+def ensure_hits_100m() -> str:
+    """100M-row point (~5.9 GB parquet): the amortization claim made
+    measurable — per-query scheduling floor is ~2% of runtime here, so
+    the Spark/DuckDB ratio reflects per-row efficiency and shuffle
+    discipline, the quantities that survive a 1000x scale-up."""
+    path = os.path.join(
+        os.path.dirname(DEFAULT_PATH), "hits_100m.parquet"
+    )
+    return ensure_hits(path, n=100_000_000)
 
 
 if __name__ == "__main__":

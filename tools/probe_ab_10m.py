@@ -20,17 +20,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SUBSET = {"cb13", "cb16", "cb17", "cb18", "cb21", "cb28", "cb32", "cb35"}
 
 CONFIGS = {
+    # vecmap (r5) is now baked into session.py, so "base" includes it.
     "base": {},
-    "vecmap": {
-        "spark.sql.codegen.aggregate.map.twolevel.partialOnly": "false",
-        "spark.sql.codegen.aggregate.map.vectorized.enable": "true",
+    # shuffle files land on RAM-backed tmpfs (session.py): lz4 on that
+    # path may be pure CPU cost with zero IO payoff
+    "nocomp": {
+        "spark.shuffle.compress": "false",
+        "spark.shuffle.spill.compress": "false",
     },
-    "mpb16": {"spark.sql.files.maxPartitionBytes": "16777216"},
-    "mpb16_vecmap": {
-        "spark.sql.files.maxPartitionBytes": "16777216",
-        "spark.sql.codegen.aggregate.map.twolevel.partialOnly": "false",
-        "spark.sql.codegen.aggregate.map.vectorized.enable": "true",
-    },
+    "lz4blk512": {"spark.io.compression.lz4.blockSize": "524288"},
 }
 
 ROUNDS = 3
