@@ -105,30 +105,34 @@ def q02(spark, sf_dir):
 # ---------------------------------------------------------------- aggregation
 
 
-@qdef(
-    "q04_count",
-    "SELECT COUNT(*) AS c FROM lineitem",
-    "[S1,A1] full-scan count (ref test.yml:53)",
-)
-def q04(spark, sf_dir):
-    return _t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("c"))
+# (q04_count merged into q05_filtered_agg's 1-row cross-join attach —
+# frees a driver-window slot for the r5 pipeline operators.)
 
 
 @qdef(
     "q05_filtered_agg",
-    "SELECT ROUND(SUM(l_quantity), 2) AS sum_qty, ROUND(AVG(l_extendedprice), 2) AS avg_price, "
+    "SELECT sum_qty, avg_price, min_disc, max_tax, total_cnt FROM "
+    "(SELECT ROUND(SUM(l_quantity), 2) AS sum_qty, "
+    "ROUND(AVG(l_extendedprice), 2) AS avg_price, "
     "MIN(l_discount) AS min_disc, MAX(l_tax) AS max_tax "
-    "FROM lineitem WHERE l_quantity < 25",
-    "[A2,P9] filtered sum/avg/min/max (ClickBench Q2/Q6 shape)",
+    "FROM lineitem WHERE l_quantity < 25) f CROSS JOIN "
+    "(SELECT COUNT(*) AS total_cnt FROM lineitem) t",
+    "[A2,P9 + S1,A1] filtered sum/avg/min/max with the WHERE reaching "
+    "the scan, plus the full-scan COUNT(*) attached as a 1-row cross "
+    "join (r5: absorbed q04_count so the newest pipeline operators "
+    "rotate into the driver window; ClickBench Q0/Q2/Q6 shapes, ref "
+    "test.yml:53)",
 )
 def q05(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    return li.filter(F.col("l_quantity") < 25).agg(
+    filt = li.filter(F.col("l_quantity") < 25).agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
         F.min("l_discount").alias("min_disc"),
         F.max("l_tax").alias("max_tax"),
     )
+    total = li.agg(F.count(F.lit(1)).alias("total_cnt"))
+    return filt.crossJoin(total)
 
 
 @qdef(
@@ -419,10 +423,13 @@ def q19(spark, sf_dir):
     "q22_strings",
     "SELECT p_partkey, CAST(LENGTH(p_name) AS INTEGER) AS l, SUBSTRING(p_name, 1, 5) AS pfx, "
     "LOWER(p_name) AS lo, UPPER(p_brand) AS up, CONCAT(p_brand, ':', p_type) AS cat, "
-    "CAST(strpos(p_name, 'a') AS INTEGER) AS pos "
+    "CAST(strpos(p_name, 'a') AS INTEGER) AS pos, "
+    "REGEXP_REPLACE(p_name, '[aeiou]', '*', 'g') AS masked "
     "FROM part ORDER BY p_partkey LIMIT 50",
-    "[2.9 strings] length/substring/lower/upper/concat/position "
-    "(ClickBench Q27-Q28; absorbed q33_string_funcs)",
+    "[2.9 strings + P7] length/substring/lower/upper/concat/position "
+    "+ regexp_replace-all (ClickBench Q27-Q28; absorbed "
+    "q33_string_funcs, r5: absorbed q23_regexp — DuckDB needs the 'g' "
+    "flag for replace-all; backref replacement stays cb28-verified)",
 )
 def q22(spark, sf_dir):
     p = _t(spark, sf_dir, "part")
@@ -435,25 +442,16 @@ def q22(spark, sf_dir):
             F.upper("p_brand").alias("up"),
             F.concat_ws("", F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("cat"),
             F.instr(F.col("p_name"), "a").alias("pos"),
+            F.regexp_replace("p_name", "[aeiou]", "*").alias("masked"),
         )
         .orderBy("p_partkey")
         .limit(50)
     )
 
 
-@qdef(
-    "q23_regexp",
-    "SELECT c_custkey, REGEXP_REPLACE(c_name, '[0-9]', '#', 'g') AS masked "
-    "FROM customer ORDER BY c_custkey LIMIT 50",
-    "[P7] regexp_replace (ClickBench Q28); DuckDB needs the 'g' flag for replace-all",
-)
-def q23(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer")
-    return (
-        c.select("c_custkey", F.regexp_replace("c_name", "[0-9]", "#").alias("masked"))
-        .orderBy("c_custkey")
-        .limit(50)
-    )
+# (q23_regexp merged into q22_strings' masked column — frees a
+# driver-window slot; regexp backreference replacement remains
+# exercised by cb28's local oracle.)
 
 
 @qdef(
@@ -483,26 +481,12 @@ def q25(spark, sf_dir):
     )
 
 
-@qdef(
-    "q26_asof_latest",
-    "SELECT user_id, value FROM ("
-    "  SELECT user_id, value, ROW_NUMBER() OVER ("
-    "    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn"
-    "  FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00') t "
-    "WHERE rn = 1 ORDER BY user_id LIMIT 100",
-    "[J6-lite] per-key latest-at-or-before (as-of semantics via window)",
-)
-def q26(spark, sf_dir):
-    e = _t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-    return (
-        e.filter(F.col("ts") <= F.lit("2024-01-15 00:00:00").cast("timestamp"))
-        .select("user_id", "value", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-        .orderBy("user_id")
-        .limit(100)
-    )
+# (q26_asof_latest dropped as a strict subset: its surface —
+# ROW_NUMBER over (PARTITION BY key ORDER BY ts DESC) + rn filter on a
+# timestamp-bounded scan — is q36_topk_per_group's window+filter shape
+# at rn=1, and true as-of JOIN semantics carry three driver rows of
+# their own (t11 backward / t24 forward / t25 nearest). Frees a
+# driver-window slot for the r5 pipeline operators.)
 
 
 # ---------------------------------------------------------------- breadth
@@ -585,12 +569,19 @@ def q28(spark, sf_dir):
 
 @qdef(
     "q30_quantiles",
-    "SELECT ROUND(quantile_cont(l_quantity, 0.5), 4) AS med_qty, "
-    "ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price FROM lineitem",
-    "[A8] exact continuous quantile via distributed selection "
+    "SELECT med_qty, p90_price, n_disc, qty_disc FROM "
+    "(SELECT ROUND(quantile_cont(l_quantity, 0.5), 4) AS med_qty, "
+    "ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price "
+    "FROM lineitem) q CROSS JOIN "
+    "(SELECT CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_disc, "
+    "ROUND(SUM(CASE WHEN l_discount > 0.05 THEN l_quantity ELSE 0 END), 2) AS qty_disc "
+    "FROM lineitem) c",
+    "[A8 + A10] exact continuous quantile via distributed selection "
     "(range-partition + order statistic — no single-reducer value "
     "buffering; CH quantileExact tier, while the dialect's default "
-    "quantile() maps to percentile_approx)",
+    "quantile() maps to percentile_approx) with countIf/sumIf "
+    "conditional aggregates attached as a 1-row cross join (r5: "
+    "absorbed q31_conditional_agg to free a driver-window slot)",
 )
 def q30(spark, sf_dir):
     from .operators.quantile import exact_percentile_row
@@ -601,26 +592,21 @@ def q30(spark, sf_dir):
         li,
         [("l_quantity", 0.5, "med_qty"), ("l_extendedprice", 0.9, "p90_price")],
     )
-    return row.select(
-        F.round("med_qty", 4).alias("med_qty"),
-        F.round("p90_price", 4).alias("p90_price"),
-    )
-
-
-@qdef(
-    "q31_conditional_agg",
-    "SELECT CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_disc, "
-    "ROUND(SUM(CASE WHEN l_discount > 0.05 THEN l_quantity ELSE 0 END), 2) AS qty_disc "
-    "FROM lineitem",
-    "[A10] countIf/sumIf combinators as conditional aggregates",
-)
-def q31(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
     cond = F.col("l_discount") > 0.05
-    return li.agg(
+    conds = li.agg(
         F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias("n_disc"),
         F.round(F.sum(F.when(cond, F.col("l_quantity")).otherwise(0)), 2).alias("qty_disc"),
     )
+    return row.select(
+        F.round("med_qty", 4).alias("med_qty"),
+        F.round("p90_price", 4).alias("p90_price"),
+    ).crossJoin(conds)
+
+
+# (q31_conditional_agg merged into q30_quantiles' 1-row cross-join
+# attach — the countIf/sumIf surface stays driver-verified through
+# q30's n_disc/qty_disc columns, and the full combinator algebra is
+# value-tested in tests/test_dialect.py's sweep classes.)
 
 
 # (q32_date_parts merged into q10_case; q33_string_funcs merged into
