@@ -67,6 +67,10 @@ def _read_long(buf: io.BytesIO) -> int:
         if not b & 0x80:
             return _unzigzag(acc)
         shift += 7
+        if shift > 70:
+            # spec caps longs at 10 bytes; without this a stream of
+            # 0x80 bytes grows acc into an O(len^2)-cost bignum
+            raise ValueError("malformed Avro varint (too long)")
 
 
 def _write_bytes(buf: io.BytesIO, b: bytes) -> None:
@@ -224,18 +228,27 @@ def write_ocf(
 
 # ------------------------------------------------------------- decoding
 
-def _decode_value(buf: io.BytesIO, schema: Any) -> Any:
+def _decode_value(buf: io.BytesIO, schema: Any, budget: list | None = None) -> Any:
+    # budget: [remaining_value_count] shared across the whole payload.
+    # Zero-byte values (null, and records/arrays of them) let a tiny
+    # payload claim billions of elements — schema AND data are client-
+    # controlled on the INSERT path, so counts must be budgeted, not
+    # trusted.
+    if budget is not None:
+        budget[0] -= 1
+        if budget[0] < 0:
+            raise ValueError("Avro payload exceeds decoded-value budget")
     if isinstance(schema, list):  # union
         idx = _read_long(buf)
-        return _decode_value(buf, schema[idx])
+        return _decode_value(buf, schema[idx], budget)
     if isinstance(schema, str):
         schema = {"type": schema}
     st = schema["type"]
     if isinstance(st, (dict, list)):  # nested named/union type
-        return _decode_value(buf, st)
+        return _decode_value(buf, st, budget)
     if st == "record":
         return tuple(
-            _decode_value(buf, f["type"]) for f in schema["fields"]
+            _decode_value(buf, f["type"], budget) for f in schema["fields"]
         )
     if st == "array":
         out = []
@@ -247,7 +260,7 @@ def _decode_value(buf: io.BytesIO, schema: Any) -> Any:
                 _read_long(buf)
                 cnt = -cnt
             for _ in range(cnt):
-                out.append(_decode_value(buf, schema["items"]))
+                out.append(_decode_value(buf, schema["items"], budget))
     if st == "map":
         out = {}
         while True:
@@ -258,8 +271,14 @@ def _decode_value(buf: io.BytesIO, schema: Any) -> Any:
                 _read_long(buf)
                 cnt = -cnt
             for _ in range(cnt):
+                if budget is not None:
+                    budget[0] -= 1
+                    if budget[0] < 0:
+                        raise ValueError(
+                            "Avro payload exceeds decoded-value budget"
+                        )
                 k = _read_bytes(buf).decode("utf-8")
-                out[k] = _decode_value(buf, schema["values"])
+                out[k] = _decode_value(buf, schema["values"], budget)
     if st == "null":
         return None
     if st == "boolean":
@@ -317,6 +336,10 @@ def read_ocf(data: bytes) -> tuple[list[str], list[tuple]]:
     else:
         names = ["value"]
     rows: list[tuple] = []
+    # decoded-value budget: linear in payload size with generous slack
+    # (64 values/byte); a legitimate file can't exceed it, a crafted
+    # all-null/array-of-null payload can't amplify past it
+    budget = [64 * len(data) + 4096]
     while True:
         head = buf.read(1)
         if not head:
@@ -326,10 +349,23 @@ def read_ocf(data: bytes) -> tuple[list[str], list[tuple]]:
         blen = _read_long(buf)
         raw = buf.read(blen)
         if codec == "deflate":
-            raw = zlib.decompress(raw, -15)
+            # cap decompressed size: deflate reaches ~1000:1 on
+            # constant input, so a small block must not inflate into
+            # gigabytes (classic zip-bomb)
+            cap = min(1 << 30, max(1 << 22, 1024 * max(blen, 1)))
+            dec = zlib.decompressobj(-15)
+            raw = dec.decompress(raw, cap)
+            if dec.unconsumed_tail:
+                raise ValueError("Avro deflate block exceeds size cap")
         bbuf = io.BytesIO(raw)
+        if n < 0 or n > len(raw) + 1:
+            # every row consumes >=0 bytes; a count beyond the block's
+            # byte length is only reachable with zero-byte schemas,
+            # which the value budget below already bounds — but reject
+            # the obviously-forged count outright
+            raise ValueError("Avro block row count exceeds block size")
         for _ in range(n):
-            v = _decode_value(bbuf, schema)
+            v = _decode_value(bbuf, schema, budget)
             rows.append(v if isinstance(v, tuple) else (v,))
         if buf.read(16) != sync:
             raise ValueError("Avro sync marker mismatch")

@@ -399,9 +399,19 @@ def _read_list(seg: bytes, ptr_word_idx: int, ptr: int) -> Any:
     code = (ptr >> 32) & 7
     count = (ptr >> 35) & 0x1FFFFFFF
     start = (ptr_word_idx + 1 + off) * 8
+    if start < 0:
+        raise ValueError("capnp list pointer targets before segment start")
+    # Bounds-check BEFORE materializing: the element count comes from
+    # client-controlled wire bytes, and Python slices clamp silently —
+    # int.from_bytes(b"") == 0 would fabricate up to 2^29 zeros (a
+    # multi-GB list) from an 8-byte pointer.
     if code == 2:  # bytes
+        if start + count > len(seg):
+            raise ValueError("capnp data list exceeds segment bounds")
         return seg[start:start + count]
     if code == 6:  # pointer list (List(Text))
+        if start + count * 8 > len(seg):
+            raise ValueError("capnp pointer list exceeds segment bounds")
         out = []
         for j in range(count):
             sub_idx = (start // 8) + j
@@ -413,6 +423,8 @@ def _read_list(seg: bytes, ptr_word_idx: int, ptr: int) -> Any:
             )
         return out
     if code == 1:  # bit list
+        if start + (count + 7) // 8 > len(seg):
+            raise ValueError("capnp bit list exceeds segment bounds")
         return [
             bool((seg[start + (j >> 3)] >> (j & 7)) & 1) for j in range(count)
         ]
@@ -420,6 +432,8 @@ def _read_list(seg: bytes, ptr_word_idx: int, ptr: int) -> Any:
     if bits is None:
         raise ValueError(f"unsupported list element size code {code}")
     nb = bits // 8
+    if start + count * nb > len(seg):
+        raise ValueError("capnp scalar list exceeds segment bounds")
     return [
         int.from_bytes(seg[start + j * nb:start + (j + 1) * nb], "little")
         for j in range(count)

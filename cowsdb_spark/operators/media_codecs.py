@@ -112,6 +112,10 @@ def decode_netpbm(data: bytes) -> Optional[np.ndarray]:
         return None
     pos += 1  # the single whitespace after maxval
     w, h = vals[0], vals[1]
+    if w <= 0 or h <= 0:
+        # negative header dims make n negative, and frombuffer with a
+        # negative count reads the whole buffer — reject instead
+        return None
     n = w * h * (3 if rgb else 1)
     if pos + n > len(data):
         return None
