@@ -802,3 +802,29 @@ def connected_components(
         while len(_CC_CACHE) > _CC_CACHE_MAX:
             _CC_CACHE.popitem(last=False)
     return lab
+
+
+def cross_corpus_new(
+    new_docs: DataFrame,
+    seen_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental ingest dedup: the new-batch documents whose content
+    does not already exist in the seen corpus (exact tier — the first
+    gate of a continuously-fed training pipeline; near-dup tiers then
+    run on the survivors).
+
+    Both sides project to (id, md5-of-normalized-text) before the
+    LEFT ANTI join, so document bodies never shuffle; AQE elects a
+    broadcast when the seen side's fingerprints are small, and the
+    anti join needs no pre-distinct (anti joins don't multiply). At
+    100 TB the same plan holds with the seen fingerprints as a
+    bucketed table (or a bloom-filter pre-pass feeding this exact
+    anti-join); md5 here instead of xxhash64 keeps the operator
+    oracle-checkable.
+    """
+    fp = F.md5(F.lower(F.trim(F.col(text_col)))).alias("_fp")
+    new_fp = new_docs.select(F.col(id_col), fp)
+    seen_fp = seen_docs.select(fp)
+    return new_fp.join(seen_fp, "_fp", "left_anti").select(id_col)

@@ -515,3 +515,61 @@ def pack_sequences(
             F.sum("_tok").alias("bin_tokens"),
         )
     )
+
+
+def corpus_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_ranks: int = 1000,
+) -> DataFrame:
+    """Corpus-level statistics a training-data pipeline reports per
+    snapshot: document count, token count, vocabulary size,
+    type-token ratio, and the Zipf exponent (OLS slope of log
+    frequency against log rank over the ``top_ranks`` most frequent
+    tokens — natural language sits near -1; strong deviation flags
+    boilerplate or synthetic text).
+
+    Plan shape: tokenize → explode → two-phase frequency count (the
+    ONE data-sized shuffle, keyed on token); the rank window runs
+    over only the top-K rows after a TakeOrdered, so the global sort
+    touches K rows, never the vocabulary; the regression is a single
+    1-row aggregate over K points. All corpus-sized stages stay in
+    whole-stage codegen; driver sees 1-row results only.
+    """
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("f"))
+    totals = freq.agg(
+        F.sum("f").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+    )
+    top = (
+        freq.orderBy(F.desc("f"), "token")
+        .limit(top_ranks)
+        .select(
+            "f",
+            F.row_number()
+            .over(Window.orderBy(F.desc("f"), "token"))
+            .alias("r"),
+        )
+    )
+    slope = top.agg(
+        F.round(F.regr_slope(F.log("f"), F.log("r")), 4).alias("zipf_slope")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        n_docs.crossJoin(totals)
+        .crossJoin(slope)
+        .select(
+            "n_docs",
+            "total_tokens",
+            "vocab_size",
+            F.round(
+                F.col("vocab_size") * F.lit(1.0) / F.col("total_tokens"), 6
+            ).alias("ttr"),
+            "zipf_slope",
+        )
+    )

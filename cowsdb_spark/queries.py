@@ -1712,3 +1712,51 @@ def t44(spark, sf_dir):
         for r in emb.filter(F.col("vec_id").isin(qids)).collect()
     }
     return brute_topk_batch(emb, qvecs, k=5).orderBy("query_id", "vec_id")
+
+
+@qdef(
+    "t45_corpus_stats",
+    "WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS token "
+    "FROM documents), freq AS (SELECT token, COUNT(*) AS f FROM tok "
+    "WHERE token <> '' GROUP BY token), top AS ("
+    "SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, token) AS r FROM freq "
+    "ORDER BY f DESC, token LIMIT 1000) "
+    "SELECT (SELECT COUNT(*) FROM documents) AS n_docs, "
+    "(SELECT CAST(SUM(f) AS BIGINT) FROM freq) AS total_tokens, "
+    "(SELECT COUNT(*) FROM freq) AS vocab_size, "
+    "ROUND((SELECT COUNT(*) FROM freq) * 1.0 / "
+    "(SELECT SUM(f) FROM freq), 6) AS ttr, "
+    "(SELECT ROUND(regr_slope(ln(f), ln(r)), 4) FROM top) AS zipf_slope",
+    "[ext: text analysis] corpus snapshot statistics: doc/token/vocab "
+    "counts, type-token ratio, Zipf exponent via OLS over the top-1000 "
+    "frequency/rank log-log points (operators/text.py::corpus_stats — "
+    "one token-keyed shuffle; rank window runs over K rows only)",
+)
+def t45(spark, sf_dir):
+    from .operators.text import corpus_stats
+
+    return corpus_stats(_t(spark, sf_dir, "documents"))
+
+
+@qdef(
+    "t46_cross_dedup",
+    "SELECT d.doc_id FROM documents d WHERE d.doc_id % 3 <> 0 AND "
+    "md5(lower(trim(d.text))) NOT IN (SELECT md5(lower(trim(s.text))) "
+    "FROM documents s WHERE s.doc_id % 3 = 0) ORDER BY doc_id LIMIT 100",
+    "[ext: dedup] incremental cross-corpus dedup: new-batch docs "
+    "(doc_id % 3 <> 0) whose exact content is absent from the seen "
+    "corpus (doc_id % 3 = 0) — fingerprint-projected LEFT ANTI join, "
+    "bodies never shuffle (operators/dedup.py::cross_corpus_new)",
+)
+def t46(spark, sf_dir):
+    from .operators.dedup import cross_corpus_new
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        cross_corpus_new(
+            d.filter(F.col("doc_id") % 3 != 0),
+            d.filter(F.col("doc_id") % 3 == 0),
+        )
+        .orderBy("doc_id")
+        .limit(100)
+    )

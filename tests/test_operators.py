@@ -872,3 +872,59 @@ class TestBruteTopkBatch:
         for q in qids:
             exact = [(r.vec_id, r.sim) for r in cosine_topk(emb, q, k=5).collect()]
             assert by_q[q] == exact, (q, by_q[q], exact)
+
+
+class TestCorpusStats:
+    def test_values_and_plan(self, spark):
+        from cowsdb_spark.operators.text import corpus_stats
+
+        docs = spark.createDataFrame(
+            [(i, "the cat sat on the mat " + f"tail{i}") for i in range(20)],
+            "doc_id long, text string",
+        )
+        row = corpus_stats(docs, top_ranks=50).collect()[0]
+        assert row.n_docs == 20
+        # 7 tokens/doc: 'the' twice -> total 140, vocab = 5 shared + 20 tails
+        assert row.total_tokens == 140
+        assert row.vocab_size == 25
+        assert abs(row.ttr - round(25 / 140, 6)) < 1e-9
+        # freq: the=40; cat/sat/on/mat=20; tails=1 -> slope < 0
+        assert row.zipf_slope < 0
+        plan = (
+            corpus_stats(docs, top_ranks=50)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # corpus-sized stages: exactly one token-keyed aggregate pair;
+        # the rank window must sit above a bounded top-K, not a global
+        # sort of the vocabulary
+        assert "TakeOrderedAndProject" in plan
+
+
+class TestCrossCorpusNew:
+    def test_new_minus_seen(self, spark):
+        from cowsdb_spark.operators.dedup import cross_corpus_new
+
+        seen = spark.createDataFrame(
+            [(0, "alpha"), (3, "beta")], "doc_id long, text string"
+        )
+        new = spark.createDataFrame(
+            [(1, "ALPHA  "), (2, "gamma"), (4, "beta"), (5, "delta")],
+            "doc_id long, text string",
+        )
+        got = sorted(r.doc_id for r in cross_corpus_new(new, seen).collect())
+        # 1 matches alpha after lower+trim; 4 matches beta; 2,5 survive
+        assert got == [2, 5]
+
+    def test_bodies_never_shuffle_and_broadcast(self, spark):
+        from cowsdb_spark.operators.dedup import cross_corpus_new
+
+        seen = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+        new = spark.createDataFrame([(1, "y")], "doc_id long, text string")
+        plan = (
+            cross_corpus_new(new, seen)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "LeftAnti" in plan
+        # the join operates on fingerprints; raw text reaches no
+        # exchange (projection happens below the join)
+        assert "text" not in plan.split("Join")[0].split("Exchange")[-1]
