@@ -573,3 +573,61 @@ def corpus_stats(
             "zipf_slope",
         )
     )
+
+
+def fuzzy_contamination(
+    docs,
+    eval_docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+    threshold: float = 0.05,
+):
+    """Near-duplicate decontamination: flag a training document when
+    the Jaccard similarity between its DISTINCT word n-gram set and
+    ANY eval document's reaches ``threshold`` — the fuzzy tier behind
+    ``contamination_flags``' exact-span screen (catches paraphrased /
+    partially-overlapping benchmark leakage that no single shared
+    span reveals). Returns (id_col, max_jaccard) for flagged docs.
+
+    Scale shape: the eval set is the small side — its exploded
+    distinct grams (with per-doc set sizes) broadcast; the corpus
+    explodes its distinct grams map-side and inner-broadcast-joins,
+    so bodies never shuffle and the only exchange carries
+    ((train_id, eval_id), counts). Jaccard = inter / (|A|+|B|-inter)
+    with |A| carried as a per-row scalar and |B| arriving on the
+    broadcast side.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import _tokens_of, shingles_of_tokens
+
+    # explode ONLY — shingles_of_tokens already dedups, and putting a
+    # second consumer (size()) next to the explode re-inlines the
+    # whole shingle lambda into every reference (measured 0.5s -> 6-8s
+    # on the sf0.1 corpus); per-doc set sizes come from a count over
+    # the exploded grams instead (a (doc_id, int64) shuffle)
+    def grams(df, out_id):
+        return _tokens_of(df, id_col, text_col).select(
+            F.col(id_col).alias(out_id),
+            F.explode(shingles_of_tokens(F.col("_toks"), n)).alias("_g"),
+        )
+
+    tr_g = grams(docs, id_col)
+    na = tr_g.groupBy(id_col).agg(F.count(F.lit(1)).alias("_na"))
+    ev_g = grams(eval_docs, "_ev_id")
+    ev_n = ev_g.groupBy("_ev_id").agg(F.count(F.lit(1)).alias("_nb"))
+    ev_side = ev_g.join(ev_n, "_ev_id")  # eval side is small; stays broadcast
+    inter = (
+        tr_g.join(F.broadcast(ev_side), "_g", "inner")
+        .groupBy(id_col, "_ev_id")
+        .agg(F.count(F.lit(1)).alias("_inter"), F.first("_nb").alias("_nb"))
+    )
+    jac = F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter"))
+    return (
+        inter.join(na, id_col)
+        .select(F.col(id_col), jac.alias("_j"))
+        .groupBy(id_col)
+        .agg(F.round(F.max("_j"), 4).alias("max_jaccard"))
+        .filter(F.col("max_jaccard") >= threshold)
+    )

@@ -1739,6 +1739,40 @@ def t45(spark, sf_dir):
 
 
 @qdef(
+    "t47_fuzzy_contamination",
+    "WITH tok AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), "
+    "'\\s+', ' ', 'g'), ' ') AS tk FROM documents), "
+    "g AS (SELECT doc_id, list_distinct(list_transform("
+    "generate_series(1, greatest(len(tk) - 2, 1)), "
+    "i -> list_aggregate(list_slice(tk, i, i + 2), 'string_agg', ' '))) AS gr FROM tok), "
+    "ev AS (SELECT gr FROM g WHERE doc_id IN ("
+    "SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5)), "
+    "tr AS (SELECT doc_id, gr FROM g WHERE doc_id NOT IN ("
+    "SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5)), "
+    "j AS (SELECT tr.doc_id, ROUND(MAX(len(list_intersect(tr.gr, ev.gr)) * 1.0 / "
+    "(len(tr.gr) + len(ev.gr) - len(list_intersect(tr.gr, ev.gr)))), 4) AS max_jaccard "
+    "FROM tr, ev GROUP BY tr.doc_id) "
+    "SELECT doc_id, max_jaccard FROM j WHERE max_jaccard >= 0.01 ORDER BY doc_id",
+    "[ext: text] fuzzy decontamination: training docs whose distinct "
+    "word-3-gram set reaches Jaccard >= 0.01 with any eval doc — the "
+    "near-dup tier behind t34's exact-span screen (catches paraphrased "
+    "leakage); eval gram sets broadcast, bodies never shuffle "
+    "(operators/text.py::fuzzy_contamination)",
+)
+def t47(spark, sf_dir):
+    from .operators.text import fuzzy_contamination
+
+    d = _t(spark, sf_dir, "documents")
+    ev_ids = d.orderBy("doc_id").limit(5).select("doc_id")
+    ev = d.join(F.broadcast(ev_ids), "doc_id", "left_semi")
+    train = d.join(F.broadcast(ev_ids), "doc_id", "left_anti")
+    return (
+        fuzzy_contamination(train, ev, n=3, threshold=0.01)
+        .orderBy("doc_id")
+    )
+
+
+@qdef(
     "t46_cross_dedup",
     "SELECT d.doc_id FROM documents d WHERE d.doc_id % 3 <> 0 AND "
     "md5(lower(trim(d.text))) NOT IN (SELECT md5(lower(trim(s.text))) "

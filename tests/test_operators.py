@@ -928,3 +928,37 @@ class TestCrossCorpusNew:
         # the join operates on fingerprints; raw text reaches no
         # exchange (projection happens below the join)
         assert "text" not in plan.split("Join")[0].split("Exchange")[-1]
+
+
+class TestFuzzyContamination:
+    def test_flags_paraphrased_overlap(self, spark):
+        from cowsdb_spark.operators.text import fuzzy_contamination
+
+        ev = spark.createDataFrame(
+            [(0, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string",
+        )
+        docs = spark.createDataFrame(
+            [
+                # shares most 3-grams with the eval doc, but inserted
+                # words break every long exact span
+                (10, "the quick brown fox leaps jumps over the lazy dog"),
+                (11, "completely unrelated text about data pipelines here"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r.max_jaccard for r in
+               fuzzy_contamination(docs, ev, n=3, threshold=0.2).collect()}
+        assert 10 in got and got[10] >= 0.2
+        assert 11 not in got
+
+    def test_eval_side_broadcast(self, spark):
+        from cowsdb_spark.operators.text import fuzzy_contamination
+
+        ev = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+        docs = spark.createDataFrame([(1, "a b c e")], "doc_id long, text string")
+        plan = (
+            fuzzy_contamination(docs, ev)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
