@@ -831,7 +831,10 @@ class Engine:
         if "url(" in low or "file(" in low:
             try:
                 hint = self._insert_structure_hint(sess, sql)
-                sql = resolve_table_functions(self.spark, sql, default_schema=hint)
+                sql = resolve_table_functions(
+                    self.spark, sql, default_schema=hint,
+                    files_root=self.user_files_dir,
+                )
             except EngineError:
                 raise
             except Exception as e:

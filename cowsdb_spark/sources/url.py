@@ -42,8 +42,13 @@ def _decompress_if_needed(path: str) -> str:
     if path.endswith(".xz"):
         import lzma
 
-        out = path[:-3]
-        with lzma.open(path) as src, open(out, "wb") as dst:
+        # decompress into a fresh tempfile, never alongside the source:
+        # writing next to a confined file() path would hand clients an
+        # overwrite primitive inside the user-files directory
+        fd, out = tempfile.mkstemp(
+            prefix="moospark-xz-", suffix="-" + os.path.basename(path)[:-3]
+        )
+        with lzma.open(path) as src, os.fdopen(fd, "wb") as dst:
             while chunk := src.read(1 << 22):
                 dst.write(chunk)
         return out
@@ -52,7 +57,29 @@ def _decompress_if_needed(path: str) -> str:
     return path  # .gz handled natively by Spark's readers
 
 
-def _fetch(addr: str) -> str:
+def _confine(addr: str, files_root: str | None) -> str:
+    """Resolve a local file() path inside the configured user-files
+    directory (CH confines file() to user_files_path identically).
+    Relative paths resolve under the root; absolute paths must
+    realpath-land inside it (symlink-safe). Unconfigured → the local
+    read surface is disabled: any HTTP client can call file(), so an
+    unconfined default would be an arbitrary-file-read primitive with
+    server privileges."""
+    if files_root is None:
+        raise ValueError(
+            "file() / url('file://…') is disabled: no user files "
+            "directory is configured (set MOOSPARK_USER_FILES_DIR or "
+            "Engine(user_files_dir=…))"
+        )
+    root = os.path.realpath(files_root)
+    p = addr if os.path.isabs(addr) else os.path.join(root, addr)
+    rp = os.path.realpath(p)
+    if not (rp == root or rp.startswith(root + os.sep)):
+        raise ValueError(f"file() path escapes the user files directory: {addr}")
+    return rp
+
+
+def _fetch(addr: str, files_root: str | None = None) -> str:
     """Local path for the source; downloads http(s) driver-side."""
     if addr.startswith(("http://", "https://")):
         suffix = os.path.basename(addr.split("?")[0]) or "download"
@@ -63,7 +90,7 @@ def _fetch(addr: str) -> str:
         return _decompress_if_needed(tmp)
     if addr.startswith("file://"):
         addr = addr[7:]
-    return _decompress_if_needed(addr)
+    return _decompress_if_needed(_confine(addr, files_root))
 
 
 def _to_spark_schema(structure: str):
@@ -103,12 +130,16 @@ def _to_spark_schema(structure: str):
 
 
 def read_source(
-    spark: SparkSession, addr: str, fmt: str = "TSV", schema: str | None = None
+    spark: SparkSession,
+    addr: str,
+    fmt: str = "TSV",
+    schema: str | None = None,
+    files_root: str | None = None,
 ) -> DataFrame:
     spec = _FORMAT_READERS.get(fmt.lower())
     if spec is None:
         raise ValueError(f"unsupported url()/file() format: {fmt}")
-    path = _fetch(addr)
+    path = _fetch(addr, files_root)
     reader = spark.read.format(spec["fmt"]).options(**spec["options"])
     if schema:
         reader = reader.schema(_to_spark_schema(schema))
@@ -125,7 +156,10 @@ def read_source(
 
 
 def resolve_table_functions(
-    spark: SparkSession, sql: str, default_schema: str | None = None
+    spark: SparkSession,
+    sql: str,
+    default_schema: str | None = None,
+    files_root: str | None = None,
 ) -> str:
     """Replace url()/file() calls in table position with temp views.
 
@@ -187,7 +221,7 @@ def resolve_table_functions(
                 schema = args[2] if len(args) > 2 else default_schema
                 view = f"__moospark_src_{uuid.uuid4().hex[:12]}_{counter}"
                 counter += 1
-                read_source(spark, addr, fmt, schema).createOrReplaceTempView(view)
+                read_source(spark, addr, fmt, schema, files_root).createOrReplaceTempView(view)
                 out.append(view)
                 i = k + 1
                 continue

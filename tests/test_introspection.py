@@ -14,7 +14,7 @@ import os
 
 import pytest
 
-from cowsdb_spark.engine import Engine
+from cowsdb_spark.engine import Engine, EngineError
 from cowsdb_spark.plans.inspect import explain_str, scan_read_schema
 
 
@@ -65,7 +65,28 @@ class TestSystemTables:
         engine.execute("DROP TABLE sysc")
 
 class TestUrlFile:
+    def test_file_disabled_without_root(self, engine, tmp_path):
+        # unconfigured user-files dir -> local reads are refused
+        # (CH confines file() to user_files_path; r5 hardening)
+        engine.user_files_dir = None
+        p = tmp_path / "x.tsv"
+        p.write_text("1\n")
+        with pytest.raises(EngineError, match="user files"):
+            engine.execute(f"SELECT _c0 FROM file('{p}', 'TSV')")
+
+    def test_file_escape_rejected(self, engine, tmp_path):
+        engine.user_files_dir = str(tmp_path)
+        with pytest.raises(EngineError, match="escapes"):
+            engine.execute("SELECT _c0 FROM file('../../etc/hostname', 'TSV')")
+
+    def test_file_relative_resolves_in_root(self, engine, tmp_path):
+        engine.user_files_dir = str(tmp_path)
+        (tmp_path / "rel.tsv").write_text("7\tok\n")
+        out = engine.execute("SELECT _c0, _c1 FROM file('rel.tsv', 'TSV')")
+        assert out == b"7\tok\n"
+
     def test_file_tsv(self, engine, tmp_path):
+        engine.user_files_dir = str(tmp_path)
         p = tmp_path / "data.tsv"
         p.write_text("1\talpha\n2\tbeta\n3\t\\N\n")
         out = engine.execute(
@@ -74,6 +95,7 @@ class TestUrlFile:
         assert out == b"1\talpha\n2\tbeta\n3\t\\N\n"
 
     def test_file_csv_with_names(self, engine, tmp_path):
+        engine.user_files_dir = str(tmp_path)
         p = tmp_path / "data.csv"
         p.write_text("id,name\n10,x\n20,y\n")
         out = engine.execute(
@@ -82,6 +104,7 @@ class TestUrlFile:
         assert out == b"10\tx\n20\ty\n"
 
     def test_file_xz_decompression(self, engine, tmp_path):
+        engine.user_files_dir = str(tmp_path)
         # the reference CI pulls hits_v1.tsv.xz (test.yml:50)
         p = tmp_path / "data.tsv.xz"
         with lzma.open(p, "wt") as f:
@@ -90,6 +113,7 @@ class TestUrlFile:
         assert out == b"5\tcompressed\n"
 
     def test_insert_from_file(self, engine, tmp_path):
+        engine.user_files_dir = str(tmp_path)
         # INSERT INTO … SELECT * FROM url(...) — the CI load shape.
         # CH types the bare TSV from the INSERT target (structure
         # hint), so the source exposes the target's column names.
@@ -101,6 +125,7 @@ class TestUrlFile:
         engine.execute("DROP TABLE loaded")
 
     def test_insert_structure_hint_types_and_names(self, engine, tmp_path):
+        engine.user_files_dir = str(tmp_path)
         # hits_v1-shaped load: DateTime + numerics + strings parse
         # with the target's types straight out of the TSV
         # (reference CI: test.yml:50)
@@ -130,6 +155,7 @@ class TestUrlFile:
         engine.execute("DROP TABLE mini_hits")
 
     def test_insert_explicit_structure_wins(self, engine, tmp_path):
+        engine.user_files_dir = str(tmp_path)
         p = tmp_path / "two.tsv"
         p.write_text("7\tx\n")
         engine.execute("CREATE TABLE dst2 (a Int64, b String) ENGINE=Memory")
@@ -286,7 +312,7 @@ class TestAdminStatements:
 
     @pytest.fixture(scope="class")
     def eng(self, spark):
-        from cowsdb_spark.engine import Engine
+        from cowsdb_spark.engine import Engine, EngineError
 
         e = Engine(spark)
         e.execute("DROP TABLE IF EXISTS admt", user="admt")
@@ -355,7 +381,7 @@ class TestQueryLog:
         assert other == b"0\n"
 
     def test_processes_empty(self, spark):
-        from cowsdb_spark.engine import Engine
+        from cowsdb_spark.engine import Engine, EngineError
 
         eng = Engine(spark)
         assert eng.execute(
