@@ -337,6 +337,9 @@ class _Cursor:
         self.pos += n
         return out
 
+    def remaining(self) -> int:
+        return len(self.buf) - self.pos
+
     def varint(self) -> int:
         shift = n = 0
         while True:
@@ -345,6 +348,10 @@ class _Cursor:
             if not b & 0x80:
                 return n
             shift += 7
+            if shift > 70:
+                # CH varints are <=10 bytes; an endless 0x80 run would
+                # otherwise grow n into an O(len^2)-cost bignum
+                raise ValueError("malformed native varint")
 
     def binary_str(self) -> str:
         ln = self.varint()
@@ -380,7 +387,20 @@ def _decode_scalar(ch_type: str, r):
 
 
 def decode_column(ch_type: str, n_rows: int, r) -> list:
-    """Decode one column (recursive mirror of ``encode_column``)."""
+    """Decode one block column (recursive mirror of ``encode_column``)."""
+    # Every native row costs >= 1 byte in every type (nullable mask,
+    # fixed-width scalar, string length byte, 8-byte array offset), so
+    # a row count beyond the remaining payload is forged — reject it
+    # BEFORE the [False] * n_rows allocation, or a 16-byte frame
+    # claiming 2^40 rows allocates terabytes. Array element totals
+    # re-enter here recursively and get the same check. Buffer-backed
+    # cursors know their exact remaining bytes; the native server's
+    # streaming socket reader cannot, so it gets a generous absolute
+    # per-block cap instead (CH clients send <=~1M-row blocks).
+    rem = getattr(r, "remaining", None)
+    limit = rem() if callable(rem) else getattr(r, "max_block_rows", 1 << 24)
+    if n_rows < 0 or n_rows > limit:
+        raise ValueError("native block row count exceeds payload size")
     inner, nullable = _strip_nullable(ch_type)
     mask = [False] * n_rows
     if nullable:
@@ -441,6 +461,10 @@ def read_block(r, with_custom_flag: bool = True):
             r._need(4)  # bucket_num
     n_cols = r.varint()
     n_rows = r.varint()
+    if n_cols == 0 and n_rows > 0:
+        # zero columns would skip decode_column's payload-size check
+        # and materialize n_rows empty tuples from a header alone
+        raise ValueError("native block claims rows without columns")
     for _ in range(n_cols):
         name = r.binary_str()
         ch_t = r.binary_str()
@@ -462,6 +486,8 @@ def read_varint(buf: bytes, pos: int) -> tuple[int, int]:
         if not b & 0x80:
             return n, pos
         shift += 7
+        if shift > 70:
+            raise ValueError("malformed native varint")
 
 
 def read_varstr(buf: bytes, pos: int) -> tuple[str, int]:
@@ -474,6 +500,8 @@ def parse_native(buf: bytes) -> tuple[list[str], list[str], list[tuple]]:
     r = _Cursor(buf)
     n_cols = r.varint()
     n_rows = r.varint()
+    if n_cols == 0 and n_rows > 0:
+        raise ValueError("native block claims rows without columns")
     names: list[str] = []
     types: list[str] = []
     cols: list[list] = []

@@ -102,3 +102,46 @@ class TestNetpbmHardening:
     def test_negative_dims_rejected(self):
         from cowsdb_spark.operators.media_codecs import decode_netpbm
         assert decode_netpbm(b"P5 -1 -3 255 " + b"\x00" * 100) is None
+
+
+class TestNativeHardening:
+    def test_forged_row_count_rejected(self):
+        from cowsdb_spark.formats.native import parse_native, write_varint, write_varstr
+
+        blob = (
+            write_varint(1)            # 1 column
+            + write_varint(1 << 40)    # forged row count
+            + write_varstr("v") + write_varstr("Nullable(Int64)")
+        )
+        with pytest.raises(ValueError, match="row count"):
+            parse_native(blob)
+
+    def test_rows_without_columns_rejected(self):
+        from cowsdb_spark.formats.native import parse_native, write_varint
+
+        blob = write_varint(0) + write_varint(1 << 40)
+        with pytest.raises(ValueError, match="without columns"):
+            parse_native(blob)
+
+    def test_forged_array_offsets_rejected(self):
+        from cowsdb_spark.formats.native import parse_native, write_varint, write_varstr
+        import struct as _s
+
+        blob = (
+            write_varint(1) + write_varint(1)
+            + write_varstr("a") + write_varstr("Array(UInt8)")
+            + _s.pack("<Q", 1 << 40)   # offsets[-1] claims 2^40 elems
+        )
+        with pytest.raises(ValueError):
+            parse_native(blob)
+
+    def test_roundtrip_still_works(self):
+        from cowsdb_spark.formats import QueryResult
+        from cowsdb_spark.formats.native import parse_native, to_native
+
+        res = QueryResult(
+            columns=["a", "s"], ch_types=["Int64", "String"],
+            rows=[(1, "x"), (2, "y")],
+        )
+        names, types, rows = parse_native(to_native(res))
+        assert names == ["a", "s"] and rows == [(1, "x"), (2, "y")]
