@@ -27,6 +27,10 @@ ADD cowsdb_spark ./cowsdb_spark
 ENV SPARK_GRAFT_CPUS="*"
 ENV PORT=8123
 ENV NATIVE_PORT=9000
+# file() reads / INTO OUTFILE writes confine to this root (CH
+# user_files_path analog); mount data here to load local files
+RUN mkdir -p /var/lib/moospark/user_files
+ENV MOOSPARK_USER_FILES_DIR=/var/lib/moospark/user_files
 
 EXPOSE 8123
 EXPOSE 9000
