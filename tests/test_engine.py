@@ -1348,3 +1348,19 @@ class TestEarlyLimitCount:
             **tbl,
         )
         assert out == b"4\n"
+
+    def test_reprobes_after_insert(self, engine, tbl):
+        # soundness under mutation: the plan-cache key carries the
+        # catalog generation, so growing the table re-probes instead
+        # of serving the stale limited/full decision
+        u = {"user": "elc"}
+        engine.execute("CREATE TABLE elc_m (x Int64) ENGINE=Memory", **u)
+        engine.execute("INSERT INTO elc_m SELECT number % 3 AS x FROM numbers(50)", **u)
+        q = ("SELECT COUNT(*) AS c FROM "
+             "(SELECT x, COUNT(*) AS n FROM elc_m GROUP BY x LIMIT 10) q")
+        assert engine.execute(q, **u) == b"3\n"   # 3 groups < 10: full plan
+        engine.execute(
+            "INSERT INTO elc_m SELECT number % 40 AS x FROM numbers(400)", **u
+        )
+        assert engine.execute(q, **u) == b"10\n"  # 41 distinct now: early exit
+        engine.execute("DROP TABLE elc_m", **u)
