@@ -962,3 +962,11 @@ class TestFuzzyContamination:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "BroadcastHashJoin" in plan
+
+    def test_empty_corpus_does_not_throw(self, spark):
+        from cowsdb_spark.operators.text import corpus_stats, fuzzy_contamination
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        row = corpus_stats(empty).collect()[0]
+        assert row.n_docs == 0 and row.vocab_size == 0
+        assert fuzzy_contamination(empty, empty).collect() == []
