@@ -2855,6 +2855,15 @@ class Engine:
 
         parts = [p.strip().strip("`") for p in table_ref.split(".") if p.strip()]
         db, name = (parts[0], parts[1]) if len(parts) == 2 else (None, parts[0])
+        if db and db.lower() == "system":
+            # virtual system.* tables exist if a provider serves them
+            # (they are materialized per statement, never cataloged)
+            from .system_tables import PROVIDERS
+
+            v = 1 if name.lower() in PROVIDERS else 0
+            return self.spark.range(1).select(
+                F.lit(v).cast("smallint").alias("result")
+            )
         with self._lock:
             v = 1 if self._table_exists(sess, db, name) else 0
         return self.spark.range(1).select(F.lit(v).cast("smallint").alias("result"))

@@ -450,3 +450,10 @@ class TestSystemTableBreadth:
             "SELECT cluster, is_local FROM system.clusters"
         )
         assert out == b"default\t1\n"
+
+
+class TestExistsSystemTables:
+    def test_exists_reflects_providers(self, engine):
+        assert engine.execute("EXISTS TABLE system.one") == b"1\n"
+        assert engine.execute("EXISTS TABLE system.numbers") == b"1\n"
+        assert engine.execute("EXISTS TABLE system.not_a_table") == b"0\n"
