@@ -122,6 +122,10 @@ TEMPLATES: dict[str, str] = {
     "intdiv": "({0} div {1})",
     "intdivorzero": "CASE WHEN {1} = 0 THEN 0 ELSE ({0} div {1}) END",
     "moduloorzero": "CASE WHEN {1} = 0 THEN 0 ELSE ({0} % {1}) END",
+    # CH if() takes a UInt8 condition (any numeric, nonzero = true);
+    # Spark's IF requires a boolean — boolean() is a no-op on booleans
+    # here (ANSI off) and maps nonzero numerics to true, matching CH
+    "if": "IF(boolean({0}), {1}, {2})",
     "empty": "(length({0}) = 0)",
     "notempty": "(length({0}) > 0)",
     "splitbychar": "split({1}, {0})",

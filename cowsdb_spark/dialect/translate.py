@@ -298,7 +298,9 @@ def _multi_if(args: list[str]) -> str:
     parts = ["CASE"]
     i = 0
     while i + 1 < len(args):
-        parts.append(f"WHEN {args[i]} THEN {args[i + 1]}")
+        # CH conditions are UInt8 (nonzero = true); boolean() keeps
+        # boolean inputs as-is and coerces numerics, matching CH
+        parts.append(f"WHEN boolean({args[i]}) THEN {args[i + 1]}")
         i += 2
     if i < len(args):
         parts.append(f"ELSE {args[i]}")

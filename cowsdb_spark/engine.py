@@ -2540,6 +2540,39 @@ class Engine:
                 t.kind in ("ident", "bquote") or t.text == "."
                 for t in toks[j:]
             ):
+                low = ref.replace("`", "").lower()
+                if low.startswith("system."):
+                    # virtual system.* tables aren't cataloged:
+                    # materialize the provider snapshot and describe
+                    # its schema (CH types via the same round trip)
+                    view = _materialize_system(
+                        self.spark, sess.ns, low.split(".", 1)[1],
+                        sess, engine=self,
+                    )
+                    if view is None:
+                        raise EngineError(
+                            f"Table {ref} does not exist", 60
+                        )
+                    try:
+                        from .dialect.types import spark_type_to_ch
+
+                        schema = self.spark.table(view).schema
+                        return local_df(
+                            self.spark,
+                            [
+                                (f.name, spark_type_to_ch(f.dataType),
+                                 "", "", "", "", "")
+                                for f in schema.fields
+                            ],
+                            "name string, type string, default_type string, "
+                            "default_expression string, comment string, "
+                            "codec_expression string, ttl_expression string",
+                        )
+                    finally:
+                        try:
+                            self.spark.catalog.dropTempView(view)
+                        except Exception:  # noqa: BLE001
+                            pass
                 names, ch_types = self.table_columns(
                     ref, sess.user, sess.password
                 )

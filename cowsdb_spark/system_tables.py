@@ -257,6 +257,7 @@ PROVIDERS = {
     "settings": system_settings,
     "functions": system_functions,
     "numbers": system_numbers,
+    "numbers_mt": system_numbers,  # CH: same stream, parallel order
     "columns": system_columns,
     "dictionaries": system_dictionaries,
     "parts": None,  # defined below, resolved in materialize()

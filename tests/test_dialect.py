@@ -2374,3 +2374,26 @@ class TestBitExactHashes:
             one("SELECT hex(murmurHash3_128('hello world'))")
             == (h1.to_bytes(8, "little") + h2.to_bytes(8, "little")).hex().upper()
         )
+
+
+class TestTruthyConditions:
+    """CH conditions are UInt8 (nonzero = true); if()/multiIf()/ternary
+    must accept numeric conditions like CH does."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from cowsdb_spark.engine import Engine
+
+        return Engine(spark)
+
+    def test_if_numeric_condition(self, eng):
+        assert eng.execute("SELECT if(1, 'y', 'n') AS r") == b"y\n"
+        assert eng.execute(
+            "SELECT if(number % 2, 'o', 'e') AS r FROM numbers(3) ORDER BY number"
+        ) == b"e\no\ne\n"
+
+    def test_if_boolean_condition_still_works(self, eng):
+        assert eng.execute("SELECT if(1 = 1, 'y', 'n') AS r") == b"y\n"
+
+    def test_multiif_numeric_conditions(self, eng):
+        assert eng.execute("SELECT multiIf(0, 'a', 2, 'b', 'z') AS r") == b"b\n"

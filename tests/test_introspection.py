@@ -457,3 +457,14 @@ class TestExistsSystemTables:
         assert engine.execute("EXISTS TABLE system.one") == b"1\n"
         assert engine.execute("EXISTS TABLE system.numbers") == b"1\n"
         assert engine.execute("EXISTS TABLE system.not_a_table") == b"0\n"
+
+    def test_describe_system_table(self, engine):
+        out = engine.execute("DESCRIBE TABLE system.one")
+        assert out.startswith(b"dummy\t")
+        out = engine.execute("DESC system.numbers")
+        assert out.startswith(b"number\t")
+
+    def test_numbers_mt_alias(self, engine):
+        assert engine.execute(
+            "SELECT number FROM system.numbers_mt LIMIT 2"
+        ) == b"0\n1\n"
