@@ -80,7 +80,6 @@ RENAMES: dict[str, str] = {
     "argmax": "max_by",
     "grouparray": "collect_list",
     "groupuniqarray": "collect_set",
-    "countif": "count_if",
     "stddevpop": "stddev_pop",
     "stddevsamp": "stddev_samp",
     "varpop": "var_pop",
@@ -139,10 +138,11 @@ TEMPLATES: dict[str, str] = {
     "arraystringconcat": "array_join({*})",
     "range": "sequence(0, {0} - 1)",
     "uniqexact": "count(DISTINCT {0})",
-    "sumif": "sum(CASE WHEN {1} THEN {0} END)",
-    "avgif": "avg(CASE WHEN {1} THEN {0} END)",
-    "minif": "min(CASE WHEN {1} THEN {0} END)",
-    "maxif": "max(CASE WHEN {1} THEN {0} END)",
+    "countif": "count_if(boolean({0}))",
+    "sumif": "sum(CASE WHEN boolean({1}) THEN {0} END)",
+    "avgif": "avg(CASE WHEN boolean({1}) THEN {0} END)",
+    "minif": "min(CASE WHEN boolean({1}) THEN {0} END)",
+    "maxif": "max(CASE WHEN boolean({1}) THEN {0} END)",
     "median": "percentile({0}, 0.5)",
     "datediff": "timestampdiff({0:lit}, {1}, {2})",
     "adddays": "({0} + make_interval(0, 0, 0, {1}))",
@@ -1063,7 +1063,9 @@ def expand_combinator(lname: str, args: list[str]):
     if "if" in sufs:
         if not args:
             return None
-        cond = args.pop()
+        # CH -If conditions are UInt8 (nonzero = true): boolean() is a
+        # no-op on booleans and coerces numerics, matching if()/multiIf
+        cond = f"boolean({args.pop()})"
         if not args:  # countIf(cond)-style: aggregate a filtered 1
             args = [f"CASE WHEN {cond} THEN 1 END"]
         else:
@@ -1807,6 +1809,9 @@ TEMPLATES["bytesize"] = (
 PARAMETERIZED["quantilebfloat16"] = "percentile_approx({0}, {p0})"
 PARAMETERIZED["quantiletiming"] = "percentile_approx({0}, {p0})"
 PARAMETERIZED["quantileddsketch"] = "percentile_approx({0}, {p0})"
+PARAMETERIZED["quantilestiming"] = "percentile_approx({0}, array({p*}))"
+PARAMETERIZED["quantilestdigest"] = "percentile_approx({0}, array({p*}))"
+PARAMETERIZED["quantilesbfloat16"] = "percentile_approx({0}, array({p*}))"
 # uniqUpTo(N): exact count while <= N, else N+1
 PARAMETERIZED["uniqupto"] = "least(count(DISTINCT {0}), CAST({p0} AS BIGINT) + 1)"
 # groupConcat(sep)(x) — CH's groupConcat / STRING_AGG shape

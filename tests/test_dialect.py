@@ -2397,3 +2397,19 @@ class TestTruthyConditions:
 
     def test_multiif_numeric_conditions(self, eng):
         assert eng.execute("SELECT multiIf(0, 'a', 2, 'b', 'z') AS r") == b"b\n"
+
+    def test_if_combinators_numeric_conditions(self, eng):
+        assert eng.execute(
+            "SELECT countIf(number % 2) AS c FROM numbers(10)"
+        ) == b"5\n"
+        assert eng.execute(
+            "SELECT sumIf(number, number % 3) AS s FROM numbers(10)"
+        ) == b"27\n"
+
+    def test_quantiles_variant_spellings(self, eng):
+        assert eng.execute(
+            "SELECT quantileTiming(0.5)(number) AS q FROM numbers(100)"
+        ) == b"49\n"
+        assert eng.execute(
+            "SELECT quantilesTiming(0.5, 0.9)(number) AS q FROM numbers(100)"
+        ) == b"[49,89]\n"
