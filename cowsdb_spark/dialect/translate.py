@@ -1230,6 +1230,60 @@ def _rewrite_where_alias(toks: list[Tok]) -> list[Tok]:
     return out
 
 
+_TRUTHY_CLAUSE_ENDS = {
+    "GROUP", "ORDER", "LIMIT", "OFFSET", "WINDOW", "UNION", "INTERSECT",
+    "EXCEPT", "SETTINGS", "FORMAT", "QUALIFY", "HAVING", "WHERE", "INTO",
+}
+
+
+def _rewrite_truthy_filters(toks: list[Tok]) -> list[Tok]:
+    """Wrap every WHERE/HAVING condition in ``boolean(…)``.
+
+    CH filters are UInt8 expressions — ``WHERE flag``, ``HAVING c % 2``
+    are idiomatic; Spark requires boolean. The wrapper is a no-op cast
+    on already-boolean predicates (Catalyst's SimplifyCasts removes it,
+    so plans — including parquet pushdown — are unchanged) and applies
+    CH truthiness (nonzero = true) to numeric ones. Subquery clauses
+    wrap independently; clause ends at the next same-depth clause
+    keyword or the enclosing ``)``."""
+    out: list[Tok] = []
+    depth = 0
+    open_depths: list[int] = []  # depths of unclosed boolean( wrappers
+
+    def close_ge(d: int) -> None:
+        while open_depths and open_depths[-1] >= d:
+            open_depths.pop()
+            out.append(Tok("op", ")"))
+
+    for t in toks:
+        if t.kind == "op" and t.text == "(":
+            depth += 1
+            out.append(t)
+            continue
+        if t.kind == "op" and t.text == ")":
+            close_ge(depth)  # clause ran to the enclosing paren
+            depth -= 1
+            out.append(t)
+            continue
+        if t.kind == "ident":
+            up = t.text.upper()
+            if up in ("WHERE", "HAVING"):
+                close_ge(depth)
+                out.append(t)
+                out.append(Tok("ws", " "))
+                out.append(Tok("ident", "boolean"))
+                out.append(Tok("op", "("))
+                open_depths.append(depth)
+                continue
+            if up in _TRUTHY_CLAUSE_ENDS and open_depths and open_depths[-1] == depth:
+                open_depths.pop()
+                out.append(Tok("op", ")"))
+                out.append(Tok("ws", " "))
+        out.append(t)
+    close_ge(0)
+    return out
+
+
 def _rewrite_limit_with_ties(toks: list[Tok]) -> list[Tok]:
     """``ORDER BY o LIMIT n WITH TIES`` → rank-window rewrite.
 
@@ -2454,6 +2508,7 @@ def translate_select(sql: str) -> Statement:
     toks = _rewrite_limit_with_ties(toks)
     toks = _rewrite_limit_comma(toks)
     toks = _rewrite_offset_fetch(toks)
+    toks = _rewrite_truthy_filters(toks)
     toks = _rewrite_radix_literals(toks)
     toks, with_fill = _rewrite_with_fill(toks)
     toks, with_totals = _rewrite_with_totals(toks)

@@ -244,7 +244,7 @@ class TestArrayJoin:
 
     def test_clauses_preserved(self):
         s = self._sql("SELECT s, a FROM t ARRAY JOIN arr AS a WHERE a > 1 ORDER BY s")
-        assert "WHERE a > 1" in s and "ORDER BY s" in s
+        assert "WHERE boolean( a > 1 )" in s and "ORDER BY s" in s
 
 
 class TestChModifiers:
@@ -257,16 +257,16 @@ class TestChModifiers:
 
     def test_prewhere_merges_into_where(self):
         s = self._sql("SELECT x FROM t PREWHERE a > 1 WHERE b < 2 ORDER BY x")
-        assert "WHERE ( a > 1 ) AND ( b < 2 )" in s and "ORDER BY x" in s
+        assert "WHERE boolean( ( a > 1 ) AND ( b < 2 ) )" in s and "ORDER BY x" in s
 
     def test_prewhere_alone_becomes_where(self):
-        assert "WHERE a > 1" in self._sql("SELECT x FROM t PREWHERE a > 1")
+        assert "WHERE boolean( a > 1)" in self._sql("SELECT x FROM t PREWHERE a > 1")
 
     def test_final_passes_through_to_engine(self):
         # FINAL is resolved by the engine (catalog-aware Replacing
         # dedup, test_engine::TestReplacingFinal); translate keeps it
         s = self._sql("SELECT x FROM t FINAL WHERE a = 1")
-        assert "FINAL" in s and "WHERE a = 1" in s
+        assert "FINAL" in s and "WHERE boolean( a = 1)" in s
 
     def test_global_in_and_join_dropped(self):
         assert "GLOBAL" not in self._sql("SELECT x FROM t WHERE a GLOBAL IN (1, 2)")
@@ -2413,3 +2413,15 @@ class TestTruthyConditions:
         assert eng.execute(
             "SELECT quantilesTiming(0.5, 0.9)(number) AS q FROM numbers(100)"
         ) == b"[49,89]\n"
+
+    def test_where_having_truthy(self, eng):
+        assert eng.execute(
+            "SELECT number FROM numbers(5) WHERE number % 2 ORDER BY number"
+        ) == b"1\n3\n"
+        assert eng.execute(
+            "SELECT number FROM numbers(3) WHERE number ORDER BY number"
+        ) == b"1\n2\n"
+        assert eng.execute(
+            "SELECT number % 3 AS k, count() AS c FROM numbers(9) "
+            "GROUP BY k HAVING count() % 2 ORDER BY k"
+        ) == b"0\t3\n1\t3\n2\t3\n"
