@@ -130,9 +130,6 @@ TEMPLATES: dict[str, str] = {
     "splitbychar": "split({1}, {0})",
     "splitbystring": "split({1}, {0})",
     "arraymap": "transform({1}, {0})",
-    "arrayfilter": "filter({1}, {0})",
-    "arrayexists": "exists({1}, {0})",
-    "arrayall": "forall({1}, {0})",
     "arraysum": "aggregate({0}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)",
     "arrayavg": "(aggregate({0}, CAST(0 AS DOUBLE), (acc, x) -> acc + x) / size({0}))",
     "arraystringconcat": "array_join({*})",
@@ -206,8 +203,6 @@ TEMPLATES["arrayenumerate"] = "sequence(1, size({0}))"
 TEMPLATES["arrayelement"] = "element_at({0}, {1})"
 TEMPLATES["arraypushback"] = "array_append({0}, {1})"
 TEMPLATES["arraypushfront"] = "array_prepend({0}, {1})"
-TEMPLATES["arrayfirst"] = "element_at(filter({1}, {0}), 1)"
-TEMPLATES["arraycount"] = "size(filter({1}, {0}))"
 TEMPLATES["arrayreduce"] = None  # string agg name arg; not supported
 TEMPLATES["dateadd"] = "timestampadd({0:lit}, {1}, {2})"
 TEMPLATES["datesub"] = "timestampadd({0:lit}, -({1}), {2})"
@@ -1673,6 +1668,33 @@ def _fn_map_pred(hof: str):
         return f"{hof}(map_entries({args[1]}), __e -> ({body}))"
 
     return h
+
+
+def _truthy_lambda(lam: str) -> str:
+    """``x -> body`` → ``x -> boolean(body)``: CH HOF predicates are
+    UInt8 lambdas (``arrayFilter(x -> x % 2, …)``); boolean() is a
+    no-op for boolean bodies and CH truthiness for numeric ones.
+    Non-lambda or multi-param shapes pass through unchanged."""
+    m = _re.match(r"(?s)^\s*(\(?\s*\w+\s*\)?)\s*->\s*(.*)$", lam)
+    if not m or "," in m.group(1):
+        return lam
+    return f"{m.group(1)} -> boolean({m.group(2).strip()})"
+
+
+def _fn_array_pred(form: str):
+    def h(args: list[str]) -> str | None:
+        if len(args) != 2:
+            return None
+        return form.format(args[1], _truthy_lambda(args[0]))
+
+    return h
+
+
+CODE_FNS["arrayfilter"] = _fn_array_pred("filter({0}, {1})")
+CODE_FNS["arrayexists"] = _fn_array_pred("exists({0}, {1})")
+CODE_FNS["arrayall"] = _fn_array_pred("forall({0}, {1})")
+CODE_FNS["arrayfirst"] = _fn_array_pred("element_at(filter({0}, {1}), 1)")
+CODE_FNS["arraycount"] = _fn_array_pred("size(filter({0}, {1}))")
 
 
 CODE_FNS["mapexists"] = _fn_map_pred("exists")

@@ -2425,3 +2425,17 @@ class TestTruthyConditions:
             "SELECT number % 3 AS k, count() AS c FROM numbers(9) "
             "GROUP BY k HAVING count() % 2 ORDER BY k"
         ) == b"0\t3\n1\t3\n2\t3\n"
+
+    def test_array_predicate_lambdas_truthy(self, eng):
+        assert eng.execute(
+            "SELECT arrayFilter(x -> x % 2, [1,2,3]) AS f"
+        ) == b"[1,3]\n"
+        assert eng.execute(
+            "SELECT arrayCount(x -> x % 2, [1,2,3]) AS c"
+        ) == b"2\n"
+        assert eng.execute(
+            "SELECT arrayFirst(x -> x % 2 = 0, [1,2,3]) AS f"
+        ) == b"2\n"
+        assert eng.execute(
+            "SELECT arrayExists(x -> x > 2, [1,2]) AS e"
+        ) == b"false\n"
