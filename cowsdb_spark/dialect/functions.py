@@ -31,7 +31,6 @@ RENAMES: dict[str, str] = {
     "tofloat32": "float",
     "tofloat64": "double",
     "todate": "date",
-    "todatetime": "timestamp",
     # date parts
     "toyear": "year",
     "tomonth": "month",
@@ -1696,6 +1695,24 @@ CODE_FNS["arrayall"] = _fn_array_pred("forall({0}, {1})")
 CODE_FNS["arrayfirst"] = _fn_array_pred("element_at(filter({0}, {1}), 1)")
 CODE_FNS["arraycount"] = _fn_array_pred("size(filter({0}, {1}))")
 
+
+def _fn_to_datetime(args: list[str]) -> str | None:
+    if len(args) == 1:
+        return f"timestamp({args[0]})"
+    if len(args) == 2:
+        # CH 2-arg form parses the wall time IN the given zone; the
+        # session is pinned UTC, so converting that wall time to the
+        # UTC instant reproduces CH's value ('UTC' arg: identity)
+        return f"to_utc_timestamp(CAST({args[0]} AS TIMESTAMP), {args[1]})"
+    return None
+
+
+CODE_FNS["todatetime"] = _fn_to_datetime
+
+# lgamma/tgamma: full-real-domain gamma needs libm — pandas UDFs
+# registered in functions/misc_udfs.py (no JVM expression form)
+RENAMES["lgamma"] = "chLgamma"
+RENAMES["tgamma"] = "chTgamma"
 
 CODE_FNS["mapexists"] = _fn_map_pred("exists")
 CODE_FNS["mapall"] = _fn_map_pred("forall")

@@ -156,6 +156,18 @@ def register_all(spark: SparkSession) -> None:
         return f
 
     @pandas_udf("double")
+    def _lgamma(x: pd.Series) -> pd.Series:
+        import math
+
+        return x.map(lambda v: math.lgamma(v) if v == v and v is not None else None)
+
+    @pandas_udf("double")
+    def _tgamma(x: pd.Series) -> pd.Series:
+        import math
+
+        return x.map(lambda v: math.gamma(v) if v == v and v is not None else None)
+
+    @pandas_udf("double")
     def _jaro_sim(a: pd.Series, b: pd.Series) -> pd.Series:
         return pd.Series([_jaro(x or "", y or "") for x, y in zip(a, b)])
 
@@ -167,6 +179,8 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("geohashDecode", _geohash_decode)
     for form in ("NFC", "NFD", "NFKC", "NFKD"):
         spark.udf.register(f"normalizeUTF8{form}", _norm(form))
+    spark.udf.register("chLgamma", _lgamma)
+    spark.udf.register("chTgamma", _tgamma)
     spark.udf.register("jaroSimilarity", _jaro_sim)
     spark.udf.register("jaroWinklerSimilarity", _jw_sim)
 

@@ -2439,3 +2439,17 @@ class TestTruthyConditions:
         assert eng.execute(
             "SELECT arrayExists(x -> x > 2, [1,2]) AS e"
         ) == b"false\n"
+
+    def test_todatetime_timezone_form(self, eng):
+        assert eng.execute(
+            "SELECT toDateTime('2024-01-01 00:00:00', 'UTC') AS t"
+        ) == b"2024-01-01 00:00:00\n"
+        # wall time in New York (EDT, UTC-4) -> the UTC instant
+        assert eng.execute(
+            "SELECT toDateTime('2024-06-01 12:00:00', 'America/New_York') AS t"
+        ) == b"2024-06-01 16:00:00\n"
+
+    def test_gamma_functions(self, eng):
+        assert eng.execute("SELECT tgamma(5) AS tg") == b"24\n"
+        out = eng.execute("SELECT round(lgamma(5), 6) AS lg")
+        assert out == b"3.178054\n"
