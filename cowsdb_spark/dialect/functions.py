@@ -147,7 +147,10 @@ TEMPLATES: dict[str, str] = {
     "addminutes": "({0} + make_interval(0, 0, 0, 0, 0, {1}))",
     "addmonths": "add_months({0}, {1})",
     "formatdatetime": "date_format({0}, {1})",
-    "parsedatetimebesteffort": "to_timestamp({0})",
+    # best-effort: ISO via Spark default, then the common non-ISO
+    # shapes CH accepts (log formats, dotted EU dates, compact)
+    "parsedatetimebesteffort": "coalesce(try_to_timestamp({0}), try_to_timestamp({0}, 'dd/MMM/yyyy HH:mm:ss'), try_to_timestamp({0}, 'dd/MM/yyyy HH:mm:ss'), try_to_timestamp({0}, 'dd.MM.yyyy HH:mm:ss'), try_to_timestamp({0}, 'yyyyMMddHHmmss'), try_to_timestamp({0}, 'dd/MMM/yyyy:HH:mm:ss'), try_to_timestamp({0}, 'dd/MMM/yyyy'), try_to_timestamp({0}, 'dd.MM.yyyy'), try_to_timestamp({0}, 'MM/dd/yyyy'))",
+    "parsedatetimebesteffortornull": "coalesce(try_to_timestamp({0}), try_to_timestamp({0}, 'dd/MMM/yyyy HH:mm:ss'), try_to_timestamp({0}, 'dd/MM/yyyy HH:mm:ss'), try_to_timestamp({0}, 'dd.MM.yyyy HH:mm:ss'), try_to_timestamp({0}, 'yyyyMMddHHmmss'), try_to_timestamp({0}, 'dd/MMM/yyyy:HH:mm:ss'), try_to_timestamp({0}, 'dd/MMM/yyyy'), try_to_timestamp({0}, 'dd.MM.yyyy'), try_to_timestamp({0}, 'MM/dd/yyyy'))",
     "yesterday": "date_sub(current_date(), 1)",
     "version": "'25.5.2'",
     "currentdatabase": "current_database()",

@@ -2453,3 +2453,14 @@ class TestTruthyConditions:
         assert eng.execute("SELECT tgamma(5) AS tg") == b"24\n"
         out = eng.execute("SELECT round(lgamma(5), 6) AS lg")
         assert out == b"3.178054\n"
+
+    def test_parse_datetime_best_effort_formats(self, eng):
+        assert eng.execute(
+            "SELECT parseDateTimeBestEffort('15/Jan/2024 13:45:00') AS p"
+        ) == b"2024-01-15 13:45:00\n"
+        assert eng.execute(
+            "SELECT parseDateTimeBestEffort('20240115134500') AS p"
+        ) == b"2024-01-15 13:45:00\n"
+        assert eng.execute(
+            "SELECT parseDateTimeBestEffortOrNull('garbage') AS p"
+        ) == b"\\N\n"
