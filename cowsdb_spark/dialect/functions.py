@@ -60,7 +60,6 @@ RENAMES: dict[str, str] = {
     "arrayjoin": "explode",
     "has": "array_contains",
     "indexof": "array_position",
-    "arraysort": "array_sort",
     "arrayreverse": "reverse",
     "arrayconcat": "concat",
     "arrayslice": "slice",
@@ -679,7 +678,6 @@ TEMPLATES["arraylastindex"] = (
     "coalesce(array_max(filter(sequence(1, size({1})), "
     "i -> size(filter(array(element_at({1}, i)), {0})) = 1)), 0) END"
 )
-TEMPLATES["arrayreversesort"] = "reverse(array_sort({0}))"
 TEMPLATES["arraypopback"] = "slice({0}, 1, greatest(size({0}) - 1, 0))"
 TEMPLATES["arraypopfront"] = (
     "CASE WHEN size({0}) <= 1 THEN array() ELSE slice({0}, 2, size({0}) - 1) END"
@@ -1690,6 +1688,38 @@ def _fn_array_pred(form: str):
         return form.format(args[1], _truthy_lambda(args[0]))
 
     return h
+
+
+def _fn_array_sort(reverse: bool):
+    """CH arraySort[Desc]([f,] arr): the optional first arg is a KEY
+    lambda (Spark's array_sort comparator form differs) — substitute
+    the key body into a three-way comparator; bare form sorts by
+    value."""
+
+    def h(args: list[str]) -> str | None:
+        if len(args) == 1:
+            core = f"array_sort({args[0]})"
+            return f"reverse({core})" if reverse else core
+        if len(args) != 2:
+            return None
+        m = _re.match(r"(?s)^\s*\(?\s*(\w+)\s*\)?\s*->\s*(.*)$", args[0])
+        if m is None or "," in m.group(1):
+            return None
+        p, body = m.group(1), m.group(2).strip()
+        kl = _re.sub(rf"\b{p}\b", "__sl", body)
+        kr = _re.sub(rf"\b{p}\b", "__sr", body)
+        lo, hi = ("1", "-1") if reverse else ("-1", "1")
+        return (
+            f"array_sort({args[1]}, (__sl, __sr) -> CASE "
+            f"WHEN ({kl}) < ({kr}) THEN {lo} "
+            f"WHEN ({kl}) > ({kr}) THEN {hi} ELSE 0 END)"
+        )
+
+    return h
+
+
+CODE_FNS["arraysort"] = _fn_array_sort(False)
+CODE_FNS["arrayreversesort"] = _fn_array_sort(True)
 
 
 CODE_FNS["arrayfilter"] = _fn_array_pred("filter({0}, {1})")

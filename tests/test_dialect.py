@@ -2464,3 +2464,10 @@ class TestTruthyConditions:
         assert eng.execute(
             "SELECT parseDateTimeBestEffortOrNull('garbage') AS p"
         ) == b"\\N\n"
+
+    def test_array_sort_keyed(self, eng):
+        assert eng.execute("SELECT arraySort(x -> -x, [1,3,2]) AS s") == b"[3,2,1]\n"
+        assert eng.execute(
+            "SELECT arraySort(x -> length(x), ['ccc','a','bb']) AS s"
+        ) == b"['a','bb','ccc']\n"
+        assert eng.execute("SELECT arrayReverseSort([1,3,2]) AS s") == b"[3,2,1]\n"
