@@ -1742,6 +1742,31 @@ def _fn_to_datetime(args: list[str]) -> str | None:
 
 CODE_FNS["todatetime"] = _fn_to_datetime
 
+
+def _fn_cast_2arg(args: list[str]) -> str | None:
+    """CH function-style ``CAST(x, 'Type')`` with a string type arg;
+    the ``CAST(x AS T)`` form arrives as one argument and passes
+    through untouched (handled by the cast-type token pass)."""
+    if len(args) != 2:
+        return None
+    t = args[1].strip()
+    if len(t) < 2 or t[0] not in "'\"" or t[-1] != t[0]:
+        return None
+    from .types import ch_type_to_spark
+
+    try:
+        spark_t = ch_type_to_spark(t[1:-1]).simpleString()
+    except Exception:  # noqa: BLE001 — unknown type: leave original
+        return None
+    if spark_t.startswith(("array", "map", "struct")):
+        # Spark can't cast a string to a composite; CH parses the
+        # literal — from_json does the same (parameter binding policy)
+        return f"from_json({args[0]}, '{spark_t}')"
+    return f"CAST({args[0]} AS {spark_t})"
+
+
+CODE_FNS["cast"] = _fn_cast_2arg
+
 # lgamma/tgamma: full-real-domain gamma needs libm — pandas UDFs
 # registered in functions/misc_udfs.py (no JVM expression form)
 RENAMES["lgamma"] = "chLgamma"
@@ -2104,9 +2129,16 @@ for _n, (_st, _lo, _hi) in _CONV_INTS.items():
         )
     TEMPLATES[f"to{_n}ornull"] = _ornull
     TEMPLATES[f"to{_n}orzero"] = f"COALESCE({_ornull}, 0)"
+    # OrDefault: CH falls back to the 2nd arg when conversion fails
+    TEMPLATES[f"to{_n}ordefault"] = (
+        "COALESCE(" + _ornull.replace("{0}", "{0}") + ", {1})"
+    )
 for _n, _st in (("float32", "FLOAT"), ("float64", "DOUBLE")):
     TEMPLATES[f"to{_n}ornull"] = f"try_cast({{0}} AS {_st})"
     TEMPLATES[f"to{_n}orzero"] = f"COALESCE(try_cast({{0}} AS {_st}), 0.0)"
+    TEMPLATES[f"to{_n}ordefault"] = f"COALESCE(try_cast({{0}} AS {_st}), {{1}})"
+TEMPLATES["todateordefault"] = "COALESCE(try_cast({0} AS DATE), {1})"
+TEMPLATES["todatetimeordefault"] = "COALESCE(try_cast({0} AS TIMESTAMP), {1})"
 TEMPLATES["todateornull"] = "try_cast({0} AS DATE)"
 TEMPLATES["todateorzero"] = "COALESCE(try_cast({0} AS DATE), DATE '1970-01-01')"
 TEMPLATES["todate32ornull"] = "try_cast({0} AS DATE)"

@@ -2471,3 +2471,14 @@ class TestTruthyConditions:
             "SELECT arraySort(x -> length(x), ['ccc','a','bb']) AS s"
         ) == b"['a','bb','ccc']\n"
         assert eng.execute("SELECT arrayReverseSort([1,3,2]) AS s") == b"[3,2,1]\n"
+
+    def test_cast_function_form_with_string_type(self, eng):
+        assert eng.execute("SELECT CAST('5', 'Int64') + 1 AS n") == b"6\n"
+        assert eng.execute(
+            "SELECT CAST('[1,2]', 'Array(Int64)') AS a"
+        ) == b"[1,2]\n"
+
+    def test_to_type_or_default_family(self, eng):
+        assert eng.execute("SELECT toInt64OrDefault('x', 42) AS d") == b"42\n"
+        assert eng.execute("SELECT toUInt8OrDefault('300', 5) AS d") == b"5\n"
+        assert eng.execute("SELECT toFloat64OrDefault('1.5', 9.0) AS d") == b"1.5\n"
