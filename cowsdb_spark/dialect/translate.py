@@ -713,10 +713,17 @@ def _rewrite_functions(sql: str) -> str:
                         changed = True
                         continue
                     if lname in RENAMES:
-                        inner = "".join(tok.text for tok in toks[j + 1 : close])
-                        out.append(f"{RENAMES[lname]}({inner})")
-                        i = close + 1
-                        changed = True
+                        # emit only the renamed NAME and resume the
+                        # scan at '(' — jumping past the whole call hid
+                        # the argument interior from this AND every
+                        # later pass (identity renames like greatest
+                        # re-match leftmost each pass), so nested known
+                        # calls inside renamed ones never rewrote:
+                        # greatest(toDateTime(x), …) kept raw toDateTime
+                        out.append(RENAMES[lname])
+                        if RENAMES[lname] != t.text:
+                            changed = True
+                        i = j
                         continue
                     # aggregate-combinator algebra: any stackable
                     # -If/-Array/-Distinct/-OrNull/-OrDefault chain on

@@ -2482,3 +2482,15 @@ class TestTruthyConditions:
         assert eng.execute("SELECT toInt64OrDefault('x', 42) AS d") == b"42\n"
         assert eng.execute("SELECT toUInt8OrDefault('300', 5) AS d") == b"5\n"
         assert eng.execute("SELECT toFloat64OrDefault('1.5', 9.0) AS d") == b"1.5\n"
+
+    def test_nested_known_calls_inside_renamed_functions(self, eng):
+        # RENAMES used to skip the whole call, hiding the argument
+        # interior from every rewrite pass: greatest(toDateTime(x))
+        # reached Spark with raw toDateTime
+        assert eng.execute(
+            "SELECT greatest(toDateTime('2024-01-01 00:00:00'), "
+            "toDateTime('2024-01-02 00:00:00')) AS g"
+        ) == b"2024-01-02 00:00:00\n"
+        assert eng.execute(
+            "SELECT least(toInt64('5'), toInt64('3')) AS l"
+        ) == b"3\n"
