@@ -124,6 +124,13 @@ TEMPLATES: dict[str, str] = {
     # here (ANSI off) and maps nonzero numerics to true, matching CH
     "if": "IF(boolean({0}), {1}, {2})",
     "empty": "(length({0}) = 0)",
+    # comparison-operator function spellings
+    "equals": "({0} = {1})",
+    "notequals": "({0} <> {1})",
+    "less": "({0} < {1})",
+    "greater": "({0} > {1})",
+    "lessorequals": "({0} <= {1})",
+    "greaterorequals": "({0} >= {1})",
     "notempty": "(length({0}) > 0)",
     "splitbychar": "split({1}, {0})",
     "splitbystring": "split({1}, {0})",
@@ -1766,6 +1773,44 @@ def _fn_cast_2arg(args: list[str]) -> str | None:
 
 
 CODE_FNS["cast"] = _fn_cast_2arg
+
+
+def _fn_agg_map_two_array(name: str):
+    """CH sumMap/minMap/maxMap(keys, values) 2-array form → the map
+    form via map_from_arrays (the 1-arg map form keeps its template;
+    returning None here would bypass it, so apply it directly).
+    Keys duplicated WITHIN one row's array error (map_from_arrays);
+    merging across rows — the operation's purpose — works."""
+
+    def h(args: list[str]) -> str | None:
+        tpl = TEMPLATES[name]
+        if len(args) == 2:
+            return tpl.replace("{0}", f"map_from_arrays({args[0]}, {args[1]})")
+        if len(args) == 1:
+            return tpl.replace("{0}", args[0])
+        return None
+
+    return h
+
+
+for _n in ("summap", "minmap", "maxmap"):
+    CODE_FNS[_n] = _fn_agg_map_two_array(_n)
+
+
+def _fn_truncate(args: list[str]) -> str | None:
+    """CH truncate/trunc(x[, N]): toward-zero numeric truncation to N
+    decimals (Float64). Spark's date-oriented trunc(d, 'fmt') — a
+    quoted second argument — passes through untouched."""
+    if len(args) == 1:
+        return f"CAST(CAST({args[0]} AS BIGINT) AS DOUBLE)"
+    if len(args) == 2 and not args[1].strip().startswith(("'", '"')):
+        p = f"pow(10, {args[1]})"
+        return f"(CAST(CAST(({args[0]}) * {p} AS BIGINT) AS DOUBLE) / {p})"
+    return None
+
+
+CODE_FNS["truncate"] = _fn_truncate
+CODE_FNS["trunc"] = _fn_truncate
 
 # lgamma/tgamma: full-real-domain gamma needs libm — pandas UDFs
 # registered in functions/misc_udfs.py (no JVM expression form)

@@ -2494,3 +2494,25 @@ class TestTruthyConditions:
         assert eng.execute(
             "SELECT least(toInt64('5'), toInt64('3')) AS l"
         ) == b"3\n"
+
+    def test_summap_two_array_form(self, eng):
+        # keys merge ACROSS rows: key 0 gets 0+2, key 1 gets 1+3,
+        # key 2 gets 4 rows of 10
+        out = eng.execute(
+            "SELECT sumMap([number % 2, 2], [number, 10]) AS m FROM numbers(4)"
+        )
+        assert out == b"{0:2,1:4,2:40}\n"
+
+    def test_truncate_numeric_and_date_forms(self, eng):
+        assert eng.execute(
+            "SELECT trunc(2.9) AS t, truncate(-2.9) AS n, truncate(2.567, 2) AS d"
+        ) == b"2\t-2\t2.56\n"
+        assert eng.execute(
+            "SELECT trunc(toDate('2024-03-15'), 'MM') AS m"
+        ) == b"2024-03-01\n"
+
+    def test_comparison_function_spellings(self, eng):
+        assert eng.execute(
+            "SELECT equals(1,1) AS e, notEquals(1,2) AS n, "
+            "less(1,2) AS l, greaterOrEquals(2,2) AS g"
+        ) == b"true\ttrue\ttrue\ttrue\n"
