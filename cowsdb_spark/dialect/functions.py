@@ -1249,6 +1249,19 @@ TEMPLATES["welchttest"] = _ttest(welch=True)
 import re as _re
 
 
+def _rename_ident(body: str, name: str, repl: str) -> str:
+    """Rename identifier token ``name`` → ``repl`` in an expression,
+    token-aware: occurrences inside string literals, backquoted or
+    double-quoted identifiers, and comments are left untouched (a
+    plain ``\\b``-regex sub corrupts ``concat(x, 'x')``)."""
+    from .tokenizer import tokenize as _tok
+
+    return "".join(
+        repl if (t.kind == "ident" and t.text == name) else t.text
+        for t in _tok(body)
+    )
+
+
 def _lit_str(arg: str) -> str | None:
     """Unquote a string literal argument, else None."""
     a = arg.strip()
@@ -1421,8 +1434,8 @@ def _fn_map_apply(args: list[str]) -> str | None:
         return None
     ke, ve = inner[:split_at].strip(), inner[split_at + 1 :].strip()
     for name, repl in ((kname, "__e.key"), (vname, "__e.value")):
-        ke = _re.sub(rf"\b{name}\b", repl, ke)
-        ve = _re.sub(rf"\b{name}\b", repl, ve)
+        ke = _rename_ident(ke, name, repl)
+        ve = _rename_ident(ve, name, repl)
     return (
         f"map_from_entries(transform(map_entries({args[1]}), "
         f"__e -> struct({ke}, {ve})))"
@@ -1660,8 +1673,8 @@ def _subst_2param_lambda(lam: str) -> str | None:
     if not m:
         return None
     kname, vname, body = m.group(1), m.group(2), m.group(3).strip()
-    body = _re.sub(rf"\b{kname}\b", "__e.key", body)
-    body = _re.sub(rf"\b{vname}\b", "__e.value", body)
+    body = _rename_ident(body, kname, "__e.key")
+    body = _rename_ident(body, vname, "__e.value")
     return body
 
 
@@ -1713,8 +1726,8 @@ def _fn_array_sort(reverse: bool):
         if m is None or "," in m.group(1):
             return None
         p, body = m.group(1), m.group(2).strip()
-        kl = _re.sub(rf"\b{p}\b", "__sl", body)
-        kr = _re.sub(rf"\b{p}\b", "__sr", body)
+        kl = _rename_ident(body, p, "__sl")
+        kr = _rename_ident(body, p, "__sr")
         lo, hi = ("1", "-1") if reverse else ("-1", "1")
         return (
             f"array_sort({args[1]}, (__sl, __sr) -> CASE "
@@ -1740,10 +1753,24 @@ def _fn_to_datetime(args: list[str]) -> str | None:
     if len(args) == 1:
         return f"timestamp({args[0]})"
     if len(args) == 2:
-        # CH 2-arg form parses the wall time IN the given zone; the
-        # session is pinned UTC, so converting that wall time to the
-        # UTC instant reproduces CH's value ('UTC' arg: identity)
-        return f"to_utc_timestamp(CAST({args[0]} AS TIMESTAMP), {args[1]})"
+        # CH 2-arg semantics depend on the input kind: a STRING (or
+        # Date) is parsed as wall time IN the given zone — session is
+        # pinned UTC, so to_utc_timestamp reproduces the instant — but
+        # a numeric epoch or DateTime keeps its instant unchanged (the
+        # tz only affects display): toDateTime(0,'Asia/Tokyo') is
+        # still epoch 0, not -32400.
+        a, tz = args[0], args[1]
+        wall = f"to_utc_timestamp(CAST({a} AS TIMESTAMP), {tz})"
+        instant = f"CAST({a} AS TIMESTAMP)"
+        if _lit_str(a) is not None:
+            return wall
+        if _re.fullmatch(r"[+-]?\d+(\.\d+)?", a.strip()):
+            return instant
+        # Unknown static type: branch on the runtime column type.
+        cond = (
+            f"typeof({a}) IN ('string', 'date') OR typeof({a}) LIKE 'varchar%'"
+        )
+        return f"CASE WHEN {cond} THEN {wall} ELSE {instant} END"
     return None
 
 

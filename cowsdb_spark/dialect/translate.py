@@ -1242,6 +1242,77 @@ _TRUTHY_CLAUSE_ENDS = {
     "EXCEPT", "SETTINGS", "FORMAT", "QUALIFY", "HAVING", "WHERE", "INTO",
 }
 
+# Operators/keywords after which an expression is incomplete — a
+# clause keyword cannot start here, so a bare `offset`/`format`/…
+# identifier in this position is a column reference, not a clause.
+_TRUTHY_EXPR_OPENERS = {
+    "AND", "OR", "NOT", "LIKE", "ILIKE", "IN", "IS", "BETWEEN", "AS",
+    "DIV", "MOD", "XOR", "THEN", "ELSE", "WHEN", "CASE", "ESCAPE",
+}
+
+
+def _truthy_starts_clause(toks: list[Tok], sig: list[int], si: int) -> bool:
+    """True iff the clause-end keyword at signature index ``si`` really
+    starts a trailing clause, judged by what precedes and follows it.
+
+    Guards the two failure modes of the bare-keyword heuristic: a
+    column literally named ``offset``/``format``/``group``/… used (a)
+    mid-expression (``WHERE x > 1 AND offset < 5``) or (b) as an
+    operand (``WHERE a > format``)."""
+    up = toks[sig[si]].upper
+    # earlier passes splice multi-char texts into single tokens and
+    # blank out dropped keywords — skip empties, judge composite ops
+    # by their last character
+    prev = None
+    for pj in range(si - 1, -1, -1):
+        if toks[sig[pj]].text.strip():
+            prev = toks[sig[pj]]
+            break
+    if prev is not None:
+        # An expression is mid-flight after an operator (other than a
+        # closing paren) or a connective keyword — can't start a clause.
+        if prev.kind == "op" and prev.text.strip()[-1] != ")":
+            return False
+        if prev.kind == "ident" and prev.upper in _TRUTHY_EXPR_OPENERS:
+            return False
+    nxt = None
+    for nj in range(si + 1, len(sig)):
+        if toks[sig[nj]].text.strip():
+            nxt = toks[sig[nj]]
+            break
+    if up in ("GROUP", "ORDER"):
+        return nxt is not None and nxt.upper == "BY"
+    if up in ("LIMIT", "OFFSET"):
+        return nxt is not None and (nxt.kind == "number" or nxt.text == "?")
+    if up == "UNION":
+        return nxt is not None and (
+            nxt.upper in ("ALL", "DISTINCT", "SELECT") or nxt.text == "("
+        )
+    if up in ("INTERSECT", "EXCEPT"):
+        return nxt is not None and (
+            nxt.upper in ("ALL", "DISTINCT", "SELECT") or nxt.text == "("
+        )
+    if up == "SETTINGS":
+        # SETTINGS name = value — next is an ident followed by '='.
+        if nxt is None or nxt.kind != "ident":
+            return False
+        nxt2 = toks[sig[si + 2]] if si + 2 < len(sig) else None
+        return nxt2 is not None and nxt2.text == "="
+    if up == "FORMAT":
+        # FORMAT <Name> at statement end.
+        return nxt is not None and nxt.kind == "ident" and si + 1 == len(sig) - 1
+    if up == "WINDOW":
+        # WINDOW w AS (...)
+        if nxt is None or nxt.kind != "ident":
+            return False
+        nxt2 = toks[sig[si + 2]] if si + 2 < len(sig) else None
+        return nxt2 is not None and nxt2.upper == "AS"
+    if up == "INTO":
+        # INTO OUTFILE '...'
+        return nxt is not None and nxt.upper == "OUTFILE"
+    # WHERE / HAVING / QUALIFY: reserved enough to always close.
+    return True
+
 
 def _rewrite_truthy_filters(toks: list[Tok]) -> list[Tok]:
     """Wrap every WHERE/HAVING condition in ``boolean(…)``.
@@ -1262,7 +1333,9 @@ def _rewrite_truthy_filters(toks: list[Tok]) -> list[Tok]:
             open_depths.pop()
             out.append(Tok("op", ")"))
 
-    for t in toks:
+    sig = _sig(toks)
+    sig_index = {i: si for si, i in enumerate(sig)}
+    for i, t in enumerate(toks):
         if t.kind == "op" and t.text == "(":
             depth += 1
             out.append(t)
@@ -1282,7 +1355,12 @@ def _rewrite_truthy_filters(toks: list[Tok]) -> list[Tok]:
                 out.append(Tok("op", "("))
                 open_depths.append(depth)
                 continue
-            if up in _TRUTHY_CLAUSE_ENDS and open_depths and open_depths[-1] == depth:
+            if (
+                up in _TRUTHY_CLAUSE_ENDS
+                and open_depths
+                and open_depths[-1] == depth
+                and _truthy_starts_clause(toks, sig, sig_index[i])
+            ):
                 open_depths.pop()
                 out.append(Tok("op", ")"))
                 out.append(Tok("ws", " "))

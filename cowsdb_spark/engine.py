@@ -1440,6 +1440,13 @@ class Engine:
         table = (src[:ws] if ws >= 0 else src).strip()
         if not _re.fullmatch(r"(?:`[^`]+`|\w+)(?:\.(?:`[^`]+`|\w+))*", table):
             return None
+        # Analyze the ORIGINAL query first: if the inner SELECT list has
+        # an unresolved column or a bad call, the rewrite must not mask
+        # the analysis error by serving a count built from keys only.
+        try:
+            self.spark.sql(s)
+        except Exception:  # noqa: BLE001 — let the full path raise it
+            return None
         for probe_rows in self._EARLY_LIMIT_PROBE_ROWS:
             sql = (
                 f"SELECT COUNT(*) AS {alias} FROM ("
@@ -1468,6 +1475,11 @@ class Engine:
                 return None
             if got >= k:
                 return df
+            if got * 4 < k:
+                # far below k on this probe: the table very likely has
+                # < k groups in total — larger probes would only burn
+                # plan-time aggregations before abandoning the rewrite
+                return None
         return None
 
     def _temp_view_guards(self, df: DataFrame) -> dict:

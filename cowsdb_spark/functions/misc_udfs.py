@@ -159,13 +159,33 @@ def register_all(spark: SparkSession) -> None:
     def _lgamma(x: pd.Series) -> pd.Series:
         import math
 
-        return x.map(lambda v: math.lgamma(v) if v == v and v is not None else None)
+        def one(v):
+            if v is None or v != v:
+                return None
+            try:
+                return math.lgamma(v)
+            except (ValueError, OverflowError):
+                # poles (0, negative integers): CH returns +inf
+                return float("inf")
+
+        return x.map(one)
 
     @pandas_udf("double")
     def _tgamma(x: pd.Series) -> pd.Series:
         import math
 
-        return x.map(lambda v: math.gamma(v) if v == v and v is not None else None)
+        def one(v):
+            if v is None or v != v:
+                return None
+            try:
+                return math.gamma(v)
+            except ValueError:
+                # poles: CH yields inf at 0 and nan at negative integers
+                return float("inf") if v == 0 else float("nan")
+            except OverflowError:
+                return float("inf")
+
+        return x.map(one)
 
     @pandas_udf("double")
     def _jaro_sim(a: pd.Series, b: pd.Series) -> pd.Series:

@@ -2516,3 +2516,62 @@ class TestTruthyConditions:
             "SELECT equals(1,1) AS e, notEquals(1,2) AS n, "
             "less(1,2) AS l, greaterOrEquals(2,2) AS g"
         ) == b"true\ttrue\ttrue\ttrue\n"
+
+    def test_clause_keyword_named_columns_in_conditions(self, eng):
+        # r6 (ADVICE): columns named offset/format/settings/group/…
+        # used INSIDE a condition must not be mistaken for clause
+        # starts by the boolean() wrapper
+        assert eng.execute(
+            "SELECT number FROM (SELECT number, number AS offset "
+            "FROM numbers(10)) WHERE number > 1 AND offset < 5 "
+            "ORDER BY number"
+        ) == b"2\n3\n4\n"
+        assert eng.execute(
+            "SELECT number FROM (SELECT number, number AS format "
+            "FROM numbers(5)) WHERE number > format - 1 ORDER BY number"
+        ) == b"0\n1\n2\n3\n4\n"
+        # real clauses after a truthy condition still close the wrapper
+        assert eng.execute(
+            "SELECT number % 2 AS k FROM numbers(6) WHERE number % 2 "
+            "GROUP BY k ORDER BY k LIMIT 1"
+        ) == b"1\n"
+        assert eng.execute(
+            "SELECT number FROM numbers(10) WHERE number % 2 "
+            "ORDER BY number LIMIT 2 OFFSET 1"
+        ) == b"3\n5\n"
+
+    def test_lambda_param_not_renamed_in_string_literals(self, eng):
+        # r6 (ADVICE): arraySort key-lambda rename must be token-aware
+        assert eng.execute(
+            "SELECT arraySort(x -> concat(x, 'x'), ['b','a','c']) AS r"
+        ) == b"['a','b','c']\n"
+        assert eng.execute(
+            "SELECT arrayReverseSort(x -> concat('x', x), ['b','a','c']) AS r"
+        ) == b"['c','b','a']\n"
+        assert eng.execute(
+            "SELECT mapApply((k, v) -> (concat(k, 'k'), v + 1), "
+            "map('a', 1)) AS r"
+        ) == b"{'ak':2}\n"
+
+    def test_todatetime_tz_numeric_keeps_instant(self, eng):
+        # r6 (ADVICE): tz arg is display-only for numeric/DateTime
+        # inputs; only strings are parsed as wall time in the zone
+        assert eng.execute(
+            "SELECT toDateTime(0, 'Asia/Tokyo') AS t"
+        ) == b"1970-01-01 00:00:00\n"
+        assert eng.execute(
+            "SELECT toDateTime('2020-01-01 00:00:00', 'Asia/Tokyo') AS t"
+        ) == b"2019-12-31 15:00:00\n"
+        assert eng.execute(
+            "SELECT toDateTime(toDateTime('2020-01-01 00:00:00'), "
+            "'Asia/Tokyo') AS t"
+        ) == b"2020-01-01 00:00:00\n"
+
+    def test_gamma_poles_do_not_fail(self, eng):
+        # r6 (ADVICE): CH returns inf/nan at the poles; the query must
+        # not raise (NaN arrives as NULL through the Arrow boundary)
+        assert eng.execute("SELECT lgamma(0) AS a, lgamma(-1) AS b") == (
+            b"inf\tinf\n"
+        )
+        out = eng.execute("SELECT tgamma(0) AS a, tgamma(-2) AS b")
+        assert out in (b"inf\tnan\n", b"inf\t\\N\n")

@@ -1364,3 +1364,16 @@ class TestEarlyLimitCount:
         )
         assert engine.execute(q, **u) == b"10\n"  # 41 distinct now: early exit
         engine.execute("DROP TABLE elc_m", **u)
+
+    def test_analysis_error_still_raised(self, engine, tbl):
+        # r6 (ADVICE): an unresolved column in the inner SELECT list
+        # (never referenced by GROUP BY) must surface the analysis
+        # error, not be masked by the keys-only rewritten count
+        from cowsdb_spark.engine import EngineError
+
+        with pytest.raises(EngineError):
+            engine.execute(
+                "SELECT COUNT(*) AS c FROM (SELECT x, no_such_col "
+                "FROM elc_t GROUP BY x LIMIT 7) q",
+                user="elc",
+            )
