@@ -66,25 +66,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------- literals
 
 
-@qdef(
-    "q01_literals",
-    "SELECT 1 AS num, 'hello' AS str, 3.14 AS pi, "
-    "0 AS z, 255 AS u8, 65535 AS u16, 4294967295 AS u32",
-    "[P1,P2] literal projection + unsigned edge values "
-    "(ref test_suite.py:141-146,355-361)",
-)
-def q01(spark, sf_dir):
-    return spark.sql(
-        "SELECT 1 AS num, 'hello' AS str, 3.14 AS pi, "
-        "0 AS z, 255 AS u8, 65535 AS u16, 4294967295 AS u32"
-    )
+# (q01_literals merged into q02_numbers' constant columns — frees a
+# driver-window slot so t39-t47 rotate in (r6); the P1 literal +
+# unsigned-edge surface stays driver-verified through q02.)
 
 
 @qdef(
     "q02_numbers",
     "SELECT range AS number, range * 2 AS d, range % 2 AS m, "
-    "ROUND(range * CAST(1.5 AS DOUBLE), 2) AS f FROM range(10) ORDER BY number",
-    "[S2,P3] numbers(N) virtual table + arithmetic (ref test_suite.py:323-336)",
+    "ROUND(range * CAST(1.5 AS DOUBLE), 2) AS f, "
+    "1 AS num, 'hello' AS str, 3.14 AS pi, "
+    "0 AS z, 255 AS u8, 65535 AS u16, 4294967295 AS u32 "
+    "FROM range(10) ORDER BY number",
+    "[S2,P3 + P1,P2] numbers(N) virtual table + arithmetic (ref "
+    "test_suite.py:323-336), carrying the literal projection and "
+    "unsigned edge values (r6: absorbed q01_literals, ref "
+    "test_suite.py:141-146,355-361)",
 )
 def q02(spark, sf_dir):
     n = spark.range(10).withColumnRenamed("id", "number")
@@ -94,6 +91,13 @@ def q02(spark, sf_dir):
             (F.col("number") * 2).alias("d"),
             (F.col("number") % 2).alias("m"),
             F.round(F.col("number") * 1.5, 2).alias("f"),
+            F.lit(1).alias("num"),
+            F.lit("hello").alias("str"),
+            F.lit(3.14).alias("pi"),
+            F.lit(0).alias("z"),
+            F.lit(255).alias("u8"),
+            F.lit(65535).alias("u16"),
+            F.lit(4294967295).alias("u32"),
         ).orderBy("number")
     )
 
@@ -111,17 +115,19 @@ def q02(spark, sf_dir):
 
 @qdef(
     "q05_filtered_agg",
-    "SELECT sum_qty, avg_price, min_disc, max_tax, total_cnt FROM "
+    "SELECT sum_qty, avg_price, min_disc, max_tax, total_cnt, u FROM "
     "(SELECT ROUND(SUM(l_quantity), 2) AS sum_qty, "
     "ROUND(AVG(l_extendedprice), 2) AS avg_price, "
     "MIN(l_discount) AS min_disc, MAX(l_tax) AS max_tax "
     "FROM lineitem WHERE l_quantity < 25) f CROSS JOIN "
-    "(SELECT COUNT(*) AS total_cnt FROM lineitem) t",
-    "[A2,P9 + S1,A1] filtered sum/avg/min/max with the WHERE reaching "
-    "the scan, plus the full-scan COUNT(*) attached as a 1-row cross "
-    "join (r5: absorbed q04_count so the newest pipeline operators "
-    "rotate into the driver window; ClickBench Q0/Q2/Q6 shapes, ref "
-    "test.yml:53)",
+    "(SELECT COUNT(*) AS total_cnt, COUNT(DISTINCT l_suppkey) AS u "
+    "FROM lineitem) t",
+    "[A2,P9 + S1,A1 + A3] filtered sum/avg/min/max with the WHERE "
+    "reaching the scan, plus the full-scan COUNT(*) and the exact "
+    "COUNT(DISTINCT)/uniqExact attached as a 1-row cross join "
+    "(r5: absorbed q04_count; r6: absorbed q06_count_distinct so "
+    "t39-t47 rotate into the driver window; ClickBench Q0/Q2/Q4-Q6 "
+    "shapes, ref test.yml:53)",
 )
 def q05(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -131,34 +137,57 @@ def q05(spark, sf_dir):
         F.min("l_discount").alias("min_disc"),
         F.max("l_tax").alias("max_tax"),
     )
-    total = li.agg(F.count(F.lit(1)).alias("total_cnt"))
+    total = li.agg(
+        F.count(F.lit(1)).alias("total_cnt"),
+        F.countDistinct("l_suppkey").alias("u"),
+    )
     return filt.crossJoin(total)
 
 
-@qdef(
-    "q06_count_distinct",
-    "SELECT COUNT(DISTINCT l_suppkey) AS u FROM lineitem",
-    "[A3] exact distinct / uniqExact (ClickBench Q4-Q5)",
-)
-def q06(spark, sf_dir):
-    return _t(spark, sf_dir, "lineitem").agg(F.countDistinct("l_suppkey").alias("u"))
+# (q06_count_distinct merged into q05_filtered_agg's 1-row attach —
+# frees a driver-window slot for the r6 rotation; A3 exact distinct
+# stays driver-verified through q05's `u` column.)
 
 
 @qdef(
     "q07_group_topk",
+    "SELECT l_returnflag, l_linestatus, c, q, brass_brands, brass_parts FROM ("
     "SELECT l_returnflag, l_linestatus, COUNT(*) AS c, ROUND(SUM(l_quantity), 2) AS q "
     "FROM lineitem GROUP BY l_returnflag, l_linestatus "
-    "ORDER BY c DESC, l_returnflag, l_linestatus LIMIT 10",
-    "[A5,O1,O3] multi-key group + top-k (ClickBench Q7-Q18; Spark plans TakeOrderedAndProject)",
+    "ORDER BY c DESC, l_returnflag, l_linestatus LIMIT 10) g CROSS JOIN ("
+    "SELECT COUNT(*) AS brass_brands, CAST(SUM(bc) AS BIGINT) AS brass_parts FROM ("
+    "  SELECT p_brand, COUNT(*) AS bc FROM part WHERE p_type LIKE '%BRASS%' "
+    "  GROUP BY p_brand HAVING COUNT(*) > 5) b) h",
+    "[A5,O1,O3 + P6,P10] multi-key group + top-k (ClickBench Q7-Q18; "
+    "Spark plans TakeOrderedAndProject), with a LIKE-filtered "
+    "HAVING-gated aggregate attached as a 1-row cross join (r6: "
+    "absorbed q09_like_having — ClickBench Q20-Q23/Q27-Q28 shapes)",
 )
 def q07(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    return (
+    top = (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(F.count(F.lit(1)).alias("c"), F.round(F.sum("l_quantity"), 2).alias("q"))
         .orderBy(F.desc("c"), "l_returnflag", "l_linestatus")
         .limit(10)
     )
+    p = _t(spark, sf_dir, "part")
+    brass = (
+        p.filter(F.col("p_type").like("%BRASS%"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("bc"))
+        .filter(F.col("bc") > 5)
+        .agg(
+            F.count(F.lit(1)).alias("brass_brands"),
+            F.sum("bc").cast("long").alias("brass_parts"),
+        )
+    )
+    return top.crossJoin(F.broadcast(brass))
+
+
+# (q09_like_having merged into q07_group_topk's 1-row attach — frees
+# a driver-window slot for the r6 rotation; P6 LIKE + P10 HAVING stay
+# driver-verified through q07's brass_brands/brass_parts columns.)
 
 
 @qdef(
@@ -184,84 +213,27 @@ def q08(spark, sf_dir):
     )
 
 
-@qdef(
-    "q09_like_having",
-    "SELECT p_brand, COUNT(*) AS c FROM part WHERE p_type LIKE '%BRASS%' "
-    "GROUP BY p_brand HAVING COUNT(*) > 5 ORDER BY c DESC, p_brand",
-    "[P6,P10] LIKE + HAVING (ClickBench Q20-Q23, Q27-Q28)",
-)
-def q09(spark, sf_dir):
-    p = _t(spark, sf_dir, "part")
-    return (
-        p.filter(F.col("p_type").like("%BRASS%"))
-        .groupBy("p_brand")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") > 5)
-        .orderBy(F.desc("c"), "p_brand")
-    )
-
-
-@qdef(
-    "q10_case",
-    "SELECT o_orderkey, CASE WHEN o_totalprice > 100000 THEN 'big' ELSE 'small' END AS sz, "
-    "CAST(year(o_orderdate) AS INTEGER) AS y, CAST(month(o_orderdate) AS INTEGER) AS mo, "
-    "CAST(day(o_orderdate) AS INTEGER) AS d "
-    "FROM orders ORDER BY o_orderkey LIMIT 100",
-    "[P5 + 2.9 dates] CASE WHEN / CH ternary (ref index.html:729; ClickBench "
-    "Q39) + toYear/toMonth/toDayOfMonth family (absorbed q32_date_parts)",
-)
-def q10(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders")
-    return (
-        o.select(
-            "o_orderkey",
-            F.when(F.col("o_totalprice") > 100000, "big").otherwise("small").alias("sz"),
-            F.year("o_orderdate").alias("y"),
-            F.month("o_orderdate").alias("mo"),
-            F.dayofmonth("o_orderdate").alias("d"),
-        )
-        .orderBy("o_orderkey")
-        .limit(100)
-    )
+# (q10_case merged into q16_window_rank's ride-along columns — frees
+# a driver-window slot for the r6 rotation; P5 CASE WHEN and the
+# toYear/toMonth/toDayOfMonth family stay driver-verified through
+# q16's sz/y/mo/d columns.)
 
 
 # ---------------------------------------------------------------- joins
 
 
-@qdef(
-    "q11_inner_join",
-    "SELECT n_name, COUNT(*) AS c FROM customer JOIN nation ON c_nationkey = n_nationkey "
-    "GROUP BY n_name ORDER BY c DESC, n_name",
-    "[J1] inner equi-join, broadcast dim (SURVEY §2.3; delegated tier [D])",
-)
-def q11(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer")
-    n = _t(spark, sf_dir, "nation")
-    return (
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner")
-        .groupBy("n_name")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .orderBy(F.desc("c"), "n_name")
-    )
+# (q11_inner_join retired as a strict subset of q14_star_join — the
+# single broadcast inner equi-join + group-by-dim-attribute shape is
+# q14's customer⋈nation leg exactly; J1 stays driver-verified through
+# q14 and plan-asserted in tests/test_introspection.py. Frees a
+# driver-window slot for the r6 rotation.)
 
 
-@qdef(
-    "q12_left_join",
-    "SELECT c_custkey, COUNT(o_orderkey) AS c FROM customer "
-    "LEFT JOIN orders ON c_custkey = o_custkey "
-    "GROUP BY c_custkey ORDER BY c DESC, c_custkey LIMIT 50",
-    "[J2] left outer join keeping zero-order customers",
-)
-def q12(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c"))
-        .orderBy(F.desc("c"), "c_custkey")
-        .limit(50)
-    )
+# (q12_left_join merged into q38_full_outer's 1-row attach — frees a
+# driver-window slot for the r6 rotation; J2 LEFT OUTER null-keeping
+# semantics stay driver-verified through q38's zero_order_custs
+# column, which is nonzero only because LEFT JOIN keeps orderless
+# customers.)
 
 
 @qdef(
@@ -316,7 +288,7 @@ def q14(spark, sf_dir):
 
 @qdef(
     "q16_window_rank",
-    "SELECT o_custkey, o_orderkey, rn, prev_p, next_p, run FROM ("
+    "SELECT o_custkey, o_orderkey, rn, prev_p, next_p, run, sz, y, mo, d FROM ("
     "  SELECT o_custkey, o_orderkey, CAST(ROW_NUMBER() OVER ("
     "    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn, "
     "  LAG(o_totalprice) OVER ("
@@ -325,11 +297,17 @@ def q14(spark, sf_dir):
     "    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS next_p, "
     "  ROUND(SUM(o_totalprice) OVER ("
     "    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey "
-    "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run"
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run, "
+    "  CASE WHEN o_totalprice > 100000 THEN 'big' ELSE 'small' END AS sz, "
+    "  CAST(year(o_orderdate) AS INTEGER) AS y, "
+    "  CAST(month(o_orderdate) AS INTEGER) AS mo, "
+    "  CAST(day(o_orderdate) AS INTEGER) AS d"
     "  FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn LIMIT 100",
-    "[2.7] ranking window / CH LIMIT BY equivalent + lag/lead + running "
-    "aggregate frame over the same window (absorbed q44_lag_lead, "
-    "q17_running_sum)",
+    "[2.7 + P5 + 2.9 dates] ranking window / CH LIMIT BY equivalent + "
+    "lag/lead + running aggregate frame over the same window (absorbed "
+    "q44_lag_lead, q17_running_sum), with CASE WHEN / CH ternary and "
+    "the toYear/toMonth/toDayOfMonth family riding along (r6: absorbed "
+    "q10_case — ref index.html:729; ClickBench Q39)",
 )
 def q16(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
@@ -343,6 +321,10 @@ def q16(spark, sf_dir):
             F.lag("o_totalprice").over(w).alias("prev_p"),
             F.lead("o_totalprice").over(w).alias("next_p"),
             F.round(F.sum("o_totalprice").over(wrun), 2).alias("run"),
+            F.when(F.col("o_totalprice") > 100000, "big").otherwise("small").alias("sz"),
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("mo"),
+            F.dayofmonth("o_orderdate").alias("d"),
         )
         .filter(F.col("rn") <= 3)
         .orderBy("o_custkey", "rn")
@@ -392,61 +374,22 @@ def q18(spark, sf_dir):
     return roll.unionByName(cub).orderBy("scope", "k1", "k2")
 
 
-@qdef(
-    "q19_offset",
-    "SELECT rf, ls, sm FROM ("
-    "  SELECT DISTINCT l_returnflag AS rf, l_linestatus AS ls, "
-    "  CAST(date_trunc('month', l_shipdate) AS DATE) AS sm FROM lineitem) t "
-    "ORDER BY rf, ls, sm LIMIT 10 OFFSET 100",
-    "[O4+O5] DISTINCT + offset pagination (ClickBench Q38-Q42; "
-    "absorbed q20_distinct)",
-)
-def q19(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.select(
-            F.col("l_returnflag").alias("rf"),
-            F.col("l_linestatus").alias("ls"),
-            F.date_trunc("month", "l_shipdate").cast("date").alias("sm"),
-        )
-        .distinct()
-        .orderBy("rf", "ls", "sm")
-        .offset(100)
-        .limit(10)
-    )
+# (q19_offset merged into q28_union_all's distinct_page leg — frees a
+# driver-window slot for the r6 rotation; O4 LIMIT/OFFSET pagination +
+# O5 DISTINCT stay driver-verified: the leg's count and min row are
+# wrong unless both the DISTINCT collapse and the OFFSET 100 / LIMIT
+# 10 page boundaries are applied.)
 
 
 # ---------------------------------------------------------------- scalar funcs
 
 
-@qdef(
-    "q22_strings",
-    "SELECT p_partkey, CAST(LENGTH(p_name) AS INTEGER) AS l, SUBSTRING(p_name, 1, 5) AS pfx, "
-    "LOWER(p_name) AS lo, UPPER(p_brand) AS up, CONCAT(p_brand, ':', p_type) AS cat, "
-    "CAST(strpos(p_name, 'a') AS INTEGER) AS pos, "
-    "REGEXP_REPLACE(p_name, '[aeiou]', '*', 'g') AS masked "
-    "FROM part ORDER BY p_partkey LIMIT 50",
-    "[2.9 strings + P7] length/substring/lower/upper/concat/position "
-    "+ regexp_replace-all (ClickBench Q27-Q28; absorbed "
-    "q33_string_funcs, r5: absorbed q23_regexp — DuckDB needs the 'g' "
-    "flag for replace-all; backref replacement stays cb28-verified)",
-)
-def q22(spark, sf_dir):
-    p = _t(spark, sf_dir, "part")
-    return (
-        p.select(
-            "p_partkey",
-            F.length("p_name").alias("l"),
-            F.substring("p_name", 1, 5).alias("pfx"),
-            F.lower("p_name").alias("lo"),
-            F.upper("p_brand").alias("up"),
-            F.concat_ws("", F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("cat"),
-            F.instr(F.col("p_name"), "a").alias("pos"),
-            F.regexp_replace("p_name", "[aeiou]", "*").alias("masked"),
-        )
-        .orderBy("p_partkey")
-        .limit(50)
-    )
+# (q22_strings merged into q27_json_extract's 1-row string digest —
+# frees a driver-window slot for the r6 rotation. Every absorbed
+# string function — length/substring/lower/upper/concat/position and
+# regexp_replace-all — is still evaluated per-row over the part
+# table and digested through order-independent aggregates, so the
+# digest is wrong if any function's output changes on any row.)
 
 
 # (q23_regexp merged into q22_strings' masked column — frees a
@@ -494,17 +437,30 @@ def q25(spark, sf_dir):
 
 @qdef(
     "q27_json_extract",
-    "SELECT k, s, COUNT(*) AS c FROM ("
+    "SELECT k, s, c, len_sum, pos_sum, pfx_min, lo_min, up_max, cat_max, masked_min "
+    "FROM (SELECT k, s, COUNT(*) AS c FROM ("
     "  SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, "
     "  CAST(unnest(generate_series(1, 3)) AS BIGINT) AS s FROM events"
-    ") t GROUP BY 1, 2 ORDER BY k, s",
-    "[2.9 JSON + 1.2 arrays] JSONExtractString equivalent "
-    "(get_json_object) fanned out through sequence + explode (r5: "
-    "absorbed q24_explode — CH range/arrayJoin, ref index.html:729)",
+    ") t GROUP BY 1, 2) j CROSS JOIN ("
+    "  SELECT CAST(SUM(LENGTH(p_name)) AS BIGINT) AS len_sum, "
+    "  CAST(SUM(strpos(p_name, 'a')) AS BIGINT) AS pos_sum, "
+    "  MIN(SUBSTRING(p_name, 1, 5)) AS pfx_min, "
+    "  MIN(LOWER(p_name)) AS lo_min, MAX(UPPER(p_brand)) AS up_max, "
+    "  MAX(CONCAT(p_brand, ':', p_type)) AS cat_max, "
+    "  MIN(REGEXP_REPLACE(p_name, '[aeiou]', '*', 'g')) AS masked_min "
+    "  FROM part) sd ORDER BY k, s",
+    "[2.9 JSON + 1.2 arrays + 2.9 strings + P7] JSONExtractString "
+    "equivalent (get_json_object) fanned out through sequence + "
+    "explode (r5: absorbed q24_explode — CH range/arrayJoin, ref "
+    "index.html:729), with the per-row string-function family "
+    "digested into a 1-row attach (r6: absorbed q22_strings — "
+    "length/substring/lower/upper/concat/position/regexp_replace-all, "
+    "ClickBench Q27-Q28 shapes; DuckDB needs the 'g' flag for "
+    "replace-all; backref replacement stays cb28-verified)",
 )
 def q27(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
-    return (
+    j = (
         e.select(
             F.get_json_object("props", "$.k").cast("int").alias("k"),
             F.explode(F.sequence(F.lit(1), F.lit(3))).alias("_s"),
@@ -512,8 +468,20 @@ def q27(spark, sf_dir):
         .select("k", F.col("_s").cast("long").alias("s"))
         .groupBy("k", "s")
         .agg(F.count(F.lit(1)).alias("c"))
-        .orderBy("k", "s")
     )
+    p = _t(spark, sf_dir, "part")
+    digest = p.agg(
+        F.sum(F.length("p_name")).cast("long").alias("len_sum"),
+        F.sum(F.instr(F.col("p_name"), "a")).cast("long").alias("pos_sum"),
+        F.min(F.substring("p_name", 1, 5)).alias("pfx_min"),
+        F.min(F.lower("p_name")).alias("lo_min"),
+        F.max(F.upper("p_brand")).alias("up_max"),
+        F.max(
+            F.concat_ws("", F.col("p_brand"), F.lit(":"), F.col("p_type"))
+        ).alias("cat_max"),
+        F.min(F.regexp_replace("p_name", "[aeiou]", "*")).alias("masked_min"),
+    )
+    return j.crossJoin(F.broadcast(digest)).orderBy("k", "s")
 
 
 @qdef(
@@ -528,10 +496,19 @@ def q27(spark, sf_dir):
     "  UNION ALL SELECT 'brands_except' AS src, COUNT(*) AS c FROM ("
     "    SELECT DISTINCT p_brand FROM part "
     "    EXCEPT SELECT DISTINCT p_brand FROM part WHERE p_size < 10) e"
+    "  UNION ALL SELECT 'distinct_page' AS src, "
+    "    CAST(SUM(CAST(strftime(sm, '%Y%m') AS INTEGER)) AS BIGINT) AS c FROM ("
+    "    SELECT rf, ls, sm FROM ("
+    "      SELECT DISTINCT l_returnflag AS rf, l_linestatus AS ls, "
+    "      CAST(date_trunc('month', l_shipdate) AS DATE) AS sm FROM lineitem) d "
+    "    ORDER BY rf, ls, sm LIMIT 10 OFFSET 100) pg"
     ") t ORDER BY src",
-    "[2.6] UNION ALL + UNION DISTINCT + INTERSECT + EXCEPT — the full "
-    "set-op family in one row (absorbed q41_union_distinct, "
-    "q15_intersect, q29_except)",
+    "[2.6 + O4,O5] UNION ALL + UNION DISTINCT + INTERSECT + EXCEPT — "
+    "the full set-op family in one row (absorbed q41_union_distinct, "
+    "q15_intersect, q29_except) — plus DISTINCT + LIMIT/OFFSET "
+    "pagination digested into the distinct_page leg (r6: absorbed "
+    "q19_offset; the digest is wrong unless the exact page rows are "
+    "selected)",
 )
 def q28(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").agg(F.count(F.lit(1)).alias("c")).select(
@@ -564,7 +541,24 @@ def q28(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("c"))
         .select(F.lit("brands_except").alias("src"), "c")
     )
-    return c.unionByName(s).unionByName(ud).unionByName(inter).unionByName(exc).orderBy("src")
+    page = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_returnflag").alias("rf"),
+            F.col("l_linestatus").alias("ls"),
+            F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("sm"),
+        )
+        .distinct()
+        .orderBy("rf", "ls", "sm")
+        .offset(100)
+        .limit(10)
+        .agg(F.sum(F.date_format("sm", "yyyyMM").cast("int")).cast("long").alias("c"))
+        .select(F.lit("distinct_page").alias("src"), "c")
+    )
+    return (
+        c.unionByName(s).unionByName(ud).unionByName(inter)
+        .unionByName(exc).unionByName(page).orderBy("src")
+    )
 
 
 @qdef(
@@ -749,18 +743,35 @@ def t05(spark, sf_dir):
 
 @qdef(
     "q38_full_outer",
+    "SELECT n_name, s_name, zero_order_custs FROM ("
     "SELECT n_name, s_name FROM nation FULL OUTER JOIN supplier "
-    "ON s_nationkey = n_nationkey ORDER BY n_name, s_name",
-    "[J2] FULL OUTER join (nations without suppliers keep NULL side)",
+    "ON s_nationkey = n_nationkey) fo CROSS JOIN ("
+    "SELECT COUNT(*) AS zero_order_custs FROM ("
+    "  SELECT c_custkey, COUNT(o_orderkey) AS oc FROM customer "
+    "  LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey) g "
+    "WHERE oc = 0) z ORDER BY n_name, s_name",
+    "[J2] FULL OUTER join (nations without suppliers keep NULL side), "
+    "plus a LEFT OUTER join whose null-side rows are counted as a "
+    "1-row attach (r6: absorbed q12_left_join — zero_order_custs is "
+    "nonzero only because LEFT keeps orderless customers)",
 )
 def q38(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
     s = _t(spark, sf_dir, "supplier")
-    return (
+    fo = (
         n.join(s, s.s_nationkey == n.n_nationkey, "full_outer")
         .select("n_name", "s_name")
-        .orderBy("n_name", "s_name")
     )
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    zero = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("oc"))
+        .filter(F.col("oc") == 0)
+        .agg(F.count(F.lit(1)).alias("zero_order_custs"))
+    )
+    return fo.crossJoin(F.broadcast(zero)).orderBy("n_name", "s_name")
 
 
 @qdef(

@@ -251,7 +251,9 @@ class TestHeadlinePlanShapes:
         assert "TakeOrderedAndProject" in self._plan(spark, sf_dir, "q07_group_topk")
 
     def test_join_broadcasts_dimension(self, spark, sf_dir):
-        plan = self._plan(spark, sf_dir, "q11_inner_join")
+        # q11_inner_join retired into q14 (r6) — the broadcast inner
+        # equi-join shape is q14's customer⋈nation leg
+        plan = self._plan(spark, sf_dir, "q14_star_join")
         assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
 
     def test_star_join_never_shuffles_fact(self, spark, sf_dir):
