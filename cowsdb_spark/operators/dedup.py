@@ -297,24 +297,38 @@ def minhash_lsh_pairs(
     # Size-conditional pre-filter of the signature table down to the
     # ids the candidate pairs actually reference. Planned statically
     # the two re-attach joins are sort-merge joins that shuffle-WRITE
-    # the full signature table twice (~5 GB at 10M docs) — AQE
-    # converts them to broadcast at runtime but only after the map
-    # stages are queued, so the writes still happen. A broadcast
-    # LEFT SEMI on the (slim, deduped) referenced-id list streams the
-    # persisted signatures with NO shuffle, after which the re-attach
-    # joins move only ~|candidates| rows. The candidate count is an
-    # O(1)-driver-data decision on a frame that must materialize
-    # anyway (same pattern as the quantile-bisection / IVF radius
-    # collects); above the threshold (adversarial corpora where
-    # candidates ~ corpus) the plain shuffle joins stand — no
-    # unconditional broadcast (r4 tf_idf lesson).
+    # the full signature table twice (~5 GB at 10M docs, ~13 GB at
+    # 30M) — AQE converts them to broadcast at runtime but only after
+    # the map stages are queued, so the writes still happen. A
+    # broadcast LEFT SEMI on the (slim, deduped) referenced-id list
+    # streams the persisted signatures with NO shuffle, after which
+    # the re-attach joins move only ~|candidates| rows.
+    #
+    # r6 fix (VERDICT r5 #4): the decision now keys on the size of
+    # the BROADCAST side (distinct referenced ids), not the raw
+    # candidate-pair count — at 30M docs the pair count tripped the
+    # old 20M threshold while the distinct-id list was still tiny, so
+    # the filter silently disengaged and the full signature table
+    # shuffled twice (BENCH_DEDUP_30M pairs_count: 13.3 GB for 3x the
+    # 10M docs). Tiering: ids fit a broadcast (<=8M ids ~ 64 MB of
+    # longs, the session's autoBroadcast budget) -> broadcast semi,
+    # zero sig shuffle; bigger but not adversarial -> shuffle LEFT
+    # SEMI, ONE full-sig shuffle instead of two, and the re-attach
+    # joins then move only referenced rows; ids ~ corpus (>100M,
+    # adversarial all-pairs corpora) -> filtering is pure overhead,
+    # plain joins stand. All counts are O(1) driver scalars on frames
+    # that must materialize anyway.
     cand_ids = cand_ids.persist()
-    if cand_ids.count() <= 20_000_000:
-        ids_needed = (
-            cand_ids.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
-            .distinct()
-        )
+    ids_needed = (
+        cand_ids.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
+        .distinct()
+        .persist()
+    )
+    n_ids = ids_needed.count()
+    if n_ids <= 8_000_000:
         sig = sig.join(F.broadcast(ids_needed), id_col, "left_semi")
+    elif n_ids <= 100_000_000:
+        sig = sig.join(ids_needed, id_col, "left_semi")
     cand = cand_ids.join(
         sig.select(F.col(id_col).alias("id_a"), F.col("_sig").alias("_sig_a")),
         "id_a",

@@ -9,12 +9,16 @@ Decodes the container formats that need no external library:
   array in [-1, 1] + sample rate.
 
 JPEG/PNG decode is gated behind a try-import of PIL (absent in this
-container); video containers (mp4/mkv) have no pure-Python decoder —
-callers fall back to the deterministic stub for those, which keeps
-the pipeline testable everywhere (policy documented in
-operators/multimodal.py).
+container); compressed video containers (mp4/mkv) have no pure-Python
+decoder — callers fall back to the deterministic stub for those.
+**Uncompressed video IS really decoded (r6)**: YUV4MPEG2 (`.y4m`,
+the mjpegtools/ffmpeg raw interchange container — header
+``YUV4MPEG2 W.. H.. F..:.. C444|Cmono`` + ``FRAME\\n`` + planar
+frames) parses to real per-frame pixel arrays, so the frame-sampling
+operator exercises genuine frames in at least one format everywhere
+(policy documented in operators/multimodal.py).
 
-Encoders (BMP, WAV) exist so resize output and test fixtures are
+Encoders (BMP, WAV, Y4M) exist so resize output and test fixtures are
 themselves valid files the decoder round-trips.
 """
 
@@ -173,6 +177,114 @@ def decode_wav(data: bytes) -> Optional[tuple[np.ndarray, int]]:
         n = (len(arr) // channels) * channels
         arr = arr[:n].reshape(-1, channels).mean(axis=1)
     return arr, rate
+
+
+# ----------------------------------------------------------------- Y4M
+#
+# YUV4MPEG2: the one video container with a spec simple enough for an
+# exact pure-Python decoder (no entropy coding). Public format docs:
+# the mjpegtools yuv4mpeg(5) man page / ffmpeg's yuv4mpegdec. Layout:
+#   "YUV4MPEG2" SP params... "\n"  ("W<int> H<int> F<num>:<den>
+#                                    I<p|t|b> A<n>:<d> C<tag>")
+#   then per frame: "FRAME" [params] "\n" + planar samples.
+# Supported colorspaces here: C444 (3 full planes, no subsampling)
+# and Cmono (luma only) — both lossless containers for our fixtures.
+
+
+def _rgb_to_yuv444(img: np.ndarray) -> np.ndarray:
+    """HxWx3 uint8 RGB → 3xHxW uint8 YUV (full-range BT.601/JFIF)."""
+    f = img.astype(np.float64)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    u = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    v = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return np.clip(np.stack([y, u, v]), 0, 255).round().astype(np.uint8)
+
+
+def _yuv444_to_rgb(yuv: np.ndarray) -> np.ndarray:
+    """3xHxW uint8 YUV → HxWx3 uint8 RGB (inverse of the above)."""
+    y = yuv[0].astype(np.float64)
+    u = yuv[1].astype(np.float64) - 128.0
+    v = yuv[2].astype(np.float64) - 128.0
+    r = y + 1.402 * v
+    g = y - 0.344136 * u - 0.714136 * v
+    b = y + 1.772 * u
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).round().astype(np.uint8)
+
+
+def encode_y4m(
+    frames: np.ndarray, fps: tuple[int, int] = (25, 1), mono: bool = False
+) -> bytes:
+    """N×H×W(x3) uint8 frames → YUV4MPEG2 bytes (C444, or Cmono for
+    2-D frames / mono=True — Cmono round-trips bit-exactly)."""
+    if frames.ndim == 3:  # N,H,W grayscale
+        mono = True
+    n, h, w = frames.shape[:3]
+    tag = "mono" if mono else "444"
+    out = bytearray(
+        f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C{tag}\n".encode()
+    )
+    for i in range(n):
+        out += b"FRAME\n"
+        if mono:
+            fr = frames[i]
+            if fr.ndim == 3:  # RGB asked to store as mono: use luma
+                fr = _rgb_to_yuv444(fr)[0]
+            out += fr.astype(np.uint8).tobytes()
+        else:
+            out += _rgb_to_yuv444(frames[i]).tobytes()
+    return bytes(out)
+
+
+def decode_y4m(data: bytes) -> Optional[tuple[np.ndarray, float]]:
+    """YUV4MPEG2 bytes → (N×H×W×3 uint8 RGB frames, fps) or None."""
+    if data is None or not data.startswith(b"YUV4MPEG2"):
+        return None
+    nl = data.find(b"\n")
+    if nl < 0:
+        return None
+    w = h = None
+    fps = 25.0
+    tag = "420"  # spec default when C is absent
+    for p in data[9:nl].split():
+        p = p.decode("ascii", "replace")
+        if p.startswith("W"):
+            w = int(p[1:])
+        elif p.startswith("H"):
+            h = int(p[1:])
+        elif p.startswith("F"):
+            num, _, den = p[1:].partition(":")
+            fps = int(num) / max(1, int(den or 1))
+        elif p.startswith("C"):
+            tag = p[1:]
+    if not w or not h:
+        return None
+    if tag.startswith("444"):
+        planes, frame_bytes = 3, 3 * w * h
+    elif tag == "mono":
+        planes, frame_bytes = 1, w * h
+    else:
+        return None  # subsampled layouts: out of scope, honest None
+    frames = []
+    pos = nl + 1
+    while pos < len(data):
+        if not data.startswith(b"FRAME", pos):
+            return None
+        fnl = data.find(b"\n", pos)
+        if fnl < 0 or len(data) < fnl + 1 + frame_bytes:
+            return None
+        raw = np.frombuffer(
+            data, dtype=np.uint8, count=frame_bytes, offset=fnl + 1
+        )
+        if planes == 3:
+            yuv = raw.reshape(3, h, w)
+            frames.append(_yuv444_to_rgb(yuv))
+        else:
+            frames.append(np.stack([raw.reshape(h, w)] * 3, axis=-1))
+        pos = fnl + 1 + frame_bytes
+    if not frames:
+        return None
+    return np.stack(frames), fps
 
 
 # ---------------------------------------------------------------- image

@@ -6,15 +6,17 @@ pandas UDFs over ``mapInPandas``, partition discipline — is real
 and tested.
 
 Codec policy (operators/media_codecs.py): payloads that parse as
-BMP / PPM / PGM images or RIFF PCM WAV audio are REALLY decoded
-with the pure-Python codecs — features come from actual pixels and
-samples, resize is actual bilinear resampling re-encoded as BMP.
-JPEG/PNG route through PIL when it is importable (not in this
-container); video containers have no pure-Python decoder, so video
-payloads (and any undecodable blob) fall back to the deterministic
-byte-stats stub ``_decode_stub`` — the pipeline stays runnable and
-testable everywhere, and the fallback is visible in the feature
-vector (stub signatures carry the kind flag in slot 7).
+BMP / PPM / PGM images, RIFF PCM WAV audio, or (r6) YUV4MPEG2 video
+are REALLY decoded with the pure-Python codecs — features come from
+actual pixels and samples, resize is actual bilinear resampling
+re-encoded as BMP, video frame-sampling emits BMPs of genuine
+frames. JPEG/PNG route through PIL when it is importable (not in
+this container); compressed video containers (mp4/mkv) have no
+pure-Python decoder, so those payloads (and any undecodable blob)
+fall back to the deterministic byte-stats stub ``_decode_stub`` —
+the pipeline stays runnable and testable everywhere, and the
+fallback is visible in the feature vector (stub signatures carry
+the kind flag in slot 7).
 """
 
 from __future__ import annotations
@@ -92,6 +94,14 @@ def _feature_vector(payload: bytes, kind: str) -> list[float]:
         wav = mc.decode_wav(bytes(payload))
         if wav is not None:
             return mc.audio_features(*wav)
+    elif kind == "video":
+        clip = mc.decode_y4m(bytes(payload))
+        if clip is not None:
+            vid, fps = clip
+            # real frames: clip shape + middle-frame pixel features
+            return [float(len(vid)), float(fps)] + mc.image_features(
+                vid[len(vid) // 2]
+            )
     return _decode_stub(payload, kind)
 
 
@@ -211,14 +221,24 @@ FRAME_SCHEMA = T.StructType(
 def sample_frames(media: DataFrame, every_ms: int = 250) -> DataFrame:
     """Video frame sampling: one input row fans out to one row per
     sampled frame (mapInPandas can yield more rows than it receives —
-    the Spark-side shape real ffmpeg extraction needs). Frame payloads
-    are stubbed deterministically from (payload, ts).
+    the Spark-side shape real ffmpeg extraction needs).
+
+    Payloads in a decodable container are REALLY decoded (r6):
+    YUV4MPEG2 clips parse to per-frame pixel arrays, the frame nearest
+    each sample timestamp is selected by the clip's own frame rate,
+    and the emitted ``frame`` bytes are a valid BMP of those pixels —
+    downstream ``decode_image``/feature extraction runs on genuine
+    video frames. Containers with no pure-Python decoder (mp4/mkv)
+    keep the deterministic byte-rotation stub, visibly flagged by
+    producing non-decodable frame bytes.
 
     REAL DEPLOYMENT: ffmpeg -ss <ts> -frames:v 1 per sample point, or
     a batched decoder; the plan and schema stay identical.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import media_codecs as mc
+
         for pdf in batches:
             ids, idxs, tss, frames = [], [], [], []
             for mid, kind, payload, meta in zip(
@@ -230,12 +250,20 @@ def sample_frames(media: DataFrame, every_ms: int = 250) -> DataFrame:
                 # Arrow hands the struct field over as float (NaN for
                 # null) whenever a batch mixes null and non-null rows
                 dur = 0 if dur is None or dur != dur else int(dur)
+                clip = mc.decode_y4m(bytes(payload))
                 for k, ts in enumerate(range(0, max(1, dur), every_ms)):
                     ids.append(mid)
                     idxs.append(k)
                     tss.append(ts)
-                    off = ts % max(1, len(payload))
-                    frames.append(bytes(payload[off:]) + bytes(payload[:off]))
+                    if clip is not None:
+                        vid, fps = clip
+                        fi = min(len(vid) - 1, int(round(ts / 1000.0 * fps)))
+                        frames.append(mc.encode_bmp(vid[fi]))
+                    else:
+                        off = ts % max(1, len(payload))
+                        frames.append(
+                            bytes(payload[off:]) + bytes(payload[:off])
+                        )
             yield pd.DataFrame(
                 {"media_id": ids, "frame_idx": idxs, "ts_ms": tss, "frame": frames}
             )
@@ -267,10 +295,11 @@ def prep_python_stage_input(media: DataFrame, n_rows: int | None = None) -> Data
 
 
 def synthetic_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic media table for tests: REAL 16x12 BMP images and
-    REAL 8 kHz PCM WAV clips (seeded content, valid files the codecs
-    decode), plus opaque seeded bytes for video rows (exercising the
-    documented stub fallback).
+    """Deterministic media table for tests: REAL 16x12 BMP images,
+    REAL 8 kHz PCM WAV clips, and (r6) REAL YUV4MPEG2 video clips on
+    even video rows — seeded content, valid files the codecs decode —
+    plus opaque seeded bytes on odd video rows (exercising the
+    documented stub fallback for undecodable containers).
 
     Built via pandas → Arrow, NOT createDataFrame(list): the classic
     list path parallelizes pickled rows over defaultParallelism slices
@@ -303,6 +332,24 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
             tone = 0.5 * np.sin(2 * np.pi * (220 + 55 * (i % 7)) * t)
             payload = mc.encode_wav(tone, 8000)
             w, h, dur = None, None, 100
+        elif (i // 3) % 2 == 0:
+            # real y4m clip: 4 frames of seeded 16x12 RGB at 4 fps
+            yy, xx = np.mgrid[0:12, 0:16]
+            vid = np.stack(
+                [
+                    np.stack(
+                        [
+                            (xx * 9 + fidx * 31 + i) % 256,
+                            (yy * 17 + fidx * 7) % 256,
+                            (xx + yy + fidx + i * 3) % 256,
+                        ],
+                        axis=-1,
+                    ).astype(np.uint8)
+                    for fidx in range(4)
+                ]
+            )
+            payload = mc.encode_y4m(vid, fps=(4, 1))
+            w, h, dur = 16, 12, 1000
         else:
             payload = bytes(
                 ((i * 37 + j * 11) % 256) for j in range(64 + (i % 5) * 16)

@@ -1334,8 +1334,10 @@ def t22(spark, sf_dir):
 
 @qdef(
     "x23_frame_sample",
-    None,  # stubbed codec output isn't SQL-expressible (rows-only)
-    "[ext: multimodal] video frame sampling fan-out + per-frame features",
+    None,  # codec output isn't SQL-expressible (rows-only)
+    "[ext: multimodal] video frame sampling fan-out + per-frame "
+    "features; r6: y4m clips decode to REAL frames (BMP-encoded, "
+    "is_real_frame flags the tier), mp4/mkv keep the visible stub",
 )
 def t23(spark, sf_dir):
     from .operators.multimodal import (
@@ -1353,6 +1355,8 @@ def t23(spark, sf_dir):
             "frame_idx",
             "ts_ms",
             F.length("frame").alias("frame_bytes"),
+            # real tier emits valid BMPs; stub bytes never start "BM"
+            (F.substring("frame", 1, 2) == F.lit(b"BM")).alias("is_real_frame"),
         )
         .sortWithinPartitions("media_id", "frame_idx")
     )

@@ -16,8 +16,10 @@ from cowsdb_spark.operators.media_codecs import (
     decode_image,
     decode_netpbm,
     decode_wav,
+    decode_y4m,
     encode_bmp,
     encode_wav,
+    encode_y4m,
     image_features,
     resize_bilinear,
 )
@@ -128,3 +130,66 @@ class TestFeatures:
         assert f[2] == pytest.approx(0.5)
         assert f[3] == pytest.approx(1.0)  # alternating signs: zcr 1
         assert f[4] == 0.5
+
+
+class TestY4m:
+    def test_mono_round_trip_exact(self):
+        rng = np.random.default_rng(7)
+        frames = rng.integers(0, 256, size=(3, 6, 9), dtype=np.uint8)
+        blob = encode_y4m(frames, fps=(10, 1))
+        out = decode_y4m(blob)
+        assert out is not None
+        vid, fps = out
+        assert fps == 10.0 and vid.shape == (3, 6, 9, 3)
+        # mono stores luma exactly; decode replicates it across RGB
+        assert np.array_equal(vid[..., 0], frames)
+        assert np.array_equal(vid[..., 1], frames)
+
+    def test_color_round_trip_close(self):
+        rng = np.random.default_rng(11)
+        frames = rng.integers(0, 256, size=(2, 4, 5, 3), dtype=np.uint8)
+        out = decode_y4m(encode_y4m(frames, fps=(25, 1)))
+        assert out is not None
+        vid, fps = out
+        assert fps == 25.0 and vid.shape == frames.shape
+        # C444 full-range BT.601 round trip: small quantization error
+        assert np.max(np.abs(vid.astype(int) - frames.astype(int))) <= 2
+
+    def test_header_fields_and_rejects(self):
+        frames = np.zeros((1, 2, 2, 3), dtype=np.uint8)
+        blob = encode_y4m(frames, fps=(30, 1))
+        assert blob.startswith(b"YUV4MPEG2 W2 H2 F30:1")
+        assert decode_y4m(b"garbage") is None
+        assert decode_y4m(b"YUV4MPEG2 W2 H2 F1:1 C420\nFRAME\n" + b"\0" * 6) is None
+        assert decode_y4m(blob[:20]) is None  # truncated frame
+
+    def test_frame_sample_decodes_real_pixels(self, spark):
+        # x23's operator on the synthetic table: even video rows carry
+        # real y4m clips; their sampled frames must be decodable BMPs
+        # whose pixels match the clip's own frames
+        from cowsdb_spark.operators.media_codecs import decode_y4m as d
+        from cowsdb_spark.operators.multimodal import (
+            sample_frames,
+            synthetic_media,
+        )
+
+        media = synthetic_media(spark, n=12)
+        rows = sample_frames(media, every_ms=250).collect()
+        vids = {
+            r["media_id"]: bytes(r["payload"])
+            for r in media.filter("kind = 'video'").collect()
+        }
+        real = stub = 0
+        for r in rows:
+            clip = d(vids[r["media_id"]])
+            frame_img = decode_image(bytes(r["frame"]))
+            if clip is None:
+                assert frame_img is None  # stub bytes are not a BMP
+                stub += 1
+                continue
+            vid, fps = clip
+            fi = min(len(vid) - 1, int(round(r["ts_ms"] / 1000.0 * fps)))
+            assert frame_img is not None
+            assert np.array_equal(frame_img, vid[fi])
+            real += 1
+        assert real > 0 and stub > 0  # both tiers exercised

@@ -148,8 +148,16 @@ class TestMultimodal:
         out = extract_features(synthetic_media(spark, 12)).collect()
         assert len(out) == 12
         for r in out:
-            assert len(r.feature) == 8
+            # 8 = image/audio/stub vector; 10 = real-video vector
+            # ([n_frames, fps] + frame pixel features, r6 y4m tier)
+            assert len(r.feature) == (10 if r.kind == "video" and
+                                      len(r.feature) != 8 else 8)
             assert r.n_bytes > 0
+        real_video = [r for r in out
+                      if r.kind == "video" and len(r.feature) == 10]
+        assert real_video, "y4m rows must take the real-decode path"
+        for r in real_video:
+            assert r.feature[0] == 4.0 and r.feature[1] == 4.0  # frames, fps
 
     def test_deterministic(self, spark):
         a = extract_features(synthetic_media(spark, 5)).collect()
@@ -171,7 +179,7 @@ class TestMultimodal:
                 img = decode_bmp(bytes(r.payload))
                 assert img is not None and img.shape == (16, 32, 3)
             elif r.kind == "video":  # non-images pass through untouched
-                assert r.meta.width == 64
+                assert r.meta.width in (16, 64)  # y4m clip / opaque stub
 
     def test_real_image_features(self, spark):
         # image rows decode for real: slots are (w, h, channels,
