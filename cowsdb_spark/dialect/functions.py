@@ -1802,6 +1802,59 @@ def _fn_cast_2arg(args: list[str]) -> str | None:
 CODE_FNS["cast"] = _fn_cast_2arg
 
 
+# Host-extraction regexes compiled to string ops (ClickBench Q28
+# family). Java regex on every row is the single largest entry at
+# 100M rows; the equivalent LIKE/instr/substr chain stays in
+# whole-stage codegen with no per-row Pattern machinery. Recognized
+# pattern (both single- and double-backslash literal spellings):
+#   ^https?://(?:www\.)?([^/]+)/.*$   with replacement $1 or \1
+_HOST_EXTRACT_PATTERNS = {
+    r"^https?://(?:www\.)?([^/]+)/.*$",
+    r"^https?://(?:www\\.)?([^/]+)/.*$",
+}
+
+
+def _fn_regexp_replace(args: list[str]) -> str | None:
+    if len(args) != 3:
+        return None
+    pat = _lit_str(args[1])
+    rep = _lit_str(args[2])
+    if pat not in _HOST_EXTRACT_PATTERNS or rep not in ("$1", "\\1", "\\\\1"):
+        return None
+    e = f"({args[0].strip()})"
+
+    def tier(plen: int) -> str:
+        """Host slice after a scheme prefix of plen chars, handling
+        the optional www. strip exactly like the regex backtracks:
+        strip only when a non-empty host remains before the next '/'
+        (so 'http://www./x' yields 'www.', not the original)."""
+        base = plen + 1  # substr is 1-based
+        www = base + 4
+        return (
+            f"CASE WHEN {e} LIKE '{'http' if plen == 7 else 'https'}://www.%' "
+            f"AND instr(substr({e}, {www}), '/') > 1 "
+            f"THEN substr(substr({e}, {www}), 1, instr(substr({e}, {www}), '/') - 1) "
+            f"WHEN instr(substr({e}, {base}), '/') > 1 "
+            f"THEN substr(substr({e}, {base}), 1, instr(substr({e}, {base}), '/') - 1) "
+            f"ELSE {e} END"
+        )
+
+    # Rows containing a line terminator keep the real regex (Java's $
+    # matches before a FINAL newline, which the string ops can't see);
+    # the \x00 guard keeps the fixpoint rewriter off the fallback call.
+    fallback = f"\x00regexp_replace\x00({args[0]}, {args[1]}, {args[2]})"
+    return (
+        f"CASE WHEN {e} LIKE concat('%', chr(10), '%') "
+        f"OR {e} LIKE concat('%', chr(13), '%') THEN {fallback} "
+        f"WHEN {e} LIKE 'http://%' THEN {tier(7)} "
+        f"WHEN {e} LIKE 'https://%' THEN {tier(8)} "
+        f"ELSE {e} END"
+    )
+
+
+CODE_FNS["regexp_replace"] = _fn_regexp_replace
+
+
 def _fn_agg_map_two_array(name: str):
     """CH sumMap/minMap/maxMap(keys, values) 2-array form → the map
     form via map_from_arrays (the 1-arg map form keeps its template;

@@ -83,3 +83,59 @@ def test_clickbench_query(q, engine, hits_ddb):
         f"{q['id']}: {len(spark_rows)} vs {len(oracle_rows)} rows; "
         f"first spark={spark_rows[:2]} oracle={oracle_rows[:2]}"
     )
+
+
+class TestHostExtractRewrite:
+    """r6: cb28's REGEXP_REPLACE domain extraction compiles to
+    LIKE/instr/substr string ops (dialect/functions.py
+    _fn_regexp_replace); the rewrite must be exact vs the real regex,
+    including the optional-www backtracking and newline rows."""
+
+    def test_translation_fires(self):
+        from cowsdb_spark.dialect.translate import translate
+
+        st = translate(
+            "SELECT REGEXP_REPLACE(Referer, "
+            "'^https?://(?:www\\\\.)?([^/]+)/.*$', '$1') AS k FROM hits"
+        )[0]
+        assert "instr(" in st.spark_sql  # string-op tier emitted
+        assert "regexp_replace" in st.spark_sql  # newline fallback kept
+
+    def test_non_matching_patterns_untouched(self):
+        from cowsdb_spark.dialect.translate import translate
+
+        st = translate(
+            "SELECT REGEXP_REPLACE(x, '[aeiou]', '*') AS m FROM t"
+        )[0]
+        assert "instr(" not in st.spark_sql
+
+    def test_exact_vs_real_regex(self, spark):
+        # evaluate rewrite and genuine regex side-by-side on
+        # adversarial strings; they must agree row-for-row (the
+        # genuine side goes through a literal spark.sql call because
+        # the dialect would rewrite both sides)
+        from cowsdb_spark.dialect.translate import translate
+
+        vals = [
+            "http://example.com/path", "https://www.x.com/a/b",
+            "http://www./path", "http://hostonly", "HTTP://upper.com/x",
+            "https://www.y/", "ftp://z/a", "", "http://www.",
+            "https://a.b.c/d?q=1", "http://h/", "https://www.www.d/e",
+            "http://a//b", "http:///x", "https://www./",
+        ]
+        union = " UNION ALL ".join(f"SELECT {v!r} AS r" for v in vals)
+
+        rewritten = translate(
+            "SELECT REGEXP_REPLACE(r, "
+            "'^https?://(?:www\\\\.)?([^/]+)/.*$', '$1') AS k "
+            "FROM (" + union + ") t"
+        )[0].spark_sql
+        got = [row["k"] for row in spark.sql(rewritten).collect()]
+        want = [
+            row["k"] for row in spark.sql(
+                "SELECT regexp_replace(r, "
+                "'^https?://(?:www\\\\.)?([^/]+)/.*$', '$1') AS k "
+                "FROM (" + union + ") t"
+            ).collect()
+        ]
+        assert got == want

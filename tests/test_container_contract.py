@@ -177,3 +177,80 @@ class TestNativeContract:
         _cols, rows = c.query("SELECT sum(v) AS s FROM xwire.t")
         assert rows == [(15,)]
         c.close()
+
+
+class TestConcurrentClients:
+    """r6 (VERDICT r5 #6): the reference's production envelope pins 25
+    concurrent connections (fly/fly.toml:27-29) and serializes queries
+    behind a global session lock (main.py:34,162); this engine's read
+    path is lock-free. N simultaneous clients must each get THEIR OWN
+    correct results — no cross-talk, no errors — across both wires."""
+
+    N_HTTP = 10
+    N_NATIVE = 4
+
+    def test_concurrent_http_clients_isolated_results(self, server):
+        import threading
+
+        errs = []
+
+        def client(cid: int):
+            try:
+                for i in range(4):
+                    # per-client distinct query with a predictable answer
+                    n = 1000 + cid * 17 + i
+                    st, body = get(
+                        server["http"],
+                        f"SELECT count() AS c, sum(number) AS s "
+                        f"FROM numbers({n})",
+                    )
+                    assert st == 200
+                    c, s = body.decode().strip().split("\t")
+                    assert int(c) == n and int(s) == n * (n - 1) // 2, (
+                        cid, i, body)
+            except Exception as e:  # noqa: BLE001
+                errs.append(f"http client {cid}: {e!r}")
+
+        ts = [threading.Thread(target=client, args=(c,))
+              for c in range(self.N_HTTP)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs, errs
+
+    def test_concurrent_mixed_wires(self, server):
+        import threading
+
+        errs = []
+
+        def http_client(cid: int):
+            try:
+                st, body = get(
+                    server["http"],
+                    f"SELECT {cid} AS id, count() AS c FROM numbers(5000)",
+                )
+                assert st == 200 and body == f"{cid}\t5000\n".encode()
+            except Exception as e:  # noqa: BLE001
+                errs.append(f"http {cid}: {e!r}")
+
+        def native_client(cid: int):
+            try:
+                c = Client(server["native"])
+                _cols, rows = c.query(
+                    f"SELECT {cid} AS id, sum(number) AS s FROM numbers(100)"
+                )
+                assert rows == [(cid, 4950)]
+                c.close()
+            except Exception as e:  # noqa: BLE001
+                errs.append(f"native {cid}: {e!r}")
+
+        ts = [threading.Thread(target=http_client, args=(c,))
+              for c in range(self.N_HTTP)]
+        ts += [threading.Thread(target=native_client, args=(c,))
+               for c in range(self.N_NATIVE)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs, errs
