@@ -126,6 +126,19 @@ def get_spark(app_name: str = "moospark", shuffle_partitions: int | None = None)
         # long-running Spark services; on a cluster this is the same
         # conf on the driver.
         .config("spark.cleaner.periodicGC.interval", "45s")
+        # FAIR job scheduling (r6): the serving path runs one Spark
+        # job per concurrent client; FIFO queues client B's sub-second
+        # query behind client A's heavy one. FAIR within the default
+        # pool round-robins task slots across in-flight jobs —
+        # measured with tools/bench_serve.py at 25 concurrent HTTP
+        # clients (see BENCH_SERVE.json). Single-job batch workloads
+        # are unaffected (one job at a time schedules identically).
+        .config("spark.scheduler.mode", "FAIR")
+        .config(
+            "spark.scheduler.allocation.file",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "fairscheduler.xml"),
+        )
     )
     # Shuffle/spill scratch on RAM-backed tmpfs when available: local
     # mode writes every exchange to spark.local.dir, and /tmp here is
