@@ -1166,6 +1166,83 @@ def t28(spark, sf_dir):
 
 
 @qdef(
+    "t48_stream_enrich",
+    "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+    "ROUND(SUM(value * type_avg), 2) AS wsum "
+    "FROM events JOIN (SELECT event_type AS et, "
+    "ROUND(AVG(value), 6) AS type_avg FROM events GROUP BY 1) d "
+    "ON event_type = d.et GROUP BY event_type ORDER BY event_type",
+    "[ext: streaming, r6] stream-static enrichment: each micro-batch "
+    "broadcast-joins a static dimension snapshot (zero streaming "
+    "state, the stream never shuffles for the join); drained via "
+    "availableNow, digest equals the batch join",
+)
+def t48(spark, sf_dir):
+    from .streaming import stream_events
+    from .streaming.joins import stream_static_enrich
+    from .streaming.windows import run_to_memory
+
+    ev = _t(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("type_avg")
+    )
+    s = stream_static_enrich(stream_events(spark, sf_dir), dim, "event_type")
+    run_to_memory(s, "t48_out", "append")
+    return (
+        spark.table("t48_out")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum(F.col("value") * F.col("type_avg")), 2).alias("wsum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@qdef(
+    "t49_stream_join",
+    "SELECT l.user_id AS user_id, l.event_id AS event_id, "
+    "r.event_id AS event_id_r FROM events l JOIN events r "
+    "ON l.user_id = r.user_id AND l.event_type = 'purchase' "
+    "AND r.event_type = 'view' "
+    "AND r.ts >= l.ts - INTERVAL 10 MINUTE "
+    "AND r.ts <= l.ts + INTERVAL 10 MINUTE "
+    "ORDER BY event_id, event_id_r",
+    "[ext: streaming, r6] stream-stream interval join: purchases "
+    "joined to same-user views within ±10 minutes; both sides "
+    "watermarked so buffered state is O(rate × interval), drained "
+    "via availableNow (single-file source = one micro-batch, so the "
+    "watermark drops nothing and the result equals the batch range "
+    "join exactly)",
+)
+def t49(spark, sf_dir):
+    from .streaming import stream_events
+    from .streaming.joins import stream_stream_interval_join
+    from .streaming.windows import run_to_memory
+
+    left = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id")
+    )
+    right = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select("user_id", "ts", "event_id")
+    )
+    j = stream_stream_interval_join(
+        left, right, key="user_id", within="10 minutes",
+        watermark="30 minutes",
+    )
+    run_to_memory(j, "t49_out", "append")
+    return (
+        spark.table("t49_out")
+        .select("user_id", "event_id", "event_id_r")
+        .orderBy("event_id", "event_id_r")
+    )
+
+
+@qdef(
     "x16_streaming_tumbling",
     None,  # Structured Streaming drain — no SQL oracle (rows-only)
     "[ext: streaming] watermarked tumbling-window counts, drained via availableNow",

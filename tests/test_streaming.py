@@ -184,3 +184,68 @@ class TestStreamingDedup:
 
         s = dedup_stream(stream_events(spark, "/root/testdata/sf0.001"))
         assert "deduplicatewithinwatermark" in s._jdf.queryExecution().logical().toString().lower()
+
+
+class TestStreamingJoins:
+    """r6: stream-static enrichment and the watermarked stream-stream
+    interval join must equal their batch equivalents on a full drain
+    (streaming/joins.py)."""
+
+    def test_stream_static_enrich_equals_batch(self, spark, sf_dir):
+        from cowsdb_spark.streaming import stream_events
+        from cowsdb_spark.streaming.joins import stream_static_enrich
+
+        ev = load_table(spark, sf_dir, "events")
+        dim = ev.groupBy("event_type").agg(
+            F.round(F.avg("value"), 6).alias("type_avg")
+        )
+        s = stream_static_enrich(stream_events(spark, sf_dir), dim,
+                                 "event_type")
+        run_to_memory(s, "tsj_enrich", "append")
+        got = (
+            spark.table("tsj_enrich").groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("event_type").collect()
+        )
+        want = (
+            ev.join(F.broadcast(dim), "event_type")
+            .groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("event_type").collect()
+        )
+        assert got == want and len(got) > 0
+
+    def test_interval_join_equals_batch_range_join(self, spark, sf_dir):
+        from cowsdb_spark.streaming import stream_events
+        from cowsdb_spark.streaming.joins import stream_stream_interval_join
+
+        def side(et):
+            return (
+                stream_events(spark, sf_dir)
+                .filter(F.col("event_type") == et)
+                .select("user_id", "ts", "event_id")
+            )
+
+        j = stream_stream_interval_join(
+            side("purchase"), side("view"), key="user_id",
+            within="10 minutes", watermark="30 minutes",
+        )
+        run_to_memory(j, "tsj_interval", "append")
+        got = sorted(
+            (r["event_id"], r["event_id_r"])
+            for r in spark.table("tsj_interval").collect()
+        )
+        ev = load_table(spark, sf_dir, "events")
+        l = ev.filter("event_type = 'purchase'").select(
+            F.col("user_id"), F.col("ts").alias("lts"),
+            F.col("event_id").alias("lid"))
+        r = ev.filter("event_type = 'view'").select(
+            F.col("user_id"), F.col("ts").alias("rts"),
+            F.col("event_id").alias("rid"))
+        want = sorted(
+            (row["lid"], row["rid"])
+            for row in l.join(r, "user_id")
+            .filter("rts >= lts - INTERVAL 10 MINUTES "
+                    "AND rts <= lts + INTERVAL 10 MINUTES")
+            .collect()
+        )
+        assert got == want and len(got) > 0
