@@ -1842,7 +1842,10 @@ def _fn_regexp_replace(args: list[str]) -> str | None:
     # Rows containing a line terminator keep the real regex (Java's $
     # matches before a FINAL newline, which the string ops can't see);
     # the \x00 guard keeps the fixpoint rewriter off the fallback call.
-    fallback = f"\x00regexp_replace\x00({args[0]}, {args[1]}, {args[2]})"
+    # The replacement is normalized to '$1': the CH '\\1' spelling
+    # accepted above would be a literal '1' to Java, making the two
+    # tiers of this CASE disagree on newline rows.
+    fallback = f"\x00regexp_replace\x00({args[0]}, {args[1]}, '$1')"
     return (
         f"CASE WHEN {e} LIKE concat('%', chr(10), '%') "
         f"OR {e} LIKE concat('%', chr(13), '%') THEN {fallback} "

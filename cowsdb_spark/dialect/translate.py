@@ -1269,9 +1269,11 @@ def _truthy_starts_clause(toks: list[Tok], sig: list[int], si: int) -> bool:
             prev = toks[sig[pj]]
             break
     if prev is not None:
-        # An expression is mid-flight after an operator (other than a
-        # closing paren) or a connective keyword — can't start a clause.
-        if prev.kind == "op" and prev.text.strip()[-1] != ")":
+        # An expression is mid-flight after an operator — unless the
+        # operator token is itself a terminal operand: a closing
+        # paren/bracket, or the '?'/'}' of a parameter placeholder
+        # ('WHERE x = ? LIMIT 3' must still close the wrapper).
+        if prev.kind == "op" and prev.text.strip()[-1] not in ")]?}":
             return False
         if prev.kind == "ident" and prev.upper in _TRUTHY_EXPR_OPENERS:
             return False

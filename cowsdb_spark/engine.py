@@ -1447,6 +1447,7 @@ class Engine:
             self.spark.sql(s)
         except Exception:  # noqa: BLE001 — let the full path raise it
             return None
+        prev_got = None
         for probe_rows in self._EARLY_LIMIT_PROBE_ROWS:
             sql = (
                 f"SELECT COUNT(*) AS {alias} FROM ("
@@ -1475,11 +1476,19 @@ class Engine:
                 return None
             if got >= k:
                 return df
-            if got * 4 < k:
-                # far below k on this probe: the table very likely has
+            if (
+                got * 4 < k
+                and prev_got is not None
+                and got < prev_got * 2
+            ):
+                # far below k AND the group count stopped growing
+                # across a 16x larger probe: the table very likely has
                 # < k groups in total — larger probes would only burn
-                # plan-time aggregations before abandoning the rewrite
+                # plan-time aggregations. (Growth alone doesn't bail:
+                # tables clustered by the group key legitimately show
+                # few groups in a prefix but keep escalating.)
                 return None
+            prev_got = got
         return None
 
     def _temp_view_guards(self, df: DataFrame) -> dict:

@@ -324,16 +324,24 @@ def minhash_lsh_pairs(
     # plain joins stand. All counts are O(1) driver scalars on frames
     # that must materialize anyway.
     cand_ids = cand_ids.persist()
-    ids_needed = (
-        cand_ids.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
-        .distinct()
-        .persist()
-    )
-    n_ids = ids_needed.count()
-    if n_ids <= 8_000_000:
-        sig = sig.join(F.broadcast(ids_needed), id_col, "left_semi")
-    elif n_ids <= 100_000_000:
-        sig = sig.join(ids_needed, id_col, "left_semi")
+    # Cheap adversarial pre-gate on the (persisted) pair count before
+    # paying the explode+distinct shuffle for the id list: distinct
+    # ids <= 2x pairs, so pairs <= 50M guarantees ids fit the tiers
+    # below, and pairs in the billions (all-pairs corpora) skip the
+    # filter without ever building the list it would have discarded.
+    if cand_ids.count() <= 200_000_000:
+        ids_needed = (
+            cand_ids.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
+            .distinct()
+            .persist()
+        )
+        n_ids = ids_needed.count()
+        if n_ids <= 8_000_000:
+            sig = sig.join(F.broadcast(ids_needed), id_col, "left_semi")
+        elif n_ids <= 100_000_000:
+            sig = sig.join(ids_needed, id_col, "left_semi")
+        else:
+            ids_needed.unpersist()
     cand = cand_ids.join(
         sig.select(F.col(id_col).alias("id_a"), F.col("_sig").alias("_sig_a")),
         "id_a",

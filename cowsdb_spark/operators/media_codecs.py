@@ -246,17 +246,23 @@ def decode_y4m(data: bytes) -> Optional[tuple[np.ndarray, float]]:
     w = h = None
     fps = 25.0
     tag = "420"  # spec default when C is absent
-    for p in data[9:nl].split():
-        p = p.decode("ascii", "replace")
-        if p.startswith("W"):
-            w = int(p[1:])
-        elif p.startswith("H"):
-            h = int(p[1:])
-        elif p.startswith("F"):
-            num, _, den = p[1:].partition(":")
-            fps = int(num) / max(1, int(den or 1))
-        elif p.startswith("C"):
-            tag = p[1:]
+    try:
+        for p in data[9:nl].split():
+            p = p.decode("ascii", "replace")
+            if p.startswith("W"):
+                w = int(p[1:])
+            elif p.startswith("H"):
+                h = int(p[1:])
+            elif p.startswith("F"):
+                num, _, den = p[1:].partition(":")
+                fps = int(num) / max(1, int(den or 1))
+            elif p.startswith("C"):
+                tag = p[1:]
+    except ValueError:
+        # malformed header integer: undecodable blob, same contract as
+        # every other parse failure here — None, never an exception
+        # that would fail the whole Spark task
+        return None
     if not w or not h:
         return None
     if tag.startswith("444"):

@@ -97,11 +97,14 @@ def _feature_vector(payload: bytes, kind: str) -> list[float]:
     elif kind == "video":
         clip = mc.decode_y4m(bytes(payload))
         if clip is not None:
-            vid, fps = clip
-            # real frames: clip shape + middle-frame pixel features
-            return [float(len(vid)), float(fps)] + mc.image_features(
-                vid[len(vid) // 2]
-            )
+            vid, _fps = clip
+            # real frames, same 8-float width as every other kind
+            # (fixed-width contract): middle-frame pixel features with
+            # the aspect slot — recomputable from slots 0/1 — carrying
+            # the frame count instead
+            feats = mc.image_features(vid[len(vid) // 2])
+            feats[7] = float(len(vid))
+            return feats
     return _decode_stub(payload, kind)
 
 

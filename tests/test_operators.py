@@ -148,16 +148,15 @@ class TestMultimodal:
         out = extract_features(synthetic_media(spark, 12)).collect()
         assert len(out) == 12
         for r in out:
-            # 8 = image/audio/stub vector; 10 = real-video vector
-            # ([n_frames, fps] + frame pixel features, r6 y4m tier)
-            assert len(r.feature) == (10 if r.kind == "video" and
-                                      len(r.feature) != 8 else 8)
+            assert len(r.feature) == 8  # fixed-width across all kinds
             assert r.n_bytes > 0
+        # y4m rows take the real-decode path: middle-frame pixel
+        # features with the frame count in slot 7 (w=16, h=12)
         real_video = [r for r in out
-                      if r.kind == "video" and len(r.feature) == 10]
+                      if r.kind == "video" and r.feature[:2] == [16.0, 12.0]]
         assert real_video, "y4m rows must take the real-decode path"
         for r in real_video:
-            assert r.feature[0] == 4.0 and r.feature[1] == 4.0  # frames, fps
+            assert r.feature[7] == 4.0  # n_frames
 
     def test_deterministic(self, spark):
         a = extract_features(synthetic_media(spark, 5)).collect()
