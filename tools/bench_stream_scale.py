@@ -130,12 +130,42 @@ def main():
     # session windows + applyInPandasWithState + dedup emit in
     # append mode (finalized-on-watermark); plain windowed aggs in
     # update mode (the live-dashboard shape)
+    from pyspark.sql import functions as F
+
+    from cowsdb_spark.streaming.joins import (
+        stream_static_enrich,
+        stream_stream_interval_join,
+    )
+
+    # stream-static: enrich with a per-type dimension snapshot
+    dim = (spark.read.parquet(path).groupBy("event_type")
+           .agg(F.avg("value").alias("type_avg")))
+    enrich = stream_static_enrich(stream(), dim, "event_type")
+    # stream-stream: buys joined to views on a uniform derived key
+    # within ±5 minutes, both sides watermarked at 30 min. The key is
+    # deliberately uniform (event_id % 100k, ~12 rows/side/key/day):
+    # this stage measures the operator's state/throughput cost, not
+    # output volume — joining on the zipf user_id would make the top
+    # user (~25% of events) emit ~10^8 pairs and measure pair
+    # materialization instead. State is O(rate x interval).
+    def jside(et):
+        return (stream().filter(f"event_type = '{et}'")
+                .select((F.col("event_id") % 100_000).alias("k"),
+                        "ts", "event_id"))
+
+    sjoin = stream_stream_interval_join(
+        jside("buy"), jside("view"),
+        key="k", within="5 minutes", watermark="30 minutes",
+    )
+
     for name, df, mode in (
         ("tumbling_1h", tumbling_counts(stream()), "update"),
         ("sliding_1h_15m", sliding_counts(stream()), "update"),
         ("session_builtin_30m", session_counts(stream()), "append"),
         ("session_stateful_30m", sessionize_stateful(stream()), "append"),
         ("dedup_watermark", dedup_stream(stream()), "append"),
+        ("static_enrich_join", enrich, "append"),
+        ("interval_join_5m", sjoin, "append"),
     ):
         wall = drain(df, mode)
         stages[name] = {
