@@ -5,7 +5,7 @@ merges their results into ONE compact JSON line as the FINAL stdout
 line::
 
     {"metric":"...","value":<total sec>,"unit":"sec",
-     "queries":{"q02_numbers":sec,...,"cb_total":sec},
+     "queries":{"q05_filtered_agg":sec,...,"cb_total":sec},
      "hits_10m":{...},"sf":0.1}
 
 Sections (tools/bench_section.py):

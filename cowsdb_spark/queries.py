@@ -66,40 +66,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------- literals
 
 
-# (q01_literals merged into q02_numbers' constant columns — frees a
-# driver-window slot so t39-t47 rotate in (r6); the P1 literal +
-# unsigned-edge surface stays driver-verified through q02.)
-
-
-@qdef(
-    "q02_numbers",
-    "SELECT range AS number, range * 2 AS d, range % 2 AS m, "
-    "ROUND(range * CAST(1.5 AS DOUBLE), 2) AS f, "
-    "1 AS num, 'hello' AS str, 3.14 AS pi, "
-    "0 AS z, 255 AS u8, 65535 AS u16, 4294967295 AS u32 "
-    "FROM range(10) ORDER BY number",
-    "[S2,P3 + P1,P2] numbers(N) virtual table + arithmetic (ref "
-    "test_suite.py:323-336), carrying the literal projection and "
-    "unsigned edge values (r6: absorbed q01_literals, ref "
-    "test_suite.py:141-146,355-361)",
-)
-def q02(spark, sf_dir):
-    n = spark.range(10).withColumnRenamed("id", "number")
-    return (
-        n.select(
-            "number",
-            (F.col("number") * 2).alias("d"),
-            (F.col("number") % 2).alias("m"),
-            F.round(F.col("number") * 1.5, 2).alias("f"),
-            F.lit(1).alias("num"),
-            F.lit("hello").alias("str"),
-            F.lit(3.14).alias("pi"),
-            F.lit(0).alias("z"),
-            F.lit(255).alias("u8"),
-            F.lit(65535).alias("u16"),
-            F.lit(4294967295).alias("u32"),
-        ).orderBy("number")
-    )
+# (q01_literals merged into q02_numbers in early r6; q02_numbers then
+# merged into q05_filtered_agg's numbers-digest attach in late r6 so
+# t49 rotates into the driver window. S2 numbers()/range, P3
+# arithmetic, and the P1 literal + unsigned-edge surface all stay
+# driver-verified through q05's attach columns.)
 
 
 # (q03_edge_ints merged into q01_literals — frees a slot in the
@@ -115,19 +86,29 @@ def q02(spark, sf_dir):
 
 @qdef(
     "q05_filtered_agg",
-    "SELECT sum_qty, avg_price, min_disc, max_tax, total_cnt, u FROM "
+    "SELECT sum_qty, avg_price, min_disc, max_tax, total_cnt, u, "
+    "n_sum, d_sum, m_sum, f_sum, num, str, pi, z, u8, u16, u32 FROM "
     "(SELECT ROUND(SUM(l_quantity), 2) AS sum_qty, "
     "ROUND(AVG(l_extendedprice), 2) AS avg_price, "
     "MIN(l_discount) AS min_disc, MAX(l_tax) AS max_tax "
     "FROM lineitem WHERE l_quantity < 25) f CROSS JOIN "
     "(SELECT COUNT(*) AS total_cnt, COUNT(DISTINCT l_suppkey) AS u "
-    "FROM lineitem) t",
-    "[A2,P9 + S1,A1 + A3] filtered sum/avg/min/max with the WHERE "
-    "reaching the scan, plus the full-scan COUNT(*) and the exact "
-    "COUNT(DISTINCT)/uniqExact attached as a 1-row cross join "
-    "(r5: absorbed q04_count; r6: absorbed q06_count_distinct so "
-    "t39-t47 rotate into the driver window; ClickBench Q0/Q2/Q4-Q6 "
-    "shapes, ref test.yml:53)",
+    "FROM lineitem) t CROSS JOIN "
+    "(SELECT CAST(SUM(range) AS BIGINT) AS n_sum, "
+    "CAST(SUM(range * 2) AS BIGINT) AS d_sum, "
+    "CAST(SUM(range % 2) AS BIGINT) AS m_sum, "
+    "ROUND(SUM(ROUND(range * CAST(1.5 AS DOUBLE), 2)), 2) AS f_sum, "
+    "1 AS num, 'hello' AS str, 3.14 AS pi, 0 AS z, 255 AS u8, "
+    "65535 AS u16, 4294967295 AS u32 FROM range(10)) n",
+    "[A2,P9 + S1,A1 + A3 + S2,P3 + P1,P2] filtered sum/avg/min/max "
+    "with the WHERE reaching the scan, plus the full-scan COUNT(*) "
+    "and the exact COUNT(DISTINCT)/uniqExact attached as a 1-row "
+    "cross join (r5: absorbed q04_count; r6: absorbed "
+    "q06_count_distinct), plus a numbers(10)-sourced arithmetic "
+    "digest carrying the literal projection and unsigned edge values "
+    "(late r6: absorbed q02_numbers, which had absorbed q01_literals "
+    "— ref test_suite.py:141-146,323-336,355-361; ClickBench "
+    "Q0/Q2/Q4-Q6 shapes, ref test.yml:53)",
 )
 def q05(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -141,7 +122,23 @@ def q05(spark, sf_dir):
         F.count(F.lit(1)).alias("total_cnt"),
         F.countDistinct("l_suppkey").alias("u"),
     )
-    return filt.crossJoin(total)
+    n = spark.range(10).withColumnRenamed("id", "number")
+    nums = n.agg(
+        F.sum("number").cast("long").alias("n_sum"),
+        F.sum(F.col("number") * 2).cast("long").alias("d_sum"),
+        F.sum(F.col("number") % 2).cast("long").alias("m_sum"),
+        F.round(F.sum(F.round(F.col("number") * 1.5, 2)), 2).alias("f_sum"),
+    ).select(
+        "*",
+        F.lit(1).alias("num"),
+        F.lit("hello").alias("str"),
+        F.lit(3.14).alias("pi"),
+        F.lit(0).alias("z"),
+        F.lit(255).alias("u8"),
+        F.lit(65535).alias("u16"),
+        F.lit(4294967295).alias("u32"),
+    )
+    return filt.crossJoin(total).crossJoin(F.broadcast(nums))
 
 
 # (q06_count_distinct merged into q05_filtered_agg's 1-row attach —
@@ -238,11 +235,17 @@ def q08(spark, sf_dir):
 
 @qdef(
     "q13_anti_join",
-    "SELECT (SELECT COUNT(*) FROM customer "
+    "SELECT c_anti, c_semi, c_top FROM "
+    "(SELECT (SELECT COUNT(*) FROM customer "
     "  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS c_anti, "
     "(SELECT COUNT(*) FROM customer c "
-    "  WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS c_semi",
-    "[J4] LEFT ANTI + LEFT SEMI join in one row (absorbed q37_semi_join)",
+    "  WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS c_semi) s "
+    "CROSS JOIN (SELECT COUNT(*) AS c_top FROM orders "
+    "  WHERE o_totalprice > (SELECT MAX(o_totalprice) FROM orders) * 0.9) t",
+    "[J4 + P9 subquery] LEFT ANTI + LEFT SEMI join in one row "
+    "(absorbed q37_semi_join), plus a scalar-subquery threshold filter "
+    "counted as a 1-row attach (r6: absorbed q46_scalar_subquery — "
+    "MAX is exact, so the filter is deterministic)",
 )
 def q13(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
@@ -253,7 +256,13 @@ def q13(spark, sf_dir):
     semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").agg(
         F.count(F.lit(1)).alias("c_semi")
     )
-    return anti.crossJoin(semi)
+    # scalar-subquery plan shape (SubqueryExec threshold), verbatim SQL
+    o.createOrReplaceTempView("_q13_orders")
+    top = spark.sql(
+        "SELECT COUNT(*) AS c_top FROM _q13_orders "
+        "WHERE o_totalprice > (SELECT MAX(o_totalprice) FROM _q13_orders) * 0.9"
+    )
+    return anti.crossJoin(semi).crossJoin(F.broadcast(top))
 
 
 @qdef(
@@ -810,21 +819,9 @@ def q39(spark, sf_dir):
 # into q36_topk_per_group.)
 
 
-@qdef(
-    "q46_scalar_subquery",
-    "SELECT o_orderkey FROM orders "
-    "WHERE o_totalprice > (SELECT MAX(o_totalprice) FROM orders) * 0.9 "
-    "ORDER BY o_orderkey",
-    "[P9 + subquery] scalar subquery threshold (MAX is exact → deterministic filter)",
-)
-def q46(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders")
-    o.createOrReplaceTempView("_q46_orders")
-    return o.sparkSession.sql(
-        "SELECT o_orderkey FROM _q46_orders "
-        "WHERE o_totalprice > (SELECT MAX(o_totalprice) FROM _q46_orders) * 0.9 "
-        "ORDER BY o_orderkey"
-    )
+# (q46_scalar_subquery merged into q13_anti_join's c_top attach —
+# frees a driver-window slot so t48 rotates in (r6); the scalar
+# subquery in WHERE stays driver-verified through q13.)
 
 
 # ------------------------------------------------- pipeline extensions II
