@@ -1847,8 +1847,15 @@ def _fn_regexp_replace(args: list[str]) -> str | None:
     # tiers of this CASE disagree on newline rows.
     fallback = f"\x00regexp_replace\x00({args[0]}, {args[1]}, '$1')"
     return (
+        # Java's $ also matches before a final U+0085 (NEL), U+2028 (LS)
+        # or U+2029 (PS), so those rows must take the real regex too.
         f"CASE WHEN {e} LIKE concat('%', chr(10), '%') "
-        f"OR {e} LIKE concat('%', chr(13), '%') THEN {fallback} "
+        f"OR {e} LIKE concat('%', chr(13), '%') "
+        f"OR {e} LIKE concat('%', chr(133), '%') "
+        # Spark chr() is mod-256: LS/PS (U+2028/U+2029) must be
+        # embedded as literal characters in the pattern
+        f"OR {e} LIKE '%\u2028%' "
+        f"OR {e} LIKE '%\u2029%' THEN {fallback} "
         f"WHEN {e} LIKE 'http://%' THEN {tier(7)} "
         f"WHEN {e} LIKE 'https://%' THEN {tier(8)} "
         f"ELSE {e} END"

@@ -1277,11 +1277,22 @@ def _truthy_starts_clause(toks: list[Tok], sig: list[int], si: int) -> bool:
             return False
         if prev.kind == "ident" and prev.upper in _TRUTHY_EXPR_OPENERS:
             return False
+    # nxt skips blanked (empty-text) tokens left by earlier dropped-keyword
+    # passes; nxt2 and the FORMAT end-of-statement check must do the same —
+    # raw sig indices would misjudge a clause next to a blanked token.
     nxt = None
+    nxt_sj = None
     for nj in range(si + 1, len(sig)):
         if toks[sig[nj]].text.strip():
             nxt = toks[sig[nj]]
+            nxt_sj = nj
             break
+
+    def _nonblank_after(sj):
+        for nj in range(sj + 1, len(sig)):
+            if toks[sig[nj]].text.strip():
+                return toks[sig[nj]]
+        return None
     if up in ("GROUP", "ORDER"):
         return nxt is not None and nxt.upper == "BY"
     if up in ("LIMIT", "OFFSET"):
@@ -1298,16 +1309,20 @@ def _truthy_starts_clause(toks: list[Tok], sig: list[int], si: int) -> bool:
         # SETTINGS name = value — next is an ident followed by '='.
         if nxt is None or nxt.kind != "ident":
             return False
-        nxt2 = toks[sig[si + 2]] if si + 2 < len(sig) else None
+        nxt2 = _nonblank_after(nxt_sj)
         return nxt2 is not None and nxt2.text == "="
     if up == "FORMAT":
-        # FORMAT <Name> at statement end.
-        return nxt is not None and nxt.kind == "ident" and si + 1 == len(sig) - 1
+        # FORMAT <Name> at statement end (nxt is the last non-blank token).
+        return (
+            nxt is not None
+            and nxt.kind == "ident"
+            and _nonblank_after(nxt_sj) is None
+        )
     if up == "WINDOW":
         # WINDOW w AS (...)
         if nxt is None or nxt.kind != "ident":
             return False
-        nxt2 = toks[sig[si + 2]] if si + 2 < len(sig) else None
+        nxt2 = _nonblank_after(nxt_sj)
         return nxt2 is not None and nxt2.upper == "AS"
     if up == "INTO":
         # INTO OUTFILE '...'

@@ -323,8 +323,14 @@ def minhash_lsh_pairs(
     # adversarial all-pairs corpora) -> filtering is pure overhead,
     # plain joins stand. All counts are O(1) driver scalars on frames
     # that must materialize anyway.
-    cand_ids = cand_ids.persist()
-    # Cheap adversarial pre-gate on the (persisted) pair count before
+    # localCheckpoint, not persist(): a persisted DataFrame lives in the
+    # CacheManager until an explicit unpersist, which can't happen here —
+    # the returned frame is lazy, so in a long-lived serving session each
+    # call would leak a cached table (ADVICE r6). Checkpoint blocks are
+    # instead released by the ContextCleaner once the plan is GC'd (the
+    # session runs periodicGC=45s), giving scoped cleanup for free.
+    cand_ids = cand_ids.localCheckpoint(eager=True)
+    # Cheap adversarial pre-gate on the (materialized) pair count before
     # paying the explode+distinct shuffle for the id list: distinct
     # ids <= 2x pairs, so pairs <= 50M guarantees ids fit the tiers
     # below, and pairs in the billions (all-pairs corpora) skip the
@@ -333,15 +339,14 @@ def minhash_lsh_pairs(
         ids_needed = (
             cand_ids.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
             .distinct()
-            .persist()
+            .localCheckpoint(eager=True)
         )
         n_ids = ids_needed.count()
         if n_ids <= 8_000_000:
             sig = sig.join(F.broadcast(ids_needed), id_col, "left_semi")
         elif n_ids <= 100_000_000:
             sig = sig.join(ids_needed, id_col, "left_semi")
-        else:
-            ids_needed.unpersist()
+        # else: >100M ids — filtering is pure overhead; blocks free on GC.
     cand = cand_ids.join(
         sig.select(F.col(id_col).alias("id_a"), F.col("_sig").alias("_sig_a")),
         "id_a",

@@ -293,6 +293,152 @@ def decode_y4m(data: bytes) -> Optional[tuple[np.ndarray, float]]:
     return np.stack(frames), fps
 
 
+# ----------------------------------------------------------------- AVI
+#
+# RIFF-AVI (msdn AVI RIFF File Reference; public layout):
+#   RIFF <size> 'AVI ' { LIST 'hdrl' { avih, LIST 'strl' {strh, strf} },
+#                        LIST 'movi' { '00db'/'00dc' frame chunks },
+#                        [idx1] }
+# Two video stream flavors decode here:
+# - **DIB / BI_RGB** ('00db', biCompression=0): each frame chunk is a
+#   raw bottom-up BGR bitmap — pure-Python exact decode (the chunk plus
+#   the stream's BITMAPINFOHEADER is literally a headerless BMP, so the
+#   BMP decoder is reused verbatim).
+# - **MJPEG** ('00dc', biCompression='MJPG'): each frame chunk is a
+#   standalone JPEG — decoded via the PIL-gated image path; without PIL
+#   the clip returns None and callers take their visible stub tier.
+
+
+def encode_avi(
+    frames: np.ndarray, fps: tuple[int, int] = (25, 1), codec: str = "DIB"
+) -> bytes:
+    """N×H×W×3 uint8 RGB → AVI bytes ('DIB' raw frames, exact
+    round-trip; 'MJPG' JPEG frames, requires PIL)."""
+    n, h, w = frames.shape[:3]
+    mjpg = codec.upper() == "MJPG"
+    chunks = []
+    for i in range(n):
+        if mjpg:
+            if _PIL_Image is None:
+                raise RuntimeError("MJPG encoding needs PIL")
+            buf = _io.BytesIO()
+            _PIL_Image.fromarray(frames[i]).save(buf, format="JPEG", quality=95)
+            chunks.append(buf.getvalue())
+        else:
+            row_len = (w * 3 + 3) & ~3
+            pad = b"\x00" * (row_len - w * 3)
+            body = bytearray()
+            for y in range(h - 1, -1, -1):  # bottom-up BGR, like BMP
+                body += frames[i][y, :, ::-1].tobytes() + pad
+            chunks.append(bytes(body))
+    max_chunk = max(len(c) for c in chunks) if chunks else 0
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    uspf = int(round(1_000_000 * fps[1] / fps[0]))
+    avih = struct.pack(
+        "<IIIIIIIIII4I", uspf, 0, 0, 0x10, n, 0, 1, max_chunk, w, h, 0, 0, 0, 0
+    )
+    comp = b"MJPG" if mjpg else b"\x00\x00\x00\x00"
+    strh = (
+        b"vids" + (b"MJPG" if mjpg else b"DIB ")
+        + struct.pack("<IHHIIIIIIiI4h", 0, 0, 0, 0, fps[1], fps[0], 0, n,
+                      max_chunk, -1, 0, 0, 0, w, h)
+    )
+    strf = struct.pack("<Iii HH", 40, w, h, 1, 24) + comp + struct.pack(
+        "<IiiII", len(chunks[0]) if chunks else 0, 2835, 2835, 0, 0
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    fcc = b"00dc" if mjpg else b"00db"
+    movi = lst(b"movi", b"".join(chunk(fcc, c) for c in chunks))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def decode_avi(data: bytes) -> Optional[tuple[np.ndarray, float]]:
+    """AVI bytes → (N×H×W×3 uint8 RGB frames, fps) or None (DIB
+    exactly; MJPEG via PIL when present; other codecs → None)."""
+    if (
+        data is None or len(data) < 12
+        or data[:4] != b"RIFF" or data[8:12] != b"AVI "
+    ):
+        return None
+    fps = 25.0
+    strf = None  # the video stream's BITMAPINFOHEADER bytes
+    comp = None
+    in_video_strl = False
+    frame_chunks: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal fps, strf, comp, in_video_strl
+        while pos + 8 <= end:
+            cid = data[pos:pos + 4]
+            sz, = struct.unpack_from("<I", data, pos + 4)
+            body_start = pos + 8
+            body_end = min(body_start + sz, end)
+            if cid == b"LIST":
+                walk(body_start + 4, body_end)
+            elif cid == b"strh" and sz >= 48:
+                if data[body_start:body_start + 4] == b"vids":
+                    in_video_strl = True
+                    scale, rate = struct.unpack_from("<II", data, body_start + 20)
+                    if scale and rate:
+                        fps = rate / scale
+                else:
+                    in_video_strl = False
+            elif cid == b"strf" and in_video_strl and sz >= 40 and strf is None:
+                strf = data[body_start:body_start + 40]
+                comp = strf[16:20]
+            elif cid[2:4] in (b"db", b"dc") and cid[:2].isdigit():
+                frame_chunks.append(data[body_start:body_end])
+            pos = body_end + (sz & 1)
+
+    try:
+        walk(12, len(data))
+    except (struct.error, ValueError):
+        return None
+    if strf is None or not frame_chunks:
+        return None
+    frames = []
+    for raw in frame_chunks:
+        if comp == b"\x00\x00\x00\x00":
+            # raw DIB: prepend a BMP file header + the stream's own
+            # BITMAPINFOHEADER and reuse the exact BMP decoder
+            hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(raw), 0, 0, 54)
+            img = decode_bmp(hdr + strf[:20]
+                             + struct.pack("<I", len(raw)) + strf[24:40] + raw)
+        else:  # MJPG and friends: per-frame image decode (PIL-gated)
+            img = decode_image(raw)
+        if img is None:
+            return None  # one undecodable frame -> honest whole-clip None
+        frames.append(img)
+    if len({f.shape for f in frames}) != 1:
+        return None
+    return np.stack(frames), fps
+
+
+def decode_video(data: bytes) -> Optional[tuple[np.ndarray, float]]:
+    """Sniff + decode any supported video container → (frames, fps).
+
+    y4m decodes always; AVI decodes for DIB streams always and MJPEG
+    when PIL is importable; mp4/mkv have no pure-Python decoder and
+    return None — callers take their visible stub tier.
+    """
+    if data is None or len(data) < 12:
+        return None
+    if data.startswith(b"YUV4MPEG2"):
+        return decode_y4m(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return decode_avi(data)
+    return None
+
+
 # ---------------------------------------------------------------- image
 
 def decode_image(data: bytes) -> Optional[np.ndarray]:

@@ -95,7 +95,7 @@ def _feature_vector(payload: bytes, kind: str) -> list[float]:
         if wav is not None:
             return mc.audio_features(*wav)
     elif kind == "video":
-        clip = mc.decode_y4m(bytes(payload))
+        clip = mc.decode_video(bytes(payload))
         if clip is not None:
             vid, _fps = clip
             # real frames, same 8-float width as every other kind
@@ -217,6 +217,11 @@ FRAME_SCHEMA = T.StructType(
         T.StructField("frame_idx", T.IntegerType(), False),
         T.StructField("ts_ms", T.IntegerType(), False),
         T.StructField("frame", T.BinaryType(), True),
+        # True iff the frame came from a real container decode (y4m), set
+        # at the decode decision itself — inferring the tier downstream
+        # from frame-byte prefixes mislabels stub payloads whose rotation
+        # happens to start with a magic number (ADVICE r6).
+        T.StructField("is_real", T.BooleanType(), False),
     ]
 )
 
@@ -226,14 +231,16 @@ def sample_frames(media: DataFrame, every_ms: int = 250) -> DataFrame:
     sampled frame (mapInPandas can yield more rows than it receives —
     the Spark-side shape real ffmpeg extraction needs).
 
-    Payloads in a decodable container are REALLY decoded (r6):
-    YUV4MPEG2 clips parse to per-frame pixel arrays, the frame nearest
-    each sample timestamp is selected by the clip's own frame rate,
-    and the emitted ``frame`` bytes are a valid BMP of those pixels —
+    Payloads in a decodable container are REALLY decoded (r6/r7):
+    YUV4MPEG2 and AVI (raw-DIB always; MJPEG when PIL is importable)
+    clips parse to per-frame pixel arrays, the frame nearest each
+    sample timestamp is selected by the clip's own frame rate, and the
+    emitted ``frame`` bytes are a valid BMP of those pixels —
     downstream ``decode_image``/feature extraction runs on genuine
     video frames. Containers with no pure-Python decoder (mp4/mkv)
-    keep the deterministic byte-rotation stub, visibly flagged by
-    producing non-decodable frame bytes.
+    keep the deterministic byte-rotation stub, and the ``is_real``
+    column records the tier AT the decode decision (r7: prefix
+    sniffing downstream mislabeled stub rotations).
 
     REAL DEPLOYMENT: ffmpeg -ss <ts> -frames:v 1 per sample point, or
     a batched decoder; the plan and schema stay identical.
@@ -243,7 +250,7 @@ def sample_frames(media: DataFrame, every_ms: int = 250) -> DataFrame:
         from . import media_codecs as mc
 
         for pdf in batches:
-            ids, idxs, tss, frames = [], [], [], []
+            ids, idxs, tss, frames, reals = [], [], [], [], []
             for mid, kind, payload, meta in zip(
                 pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
             ):
@@ -253,11 +260,12 @@ def sample_frames(media: DataFrame, every_ms: int = 250) -> DataFrame:
                 # Arrow hands the struct field over as float (NaN for
                 # null) whenever a batch mixes null and non-null rows
                 dur = 0 if dur is None or dur != dur else int(dur)
-                clip = mc.decode_y4m(bytes(payload))
+                clip = mc.decode_video(bytes(payload))
                 for k, ts in enumerate(range(0, max(1, dur), every_ms)):
                     ids.append(mid)
                     idxs.append(k)
                     tss.append(ts)
+                    reals.append(clip is not None)
                     if clip is not None:
                         vid, fps = clip
                         fi = min(len(vid) - 1, int(round(ts / 1000.0 * fps)))
@@ -268,7 +276,13 @@ def sample_frames(media: DataFrame, every_ms: int = 250) -> DataFrame:
                             bytes(payload[off:]) + bytes(payload[:off])
                         )
             yield pd.DataFrame(
-                {"media_id": ids, "frame_idx": idxs, "ts_ms": tss, "frame": frames}
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "ts_ms": tss,
+                    "frame": frames,
+                    "is_real": reals,
+                }
             )
 
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
@@ -335,8 +349,10 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
             tone = 0.5 * np.sin(2 * np.pi * (220 + 55 * (i % 7)) * t)
             payload = mc.encode_wav(tone, 8000)
             w, h, dur = None, None, 100
-        elif (i // 3) % 2 == 0:
-            # real y4m clip: 4 frames of seeded 16x12 RGB at 4 fps
+        elif (i // 3) % 3 < 2:
+            # real clip: 4 frames of seeded 16x12 RGB at 4 fps, stored
+            # as y4m (tier 0) or AVI with raw DIB frames (tier 1) —
+            # both decode exactly, exercising two container parsers
             yy, xx = np.mgrid[0:12, 0:16]
             vid = np.stack(
                 [
@@ -351,9 +367,14 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
                     for fidx in range(4)
                 ]
             )
-            payload = mc.encode_y4m(vid, fps=(4, 1))
+            if (i // 3) % 3 == 0:
+                payload = mc.encode_y4m(vid, fps=(4, 1))
+            else:
+                payload = mc.encode_avi(vid, fps=(4, 1), codec="DIB")
             w, h, dur = 16, 12, 1000
         else:
+            # opaque seeded bytes: the documented stub fallback for
+            # containers with no pure-Python decoder (mp4/mkv)
             payload = bytes(
                 ((i * 37 + j * 11) % 256) for j in range(64 + (i % 5) * 16)
             )

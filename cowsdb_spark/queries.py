@@ -1410,8 +1410,9 @@ def t22(spark, sf_dir):
     "x23_frame_sample",
     None,  # codec output isn't SQL-expressible (rows-only)
     "[ext: multimodal] video frame sampling fan-out + per-frame "
-    "features; r6: y4m clips decode to REAL frames (BMP-encoded, "
-    "is_real_frame flags the tier), mp4/mkv keep the visible stub",
+    "features; y4m and AVI(DIB/MJPEG) clips decode to REAL frames "
+    "(BMP-encoded; is_real_frame set at the decode site itself, r7), "
+    "mp4/mkv keep the visible stub",
 )
 def t23(spark, sf_dir):
     from .operators.multimodal import (
@@ -1429,8 +1430,9 @@ def t23(spark, sf_dir):
             "frame_idx",
             "ts_ms",
             F.length("frame").alias("frame_bytes"),
-            # real tier emits valid BMPs; stub bytes never start "BM"
-            (F.substring("frame", 1, 2) == F.lit(b"BM")).alias("is_real_frame"),
+            # emitted by the decode stage itself — a byte-prefix sniff
+            # here would mislabel stub rotations that start "BM"
+            F.col("is_real").alias("is_real_frame"),
         )
         .sortWithinPartitions("media_id", "frame_idx")
     )
@@ -1757,7 +1759,7 @@ def t42(spark, sf_dir):
     "  sum(tok) OVER (PARTITION BY source ORDER BY doc_id "
     "  ROWS UNBOUNDED PRECEDING) - tok AS off FROM d) "
     "SELECT source, CAST(floor(off / 512.0) AS BIGINT) AS bin, "
-    "CAST(count(*) AS INT) AS n_docs, sum(tok) AS bin_tokens "
+    "CAST(count(*) AS INT) AS n_docs, CAST(sum(tok) AS BIGINT) AS bin_tokens "
     "FROM o GROUP BY source, bin ORDER BY source, bin",
     "[ext: text] deterministic concat-and-chunk sequence packing "
     "(the LLM pre-training loader's greedy packer as a relational "

@@ -122,6 +122,12 @@ class TestHostExtractRewrite:
             "https://www.y/", "ftp://z/a", "", "http://www.",
             "https://a.b.c/d?q=1", "http://h/", "https://www.www.d/e",
             "http://a//b", "http:///x", "https://www./",
+            # every Java line terminator: $ matches BEFORE a final one,
+            # so these rows must take the real-regex tier (ADVICE r6
+            # found NEL/LS/PS missing from the guard)
+            "http://a/b\n", "http://a/b\r", "http://a/b\x85",
+            "http://a/b\u2028", "http://a/b\u2029", "http://a/b\u2028x",
+            "http://nl.host/p\nq", "https://www.m.com/x\u2029",
         ]
         union = " UNION ALL ".join(f"SELECT {v!r} AS r" for v in vals)
 

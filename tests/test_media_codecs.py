@@ -164,25 +164,27 @@ class TestY4m:
         assert decode_y4m(blob[:20]) is None  # truncated frame
 
     def test_frame_sample_decodes_real_pixels(self, spark):
-        # x23's operator on the synthetic table: even video rows carry
-        # real y4m clips; their sampled frames must be decodable BMPs
-        # whose pixels match the clip's own frames
-        from cowsdb_spark.operators.media_codecs import decode_y4m as d
+        # x23's operator on the synthetic table: video rows cycle
+        # y4m / AVI-DIB / opaque stub; sampled frames of the decodable
+        # containers must be valid BMPs whose pixels match the clip's
+        # own frames, and is_real must come from the decode site
+        from cowsdb_spark.operators.media_codecs import decode_video as d
         from cowsdb_spark.operators.multimodal import (
             sample_frames,
             synthetic_media,
         )
 
-        media = synthetic_media(spark, n=12)
+        media = synthetic_media(spark, n=18)
         rows = sample_frames(media, every_ms=250).collect()
         vids = {
             r["media_id"]: bytes(r["payload"])
             for r in media.filter("kind = 'video'").collect()
         }
-        real = stub = 0
+        real = stub = avi = 0
         for r in rows:
             clip = d(vids[r["media_id"]])
             frame_img = decode_image(bytes(r["frame"]))
+            assert r["is_real"] == (clip is not None)
             if clip is None:
                 assert frame_img is None  # stub bytes are not a BMP
                 stub += 1
@@ -192,4 +194,50 @@ class TestY4m:
             assert frame_img is not None
             assert np.array_equal(frame_img, vid[fi])
             real += 1
-        assert real > 0 and stub > 0  # both tiers exercised
+            if vids[r["media_id"]][:4] == b"RIFF":
+                avi += 1
+        assert real > 0 and stub > 0 and avi > 0  # all tiers exercised
+
+    def test_avi_dib_round_trip_exact(self):
+        from cowsdb_spark.operators.media_codecs import (
+            decode_avi,
+            decode_video,
+            encode_avi,
+        )
+
+        rng = np.random.default_rng(23)
+        frames = rng.integers(0, 256, size=(4, 7, 13, 3), dtype=np.uint8)
+        blob = encode_avi(frames, fps=(12, 1), codec="DIB")
+        out = decode_avi(blob)
+        assert out is not None
+        vid, fps = out
+        assert fps == 12.0
+        assert np.array_equal(vid, frames)  # raw DIB is lossless
+        out2 = decode_video(blob)
+        assert out2 is not None and np.array_equal(out2[0], frames)
+        # rejects
+        assert decode_avi(b"RIFF\x08\x00\x00\x00WAVE" + b"\0" * 8) is None
+        assert decode_avi(blob[:40]) is None
+        assert decode_video(b"\x00" * 64) is None
+
+    def test_avi_mjpeg_round_trip_close(self):
+        from cowsdb_spark.operators import media_codecs as mc
+
+        if mc._PIL_Image is None:
+            pytest.skip("PIL absent in this container (documented gate)")
+        rng = np.random.default_rng(29)
+        # smooth gradient content so JPEG error stays small
+        yy, xx = np.mgrid[0:16, 0:24]
+        frames = np.stack(
+            [
+                np.stack([(xx * 3 + k) % 200, (yy * 5) % 200, (xx + yy) % 200],
+                         axis=-1).astype(np.uint8)
+                for k in range(3)
+            ]
+        )
+        blob = mc.encode_avi(frames, fps=(10, 1), codec="MJPG")
+        out = mc.decode_avi(blob)
+        assert out is not None
+        vid, fps = out
+        assert fps == 10.0 and vid.shape == frames.shape
+        assert np.mean(np.abs(vid.astype(int) - frames.astype(int))) < 8
