@@ -311,21 +311,13 @@ def prep_python_stage_input(media: DataFrame, n_rows: int | None = None) -> Data
     return media
 
 
-def synthetic_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic media table for tests: REAL 16x12 BMP images,
-    REAL 8 kHz PCM WAV clips, and (r6) REAL YUV4MPEG2 video clips on
-    even video rows — seeded content, valid files the codecs decode —
-    plus opaque seeded bytes on odd video rows (exercising the
-    documented stub fallback for undecodable containers).
-
-    Built via pandas → Arrow, NOT createDataFrame(list): the classic
-    list path parallelizes pickled rows over defaultParallelism slices
-    and re-runs one Python worker per slice on EVERY evaluation (~5 s
-    per execution at local[32] — the x23/x13 'regression' VERDICT r2
-    flagged). Arrow batches live JVM-side; evaluations are pure JVM.
-    """
+def synthetic_media_rows(n: int = 64):
+    """The deterministic media fixture WITHOUT Spark: → (ids, kinds,
+    payloads, metas) lists. Shared by ``synthetic_media`` (the Spark
+    table) and the pure-Python golden-oracle generator for the driver
+    gate (queries.py t13) — both sides of that gate must see
+    byte-identical payloads."""
     import numpy as np
-    import pandas as pd
 
     from . import media_codecs as mc
 
@@ -391,6 +383,25 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
                 "duration_ms": dur,
             }
         )
+    return ids, kinds, payloads, metas
+
+
+def synthetic_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic media table for tests: REAL 16x12 BMP images,
+    REAL 8 kHz PCM WAV clips, and REAL video clips (y4m / AVI-DIB)
+    on two of three video rows — seeded content, valid files the
+    codecs decode — plus opaque seeded bytes on the third (the
+    documented stub fallback for undecodable containers).
+
+    Built via pandas → Arrow, NOT createDataFrame(list): the classic
+    list path parallelizes pickled rows over defaultParallelism slices
+    and re-runs one Python worker per slice on EVERY evaluation (~5 s
+    per execution at local[32] — the x23/x13 'regression' VERDICT r2
+    flagged). Arrow batches live JVM-side; evaluations are pure JVM.
+    """
+    import pandas as pd
+
+    ids, kinds, payloads, metas = synthetic_media_rows(n)
     pdf = pd.DataFrame(
         {"media_id": ids, "kind": kinds, "payload": payloads, "meta": metas}
     )

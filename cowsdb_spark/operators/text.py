@@ -5,7 +5,8 @@ All pure DataFrame expressions (codegen'd, no UDF):
 - ``token_stats`` — whitespace tokens + a BPE-ish regex token count.
 - ``quality_score`` — composite of length, punctuation ratio,
   stopword ratio, mean word length (the C4/Gopher-style signals).
-- ``lang_id`` — n-gram/stopword-marker heuristic language guess.
+- ``lang_id`` — char-trigram Naive Bayes language ID (broadcast-join
+  scoring; model in ``langid_model.py``).
 - ``doc_fingerprint`` — md5 + rolling-polynomial hash of normalized
   content.
 """
@@ -16,16 +17,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import normalized
-
-# Tiny marker lexicons per language — deterministic heuristic only
-# (the container has no langid model; see SURVEY §7 G stub policy).
-_MARKERS = {
-    "en": ["the", "and", "of", "is", "with"],
-    "de": ["der", "die", "und", "ist", "das"],
-    "fr": ["le", "la", "et", "les", "des"],
-    "es": ["el", "los", "las", "una", "es"],
-    "zh": [],  # CJK detected by script range below
-}
 
 _STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is"]
 
@@ -91,26 +82,76 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
 
 
 def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Marker-word language guess with CJK script detection."""
-    docs = docs.select(
-        F.col(id_col), F.col(text_col), tokens(F.col(text_col)).alias("_toks")
+    """Char-trigram Naive Bayes language ID (r7 — the real algorithm,
+    replacing the r1-r6 marker-word heuristic).
+
+    Model: per-language Laplace-smoothed trigram log-likelihoods as
+    integer milli-log10 weights, trained at import on the embedded
+    seed corpus (operators/langid_model.py). Plan: explode doc
+    trigrams → broadcast-join the ~1.5k-row model → ONE shuffle on
+    ``id_col`` with per-language conditional sums (pivot) → argmax
+    with a deterministic tie-break (score DESC, lang ASC). Documents
+    matching no vocab trigram → 'und'; CJK script overrides to 'zh'.
+    Integer weights keep the DuckDB oracle bit-identical.
+    """
+    from ..localdf import local_df
+    from .langid_model import LANGS, train
+
+    spark = docs.sparkSession
+    model = local_df(spark, train(), "gram string, lang_m string, w long")
+    t = F.col(text_col)
+    # normalization must mirror langid_model.normalize (and the oracle)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(t), r"[^\p{L} ]", " "), " +", " "
+        )
     )
-    toks = F.col("_toks")
-    hits = {
-        lang: F.size(F.filter(toks, lambda w: w.isin(*ms))) if ms else F.lit(0)
-        for lang, ms in _MARKERS.items()
-    }
-    cjk = F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", ""))
-    best = F.greatest(*[hits[lang] for lang in ("en", "de", "fr", "es")])
+    d = docs.select(F.col(id_col), t.alias("_t"), norm.alias("_norm"))
+    grams = d.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.length("_norm") >= 3,
+                F.expr(
+                    "transform(sequence(1, length(_norm) - 2), "
+                    "i -> substring(_norm, i, 3))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    scores = (
+        grams.join(F.broadcast(model), "gram")
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.sum(F.when(F.col("lang_m") == lang, F.col("w"))).alias(
+                    f"_s_{lang}"
+                )
+                for lang in LANGS
+            ]
+        )
+    )
+    cjk = F.length(F.regexp_replace(F.col("_t"), r"[^一-鿿]", ""))
+    # vocab x lang is a complete cross, so one matched gram fills all
+    # language scores; null score means zero matches -> 'und'
+    s = {lang: F.col(f"_s_{lang}") for lang in LANGS}
+    argmax = F.lit(None).cast("string")
+    for lang in reversed(LANGS):  # earlier langs win ties -> apply last
+        cond = None
+        for other in LANGS:
+            if other == lang:
+                continue
+            ge = s[lang] >= s[other]
+            cond = ge if cond is None else (cond & ge)
+        argmax = F.when(cond, lang).otherwise(argmax)
     pred = (
         F.when(cjk > 0, "zh")
-        .when(best == 0, "und")
-        .when(hits["en"] == best, "en")
-        .when(hits["de"] == best, "de")
-        .when(hits["fr"] == best, "fr")
-        .otherwise("es")
+        .when(s[LANGS[0]].isNull(), "und")
+        .otherwise(argmax)
     )
-    return docs.select(F.col(id_col), pred.alias("lang_pred"))
+    return d.join(scores, id_col, "left").select(
+        F.col(id_col), pred.alias("lang_pred")
+    )
 
 
 def doc_fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

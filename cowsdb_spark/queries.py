@@ -878,26 +878,45 @@ def t08(spark, sf_dir):
     )
 
 
+def _langid_oracle() -> str:
+    """DuckDB replica of the char-trigram NB scorer: same integer
+    model (VALUES), same normalization, same deterministic argmax
+    (score DESC, lang ASC) — see operators/langid_model.py."""
+    from .operators.langid_model import oracle_values
+
+    return (
+        "WITH m(gram, lang_m, w) AS (VALUES " + oracle_values() + "), "
+        "n AS (SELECT doc_id, lang, text, trim(regexp_replace("
+        "regexp_replace(lower(text), '[^\\p{L} ]', ' ', 'g'), "
+        "' +', ' ', 'g')) AS norm FROM documents), "
+        "g AS (SELECT doc_id, unnest(list_transform("
+        "generate_series(1, length(norm) - 2), "
+        "i -> substring(norm, i, 3))) AS gram FROM n WHERE length(norm) >= 3), "
+        "s AS (SELECT doc_id, "
+        "CAST(sum(CASE WHEN lang_m = 'de' THEN w END) AS BIGINT) AS sde, "
+        "CAST(sum(CASE WHEN lang_m = 'en' THEN w END) AS BIGINT) AS sen, "
+        "CAST(sum(CASE WHEN lang_m = 'es' THEN w END) AS BIGINT) AS ses, "
+        "CAST(sum(CASE WHEN lang_m = 'fr' THEN w END) AS BIGINT) AS sfr "
+        "FROM g JOIN m USING (gram) GROUP BY doc_id), "
+        "p AS (SELECT n.lang, CASE "
+        "WHEN length(regexp_replace(n.text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 THEN 'zh' "
+        "WHEN s.sde IS NULL THEN 'und' "
+        "WHEN sde >= sen AND sde >= ses AND sde >= sfr THEN 'de' "
+        "WHEN sen >= ses AND sen >= sfr THEN 'en' "
+        "WHEN ses >= sfr THEN 'es' ELSE 'fr' END AS lang_pred "
+        "FROM n LEFT JOIN s USING (doc_id)) "
+        "SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS c "
+        "FROM p GROUP BY 1, 2 ORDER BY lang, lang_pred"
+    )
+
+
 @qdef(
     "t26_lang_id",
-    "WITH n AS (SELECT doc_id, lang, text, "
-    "  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM documents), "
-    "t AS (SELECT doc_id, lang, text, string_split(norm, ' ') AS tk FROM n), "
-    "h AS (SELECT doc_id, lang, "
-    "  len(list_filter(tk, x -> x IN ('the','and','of','is','with'))) AS en, "
-    "  len(list_filter(tk, x -> x IN ('der','die','und','ist','das'))) AS de, "
-    "  len(list_filter(tk, x -> x IN ('le','la','et','les','des'))) AS fr, "
-    "  len(list_filter(tk, x -> x IN ('el','los','las','una','es'))) AS esn, "
-    "  length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk FROM t) "
-    "SELECT lang, CASE WHEN cjk > 0 THEN 'zh' "
-    "  WHEN greatest(en, de, fr, esn) = 0 THEN 'und' "
-    "  WHEN en = greatest(en, de, fr, esn) THEN 'en' "
-    "  WHEN de = greatest(en, de, fr, esn) THEN 'de' "
-    "  WHEN fr = greatest(en, de, fr, esn) THEN 'fr' "
-    "  ELSE 'es' END AS lang_pred, CAST(COUNT(*) AS BIGINT) AS c "
-    "FROM h GROUP BY 1, 2 ORDER BY lang, lang_pred",
-    "[ext: text] heuristic language-ID confusion matrix vs full "
-    "DuckDB replica of the marker heuristic (rows-only before r3)",
+    _langid_oracle(),
+    "[ext: text] char-trigram Naive Bayes language-ID confusion "
+    "matrix (r7: real trained model — integer milli-log10 weights, "
+    "broadcast-join scoring) vs a full DuckDB replica of the same "
+    "model and argmax",
 )
 def t09(spark, sf_dir):
     from .operators.text import lang_id
@@ -942,12 +961,27 @@ def t10(spark, sf_dir):
 
 @qdef(
     "t11_asof_join",
-    "SELECT l.event_id, l.user_id, r.value AS last_purchase FROM "
-    "(SELECT * FROM events WHERE event_type = 'signup') l "
-    "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r "
-    "ON l.user_id = r.user_id AND l.ts >= r.ts "
+    # r7: absorbed t24_asof_forward and t25_asof_nearest — ONE query
+    # now carries all three ASOF directions as columns on the same
+    # 200 signup rows, freeing two driver-window slots for the x-row
+    # conversions (t13/t16). No capability lost: backward, forward and
+    # nearest (ties backward) each keep their full per-row values.
+    "WITH l AS (SELECT * FROM events WHERE event_type = 'signup'), "
+    "r AS (SELECT * FROM events WHERE event_type = 'purchase'), "
+    "b AS (SELECT l.event_id, r.ts AS bts, r.value AS bval FROM l "
+    "  ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts), "
+    "f AS (SELECT l.event_id, r.ts AS fts, r.value AS fval FROM l "
+    "  ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts) "
+    "SELECT l.event_id, l.user_id, bval AS last_purchase, "
+    "fval AS next_purchase, "
+    "CASE WHEN bts IS NOT NULL AND (fts IS NULL "
+    "  OR (epoch(l.ts) - epoch(bts)) <= (epoch(fts) - epoch(l.ts))) "
+    "  THEN bval ELSE fval END AS nearest_purchase "
+    "FROM l JOIN b USING(event_id) JOIN f USING(event_id) "
     "ORDER BY l.event_id LIMIT 200",
-    "[J6] ASOF JOIN via union+window rewrite vs DuckDB's native ASOF",
+    "[J6] ASOF JOIN via union+window rewrite, all three directions "
+    "(backward / forward / nearest-ties-backward) vs DuckDB's native "
+    "ASOF (r7: carries the retired t24/t25 columns)",
 )
 def t11(spark, sf_dir):
     from .operators.asof import asof_join
@@ -957,73 +991,29 @@ def t11(spark, sf_dir):
     right = e.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", F.col("value")
     )
-    joined = asof_join(left, right, on="user_id")
+    back = asof_join(left, right, on="user_id").select(
+        "event_id", "user_id", F.col("value_r").alias("last_purchase")
+    )
+    fwd = asof_join(left, right, on="user_id", direction="forward").select(
+        "event_id", F.col("value_r").alias("next_purchase")
+    )
+    near = asof_join(left, right, on="user_id", direction="nearest").select(
+        "event_id", F.col("value_r").alias("nearest_purchase")
+    )
     return (
-        joined.select("event_id", "user_id", F.col("value_r").alias("last_purchase"))
+        back.join(fwd, "event_id")
+        .join(near, "event_id")
         .orderBy("event_id")
         .limit(200)
     )
 
 
-@qdef(
-    "t24_asof_forward",
-    "SELECT l.event_id, l.user_id, r.value AS next_purchase FROM "
-    "(SELECT * FROM events WHERE event_type = 'signup') l "
-    "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r "
-    "ON l.user_id = r.user_id AND l.ts <= r.ts "
-    "ORDER BY l.event_id LIMIT 200",
-    "[J6] ASOF forward direction vs DuckDB's native forward ASOF "
-    "(was pytest-only; driver-oracled since r3)",
-)
-def t24(spark, sf_dir):
-    from .operators.asof import asof_join
-
-    e = _t(spark, sf_dir, "events")
-    left = e.filter(F.col("event_type") == "signup")
-    right = e.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.col("value")
-    )
-    joined = asof_join(left, right, on="user_id", direction="forward")
-    return (
-        joined.select("event_id", "user_id", F.col("value_r").alias("next_purchase"))
-        .orderBy("event_id")
-        .limit(200)
-    )
-
-
-@qdef(
-    "t25_asof_nearest",
-    "WITH l AS (SELECT * FROM events WHERE event_type = 'signup'), "
-    "r AS (SELECT * FROM events WHERE event_type = 'purchase'), "
-    "b AS (SELECT l.event_id, r.ts AS bts, r.value AS bval FROM l "
-    "  ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts), "
-    "f AS (SELECT l.event_id, r.ts AS fts, r.value AS fval FROM l "
-    "  ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts) "
-    "SELECT l.event_id, l.user_id, "
-    "CASE WHEN bts IS NOT NULL AND (fts IS NULL "
-    "  OR (epoch(l.ts) - epoch(bts)) <= (epoch(fts) - epoch(l.ts))) "
-    "  THEN bval ELSE fval END AS nearest_purchase "
-    "FROM l JOIN b USING(event_id) JOIN f USING(event_id) "
-    "ORDER BY l.event_id LIMIT 200",
-    "[J6] ASOF nearest (ties backward) vs two-direction DuckDB oracle "
-    "(was pytest-only; driver-oracled since r3)",
-)
-def t25(spark, sf_dir):
-    from .operators.asof import asof_join
-
-    e = _t(spark, sf_dir, "events")
-    left = e.filter(F.col("event_type") == "signup")
-    right = e.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.col("value")
-    )
-    joined = asof_join(left, right, on="user_id", direction="nearest")
-    return (
-        joined.select(
-            "event_id", "user_id", F.col("value_r").alias("nearest_purchase")
-        )
-        .orderBy("event_id")
-        .limit(200)
-    )
+# t24_asof_forward / t25_asof_nearest: retired in r7 as strict subsets
+# of t11_asof_join above, which now returns backward, forward and
+# nearest values for the same rows (the absorption freed two driver-
+# window slots for the x13/x16 oracle conversions). The directions
+# also keep dedicated value-level coverage in tests/test_operators.py
+# (TestAsof).
 
 
 @qdef(
@@ -1040,10 +1030,53 @@ def t12(spark, sf_dir):
     )
 
 
+def _t13_golden_oracle() -> str:
+    """Golden-values oracle for the multimodal feature extractor
+    (driver-checkable since r7; was rows-only x13).
+
+    The media fixture is generated by THIS repo's own seeded code
+    (synthetic_media_rows — no external data), and the features are
+    deterministic, so the expected output is computable in pure Python
+    at import and pinned as a VALUES table: the driver gate then
+    proves the Spark side (mapInPandas, Arrow batching, float32
+    schema) reproduces the reference computation bit-for-bit. Floats
+    are emitted as repr() of the exact float32 value widened to
+    double — repr round-trips, so DuckDB parses the identical bits the
+    Spark plan yields after its float→double cast.
+    """
+    import numpy as np
+
+    from .operators.multimodal import _feature_vector, synthetic_media_rows
+
+    ids, kinds, payloads, _metas = synthetic_media_rows(64)
+    rows = []
+    for mid, kind, payload in zip(ids, kinds, payloads):
+        fv = [float(np.float32(v)) for v in _feature_vector(payload, kind)]
+        # e-notation: DuckDB types E-literals as DOUBLE; a bare decimal
+        # would be DECIMAL and its cast can land 1 ulp off the float
+        cells = ", ".join(f"{v:.17e}" for v in fv)
+        rows.append(f"({mid}, '{kind}', {len(payload)}, {cells})")
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, kind, "
+        "CAST(n_bytes AS INT) AS n_bytes, "
+        + ", ".join(
+            f"CAST(f{i} AS DOUBLE) AS f{i}" for i in range(8)
+        )
+        + " FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS g(media_id, kind, n_bytes, "
+        + ", ".join(f"f{i}" for i in range(8))
+        + ") ORDER BY media_id"
+    )
+
+
 @qdef(
-    "x13_multimodal_features",
-    None,
-    "[ext: multimodal] binary payload → feature vector via mapInPandas (stubbed codec)",
+    "t13_multimodal_features",
+    _t13_golden_oracle(),
+    "[ext: multimodal] binary payload → feature vector via mapInPandas "
+    "(real BMP/WAV/y4m/AVI decodes + documented stub tier) vs a "
+    "golden-values oracle computed by the pure-Python reference path "
+    "(driver-checkable since r7; was rows-only x13)",
 )
 def t13(spark, sf_dir):
     from .operators.multimodal import (
@@ -1054,11 +1087,18 @@ def t13(spark, sf_dir):
 
     # Input shaping is size-conditional (prep_python_stage_input): the
     # 64-row fixture coalesces to one Python round-trip; a real corpus
-    # would pass through with its partitioning intact. In-partition
-    # sort (not orderBy) so the pipeline isn't re-executed for
-    # RangePartitioner sampling.
+    # would pass through with its partitioning intact.
     media = prep_python_stage_input(synthetic_media(spark, 64), n_rows=64)
-    return extract_features(media).sortWithinPartitions("media_id")
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        *[
+            F.col("feature").getItem(i).cast("double").alias(f"f{i}")
+            for i in range(8)
+        ],
+    ).orderBy("media_id")
 
 
 @qdef(
@@ -1240,9 +1280,20 @@ def t49(spark, sf_dir):
 
 
 @qdef(
-    "x16_streaming_tumbling",
-    None,  # Structured Streaming drain — no SQL oracle (rows-only)
-    "[ext: streaming] watermarked tumbling-window counts, drained via availableNow",
+    "t16_streaming_tumbling",
+    # Driver-checkable since r7 (was rows-only x16): a complete-mode
+    # availableNow drain of the watermarked tumbling plan retains all
+    # windows, so the result equals batch hour-bucket aggregation —
+    # which DuckDB expresses directly. floor(epoch) before the bucket
+    # division (DuckDB CAST(DOUBLE AS BIGINT) rounds; Spark truncates).
+    "WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ep, "
+    "event_type, value FROM events) "
+    "SELECT make_timestamp((ep // 3600) * 3600 * 1000000) AS w_start, "
+    "event_type, count(*) AS c, round(sum(value), 2) AS value_sum "
+    "FROM e GROUP BY w_start, event_type ORDER BY w_start, event_type",
+    "[ext: streaming] watermarked tumbling-window counts, drained via "
+    "a REAL Structured-Streaming availableNow run (complete mode) and "
+    "compared to DuckDB's batch hour buckets",
 )
 def t16(spark, sf_dir):
     from .streaming import stream_events, tumbling_counts

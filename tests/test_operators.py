@@ -88,9 +88,32 @@ class TestText:
         assert r[0].n_tokens_ws == 12
         assert r[0].n_chars == len("the quick brown fox jumps over the lazy dog again and again")
 
-    def test_lang_id_markers(self, docs):
+    def test_lang_id_model(self, docs):
         r = {x.doc_id: x.lang_pred for x in lang_id(docs).collect()}
         assert r[0] == "en" and r[4] == "de"
+
+    def test_lang_id_heldout_and_python_equivalence(self, spark):
+        # the NB model must (a) classify held-out sentences (absent
+        # from the training text) correctly and (b) agree with the
+        # pure-Python reference scorer row-for-row
+        from cowsdb_spark.operators.langid_model import HELDOUT, score_text
+
+        rows = [(i, s) for i, s in enumerate(HELDOUT.values())]
+        rows += [
+            (100, "数据在系统中流动"),          # CJK -> zh (script override)
+            (101, "12345 !!! ??? 678"),          # no letters -> und
+            (102, "zzqqj xxkkw vvbbp"),          # letters, no vocab gram
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {x.doc_id: x.lang_pred for x in lang_id(d).collect()}
+        for i, (lang, _s) in enumerate(HELDOUT.items()):
+            assert got[i] == lang, (lang, got[i])
+        assert got[100] == "zh" and got[101] == "und"
+        # python reference agrees with Spark on every non-CJK row
+        for i, (_lang, s) in enumerate(HELDOUT.items()):
+            assert score_text(s) == got[i]
+        assert score_text("12345 !!! ??? 678") == "und"
+        assert got[102] == score_text("zzqqj xxkkw vvbbp")
 
     def test_quality_monotone(self, docs):
         r = {x.doc_id: x for x in quality_score(docs).collect()}
