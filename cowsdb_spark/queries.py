@@ -1472,7 +1472,7 @@ def t23(spark, sf_dir):
         synthetic_media,
     )
 
-    # size-conditional input coalesce + in-partition sort — see x13
+    # size-conditional input coalesce + in-partition sort — see t13
     media = prep_python_stage_input(synthetic_media(spark, 48), n_rows=48)
     frames = sample_frames(media, every_ms=250)
     return (

@@ -63,9 +63,17 @@ def main():
 
     spark_raw: dict[str, list[float]] = {}
     duck_raw: dict[str, list[float]] = {}
+    jvm_gc = spark.sparkContext._jvm.System.gc
     for q in QUERIES:
         qid = q["id"]
         dsql = q.get("oracle", q["sql"])
+        # Deterministic full GC before each cell: the 45s periodicGC
+        # timer fires at arbitrary phases of a cell, so a heavy query
+        # landing just before a collection inherits the whole sweep's
+        # accumulated garbage (measured: cb32 17.8s late in this sweep
+        # vs 9.7s in a fresh JVM). Pre-cell GC isolates per-query cost
+        # the way fresh-JVM cells do, without the restart.
+        jvm_gc()
         # Spark cell: warm-up + reps
         eng.execute_to_df(q["sql"])[0].collect()
         sv = []
