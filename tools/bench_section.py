@@ -84,28 +84,34 @@ def section_cb_10m(out: dict) -> None:
     spark = get_spark("moospark-bench-10m")
     spark.read.parquet(p10).createOrReplaceTempView("hits")
     eng = Engine(spark)
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+    con.execute(f"CREATE VIEW hits AS SELECT * FROM read_parquet('{p10}')")
+    # r7 protocol (mirrors tools/bench_100m.py): engines interleaved
+    # PER QUERY so box state is identical for both sides of a ratio,
+    # plus a deterministic full GC before each Spark cell — the 45s
+    # periodicGC timer fires at arbitrary cell phases and late-sweep
+    # heavy aggs otherwise inherit the whole sweep's garbage.
+    jvm_gc = spark.sparkContext._jvm.System.gc
     cbs: dict[str, float] = {}
+    cbd: dict[str, float] = {}
     for q in QUERIES:
         try:
+            jvm_gc()
             cbs[q["id"]] = round(
                 _min_of(3, lambda q=q: eng.execute_to_df(q["sql"])[0].collect()), 3
             )
         except Exception as e:  # noqa: BLE001
             out.setdefault("errs", {})[f"10m_{q['id']}"] = repr(e)[:300]
-    spark.stop()
-
-    con = duckdb.connect()
-    con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
-    con.execute(f"CREATE VIEW hits AS SELECT * FROM read_parquet('{p10}')")
-    cbd: dict[str, float] = {}
-    for q in QUERIES:
         try:
             dsql = q.get("oracle", q["sql"])
             cbd[q["id"]] = round(_min_of(3, lambda d=dsql: con.execute(d).fetchall()), 3)
         except Exception as e:  # noqa: BLE001
             out.setdefault("errs", {})[f"10m_ddb_{q['id']}"] = repr(e)[:300]
+    spark.stop()
     out["spark"] = cbs
     out["duckdb"] = cbd
+    out["protocol"] = "interleaved per-query, min-of-3 after warm-up, pre-cell GC"
     out["spark_total"] = round(sum(cbs.values()), 3)
     out["duckdb_total"] = round(sum(cbd.values()), 3)
 
