@@ -74,7 +74,18 @@ def get_spark(app_name: str = "moospark", shuffle_partitions: int | None = None)
         # 0.34-0.65s; GC time 4.0s -> 2.4s. ZGC and G1+pause-target
         # landed between. Cluster analog: executor GC choice is a
         # per-deployment JVM flag, same lever.
-        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        # 512m code cache (JDK default 240m): every distinct query
+        # JIT-compiles whole-stage-codegen classes, and a long serving
+        # session fills the default cache — the JIT then stops
+        # compiling and later heavy queries run partly interpreted.
+        # Measured (r7, aged-session protocol: 30-query warm pass then
+        # cb32 at 100M, fresh JVM per cell, 2 interleaved rounds):
+        # base [11.6,12.3,9.5]/[8.7,9.6,8.9] vs 512m
+        # [8.8,8.7,9.7]/[7.9,7.4,8.3] — ~10% median win and the 11-12s
+        # outliers disappear. Standard recommendation for long-lived
+        # Spark SQL drivers.
+        .config("spark.driver.extraJavaOptions",
+                "-XX:+UseParallelGC -XX:ReservedCodeCacheSize=512m")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # 32 MB scan splits: a 0.5 GB file fans out to ~16 scan tasks
