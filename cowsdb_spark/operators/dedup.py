@@ -75,7 +75,7 @@ def shingles(text: Column, k: int = 5) -> Column:
 M31 = 2147483647
 
 
-def token_hashes_of(toks: Column) -> Column:
+def token_hashes_of(toks: Column, hash_fn: str = "xxhash64") -> Column:
     """One xxhash64 per token. The k-shingle hash is then a rolling
     polynomial combine of k consecutive token hashes, done vectorized
     in numpy (see ``minhash_from_token_hashes``) — n small-string
@@ -86,7 +86,18 @@ def token_hashes_of(toks: Column) -> Column:
     CAUTION (hot path): ``toks`` must be a materialized attribute
     from a previous projection — an inline ``split(regexp_replace(…))``
     argument gets re-evaluated per element by the lambda (measured
-    quadratic blowup: pairs stage 132s → 374s when inlined)."""
+    quadratic blowup: pairs stage 132s → 374s when inlined).
+
+    ``hash_fn='md5'`` (r7) swaps xxhash64 for the top 60 bits of md5
+    — ~2× slower per token but computable BIT-EXACTLY by DuckDB
+    (``CAST(concat('0x', substring(md5(t),1,15)) AS BIGINT)``), which
+    makes the whole MinHash-LSH pipeline oracle-checkable end-to-end
+    (t06's driver gate). Production paths keep the xxhash64 default."""
+    if hash_fn == "md5":
+        return F.transform(
+            toks,
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+        )
     return F.transform(toks, lambda t: F.xxhash64(t))
 
 
@@ -131,6 +142,19 @@ def minhash_signature(tokens: Column, n_hashes: int = 32, k: int = 5, seed: int 
     return minhash_from_token_hashes(token_hashes_of(tokens), n_hashes, k, seed)
 
 
+def minhash_constants(n_hashes: int = 32, k: int = 5, seed: int = 42):
+    """The (A, B, C) universal-hash constants — shared by the scoring
+    UDF below and the DuckDB oracle replica (queries.py t06), so both
+    sides derive them from the same seeded RNG."""
+    import random
+
+    rng = random.Random(seed)
+    A = [rng.randrange(1, M31) for _ in range(n_hashes)]
+    B = [rng.randrange(0, M31) for _ in range(n_hashes)]
+    C = [random.Random(seed + 1).randrange(1, M31) for _ in range(k)]
+    return A, B, C
+
+
 def minhash_from_token_hashes(
     token_hashes: Column, n_hashes: int = 32, k: int = 5, seed: int = 42
 ) -> Column:
@@ -138,14 +162,9 @@ def minhash_from_token_hashes(
     universal-hash permutations over an already-computed
     ``array<long>`` of per-token xxhash64 values, all vectorized
     numpy inside one Arrow-batched pandas UDF."""
-    import random
-
     from pyspark.sql.pandas.functions import pandas_udf
 
-    rng = random.Random(seed)
-    A = [rng.randrange(1, M31) for _ in range(n_hashes)]
-    B = [rng.randrange(0, M31) for _ in range(n_hashes)]
-    C = [random.Random(seed + 1).randrange(1, M31) for _ in range(k)]
+    A, B, C = minhash_constants(n_hashes, k, seed)
 
     # array<int>, not array<long>: every minhash value is < M31 = 2^31-1
     # (universal-hash mod), so int32 is lossless and HALVES the widest
@@ -219,6 +238,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     min_jaccard: float = 0.5,
     shingle_k: int = 5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b) with estimated Jaccard.
 
@@ -234,7 +254,7 @@ def minhash_lsh_pairs(
     # CAUTION note for the measured quadratic blowup otherwise.
     sig = (
         _tokens_of(docs, id_col, text_col)
-        .select(F.col(id_col), token_hashes_of(F.col("_toks")).alias("_th"))
+        .select(F.col(id_col), token_hashes_of(F.col("_toks"), hash_fn).alias("_th"))
         .select(
             F.col(id_col),
             minhash_from_token_hashes(F.col("_th"), n_hashes, shingle_k).alias("_sig"),
@@ -364,16 +384,26 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(shingle_col: Column) -> Column:
+def simhash64(shingle_col: Column, hash_fn: str = "xxhash64") -> Column:
     """64-bit SimHash over a materialized shingle-array column, via
     bit-vote aggregation.
 
     For each of 64 bits: sum over shingles of (+1 if hash bit set
-    else -1); sign of the sum is the output bit.
+    else -1); sign of the sum is the output bit. ``hash_fn='md5'``
+    (r7) swaps xxhash64 for the top 60 bits of md5 — bits 60-63 then
+    never set, an effectively-60-bit SimHash — in exchange for a
+    DuckDB-computable hash that lets the oracle replicate the whole
+    pipeline (queries.py t07); production keeps the xxhash64 default.
     """
     from pyspark.sql.pandas.functions import pandas_udf
 
-    hashes = F.transform(shingle_col, lambda s: F.xxhash64(s))
+    if hash_fn == "md5":
+        hashes = F.transform(
+            shingle_col,
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+        )
+    else:
+        hashes = F.transform(shingle_col, lambda s: F.xxhash64(s))
 
     # 64 bit-votes folded vectorized in numpy: expressing this as 64
     # aggregate() higher-order calls explodes codegen (measured 76s
@@ -406,6 +436,7 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 8,
     shingle_k: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs by SimHash banding + hamming filter.
 
@@ -430,7 +461,7 @@ def simhash_pairs(
     withsim = (
         _tokens_of(docs, id_col, text_col)
         .select(id_col, shingles_of_tokens(F.col("_toks"), shingle_k).alias("_sg"))
-        .select(id_col, simhash64(F.col("_sg")).alias("_sh"))
+        .select(id_col, simhash64(F.col("_sg"), hash_fn).alias("_sh"))
     )
     banded = withsim.select(
         id_col,

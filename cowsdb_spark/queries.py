@@ -297,7 +297,18 @@ def q14(spark, sf_dir):
 
 @qdef(
     "q16_window_rank",
-    "SELECT o_custkey, o_orderkey, rn, prev_p, next_p, run, sz, y, mo, d FROM ("
+    "WITH q36 AS (SELECT CAST(SUM(doc_id * 1000003 + dr * 101 + n_tok * 7 "
+    "  + CAST(has_spark AS INT) + n_chars) AS BIGINT) AS q36_digest, "
+    "  CAST(COUNT(*) AS INT) AS q36_rows FROM ("
+    "  SELECT doc_id, n_chars, CAST(ROW_NUMBER() OVER ("
+    "    PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rn, "
+    "  CAST(DENSE_RANK() OVER ("
+    "    PARTITION BY lang ORDER BY n_chars DESC) AS BIGINT) AS dr, "
+    "  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok, "
+    "  list_contains(string_split(text, ' '), 'spark') AS has_spark"
+    "  FROM documents) s WHERE rn <= 3) "
+    "SELECT o_custkey, o_orderkey, rn, prev_p, next_p, run, sz, y, mo, d, "
+    "q36_digest, q36_rows FROM ("
     "  SELECT o_custkey, o_orderkey, CAST(ROW_NUMBER() OVER ("
     "    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn, "
     "  LAG(o_totalprice) OVER ("
@@ -311,17 +322,45 @@ def q14(spark, sf_dir):
     "  CAST(year(o_orderdate) AS INTEGER) AS y, "
     "  CAST(month(o_orderdate) AS INTEGER) AS mo, "
     "  CAST(day(o_orderdate) AS INTEGER) AS d"
-    "  FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn LIMIT 100",
-    "[2.7 + P5 + 2.9 dates] ranking window / CH LIMIT BY equivalent + "
-    "lag/lead + running aggregate frame over the same window (absorbed "
-    "q44_lag_lead, q17_running_sum), with CASE WHEN / CH ternary and "
-    "the toYear/toMonth/toDayOfMonth family riding along (r6: absorbed "
-    "q10_case — ref index.html:729; ClickBench Q39)",
+    "  FROM orders) t, q36 WHERE rn <= 3 ORDER BY o_custkey, rn LIMIT 100",
+    "[2.7 + P5 + 2.9 dates + O6 + 2.9 arrays] ranking window / CH LIMIT "
+    "BY equivalent + lag/lead + running aggregate frame over the same "
+    "window (absorbed q44_lag_lead, q17_running_sum), with CASE WHEN / "
+    "CH ternary and the toYear/toMonth/toDayOfMonth family riding along "
+    "(r6: absorbed q10_case — ref index.html:729; ClickBench Q39); r7: "
+    "absorbed q36_topk_per_group as a 1-row digest attach — per-group "
+    "top-k + dense_rank + split/size/contains (and q45/q34 via q36) "
+    "stay oracle-verified through the q36_digest/q36_rows columns",
 )
 def q16(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
     wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    d = _t(spark, sf_dir, "documents")
+    wq = W.partitionBy("lang").orderBy(F.desc("n_chars"), "doc_id")
+    wd = W.partitionBy("lang").orderBy(F.desc("n_chars"))
+    toks = F.split(F.col("text"), " ")
+    q36 = (
+        d.select(
+            "doc_id",
+            "n_chars",
+            F.row_number().over(wq).cast("long").alias("rn"),
+            F.dense_rank().over(wd).cast("long").alias("dr"),
+            F.size(toks).alias("n_tok"),
+            F.array_contains(toks, "spark").alias("has_spark"),
+        )
+        .filter(F.col("rn") <= 3)
+        .agg(
+            F.sum(
+                F.col("doc_id") * 1000003
+                + F.col("dr") * 101
+                + F.col("n_tok") * 7
+                + F.col("has_spark").cast("int")
+                + F.col("n_chars")
+            ).cast("long").alias("q36_digest"),
+            F.count(F.lit(1)).cast("int").alias("q36_rows"),
+        )
+    )
     return (
         o.select(
             "o_custkey",
@@ -336,6 +375,7 @@ def q16(spark, sf_dir):
             F.dayofmonth("o_orderdate").alias("d"),
         )
         .filter(F.col("rn") <= 3)
+        .crossJoin(F.broadcast(q36))  # 1-row digest attach
         .orderBy("o_custkey", "rn")
         .limit(100)
     )
@@ -435,9 +475,9 @@ def q25(spark, sf_dir):
 
 # (q26_asof_latest dropped as a strict subset: its surface —
 # ROW_NUMBER over (PARTITION BY key ORDER BY ts DESC) + rn filter on a
-# timestamp-bounded scan — is q36_topk_per_group's window+filter shape
-# at rn=1, and true as-of JOIN semantics carry three driver rows of
-# their own (t11 backward / t24 forward / t25 nearest). Frees a
+# timestamp-bounded scan — is the q36 window+filter shape (carried by
+# q16_window_rank's digest since r7) at rn=1, and true as-of JOIN
+# semantics carry t11's three direction columns (r7). Frees a
 # driver-window slot for the r5 pipeline operators.)
 
 
@@ -619,86 +659,25 @@ def q30(spark, sf_dir):
 # for the oracle-bearing pipeline operators t05-t22.)
 
 
-@qdef(
-    "q36_topk_per_group",
-    "SELECT lang, doc_id, n_chars, dr, n_tok, has_spark FROM ("
-    "  SELECT lang, doc_id, n_chars, CAST(ROW_NUMBER() OVER ("
-    "    PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rn, "
-    "  CAST(DENSE_RANK() OVER ("
-    "    PARTITION BY lang ORDER BY n_chars DESC) AS BIGINT) AS dr, "
-    "  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok, "
-    "  list_contains(string_split(text, ' '), 'spark') AS has_spark"
-    "  FROM documents) t WHERE rn <= 3 ORDER BY lang, n_chars DESC, doc_id",
-    "[O6 + 2.7 + 2.9 arrays] per-group top-k (CH LIMIT BY) + dense_rank "
-    "(absorbed q45) + split/size/contains (CH splitByChar/length/has, "
-    "absorbed q34_array_ops)",
-)
-def q36(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    w = W.partitionBy("lang").orderBy(F.desc("n_chars"), "doc_id")
-    wd = W.partitionBy("lang").orderBy(F.desc("n_chars"))
-    toks = F.split(F.col("text"), " ")
-    return (
-        d.select(
-            "lang",
-            "doc_id",
-            "n_chars",
-            F.row_number().over(w).cast("long").alias("rn"),
-            F.dense_rank().over(wd).cast("long").alias("dr"),
-            F.size(toks).alias("n_tok"),
-            F.array_contains(toks, "spark").alias("has_spark"),
-        )
-        .filter(F.col("rn") <= 3)
-        .drop("rn")
-        .orderBy("lang", F.desc("n_chars"), "doc_id")
-    )
+# q36_topk_per_group: retired in r7 as a 1-row digest attach on
+# q16_window_rank (q36_digest/q36_rows columns) — per-group top-k,
+# dense_rank (absorbed q45) and split/size/contains (absorbed q34)
+# stay oracle-verified there; this freed a driver-window slot for
+# the x23 golden-oracle conversion (t23_frame_sample).
 
 
-# ----------------------------------------------- pipeline extensions (§7 G)
+# t01_token_stats: retired in r7 — its three columns (raw-split token
+# count, char count, chars-per-token) ride along on t27_quality_full's
+# rows (same 200-doc spine), freeing a driver-window slot for the t06
+# MinHash oracle conversion. Whitespace/BPE token counting keeps its
+# value-level coverage in tests/test_operators.py::TestText.
 
 
-@qdef(
-    "t01_token_stats",
-    "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens, "
-    "CAST(length(text) AS INTEGER) AS n_char, "
-    "ROUND(length(text) * 1.0 / len(string_split(text, ' ')), 4) AS chars_per_tok "
-    "FROM documents ORDER BY doc_id LIMIT 200",
-    "[ext: text analysis] whitespace token counting + char stats",
-)
-def t01(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    n_tok = F.size(F.split(F.col("text"), " "))
-    return (
-        d.select(
-            "doc_id",
-            n_tok.alias("n_tokens"),
-            F.length("text").alias("n_char"),
-            F.round(F.length("text") * F.lit(1.0) / n_tok, 4).alias("chars_per_tok"),
-        )
-        .orderBy("doc_id")
-        .limit(200)
-    )
-
-
-@qdef(
-    "t02_quality_score",
-    "SELECT doc_id, ROUND(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) "
-    "* 1.0 / len(string_split(text, ' ')), 4) AS stop_ratio "
-    "FROM documents ORDER BY doc_id LIMIT 200",
-    "[ext: text analysis] stopword-ratio quality signal",
-)
-def t02(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    stops = F.size(F.filter(toks, lambda t: t.isin("the", "a")))
-    return (
-        d.select(
-            "doc_id",
-            F.round(stops * F.lit(1.0) / F.size(toks), 4).alias("stop_ratio"),
-        )
-        .orderBy("doc_id")
-        .limit(200)
-    )
+# t02_quality_score: retired in r7 — its single column (stopword
+# ratio with a 2-word lexicon) is the same operator as
+# t27_quality_full's stop_ratio (9-word lexicon) on the same 200-doc
+# spine; the slot went to the t07 SimHash oracle conversion. Stopword
+# filtering keeps value-level coverage in tests/test_operators.py.
 
 
 @qdef(
@@ -816,7 +795,7 @@ def q39(spark, sf_dir):
 
 
 # (q44_lag_lead merged into q16_window_rank; q45_dense_rank merged
-# into q36_topk_per_group.)
+# into q36_topk_per_group, itself carried by q16's digest since r7.)
 
 
 # (q46_scalar_subquery merged into q13_anti_join's c_top attach —
@@ -827,28 +806,145 @@ def q39(spark, sf_dir):
 # ------------------------------------------------- pipeline extensions II
 
 
+def _t06_minhash_oracle(
+    n_hashes: int = 32, bands: int = 8, k: int = 5, min_jaccard: float = 0.2
+) -> str:
+    """Full DuckDB replica of the MinHash-LSH pipeline (driver-
+    checkable since r7; was rows-only x06 because xxhash64 is
+    Spark-only). With ``hash_fn='md5'`` the per-token hash is the top
+    60 bits of md5 — bit-exact in both engines — and everything else
+    (rolling k-gram polynomial, the seeded universal-hash
+    permutations, banding, agreement estimate) is plain integer
+    arithmetic the oracle reproduces from the SAME constants
+    (operators/dedup.py::minhash_constants). The one intentional
+    difference: Spark buckets on xxhash64(band-slice) while the
+    oracle joins on the slice string itself — identical candidate
+    sets modulo 2^-64 bucket collisions.
+    """
+    from .operators.dedup import M31, minhash_constants
+
+    A, B, C = minhash_constants(n_hashes, k)
+    rpb = n_hashes // bands
+    # one window value: sequential (acc + th[i+j]*C[j] % M) % M == the
+    # sum of per-term mods, mod M (terms < M, so no int64 overflow)
+    win = "(" + " + ".join(
+        f"th[i+{j}] * {C[j]} % {M31}" for j in range(k)
+    ) + f") % {M31}"
+    short = (
+        "[(list_sum(list_transform(generate_series(1, len(th)), "
+        "j -> th[j] * ([" + ", ".join(str(c) for c in C) + "])[j] "
+        f"% {M31})) % {M31})]"
+    )
+    sig_items = ", ".join(
+        f"CASE WHEN len(wins) = 0 THEN 0 ELSE "
+        f"list_min(list_transform(wins, w -> ({A[i]} * w + {B[i]}) % {M31})) "
+        f"END"
+        for i in range(n_hashes)
+    )
+    band_key = (
+        "concat_ws(','"
+        + "".join(f", s[band * {rpb} + {r + 1}]" for r in range(rpb))
+        + ")"
+    )
+    agree = (
+        f"len(list_filter(generate_series(1, {n_hashes}), "
+        "i -> sa.s[i] = sb.s[i]))"
+    )
+    return (
+        "WITH n AS (SELECT doc_id, "
+        "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm "
+        "FROM documents), "
+        "t AS (SELECT doc_id, list_transform(string_split(norm, ' '), "
+        "x -> CAST(concat('0x', substring(md5(x), 1, 15)) AS BIGINT) "
+        f"% {M31}) AS th FROM n), "
+        f"w AS (SELECT doc_id, CASE WHEN len(th) >= {k} THEN "
+        f"list_transform(generate_series(1, len(th) - {k - 1}), i -> {win}) "
+        f"WHEN len(th) > 0 THEN {short} ELSE [] END AS wins FROM t), "
+        f"sig AS (SELECT doc_id, [{sig_items}] AS s FROM w), "
+        f"g AS (SELECT doc_id, band, {band_key} AS key FROM sig, "
+        f"(SELECT unnest(generate_series(0, {bands - 1})) AS band) b), "
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b "
+        "FROM g a JOIN g c ON a.band = c.band AND a.key = c.key "
+        "AND a.doc_id < c.doc_id) "
+        "SELECT id_a, id_b, "
+        f"ROUND({agree} / {n_hashes}.0, 4) AS jaccard_est "
+        "FROM cand JOIN sig sa ON sa.doc_id = id_a "
+        "JOIN sig sb ON sb.doc_id = id_b "
+        f"WHERE {agree} / {n_hashes}.0 >= {min_jaccard} "
+        "ORDER BY id_a, id_b"
+    )
+
+
 @qdef(
-    "x06_minhash_pairs",
-    None,  # LSH buckets depend on xxhash64 — not expressible in the oracle
-    "[ext: dedup] MinHash-LSH near-duplicate candidate pairs (rows-only check)",
+    "t06_minhash_pairs",
+    _t06_minhash_oracle(),
+    "[ext: dedup] MinHash-LSH near-duplicate candidate pairs, "
+    "oracle-checked END-TO-END since r7: md5-based token hashes "
+    "(bit-exact in both engines) + the same seeded universal-hash "
+    "constants let DuckDB replicate signature, banding, candidate "
+    "join and agreement estimate (was rows-only x06)",
 )
 def t06(spark, sf_dir):
     from .operators.dedup import minhash_lsh_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, min_jaccard=0.2).orderBy("id_a", "id_b")
+    return minhash_lsh_pairs(d, min_jaccard=0.2, hash_fn="md5").orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _t07_simhash_oracle(max_hamming: int = 16, k: int = 3) -> str:
+    """DuckDB replica of the SimHash pipeline (driver-checkable since
+    r7; was rows-only x07). md5-60-bit shingle hashes are bit-exact in
+    both engines; bit votes, fingerprint assembly, 16-bit banding and
+    the hamming filter are integer arithmetic. Bits 60-63 never set
+    under the md5 hash (values < 2^60), so 1<<j stays in BIGINT range.
+    """
+    return (
+        "WITH n AS (SELECT doc_id, "
+        "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm "
+        "FROM documents), "
+        "t AS (SELECT doc_id, string_split(norm, ' ') AS tk FROM n), "
+        # shingles: k=3 word windows; for len<k one window of all
+        # tokens (concat_ws skips out-of-range NULL elements, matching
+        # Spark's array_join(slice(...))); then distinct
+        "g AS (SELECT doc_id, list_distinct(list_transform("
+        f"generate_series(1, greatest(len(tk) - {k - 1}, 1)), "
+        "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sg FROM t), "
+        "h AS (SELECT doc_id, list_transform(sg, "
+        "x -> CAST(concat('0x', substring(md5(x), 1, 15)) AS BIGINT)) "
+        "AS hs FROM g), "
+        # bit votes: bit j set iff strictly more shingles have it set
+        # than clear (2*ones - n > 0)
+        "s AS (SELECT doc_id, CAST(list_sum(list_transform("
+        "generate_series(0, 59), j -> CASE WHEN "
+        "2 * list_sum(list_transform(hs, v -> (v >> j) & 1)) - len(hs) > 0 "
+        "THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS sh FROM h), "
+        "b AS (SELECT doc_id, sh, band, (sh >> (band * 16)) & 65535 AS bv "
+        "FROM s, (SELECT unnest(generate_series(0, 3)) AS band) bb), "
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b, "
+        "CAST(bit_count(xor(a.sh, c.sh)) AS INT) AS hamming "
+        "FROM b a JOIN b c ON a.band = c.band AND a.bv = c.bv "
+        "AND a.doc_id < c.doc_id) "
+        f"SELECT id_a, id_b, hamming FROM cand WHERE hamming <= {max_hamming} "
+        "ORDER BY id_a, id_b"
+    )
 
 
 @qdef(
-    "x07_simhash_pairs",
-    None,
-    "[ext: dedup] SimHash banding near-dup candidates (rows-only check)",
+    "t07_simhash_pairs",
+    _t07_simhash_oracle(),
+    "[ext: dedup] SimHash banding near-dup candidates, oracle-checked "
+    "END-TO-END since r7: md5-based shingle hashes + integer bit-vote "
+    "replica in DuckDB (was rows-only x07)",
 )
 def t07(spark, sf_dir):
     from .operators.dedup import simhash_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_pairs(d, max_hamming=16).orderBy("id_a", "id_b")
+    return simhash_pairs(d, max_hamming=16, hash_fn="md5").orderBy(
+        "id_a", "id_b"
+    )
 
 
 @qdef(
@@ -937,6 +1033,7 @@ def t09(spark, sf_dir):
     "  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM documents), "
     "t AS (SELECT doc_id, text, string_split(norm, ' ') AS tk FROM n), "
     "m AS (SELECT doc_id, len(tk) AS n_tok, length(text) AS n_char, "
+    "  len(string_split(text, ' ')) AS n_tok_raw, "
     "  len(list_filter(tk, x -> x IN ('the','a','an','and','or','of','to','in','is'))) AS stop_hits, "
     "  length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct, "
     "  list_sum(list_transform(tk, x -> length(x))) AS tok_chars FROM t) "
@@ -947,16 +1044,31 @@ def t09(spark, sf_dir):
     "ROUND(least(n_tok / 100.0, 1.0) * 0.4 "
     "  + least((CASE WHEN n_tok > 0 THEN stop_hits * 1.0 / n_tok ELSE 0.0 END) * 5, 1.0) * 0.3 "
     "  + CASE WHEN (CASE WHEN n_tok > 0 THEN tok_chars * 1.0 / n_tok ELSE 0.0 END) "
-    "      BETWEEN 3 AND 10 THEN 0.3 ELSE 0.0 END, 4) AS quality "
+    "      BETWEEN 3 AND 10 THEN 0.3 ELSE 0.0 END, 4) AS quality, "
+    "CAST(n_char AS INTEGER) AS n_char, "
+    "ROUND(n_char * 1.0 / n_tok_raw, 4) AS chars_per_tok "
     "FROM m ORDER BY doc_id LIMIT 200",
     "[ext: text] full composite quality score (length/punct/stopword/"
-    "word-length signals) vs DuckDB replica (rows-only before r3)",
+    "word-length signals) vs DuckDB replica (rows-only before r3); "
+    "r7: absorbed t01_token_stats — its raw-split token stats ride "
+    "along as n_char / chars_per_tok on the same 200-doc spine",
 )
 def t10(spark, sf_dir):
     from .operators.text import quality_score
 
     d = _t(spark, sf_dir, "documents")
-    return quality_score(d).orderBy("doc_id").limit(200)
+    raw_tok = F.size(F.split(F.col("text"), " "))
+    t01_cols = d.select(
+        "doc_id",
+        F.length("text").alias("n_char"),
+        F.round(F.length("text") * F.lit(1.0) / raw_tok, 4).alias("chars_per_tok"),
+    )
+    return (
+        quality_score(d)
+        .join(t01_cols, "doc_id")
+        .orderBy("doc_id")
+        .limit(200)
+    )
 
 
 @qdef(
@@ -1457,13 +1569,53 @@ def t22(spark, sf_dir):
     ).orderBy("user_id")
 
 
+def _t23_golden_oracle() -> str:
+    """Golden-values oracle for the video frame-sampling fan-out
+    (driver-checkable since r7; was rows-only x23). Same justification
+    as t13: the media fixture is self-generated seeded data, so the
+    expected fan-out (one row per sampled frame, the frame selected by
+    the clip's own fps, stub rotation for undecodable containers) is
+    computed by the pure-Python reference below and pinned as VALUES —
+    the gate then proves the mapInPandas fan-out reproduces it."""
+    from .operators import media_codecs as mc
+    from .operators.multimodal import synthetic_media_rows
+
+    ids, kinds, payloads, metas = synthetic_media_rows(48)
+    rows = []
+    for mid, kind, payload, meta in zip(ids, kinds, payloads, metas):
+        if kind != "video" or payload is None:
+            continue
+        dur = meta.get("duration_ms") or 0
+        clip = mc.decode_video(bytes(payload))
+        for k, ts in enumerate(range(0, max(1, dur), 250)):
+            if clip is not None:
+                vid, fps = clip
+                fi = min(len(vid) - 1, int(round(ts / 1000.0 * fps)))
+                n = len(mc.encode_bmp(vid[fi]))
+            else:
+                n = len(payload)
+            rows.append(
+                f"({mid}, {k}, {ts}, {n}, "
+                f"{'TRUE' if clip is not None else 'FALSE'})"
+            )
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, "
+        "CAST(frame_idx AS INT) AS frame_idx, CAST(ts_ms AS INT) AS ts_ms, "
+        "CAST(frame_bytes AS INT) AS frame_bytes, is_real_frame "
+        "FROM (VALUES " + ", ".join(rows)
+        + ") AS g(media_id, frame_idx, ts_ms, frame_bytes, is_real_frame) "
+        "ORDER BY media_id, frame_idx"
+    )
+
+
 @qdef(
-    "x23_frame_sample",
-    None,  # codec output isn't SQL-expressible (rows-only)
-    "[ext: multimodal] video frame sampling fan-out + per-frame "
-    "features; y4m and AVI(DIB/MJPEG) clips decode to REAL frames "
-    "(BMP-encoded; is_real_frame set at the decode site itself, r7), "
-    "mp4/mkv keep the visible stub",
+    "t23_frame_sample",
+    _t23_golden_oracle(),
+    "[ext: multimodal] video frame sampling fan-out; y4m and "
+    "AVI(DIB/MJPEG) clips decode to REAL frames (BMP-encoded; "
+    "is_real_frame set at the decode site), mp4/mkv keep the visible "
+    "stub — vs a golden-values oracle computed by the pure-Python "
+    "reference path (driver-checkable since r7; was rows-only x23)",
 )
 def t23(spark, sf_dir):
     from .operators.multimodal import (
