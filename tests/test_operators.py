@@ -50,11 +50,33 @@ class TestMinhash:
         assert (0, 2) in pairs  # normalization makes them identical
         assert all(3 not in p and 4 not in p for p in pairs)
 
+    def test_md5_hash_mode_equivalent_semantics(self, docs):
+        # the r7 oracle-checkable md5 mode must find the same clear
+        # duplicate structure as the xxhash64 default: exact dups at
+        # est 1.0, unrelated docs absent (borderline estimates may
+        # differ — different hash family, same estimator)
+        pairs = {
+            (r.id_a, r.id_b): r.jaccard_est
+            for r in minhash_lsh_pairs(
+                docs, min_jaccard=0.5, shingle_k=3, hash_fn="md5"
+            ).collect()
+        }
+        assert pairs[(0, 1)] == 1.0 and (0, 2) in pairs
+        assert all(3 not in p and 4 not in p for p in pairs)
+
 
 class TestSimhash:
     def test_identical_docs_distance_zero(self, docs):
         pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(docs).collect()}
         assert pairs.get((0, 1)) == 0
+        assert (0, 4) not in pairs
+
+    def test_md5_hash_mode_equivalent_semantics(self, docs):
+        pairs = {
+            (r.id_a, r.id_b): r.hamming
+            for r in simhash_pairs(docs, hash_fn="md5").collect()
+        }
+        assert pairs.get((0, 1)) == 0  # exact dups: distance 0 in any mode
         assert (0, 4) not in pairs
 
     def test_signature_stage_runs_once(self, docs):
