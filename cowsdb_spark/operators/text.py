@@ -672,3 +672,165 @@ def fuzzy_contamination(
         .agg(F.round(F.max("_j"), 4).alias("max_jaccard"))
         .filter(F.col("max_jaccard") >= threshold)
     )
+
+
+def dup_ngram_coverage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 6,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated n-gram coverage — the corpus-level
+    counterpart of ``repetition_ratio``'s within-document signal and
+    the Gopher "fraction of tokens inside duplicated n-grams" filter:
+    an n-gram is *duplicated* when it occurs in at least ``min_docs``
+    DISTINCT documents; per document we report the fraction of its
+    n-grams that are duplicated and the fraction of token positions
+    covered by at least one duplicated n-gram. High coverage flags
+    templated / mirrored / boilerplate documents that chunk-level
+    exact dedup (``chunk_dedup``) misses because no fixed-boundary
+    chunk repeats verbatim.
+
+    Plan shape (three keyed exchanges, all on narrow rows):
+      1. tokenize → positional n-grams (narrow transform + slice);
+      2. distinct-doc count per gram — groupBy(gram, doc) then
+         groupBy(gram), both map-side-combinable; only grams that
+         reach ``min_docs`` survive the filter, so the join back is
+         a semi-shaped inner join on the gram text;
+      3. covered token positions union per doc — the dup-gram hits
+         explode into (doc, position) pairs, distinct, then ONE
+         count per doc. Positions are ints; document bodies never
+         travel after stage 1.
+    At 100 TB stage 2 would key on xxhash64(gram) with the text
+    dropped post-filter; here the gram text IS the key so a SQL
+    oracle reproduces the pipeline exactly (same trade as
+    ``chunk_dedup``).
+
+    Returns (id, n_grams, n_dup_grams, dup_gram_frac, dup_token_frac)
+    for every document with at least one n-gram.
+    """
+    toks = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_t"))
+    total = F.size("_t") - F.lit(n - 1)
+    grams = toks.filter(total > 0).select(
+        F.col(id_col),
+        F.size("_t").alias("_ntok"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), total),
+                lambda i: F.array_join(F.slice("_t", i, n), " "),
+            )
+        ).alias("_pos", "_g"),
+    )
+    dup = (
+        grams.select("_g", id_col)
+        .distinct()
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_g")
+    )
+    hits = grams.join(dup, "_g", "inner")
+    per_doc_grams = grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.first("_ntok").alias("_ntok"),
+    )
+    dup_counts = hits.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_dup_grams"))
+    covered = (
+        hits.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("_pos"), F.col("_pos") + F.lit(n - 1))).alias(
+                "_tp"
+            ),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_ncov"))
+    )
+    return (
+        per_doc_grams.join(dup_counts, id_col, "left")
+        .join(covered, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.round(
+                F.coalesce("n_dup_grams", F.lit(0)) / F.col("n_grams").cast("double"),
+                4,
+            ).alias("dup_gram_frac"),
+            F.round(
+                F.coalesce("_ncov", F.lit(0)) / F.col("_ntok").cast("double"), 4
+            ).alias("dup_token_frac"),
+        )
+    )
+
+
+def mix_sample(
+    docs: DataFrame,
+    weights: dict,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    salt: str = "mix",
+    val_frac: float = 0.05,
+    test_frac: float = 0.05,
+) -> DataFrame:
+    """Deterministic weighted mixture sampling + train/val/test split
+    — the step that turns a filtered corpus into a training mix: each
+    source is downsampled to its configured rate and surviving
+    documents are assigned to train/val/test, all by salted md5 of
+    the document id, so the mix is reproducible across engines, runs
+    and cluster sizes (no RNG state, no sort order dependence — the
+    properties a 100 TB pipeline needs for resumable ingestion).
+
+    ``weights`` maps source → keep-rate in [0, 1]; unlisted sources
+    keep everything. The keep decision uses the top 60 bits of
+    md5(salt ‖ ':' ‖ id) as a uniform draw in [0, 1) (the same
+    engine-portable construction as the t06 minhash oracle mode);
+    the split draw re-salts so keep and split are independent.
+
+    Plan shape: two codegen'd hash projections and ONE map-side-
+    combinable aggregate keyed on the source — no data-sized shuffle,
+    no window, bodies reduced to a token count before the exchange.
+    Returns per source: n_total, n_kept, n_train, n_val, n_test,
+    kept_tokens.
+    """
+    two60 = float(1 << 60)
+
+    def draw(s: str) -> Column:
+        h = F.md5(F.concat(F.lit(s + ":"), F.col(id_col).cast("string")))
+        return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") / F.lit(two60)
+
+    rate = F.lit(1.0)
+    for src, r in sorted(weights.items()):
+        rate = F.when(F.col(source_col) == src, F.lit(float(r))).otherwise(rate)
+    u_keep = draw(salt)
+    u_split = draw(salt + "/split")
+    kept = F.when(u_keep < rate, F.lit(1)).otherwise(F.lit(0))
+    split = (
+        F.when(u_split < F.lit(float(val_frac)), F.lit("val"))
+        .when(u_split < F.lit(float(val_frac + test_frac)), F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    d = docs.select(
+        F.col(source_col),
+        kept.alias("_k"),
+        split.alias("_s"),
+        F.size(F.split(F.col(text_col), " ")).alias("_tok"),
+    )
+    return d.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("_k").cast("long").alias("n_kept"),
+        F.sum(F.when((F.col("_k") == 1) & (F.col("_s") == "train"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+        F.sum(F.when((F.col("_k") == 1) & (F.col("_s") == "val"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_val"),
+        F.sum(F.when((F.col("_k") == 1) & (F.col("_s") == "test"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_test"),
+        F.sum(F.when(F.col("_k") == 1, F.col("_tok")).otherwise(0))
+        .cast("long")
+        .alias("kept_tokens"),
+    )

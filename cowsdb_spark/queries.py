@@ -1482,35 +1482,16 @@ def t19(spark, sf_dir):
 
 @qdef(
     "t20_retention",
-    "SELECT user_id, "
+    "WITH r AS (SELECT user_id, "
     "CAST(MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS INT) AS r1, "
     "CAST(MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) "
     "  * MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS INT) AS r2, "
     "CAST(MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) "
     "  * MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS INT) AS r3 "
-    "FROM events GROUP BY user_id ORDER BY user_id",
-    "[2.4 D: CH retention()] cond1-gated cohort flags, one shuffle",
-)
-def t20(spark, sf_dir):
-    from .operators.funnel import retention
-
-    ev = _t(spark, sf_dir, "events")
-    return retention(
-        ev,
-        "user_id",
-        [
-            F.col("event_type") == "signup",
-            F.col("event_type") == "purchase",
-            F.col("event_type") == "error",
-        ],
-    ).orderBy("user_id")
-
-
-@qdef(
-    "t21_window_funnel",
-    "WITH e AS (SELECT user_id, ts, event_type FROM events "
-    "  WHERE event_type IN ('view', 'click', 'purchase')) "
-    "SELECT u.user_id, CAST(CASE "
+    "FROM events GROUP BY user_id), "
+    "e AS (SELECT user_id, ts, event_type FROM events "
+    "  WHERE event_type IN ('view', 'click', 'purchase')), "
+    "f AS (SELECT u.user_id, CAST(CASE "
     "WHEN EXISTS (SELECT 1 FROM e v, e c, e p "
     "  WHERE v.user_id = u.user_id AND c.user_id = u.user_id AND p.user_id = u.user_id "
     "  AND v.event_type = 'view' AND c.event_type = 'click' AND p.event_type = 'purchase' "
@@ -1523,16 +1504,44 @@ def t20(spark, sf_dir):
     "WHEN EXISTS (SELECT 1 FROM e v WHERE v.user_id = u.user_id "
     "  AND v.event_type = 'view') THEN 1 "
     "ELSE 0 END AS INT) AS level "
-    "FROM (SELECT DISTINCT user_id FROM e) u ORDER BY user_id",
-    "[2.4 D: CH windowFunnel()] deepest view->click->purchase chain "
-    "within 1h of the chain start; JVM sort_array + higher-order fold "
-    "(one keyed shuffle, map-side event filter; funnel.py design notes)",
+    "FROM (SELECT DISTINCT user_id FROM e) u), "
+    "se AS (SELECT user_id, ts, event_type FROM events "
+    "  WHERE event_type IN ('signup', 'purchase')), "
+    "sm AS (SELECT u.user_id, CAST(CASE WHEN EXISTS ("
+    "  SELECT 1 FROM se s, se p WHERE s.user_id = u.user_id "
+    "  AND p.user_id = u.user_id AND s.event_type = 'signup' "
+    "  AND p.event_type = 'purchase' AND p.ts > s.ts) "
+    "THEN 1 ELSE 0 END AS INT) AS matched "
+    "FROM (SELECT DISTINCT user_id FROM se) u) "
+    "SELECT r.user_id, r.r1, r.r2, r.r3, "
+    "CAST(COALESCE(f.level, 0) AS INT) AS level, "
+    "CAST(COALESCE(sm.matched, 0) AS INT) AS matched "
+    "FROM r LEFT JOIN f ON r.user_id = f.user_id "
+    "LEFT JOIN sm ON r.user_id = sm.user_id ORDER BY r.user_id",
+    "[2.4 D: CH retention() + windowFunnel() + sequenceMatch()] the "
+    "behavioral-analytics trio in one per-user row (r7: absorbed "
+    "t21_window_funnel and t22_sequence_match so t31/t33 rotate into "
+    "the driver window): cond1-gated cohort flags; deepest "
+    "view->click->purchase chain within 1h of the chain start (JVM "
+    "sort_array + higher-order fold, one keyed shuffle, map-side "
+    "event filter; funnel.py design notes); signup->purchase "
+    "ordered-existence match ('(?1).*(?2)'). Funnel-less users carry "
+    "level/matched = 0 through the left joins",
 )
-def t21(spark, sf_dir):
-    from .operators.funnel import window_funnel
+def t20(spark, sf_dir):
+    from .operators.funnel import retention, sequence_match, window_funnel
 
     ev = _t(spark, sf_dir, "events")
-    return window_funnel(
+    r = retention(
+        ev,
+        "user_id",
+        [
+            F.col("event_type") == "signup",
+            F.col("event_type") == "purchase",
+            F.col("event_type") == "error",
+        ],
+    )
+    f = window_funnel(
         ev,
         "user_id",
         "ts",
@@ -1542,31 +1551,26 @@ def t21(spark, sf_dir):
             F.col("event_type") == "click",
             F.col("event_type") == "purchase",
         ],
-    ).orderBy("user_id")
-
-
-@qdef(
-    "t22_sequence_match",
-    "WITH e AS (SELECT user_id, ts, event_type FROM events "
-    "  WHERE event_type IN ('signup', 'purchase')) "
-    "SELECT u.user_id, CAST(CASE WHEN EXISTS ("
-    "  SELECT 1 FROM e s, e p WHERE s.user_id = u.user_id "
-    "  AND p.user_id = u.user_id AND s.event_type = 'signup' "
-    "  AND p.event_type = 'purchase' AND p.ts > s.ts) "
-    "THEN 1 ELSE 0 END AS INT) AS matched "
-    "FROM (SELECT DISTINCT user_id FROM e) u ORDER BY user_id",
-    "[2.4 D: CH sequenceMatch('(?1).*(?2)')] ordered-existence match",
-)
-def t22(spark, sf_dir):
-    from .operators.funnel import sequence_match
-
-    ev = _t(spark, sf_dir, "events")
-    return sequence_match(
+    ).withColumnRenamed("level", "_lvl")
+    s = sequence_match(
         ev,
         "user_id",
         "ts",
         [F.col("event_type") == "signup", F.col("event_type") == "purchase"],
-    ).orderBy("user_id")
+    ).withColumnRenamed("matched", "_m")
+    return (
+        r.join(f, "user_id", "left")
+        .join(s, "user_id", "left")
+        .select(
+            "user_id",
+            "r1",
+            "r2",
+            "r3",
+            F.coalesce("_lvl", F.lit(0)).cast("int").alias("level"),
+            F.coalesce("_m", F.lit(0)).cast("int").alias("matched"),
+        )
+        .orderBy("user_id")
+    )
 
 
 def _t23_golden_oracle() -> str:
@@ -1684,6 +1688,88 @@ def t30(spark, sf_dir):
         .select(F.col("comp").alias("cluster"), "size")
         .orderBy("cluster")
     )
+
+
+@qdef(
+    "t31_dup_ngrams",
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents), "
+    "g AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos, "
+    "  array_to_string(l[u.i:u.i+5], ' ') AS gram, len(l) AS ntok "
+    "  FROM t, UNNEST(generate_series(1, len(l) - 5)) AS u(i) "
+    "  WHERE len(l) >= 6), "
+    "dup AS (SELECT gram FROM (SELECT gram, doc_id FROM g GROUP BY gram, doc_id) x "
+    "  GROUP BY gram HAVING COUNT(*) >= 2), "
+    "hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)), "
+    "per AS (SELECT doc_id, COUNT(*) AS n_grams, MAX(ntok) AS ntok FROM g GROUP BY doc_id), "
+    "dc AS (SELECT doc_id, COUNT(*) AS n_dup FROM hits GROUP BY doc_id), "
+    "cov AS (SELECT doc_id, COUNT(*) AS ncov FROM ("
+    "  SELECT DISTINCT h.doc_id, CAST(c.p AS BIGINT) AS tp "
+    "  FROM hits h, UNNEST(generate_series(h.pos, h.pos + 5)) AS c(p)) y "
+    "  GROUP BY doc_id) "
+    "SELECT per.doc_id, per.n_grams, "
+    "CAST(COALESCE(dc.n_dup, 0) AS BIGINT) AS n_dup_grams, "
+    "ROUND(COALESCE(dc.n_dup, 0) / CAST(per.n_grams AS DOUBLE), 4) AS dup_gram_frac, "
+    "ROUND(COALESCE(cov.ncov, 0) / CAST(per.ntok AS DOUBLE), 4) AS dup_token_frac "
+    "FROM per LEFT JOIN dc USING (doc_id) LEFT JOIN cov USING (doc_id) "
+    "ORDER BY doc_id",
+    "[ext: text, new r7] cross-document duplicated n-gram coverage — "
+    "the Gopher 'fraction of tokens inside duplicated n-grams' "
+    "corpus filter (the cross-doc counterpart of t29's within-doc "
+    "repetition): a 6-gram occurring in >=2 DISTINCT docs is "
+    "duplicated; per doc we report its duplicated-gram fraction and "
+    "the fraction of token positions covered by at least one "
+    "duplicated gram. Catches templated/mirrored boilerplate that "
+    "fixed-boundary chunk dedup (t42) misses. Three keyed exchanges "
+    "on narrow rows; bodies never travel past tokenization "
+    "(operators/text.py::dup_ngram_coverage).",
+)
+def t31(spark, sf_dir):
+    from .operators.text import dup_ngram_coverage
+
+    d = _t(spark, sf_dir, "documents")
+    return dup_ngram_coverage(d, n=6, min_docs=2).orderBy("doc_id")
+
+
+def _mix_weights() -> dict:
+    """Even-suffixed sources keep 80%, odd 35% — a literal weights
+    map so the oracle can mirror it with a CASE on the suffix."""
+    return {f"src{i}": (0.8 if i % 2 == 0 else 0.35) for i in range(20)}
+
+
+@qdef(
+    "t33_mix_sample",
+    "WITH d AS (SELECT source, "
+    "  CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 0 THEN 0.8 ELSE 0.35 END AS rate, "
+    "  CAST(concat('0x', substring(md5(concat('mix:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) "
+    "    / 1152921504606846976.0 AS u_keep, "
+    "  CAST(concat('0x', substring(md5(concat('mix/split:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) "
+    "    / 1152921504606846976.0 AS u_split, "
+    "  len(string_split(text, ' ')) AS tok FROM documents), "
+    "k AS (SELECT source, CASE WHEN u_keep < rate THEN 1 ELSE 0 END AS kept, "
+    "  CASE WHEN u_split < 0.05 THEN 'val' WHEN u_split < 0.1 THEN 'test' "
+    "  ELSE 'train' END AS part, tok FROM d) "
+    "SELECT source, COUNT(*) AS n_total, "
+    "CAST(SUM(kept) AS BIGINT) AS n_kept, "
+    "CAST(SUM(CASE WHEN kept = 1 AND part = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train, "
+    "CAST(SUM(CASE WHEN kept = 1 AND part = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val, "
+    "CAST(SUM(CASE WHEN kept = 1 AND part = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test, "
+    "CAST(SUM(CASE WHEN kept = 1 THEN tok ELSE 0 END) AS BIGINT) AS kept_tokens "
+    "FROM k GROUP BY source ORDER BY source",
+    "[ext: pipeline, new r7] deterministic weighted mixture sampling "
+    "+ train/val/test split: per-source keep-rates (even-suffixed "
+    "sources 0.8, odd 0.35) and split assignment both drawn from "
+    "salted md5(doc_id) top-60-bits uniforms (the engine-portable "
+    "construction t06 established), so the training mix is "
+    "reproducible across engines/runs/cluster sizes — no RNG state, "
+    "no sort-order dependence. Two codegen'd hash projections + ONE "
+    "map-side-combinable aggregate keyed on source; no data-sized "
+    "shuffle (operators/text.py::mix_sample).",
+)
+def t33(spark, sf_dir):
+    from .operators.text import mix_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return mix_sample(d, _mix_weights(), salt="mix").orderBy("source")
 
 
 # Driver-window rotation (r5, VERDICT r4 #8): the driver verifies the

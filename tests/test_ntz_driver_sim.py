@@ -20,7 +20,9 @@ from cowsdb_spark.queries import registry
 
 REG = registry()
 
-FORMERLY_FAILING = ["t15_sessionize_batch", "t21_window_funnel", "t22_sequence_match"]
+# r7: t21/t22 were absorbed into t20_retention, which now carries the
+# windowFunnel + sequenceMatch legs (the NTZ-sensitive ts arithmetic).
+FORMERLY_FAILING = ["t15_sessionize_batch", "t20_retention"]
 
 
 def _canon(rows, cols):

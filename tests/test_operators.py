@@ -1022,3 +1022,96 @@ class TestFuzzyContamination:
         row = corpus_stats(empty).collect()[0]
         assert row.n_docs == 0 and row.vocab_size == 0
         assert fuzzy_contamination(empty, empty).collect() == []
+
+
+class TestDupNgramCoverage:
+    def test_cross_doc_duplicated_bigram(self, spark):
+        # bigram "xx yy" appears in docs 0 and 1; "a b"/"c d" are unique
+        d = spark.createDataFrame(
+            [(0, "xx yy a b"), (1, "xx yy c d"), (2, "p q r s")],
+            "doc_id long, text string",
+        )
+        from cowsdb_spark.operators.text import dup_ngram_coverage
+
+        out = {
+            r.doc_id: r for r in dup_ngram_coverage(d, n=2, min_docs=2).collect()
+        }
+        # doc0: 3 bigrams, 1 duplicated ("xx yy"), tokens covered = 2/4
+        assert out[0].n_grams == 3 and out[0].n_dup_grams == 1
+        assert out[0].dup_gram_frac == 0.3333 and out[0].dup_token_frac == 0.5
+        assert out[1].n_dup_grams == 1
+        assert out[2].n_dup_grams == 0 and out[2].dup_token_frac == 0.0
+
+    def test_overlapping_dup_grams_cover_union(self, spark):
+        # "xx yy zz" shared: doc0 bigrams [xx yy][yy zz] both duplicated,
+        # covering the union {1,2,3} of positions -> 3/4 tokens
+        d = spark.createDataFrame(
+            [(0, "xx yy zz a"), (1, "xx yy zz b")],
+            "doc_id long, text string",
+        )
+        from cowsdb_spark.operators.text import dup_ngram_coverage
+
+        out = {
+            r.doc_id: r for r in dup_ngram_coverage(d, n=2, min_docs=2).collect()
+        }
+        assert out[0].n_dup_grams == 2 and out[0].dup_token_frac == 0.75
+
+    def test_within_doc_repeat_not_duplicated(self, spark):
+        # "xx yy" twice in ONE doc: distinct-doc count is 1 -> not dup
+        d = spark.createDataFrame(
+            [(0, "xx yy xx yy"), (1, "p q r s")],
+            "doc_id long, text string",
+        )
+        from cowsdb_spark.operators.text import dup_ngram_coverage
+
+        out = {
+            r.doc_id: r for r in dup_ngram_coverage(d, n=2, min_docs=2).collect()
+        }
+        assert out[0].n_dup_grams == 0
+
+
+class TestMixSample:
+    def test_rates_and_split_are_deterministic(self, spark):
+        rows = [(i, "w " * 20, "a" if i % 2 == 0 else "b") for i in range(200)]
+        d = spark.createDataFrame(
+            [(i, t.strip(), s) for i, t, s in rows],
+            "doc_id long, text string, source string",
+        )
+        from cowsdb_spark.operators.text import mix_sample
+
+        w = {"a": 1.0, "b": 0.0}
+        out = {r.source: r for r in mix_sample(d, w).collect()}
+        assert out["a"].n_kept == out["a"].n_total == 100
+        assert out["b"].n_kept == 0
+        # split partitions the kept set exactly
+        assert (
+            out["a"].n_train + out["a"].n_val + out["a"].n_test
+            == out["a"].n_kept
+        )
+        assert out["a"].kept_tokens == 100 * 20
+        # same inputs -> identical result (no RNG state)
+        again = {r.source: r for r in mix_sample(d, w).collect()}
+        assert {k: tuple(v) for k, v in out.items()} == {
+            k: tuple(v) for k, v in again.items()
+        }
+
+    def test_unlisted_source_keeps_everything(self, spark):
+        d = spark.createDataFrame(
+            [(1, "x y", "solo")], "doc_id long, text string, source string"
+        )
+        from cowsdb_spark.operators.text import mix_sample
+
+        r = mix_sample(d, {"other": 0.5}).collect()[0]
+        assert r.n_kept == 1 and r.kept_tokens == 2
+
+    def test_half_rate_is_plausible_and_salted(self, spark):
+        d = spark.createDataFrame(
+            [(i, "w", "s") for i in range(2000)],
+            "doc_id long, text string, source string",
+        )
+        from cowsdb_spark.operators.text import mix_sample
+
+        half = mix_sample(d, {"s": 0.5}).collect()[0]
+        assert 850 <= half.n_kept <= 1150  # md5 uniform, 2000 draws
+        other_salt = mix_sample(d, {"s": 0.5}, salt="other").collect()[0]
+        assert other_salt.n_kept != half.n_kept  # salt changes the draw
