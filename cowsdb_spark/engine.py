@@ -1235,6 +1235,21 @@ class Engine:
             if early is not None:
                 return early, "static"
         df = self.spark.sql(prepared)
+        if "DISTINCT" in prepared.upper():
+            # DISTINCT agg + string MIN/MAX in one GROUP BY forces a
+            # 3-level SortAggregate pipeline sorted on the near-unique
+            # (keys, distinct_col) pair; split the two families into
+            # joined passes so each gets its best physical operator
+            # (plans/agg_split.py — conservative shape match, falls
+            # back to the original plan on any analysis error).
+            try:
+                from .plans.agg_split import maybe_split_distinct_minmax
+
+                split = maybe_split_distinct_minmax(prepared, df.schema)
+                if split is not None:
+                    df = self.spark.sql(split)
+            except Exception:
+                pass
         try:
             if self.spark.conf.get("spark.sql.adaptive.enabled") != "true":
                 return df, "plain"

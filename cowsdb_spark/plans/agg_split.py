@@ -1,0 +1,312 @@
+"""Split DISTINCT + string-MIN/MAX aggregates into two joined passes.
+
+Spark's HashAggregateExec requires every aggregation-buffer field to
+be an UnsafeRow-mutable (fixed-width) type; a ``MIN(string_col)``
+buffer is a string, so any aggregate containing one falls back to
+SortAggregateExec.  On its own that is tolerable (one sort keyed on
+the group-by columns).  Combined with a DISTINCT aggregate it is a
+disaster: Spark plans the single-distinct rewrite as THREE stacked
+aggregates — partial on (group_keys, distinct_col), merge, final —
+and because the string MIN rides in the buffer, every level is a
+SortAggregate, so the filtered data is sorted on the near-unique
+(group_keys, distinct_col) pair and resorted after the exchange
+(ClickBench Q22 shape: 11.9 s vs 4.1 s at 100M rows, measured in
+tools/probe_cb22_r7.py).
+
+The rewrite: compute the non-distinct aggregates and the distinct
+aggregates in two separate GROUP BY subqueries over the same base
+relation and join them null-safely on the group keys.  Each side then
+gets its best physical operator — the string-MIN side a single
+SortAggregate keyed on the (low-cardinality) group keys only, the
+distinct side a pure fixed-width HashAggregate pipeline.  The two
+scans this costs are columnar-pruned differently and together read
+less than the one scan's sort pipeline wrote to shuffle.
+
+This is a *conservative, text-level* pass over the translated Spark
+SQL: it fires only on a shape it can parse completely —
+
+    SELECT items FROM single_table [WHERE ...] GROUP BY keys
+    [ORDER BY ...] [LIMIT n [OFFSET m]]
+
+with no subqueries, set operations, HAVING, windows, DISTINCT
+projection, ROLLUP/CUBE/GROUPING SETS, or nondeterministic functions;
+every aggregate item must carry an explicit alias.  Anything else
+returns ``None`` and the caller keeps the original plan.  The caller
+additionally gates on the original DataFrame's schema (the min/max
+output type IS the argument type) so numeric min/max — which
+hash-aggregates fine in one pass — never pays the extra scan, and
+re-analyzes the rewritten text, falling back if Spark rejects it.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+from ..dialect.tokenizer import Tok, tokenize
+
+# Clause keywords that may follow the FROM clause at top level, in
+# statement order. Anything top-level not in this set → bail.
+_CLAUSES = ("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET")
+
+# Shapes we must never touch (top-level occurrence → bail).
+_BAIL_WORDS = {
+    "UNION", "INTERSECT", "EXCEPT", "JOIN", "HAVING", "QUALIFY",
+    "WINDOW", "DISTRIBUTE", "SORT", "CLUSTER", "LATERAL", "PIVOT",
+    "UNPIVOT", "TABLESAMPLE", "ROLLUP", "CUBE", "GROUPING",
+}
+
+_NONDETERMINISTIC = re.compile(
+    r"\b(rand|randn|random|uuid|monotonically_increasing_id|"
+    r"shuffle|current_timestamp|now)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _sig(toks: list[Tok]) -> list[int]:
+    return [i for i, t in enumerate(toks) if t.kind not in ("ws", "comment")]
+
+
+def _norm(expr: str) -> str:
+    """Whitespace/case-insensitive comparison key for expression text."""
+    return re.sub(r"\s+", " ", expr).strip().lower()
+
+
+def _depth_delta(t: Tok) -> int:
+    """Paren-depth contribution of one token. Only operator tokens can
+    open/close groups — parens inside string literals, quoted
+    identifiers, or comments must not count."""
+    if t.kind != "op":
+        return 0
+    return t.text.count("(") + t.text.count("[") - t.text.count(")") - t.text.count("]")
+
+
+def _split_alias(item: str) -> tuple[str, Optional[str]]:
+    """Split a select item into (expression text, explicit AS alias)."""
+    toks = tokenize(item)
+    sig = _sig(toks)
+    depth = 0
+    for pos, i in enumerate(sig):
+        t = toks[i]
+        depth += _depth_delta(t)
+        if depth == 0 and t.kind == "ident" and t.upper == "AS" and pos == len(sig) - 2:
+            tail = toks[sig[pos + 1]]
+            if tail.kind in ("ident", "bquote", "dquote"):
+                expr = "".join(x.text for x in toks[: i]).strip()
+                return expr, tail.text.strip('`"')
+    return item.strip(), None
+
+
+def _has_top_level_distinct(item: str) -> Optional[bool]:
+    """True if the item contains a DISTINCT aggregate, None (= bail)
+    if it mixes distinct and non-distinct aggregate calls."""
+    up = " " + re.sub(r"\s+", " ", item).upper() + " "
+    has_distinct = "(DISTINCT " in up or "( DISTINCT " in up
+    if not has_distinct:
+        return False
+    # count aggregate-looking calls: a distinct item must be ONLY
+    # distinct calls (an expression mixing both can't be split)
+    calls = re.findall(r"\b([A-Za-z_][A-Za-z_0-9]*)\s*\(", item)
+    agg_calls = [
+        c for c in calls
+        if c.upper() in ("COUNT", "SUM", "AVG", "MIN", "MAX", "COLLECT_SET")
+    ]
+    distinct_calls = len(re.findall(r"\(\s*DISTINCT\b", item, re.IGNORECASE))
+    if len(agg_calls) != distinct_calls:
+        return None
+    return True
+
+
+def _minmax_positions(items: list[str]) -> list[int]:
+    """Indices of items whose outermost call is MIN( or MAX(."""
+    out = []
+    for i, it in enumerate(items):
+        if re.match(r"\s*(MIN|MAX)\s*\(", it, re.IGNORECASE):
+            out.append(i)
+    return out
+
+
+def parse_single_groupby(sql: str) -> Optional[dict]:
+    """Parse the restricted single-block GROUP BY shape; None → bail."""
+    if _NONDETERMINISTIC.search(sql):
+        return None
+    toks = tokenize(sql)
+    sig = _sig(toks)
+    if not sig or toks[sig[0]].upper != "SELECT":
+        return None
+    # no subqueries anywhere (cheap global check)
+    if sum(1 for i in sig if toks[i].upper == "SELECT") > 1:
+        return None
+    # locate top-level clause boundaries
+    depth = 0
+    bounds: list[tuple[str, int]] = []  # (clause, sig position)
+    for pos, i in enumerate(sig):
+        t = toks[i]
+        depth += _depth_delta(t)
+        if depth != 0 or t.kind != "ident":
+            continue
+        u = t.upper
+        if pos > 0 and u in _BAIL_WORDS:
+            return None
+        if pos > 0 and u in ("FROM",) + _CLAUSES:
+            bounds.append((u, pos))
+    names = [b[0] for b in bounds]
+    if "FROM" not in names or "GROUP" not in names:
+        return None
+    if names.count("FROM") != 1 or names.count("GROUP") != 1:
+        return None
+    # clauses must appear in canonical order
+    order = {"FROM": 0, "WHERE": 1, "GROUP": 2, "ORDER": 3, "LIMIT": 4,
+             "OFFSET": 5}
+    seq = [order[n] for n in names]
+    if seq != sorted(seq):
+        return None
+
+    def clause_text(idx: int) -> str:
+        start_pos = bounds[idx][1]
+        end_pos = bounds[idx + 1][1] if idx + 1 < len(bounds) else len(sig)
+        lo, hi = sig[start_pos], (sig[end_pos] if end_pos < len(sig) else len(toks))
+        return "".join(t.text for t in toks[lo:hi]).strip()
+
+    select_text = "".join(
+        t.text for t in toks[sig[1]: sig[bounds[0][1]]]
+    ).strip()
+    if re.match(r"\s*DISTINCT\b", select_text, re.IGNORECASE):
+        return None
+    parts = {n: clause_text(i) for i, (n, _) in enumerate(bounds)}
+    from_body = re.sub(r"^FROM\b", "", parts["FROM"], flags=re.IGNORECASE).strip()
+    # single relation: dotted identifier only (no parens/commas/space-alias)
+    if not re.fullmatch(
+        r"(`[^`]+`|[A-Za-z_][\w]*)(\.(`[^`]+`|[A-Za-z_][\w]*)){0,2}", from_body
+    ):
+        return None
+    where_body = None
+    if "WHERE" in parts:
+        where_body = re.sub(r"^WHERE\b", "", parts["WHERE"], flags=re.IGNORECASE).strip()
+    group_body = re.sub(
+        r"^GROUP\s+BY\b", "", parts["GROUP"], flags=re.IGNORECASE
+    ).strip()
+    if not group_body:
+        return None
+    tail = ""
+    for n in ("ORDER", "LIMIT", "OFFSET"):
+        if n in parts:
+            tail += " " + parts[n]
+    items = _split_top(select_text)
+    keys = _split_top(group_body)
+    if not items or not keys:
+        return None
+    return {
+        "items": items,
+        "from": from_body,
+        "where": where_body,
+        "keys": keys,
+        "tail": tail.strip(),
+    }
+
+
+def _split_top(s: str) -> list[str]:
+    """Top-level comma split, paren depth tracked token-wise so commas
+    and parens inside string literals never count."""
+    parts, depth, cur = [], 0, []
+    for t in tokenize(s):
+        if t.kind == "op" and t.text == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+            continue
+        depth += _depth_delta(t)
+        cur.append(t.text)
+    if cur:
+        parts.append("".join(cur).strip())
+    return [p for p in parts if p]
+
+
+def maybe_split_distinct_minmax(sql: str, schema) -> Optional[str]:
+    """Return the split rewrite of ``sql``, or None if the shape does
+    not match or would not benefit.  ``schema`` is the ORIGINAL
+    query's resolved schema (select items map 1:1 to its fields); the
+    rewrite fires only when some top-level MIN/MAX item's output type
+    is non-fixed-width (string/binary/complex) — the SortAggregate
+    trigger — alongside at least one DISTINCT aggregate item.
+    """
+    p = parse_single_groupby(sql)
+    if p is None:
+        return None
+    items = p["items"]
+    if len(schema) != len(items):
+        return None
+    # resolve GROUP BY ordinals to select-item expressions
+    keys = []
+    for k in p["keys"]:
+        if re.fullmatch(r"\d+", k):
+            idx = int(k) - 1
+            if not 0 <= idx < len(items):
+                return None
+            keys.append(_split_alias(items[idx])[0])
+        else:
+            keys.append(k)
+    key_norms = {_norm(k) for k in keys}
+
+    # classify select items
+    key_items: dict[int, tuple[str, str]] = {}      # pos -> (keyexpr, outname)
+    nd_items: dict[int, tuple[str, str]] = {}       # pos -> (expr, alias)
+    d_items: dict[int, tuple[str, str]] = {}
+    for i, it in enumerate(items):
+        expr, alias = _split_alias(it)
+        if _norm(expr) in key_norms:
+            name = alias or (expr.split(".")[-1].strip("`\" "))
+            if not re.fullmatch(r"[\w]+", name) and not alias:
+                return None  # unaliased expression key: unclear output name
+            key_items[i] = (expr, name)
+            continue
+        isdist = _has_top_level_distinct(it)
+        if isdist is None:
+            return None
+        if "(" not in expr:
+            return None  # non-key, non-call item: not our shape
+        if " over " in expr.lower():
+            return None  # window function
+        if alias is None:
+            return None  # aggregate without explicit alias
+        (d_items if isdist else nd_items)[i] = (expr, alias)
+    if not d_items or not nd_items:
+        return None
+    # the benefit gate: a string-ish MIN/MAX among the non-distinct items
+    minmax = [
+        i for i in nd_items
+        if re.match(r"\s*(MIN|MAX)\s*\(", items[i], re.IGNORECASE)
+    ]
+    if not minmax:
+        return None
+    from pyspark.sql import types as T
+
+    fixed = (
+        T.BooleanType, T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType, T.DateType, T.TimestampType,
+        T.TimestampNTZType, T.DecimalType,
+    )
+    if not any(not isinstance(schema[i].dataType, fixed) for i in minmax):
+        return None
+
+    base = p["from"] + (f" WHERE {p['where']}" if p["where"] else "")
+    key_sel = ", ".join(f"{k} AS __k{j}" for j, k in enumerate(keys))
+    group_by = ", ".join(keys)
+    m_aggs = ", ".join(f"{e} AS `{a}`" for e, a in nd_items.values())
+    d_aggs = ", ".join(f"{e} AS `{a}`" for e, a in d_items.values())
+    join_on = " AND ".join(f"__m.__k{j} <=> __d.__k{j}" for j in range(len(keys)))
+    outer = []
+    for i in range(len(items)):
+        if i in key_items:
+            kexpr, name = key_items[i]
+            j = next(j for j, k in enumerate(keys) if _norm(k) == _norm(kexpr))
+            outer.append(f"__m.__k{j} AS `{name}`")
+        elif i in nd_items:
+            outer.append(f"__m.`{nd_items[i][1]}`")
+        else:
+            outer.append(f"__d.`{d_items[i][1]}`")
+    return (
+        f"SELECT {', '.join(outer)} FROM "
+        f"(SELECT {key_sel}, {m_aggs} FROM {base} GROUP BY {group_by}) __m "
+        f"JOIN (SELECT {key_sel}, {d_aggs} FROM {base} GROUP BY {group_by}) __d "
+        f"ON {join_on} {p['tail']}".strip()
+    )

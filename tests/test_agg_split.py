@@ -1,0 +1,139 @@
+"""The DISTINCT + string-MIN/MAX aggregate splitter (plans/agg_split.py).
+
+Shape gates, semantics (incl. NULL group keys through the null-safe
+join), and the engine integration's fall-back contract.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cowsdb_spark.plans.agg_split import (
+    maybe_split_distinct_minmax,
+    parse_single_groupby,
+)
+
+CB22 = (
+    "SELECT SearchPhrase, MIN(URL) AS mu, MIN(Title) AS mt, COUNT(*) AS c, "
+    "COUNT(DISTINCT UserID) AS u FROM hits WHERE Title LIKE '%the%' "
+    "AND URL NOT LIKE '%.google.%' AND SearchPhrase <> '' "
+    "GROUP BY SearchPhrase ORDER BY c DESC, SearchPhrase LIMIT 10"
+)
+
+
+@pytest.fixture(scope="module")
+def t(spark):
+    rows = [
+        ("a", "u1", 1, "mm"),
+        ("a", "u2", 2, "zz"),
+        ("b", "u1", 3, "aa"),
+        (None, "u3", 4, "qq"),  # NULL group key must survive the join
+        (None, "u3", 5, "pp"),
+    ]
+    df = spark.createDataFrame(rows, "k string, s string, n long, v string")
+    df.createOrReplaceTempView("agg_split_t")
+    return df
+
+
+class TestShapeGates:
+    def test_fires_on_cb22_shape(self, spark):
+        spark.sql("SELECT 1").collect()  # session alive
+        schema = spark.sql(
+            "SELECT 'x' AS SearchPhrase, 'u' AS mu, 't' AS mt, "
+            "CAST(1 AS BIGINT) AS c, CAST(1 AS BIGINT) AS u"
+        ).schema
+        out = maybe_split_distinct_minmax(CB22, schema)
+        assert out is not None and "<=>" in out and out.count("GROUP BY") == 2
+
+    def test_bails_without_distinct(self, spark, t):
+        sql = (
+            "SELECT k, MIN(v) AS mv, COUNT(*) AS c FROM agg_split_t "
+            "GROUP BY k"
+        )
+        assert maybe_split_distinct_minmax(sql, spark.sql(sql).schema) is None
+
+    def test_bails_without_minmax(self, spark, t):
+        sql = (
+            "SELECT k, COUNT(*) AS c, COUNT(DISTINCT s) AS u "
+            "FROM agg_split_t GROUP BY k"
+        )
+        assert maybe_split_distinct_minmax(sql, spark.sql(sql).schema) is None
+
+    def test_bails_on_numeric_minmax(self, spark, t):
+        sql = (
+            "SELECT k, MIN(n) AS mn, COUNT(DISTINCT s) AS u "
+            "FROM agg_split_t GROUP BY k"
+        )
+        assert maybe_split_distinct_minmax(sql, spark.sql(sql).schema) is None
+
+    def test_bails_on_having_subquery_window(self):
+        assert parse_single_groupby(
+            "SELECT k, MIN(v) AS m, COUNT(DISTINCT s) AS u FROM t "
+            "GROUP BY k HAVING COUNT(*) > 1"
+        ) is None
+        assert parse_single_groupby(
+            "SELECT k, MIN(v) AS m FROM (SELECT * FROM t) x GROUP BY k"
+        ) is None
+        assert parse_single_groupby(
+            "SELECT k, MIN(v) AS m FROM a JOIN b ON a.k = b.k GROUP BY k"
+        ) is None
+
+    def test_bails_on_unaliased_aggregate(self, spark, t):
+        sql = (
+            "SELECT k, MIN(v), COUNT(DISTINCT s) AS u "
+            "FROM agg_split_t GROUP BY k"
+        )
+        assert maybe_split_distinct_minmax(sql, spark.sql(sql).schema) is None
+
+    def test_string_literal_parens_do_not_confuse(self, spark, t):
+        # a '(' inside a literal must not corrupt clause detection
+        sql = (
+            "SELECT k, MIN(v) AS mv, COUNT(DISTINCT s) AS u "
+            "FROM agg_split_t WHERE v <> '(from group' GROUP BY k"
+        )
+        out = maybe_split_distinct_minmax(sql, spark.sql(sql).schema)
+        assert out is not None and out.count("'(from group'") == 2
+
+
+class TestSemantics:
+    def test_null_group_key_survives(self, spark, t):
+        sql = (
+            "SELECT k, MIN(v) AS mv, COUNT(*) AS c, COUNT(DISTINCT s) AS u "
+            "FROM agg_split_t GROUP BY k ORDER BY k"
+        )
+        base = spark.sql(sql)
+        out = maybe_split_distinct_minmax(sql, base.schema)
+        assert out is not None
+        got = spark.sql(out)
+        assert got.columns == base.columns
+        assert sorted(map(tuple, got.collect()), key=str) == sorted(
+            map(tuple, base.collect()), key=str
+        )
+
+    def test_multi_key_and_ordinal(self, spark, t):
+        sql = (
+            "SELECT k, s, MIN(v) AS mv, COUNT(DISTINCT n) AS u "
+            "FROM agg_split_t GROUP BY 1, s ORDER BY k, s"
+        )
+        base = spark.sql(sql)
+        out = maybe_split_distinct_minmax(sql, base.schema)
+        assert out is not None
+        got = spark.sql(out)
+        assert got.columns == base.columns
+        assert sorted(map(tuple, got.collect()), key=str) == sorted(
+            map(tuple, base.collect()), key=str
+        )
+
+
+class TestEngineIntegration:
+    def test_cb22_through_engine_matches_and_joins(self, spark, eng=None):
+        from cowsdb_spark.engine import Engine
+
+        spark.read.parquet("tests/fixtures/hits_sample.parquet") \
+            .createOrReplaceTempView("hits")
+        eng = Engine(spark)
+        df = eng.execute_to_df(CB22)[0]
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Join" in plan  # the split actually engaged
+        base = [tuple(r) for r in spark.sql(CB22).collect()]
+        assert [tuple(r) for r in df.collect()] == base
