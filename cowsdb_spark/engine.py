@@ -1235,21 +1235,38 @@ class Engine:
             if early is not None:
                 return early, "static"
         df = self.spark.sql(prepared)
-        if "DISTINCT" in prepared.upper():
-            # DISTINCT agg + string MIN/MAX in one GROUP BY forces a
-            # 3-level SortAggregate pipeline sorted on the near-unique
-            # (keys, distinct_col) pair; split the two families into
-            # joined passes so each gets its best physical operator
-            # (plans/agg_split.py — conservative shape match, falls
-            # back to the original plan on any analysis error).
+        up = prepared.upper()
+        if "GROUP" in up:
+            # Aggregate-shape rewrites (plans/agg_split.py; both are
+            # conservative single-block shape matches that fall back
+            # to the original plan on any analysis error):
+            # 1. drop GROUP BY keys that are deterministic expressions
+            #    over the remaining simple keys (grouping by (k, f(k))
+            #    ≡ grouping by (k); narrower shuffle rows, fewer
+            #    hashed exprs — ClickBench Q35 shape);
+            # 2. split DISTINCT agg + string MIN/MAX into two joined
+            #    passes: together they force a 3-level SortAggregate
+            #    pipeline sorted on the near-unique (keys,
+            #    distinct_col) pair; apart, the string side sorts on
+            #    the low-cardinality keys only and the distinct side
+            #    stays a fixed-width HashAggregate (Q22 shape).
+            df0 = df
             try:
-                from .plans.agg_split import maybe_split_distinct_minmax
+                from .plans.agg_split import (
+                    maybe_split_distinct_minmax,
+                    reduce_group_keys,
+                )
 
-                split = maybe_split_distinct_minmax(prepared, df.schema)
-                if split is not None:
-                    df = self.spark.sql(split)
+                work = prepared
+                red = reduce_group_keys(work)
+                if red is not None:
+                    df, work = self.spark.sql(red), red
+                if "DISTINCT" in up:
+                    split = maybe_split_distinct_minmax(work, df.schema)
+                    if split is not None:
+                        df = self.spark.sql(split)
             except Exception:
-                pass
+                df = df0
         try:
             if self.spark.conf.get("spark.sql.adaptive.enabled") != "true":
                 return df, "plain"

@@ -262,12 +262,13 @@ def maybe_split_distinct_minmax(sql: str, schema) -> Optional[str]:
         isdist = _has_top_level_distinct(it)
         if isdist is None:
             return None
-        if "(" not in expr:
-            return None  # non-key, non-call item: not our shape
         if " over " in expr.lower():
             return None  # window function
         if alias is None:
-            return None  # aggregate without explicit alias
+            return None  # non-key item without an explicit alias
+        # anything non-distinct goes to __m: the original query
+        # analyzed, so every item is an aggregate or an expression
+        # over group keys — both valid under __m's identical GROUP BY
         (d_items if isdist else nd_items)[i] = (expr, alias)
     if not d_items or not nd_items:
         return None
@@ -309,4 +310,95 @@ def maybe_split_distinct_minmax(sql: str, schema) -> Optional[str]:
         f"(SELECT {key_sel}, {m_aggs} FROM {base} GROUP BY {group_by}) __m "
         f"JOIN (SELECT {key_sel}, {d_aggs} FROM {base} GROUP BY {group_by}) __d "
         f"ON {join_on} {p['tail']}".strip()
+    )
+
+
+# Spark keywords that can appear as bare idents inside expressions and
+# must not be mistaken for column references.
+_EXPR_KEYWORDS = {
+    "AND", "OR", "NOT", "IN", "IS", "NULL", "TRUE", "FALSE", "LIKE",
+    "RLIKE", "ILIKE", "BETWEEN", "CASE", "WHEN", "THEN", "ELSE", "END",
+    "CAST", "AS", "DISTINCT", "INTERVAL", "DIV", "ESCAPE",
+}
+
+
+def _referenced_columns(expr: str) -> Optional[set]:
+    """Bare column identifiers referenced by the expression, lowercase.
+    None → the expression is not safely analyzable (subquery present).
+    Function names (ident immediately followed by '(') don't count."""
+    toks = tokenize(expr)
+    sig = _sig(toks)
+    cols: set = set()
+    for pos, i in enumerate(sig):
+        t = toks[i]
+        if t.kind == "bquote":
+            cols.add(t.text.strip("`").lower())
+            continue
+        if t.kind != "ident":
+            continue
+        u = t.upper
+        if u == "SELECT":
+            return None
+        if u in _EXPR_KEYWORDS:
+            continue
+        nxt = toks[sig[pos + 1]] if pos + 1 < len(sig) else None
+        if nxt is not None and nxt.kind == "op" and nxt.text.startswith("("):
+            continue  # function call
+        prev = toks[sig[pos - 1]] if pos > 0 else None
+        if prev is not None and prev.kind == "op" and prev.text.endswith("."):
+            continue  # qualified tail handled with its qualifier
+        cols.add(t.text.lower())
+    return cols
+
+
+def reduce_group_keys(sql: str) -> Optional[str]:
+    """Drop GROUP BY keys that are deterministic expressions over the
+    remaining simple-column keys.  Grouping by (k, f(k)) produces
+    exactly the groups of (k) for ANY deterministic f — the derived
+    key is constant within each group — so dropping it never changes
+    results, while the shuffle rows shrink and the hash covers fewer
+    expressions (ClickBench Q35 groups by ClientIP and three
+    ClientIP-minus-constant echoes: 4 longs hashed and carried where
+    1 suffices).  Select items are untouched: an expression over
+    group-by columns is valid post-aggregation in Spark.
+
+    Same conservative contract as the splitter: restricted shape only,
+    None when nothing changes, caller re-analyzes and falls back.
+    """
+    p = parse_single_groupby(sql)
+    if p is None:
+        return None
+    items = p["items"]
+    keys = []
+    for k in p["keys"]:
+        if re.fullmatch(r"\d+", k):
+            idx = int(k) - 1
+            if not 0 <= idx < len(items):
+                return None
+            keys.append(_split_alias(items[idx])[0])
+        else:
+            keys.append(k)
+    simple = {
+        _norm(k)
+        for k in keys
+        if re.fullmatch(r"(`[^`]+`|[A-Za-z_]\w*)", k.strip())
+    }
+    if not simple:
+        return None
+    kept, dropped = [], 0
+    for k in keys:
+        if _norm(k) in simple:
+            kept.append(k)
+            continue
+        refs = _referenced_columns(k)
+        if refs is not None and refs and refs <= {s.strip("`") for s in simple}:
+            dropped += 1  # deterministic expr over retained keys
+            continue
+        kept.append(k)
+    if not dropped or not kept:
+        return None
+    base = p["from"] + (f" WHERE {p['where']}" if p["where"] else "")
+    return (
+        f"SELECT {', '.join(items)} FROM {base} "
+        f"GROUP BY {', '.join(kept)} {p['tail']}".strip()
     )

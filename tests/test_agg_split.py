@@ -137,3 +137,63 @@ class TestEngineIntegration:
         assert "Join" in plan  # the split actually engaged
         base = [tuple(r) for r in spark.sql(CB22).collect()]
         assert [tuple(r) for r in df.collect()] == base
+
+
+class TestReduceGroupKeys:
+    def test_drops_derived_keys(self):
+        from cowsdb_spark.plans.agg_split import reduce_group_keys
+
+        sql = (
+            "SELECT ClientIP, ClientIP - 1 AS m1, COUNT(*) AS c FROM hits "
+            "GROUP BY ClientIP, ClientIP - 1 ORDER BY c DESC LIMIT 10"
+        )
+        out = reduce_group_keys(sql)
+        assert out is not None
+        assert "GROUP BY ClientIP ORDER" in out and "- 1 AS m1" in out
+
+    def test_keeps_keys_with_foreign_refs(self):
+        from cowsdb_spark.plans.agg_split import reduce_group_keys
+
+        # extract() references EventTime, which is not a retained key
+        sql = (
+            "SELECT UserID, extract(minute FROM EventTime) AS m, COUNT(*) AS c "
+            "FROM hits GROUP BY UserID, extract(minute FROM EventTime)"
+        )
+        assert reduce_group_keys(sql) is None
+
+    def test_cb35_through_engine_matches(self, spark):
+        from cowsdb_spark.engine import Engine
+
+        spark.read.parquet("tests/fixtures/hits_sample.parquet") \
+            .createOrReplaceTempView("hits")
+        eng = Engine(spark)
+        sql = (
+            "SELECT ClientIP, ClientIP - 1 AS m1, ClientIP - 2 AS m2, "
+            "ClientIP - 3 AS m3, COUNT(*) AS c FROM hits GROUP BY ClientIP, "
+            "ClientIP - 1, ClientIP - 2, ClientIP - 3 "
+            "ORDER BY c DESC, ClientIP LIMIT 10"
+        )
+        df = eng.execute_to_df(sql)[0]
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # grouping runs on ClientIP alone
+        assert "hashpartitioning(ClientIP" in plan
+        assert "ClientIP - 1" not in plan.split("Exchange")[1].split("\n")[0]
+        base = [tuple(r) for r in spark.sql(sql).collect()]
+        assert [tuple(r) for r in df.collect()] == base
+
+    def test_reduced_plus_split_compose(self, spark):
+        from cowsdb_spark.engine import Engine
+
+        spark.read.parquet("tests/fixtures/hits_sample.parquet") \
+            .createOrReplaceTempView("hits")
+        eng = Engine(spark)
+        sql = (
+            "SELECT ClientIP, ClientIP - 1 AS m1, MIN(Title) AS mt, "
+            "COUNT(DISTINCT UserID) AS u FROM hits "
+            "GROUP BY ClientIP, ClientIP - 1 ORDER BY u DESC, ClientIP LIMIT 5"
+        )
+        df = eng.execute_to_df(sql)[0]
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Join" in plan
+        base = [tuple(r) for r in spark.sql(sql).collect()]
+        assert [tuple(r) for r in df.collect()] == base
