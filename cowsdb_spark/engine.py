@@ -1240,16 +1240,20 @@ class Engine:
             # Aggregate-shape rewrites (plans/agg_split.py; both are
             # conservative single-block shape matches that fall back
             # to the original plan on any analysis error):
-            # 1. drop GROUP BY keys that are deterministic expressions
-            #    over the remaining simple keys (grouping by (k, f(k))
-            #    ≡ grouping by (k); narrower shuffle rows, fewer
-            #    hashed exprs — ClickBench Q35 shape);
-            # 2. split DISTINCT agg + string MIN/MAX into two joined
-            #    passes: together they force a 3-level SortAggregate
-            #    pipeline sorted on the near-unique (keys,
-            #    distinct_col) pair; apart, the string side sorts on
-            #    the low-cardinality keys only and the distinct side
-            #    stays a fixed-width HashAggregate (Q22 shape).
+            # 1. ON by default — drop GROUP BY keys that are
+            #    deterministic expressions over the remaining simple
+            #    keys (grouping by (k, f(k)) ≡ grouping by (k);
+            #    narrower shuffle rows, fewer hashed exprs — cb35
+            #    14.5 → 10.9 s at 100M, PROBE_AGGSPLIT_100M.json);
+            # 2. OPT-IN (MOOSPARK_AGG_SPLIT=1) — split DISTINCT agg +
+            #    string MIN/MAX into two joined passes. Measured and
+            #    REJECTED as a default at 100M: cb22's filter passes
+            #    ~1.3% of rows, so the single SortAggregate pipeline
+            #    costs less than the second scan of the wide string
+            #    columns (2.2 s single-pass vs 4.3 s split, same
+            #    artifact). It pays only when the post-filter row
+            #    count rivals the scan, so it stays available for
+            #    high-selectivity workloads rather than default-on.
             df0 = df
             try:
                 from .plans.agg_split import (
@@ -1261,7 +1265,9 @@ class Engine:
                 red = reduce_group_keys(work)
                 if red is not None:
                     df, work = self.spark.sql(red), red
-                if "DISTINCT" in up:
+                if "DISTINCT" in up and os.environ.get(
+                    "MOOSPARK_AGG_SPLIT"
+                ) == "1":
                     split = maybe_split_distinct_minmax(work, df.schema)
                     if split is not None:
                         df = self.spark.sql(split)

@@ -10,17 +10,25 @@ aggregates — partial on (group_keys, distinct_col), merge, final —
 and because the string MIN rides in the buffer, every level is a
 SortAggregate, so the filtered data is sorted on the near-unique
 (group_keys, distinct_col) pair and resorted after the exchange
-(ClickBench Q22 shape: 11.9 s vs 4.1 s at 100M rows, measured in
-tools/probe_cb22_r7.py).
+(ClickBench Q22 shape).
 
-The rewrite: compute the non-distinct aggregates and the distinct
-aggregates in two separate GROUP BY subqueries over the same base
-relation and join them null-safely on the group keys.  Each side then
-gets its best physical operator — the string-MIN side a single
+The split rewrite computes the non-distinct aggregates and the
+distinct aggregates in two separate GROUP BY subqueries over the same
+base relation and joins them null-safely on the group keys, giving
+each side its best physical operator — the string-MIN side a single
 SortAggregate keyed on the (low-cardinality) group keys only, the
-distinct side a pure fixed-width HashAggregate pipeline.  The two
-scans this costs are columnar-pruned differently and together read
-less than the one scan's sort pipeline wrote to shuffle.
+distinct side a pure fixed-width HashAggregate pipeline.
+
+**Measured verdict at 100M (tools/probe_cb22_r7.py →
+PROBE_AGGSPLIT_100M.json): REJECTED as a default.** cb22's contains
+filters pass ~1.3% of rows, so the sort pipeline runs on ~1.3M rows
+and costs less than the rewrite's second scan of the wide Title/URL
+string columns: 2.2 s single-pass vs 4.3 s split (fresh-JVM
+interleaved medians). The split pays only when the post-filter row
+count rivals the scan cost, so the engine applies it under
+``MOOSPARK_AGG_SPLIT=1`` instead of by default — kept because the
+shape analysis is also what powers ``reduce_group_keys`` (which IS
+default-on: cb35 14.5 → 10.9 s in the same artifact).
 
 This is a *conservative, text-level* pass over the translated Spark
 SQL: it fires only on a shape it can parse completely —

@@ -126,7 +126,10 @@ class TestSemantics:
 
 
 class TestEngineIntegration:
-    def test_cb22_through_engine_matches_and_joins(self, spark, eng=None):
+    def test_split_is_opt_in_and_matches(self, spark, monkeypatch):
+        # default OFF: rejected at 100M (PROBE_AGGSPLIT_100M.json —
+        # cb22's 1.3%-selective filter makes the second scan cost more
+        # than the single SortAggregate pipeline it removes)
         from cowsdb_spark.engine import Engine
 
         spark.read.parquet("tests/fixtures/hits_sample.parquet") \
@@ -134,9 +137,16 @@ class TestEngineIntegration:
         eng = Engine(spark)
         df = eng.execute_to_df(CB22)[0]
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "Join" in plan  # the split actually engaged
+        assert "Join" not in plan
         base = [tuple(r) for r in spark.sql(CB22).collect()]
         assert [tuple(r) for r in df.collect()] == base
+        # opt-in ON: the split engages and still matches
+        monkeypatch.setenv("MOOSPARK_AGG_SPLIT", "1")
+        eng2 = Engine(spark)
+        df2 = eng2.execute_to_df(CB22)[0]
+        plan2 = df2._jdf.queryExecution().executedPlan().toString()
+        assert "Join" in plan2
+        assert [tuple(r) for r in df2.collect()] == base
 
 
 class TestReduceGroupKeys:
@@ -181,9 +191,10 @@ class TestReduceGroupKeys:
         base = [tuple(r) for r in spark.sql(sql).collect()]
         assert [tuple(r) for r in df.collect()] == base
 
-    def test_reduced_plus_split_compose(self, spark):
+    def test_reduced_plus_split_compose(self, spark, monkeypatch):
         from cowsdb_spark.engine import Engine
 
+        monkeypatch.setenv("MOOSPARK_AGG_SPLIT", "1")
         spark.read.parquet("tests/fixtures/hits_sample.parquet") \
             .createOrReplaceTempView("hits")
         eng = Engine(spark)
