@@ -698,10 +698,14 @@ def dup_ngram_coverage(
          groupBy(gram), both map-side-combinable; only grams that
          reach ``min_docs`` survive the filter, so the join back is
          a semi-shaped inner join on the gram text;
-      3. covered token positions union per doc — the dup-gram hits
-         explode into (doc, position) pairs, distinct, then ONE
-         count per doc. Positions are ints; document bodies never
-         travel after stage 1.
+      3. covered token positions per doc — the dup-gram hits reduce
+         to (doc, position) int pairs, ONE groupBy(doc) collects the
+         distinct positions (bounded by tokens/doc), and the interval
+         union |∪ [p, p+n-1]| is a closed-form fold over the sorted
+         array: Σ min(gap_to_next, n). No second explode, no global
+         distinct — on a worst-case corpus where every gram is
+         duplicated this is the difference between shuffling G rows
+         and n·G rows. Document bodies never travel after stage 1.
     At 100 TB stage 2 would key on xxhash64(gram) with the text
     dropped post-filter; here the gram text IS the key so a SQL
     oracle reproduces the pipeline exactly (same trade as
@@ -736,16 +740,28 @@ def dup_ngram_coverage(
         F.first("_ntok").alias("_ntok"),
     )
     dup_counts = hits.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_dup_grams"))
+    ps = F.array_sort(F.collect_set("_pos"))
     covered = (
-        hits.select(
-            F.col(id_col),
-            F.explode(F.sequence(F.col("_pos"), F.col("_pos") + F.lit(n - 1))).alias(
-                "_tp"
-            ),
-        )
-        .distinct()
+        hits.select(F.col(id_col), "_pos")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("_ncov"))
+        .agg(ps.alias("_ps"))
+        .select(
+            F.col(id_col),
+            F.aggregate(
+                F.transform(
+                    F.col("_ps"),
+                    lambda p, i: F.least(
+                        F.coalesce(
+                            F.element_at(F.col("_ps"), i + F.lit(2)) - p,
+                            F.lit(n),
+                        ),
+                        F.lit(n),
+                    ),
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).alias("_ncov"),
+        )
     )
     return (
         per_doc_grams.join(dup_counts, id_col, "left")

@@ -105,6 +105,34 @@ def main() -> None:
         ).count(),
     )
 
+    # 5. weighted mixture sampling + split (new r7): two salted-md5
+    # projections and ONE map-side-combinable agg on the synthetic
+    # source key — the artifact should show shuffle ~= bytes of the
+    # 20-row aggregate, i.e. effectively zero
+    from cowsdb_spark.operators.text import dup_ngram_coverage, mix_sample
+
+    srcd = docs.withColumn(
+        "source", F.concat(F.lit("src"), (F.col("doc_id") % 20).cast("string"))
+    )
+    weights = {f"src{i}": (0.8 if i % 2 == 0 else 0.35) for i in range(20)}
+    out["mix_kept"] = stage(
+        "mix_sample",
+        lambda: mix_sample(srcd, weights)
+        .agg(F.sum("n_kept")).collect()[0][0],
+    )
+
+    # 6. cross-doc duplicated n-gram coverage (new r7): the heavy one —
+    # positional 6-grams explode ~(tokens-5) rows/doc, the distinct-doc
+    # count and the join back are gram-keyed shuffles, the coverage
+    # union is (doc, int) pairs; per-stage shuffle bytes recorded so
+    # the linear-in-grams claim is checkable against the 1M point
+    out["dup_gram_docs"] = stage(
+        "dup_ngram_coverage",
+        lambda: dup_ngram_coverage(docs, n=6, min_docs=2)
+        .filter(F.col("n_dup_grams") > 0)
+        .count(),
+    )
+
     out["total_pipeline_s"] = round(
         sum(s["wall_s"] for s in out["stages"].values()), 1
     )
