@@ -680,6 +680,7 @@ def dup_ngram_coverage(
     text_col: str = "text",
     n: int = 6,
     min_docs: int = 2,
+    key: str = "text",
 ) -> DataFrame:
     """Cross-document duplicated n-gram coverage — the corpus-level
     counterpart of ``repetition_ratio``'s within-document signal and
@@ -706,10 +707,16 @@ def dup_ngram_coverage(
          distinct — on a worst-case corpus where every gram is
          duplicated this is the difference between shuffling G rows
          and n·G rows. Document bodies never travel after stage 1.
-    At 100 TB stage 2 would key on xxhash64(gram) with the text
-    dropped post-filter; here the gram text IS the key so a SQL
-    oracle reproduces the pipeline exactly (same trade as
-    ``chunk_dedup``).
+    ``key`` picks the gram key for stages 2-3: ``"text"`` keeps the
+    gram string (a SQL oracle reproduces the pipeline exactly — the
+    conformance lane), ``"hash"`` replaces it with xxhash64(gram)
+    right after tokenization, so every shuffle carries an 8-byte key
+    instead of ~n words of text — the 100 TB lane (measured at 10M
+    worst-case docs where EVERY gram is duplicated: 29.0 → 12.3 GB
+    shuffle, 641 → 461 s, BENCH_TEXT_10M.json; identical outputs).
+    Same 64-bit-fingerprint trade as
+    ``exact_dedup``'s documented fingerprint lane; a cross-doc
+    collision misclassifies one gram in ~2^64.
 
     Returns (id, n_grams, n_dup_grams, dup_gram_frac, dup_token_frac)
     for every document with at least one n-gram.
@@ -726,6 +733,8 @@ def dup_ngram_coverage(
             )
         ).alias("_pos", "_g"),
     )
+    if key == "hash":
+        grams = grams.withColumn("_g", F.xxhash64("_g"))
     dup = (
         grams.select("_g", id_col)
         .distinct()

@@ -1056,6 +1056,17 @@ class TestDupNgramCoverage:
         }
         assert out[0].n_dup_grams == 2 and out[0].dup_token_frac == 0.75
 
+    def test_hash_key_lane_matches_text_lane(self, spark):
+        d = spark.createDataFrame(
+            [(0, "xx yy zz a"), (1, "xx yy zz b"), (2, "p q r s")],
+            "doc_id long, text string",
+        )
+        from cowsdb_spark.operators.text import dup_ngram_coverage
+
+        t = sorted(map(tuple, dup_ngram_coverage(d, n=2).collect()))
+        h = sorted(map(tuple, dup_ngram_coverage(d, n=2, key="hash").collect()))
+        assert t == h
+
     def test_within_doc_repeat_not_duplicated(self, spark):
         # "xx yy" twice in ONE doc: distinct-doc count is 1 -> not dup
         d = spark.createDataFrame(

@@ -133,6 +133,16 @@ def main() -> None:
         .count(),
     )
 
+    # 6b. the same metric on the xxhash64 gram-key lane (the 100 TB
+    # path: 8-byte keys through stages 2-3 instead of ~n words of
+    # text; identical counts unless a 2^-64 collision fires)
+    out["dup_gram_docs_hashed"] = stage(
+        "dup_ngram_coverage_hashed",
+        lambda: dup_ngram_coverage(docs, n=6, min_docs=2, key="hash")
+        .filter(F.col("n_dup_grams") > 0)
+        .count(),
+    )
+
     out["total_pipeline_s"] = round(
         sum(s["wall_s"] for s in out["stages"].values()), 1
     )
