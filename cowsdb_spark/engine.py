@@ -1265,14 +1265,17 @@ class Engine:
                 red = reduce_group_keys(work)
                 if red is not None:
                     df, work = self.spark.sql(red), red
-                if "DISTINCT" in up and os.environ.get(
-                    "MOOSPARK_AGG_SPLIT"
-                ) == "1":
+            except Exception:
+                df, work = df0, prepared
+            if "DISTINCT" in up and os.environ.get("MOOSPARK_AGG_SPLIT") == "1":
+                # separate guard: a split failure must not roll back a
+                # reduction that already analyzed
+                try:
                     split = maybe_split_distinct_minmax(work, df.schema)
                     if split is not None:
                         df = self.spark.sql(split)
-            except Exception:
-                df = df0
+                except Exception:
+                    pass
         try:
             if self.spark.conf.get("spark.sql.adaptive.enabled") != "true":
                 return df, "plain"

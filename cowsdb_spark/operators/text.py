@@ -712,9 +712,11 @@ def dup_ngram_coverage(
     conformance lane), ``"hash"`` replaces it with xxhash64(gram)
     right after tokenization, so every shuffle carries an 8-byte key
     instead of ~n words of text — the 100 TB lane (measured at 10M
-    worst-case docs where EVERY gram is duplicated: 29.0 → 12.3 GB
-    shuffle, 641 → 461 s, BENCH_TEXT_10M.json; identical outputs).
-    Same 64-bit-fingerprint trade as
+    worst-case docs where EVERY gram is duplicated, full operator
+    forced: 44.2 → 20.4 GB shuffle, 994 → 598 s, with value-level
+    lane fingerprints equal — BENCH_TEXT_10M.json; at 1M the hash
+    compute makes it a wash on wall-clock while still halving
+    shuffle). Same 64-bit-fingerprint trade as
     ``exact_dedup``'s documented fingerprint lane; a cross-doc
     collision misclassifies one gram in ~2^64.
 
@@ -744,9 +746,11 @@ def dup_ngram_coverage(
         .select("_g")
     )
     hits = grams.join(dup, "_g", "inner")
-    per_doc_grams = grams.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_grams"),
-        F.first("_ntok").alias("_ntok"),
+    # n_grams/_ntok are closed-form per doc — no explode, no shuffle
+    per_doc_grams = toks.filter(total > 0).select(
+        F.col(id_col),
+        total.cast("long").alias("n_grams"),
+        F.size("_t").alias("_ntok"),
     )
     dup_counts = hits.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_dup_grams"))
     ps = F.array_sort(F.collect_set("_pos"))

@@ -51,7 +51,7 @@ from __future__ import annotations
 import re
 from typing import Optional
 
-from ..dialect.tokenizer import Tok, tokenize
+from ..dialect.tokenizer import Tok, significant as _sig, tokenize
 
 # Clause keywords that may follow the FROM clause at top level, in
 # statement order. Anything top-level not in this set → bail.
@@ -66,13 +66,11 @@ _BAIL_WORDS = {
 
 _NONDETERMINISTIC = re.compile(
     r"\b(rand|randn|random|uuid|monotonically_increasing_id|"
-    r"shuffle|current_timestamp|now)\s*\(",
+    r"shuffle|current_timestamp|now|spark_partition_id|"
+    r"input_file_name|input_file_block_start|input_file_block_length|"
+    r"reflect|java_method)\s*\(",
     re.IGNORECASE,
 )
-
-
-def _sig(toks: list[Tok]) -> list[int]:
-    return [i for i, t in enumerate(toks) if t.kind not in ("ws", "comment")]
 
 
 def _norm(expr: str) -> str:

@@ -208,3 +208,30 @@ class TestReduceGroupKeys:
         assert "Join" in plan
         base = [tuple(r) for r in spark.sql(sql).collect()]
         assert [tuple(r) for r in df.collect()] == base
+
+
+class TestNondeterministicKeys:
+    def test_partition_id_key_not_dropped(self, spark):
+        # spark_partition_id() is per-row nondeterministic: dropping a
+        # key built from it would merge groups (review finding r7)
+        from cowsdb_spark.plans.agg_split import reduce_group_keys
+
+        sql = (
+            "SELECT k, k + spark_partition_id() AS p, COUNT(*) AS c "
+            "FROM t GROUP BY k, k + spark_partition_id()"
+        )
+        assert reduce_group_keys(sql) is None
+
+    def test_partition_id_end_to_end(self, spark):
+        from cowsdb_spark.engine import Engine
+
+        df = spark.range(0, 1000, 1, 8).selectExpr("id % 10 AS k")
+        df.createOrReplaceTempView("agg_split_nd")
+        eng = Engine(spark)
+        sql = (
+            "SELECT k, k + spark_partition_id() AS p, COUNT(*) AS c "
+            "FROM agg_split_nd GROUP BY k, k + spark_partition_id()"
+        )
+        got = eng.execute_to_df(sql)[0].count()
+        base = spark.sql(sql).count()
+        assert got == base

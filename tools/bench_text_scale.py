@@ -9,7 +9,7 @@ records it), so their cluster-scale cost is exactly one parquet
 scan; the contamination screen shuffles only (doc_id, int64 gram id)
 pairs that matched the broadcast eval set.
 
-Writes BENCH_TEXT_10M.json.
+Writes BENCH_TEXT_{10M|1M|<n>K}.json, sized by n_docs.
 
 Usage: python tools/bench_text_scale.py [n_docs]
 """
@@ -126,28 +126,60 @@ def main() -> None:
     # count and the join back are gram-keyed shuffles, the coverage
     # union is (doc, int) pairs; per-stage shuffle bytes recorded so
     # the linear-in-grams claim is checkable against the 1M point
-    out["dup_gram_docs"] = stage(
+    out["dup_fingerprint_text"] = stage(
         "dup_ngram_coverage",
-        lambda: dup_ngram_coverage(docs, n=6, min_docs=2)
-        .filter(F.col("n_dup_grams") > 0)
-        .count(),
+        lambda: (
+            dup_ngram_coverage(docs, n=6, min_docs=2)
+            .agg(
+                F.sum((F.col("n_dup_grams") > 0).cast("long")).alias("flagged"),
+                F.sum("n_dup_grams").alias("dup_grams"),
+                F.sum(
+                    F.round(F.col("dup_token_frac") * 10000).cast("long")
+                ).alias("covq"),
+            )
+            .collect()[0]
+        ),
     )
+    out["dup_fingerprint_text"] = [
+        out["dup_fingerprint_text"]["flagged"],
+        out["dup_fingerprint_text"]["dup_grams"],
+        out["dup_fingerprint_text"]["covq"],
+    ]
 
     # 6b. the same metric on the xxhash64 gram-key lane (the 100 TB
     # path: 8-byte keys through stages 2-3 instead of ~n words of
-    # text; identical counts unless a 2^-64 collision fires)
-    out["dup_gram_docs_hashed"] = stage(
-        "dup_ngram_coverage_hashed",
-        lambda: dup_ngram_coverage(docs, n=6, min_docs=2, key="hash")
-        .filter(F.col("n_dup_grams") > 0)
-        .count(),
+    # text). Both lanes record a value-level fingerprint (flagged
+    # docs, total dup grams, quantized coverage sum) so the
+    # equal-output claim is measured at scale, not asserted.
+    def lane_fingerprint(key):
+        r = (
+            dup_ngram_coverage(docs, n=6, min_docs=2, key=key)
+            .agg(
+                F.sum((F.col("n_dup_grams") > 0).cast("long")).alias("flagged"),
+                F.sum("n_dup_grams").alias("dup_grams"),
+                F.sum(F.round(F.col("dup_token_frac") * 10000).cast("long")).alias(
+                    "covq"
+                ),
+            )
+            .collect()[0]
+        )
+        return [r["flagged"], r["dup_grams"], r["covq"]]
+
+    out["dup_fingerprint_hashed"] = stage(
+        "dup_ngram_coverage_hashed", lambda: lane_fingerprint("hash")
+    )
+    out["dup_lanes_equal"] = out["dup_fingerprint_hashed"] == out.get(
+        "dup_fingerprint_text"
     )
 
     out["total_pipeline_s"] = round(
         sum(s["wall_s"] for s in out["stages"].values()), 1
     )
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "BENCH_TEXT_10M.json"), "w") as f:
+    suffix = (
+        f"{n_docs // 1_000_000}M" if n_docs >= 1_000_000 else f"{n_docs // 1000}K"
+    )
+    with open(os.path.join(repo, f"BENCH_TEXT_{suffix}.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 
