@@ -235,3 +235,81 @@ class TestNondeterministicKeys:
         got = eng.execute_to_df(sql)[0].count()
         base = spark.sql(sql).count()
         assert got == base
+
+
+class TestRewriteProperty:
+    """Property fuzz over the text-level passes: random keyword casing,
+    whitespace, alias spellings, and clause-keyword-bearing string
+    literals must never change results — the rewrite either fires with
+    identical output or bails."""
+
+    @staticmethod
+    def _perturb(sql, rng):
+        import re as _re
+
+        out = []
+        for tok in _re.split(r"(\s+|'[^']*')", sql):
+            if tok.startswith("'"):
+                out.append(tok)
+            elif tok.isspace():
+                out.append(" " * rng.randint(1, 3) if rng.random() < 0.5 else tok)
+            elif rng.random() < 0.4:
+                out.append(
+                    "".join(
+                        c.upper() if rng.random() < 0.5 else c.lower()
+                        for c in tok
+                    )
+                )
+            else:
+                out.append(tok)
+        return "".join(out)
+
+    def test_fuzzed_shapes_match_base(self, spark):
+        import random
+
+        from cowsdb_spark.plans.agg_split import (
+            maybe_split_distinct_minmax,
+            reduce_group_keys,
+        )
+
+        rows = [
+            ("a", "u1", 1, "mm"), ("a", "u2", 2, "zz"), ("b", "u1", 3, "aa"),
+            (None, "u3", 4, "(where group"), ("b", None, 5, "order by"),
+        ]
+        spark.createDataFrame(
+            rows, "k string, s string, n long, v string"
+        ).createOrReplaceTempView("agg_fuzz_t")
+        templates = [
+            "SELECT k, MIN(v) AS mv, COUNT(*) AS c, COUNT(DISTINCT s) AS u "
+            "FROM agg_fuzz_t GROUP BY k ORDER BY k",
+            "SELECT k, n % 2 AS parity, MIN(v) AS mv, COUNT(DISTINCT s) AS u "
+            "FROM agg_fuzz_t GROUP BY k, n % 2 ORDER BY k, parity",
+            "SELECT k, k AS k2, COUNT(*) AS c FROM agg_fuzz_t "
+            "WHERE v <> 'group by' GROUP BY k, k ORDER BY k",
+            "SELECT n, n + 1 AS np, n + 2 AS np2, COUNT(*) AS c "
+            "FROM agg_fuzz_t GROUP BY n, n + 1, n + 2 ORDER BY n",
+        ]
+        rng = random.Random(42)
+        for base_sql in templates:
+            base = sorted(
+                map(tuple, spark.sql(base_sql).collect()), key=str
+            )
+            schema = spark.sql(base_sql).schema
+            for _ in range(6):
+                fuzzed = self._perturb(base_sql, rng)
+                want = sorted(
+                    map(tuple, spark.sql(fuzzed).collect()), key=str
+                )
+                assert want == base  # sanity: perturbation is cosmetic
+                red = reduce_group_keys(fuzzed)
+                if red is not None:
+                    got = sorted(
+                        map(tuple, spark.sql(red).collect()), key=str
+                    )
+                    assert got == base, f"reduce broke: {fuzzed!r} -> {red!r}"
+                split = maybe_split_distinct_minmax(red or fuzzed, schema)
+                if split is not None:
+                    got = sorted(
+                        map(tuple, spark.sql(split).collect()), key=str
+                    )
+                    assert got == base, f"split broke: {fuzzed!r} -> {split!r}"
