@@ -3,7 +3,7 @@
 Purpose: the amortization argument made measurable. At sf0.1 and even
 10M rows, Spark's ~0.1-0.3 s per-query floor (task scheduling, codegen
 dispatch, 32-way setup) dominates sub-second queries and the
-Spark/DuckDB ratio mostly measures that floor. At 100M rows (~5.9 GB
+Spark/DuckDB ratio mostly measures that floor. At 100M rows (~7.7 GB
 parquet, 10 sorted runs of 256k-row groups) per-query work is 10x and
 the floor is ~2% of runtime, so the ratio reflects what survives a
 1000-executor scale-up: per-row efficiency, shuffle discipline,

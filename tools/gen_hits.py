@@ -288,7 +288,7 @@ def ensure_hits_10m() -> str:
 
 
 def ensure_hits_100m() -> str:
-    """100M-row point (~5.9 GB parquet): the amortization claim made
+    """100M-row point (~7.7 GB parquet): the amortization claim made
     measurable — per-query scheduling floor is ~2% of runtime here, so
     the Spark/DuckDB ratio reflects per-row efficiency and shuffle
     discipline, the quantities that survive a 1000x scale-up."""
