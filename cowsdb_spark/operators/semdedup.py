@@ -1,0 +1,157 @@
+"""SemDeDup-style semantic deduplication over embedding columns.
+
+Public-knowledge basis: SemDeDup (Abbas et al. 2023,
+arXiv:2303.09540) — partition the embedding space into clusters,
+then inside each cluster drop every document whose cosine similarity
+to an EARLIER kept-candidate exceeds a threshold. Cross-cluster
+near-duplicates are deliberately not searched: bounding the pairwise
+stage to clusters is exactly what makes the method near-linear, and
+that recall tradeoff is the published algorithm, not a shortcut.
+
+This module uses deterministic seed clustering (the k lowest-id
+vectors are the centroids) rather than sampled k-means so the whole
+pipeline is reproducible and oracle-comparable; a k-means refinement
+would only move the cluster boundaries, not the dedup rule. The
+keep-rule is "drop b iff some same-cluster a with a.id < b.id has
+cos(a,b) >= tau" — order-based, deterministic, and expressible as a
+single self-join (SemDeDup's keep-one-per-similar-group up to the
+non-transitivity both it and this rule share).
+
+Spark-first / 100 TB design:
+
+- **Assignment is map-side only.** The k seed vectors ride along as
+  one literal array-of-arrays column; each row's argmax-cosine is a
+  ``transform`` + left-to-right ``aggregate`` fold over that array
+  (JVM codegen). No crossJoin, no shuffle, no Python — the seed
+  fetch is one bounded k-row collect (same bounded-collect budget as
+  similarity.py's IVF train sample).
+- **The pairwise stage shuffles on the cluster key only.** The
+  within-cluster self-join is an equi-join on ``cluster``; pair
+  volume is O(sum m_k^2) — SemDeDup's actual cost model. At corpus
+  scale k grows with n (clusters of ~1-5k members), so per-cluster
+  work and per-task memory stay constant while the only shuffle is
+  the cluster-key co-location. With small k the join is skewed by
+  construction (k distinct keys); callers at scale pick k, not this
+  module.
+- **Float discipline.** All cosines are sequential left-to-right
+  double folds with per-vector precomputed norms —
+  ``dot(a,b)/(norm_a*norm_b)`` — the construction
+  operators/dedup.py::embedding_neardup_pairs already hash-matches
+  against DuckDB's ``list_cosine_similarity`` on these fixtures.
+  Argmax ties (bit-equal cosines to two seeds) resolve to the lower
+  seed index on both engines: the fold keeps the incumbent on
+  non-strict comparison; the oracle orders by ``c DESC, sidx``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import _to_double, dot, norm
+
+
+def seed_vectors(
+    emb: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[list[float]]:
+    """The k lowest-id embedding vectors as double lists (one bounded
+    k-row collect — the deterministic analogue of an IVF train
+    sample)."""
+    rows = (
+        emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("_v"))
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"need at least k={k} vectors, got {len(rows)}")
+    return [list(r["_v"]) for r in rows]
+
+
+def _seeds_lit(seeds: list[list[float]]) -> Column:
+    return F.array(
+        *[F.array(*[F.lit(float(x)) for x in s]) for s in seeds]
+    )
+
+
+def assign_seed_clusters(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_col, cluster, _v, _nv): nearest-seed cluster per vector.
+
+    Map-side only — the per-row plan is a transform over the k-seed
+    literal producing (cosine, index) structs, then a left-to-right
+    fold keeping the strict maximum (ties → earlier = lower index).
+    Seed norms are recomputed by the same JVM fold as row norms so
+    every float comes from one summation order.
+    """
+    seeds = seed_vectors(emb, k, id_col, vec_col)
+    lit = _seeds_lit(seeds)
+    base = emb.select(
+        F.col(id_col), _to_double(F.col(vec_col)).alias("_v")
+    ).withColumn("_nv", norm(F.col("_v")))
+    cand = F.transform(
+        F.sequence(F.lit(1), F.lit(k)),
+        lambda i: F.struct(
+            (
+                dot(F.col("_v"), F.element_at(lit, i))
+                / (F.col("_nv") * norm(F.element_at(lit, i)))
+            ).alias("c"),
+            (i - F.lit(1)).alias("i"),
+        ),
+    )
+    best = F.aggregate(
+        F.slice(cand, 2, k - 1),
+        F.element_at(cand, 1),
+        lambda acc, x: F.when(x["c"] > acc["c"], x).otherwise(acc),
+    )
+    return base.withColumn("_cluster", best["i"].cast("int"))
+
+
+def semdedup(
+    emb: DataFrame,
+    k: int = 8,
+    tau: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_col, cluster int, is_kept int), one row per input vector.
+
+    is_kept = 0 iff some same-cluster vector with a smaller id has
+    cosine >= tau with this one. The only wide exchange is the
+    cluster-key self-join; the dropped-id set re-attaches through a
+    left join AQE broadcasts when small.
+    """
+    assigned = assign_seed_clusters(emb, k, id_col, vec_col)
+    a = assigned.select(
+        F.col(id_col).alias("_ida"),
+        F.col("_cluster").alias("_cl"),
+        F.col("_v").alias("_va"),
+        F.col("_nv").alias("_na"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("_idb"),
+        F.col("_cluster").alias("_cl"),
+        F.col("_v").alias("_vb"),
+        F.col("_nv").alias("_nb"),
+    )
+    cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    dropped = (
+        a.join(b, "_cl")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(cos >= F.lit(tau))
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(1))
+    )
+    return assigned.join(dropped, id_col, "left").select(
+        F.col(id_col),
+        F.col("_cluster").alias("cluster"),
+        F.when(F.col("_dropped").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("is_kept"),
+    )

@@ -1392,6 +1392,41 @@ def t49(spark, sf_dir):
 
 
 @qdef(
+    "t50_semdedup",
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+    "s AS (SELECT v AS sv, row_number() OVER (ORDER BY vec_id) - 1 AS sidx "
+    "  FROM e ORDER BY vec_id LIMIT 8), "
+    "asg0 AS (SELECT e.vec_id, s.sidx, "
+    "  list_cosine_similarity(e.v, s.sv) AS c FROM e CROSS JOIN s), "
+    "asg AS (SELECT vec_id, sidx AS cluster FROM ("
+    "  SELECT vec_id, sidx, row_number() OVER "
+    "  (PARTITION BY vec_id ORDER BY c DESC, sidx) AS rn FROM asg0) "
+    "  WHERE rn = 1), "
+    "j AS (SELECT e.vec_id, a.cluster, e.v FROM e JOIN asg a USING (vec_id)), "
+    "dropped AS (SELECT DISTINCT b.vec_id FROM j a JOIN j b "
+    "  ON a.cluster = b.cluster AND a.vec_id < b.vec_id "
+    "  WHERE list_cosine_similarity(a.v, b.v) >= 0.45) "
+    "SELECT j.vec_id, CAST(j.cluster AS INT) AS cluster, "
+    "CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS is_kept "
+    "FROM j LEFT JOIN dropped d ON j.vec_id = d.vec_id ORDER BY j.vec_id",
+    "[ext: dedup, r7] SemDeDup-style semantic dedup (arXiv:2303.09540): "
+    "deterministic seed clustering (k=8 lowest-id vectors, map-side "
+    "argmax-cosine assignment — no shuffle, no Python), then drop any "
+    "vector with a same-cluster earlier neighbor at cosine >= 0.45; "
+    "the pairwise stage is a cluster-keyed self-join, so work is "
+    "O(sum cluster^2) — the published algorithm's cost model, scaled "
+    "by raising k with corpus size (operators/semdedup.py). Integer "
+    "output columns; cosines are left-to-right double folds matching "
+    "DuckDB's list_cosine_similarity (same discipline as t19).",
+)
+def t50(spark, sf_dir):
+    from .operators.semdedup import semdedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semdedup(e, k=8, tau=0.45).orderBy("vec_id")
+
+
+@qdef(
     "t16_streaming_tumbling",
     # Driver-checkable since r7 (was rows-only x16): a complete-mode
     # availableNow drain of the watermarked tumbling plan retains all
@@ -1927,32 +1962,11 @@ _PII_RE = {
 }
 
 
-@qdef(
-    "t38_pii_scan",
-    "WITH aug AS (SELECT doc_id, " + _PII_AUG_DUCK + " AS text FROM documents) "
-    "SELECT doc_id, "
-    f"CAST(len(regexp_extract_all(text, '{_PII_RE['email']}')) AS INT) AS n_email, "
-    f"CAST(len(regexp_extract_all(text, '{_PII_RE['ssn']}')) AS INT) AS n_ssn, "
-    f"CAST(len(regexp_extract_all(text, '{_PII_RE['phone']}')) AS INT) AS n_phone, "
-    f"CAST(len(regexp_extract_all(text, '{_PII_RE['ipv4']}')) AS INT) AS n_ipv4, "
-    f"CAST(len(regexp_extract_all(text, '{_PII_RE['email']}')) "
-    f"+ len(regexp_extract_all(text, '{_PII_RE['ssn']}')) "
-    f"+ len(regexp_extract_all(text, '{_PII_RE['phone']}')) "
-    f"+ len(regexp_extract_all(text, '{_PII_RE['ipv4']}')) AS INT) AS pii_total "
-    "FROM aug ORDER BY doc_id",
-    "[ext: text] PII triage scan: per-document email/SSN/phone/IPv4 "
-    "hit counts, pure regexp_count codegen, zero shuffle "
-    "(operators/text.py::pii_scan). Patterns restricted to the "
-    "Java-regex/RE2 common subset so DuckDB runs the identical "
-    "expressions.",
-)
-def t38(spark, sf_dir):
-    from .operators.text import pii_scan
-
-    d = _t(spark, sf_dir, "documents").withColumn(
-        "text", F.expr(_PII_AUG_SPARK)
-    )
-    return pii_scan(d).orderBy("doc_id")
+# (t38_pii_scan merged into t39_pii_scrub late r7 — the scan counts
+# ride along as extra columns of the one-pass pii_audit projection,
+# freeing a driver-window slot for t50_semdedup. pii_scan stays a
+# standalone operator, value-tested in tests/test_text_ops.py and
+# benched in tools/bench_text_scale.py.)
 
 
 @qdef(
@@ -1963,20 +1977,32 @@ def t38(spark, sf_dir):
     f"'{_PII_RE['email']}', '<EMAIL>', 'g'), "
     f"'{_PII_RE['ssn']}', '<SSN>', 'g'), "
     f"'{_PII_RE['phone']}', '<PHONE>', 'g'), "
-    f"'{_PII_RE['ipv4']}', '<IP>', 'g') AS clean_text "
+    f"'{_PII_RE['ipv4']}', '<IP>', 'g') AS clean_text, "
+    f"CAST(len(regexp_extract_all(text, '{_PII_RE['email']}')) AS INT) AS n_email, "
+    f"CAST(len(regexp_extract_all(text, '{_PII_RE['ssn']}')) AS INT) AS n_ssn, "
+    f"CAST(len(regexp_extract_all(text, '{_PII_RE['phone']}')) AS INT) AS n_phone, "
+    f"CAST(len(regexp_extract_all(text, '{_PII_RE['ipv4']}')) AS INT) AS n_ipv4, "
+    f"CAST(len(regexp_extract_all(text, '{_PII_RE['email']}')) "
+    f"+ len(regexp_extract_all(text, '{_PII_RE['ssn']}')) "
+    f"+ len(regexp_extract_all(text, '{_PII_RE['phone']}')) "
+    f"+ len(regexp_extract_all(text, '{_PII_RE['ipv4']}')) AS INT) AS pii_total "
     "FROM aug ORDER BY doc_id",
-    "[ext: text] PII redaction: detected spans replaced with "
-    "placeholder tokens in a fixed category order "
-    "(operators/text.py::pii_scrub); Spark regexp_replace is "
+    "[ext: text] PII redaction + triage audit in one pass (absorbed "
+    "t38_pii_scan late r7): detected spans replaced with placeholder "
+    "tokens in a fixed category order, with per-category hit counts "
+    "as ride-along columns — one projection, zero shuffle, pure "
+    "regexp codegen (operators/text.py::pii_audit). Patterns "
+    "restricted to the Java-regex/RE2 common subset so DuckDB runs "
+    "identical expressions; Spark regexp_replace is "
     "global-by-default, the oracle passes the 'g' flag explicitly.",
 )
 def t39(spark, sf_dir):
-    from .operators.text import pii_scrub
+    from .operators.text import pii_audit
 
     d = _t(spark, sf_dir, "documents").withColumn(
         "text", F.expr(_PII_AUG_SPARK)
     )
-    return pii_scrub(d).orderBy("doc_id")
+    return pii_audit(d).orderBy("doc_id")
 
 
 @qdef(
