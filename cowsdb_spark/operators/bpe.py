@@ -1,0 +1,165 @@
+"""Byte-pair-encoding tokenizer training at corpus scale.
+
+Public-knowledge basis: Sennrich et al. 2016 (arXiv:1508.07909) —
+BPE learns a merge table by repeatedly fusing the most frequent
+adjacent symbol pair. The classic scale trick (used by every
+practical implementation) is to train on the DISTINCT-WORD frequency
+table, not the raw corpus: pair statistics are identical because a
+word's internal pairs occur once per word occurrence.
+
+Spark-first / 100 TB design:
+
+- The ONLY corpus-scale stage is the word-frequency aggregation (one
+  shuffle on the word key, map-side combined). Everything after runs
+  on the distinct-word table, which is bounded by vocabulary size,
+  not corpus size — it is persisted once and each merge iteration is
+  a small job over it.
+- Each iteration = adjacent-pair explode → groupBy(pair) weighted
+  count → a ONE-ROW collect of the argmax (bounded driver traffic,
+  same budget class as quantile.py's scalar agg rows) → the merge is
+  applied distributively as a greedy left-to-right ``aggregate``
+  fold over each word's symbol array (JVM higher-order function, no
+  Python).
+- Determinism: ties on pair count break lexicographically on
+  (left, right); the greedy fold is sequential, so "aaa" under merge
+  (a,a) becomes (aa, a) — the same on every engine that folds left
+  to right (the DuckDB oracle uses ``list_reduce`` with the same
+  CASE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SYMS0 = "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+
+_PAIRS = (
+    "explode(transform(sequence(1, size(syms) - 1), "
+    "i -> struct(element_at(syms, i) AS l, "
+    "element_at(syms, CAST(i + 1 AS INT)) AS r)))"
+)
+
+
+def word_freq(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(word, freq) over lowercased whitespace tokens — the one
+    corpus-scale shuffle of BPE training."""
+    return (
+        docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _merge_fold_sql(left: str, right: str) -> str:
+    """Greedy left-to-right pair merge as a SQL fold: accumulator
+    starts as [syms[1]]; each next symbol either fuses with the
+    accumulator's last element or appends. Mirrors the oracle's
+    ``list_reduce`` exactly (first element as the seed)."""
+    l = left.replace("\\", "\\\\").replace("'", "\\'")
+    r = right.replace("\\", "\\\\").replace("'", "\\'")
+    return (
+        "CASE WHEN size(syms) < 2 THEN syms ELSE "
+        "aggregate(slice(syms, 2, size(syms) - 1), "
+        "array(element_at(syms, 1)), "
+        f"(acc, x) -> CASE WHEN element_at(acc, -1) = '{l}' AND x = '{r}' "
+        f"THEN concat(slice(acc, 1, size(acc) - 1), array('{l}{r}')) "
+        "ELSE concat(acc, array(x)) END) END"
+    )
+
+
+def train_bpe(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn the first *n_merges* BPE merges; returns a DataFrame
+    (mrank int, lft string, rgt string, merged string,
+    pair_count bigint) ordered by mrank.
+
+    Each iteration's vocab is ``localCheckpoint``-ed (the
+    connected-components pattern for iterative plans): a merge fold
+    references its input array several times, so chaining the
+    projections lazily would inline the previous level once per
+    reference — exponential expression growth that OOMs codegen by
+    ~8 levels. Checkpointing materializes the bounded vocab table and
+    keeps every iteration's plan one fold deep; blocks free on GC."""
+    from ..localdf import local_df
+
+    spark = docs.sparkSession
+    vocab = (
+        word_freq(docs, text_col)
+        .select(F.expr(_SYMS0).alias("syms"), F.col("freq"))
+        .localCheckpoint()
+    )
+    merges: list[tuple] = []
+    for rank in range(1, n_merges + 1):
+        top = (
+            vocab.filter(F.size("syms") >= 2)
+            .select(F.expr(_PAIRS).alias("pr"), "freq")
+            .groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.col("c").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
+        merges.append((rank, l, r, l + r, c))
+        if rank < n_merges:
+            vocab = vocab.select(
+                F.expr(_merge_fold_sql(l, r)).alias("syms"), "freq"
+            ).localCheckpoint()
+    return local_df(
+        spark,
+        merges,
+        "mrank int, lft string, rgt string, merged string, "
+        "pair_count long",
+    )
+
+
+def tokenize_bpe(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned merge list (rank order) to the corpus:
+    (id, n_words, n_tokens) — the token-count surface a data
+    pipeline budgets with. Merges are compile-time constants, so the
+    whole application is a chain of JVM folds inside one projection:
+    zero shuffle, scan-speed at any corpus size."""
+    df = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), " "), lambda w: w != ""
+        ).alias("_words"),
+    ).select(
+        id_col,
+        F.size("_words").alias("n_words"),
+        F.expr("transform(_words, word -> " + _SYMS0 + ")").alias("_syms"),
+    )
+    # one projection per merge, NOT one nested expression: a fold
+    # references its input several times, so a single chained
+    # expression would inline each level once per reference —
+    # exponential growth (see train_bpe's checkpoint note). Stacked
+    # projections stay linear: CollapseProject keeps non-cheap
+    # multiply-referenced expressions in their own project nodes.
+    for l, r in merges:
+        fold = _merge_fold_sql(l, r)
+        df = df.withColumn(
+            "_syms", F.expr(f"transform(_syms, syms -> ({fold}))")
+        )
+    return df.select(
+        id_col,
+        "n_words",
+        F.expr(
+            "CAST(aggregate(_syms, 0L, (acc, s) -> acc + size(s)) AS BIGINT)"
+        ).alias("n_tokens"),
+    )

@@ -79,15 +79,28 @@ def assign_seed_clusters(
     k: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    mode: str = "fold",
 ) -> DataFrame:
     """(id_col, cluster, _v, _nv): nearest-seed cluster per vector.
 
-    Map-side only — the per-row plan is a transform over the k-seed
-    literal producing (cosine, index) structs, then a left-to-right
-    fold keeping the strict maximum (ties → earlier = lower index).
-    Seed norms are recomputed by the same JVM fold as row norms so
-    every float comes from one summation order.
+    ``mode="fold"`` (oracle tier) — map-side only: the per-row plan
+    is a transform over the k-seed literal producing (cosine, index)
+    structs, then a left-to-right fold keeping the strict maximum
+    (ties → earlier = lower index). Seed norms are recomputed by the
+    same JVM fold as row norms so every float comes from one
+    summation order. Right choice for small k; per-row cost is
+    O(k·dim) of non-SIMD fold arithmetic.
+
+    ``mode="gemm"`` (scale tier) — corpus-scale k (SemDeDup uses
+    clusters of ~1-5k members, i.e. k ≈ n/1000): one ``mapInPandas``
+    pass, each Arrow batch assigned by a single numpy
+    (batch × dim)·(dim × k) matmul against the unit-normalized seed
+    matrix (shipped in the task closure, k·dim doubles). Still zero
+    shuffle; numpy's pairwise summation differs from the fold in
+    ULPs, so the oracle tier stays "fold".
     """
+    if mode == "gemm":
+        return _assign_gemm(emb, k, id_col, vec_col)
     seeds = seed_vectors(emb, k, id_col, vec_col)
     lit = _seeds_lit(seeds)
     base = emb.select(
@@ -111,21 +124,116 @@ def assign_seed_clusters(
     return base.withColumn("_cluster", best["i"].cast("int"))
 
 
+def _assign_gemm(
+    emb: DataFrame, k: int, id_col: str, vec_col: str
+) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    seeds = np.asarray(seed_vectors(emb, k, id_col, vec_col), dtype=np.float64)
+    snorm = np.linalg.norm(seeds, axis=1)
+    snorm[snorm == 0] = 1e-12
+    unit_seeds = seeds / snorm[:, None]
+
+    def assign(batches):
+        for pdf in batches:
+            v = np.array(list(pdf["_v"]), dtype=np.float64)
+            n = np.linalg.norm(v, axis=1)
+            n[n == 0] = 1e-12
+            cos = (v / n[:, None]) @ unit_seeds.T
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "_v": pdf["_v"].values,
+                    "_nv": n,
+                    "_cluster": cos.argmax(axis=1).astype("int32"),
+                }
+            )
+
+    base = emb.select(
+        F.col(id_col), _to_double(F.col(vec_col)).alias("_v")
+    )
+    schema = (
+        f"{id_col} long, _v array<double>, _nv double, _cluster int"
+    )
+    return base.mapInPandas(assign, schema=schema)
+
+
+def _gemm_dropped(assigned: DataFrame, tau: float, id_col: str) -> DataFrame:
+    """Per-cluster dropped ids via blocked numpy GEMM (applyInPandas
+    group per cluster — the same shuffle key as the fold tier's
+    self-join, but O(m²) similarity work runs as matmuls instead of
+    m² joined rows). Row/column blocking bounds peak memory at
+    O(block²) per task regardless of cluster skew."""
+    import numpy as np
+    import pandas as pd
+
+    B = 2048
+
+    def drop_ids(pdf):
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        v = np.array(list(pdf["_v"]), dtype=np.float64)
+        n = pdf["_nv"].to_numpy()
+        v = v / n[:, None]
+        m = len(ids)
+        dropped = np.zeros(m, dtype=bool)
+        for s in range(0, m, B):
+            e = min(s + B, m)
+            col = v[s:e]
+            acc = np.zeros(e - s, dtype=bool)
+            jj = np.arange(s, e)[None, :]
+            for rs in range(0, e, B):
+                re_ = min(rs + B, e)
+                sims = v[rs:re_] @ col.T
+                ii = np.arange(rs, re_)[:, None]
+                acc |= ((sims >= tau) & (ii < jj)).any(axis=0)
+            dropped[s:e] = acc
+        return pd.DataFrame({id_col: ids[dropped]})
+
+    return (
+        assigned.select(id_col, "_v", "_nv", "_cluster")
+        .groupBy("_cluster")
+        .applyInPandas(drop_ids, schema=f"{id_col} long")
+        .withColumn("_dropped", F.lit(1))
+    )
+
+
 def semdedup(
     emb: DataFrame,
     k: int = 8,
     tau: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    mode: str = "auto",
 ) -> DataFrame:
     """(id_col, cluster int, is_kept int), one row per input vector.
 
     is_kept = 0 iff some same-cluster vector with a smaller id has
     cosine >= tau with this one. The only wide exchange is the
-    cluster-key self-join; the dropped-id set re-attaches through a
+    cluster-key repartition; the dropped-id set re-attaches through a
     left join AQE broadcasts when small.
+
+    ``mode``: "fold" = JVM higher-order-function tier, bit-matched to
+    a sequential-summation SQL oracle; "gemm" = numpy matmul tier
+    (Arrow batches; assignment map-side, pair stage one
+    applyInPandas group per cluster) for corpus-scale k where fold
+    arithmetic doesn't amortize; "auto" = fold for k ≤ 32 (the
+    oracle/driver regime), gemm beyond.
     """
-    assigned = assign_seed_clusters(emb, k, id_col, vec_col)
+    if mode == "auto":
+        mode = "fold" if k <= 32 else "gemm"
+    assigned = assign_seed_clusters(emb, k, id_col, vec_col, mode=mode)
+    if mode == "gemm":
+        dropped = _gemm_dropped(assigned, tau, id_col)
+        return assigned.join(dropped, id_col, "left").select(
+            F.col(id_col),
+            F.col("_cluster").alias("cluster"),
+            F.when(F.col("_dropped").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("is_kept"),
+        )
     a = assigned.select(
         F.col(id_col).alias("_ida"),
         F.col("_cluster").alias("_cl"),

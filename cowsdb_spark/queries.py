@@ -680,18 +680,9 @@ def q30(spark, sf_dir):
 # filtering keeps value-level coverage in tests/test_operators.py.
 
 
-@qdef(
-    "t03_fingerprint",
-    "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents ORDER BY doc_id LIMIT 200",
-    "[ext: text analysis] document fingerprint (normalized md5)",
-)
-def t03(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return (
-        d.select("doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fp"))
-        .orderBy("doc_id")
-        .limit(200)
-    )
+# (t03_fingerprint absorbed into t27_quality_full late r7 — the
+# normalized-md5 fingerprint rides along as t27's `fp` column on the
+# same 200-doc spine, freeing a driver-window slot for t51_bpe.)
 
 
 @qdef(
@@ -1036,7 +1027,8 @@ def t09(spark, sf_dir):
     "  len(string_split(text, ' ')) AS n_tok_raw, "
     "  len(list_filter(tk, x -> x IN ('the','a','an','and','or','of','to','in','is'))) AS stop_hits, "
     "  length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct, "
-    "  list_sum(list_transform(tk, x -> length(x))) AS tok_chars FROM t) "
+    "  list_sum(list_transform(tk, x -> length(x))) AS tok_chars, "
+    "  md5(lower(trim(text))) AS fp FROM t) "
     "SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens, "
     "ROUND(CASE WHEN n_tok > 0 THEN stop_hits * 1.0 / n_tok ELSE 0.0 END, 4) AS stop_ratio, "
     "ROUND(CASE WHEN n_char > 0 THEN punct * 1.0 / n_char ELSE 0.0 END, 4) AS punct_ratio, "
@@ -1046,12 +1038,13 @@ def t09(spark, sf_dir):
     "  + CASE WHEN (CASE WHEN n_tok > 0 THEN tok_chars * 1.0 / n_tok ELSE 0.0 END) "
     "      BETWEEN 3 AND 10 THEN 0.3 ELSE 0.0 END, 4) AS quality, "
     "CAST(n_char AS INTEGER) AS n_char, "
-    "ROUND(n_char * 1.0 / n_tok_raw, 4) AS chars_per_tok "
+    "ROUND(n_char * 1.0 / n_tok_raw, 4) AS chars_per_tok, fp "
     "FROM m ORDER BY doc_id LIMIT 200",
     "[ext: text] full composite quality score (length/punct/stopword/"
     "word-length signals) vs DuckDB replica (rows-only before r3); "
     "r7: absorbed t01_token_stats — its raw-split token stats ride "
-    "along as n_char / chars_per_tok on the same 200-doc spine",
+    "along as n_char / chars_per_tok on the same 200-doc spine; late "
+    "r7: absorbed t03_fingerprint — the normalized-md5 `fp` column",
 )
 def t10(spark, sf_dir):
     from .operators.text import quality_score
@@ -1062,6 +1055,7 @@ def t10(spark, sf_dir):
         "doc_id",
         F.length("text").alias("n_char"),
         F.round(F.length("text") * F.lit(1.0) / raw_tok, 4).alias("chars_per_tok"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
     )
     return (
         quality_score(d)
@@ -1424,6 +1418,72 @@ def t50(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     return semdedup(e, k=8, tau=0.45).orderBy("vec_id")
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """DuckDB replica of operators/bpe.py::train_bpe, the n merge
+    iterations UNROLLED as CTE triples (pair counts → argmax → greedy
+    fold merge-apply). `list_reduce` seeds the accumulator with the
+    first element, so the Spark side folds from element 2 with
+    array(syms[1]) as init — identical greedy semantics ("aaa" under
+    (a,a) → [aa, a] on both engines)."""
+    fold = (
+        "CASE WHEN len(syms) < 2 THEN syms ELSE "
+        "list_reduce(list_transform(syms, s -> [s]), "
+        "(acc, x) -> CASE WHEN acc[-1] = m.l AND x[1] = m.r "
+        "THEN list_append(array_pop_back(acc), m.l || m.r) "
+        "ELSE list_concat(acc, x) END) END"
+    )
+    pairs = (
+        "SELECT pr[1] AS l, pr[2] AS r, SUM(freq) AS c FROM ("
+        "SELECT unnest(list_zip(list_slice(syms, 1, len(syms)-1), "
+        "list_slice(syms, 2, len(syms)))) AS pr, freq "
+        "FROM {v} WHERE len(syms) >= 2) GROUP BY l, r"
+    )
+    ctes = [
+        "w0 AS (SELECT word, COUNT(*) AS freq FROM ("
+        "SELECT unnest(string_split(lower(text), ' ')) AS word "
+        "FROM documents) WHERE word <> '' GROUP BY word)",
+        "v0 AS (SELECT list_transform(range(1, length(word)+1), "
+        "i -> word[i]) AS syms, freq FROM w0)",
+    ]
+    sel = []
+    for i in range(1, n_merges + 1):
+        ctes.append(f"p{i} AS ({pairs.format(v=f'v{i-1}')})")
+        ctes.append(
+            f"m{i} AS (SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1)"
+        )
+        ctes.append(f"v{i} AS (SELECT {fold} AS syms, freq FROM v{i-1}, m{i} m)")
+        sel.append(
+            f"SELECT {i} AS mrank, l AS lft, r AS rgt, l || r AS merged, "
+            f"CAST(c AS BIGINT) AS pair_count FROM m{i}"
+        )
+    return (
+        "WITH " + ", ".join(ctes) + " SELECT * FROM ("
+        + " UNION ALL ".join(sel) + ") ORDER BY mrank"
+    )
+
+
+@qdef(
+    "t51_bpe_merges",
+    _bpe_oracle_sql(8),
+    "[ext: tokenizer, late r7] BPE tokenizer training (Sennrich "
+    "arXiv:1508.07909) on the corpus: the first 8 learned merges with "
+    "their pair counts. Trains on the DISTINCT-WORD frequency table "
+    "(the classic scale trick — the only corpus-sized stage is the "
+    "word-count shuffle; every iteration is a small job over the "
+    "persisted bounded vocab). Per iteration: adjacent-pair explode, "
+    "weighted count, 1-row argmax collect (count DESC, lexicographic "
+    "tie-break), greedy left-to-right fold merge-apply (JVM "
+    "higher-order aggregate; the oracle's list_reduce is the same "
+    "fold). operators/bpe.py; merge application for token counting "
+    "is tokenize_bpe, value-tested vs a pure-Python reference.",
+)
+def t51(spark, sf_dir):
+    from .operators.bpe import train_bpe
+
+    d = _t(spark, sf_dir, "documents")
+    return train_bpe(d, n_merges=8).orderBy("mrank")
 
 
 @qdef(

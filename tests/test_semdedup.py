@@ -99,6 +99,30 @@ class TestSemDedup:
         for op in ("Exchange", "Join", "ArrowEval", "BatchEval"):
             assert op not in plan, f"unexpected {op} in assignment plan"
 
+    def test_gemm_tier_matches_fold_tier(self, spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        fold = {
+            r["vec_id"]: (r["cluster"], r["is_kept"])
+            for r in semdedup(emb, k=8, tau=0.45, mode="fold").collect()
+        }
+        gemm = {
+            r["vec_id"]: (r["cluster"], r["is_kept"])
+            for r in semdedup(emb, k=8, tau=0.45, mode="gemm").collect()
+        }
+        assert fold == gemm
+
+    def test_auto_mode_picks_fold_for_small_k(self, spark, sf_dir):
+        # the oracle/driver regime must keep the bit-matched tier
+        emb = load_table(spark, sf_dir, "embeddings")
+        plan = (
+            semdedup(emb, k=8, tau=0.45, mode="auto")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "FlatMapGroupsInPandas" not in plan
+        assert "MapInPandas" not in plan
+
     def test_no_cartesian_in_full_plan(self, spark, sf_dir):
         emb = load_table(spark, sf_dir, "embeddings")
         plan = (

@@ -177,6 +177,28 @@ def main() -> None:
     )[-1][:200]
 
     shutil.rmtree(ivf_dir, ignore_errors=True)
+
+    # ---- SemDeDup at scale (gemm tier): k seeds sized so clusters
+    # average ~2k members (the published regime); assignment is one
+    # map-side mapInPandas GEMM, the pair stage one applyInPandas
+    # group per cluster — the only shuffle is the cluster-key
+    # repartition of (id, vector).
+    from cowsdb_spark.operators.semdedup import semdedup
+
+    sd_k = 512
+    sd_tau = 0.45
+    t0 = time.perf_counter()
+    sd = semdedup(emb, k=sd_k, tau=sd_tau, mode="gemm")
+    agg = sd.groupBy().agg(
+        F.count("*").alias("n"), F.sum("is_kept").alias("kept")
+    ).collect()[0]
+    sd_s = round(time.perf_counter() - t0, 2)
+    out["semdedup_k"] = sd_k
+    out["semdedup_tau"] = sd_tau
+    out["semdedup_total_s"] = sd_s
+    out["semdedup_kept"] = int(agg["kept"])
+    out["semdedup_dropped"] = int(agg["n"] - agg["kept"])
+
     print(json.dumps(out))
     with open(
         os.path.join(os.path.dirname(__file__), "..", f"BENCH_ANN_{n//1_000_000}M.json"),
