@@ -685,18 +685,10 @@ def q30(spark, sf_dir):
 # same 200-doc spine, freeing a driver-window slot for t51_bpe.)
 
 
-@qdef(
-    "t04_dedup_exact",
-    "SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(lower(trim(text)))) AS n_unique "
-    "FROM documents",
-    "[ext: dedup] exact duplicate detection via normalized content hash",
-)
-def t04(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    fp = F.md5(F.lower(F.trim(F.col("text"))))
-    return d.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.countDistinct(fp).alias("n_unique")
-    )
+# (t04_dedup_exact absorbed into t45_corpus_stats late r7 — the
+# exact-dup detection pair (COUNT(*), COUNT(DISTINCT normalized md5))
+# rides t45's 1-row snapshot as the n_unique_docs column alongside
+# its n_docs, freeing a driver-window slot for t52_dsir_sample.)
 
 
 @qdef(
@@ -1487,6 +1479,50 @@ def t51(spark, sf_dir):
 
 
 @qdef(
+    "t52_dsir_sample",
+    "WITH words AS (SELECT doc_id, "
+    "  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS t, "
+    "  unnest(string_split(lower(text), ' ')) AS w FROM documents), "
+    "wb AS (SELECT doc_id, t, "
+    "  CAST(concat('0x', substring(md5(w), 1, 15)) AS BIGINT) % 1024 AS b "
+    "  FROM words WHERE w <> ''), "
+    "model AS (SELECT b, COUNT(*) AS raw_c, SUM(t) AS tgt_c "
+    "  FROM wb GROUP BY b), "
+    "tot AS (SELECT SUM(raw_c) AS raw_n, SUM(tgt_c) AS tgt_n FROM model), "
+    "diffs AS (SELECT b, "
+    "  ln((tgt_c + 1.0) / (tgt_n + 1024.0)) "
+    "  - ln((raw_c + 1.0) / (raw_n + 1024.0)) AS diff "
+    "  FROM model, tot), "
+    "lw AS (SELECT wb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, "
+    "  ROUND(SUM(diff), 4) AS logw "
+    "  FROM wb JOIN diffs USING (b) GROUP BY wb.doc_id), "
+    "sc AS (SELECT doc_id, n_words, logw, "
+    "  ROUND(logw - ln(-ln("
+    "  CAST(concat('0x', substring(md5(concat('dsir:', "
+    "  CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) "
+    "  / 1152921504606846976.0)), 4) AS score FROM lw) "
+    "SELECT doc_id, n_words, logw, score FROM sc "
+    "ORDER BY score DESC, doc_id LIMIT 100",
+    "[ext: data selection, late r7] DSIR importance resampling "
+    "(arXiv:2302.03169): hashed-unigram LMs for the target "
+    "(lang='en') and raw corpora fit in ONE conditional-sum shuffle "
+    "(<=1024-bucket model table); every doc scored with "
+    "ln p_tgt - ln p_raw via a broadcast model join + one doc-keyed "
+    "map-side-combined sum; deterministic Gumbel top-k by salted-md5 "
+    "uniforms (the t06/t33 lane) — reproducible resampling with no "
+    "RNG state (operators/dsir.py). ROUND(,4) on the float sums, "
+    "t40's discipline.",
+)
+def t52(spark, sf_dir):
+    from .operators.dsir import dsir_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_sample(d, F.col("lang") == "en", k=100).orderBy(
+        F.col("score").desc(), "doc_id"
+    )
+
+
+@qdef(
     "t16_streaming_tumbling",
     # Driver-checkable since r7 (was rows-only x16): a complete-mode
     # availableNow drain of the watermarked tumbling plan retains all
@@ -2192,16 +2228,26 @@ def t44(spark, sf_dir):
     "(SELECT COUNT(*) FROM freq) AS vocab_size, "
     "ROUND((SELECT COUNT(*) FROM freq) * 1.0 / "
     "(SELECT SUM(f) FROM freq), 6) AS ttr, "
-    "(SELECT ROUND(regr_slope(ln(f), ln(r)), 4) FROM top) AS zipf_slope",
+    "(SELECT ROUND(regr_slope(ln(f), ln(r)), 4) FROM top) AS zipf_slope, "
+    "(SELECT COUNT(DISTINCT md5(lower(trim(text)))) FROM documents) "
+    "AS n_unique_docs",
     "[ext: text analysis] corpus snapshot statistics: doc/token/vocab "
     "counts, type-token ratio, Zipf exponent via OLS over the top-1000 "
     "frequency/rank log-log points (operators/text.py::corpus_stats — "
-    "one token-keyed shuffle; rank window runs over K rows only)",
+    "one token-keyed shuffle; rank window runs over K rows only); late "
+    "r7: absorbed t04_dedup_exact — n_unique_docs (COUNT DISTINCT of "
+    "the normalized md5 fingerprint) rides the same 1-row snapshot",
 )
 def t45(spark, sf_dir):
     from .operators.text import corpus_stats
 
-    return corpus_stats(_t(spark, sf_dir, "documents"))
+    d = _t(spark, sf_dir, "documents")
+    uniq = d.agg(
+        F.countDistinct(
+            F.md5(F.lower(F.trim(F.col("text"))))
+        ).alias("n_unique_docs")
+    )
+    return corpus_stats(d).crossJoin(uniq)
 
 
 @qdef(

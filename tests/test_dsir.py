@@ -1,0 +1,103 @@
+"""DSIR importance resampling: equality with a pure-Python
+reference (hashed-unigram models, Gumbel top-k) and plan shape."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from cowsdb_spark.catalog import load_table
+from cowsdb_spark.operators.dsir import dsir_sample, dsir_weights
+
+B = 1024
+TWO60 = float(1 << 60)
+
+
+def _md5_60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_dsir(rows, k=100, salt="dsir"):
+    raw = Counter()
+    tgt = Counter()
+    doc_buckets = {}
+    for doc_id, lang, text in rows:
+        bl = []
+        for w in text.lower().split(" "):
+            if not w:
+                continue
+            b = _md5_60(w) % B
+            bl.append(b)
+            raw[b] += 1
+            if lang == "en":
+                tgt[b] += 1
+        if bl:
+            doc_buckets[doc_id] = bl
+    raw_n = sum(raw.values())
+    tgt_n = sum(tgt.values())
+    diff = {
+        b: math.log((tgt[b] + 1.0) / (tgt_n + B))
+        - math.log((raw[b] + 1.0) / (raw_n + B))
+        for b in raw
+    }
+    out = []
+    for doc_id, bl in doc_buckets.items():
+        logw = round(sum(diff[b] for b in bl), 4)
+        u = _md5_60(f"{salt}:{doc_id}") / TWO60
+        score = round(logw - math.log(-math.log(u)), 4)
+        out.append((doc_id, len(bl), logw, score))
+    out.sort(key=lambda r: (-r[3], r[0]))
+    return out[:k]
+
+
+class TestDsir:
+    def test_matches_python_reference(self, spark, sf_dir):
+        d = load_table(spark, sf_dir, "documents")
+        got = [
+            tuple(r)
+            for r in dsir_sample(d, F.col("lang") == "en", k=100)
+            .orderBy(F.col("score").desc(), "doc_id")
+            .collect()
+        ]
+        rows = [
+            (r["doc_id"], r["lang"], r["text"])
+            for r in d.select("doc_id", "lang", "text").collect()
+        ]
+        want = _py_dsir(rows, k=100)
+        assert got == want
+
+    def test_target_docs_score_higher_on_average(self, spark, sf_dir):
+        # sanity: the English LM should prefer English documents
+        d = load_table(spark, sf_dir, "documents")
+        w = dsir_weights(d, F.col("lang") == "en").join(
+            d.select("doc_id", "lang"), "doc_id"
+        )
+        means = {
+            r["is_en"]: r["m"]
+            for r in w.groupBy(
+                (F.col("lang") == "en").alias("is_en")
+            )
+            .agg(F.avg("logw").alias("m"))
+            .collect()
+        }
+        assert means[True] > means[False]
+
+    def test_model_is_broadcast_no_cartesian(self, spark, sf_dir):
+        d = load_table(spark, sf_dir, "documents")
+        plan = (
+            dsir_sample(d, F.col("lang") == "en", k=10)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+    def test_deterministic_across_runs(self, spark, sf_dir):
+        d = load_table(spark, sf_dir, "documents")
+        a = [tuple(r) for r in dsir_sample(d, F.col("lang") == "en", k=20).collect()]
+        b = [tuple(r) for r in dsir_sample(d, F.col("lang") == "en", k=20).collect()]
+        assert a == b
