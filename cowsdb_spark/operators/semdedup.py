@@ -206,6 +206,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     mode: str = "auto",
+    clustering: str = "seeds",
 ) -> DataFrame:
     """(id_col, cluster int, is_kept int), one row per input vector.
 
@@ -218,12 +219,33 @@ def semdedup(
     a sequential-summation SQL oracle; "gemm" = numpy matmul tier
     (Arrow batches; assignment map-side, pair stage one
     applyInPandas group per cluster) for corpus-scale k where fold
-    arithmetic doesn't amortize; "auto" = fold for k ≤ 32 (the
-    oracle/driver regime), gemm beyond.
+    arithmetic doesn't amortize; "auto" = fold for small seed-based
+    k (the oracle/driver regime), gemm beyond.
+
+    ``clustering``: "seeds" = deterministic k-lowest-id centroids
+    (reproducible, oracle-comparable); "kmeans" = the published
+    SemDeDup construction — Lloyd centroids from similarity.py's
+    ``ivf_build`` (bounded driver-side train sample, distributed
+    JVM/GEMM assignment), trading bit-reproducibility across engines
+    for real cluster geometry. The dedup rule downstream is
+    identical for both.
     """
     if mode == "auto":
-        mode = "fold" if k <= 32 else "gemm"
-    assigned = assign_seed_clusters(emb, k, id_col, vec_col, mode=mode)
+        mode = "fold" if (k <= 32 and clustering == "seeds") else "gemm"
+    if clustering == "kmeans":
+        from .similarity import ivf_build
+
+        ivf_assigned, _cents = ivf_build(
+            emb, n_centroids=k, id_col=id_col, vec_col=vec_col
+        )
+        assigned = ivf_assigned.select(
+            F.col(id_col),
+            F.col("_v"),
+            norm(F.col("_v")).alias("_nv"),
+            F.col("_cell").cast("int").alias("_cluster"),
+        )
+    else:
+        assigned = assign_seed_clusters(emb, k, id_col, vec_col, mode=mode)
     if mode == "gemm":
         dropped = _gemm_dropped(assigned, tau, id_col)
         return assigned.join(dropped, id_col, "left").select(

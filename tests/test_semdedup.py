@@ -123,6 +123,28 @@ class TestSemDedup:
         assert "FlatMapGroupsInPandas" not in plan
         assert "MapInPandas" not in plan
 
+    def test_kmeans_clustering_mode(self, spark, sf_dir):
+        # the published construction: Lloyd centroids via ivf_build;
+        # same output contract, same dedup rule, real geometry
+        emb = load_table(spark, sf_dir, "embeddings")
+        out = semdedup(emb, k=8, tau=0.45, clustering="kmeans")
+        rows = out.collect()
+        n = emb.count()
+        assert len(rows) == n
+        assert {r["is_kept"] for r in rows} <= {0, 1}
+        assert len({r["cluster"] for r in rows}) <= 8
+        # keep-first invariant holds regardless of clustering
+        lows = {
+            r["lo"]
+            for r in out.groupBy("cluster")
+            .agg(F.min("vec_id").alias("lo"))
+            .collect()
+        }
+        flagged = {
+            r["vec_id"] for r in out.filter(F.col("is_kept") == 0).collect()
+        }
+        assert not (flagged & lows)
+
     def test_no_cartesian_in_full_plan(self, spark, sf_dir):
         emb = load_table(spark, sf_dir, "embeddings")
         plan = (
