@@ -1593,6 +1593,30 @@ def t18(spark, sf_dir):
 
 
 @qdef(
+    "x20_pq_ann",
+    None,  # Lloyd codebooks / ADC float geometry aren't SQL-expressible
+    "[ext: similarity, late r7] product quantization (Jegou 2011): "
+    "32x-compressed tinyint codes (pq_train/pq_encode, bounded-sample "
+    "Lloyd per subspace + map-side GEMM argmins), queries answered by "
+    "ADC lookup-table scans over the CODES with per-partition top-k "
+    "combine (operators/pq.py; mechanism value-tested exactly vs "
+    "numpy reconstruction in tests/test_pq.py, recall measured at 1M "
+    "in BENCH_ANN_1M.json)",
+)
+def x20(spark, sf_dir):
+    from .operators.pq import pq_encode, pq_topk, pq_train
+
+    e = _t(spark, sf_dir, "embeddings")
+    book = pq_train(e, m=8)
+    codes = pq_encode(e, book)
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return pq_topk(codes, book, qvec, k=10).filter(F.col("vec_id") != 0)
+
+
+@qdef(
     "t19_embedding_neardup",
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) "
     "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "

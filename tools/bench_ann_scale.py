@@ -199,6 +199,85 @@ def main() -> None:
     out["semdedup_kept"] = int(agg["kept"])
     out["semdedup_dropped"] = int(agg["n"] - agg["kept"])
 
+    # ---- Product quantization (PQ/ADC): 32x-compressed codes, the
+    # storage/scan format a 100 TB embedding store actually keeps.
+    # Encode once (map-side GEMM argmins), then answer queries by
+    # scanning CODES with a per-query lookup table.
+    # vectors are L2-normalized before encoding so ADC's L2 ordering
+    # equals the cosine ordering of the exact ground truth
+    # (‖a−b‖² = 2 − 2·cos on the unit sphere)
+    from cowsdb_spark.operators.pq import pq_encode, pq_topk, pq_train
+
+    unit = emb.select(
+        F.col("vec_id"),
+        F.expr(
+            "transform(embedding, x -> CAST(x AS DOUBLE))"
+        ).alias("_raw"),
+    ).select(
+        "vec_id",
+        F.expr(
+            "transform(_raw, x -> x / sqrt(aggregate(_raw, 0D, "
+            "(a, y) -> a + y * y)))"
+        ).alias("embedding"),
+    )
+    from cowsdb_spark.operators.pq import pq_topk_rerank
+
+    def unit_q(v):
+        import numpy as np
+
+        a = np.asarray(v, dtype=float)
+        return a / np.linalg.norm(a)
+
+    # two operating points: m=8 = 32x compression (max squeeze),
+    # m=16 = 16x with finer subspaces — with the refine step the
+    # quality point recovers ~0.96 recall on this dense geometry
+    out["pq"] = {}
+    for m in (8, 16):
+        t0 = time.perf_counter()
+        book = pq_train(unit, m=m)
+        codes = pq_encode(unit, book)
+        codes = codes.persist()
+        codes.count()
+        cell: dict = {
+            "train_encode_s": round(time.perf_counter() - t0, 2),
+            "compression_x": DIMS * 4 / m,
+        }
+        pq_topk(codes, book, unit_q(qvecs[qids[0]]), k=k + 1).collect()
+        hits = 0
+        t0 = time.perf_counter()
+        for qid in qids:
+            got = [
+                r.vec_id
+                for r in pq_topk(
+                    codes, book, unit_q(qvecs[qid]), k=k + 1
+                ).collect()
+                if r.vec_id != qid
+            ][:k]
+            hits += len(set(got) & set(brute[qid]))
+        cell["adc_per_query_s"] = round(
+            (time.perf_counter() - t0) / n_queries, 3
+        )
+        cell["adc_recall_at_10"] = round(hits / (n_queries * k), 4)
+        # ADC + exact re-rank (refine step): code scan proposes 10·k
+        # candidates, the float column is read back for just those ids
+        hits = 0
+        t0 = time.perf_counter()
+        for qid in qids:
+            got = [
+                r.vec_id
+                for r in pq_topk_rerank(
+                    codes, unit, book, unit_q(qvecs[qid]), k=k + 1, refine=10
+                ).collect()
+                if r.vec_id != qid
+            ][:k]
+            hits += len(set(got) & set(brute[qid]))
+        cell["rerank_per_query_s"] = round(
+            (time.perf_counter() - t0) / n_queries, 3
+        )
+        cell["rerank_recall_at_10"] = round(hits / (n_queries * k), 4)
+        codes.unpersist()
+        out["pq"][f"m{m}"] = cell
+
     print(json.dumps(out))
     with open(
         os.path.join(os.path.dirname(__file__), "..", f"BENCH_ANN_{n//1_000_000}M.json"),
