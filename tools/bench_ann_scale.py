@@ -199,6 +199,17 @@ def main() -> None:
     out["semdedup_kept"] = int(agg["kept"])
     out["semdedup_dropped"] = int(agg["n"] - agg["kept"])
 
+    # the published construction (k-means clusters) at the same point:
+    # ivf_build's Lloyd fit replaces the seed assignment; the dedup
+    # rule downstream is identical
+    t0 = time.perf_counter()
+    sdk = semdedup(emb, k=sd_k, tau=sd_tau, mode="gemm", clustering="kmeans")
+    aggk = sdk.groupBy().agg(
+        F.count("*").alias("n"), F.sum("is_kept").alias("kept")
+    ).collect()[0]
+    out["semdedup_kmeans_total_s"] = round(time.perf_counter() - t0, 2)
+    out["semdedup_kmeans_kept"] = int(aggk["kept"])
+
     # ---- Product quantization (PQ/ADC): 32x-compressed codes, the
     # storage/scan format a 100 TB embedding store actually keeps.
     # Encode once (map-side GEMM argmins), then answer queries by
