@@ -32,6 +32,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Separator for tokenize_bpe's flat representation (defined up here
+# because word_freq strips it from the training stream too).
+_SEP = "\x1f"
+
 _SYMS0 = "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
 
 _PAIRS = (
@@ -45,10 +49,18 @@ def word_freq(
     docs: DataFrame, text_col: str = "text"
 ) -> DataFrame:
     """(word, freq) over lowercased whitespace tokens — the one
-    corpus-scale shuffle of BPE training."""
+    corpus-scale shuffle of BPE training.
+
+    The ``_SEP`` unit-separator control char is stripped here exactly
+    as ``tokenize_bpe`` strips it, so training and application see
+    the same symbol stream (a corpus containing \\x1f would otherwise
+    train merges over symbols the tokenizer never materializes —
+    ADVICE r7)."""
     return (
         docs.select(
-            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word")
+            F.explode(
+                F.split(F.translate(F.lower(F.col(text_col)), _SEP, ""), " ")
+            ).alias("word")
         )
         .filter(F.col("word") != "")
         .groupBy("word")
@@ -131,8 +143,8 @@ def train_bpe(
 # fold: '/a//a//a/' under (a,a) -> '/aa//a/'. The unit-separator
 # control char can't appear in tokens (it is stripped from the text
 # first), so a pattern can never match inside a longer symbol, and
-# merges can never cross the plain-space word boundary.
-_SEP = "\x1f"
+# merges can never cross the plain-space word boundary. (_SEP itself
+# is defined at the top of the module — word_freq strips it too.)
 
 
 def tokenize_bpe(

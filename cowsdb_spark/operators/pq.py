@@ -167,12 +167,17 @@ def pq_topk(
             take = min(k, len(ids))
             part = np.argpartition(adc, take - 1)[:take]
             for i in part:
-                item = (-float(adc[i]), int(ids[i]))
+                # Negate the id too: on tied adc the heap then evicts
+                # the LARGEST id, matching the final
+                # orderBy(adc, id) ascending tie-break, so the
+                # per-partition survivor set is deterministic across
+                # partitionings (ADVICE r7).
+                item = (-float(adc[i]), -int(ids[i]))
                 if len(heap) < k:
                     heapq.heappush(heap, item)
                 else:
                     heapq.heappushpop(heap, item)
-        out = sorted(((-d, i) for d, i in heap))
+        out = sorted(((-d, -i) for d, i in heap))
         yield pd.DataFrame(
             {
                 id_col: [i for _, i in out],
@@ -211,6 +216,230 @@ def pq_topk_rerank(
         for r in pq_topk(codes, codebook, query_vec, k=k * refine, id_col=id_col)
         .select(id_col)
         .collect()
+    ]
+    q = [float(x) for x in np.asarray(query_vec, dtype=float)]
+    qlit = F.array(*[F.lit(x) for x in q])
+    v = _to_double(F.col(vec_col))
+    diff = F.zip_with(v, qlit, lambda a, b: a - b)
+    d2 = dot(diff, diff)
+    return (
+        emb.filter(F.col(id_col).isin(cand))
+        .select(F.col(id_col), F.round(d2, 6).alias("d2"))
+        .orderBy("d2", id_col)
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF × PQ: the composed serving shape (IVFADC, Jégou 2011 §V) — coarse
+# cells prune the scan to nprobe/n_cells of the FILES (the assigned/code
+# table is written partitionBy(_cell) at scale), PQ codes of the cell
+# RESIDUAL (x − centroid(cell)) shrink what survives the prune to M bytes
+# per vector, and ADC answers the query with per-probed-cell lookup
+# tables. Residual encoding, not raw-vector encoding: within a cell the
+# residual magnitudes are ~cell radius, so the 256 codewords per subspace
+# quantize a far smaller volume — the recall-per-byte point of the paper.
+# ---------------------------------------------------------------------------
+
+
+def ivf_pq_build(
+    emb: DataFrame,
+    n_centroids: int = 256,
+    m: int = 8,
+    nbits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: int = 16384,
+    seed: int = 42,
+    max_iter: int = 10,
+):
+    """Build the composed index: returns ``(codes, centroids, codebook)``
+    where ``codes`` is (id, _cell int, code array<tinyint>) — residual
+    PQ codes under the coarse IVF assignment.
+
+    Cost shape: one bounded limit+collect for the coarse Lloyd fit
+    (``ivf_build``), one more for the residual codebook fit, then ONE
+    map-side mapInPandas pass that assigns + encodes — no shuffle, no
+    cluster-wide iteration. At 100 TB the output is the table you
+    persist ``partitionBy("_cell")``: 32× smaller than the floats and
+    physically pruned per query.
+    """
+    import numpy as np
+
+    from .similarity import _lloyd_kmeans, ivf_build
+
+    if nbits > 8:
+        raise ValueError("nbits > 8 does not fit tinyint codes")
+    ksub = 1 << nbits
+    assigned, centroids = ivf_build(
+        emb,
+        n_centroids=n_centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+        max_iter=max_iter,
+        train_sample=train_sample,
+    )
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    # residual codebook: bounded sample of (vector, cell) pairs
+    sample = assigned.select("_v", "_cell").limit(train_sample).collect()
+    res = np.asarray(
+        [np.asarray(r["_v"], dtype=np.float64) - cents[r["_cell"]] for r in sample]
+    )
+    d = res.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = [
+        np.asarray(
+            _lloyd_kmeans(res[:, j * dsub : (j + 1) * dsub], ksub, seed=seed + j),
+            dtype=float,
+        )
+        for j in range(m)
+    ]
+    cnorm2 = [np.einsum("ij,ij->i", b, b) for b in books]
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(list(pdf["_v"]), dtype=np.float64)
+            cell = pdf["_cell"].to_numpy()
+            r = v - cents[cell]
+            codes_m = np.empty((len(v), m), dtype=np.int16)
+            for j in range(m):
+                sub = r[:, j * dsub : (j + 1) * dsub]
+                scores = cnorm2[j][None, :] - 2.0 * (sub @ books[j].T)
+                codes_m[:, j] = scores.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "_id": pdf["_id"].values,
+                    "_cell": cell,
+                    "code": list(codes_m - 128),
+                }
+            )
+
+    base = assigned.select(
+        F.col(id_col).cast("long").alias("_id"), "_v", "_cell"
+    )
+    out = base.mapInPandas(encode, schema="_id long, _cell int, code array<smallint>")
+    codes = out.select(
+        F.col("_id").alias(id_col),
+        "_cell",
+        F.expr("transform(code, c -> CAST(c AS TINYINT))").alias("code"),
+    )
+    return codes, [list(c) for c in cents], [b.tolist() for b in books]
+
+
+def ivf_pq_topk(
+    codes: DataFrame,
+    centroids,
+    codebook,
+    query_vec,
+    k: int = 10,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k over the composed index: prune to the
+    ``nprobe`` nearest cells (a ``_cell`` filter — partition pruning
+    against a partitionBy(_cell) layout), then ADC-scan only the
+    surviving cells' codes with a per-cell lookup table built from the
+    query's RESIDUAL against that cell's centroid. The exchange sees
+    O(partitions × k) (id, adc) rows."""
+    import heapq
+
+    import numpy as np
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    books = [np.asarray(b, dtype=np.float64) for b in codebook]
+    m = len(books)
+    dsub = books[0].shape[1]
+    q = np.asarray(query_vec, dtype=np.float64)
+    if q.shape[0] != m * dsub:
+        raise ValueError("query dim mismatch")
+    d2c = ((cents - q) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d2c)[:nprobe]]
+    # per-probed-cell ADC tables over the query residual: tiny
+    # (nprobe × m × 256 doubles) and shipped in the task closure
+    luts = {}
+    for c in probe:
+        r = q - cents[c]
+        luts[c] = np.stack(
+            [
+                ((books[j] - r[j * dsub : (j + 1) * dsub]) ** 2).sum(axis=1)
+                for j in range(m)
+            ]
+        )
+
+    def score(batches):
+        import pandas as pd
+
+        heap: list = []
+        cols = np.arange(m)[None, :]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cell = pdf["_cell"].to_numpy()
+            code = (np.array(list(pdf["code"]), dtype=np.int16) + 128).astype(
+                np.intp
+            )
+            ids = pdf[id_col].to_numpy()
+            adc = np.empty(len(ids), dtype=np.float64)
+            for c in np.unique(cell):
+                mask = cell == c
+                adc[mask] = luts[int(c)][cols, code[mask]].sum(axis=1)
+            take = min(k, len(ids))
+            part = np.argpartition(adc, take - 1)[:take]
+            for i in part:
+                # (-adc, -id): ties evict the largest id, matching the
+                # global orderBy(adc, id) ascending tie-break
+                item = (-float(adc[i]), -int(ids[i]))
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                else:
+                    heapq.heappushpop(heap, item)
+        out = sorted(((-d, -i) for d, i in heap))
+        yield pd.DataFrame(
+            {
+                id_col: [i for _, i in out],
+                "adc": [round(d, 6) for d, _ in out],
+            }
+        )
+
+    pruned = codes.filter(F.col("_cell").isin(probe))
+    part_tops = pruned.mapInPandas(score, schema=f"{id_col} long, adc double")
+    return part_tops.orderBy("adc", id_col).limit(k)
+
+
+def ivf_pq_topk_rerank(
+    codes: DataFrame,
+    emb: DataFrame,
+    centroids,
+    codebook,
+    query_vec,
+    k: int = 10,
+    nprobe: int = 8,
+    refine: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC with the refine step: the pruned ADC scan proposes
+    k·refine candidates, then EXACT squared distance is recomputed for
+    just those ids against the float table (~k·refine rows read, not
+    the corpus)."""
+    import numpy as np
+
+    from .similarity import _to_double, dot
+
+    cand = [
+        int(r[id_col])
+        for r in ivf_pq_topk(
+            codes, centroids, codebook, query_vec,
+            k=k * refine, nprobe=nprobe, id_col=id_col,
+        ).select(id_col).collect()
     ]
     q = [float(x) for x in np.asarray(query_vec, dtype=float)]
     qlit = F.array(*[F.lit(x) for x in q])

@@ -174,7 +174,11 @@ def _gemm_dropped(assigned: DataFrame, tau: float, id_col: str) -> DataFrame:
         pdf = pdf.sort_values(id_col)
         ids = pdf[id_col].to_numpy()
         v = np.array(list(pdf["_v"]), dtype=np.float64)
-        n = pdf["_nv"].to_numpy()
+        n = pdf["_nv"].to_numpy().copy()
+        # Zero-clamp like _assign_gemm: via the kmeans path _nv is the
+        # raw norm, so a zero vector would divide-by-zero into NaN
+        # similarity rows (never droppable) — ADVICE r7.
+        n[n == 0] = 1e-12
         v = v / n[:, None]
         m = len(ids)
         dropped = np.zeros(m, dtype=bool)

@@ -790,9 +790,12 @@ def dup_ngram_coverage(
             F.aggregate(
                 F.transform(
                     F.col("_ps"),
+                    # F.get is 0-based and returns NULL past the end in
+                    # BOTH ANSI modes (element_at throws under ANSI-on,
+                    # the driver's Spark-4 default session).
                     lambda p, i: F.least(
                         F.coalesce(
-                            F.element_at(F.col("_ps"), i + F.lit(2)) - p,
+                            F.get(F.col("_ps"), i + F.lit(1)) - p,
                             F.lit(n),
                         ),
                         F.lit(n),

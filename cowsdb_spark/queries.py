@@ -1613,7 +1613,10 @@ def x20(spark, sf_dir):
         float(x)
         for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     ]
-    return pq_topk(codes, book, qvec, k=10).filter(F.col("vec_id") != 0)
+    # Exclude the query vector BEFORE the top-k scan (its quantized
+    # self-distance ~0 would otherwise eat a slot and yield 9
+    # neighbors) — same pattern as t18's ivf_topk call above.
+    return pq_topk(codes.filter(F.col("vec_id") != 0), book, qvec, k=10)
 
 
 @qdef(

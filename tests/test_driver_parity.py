@@ -1,0 +1,69 @@
+"""Full-registry driver-parity gate, in-suite layer.
+
+The round driver runs ``__spark_entry__.queries()`` in a PLAIN
+Spark 4 session: ANSI **on**, parquet TIMESTAMP_NTZ inference **on**,
+200 shuffle partitions, 1g heap — none of which the engine session
+(``session.py``) or the sf0.001 conformance suite exercise.  That gap
+shipped two red driver cells in a row (r6 t43 typed-hash, r7 t31
+ANSI ``element_at`` past-the-end) while the local gate said 50/50.
+
+This module re-runs EVERY registry row against its DuckDB oracle
+with the two SEMANTIC driver confs flipped to driver defaults
+(``spark.sql.ansi.enabled=true``,
+``spark.sql.parquet.inferTimestampNTZ.enabled=true``).  The
+process-level differences a runtime conf can't reproduce (1g heap,
+200 shuffle partitions, default codegen cache) are covered by the
+subprocess gate ``tools/verify_driver_parity.py``, which the close
+battery runs at sf0.01.
+
+Supersedes the single-conf ``test_ntz_driver_sim.py`` shape (kept —
+it documents the r2 bug class with its own narrative).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cowsdb_spark import catalog
+from cowsdb_spark.queries import registry
+
+from test_conformance import canon
+
+REG = registry()
+
+_DRIVER_CONFS = {
+    "spark.sql.ansi.enabled": "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
+}
+
+
+@pytest.fixture(scope="module")
+def driver_confs(spark):
+    prev = {k: spark.conf.get(k) for k in _DRIVER_CONFS}
+    catalog._df_cache.clear()  # memoized reads happened under engine confs
+    for k, v in _DRIVER_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        yield spark
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+        catalog._df_cache.clear()
+
+
+@pytest.mark.parametrize("name", sorted(REG))
+def test_registry_row_under_driver_confs(name, driver_confs, ddb, sf_dir):
+    spark = driver_confs
+    qd = REG[name]
+    df = qd.spark(spark, sf_dir)
+    scols = df.columns
+    srows = [tuple(r) for r in df.collect()]
+    if qd.oracle is None:
+        assert len(srows) >= 0  # rows-only contract: runs without error
+        return
+    res = ddb.execute(qd.oracle)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert len(srows) == len(drows), f"rowcount {len(srows)} vs {len(drows)}"
+    assert sorted(scols) == sorted(dcols), f"columns {scols} vs {dcols}"
+    assert canon(srows, scols) == canon(drows, dcols)

@@ -64,6 +64,18 @@ class TestMinhash:
         assert pairs[(0, 1)] == 1.0 and (0, 2) in pairs
         assert all(3 not in p and 4 not in p for p in pairs)
 
+    def test_no_cache_manager_residue(self, spark, docs):
+        # VERDICT r7 #2: the signature frame used persist() with no
+        # reachable unpersist, pinning one cached table per call in a
+        # long-lived serving session.  Now localCheckpoint like the
+        # cand_ids/ids_needed frames: repeated calls must leave the
+        # CacheManager exactly as they found it.
+        cache = spark._jsparkSession.sharedState().cacheManager()
+        before = cache.isEmpty()
+        for _ in range(2):
+            minhash_lsh_pairs(docs, min_jaccard=0.5, shingle_k=3).collect()
+        assert cache.isEmpty() == before
+
 
 class TestSimhash:
     def test_identical_docs_distance_zero(self, docs):

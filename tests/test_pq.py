@@ -132,3 +132,102 @@ class TestPqRerank:
         full = pq_topk_rerank(codes, emb, book, q, k=10, refine=50).collect()
         exact = ids[np.argsort(((vecs - q) ** 2).sum(axis=1))[:10]].tolist()
         assert [r["vec_id"] for r in full] == exact
+
+
+class TestIvfPq:
+    """IVF × PQ composed index (IVFADC): residual mechanism exactness,
+    recall vs the flat-PQ baseline, cell pruning, determinism."""
+
+    def test_adc_values_match_residual_reconstruction(self, spark, sf_dir):
+        # mechanism check, same style as TestPq: every returned adc
+        # must equal the numpy distance between the query and the
+        # RECONSTRUCTED vector centroid(cell) + codebook[code]
+        from cowsdb_spark.operators.pq import ivf_pq_build, ivf_pq_topk
+
+        emb, ids, vecs = _fixture(spark, sf_dir)
+        codes, cents, book = ivf_pq_build(emb, n_centroids=8, m=8)
+        books = [np.asarray(b) for b in book]
+        cents_np = np.asarray(cents)
+        rows = codes.collect()
+        recon = {}
+        cell_of = {}
+        for r in rows:
+            c = np.array(r["code"], dtype=np.int16) + 128
+            recon[r["vec_id"]] = cents_np[r["_cell"]] + np.concatenate(
+                [books[j][c[j]] for j in range(8)]
+            )
+            cell_of[r["vec_id"]] = r["_cell"]
+        q = vecs[ids == 0][0]
+        got = ivf_pq_topk(codes, cents, book, q, k=10, nprobe=8).collect()
+        for r in got:
+            want = round(float(((recon[r["vec_id"]] - q) ** 2).sum()), 6)
+            assert abs(r["adc"] - want) < 1e-6, (r["vec_id"], r["adc"], want)
+        # nprobe = all cells -> the returned set is the true ADC top-k
+        all_adc = sorted(
+            (round(float(((v - q) ** 2).sum()), 6), i) for i, v in recon.items()
+        )[:10]
+        assert [i for _, i in all_adc] == [r["vec_id"] for r in got]
+
+    def test_prune_scans_only_probed_cells(self, spark, sf_dir):
+        from cowsdb_spark.operators.pq import ivf_pq_build, ivf_pq_topk
+
+        emb, ids, vecs = _fixture(spark, sf_dir)
+        codes, cents, book = ivf_pq_build(emb, n_centroids=8, m=8)
+        q = vecs[ids == 3][0]
+        # nprobe=2: every returned id must live in one of the 2
+        # nearest cells (the _cell filter is the partition prune)
+        cents_np = np.asarray(cents)
+        probe = set(
+            np.argsort(((cents_np - q) ** 2).sum(axis=1))[:2].tolist()
+        )
+        cell_of = {r["vec_id"]: r["_cell"] for r in codes.collect()}
+        got = ivf_pq_topk(codes, cents, book, q, k=10, nprobe=2).collect()
+        assert got and all(cell_of[r["vec_id"]] in probe for r in got)
+
+    def test_residual_beats_or_matches_flat_pq_recall(self, spark, sf_dir):
+        # residual quantization at equal bytes should not LOSE to flat
+        # PQ on average; assert the composed index still clears the
+        # flat baseline's sanity floor on this adversarially-uniform
+        # fixture (clustered-geometry numbers live in BENCH_ANN_1M)
+        from cowsdb_spark.operators.pq import ivf_pq_build, ivf_pq_topk
+
+        emb, ids, vecs = _fixture(spark, sf_dir)
+        codes, cents, book = ivf_pq_build(emb, n_centroids=8, m=8)
+        hits = total = 0
+        for qid in (0, 7, 13):
+            q = vecs[ids == qid][0]
+            exact = set(
+                ids[np.argsort(((vecs - q) ** 2).sum(axis=1))[:10]].tolist()
+            )
+            got = {
+                r["vec_id"]
+                for r in ivf_pq_topk(
+                    codes, cents, book, q, k=10, nprobe=8
+                ).collect()
+            }
+            hits += len(exact & got)
+            total += 10
+        assert hits / total >= 0.5, hits / total
+
+    def test_rerank_exact_distances_and_determinism(self, spark, sf_dir):
+        from cowsdb_spark.operators.pq import (
+            ivf_pq_build,
+            ivf_pq_topk,
+            ivf_pq_topk_rerank,
+        )
+
+        emb, ids, vecs = _fixture(spark, sf_dir)
+        codes, cents, book = ivf_pq_build(emb, n_centroids=8, m=8)
+        q = vecs[ids == 0][0]
+        got = ivf_pq_topk_rerank(
+            codes, emb, cents, book, q, k=10, nprobe=8, refine=10
+        ).collect()
+        assert len(got) == 10
+        for r in got:
+            want = round(
+                float(((vecs[ids == r["vec_id"]][0] - q) ** 2).sum()), 6
+            )
+            assert abs(r["d2"] - want) < 1e-6
+        a = [tuple(r) for r in ivf_pq_topk(codes, cents, book, q, k=5).collect()]
+        b = [tuple(r) for r in ivf_pq_topk(codes, cents, book, q, k=5).collect()]
+        assert a == b
