@@ -230,29 +230,27 @@ def minhash_from_token_hashes(
     return _sig(token_hashes)
 
 
-def minhash_lsh_pairs(
+def minhash_signature_table(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_hashes: int = 32,
-    bands: int = 8,
-    min_jaccard: float = 0.5,
     shingle_k: int = 5,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Near-duplicate pairs (id_a < id_b) with estimated Jaccard.
+    """(id, _sig array<int>) — the persistable MinHash signature
+    STORE. A pipeline that deduplicates incrementally writes this
+    frame out once per corpus snapshot (n_docs × (n_hashes+1) ints —
+    tiny next to the bodies) and re-reads it on the next increment
+    (``minhash_lsh_pairs_incremental``) instead of re-hashing
+    yesterday's corpus.
 
-    Stages: signature (narrow) → explode to ``bands`` (band,
-    band-hash) keys → self-equi-join on the band key (the only
-    shuffle) → distinct candidate pairs → exact minhash agreement
-    ratio as the Jaccard estimate.
+    Staged projections so each per-element lambda (shingle slice,
+    shingle-hash transform) reads a materialized attribute, never an
+    inline split/regexp expression — see shingle_hashes_of_tokens's
+    CAUTION note for the measured quadratic blowup otherwise.
     """
-    rows_per_band = n_hashes // bands
-    # Staged projections so each per-element lambda (shingle slice,
-    # shingle-hash transform) reads a materialized attribute, never an
-    # inline split/regexp expression — see shingle_hashes_of_tokens's
-    # CAUTION note for the measured quadratic blowup otherwise.
-    sig = (
+    return (
         _tokens_of(docs, id_col, text_col)
         .select(F.col(id_col), token_hashes_of(F.col("_toks"), hash_fn).alias("_th"))
         .select(
@@ -260,20 +258,18 @@ def minhash_lsh_pairs(
             minhash_from_token_hashes(F.col("_th"), n_hashes, shingle_k).alias("_sig"),
         )
     )
-    # The signatures feed the banding (both self-join sides) AND the
-    # final per-pair agreement join; without materialization the whole
-    # signature stage (UDF included) runs three times. At cluster
-    # scale this is the standard checkpoint-the-signatures pattern;
-    # size is n_docs × (n_hashes+1) longs — tiny vs corpus.
-    # localCheckpoint, not persist(): a persisted frame pins a
-    # CacheManager entry until an explicit unpersist that can't happen
-    # here (the returned frame is lazy), so a long-lived serving
-    # session would leak one cached signature table per call (ADVICE
-    # r6 / VERDICT r7 #2 — same fix as cand_ids/ids_needed below);
-    # checkpoint blocks are freed by the ContextCleaner once the plan
-    # is GC'd (the session runs periodicGC=45s).
-    sig = sig.localCheckpoint(eager=True)
-    banded = sig.select(
+
+
+def banded_keys(
+    sig: DataFrame, id_col: str, n_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band, bh) — the LSH bucket keys of a signature table.
+    Narrow projection (explode of ``bands`` structs per row); at scale
+    the incremental store is persisted in THIS form, bucketed by
+    (band, bh), so the next increment's candidate join co-locates
+    with zero shuffle of the store."""
+    rows_per_band = n_hashes // bands
+    return sig.select(
         id_col,
         F.explode(
             F.array(
@@ -295,6 +291,42 @@ def minhash_lsh_pairs(
             )
         ).alias("_band"),
     ).select(id_col, "_band.band", "_band.bh")
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    bands: int = 8,
+    min_jaccard: float = 0.5,
+    shingle_k: int = 5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b) with estimated Jaccard.
+
+    Stages: signature (narrow) → explode to ``bands`` (band,
+    band-hash) keys → self-equi-join on the band key (the only
+    shuffle) → distinct candidate pairs → exact minhash agreement
+    ratio as the Jaccard estimate.
+    """
+    sig = minhash_signature_table(
+        docs, id_col, text_col, n_hashes, shingle_k, hash_fn
+    )
+    # The signatures feed the banding (both self-join sides) AND the
+    # final per-pair agreement join; without materialization the whole
+    # signature stage (UDF included) runs three times. At cluster
+    # scale this is the standard checkpoint-the-signatures pattern;
+    # size is n_docs × (n_hashes+1) longs — tiny vs corpus.
+    # localCheckpoint, not persist(): a persisted frame pins a
+    # CacheManager entry until an explicit unpersist that can't happen
+    # here (the returned frame is lazy), so a long-lived serving
+    # session would leak one cached signature table per call (ADVICE
+    # r6 / VERDICT r7 #2 — same fix as cand_ids/ids_needed below);
+    # checkpoint blocks are freed by the ContextCleaner once the plan
+    # is GC'd (the session runs periodicGC=45s).
+    sig = sig.localCheckpoint(eager=True)
+    banded = banded_keys(sig, id_col, n_hashes, bands)
     # Candidate generation: ONE shuffle of the slim (band, bucket-hash,
     # id) rows into per-bucket groups, then in-bucket pair expansion
     # with a higher-order transform. r5 rework of the r4 two-sided
@@ -387,6 +419,111 @@ def minhash_lsh_pairs(
     est = (agree / F.lit(len(range(n_hashes)))).alias("jaccard_est")
     return (
         cand.select("id_a", "id_b", F.round(est, 4).alias("jaccard_est"))
+        .filter(F.col("jaccard_est") >= min_jaccard)
+    )
+
+
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    seen_sigs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    bands: int = 8,
+    min_jaccard: float = 0.5,
+    shingle_k: int = 5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """NEAR-dup pairs of an increment against a persisted corpus —
+    the daily-pipeline shape ``cross_corpus_new`` covers only for the
+    EXACT lane (VERDICT r7 #4): re-running full LSH over
+    yesterday's 100 TB plus today's 0.1 TB re-hashes the whole store
+    every day; this operator re-hashes ONLY the increment and
+    band-joins it against yesterday's signatures.
+
+    ``seen_sigs`` is the (id, _sig) store written by
+    ``minhash_signature_table`` (ids must be disjoint from the
+    increment's). Output: (id_a, id_b, jaccard_est) with id_a < id_b,
+    for every pair with at least one NEW side — new×seen candidates
+    from the band join against the store, new×new candidates from the
+    increment's own buckets. Identical to what full-corpus
+    ``minhash_lsh_pairs`` would report minus the seen×seen pairs
+    (yesterday's run already emitted those), with the same constants,
+    banding and agreement estimate — the md5 lane therefore stays
+    oracle-checkable end-to-end (queries.py t46).
+
+    Scale shape: the increment's signatures are one narrow pass over
+    new docs only; the candidate join shuffles slim (band, bh, id)
+    rows — and when the store is persisted in ``banded_keys`` form
+    bucketed by (band, bh), the store side co-locates with ZERO
+    shuffle. Candidate volume is bounded by the increment's bucket
+    hits, so the signature re-attach always fits the broadcast-semi
+    tier (no size-conditional tiers needed here).
+    """
+    new_sig = minhash_signature_table(
+        new_docs, id_col, text_col, n_hashes, shingle_k, hash_fn
+    ).localCheckpoint(eager=True)
+
+    banded_new = banded_keys(new_sig, id_col, n_hashes, bands)
+    banded_seen = banded_keys(seen_sigs, id_col, n_hashes, bands)
+
+    # new × seen: plain equi-join on the bucket key; the new side is
+    # the small (increment-sized) side, so AQE broadcasts it and the
+    # store streams. Canonicalize to id_a < id_b like the batch op.
+    cross = (
+        banded_new.select("band", "bh", F.col(id_col).alias("_nid"))
+        .join(
+            banded_seen.select("band", "bh", F.col(id_col).alias("_sid")),
+            ["band", "bh"],
+        )
+        .select(
+            F.least("_nid", "_sid").alias("id_a"),
+            F.greatest("_nid", "_sid").alias("id_b"),
+        )
+    )
+    # new × new: the increment's own buckets, exactly the batch op's
+    # grouped pair expansion (one shuffle of the increment's keys).
+    buckets = (
+        banded_new.groupBy("band", "bh")
+        .agg(F.collect_list(id_col).alias("_ids"))
+        .filter(F.size("_ids") > 1)
+    )
+    new_new = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_ids, (x, i) -> "
+                    "transform(slice(_ids, i + 2, size(_ids)), y -> "
+                    "struct(least(x, y) AS id_a, greatest(x, y) AS id_b))))"
+                )
+            ).alias("_p")
+        ).select("_p.id_a", "_p.id_b")
+    )
+    cand_ids = (
+        cross.unionByName(new_new)
+        .dropDuplicates(["id_a", "id_b"])
+        .localCheckpoint(eager=True)
+    )
+    ids_needed = (
+        cand_ids.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
+        .distinct()
+    )
+    sig_all = new_sig.unionByName(seen_sigs.select(id_col, "_sig")).join(
+        F.broadcast(ids_needed), id_col, "left_semi"
+    )
+    cand = cand_ids.join(
+        sig_all.select(F.col(id_col).alias("id_a"), F.col("_sig").alias("_sig_a")),
+        "id_a",
+    ).join(
+        sig_all.select(F.col(id_col).alias("id_b"), F.col("_sig").alias("_sig_b")),
+        "id_b",
+    )
+    agree = F.size(
+        F.filter(F.zip_with("_sig_a", "_sig_b", lambda x, y: x == y), lambda v: v)
+    )
+    est = F.round(agree / F.lit(n_hashes), 4)
+    return (
+        cand.select("id_a", "id_b", est.alias("jaccard_est"))
         .filter(F.col("jaccard_est") >= min_jaccard)
     )
 

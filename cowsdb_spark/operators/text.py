@@ -45,12 +45,24 @@ def _ratio(num: Column, den: Column) -> Column:
 
 
 def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Quality signals + a single [0,1] composite score.
+    """Quality signals + a [0,1] heuristic composite + the TRAINED
+    classifier's decision (r8 — the last heuristic-weights operator
+    graduated, following lang_id's r7 pattern).
+
+    ``model_score_m`` / ``model_keep`` come from the logistic model in
+    ``quality_model.py``: integer-quantized features × integer weights
+    = a pure BIGINT dot product evaluated inline in whole-stage
+    codegen (score_m ≈ logit × 10⁶; keep ⇔ p > 0.5). No join, no UDF,
+    no shuffle — the model IS four literal multiply-adds, and the
+    integer arithmetic keeps the DuckDB oracle bit-identical.
 
     Token array is materialized once per row (staged projection);
     the signals below reference it ~5× and split+normalize is not
     free at corpus scale.
     """
+    from .quality_model import TOK_CAP, train
+
+    mb, mw = train()
     docs = docs.select(
         F.col(id_col), F.col(text_col), tokens(F.col(text_col)).alias("_toks")
     )
@@ -71,6 +83,19 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
         + F.least(stop_ratio * 5, F.lit(1.0)) * 0.3
         + F.when((mean_word >= 3) & (mean_word <= 10), 0.3).otherwise(0.0)
     )
+    # trained model: integer-quantized features (quality_model.features
+    # mirrors these expressions character-for-character)
+    f_len = F.least(n_tok, F.lit(TOK_CAP)).cast("long")
+    f_stop = F.round(stop_ratio * 10000).cast("long")
+    f_punct = F.round(punct_ratio * 10000).cast("long")
+    f_mwl = F.round(mean_word * 10000).cast("long")
+    model_score = (
+        F.lit(mb).cast("long")
+        + F.lit(mw[0]) * f_len
+        + F.lit(mw[1]) * f_stop
+        + F.lit(mw[2]) * f_punct
+        + F.lit(mw[3]) * f_mwl
+    )
     return docs.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
@@ -78,6 +103,8 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
         F.round(punct_ratio, 4).alias("punct_ratio"),
         F.round(mean_word, 4).alias("mean_word_len"),
         F.round(score, 4).alias("quality"),
+        model_score.alias("model_score_m"),
+        (model_score > 0).alias("model_keep"),
     )
 
 

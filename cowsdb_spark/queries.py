@@ -790,7 +790,12 @@ def q39(spark, sf_dir):
 
 
 def _t06_minhash_oracle(
-    n_hashes: int = 32, bands: int = 8, k: int = 5, min_jaccard: float = 0.2
+    n_hashes: int = 32,
+    bands: int = 8,
+    k: int = 5,
+    min_jaccard: float = 0.2,
+    cand_pred: str = "",
+    final_select: str | None = None,
 ) -> str:
     """Full DuckDB replica of the MinHash-LSH pipeline (driver-
     checkable since r7; was rows-only x06 because xxhash64 is
@@ -848,13 +853,19 @@ def _t06_minhash_oracle(
         f"(SELECT unnest(generate_series(0, {bands - 1})) AS band) b), "
         "cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b "
         "FROM g a JOIN g c ON a.band = c.band AND a.key = c.key "
-        "AND a.doc_id < c.doc_id) "
-        "SELECT id_a, id_b, "
-        f"ROUND({agree} / {n_hashes}.0, 4) AS jaccard_est "
-        "FROM cand JOIN sig sa ON sa.doc_id = id_a "
-        "JOIN sig sb ON sb.doc_id = id_b "
-        f"WHERE {agree} / {n_hashes}.0 >= {min_jaccard} "
-        "ORDER BY id_a, id_b"
+        f"AND a.doc_id < c.doc_id{cand_pred}) "
+        + (
+            final_select.replace("{AGREE}", agree)
+            if final_select is not None
+            else (
+                "SELECT id_a, id_b, "
+                f"ROUND({agree} / {n_hashes}.0, 4) AS jaccard_est "
+                "FROM cand JOIN sig sa ON sa.doc_id = id_a "
+                "JOIN sig sb ON sb.doc_id = id_b "
+                f"WHERE {agree} / {n_hashes}.0 >= {min_jaccard} "
+                "ORDER BY id_a, id_b"
+            )
+        )
     )
 
 
@@ -1010,33 +1021,61 @@ def t09(spark, sf_dir):
     )
 
 
+def _t27_oracle() -> str:
+    """DuckDB replica of quality_score incl. the r8 trained model:
+    the logistic weights are injected from quality_model.train() so
+    the oracle always scores with the exact integers the Spark plan
+    compiled in."""
+    from .operators.quality_model import TOK_CAP, train
+
+    b, w = train()
+    stop_r = "(CASE WHEN n_tok > 0 THEN stop_hits * 1.0 / n_tok ELSE 0.0 END)"
+    punct_r = "(CASE WHEN n_char > 0 THEN punct * 1.0 / n_char ELSE 0.0 END)"
+    mwl_r = "(CASE WHEN n_tok > 0 THEN tok_chars * 1.0 / n_tok ELSE 0.0 END)"
+    model = (
+        f"CAST({b} + {w[0]} * least(n_tok, {TOK_CAP}) "
+        f"+ {w[1]} * CAST(ROUND({stop_r} * 10000) AS BIGINT) "
+        f"+ {w[2]} * CAST(ROUND({punct_r} * 10000) AS BIGINT) "
+        f"+ {w[3]} * CAST(ROUND({mwl_r} * 10000) AS BIGINT) AS BIGINT)"
+    )
+    return (
+        "WITH n AS (SELECT doc_id, text, "
+        "  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM documents), "
+        "t AS (SELECT doc_id, text, string_split(norm, ' ') AS tk FROM n), "
+        "m AS (SELECT doc_id, len(tk) AS n_tok, length(text) AS n_char, "
+        "  len(string_split(text, ' ')) AS n_tok_raw, "
+        "  len(list_filter(tk, x -> x IN ('the','a','an','and','or','of','to','in','is'))) AS stop_hits, "
+        "  length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct, "
+        "  list_sum(list_transform(tk, x -> length(x))) AS tok_chars, "
+        "  md5(lower(trim(text))) AS fp FROM t) "
+        "SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens, "
+        f"ROUND({stop_r}, 4) AS stop_ratio, "
+        f"ROUND({punct_r}, 4) AS punct_ratio, "
+        f"ROUND({mwl_r}, 4) AS mean_word_len, "
+        "ROUND(least(n_tok / 100.0, 1.0) * 0.4 "
+        f"  + least({stop_r} * 5, 1.0) * 0.3 "
+        f"  + CASE WHEN {mwl_r} "
+        "      BETWEEN 3 AND 10 THEN 0.3 ELSE 0.0 END, 4) AS quality, "
+        f"{model} AS model_score_m, "
+        f"{model} > 0 AS model_keep, "
+        "CAST(n_char AS INTEGER) AS n_char, "
+        "ROUND(n_char * 1.0 / n_tok_raw, 4) AS chars_per_tok, fp "
+        "FROM m ORDER BY doc_id LIMIT 200"
+    )
+
+
 @qdef(
     "t27_quality_full",
-    "WITH n AS (SELECT doc_id, text, "
-    "  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM documents), "
-    "t AS (SELECT doc_id, text, string_split(norm, ' ') AS tk FROM n), "
-    "m AS (SELECT doc_id, len(tk) AS n_tok, length(text) AS n_char, "
-    "  len(string_split(text, ' ')) AS n_tok_raw, "
-    "  len(list_filter(tk, x -> x IN ('the','a','an','and','or','of','to','in','is'))) AS stop_hits, "
-    "  length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct, "
-    "  list_sum(list_transform(tk, x -> length(x))) AS tok_chars, "
-    "  md5(lower(trim(text))) AS fp FROM t) "
-    "SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens, "
-    "ROUND(CASE WHEN n_tok > 0 THEN stop_hits * 1.0 / n_tok ELSE 0.0 END, 4) AS stop_ratio, "
-    "ROUND(CASE WHEN n_char > 0 THEN punct * 1.0 / n_char ELSE 0.0 END, 4) AS punct_ratio, "
-    "ROUND(CASE WHEN n_tok > 0 THEN tok_chars * 1.0 / n_tok ELSE 0.0 END, 4) AS mean_word_len, "
-    "ROUND(least(n_tok / 100.0, 1.0) * 0.4 "
-    "  + least((CASE WHEN n_tok > 0 THEN stop_hits * 1.0 / n_tok ELSE 0.0 END) * 5, 1.0) * 0.3 "
-    "  + CASE WHEN (CASE WHEN n_tok > 0 THEN tok_chars * 1.0 / n_tok ELSE 0.0 END) "
-    "      BETWEEN 3 AND 10 THEN 0.3 ELSE 0.0 END, 4) AS quality, "
-    "CAST(n_char AS INTEGER) AS n_char, "
-    "ROUND(n_char * 1.0 / n_tok_raw, 4) AS chars_per_tok, fp "
-    "FROM m ORDER BY doc_id LIMIT 200",
+    _t27_oracle(),
     "[ext: text] full composite quality score (length/punct/stopword/"
     "word-length signals) vs DuckDB replica (rows-only before r3); "
     "r7: absorbed t01_token_stats — its raw-split token stats ride "
     "along as n_char / chars_per_tok on the same 200-doc spine; late "
-    "r7: absorbed t03_fingerprint — the normalized-md5 `fp` column",
+    "r7: absorbed t03_fingerprint — the normalized-md5 `fp` column; "
+    "r8: model_score_m / model_keep from the TRAINED logistic "
+    "classifier (operators/quality_model.py — integer-quantized "
+    "features x integer weights, a pure BIGINT dot product both "
+    "engines evaluate bit-identically)",
 )
 def t10(spark, sf_dir):
     from .operators.text import quality_score
@@ -1617,6 +1656,32 @@ def x20(spark, sf_dir):
     # self-distance ~0 would otherwise eat a slot and yield 9
     # neighbors) — same pattern as t18's ivf_topk call above.
     return pq_topk(codes.filter(F.col("vec_id") != 0), book, qvec, k=10)
+
+
+@qdef(
+    "x21_ivfpq_ann",
+    None,  # Lloyd codebooks / ADC float geometry aren't SQL-expressible
+    "[ext: similarity, r8] IVF x PQ composed index (IVFADC, Jegou 2011 "
+    "SV-VI): coarse cells prune the scan to nprobe/n_cells (the _cell "
+    "filter = partition pruning over a partitionBy(_cell) layout), PQ "
+    "codes of the cell RESIDUAL compress survivors 32x, per-probed-cell "
+    "ADC tables score them, exact re-rank refines (operators/pq.py; "
+    "mechanism value-tested vs numpy reconstruction in tests/test_pq.py "
+    "TestIvfPq, recall/latency at 1M in BENCH_ANN_1M.json)",
+)
+def x21(spark, sf_dir):
+    from .operators.pq import ivf_pq_build, ivf_pq_topk_rerank
+
+    e = _t(spark, sf_dir, "embeddings")
+    codes, cents, book = ivf_pq_build(e, n_centroids=8, m=8)
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return ivf_pq_topk_rerank(
+        codes.filter(F.col("vec_id") != 0), e, cents, book, qvec,
+        k=10, nprobe=3,
+    )
 
 
 @qdef(
@@ -2313,23 +2378,67 @@ def t47(spark, sf_dir):
 
 @qdef(
     "t46_cross_dedup",
-    "SELECT d.doc_id FROM documents d WHERE d.doc_id % 3 <> 0 AND "
-    "md5(lower(trim(d.text))) NOT IN (SELECT md5(lower(trim(s.text))) "
-    "FROM documents s WHERE s.doc_id % 3 = 0) ORDER BY doc_id LIMIT 100",
-    "[ext: dedup] incremental cross-corpus dedup: new-batch docs "
-    "(doc_id % 3 <> 0) whose exact content is absent from the seen "
-    "corpus (doc_id % 3 = 0) — fingerprint-projected LEFT ANTI join, "
-    "bodies never shuffle (operators/dedup.py::cross_corpus_new)",
+    _t06_minhash_oracle(
+        min_jaccard=0.2,
+        # exclude seen x seen: yesterday's run already emitted those
+        cand_pred=" AND NOT (a.doc_id % 3 = 0 AND c.doc_id % 3 = 0)",
+        final_select=(
+            ", scored AS (SELECT id_a, id_b, "
+            "ROUND({AGREE} / 32.0, 4) AS jaccard_est "
+            "FROM cand JOIN sig sa ON sa.doc_id = id_a "
+            "JOIN sig sb ON sb.doc_id = id_b "
+            "WHERE {AGREE} / 32.0 >= 0.2), "
+            "dig AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd_pairs, "
+            "CAST(COALESCE(SUM(CASE WHEN id_a % 3 = 0 OR id_b % 3 = 0 "
+            "THEN 1 ELSE 0 END), 0) AS BIGINT) AS nd_cross, "
+            "CAST(COALESCE(SUM(CAST(ROUND(jaccard_est * 10000) AS BIGINT)), "
+            "0) AS BIGINT) AS nd_jsum FROM scored) "
+            "SELECT s.doc_id, dig.nd_pairs, dig.nd_cross, dig.nd_jsum "
+            "FROM (SELECT d.doc_id FROM documents d WHERE d.doc_id % 3 <> 0 "
+            "AND md5(lower(trim(d.text))) NOT IN "
+            "(SELECT md5(lower(trim(x.text))) FROM documents x "
+            "WHERE x.doc_id % 3 = 0) ORDER BY doc_id LIMIT 100) s "
+            "CROSS JOIN dig ORDER BY s.doc_id"
+        ),
+    ),
+    "[ext: dedup] incremental cross-corpus dedup, BOTH lanes since "
+    "r8: exact lane = new-batch docs (doc_id % 3 <> 0) whose content "
+    "is absent from the seen corpus (fingerprint LEFT ANTI join, "
+    "bodies never shuffle — operators/dedup.py::cross_corpus_new); "
+    "NEAR lane digest columns = MinHash-LSH of the increment against "
+    "the PERSISTED signature store (minhash_signature_table + "
+    "minhash_lsh_pairs_incremental: only the increment is re-hashed, "
+    "new x seen candidates from the band join against the store, "
+    "md5 lane keeps the whole thing oracle-checked end-to-end)",
 )
 def t46(spark, sf_dir):
-    from .operators.dedup import cross_corpus_new
+    from .operators.dedup import (
+        cross_corpus_new,
+        minhash_lsh_pairs_incremental,
+        minhash_signature_table,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    return (
-        cross_corpus_new(
-            d.filter(F.col("doc_id") % 3 != 0),
-            d.filter(F.col("doc_id") % 3 == 0),
-        )
-        .orderBy("doc_id")
-        .limit(100)
+    new = d.filter(F.col("doc_id") % 3 != 0)
+    seen = d.filter(F.col("doc_id") % 3 == 0)
+    survivors = cross_corpus_new(new, seen).orderBy("doc_id").limit(100)
+    # the (id, _sig) frame IS the persistable store format; the scale
+    # artifact (BENCH_DEDUP) round-trips it through parquet
+    store = minhash_signature_table(seen, hash_fn="md5")
+    pairs = minhash_lsh_pairs_incremental(
+        new, store, min_jaccard=0.2, hash_fn="md5"
     )
+    dig = pairs.agg(
+        F.count(F.lit(1)).alias("nd_pairs"),
+        F.coalesce(
+            F.sum(
+                ((F.col("id_a") % 3 == 0) | (F.col("id_b") % 3 == 0)).cast("long")
+            ),
+            F.lit(0).cast("long"),
+        ).alias("nd_cross"),
+        F.coalesce(
+            F.sum(F.round(F.col("jaccard_est") * 10000).cast("long")),
+            F.lit(0).cast("long"),
+        ).alias("nd_jsum"),
+    )
+    return survivors.crossJoin(F.broadcast(dig))

@@ -289,6 +289,95 @@ def main() -> None:
         codes.unpersist()
         out["pq"][f"m{m}"] = cell
 
+    # ---- IVF × PQ composed (IVFADC): the actual 100 TB serving shape —
+    # coarse cells prune the files (codes written partitionBy(_cell)),
+    # residual PQ codes shrink what survives, per-cell ADC tables score,
+    # exact re-rank refines. Compare against the ivf-only and pq-only
+    # blocks above at the same nprobe / m operating points.
+    from cowsdb_spark.operators.pq import (
+        ivf_pq_build,
+        ivf_pq_topk,
+        ivf_pq_topk_rerank,
+    )
+
+    out["ivf_pq"] = {}
+    for m in (8, 16):
+        t0 = time.perf_counter()
+        ivfpq_codes, ivfpq_cents, ivfpq_book = ivf_pq_build(
+            unit, n_centroids=256, m=m, train_sample=65_536, max_iter=10
+        )
+        ivfpq_dir = os.path.join("/tmp", f"moospark-ivfpq-{os.getpid()}-{m}")
+        shutil.rmtree(ivfpq_dir, ignore_errors=True)
+        ivfpq_codes.write.partitionBy("_cell").mode("overwrite").parquet(
+            ivfpq_dir
+        )
+        ivfpq_build_s = round(time.perf_counter() - t0, 1)
+        inv_codes = spark.read.parquet(ivfpq_dir)
+
+        cell = {
+            "n_cells": 256,
+            "m": m,
+            "nprobe": nprobe,
+            "build_and_layout_s": ivfpq_build_s,
+            "compression_x": DIMS * 4 / m,
+            "scan_fraction_per_probe": round(nprobe / 256, 4),
+        }
+        ivf_pq_topk(
+            inv_codes, ivfpq_cents, ivfpq_book, unit_q(qvecs[qids[0]]),
+            k=k + 1, nprobe=nprobe,
+        ).collect()  # warm
+        hits = 0
+        t0 = time.perf_counter()
+        for qid in qids:
+            got = [
+                r.vec_id
+                for r in ivf_pq_topk(
+                    inv_codes, ivfpq_cents, ivfpq_book, unit_q(qvecs[qid]),
+                    k=k + 1, nprobe=nprobe,
+                ).collect()
+                if r.vec_id != qid
+            ][:k]
+            hits += len(set(got) & set(brute[qid]))
+        cell["adc_per_query_s"] = round(
+            (time.perf_counter() - t0) / n_queries, 3
+        )
+        cell["adc_recall_at_10"] = round(hits / (n_queries * k), 4)
+
+        hits = 0
+        t0 = time.perf_counter()
+        for qid in qids:
+            got = [
+                r.vec_id
+                for r in ivf_pq_topk_rerank(
+                    inv_codes, unit, ivfpq_cents, ivfpq_book,
+                    unit_q(qvecs[qid]), k=k + 1, nprobe=nprobe, refine=10,
+                ).collect()
+                if r.vec_id != qid
+            ][:k]
+            hits += len(set(got) & set(brute[qid]))
+        cell["rerank_per_query_s"] = round(
+            (time.perf_counter() - t0) / n_queries, 3
+        )
+        cell["rerank_recall_at_10"] = round(hits / (n_queries * k), 4)
+
+        # pruning evidence: the composed probe plan carries the _cell
+        # partition filter exactly like the ivf-only block
+        plan = (
+            ivf_pq_topk(
+                inv_codes, ivfpq_cents, ivfpq_book, unit_q(qvecs[qids[0]]),
+                k=k, nprobe=nprobe,
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        cell["partition_pruned"] = (
+            "PartitionFilters: [_cell" in plan
+            or "_cell#" in plan.split("PartitionFilters")[-1][:200]
+        )
+        shutil.rmtree(ivfpq_dir, ignore_errors=True)
+        out["ivf_pq"][f"m{m}"] = cell
+
     print(json.dumps(out))
     with open(
         os.path.join(os.path.dirname(__file__), "..", f"BENCH_ANN_{n//1_000_000}M.json"),
