@@ -433,6 +433,7 @@ def minhash_lsh_pairs_incremental(
     min_jaccard: float = 0.5,
     shingle_k: int = 5,
     hash_fn: str = "xxhash64",
+    seen_banded: DataFrame | None = None,
 ) -> DataFrame:
     """NEAR-dup pairs of an increment against a persisted corpus —
     the daily-pipeline shape ``cross_corpus_new`` covers only for the
@@ -454,18 +455,25 @@ def minhash_lsh_pairs_incremental(
 
     Scale shape: the increment's signatures are one narrow pass over
     new docs only; the candidate join shuffles slim (band, bh, id)
-    rows — and when the store is persisted in ``banded_keys`` form
-    bucketed by (band, bh), the store side co-locates with ZERO
-    shuffle. Candidate volume is bounded by the increment's bucket
-    hits, so the signature re-attach always fits the broadcast-semi
-    tier (no size-conditional tiers needed here).
+    rows — and when the store is ALSO persisted in ``banded_keys``
+    form as a table bucketed by (band, bh) and passed as
+    ``seen_banded``, the store side of the candidate join co-locates
+    with ZERO exchange (only the increment's keys shuffle into the
+    bucket scheme — measured in BENCH_DEDUP_INCR). Candidate volume
+    is bounded by the increment's bucket hits, so the signature
+    re-attach always fits the broadcast-semi tier (no
+    size-conditional tiers needed here).
     """
     new_sig = minhash_signature_table(
         new_docs, id_col, text_col, n_hashes, shingle_k, hash_fn
     ).localCheckpoint(eager=True)
 
     banded_new = banded_keys(new_sig, id_col, n_hashes, bands)
-    banded_seen = banded_keys(seen_sigs, id_col, n_hashes, bands)
+    banded_seen = (
+        seen_banded
+        if seen_banded is not None
+        else banded_keys(seen_sigs, id_col, n_hashes, bands)
+    )
 
     # new × seen: plain equi-join on the bucket key; the new side is
     # the small (increment-sized) side, so AQE broadcasts it and the

@@ -108,6 +108,101 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     )
 
 
+def gopher_rules(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher rule-based quality filters (Rae et al. 2021, arXiv:
+    2112.11446 §A1.1 — the public filter set most curation pipelines
+    start from), each as its own boolean so downstream can audit which
+    rule fired:
+
+      r_wordcount  — 50 ≤ words ≤ 100,000
+      r_meanword   — mean word length in [3, 10]
+      r_alpha      — ≥ 80% of words contain an alphabetic character
+      r_symbol     — symbol-to-word ratio ≤ 0.1 ('#' chars and
+                     ellipses '…'/'...')
+      r_bullet     — ≤ 90% of lines start with a bullet ('-','*','•')
+      r_ellipsis   — ≤ 30% of lines end with an ellipsis
+      r_stopwords  — ≥ 2 DISTINCT members of Gopher's 8-stopword set
+      gopher_pass  — AND of all rules
+
+    Pure whole-stage codegen (splits, higher-order filters, integer
+    counts, double ratios) — zero shuffle, zero UDF; every comparison
+    is exact-replicable by the DuckDB oracle (t27 ride-along).
+    """
+    _GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    t = F.col(text_col)
+    d = docs.select(
+        F.col(id_col),
+        t.alias("_t"),
+        tokens(t).alias("_toks"),
+        F.split(t, "\n").alias("_lines"),
+    )
+    toks = F.col("_toks")
+    lines = F.col("_lines")
+    n_tok = F.size(toks)
+    n_lines = F.size(lines)
+    mean_word = _ratio(
+        F.aggregate(toks, F.lit(0), lambda acc, w: acc + F.length(w)).cast(
+            "double"
+        ),
+        n_tok,
+    )
+    alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[a-zA-Z]")))
+    hashes = F.length(F.col("_t")) - F.length(
+        F.regexp_replace(F.col("_t"), "#", "")
+    )
+    # ellipses: unicode … plus literal three-dot runs (each '...'
+    # counted once — regexp_count of the non-overlapping scan)
+    ellipses = F.regexp_count(F.col("_t"), F.lit(r"\.\.\.")) + F.regexp_count(
+        F.col("_t"), F.lit("…")
+    )
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: F.substring(F.trim(l), 1, 1).isin("-", "*", "•"),
+        )
+    )
+    ellipsis_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: F.trim(l).endswith("...") | F.trim(l).endswith("…"),
+        )
+    )
+    stop_distinct = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(s) for s in _GOPHER_STOPS]),
+        )
+    )
+    r_wordcount = (n_tok >= 50) & (n_tok <= 100_000)
+    r_meanword = (mean_word >= 3) & (mean_word <= 10)
+    r_alpha = _ratio(alpha_words, n_tok) >= 0.8
+    r_symbol = _ratio(hashes + ellipses, n_tok) <= 0.1
+    r_bullet = _ratio(bullet_lines, n_lines) <= 0.9
+    r_ellipsis = _ratio(ellipsis_lines, n_lines) <= 0.3
+    r_stop = stop_distinct >= 2
+    return d.select(
+        F.col(id_col),
+        r_wordcount.alias("r_wordcount"),
+        r_meanword.alias("r_meanword"),
+        r_alpha.alias("r_alpha"),
+        r_symbol.alias("r_symbol"),
+        r_bullet.alias("r_bullet"),
+        r_ellipsis.alias("r_ellipsis"),
+        r_stop.alias("r_stopwords"),
+        (
+            r_wordcount
+            & r_meanword
+            & r_alpha
+            & r_symbol
+            & r_bullet
+            & r_ellipsis
+            & r_stop
+        ).alias("gopher_pass"),
+    )
+
+
 def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Char-trigram Naive Bayes language ID (r7 — the real algorithm,
     replacing the r1-r6 marker-word heuristic).

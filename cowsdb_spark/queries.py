@@ -1042,7 +1042,7 @@ def _t27_oracle() -> str:
         "WITH n AS (SELECT doc_id, text, "
         "  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM documents), "
         "t AS (SELECT doc_id, text, string_split(norm, ' ') AS tk FROM n), "
-        "m AS (SELECT doc_id, len(tk) AS n_tok, length(text) AS n_char, "
+        "m AS (SELECT doc_id, text, len(tk) AS n_tok, length(text) AS n_char, "
         "  len(string_split(text, ' ')) AS n_tok_raw, "
         "  len(list_filter(tk, x -> x IN ('the','a','an','and','or','of','to','in','is'))) AS stop_hits, "
         "  length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct, "
@@ -1059,8 +1059,49 @@ def _t27_oracle() -> str:
         f"{model} AS model_score_m, "
         f"{model} > 0 AS model_keep, "
         "CAST(n_char AS INTEGER) AS n_char, "
-        "ROUND(n_char * 1.0 / n_tok_raw, 4) AS chars_per_tok, fp "
+        "ROUND(n_char * 1.0 / n_tok_raw, 4) AS chars_per_tok, fp, "
+        f"{_gopher_sql()} "
         "FROM m ORDER BY doc_id LIMIT 200"
+    )
+
+
+def _gopher_sql() -> str:
+    """DuckDB replica of operators/text.py::gopher_rules, computed
+    from the same m-CTE columns (tk/n_tok/tok_chars come in through
+    g-prefixed recomputation on the spine — the rules need the token
+    LIST and line list, which m doesn't carry)."""
+    tk = "string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')"
+    ls = "string_split(text, chr(10))"
+    stops = "['the','be','to','of','and','that','have','with']"
+    n_tok = f"len({tk})"
+    mwl = f"(CASE WHEN {n_tok} > 0 THEN list_sum(list_transform({tk}, x -> length(x))) * 1.0 / {n_tok} ELSE 0.0 END)"
+    alpha = f"len(list_filter({tk}, x -> regexp_matches(x, '[a-zA-Z]')))"
+    hashes = "(length(text) - length(replace(text, '#', '')))"
+    ellipses = (
+        "(len(regexp_extract_all(text, '\\.\\.\\.')) "
+        "+ len(regexp_extract_all(text, '…')))"
+    )
+    bullets = (
+        f"len(list_filter({ls}, l -> substring(trim(l), 1, 1) IN ('-','*','•')))"
+    )
+    ell_lines = (
+        f"len(list_filter({ls}, l -> trim(l) LIKE '%...' OR trim(l) LIKE '%…'))"
+    )
+    n_lines = f"len({ls})"
+    stopd = f"len(list_intersect(list_distinct({tk}), {stops}))"
+    r_wc = f"({n_tok} >= 50 AND {n_tok} <= 100000)"
+    r_mw = f"({mwl} >= 3 AND {mwl} <= 10)"
+    r_al = f"(CASE WHEN {n_tok} > 0 THEN {alpha} * 1.0 / {n_tok} ELSE 0.0 END) >= 0.8"
+    r_sy = f"(CASE WHEN {n_tok} > 0 THEN ({hashes} + {ellipses}) * 1.0 / {n_tok} ELSE 0.0 END) <= 0.1"
+    r_bu = f"(CASE WHEN {n_lines} > 0 THEN {bullets} * 1.0 / {n_lines} ELSE 0.0 END) <= 0.9"
+    r_el = f"(CASE WHEN {n_lines} > 0 THEN {ell_lines} * 1.0 / {n_lines} ELSE 0.0 END) <= 0.3"
+    r_st = f"({stopd} >= 2)"
+    return (
+        f"{r_wc} AS r_wordcount, {r_mw} AS r_meanword, {r_al} AS r_alpha, "
+        f"{r_sy} AS r_symbol, {r_bu} AS r_bullet, {r_el} AS r_ellipsis, "
+        f"{r_st} AS r_stopwords, "
+        f"({r_wc} AND {r_mw} AND {r_al} AND {r_sy} AND {r_bu} AND {r_el} "
+        f"AND {r_st}) AS gopher_pass"
     )
 
 
@@ -1075,10 +1116,12 @@ def _t27_oracle() -> str:
     "r8: model_score_m / model_keep from the TRAINED logistic "
     "classifier (operators/quality_model.py — integer-quantized "
     "features x integer weights, a pure BIGINT dot product both "
-    "engines evaluate bit-identically)",
+    "engines evaluate bit-identically); r8 also rides the Gopher "
+    "rule-filter booleans (operators/text.py::gopher_rules) on the "
+    "same 200-doc spine",
 )
 def t10(spark, sf_dir):
-    from .operators.text import quality_score
+    from .operators.text import gopher_rules, quality_score
 
     d = _t(spark, sf_dir, "documents")
     raw_tok = F.size(F.split(F.col("text"), " "))
@@ -1091,6 +1134,7 @@ def t10(spark, sf_dir):
     return (
         quality_score(d)
         .join(t01_cols, "doc_id")
+        .join(gopher_rules(d), "doc_id")
         .orderBy("doc_id")
         .limit(200)
     )

@@ -70,3 +70,39 @@ class TestSparkParity:
         texts = {0: "", 1: "   ", 2: "x", 3: ". . . . ."}
         for i, t in texts.items():
             assert rows[i] == score_doc(t), (i, t)
+
+
+class TestGopherRules:
+    """Each Gopher rule fires on a doc constructed to violate exactly
+    it (operators/text.py::gopher_rules)."""
+
+    def test_each_rule_and_pass(self, spark):
+        from cowsdb_spark.operators.text import gopher_rules
+
+        good = (
+            "the story begins with a quiet morning and the town wakes "
+            "slowly as people have their breakfast and walk to work "
+            "past the old clock tower that has stood there for years "
+            "and will stand for many more to come with its bells "
+            "ringing out over the rooftops every hour of the day"
+        )  # 56 words, all rules pass
+        docs = [
+            (0, good),
+            (1, "the cat sat with me"),  # < 50 words -> r_wordcount
+            (2, " ".join(["the", "be"] + ["a"] * 60)),  # mean word < 3
+            (3, " ".join(["the", "be"] + ["12345"] * 60)),  # alpha < 80%
+            (4, " ".join(["the", "be"] + ["word"] * 48) + " " + "# " * 20),  # symbols
+            (5, "\n".join(["- item " + str(i) for i in range(20)])),  # bullets
+            (6, "\n".join(["the line goes on..." for _ in range(10)])),  # ellipses
+            (7, " ".join(["purple"] * 80)),  # no stopwords
+        ]
+        df = local_df(spark, docs, "doc_id long, text string")
+        r = {x.doc_id: x for x in gopher_rules(df).collect()}
+        assert r[0].gopher_pass, r[0]
+        assert not r[1].r_wordcount and not r[1].gopher_pass
+        assert not r[2].r_meanword
+        assert not r[3].r_alpha
+        assert not r[4].r_symbol
+        assert not r[5].r_bullet  # 100% bullet lines > 90%
+        assert not r[6].r_ellipsis  # 100% ellipsis lines > 30%
+        assert not r[7].r_stopwords

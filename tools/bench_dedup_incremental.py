@@ -112,6 +112,37 @@ def main() -> None:
         (F.col("id_a") % 2 == 0) | (F.col("id_b") % 2 == 0)
     ).count()
 
+    # ---- today, bucketed-store variant: the banded keys were ALSO
+    # persisted (bucketBy(band, bh)), so the candidate join reads the
+    # store with ZERO exchange — only the increment's slim keys
+    # shuffle into the bucket scheme. This is the 100 TB layout; the
+    # shuffle delta vs the plain path is the point of the cell.
+    from cowsdb_spark.operators.dedup import banded_keys
+
+    tbl = f"sig_bands_{os.getpid()}"
+    stage(
+        "build_banded_store",
+        lambda: banded_keys(store, "doc_id", 32, 8)
+        .write.bucketBy(32, "band", "bh")
+        .mode("overwrite")
+        .saveAsTable(tbl),
+    )
+    incr_b = stage(
+        "incremental_pairs_bucketed",
+        lambda: minhash_lsh_pairs_incremental(
+            new, store, min_jaccard=0.5, seen_banded=spark.table(tbl)
+        ).persist(),
+    )
+    out["incremental_pairs_bucketed"] = stage(
+        "incremental_bucketed_count", lambda: incr_b.count()
+    )
+    out["bucketed_matches_plain"] = (
+        incr_b.join(incr, ["id_a", "id_b"], "left_anti").count() == 0
+        and incr.join(incr_b, ["id_a", "id_b"], "left_anti").count() == 0
+    )
+    incr_b.unpersist()
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
     # ---- the naive alternative: full LSH over seen+new every day
     full = stage(
         "full_corpus_pairs",
