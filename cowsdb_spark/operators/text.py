@@ -590,12 +590,16 @@ def bigram_lm_score(
     pairs = staged.select(
         F.col(id_col), F.explode(F.arrays_zip("_a", "_b")).alias("_p")
     ).select(F.col(id_col), F.col("_p._a").alias("w1"), F.col("_p._b").alias("w2"))
-    # pairs feeds the LM estimation AND the scoring join — without a
-    # persist the split+zip+explode pipeline runs once per consumer
-    # (same checkpoint-the-intermediate pattern as minhash/simhash
-    # signatures; at full scale the exploded bigrams would be a
-    # written column table instead).
-    pairs = pairs.persist()
+    # pairs feeds the LM estimation AND the scoring join — without
+    # materialization the split+zip+explode pipeline runs once per
+    # consumer (same checkpoint-the-intermediate pattern as minhash/
+    # simhash signatures; at full scale the exploded bigrams would be
+    # a written column table instead). localCheckpoint, not persist():
+    # the returned frame is lazy so an unpersist can't happen, and a
+    # long-lived serving session would pin one cached bigram table per
+    # call (the r7 minhash sig leak class); checkpoint blocks free on
+    # GC via the ContextCleaner.
+    pairs = pairs.localCheckpoint(eager=True)
     cnt = pairs.groupBy("w1", "w2").agg(F.count("*").alias("_c"))
     prob = cnt.select(
         "w1",

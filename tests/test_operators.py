@@ -120,8 +120,11 @@ class TestMinhash:
         # CacheManager exactly as they found it.
         cache = spark._jsparkSession.sharedState().cacheManager()
         before = cache.isEmpty()
+        from cowsdb_spark.operators.text import bigram_lm_score
+
         for _ in range(2):
             minhash_lsh_pairs(docs, min_jaccard=0.5, shingle_k=3).collect()
+            bigram_lm_score(docs).collect()  # same leak class, r8 fix
         assert cache.isEmpty() == before
 
 

@@ -73,6 +73,30 @@ def main() -> None:
     cur = docs.join(q, "doc_id")
     out["funnel"]["quality"] = stage("quality_filter", cur.count)
 
+    # 1b. trained-classifier + Gopher-rules AUDIT over the frontier
+    # (r8): counts, not a filter — the synthetic corpus is stopword-
+    # free word salad, so these English-prose gates would zero the
+    # funnel; the stage exists to measure their full-corpus scan cost
+    # (pure codegen: integer dot product + rule booleans, no shuffle
+    # beyond the 1-row aggregate).
+    def model_audit():
+        from cowsdb_spark.operators.text import gopher_rules
+
+        mk = quality_score(cur).agg(
+            F.sum(F.col("model_keep").cast("long")).alias("mk")
+        )
+        gp = gopher_rules(cur).agg(
+            F.sum(F.col("gopher_pass").cast("long")).alias("gp")
+        )
+        return (
+            int(mk.collect()[0]["mk"] or 0),
+            int(gp.collect()[0]["gp"] or 0),
+        )
+
+    kept_counts = stage("classifier_gopher_audit", model_audit)
+    out["funnel"]["model_keep_would_keep"] = kept_counts[0]
+    out["funnel"]["gopher_pass_would_keep"] = kept_counts[1]
+
     # 2. exact dedup keep-one (drops the planted 4% byte-exact
     # copies); the survivor frontier is localCheckpoint-ed INSIDE the
     # stage — every later stage reads it, and near-dup banding must
