@@ -113,7 +113,9 @@ HELDOUT_JUNK = [
     "menu | search | cart | checkout | wishlist | account | help | faq",
 ]
 
-_WS_RE = re.compile(r"\s+")
+# Java's \s (Spark regexp_replace) is the ASCII class [ \t\n\x0B\f\r];
+# Python's re \s would also eat unicode spaces and silently diverge.
+_JAVA_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 def _round_half_up(x: float) -> int:
@@ -136,7 +138,9 @@ def features(text: str) -> tuple[int, int, int, int]:
       f_punct = round(punct_chars / n_char * 10000)  (RAW text)
       f_mwl   = round(mean_word_len * 10000)
     """
-    norm = _WS_RE.sub(" ", text.lower().strip())
+    # mirror normalized() exactly: F.trim strips ONLY spaces (not \r
+    # etc. — str.strip() would), then lower, then Java-\s+ squeeze
+    norm = _JAVA_WS_RE.sub(" ", text.strip(" ").lower())
     toks = norm.split(" ")
     n_tok = len(toks)
     n_char = len(text)

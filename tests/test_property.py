@@ -11,6 +11,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -71,3 +72,88 @@ class TestAsofProperty:
                 assert g is None or pd.isna(g)
             else:
                 assert g == w
+
+
+class TestIncrementalLshProperty:
+    """The incremental contract on random corpora: LSH of an increment
+    against the seen store == full-corpus pairs minus seen×seen, for
+    ANY id split — nobody hand-picks the duplicate structure."""
+
+    @given(
+        texts=st.lists(
+            st.sampled_from(
+                [
+                    "alpha beta gamma delta epsilon zeta",
+                    "alpha beta gamma delta epsilon eta",
+                    "one two three four five six seven",
+                    "one two three four five six eight",
+                    "totally different words here now ok",
+                ]
+            ),
+            min_size=4,
+            max_size=12,
+        ),
+        modulus=st.sampled_from([2, 3]),
+    )
+    @settings(derandomize=True, **_SETTINGS)
+    def test_incremental_equals_full_minus_seen(self, spark, texts, modulus):
+        from cowsdb_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            minhash_lsh_pairs_incremental,
+            minhash_signature_table,
+        )
+
+        rows = [(i, t) for i, t in enumerate(texts)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        seen = docs.filter(F.col("doc_id") % modulus == 0)
+        new = docs.filter(F.col("doc_id") % modulus != 0)
+        full = {
+            (r.id_a, r.id_b): r.jaccard_est
+            for r in minhash_lsh_pairs(
+                docs, min_jaccard=0.3, shingle_k=3
+            ).collect()
+        }
+        want = {
+            p: j
+            for p, j in full.items()
+            if not (p[0] % modulus == 0 and p[1] % modulus == 0)
+        }
+        store = minhash_signature_table(seen, shingle_k=3)
+        got = {
+            (r.id_a, r.id_b): r.jaccard_est
+            for r in minhash_lsh_pairs_incremental(
+                new, store, min_jaccard=0.3, shingle_k=3
+            ).collect()
+        }
+        assert got == want
+
+
+class TestQualityModelProperty:
+    """Spark's codegen dot product == the pure-Python reference on
+    arbitrary text (incl. unicode, control chars, odd whitespace)."""
+
+    @given(
+        texts=st.lists(
+            st.text(
+                alphabet=st.characters(
+                    codec="utf-8", exclude_characters="\x00"
+                ),
+                max_size=80,
+            ),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    @settings(derandomize=True, **_SETTINGS)
+    def test_spark_matches_reference(self, spark, texts):
+        from cowsdb_spark.localdf import local_df
+        from cowsdb_spark.operators.quality_model import score_doc
+        from cowsdb_spark.operators.text import quality_score
+
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df = local_df(spark, rows, "doc_id long, text string")
+        got = {
+            r.doc_id: r.model_score_m for r in quality_score(df).collect()
+        }
+        for i, t in rows:
+            assert got[i] == score_doc(t), repr(t)
