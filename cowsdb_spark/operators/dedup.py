@@ -512,13 +512,25 @@ def minhash_lsh_pairs_incremental(
         .dropDuplicates(["id_a", "id_b"])
         .localCheckpoint(eager=True)
     )
-    ids_needed = (
-        cand_ids.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
-        .distinct()
-    )
-    sig_all = new_sig.unionByName(seen_sigs.select(id_col, "_sig")).join(
-        F.broadcast(ids_needed), id_col, "left_semi"
-    )
+    # Same size-gated semi-filter tiering as the batch operator: the
+    # candidate set is normally bounded by the increment's bucket
+    # hits, but an adversarial all-duplicate increment can reference
+    # ~|store| ids — an unconditional broadcast of that list would
+    # blow the driver. Counts are O(1) scalars on frames that must
+    # materialize anyway.
+    sig_all = new_sig.unionByName(seen_sigs.select(id_col, "_sig"))
+    if cand_ids.count() <= 200_000_000:
+        ids_needed = (
+            cand_ids.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_ids = ids_needed.count()
+        if n_ids <= 8_000_000:
+            sig_all = sig_all.join(F.broadcast(ids_needed), id_col, "left_semi")
+        elif n_ids <= 100_000_000:
+            sig_all = sig_all.join(ids_needed, id_col, "left_semi")
+        # else: ids ~ corpus — filtering is pure overhead; plain joins.
     cand = cand_ids.join(
         sig_all.select(F.col(id_col).alias("id_a"), F.col("_sig").alias("_sig_a")),
         "id_a",

@@ -73,19 +73,19 @@ def main() -> None:
     cur = docs.join(q, "doc_id")
     out["funnel"]["quality"] = stage("quality_filter", cur.count)
 
-    # 1b. trained-classifier + Gopher-rules AUDIT over the frontier
-    # (r8): counts, not a filter — the synthetic corpus is stopword-
-    # free word salad, so these English-prose gates would zero the
-    # funnel; the stage exists to measure their full-corpus scan cost
-    # (pure codegen: integer dot product + rule booleans, no shuffle
-    # beyond the 1-row aggregate).
+    # 1b. trained-classifier + Gopher-rules AUDIT (r8): counts over
+    # the RAW corpus scan, not a filter — the synthetic corpus is
+    # stopword-free word salad, so these English-prose gates would
+    # zero the funnel; the stage measures their full-corpus scan cost
+    # (pure codegen: integer dot product + rule booleans; two narrow
+    # scans, shuffle only the 1-row aggregates).
     def model_audit():
         from cowsdb_spark.operators.text import gopher_rules
 
-        mk = quality_score(cur).agg(
+        mk = quality_score(docs).agg(
             F.sum(F.col("model_keep").cast("long")).alias("mk")
         )
-        gp = gopher_rules(cur).agg(
+        gp = gopher_rules(docs).agg(
             F.sum(F.col("gopher_pass").cast("long")).alias("gp")
         )
         return (
