@@ -100,6 +100,42 @@ class TestMinhash:
         # side and must survive; (0,2) is seen x seen and must not
         assert (0, 1) in got and (1, 2) in got and (0, 2) not in got
 
+    def test_bucketed_store_join_skips_store_exchange(self, spark, docs):
+        # the 100 TB claim as a plan assertion: with the banded store
+        # persisted bucketBy(band, bh), the candidate join reads the
+        # store WITHOUT an exchange (broadcast disabled to force the
+        # sort-merge path bucketing serves at real store sizes)
+        from cowsdb_spark.operators.dedup import (
+            banded_keys,
+            minhash_signature_table,
+        )
+
+        tbl = "test_sig_bands"
+        store = minhash_signature_table(docs, shingle_k=3)
+        banded_keys(store, "doc_id", 32, 8).write.bucketBy(
+            8, "band", "bh"
+        ).mode("overwrite").saveAsTable(tbl)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            new_banded = banded_keys(store, "doc_id", 32, 8).select(
+                "band", "bh", F.col("doc_id").alias("_nid")
+            )
+            j = new_banded.join(
+                spark.table(tbl).select(
+                    "band", "bh", F.col("doc_id").alias("_sid")
+                ),
+                ["band", "bh"],
+            )
+            plan = j._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        # exactly ONE shuffle exchange (the new side); the store scan
+        # reads its buckets directly
+        assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+        assert "Bucketed: true" in plan, plan[:3000]
+
     def test_incremental_empty_increment(self, spark, docs):
         from cowsdb_spark.operators.dedup import (
             minhash_lsh_pairs_incremental,

@@ -231,3 +231,23 @@ class TestIvfPq:
         a = [tuple(r) for r in ivf_pq_topk(codes, cents, book, q, k=5).collect()]
         b = [tuple(r) for r in ivf_pq_topk(codes, cents, book, q, k=5).collect()]
         assert a == b
+
+    def test_partition_prune_on_cell_layout(self, spark, sf_dir, tmp_path):
+        # the 100 TB layout claim as a plan assertion: codes written
+        # partitionBy(_cell) and probed with nprobe=2 must carry a
+        # _cell partition filter (file pruning), not a full scan
+        from cowsdb_spark.operators.pq import ivf_pq_build, ivf_pq_topk
+
+        emb, ids, vecs = _fixture(spark, sf_dir)
+        codes, cents, book = ivf_pq_build(emb, n_centroids=8, m=8)
+        p = str(tmp_path / "ivfpq_codes")
+        codes.write.partitionBy("_cell").parquet(p)
+        inv = spark.read.parquet(p)
+        plan = (
+            ivf_pq_topk(inv, cents, book, vecs[0], k=5, nprobe=2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        tail = plan.split("PartitionFilters")[-1][:200]
+        assert "PartitionFilters" in plan and "_cell" in tail, plan[:2000]
