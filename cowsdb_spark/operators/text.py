@@ -827,6 +827,43 @@ def fuzzy_contamination(
     )
 
 
+def _dup_gram_hits(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    min_docs: int,
+    key: str,
+):
+    """Shared stage of dup_ngram_coverage / scrub_dup_spans: tokenize,
+    positional n-grams, distinct-doc duplicated-gram set, and the
+    (id, _pos) hit rows. Returns (toks, grams, hits)."""
+    toks = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_t"))
+    total = F.size("_t") - F.lit(n - 1)
+    grams = toks.filter(total > 0).select(
+        F.col(id_col),
+        F.size("_t").alias("_ntok"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), total),
+                lambda i: F.array_join(F.slice("_t", i, n), " "),
+            )
+        ).alias("_pos", "_g"),
+    )
+    if key == "hash":
+        grams = grams.withColumn("_g", F.xxhash64("_g"))
+    dup = (
+        grams.select("_g", id_col)
+        .distinct()
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_g")
+    )
+    hits = grams.join(dup, "_g", "inner")
+    return toks, grams, hits
+
+
 def dup_ngram_coverage(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -876,29 +913,8 @@ def dup_ngram_coverage(
     Returns (id, n_grams, n_dup_grams, dup_gram_frac, dup_token_frac)
     for every document with at least one n-gram.
     """
-    toks = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_t"))
+    toks, grams, hits = _dup_gram_hits(docs, id_col, text_col, n, min_docs, key)
     total = F.size("_t") - F.lit(n - 1)
-    grams = toks.filter(total > 0).select(
-        F.col(id_col),
-        F.size("_t").alias("_ntok"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), total),
-                lambda i: F.array_join(F.slice("_t", i, n), " "),
-            )
-        ).alias("_pos", "_g"),
-    )
-    if key == "hash":
-        grams = grams.withColumn("_g", F.xxhash64("_g"))
-    dup = (
-        grams.select("_g", id_col)
-        .distinct()
-        .groupBy("_g")
-        .agg(F.count(F.lit(1)).alias("_nd"))
-        .filter(F.col("_nd") >= min_docs)
-        .select("_g")
-    )
-    hits = grams.join(dup, "_g", "inner")
     # n_grams/_ntok are closed-form per doc — no explode, no shuffle
     per_doc_grams = toks.filter(total > 0).select(
         F.col(id_col),
@@ -947,6 +963,104 @@ def dup_ngram_coverage(
                 F.coalesce("_ncov", F.lit(0)) / F.col("_ntok").cast("double"), 4
             ).alias("dup_token_frac"),
         )
+    )
+
+
+def scrub_dup_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 6,
+    min_docs: int = 2,
+    key: str = "text",
+) -> DataFrame:
+    """REMOVE every token covered by a cross-document duplicated
+    n-gram — the rewrite counterpart of ``dup_ngram_coverage``'s
+    flag (the substring-dedup semantics of Lee et al. 2022,
+    arXiv:2107.06499: duplicated spans are excised from the corpus,
+    not just scored). Shares the flag operator's stages 1-2 (grams →
+    distinct-doc dup set → hits), then per doc:
+
+      sorted dup-gram starts → MERGED covered blocks → the KEPT gaps
+      between blocks → the scrubbed text is the gap slices re-joined.
+
+    The block merge is closed-form over the sorted starts array
+    (a start opens a block when the previous start is more than n
+    away; a start closes one when the next start is), so the rewrite
+    is O(|starts|) per row with no position explode, no fold-built
+    arrays (the bpe O(len²) landmine) and no per-token membership
+    scan. Neighbor access uses 0-based ``F.get`` (NULL out of bounds
+    in BOTH ANSI modes — the t31 lesson). Block arrays are staged as
+    materialized columns so the per-element lambdas read attributes.
+
+    Returns (id, n_tokens, n_removed_tokens, scrubbed) for every doc
+    with at least one n-gram; docs with no duplicated gram come back
+    unchanged (n_removed_tokens = 0).
+    """
+    toks, grams, hits = _dup_gram_hits(docs, id_col, text_col, n, min_docs, key)
+    # posexplode positions are 0-based; the interval math below is
+    # 1-based (token positions 1..T)
+    ps_f = hits.groupBy(id_col).agg(
+        F.array_sort(F.collect_set(F.col("_pos") + 1)).alias("_ps")
+    )
+    base = (
+        toks.filter(F.size("_t") - F.lit(n - 1) > 0)
+        .join(ps_f, id_col, "left")
+        .select(
+            F.col(id_col),
+            "_t",
+            F.coalesce("_ps", F.array().cast("array<int>")).alias("_ps2"),
+        )
+    )
+    ps = F.col("_ps2")
+    L = F.size(ps)
+    T = F.size("_t")
+    idx = F.when(L > 0, F.sequence(F.lit(1), L)).otherwise(
+        F.array().cast("array<int>")
+    )
+    # block starts: ps[i] where i == 1 or ps[i] - ps[i-1] > n
+    # (get(ps, -1) is NULL, so the i == 1 disjunct carries the edge)
+    s_vals = F.transform(
+        F.filter(
+            idx,
+            lambda i: (i == 1) | (F.get(ps, i - 1) - F.get(ps, i - 2) > n),
+        ),
+        lambda i: F.get(ps, i - 1),
+    )
+    # block ends: min(ps[i] + n - 1, T) where i == L or ps[i+1] - ps[i] > n
+    e_vals = F.transform(
+        F.filter(
+            idx,
+            lambda i: (i == L) | (F.get(ps, i) - F.get(ps, i - 1) > n),
+        ),
+        lambda i: F.least(F.get(ps, i - 1) + F.lit(n - 1), T),
+    )
+    staged = base.select(
+        F.col(id_col), "_t", s_vals.alias("_S"), e_vals.alias("_E")
+    )
+    S, E = F.col("_S"), F.col("_E")
+    B = F.size(S)
+    gap_start = lambda j: F.when(j == 0, F.lit(1)).otherwise(  # noqa: E731
+        F.get(E, j - 1) + 1
+    )
+    gap_end = lambda j: F.when(j == B, F.size("_t")).otherwise(  # noqa: E731
+        F.get(S, j) - 1
+    )
+    kept = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), B),
+            lambda j: F.slice(
+                "_t",
+                gap_start(j),
+                F.greatest(gap_end(j) - gap_start(j) + 1, F.lit(0)),
+            ),
+        )
+    )
+    return staged.select(
+        F.col(id_col),
+        F.size("_t").alias("n_tokens"),
+        (F.size("_t") - F.size(kept)).cast("long").alias("n_removed_tokens"),
+        F.array_join(kept, " ").alias("scrubbed"),
     )
 
 

@@ -1969,15 +1969,24 @@ def t30(spark, sf_dir):
     "hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)), "
     "per AS (SELECT doc_id, COUNT(*) AS n_grams, MAX(ntok) AS ntok FROM g GROUP BY doc_id), "
     "dc AS (SELECT doc_id, COUNT(*) AS n_dup FROM hits GROUP BY doc_id), "
-    "cov AS (SELECT doc_id, COUNT(*) AS ncov FROM ("
-    "  SELECT DISTINCT h.doc_id, CAST(c.p AS BIGINT) AS tp "
-    "  FROM hits h, UNNEST(generate_series(h.pos, h.pos + 5)) AS c(p)) y "
-    "  GROUP BY doc_id) "
+    "covp AS (SELECT DISTINCT h.doc_id, CAST(c.p AS BIGINT) AS tp "
+    "  FROM hits h, UNNEST(generate_series(h.pos, h.pos + 5)) AS c(p)), "
+    "cov AS (SELECT doc_id, COUNT(*) AS ncov FROM covp GROUP BY doc_id), "
+    "tok AS (SELECT doc_id, CAST(u.i AS BIGINT) AS p, l[u.i] AS tk "
+    "  FROM t, UNNEST(generate_series(1, len(l))) AS u(i) WHERE len(l) >= 6), "
+    "kept AS (SELECT tok.doc_id, tok.p, tok.tk FROM tok "
+    "  LEFT JOIN covp ON tok.doc_id = covp.doc_id AND tok.p = covp.tp "
+    "  WHERE covp.tp IS NULL), "
+    "scr AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY p) AS scrubbed "
+    "  FROM kept GROUP BY doc_id) "
     "SELECT per.doc_id, per.n_grams, "
     "CAST(COALESCE(dc.n_dup, 0) AS BIGINT) AS n_dup_grams, "
     "ROUND(COALESCE(dc.n_dup, 0) / CAST(per.n_grams AS DOUBLE), 4) AS dup_gram_frac, "
-    "ROUND(COALESCE(cov.ncov, 0) / CAST(per.ntok AS DOUBLE), 4) AS dup_token_frac "
+    "ROUND(COALESCE(cov.ncov, 0) / CAST(per.ntok AS DOUBLE), 4) AS dup_token_frac, "
+    "CAST(COALESCE(cov.ncov, 0) AS BIGINT) AS n_removed_tokens, "
+    "md5(COALESCE(scr.scrubbed, '')) AS scrub_md5 "
     "FROM per LEFT JOIN dc USING (doc_id) LEFT JOIN cov USING (doc_id) "
+    "LEFT JOIN scr USING (doc_id) "
     "ORDER BY doc_id",
     "[ext: text, new r7] cross-document duplicated n-gram coverage — "
     "the Gopher 'fraction of tokens inside duplicated n-grams' "
@@ -1988,13 +1997,23 @@ def t30(spark, sf_dir):
     "duplicated gram. Catches templated/mirrored boilerplate that "
     "fixed-boundary chunk dedup (t42) misses. Three keyed exchanges "
     "on narrow rows; bodies never travel past tokenization "
-    "(operators/text.py::dup_ngram_coverage).",
+    "(operators/text.py::dup_ngram_coverage). Since r8 the row also "
+    "carries the REWRITE lane — scrub_dup_spans (Lee et al. 2022 "
+    "substring-dedup semantics: duplicated spans are excised, not "
+    "just scored) — oracle-checked end-to-end via n_removed_tokens + "
+    "md5(scrubbed), the t06 digest-lane construction.",
 )
 def t31(spark, sf_dir):
-    from .operators.text import dup_ngram_coverage
+    from .operators.text import dup_ngram_coverage, scrub_dup_spans
 
     d = _t(spark, sf_dir, "documents")
-    return dup_ngram_coverage(d, n=6, min_docs=2).orderBy("doc_id")
+    cov = dup_ngram_coverage(d, n=6, min_docs=2)
+    scr = scrub_dup_spans(d, n=6, min_docs=2).select(
+        "doc_id",
+        "n_removed_tokens",
+        F.md5(F.col("scrubbed").cast("binary")).alias("scrub_md5"),
+    )
+    return cov.join(scr, "doc_id").orderBy("doc_id")
 
 
 def _mix_weights() -> dict:

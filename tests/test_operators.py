@@ -1180,6 +1180,109 @@ class TestDupNgramCoverage:
         assert out[0].n_dup_grams == 0
 
 
+def _ref_scrub(docs, n, min_docs):
+    """Brute-force reference for scrub_dup_spans: mark every token
+    position covered by a gram occurring in >= min_docs distinct docs,
+    keep the rest in order."""
+    toks = {i: t.split(" ") for i, t in docs}
+    gram_docs = {}
+    for i, tl in toks.items():
+        for p in range(len(tl) - n + 1):
+            gram_docs.setdefault(" ".join(tl[p : p + n]), set()).add(i)
+    dup = {g for g, ds in gram_docs.items() if len(ds) >= min_docs}
+    out = {}
+    for i, tl in toks.items():
+        if len(tl) < n:
+            continue
+        cov = set()
+        for p in range(len(tl) - n + 1):
+            if " ".join(tl[p : p + n]) in dup:
+                cov.update(range(p, p + n))
+        kept = [tl[p] for p in range(len(tl)) if p not in cov]
+        out[i] = (len(tl), len(tl) - len(kept), " ".join(kept))
+    return out
+
+
+class TestScrubDupSpans:
+    def test_matches_bruteforce_on_golden_corpus(self, spark):
+        docs = [
+            (1, "a b c d e f g h i j k l m n"),
+            (2, "a b c d e f x y z k l m n o p q r s"),
+            (3, "z z z q r s t u v w a b a b"),
+            (4, "q r s t u v w momo unique tokens here only"),
+            (5, "a b c d e f"),  # the whole doc is one duplicated gram
+            (6, "lone words that match nothing at all"),
+            (7, "t u v w"),  # < n tokens: dropped, matching the flag op
+        ]
+        from cowsdb_spark.operators.text import scrub_dup_spans
+
+        d = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_tokens, r.n_removed_tokens, r.scrubbed)
+            for r in scrub_dup_spans(d, n=6, min_docs=2).collect()
+        }
+        assert got == _ref_scrub(docs, 6, 2)
+        assert got[5] == (6, 6, "")  # full removal -> empty string
+        assert got[6][1] == 0  # untouched doc comes back verbatim
+
+    def test_matches_bruteforce_on_random_corpus(self, spark):
+        # small vocab + seeded LCG so cross-doc collisions are dense and
+        # the merged-block geometry (adjacent, overlapping, islands) is
+        # exercised without RNG state
+        state, vocab = 12345, [f"w{i}" for i in range(7)]
+        docs = []
+        for i in range(40):
+            toks = []
+            for _ in range(3 + i % 17):
+                state = (state * 48271) % 2147483647
+                toks.append(vocab[state % len(vocab)])
+            docs.append((i, " ".join(toks)))
+        from cowsdb_spark.operators.text import scrub_dup_spans
+
+        d = spark.createDataFrame(docs, "doc_id long, text string")
+        for n, m in [(3, 2), (4, 3)]:
+            got = {
+                r.doc_id: (r.n_tokens, r.n_removed_tokens, r.scrubbed)
+                for r in scrub_dup_spans(d, n=n, min_docs=m).collect()
+            }
+            assert got == _ref_scrub(docs, n, m)
+
+    def test_hash_key_lane_matches_text_lane(self, spark):
+        d = spark.createDataFrame(
+            [(0, "xx yy zz a"), (1, "xx yy zz b"), (2, "p q r s")],
+            "doc_id long, text string",
+        )
+        from cowsdb_spark.operators.text import scrub_dup_spans
+
+        t = sorted(map(tuple, scrub_dup_spans(d, n=2).collect()))
+        h = sorted(map(tuple, scrub_dup_spans(d, n=2, key="hash").collect()))
+        assert t == h
+
+    def test_agrees_with_coverage_flag(self, spark):
+        # the scrubbed token count must equal the flag operator's
+        # covered-position count: removal and measurement are two views
+        # of the same dup-gram position set
+        docs = [
+            (i, " ".join(f"t{(i * 7 + j) % 9}" for j in range(5 + i % 6)))
+            for i in range(30)
+        ]
+        from cowsdb_spark.operators.text import (
+            dup_ngram_coverage,
+            scrub_dup_spans,
+        )
+
+        d = spark.createDataFrame(docs, "doc_id long, text string")
+        cov = {
+            r.doc_id: round(r.dup_token_frac, 4)
+            for r in dup_ngram_coverage(d, n=3, min_docs=2).collect()
+        }
+        scr = {
+            r.doc_id: round(r.n_removed_tokens / r.n_tokens, 4)
+            for r in scrub_dup_spans(d, n=3, min_docs=2).collect()
+        }
+        assert scr == cov
+
+
 class TestMixSample:
     def test_rates_and_split_are_deterministic(self, spark):
         rows = [(i, "w " * 20, "a" if i % 2 == 0 else "b") for i in range(200)]
