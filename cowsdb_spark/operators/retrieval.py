@@ -1,0 +1,150 @@
+"""Sparse lexical retrieval: BM25 top-k over a document corpus.
+
+Extension operator (no counterpart in the reference — its engine
+delegates all querying to chDB and ships no retrieval ranking); in a
+training-data pipeline BM25 is the standard primitive for
+retrieval-based decontamination (find training docs that *retrieve*
+an eval item), contamination forensics, and targeted data selection,
+complementing the dense-vector path (operators/similarity.py) with
+an exact, vocabulary-grounded ranking.
+
+Scoring is Robertson/Sparck-Jones BM25 (the Lucene idf variant,
+always positive)::
+
+    idf(t)  = ln((N - df_t + 0.5) / (df_t + 0.5) + 1)
+    s(d, q) = sum_{t in q}  idf(t) * tf * (k1 + 1)
+                            / (tf + k1 * (1 - b + b * dl/avgdl))
+
+Engine-portable determinism (the t26/t27 integer-lane construction):
+per-term idf is quantized to integer MICROS (floor(x*1e6 + 0.5) —
+HALF_UP, never Python banker's round), the per-(doc, term)
+contribution is quantized the same way, and the document score is a
+SUM of BIGINTs — order-independent across partitionings and
+bit-identical between Spark and DuckDB, so top-k ranks (score_m
+DESC, doc_id ASC) are hash-comparable with no float tolerance.
+At 1e-6 granularity the quantization is far below any meaningful
+ranking distinction.
+
+100 TB shape:
+- the distinct query-term set is broadcast and pruned against the
+  exploded token stream map-side, so only (doc, matching-term) rows
+  ever shuffle — the corpus' non-matching tokens die at the scan;
+- df comes from one terms-sized aggregate, broadcast back;
+- N/avgdl attach as a broadcast 1-row scalar (the text.py pattern);
+- candidates shuffle ONCE keyed (query, doc) for the score sum;
+- top-k is a per-query window; the candidate set per query is the
+  union of its terms' postings. For fat-head query terms, pre-prune
+  with a per-partition top-k (the operators/pq.py heap pattern)
+  before the window — not needed at the tested scales.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MICROS = 1_000_000.0
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "query_id",
+    qtext_col: str = "qtext",
+) -> DataFrame:
+    """BM25 top-``k`` documents per query.
+
+    ``queries`` is a small frame (query_id, qtext); its distinct
+    whitespace terms are broadcast. Repeated terms within one query
+    count once (set semantics — the common choice for short queries;
+    qtf weighting would multiply the contribution by query term
+    count). Returns (query_id, doc_id, score_m, score, rank) with
+    ``score_m`` the integer-micros BM25 sum, ``score`` its float
+    view, ``rank`` dense 1..k ordered (score_m DESC, doc_id ASC).
+    Only documents sharing at least one term with the query appear.
+
+    k1/b arrive as plain literals in BOTH engines' plans — all float
+    arithmetic below is (+,-,*,/) on identically-constructed doubles,
+    which IEEE754 rounds exactly, so Spark and a SQL replica agree
+    bit-for-bit; ln() is quantized immediately (1-ulp libm skew would
+    need a value within 1 ulp of a .5 micro boundary to matter).
+    """
+    toks = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_t")
+    )
+    # broadcast 1-row corpus scalars: N docs, total token count
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum(F.size("_t")).alias("_tot")
+    )
+    qterms = (
+        queries.select(
+            F.col(qid_col),
+            F.explode(F.split(F.col(qtext_col), " ")).alias("_term"),
+        )
+        .filter(F.col("_term") != "")
+        .distinct()
+    )
+    terms = qterms.select("_term").distinct()
+    # postings restricted to query terms: the broadcast join prunes
+    # the exploded stream map-side, nothing else survives the scan
+    postings = (
+        toks.select(
+            F.col(id_col),
+            F.size("_t").alias("_dl"),
+            F.explode("_t").alias("_term"),
+        )
+        .filter(F.col("_term") != "")
+        .join(F.broadcast(terms), "_term")
+        .groupBy(id_col, "_term", "_dl")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    dfreq = postings.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
+    idf_m = F.floor(
+        F.log(
+            (F.col("_n") - F.col("_df") + F.lit(0.5))
+            / (F.col("_df") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        * F.lit(MICROS)
+        + F.lit(0.5)
+    )
+    tfn = (F.col("_tf") * (F.lit(k1) + F.lit(1.0))) / (
+        F.col("_tf")
+        + F.lit(k1)
+        * (
+            F.lit(1.0)
+            - F.lit(b)
+            + F.lit(b)
+            * (
+                (F.col("_dl") * F.col("_n")).cast("double")
+                / F.col("_tot")
+            )
+        )
+    )
+    contrib = F.floor(idf_m * tfn + F.lit(0.5)).cast("long")
+    scored = (
+        postings.join(F.broadcast(dfreq), "_term")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(qterms), "_term")
+        .groupBy(qid_col, id_col)
+        .agg(F.sum(contrib).alias("score_m"))
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("score_m").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            qid_col,
+            id_col,
+            "score_m",
+            (F.col("score_m") / F.lit(MICROS)).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

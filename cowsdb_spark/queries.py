@@ -1606,6 +1606,58 @@ def t52(spark, sf_dir):
 
 
 @qdef(
+    "t53_bm25_topk",
+    # full SQL replica of the integer-micros BM25 lane: idf quantized
+    # at the ln() (HALF_UP micros), per-(doc,term) contribution
+    # quantized the same way, score = SUM of BIGINTs — every float op
+    # is identically-shaped IEEE (+,-,*,/) so the two engines agree
+    # bit-for-bit with no tolerance lane (see operators/retrieval.py)
+    "WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents), "
+    "q AS (SELECT doc_id AS query_id, l[1:8] AS qa FROM d WHERE doc_id % 125 = 0), "
+    "qt AS (SELECT DISTINCT query_id, term FROM "
+    "  (SELECT query_id, unnest(qa) AS term FROM q) z WHERE term <> ''), "
+    "st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(len(l)) AS BIGINT) AS tot FROM d), "
+    "tk AS (SELECT doc_id, len(l) AS dl, unnest(l) AS term FROM d), "
+    "terms AS (SELECT DISTINCT term FROM qt), "
+    "p AS (SELECT tk.doc_id, tk.dl, tk.term, CAST(COUNT(*) AS BIGINT) AS tf "
+    "  FROM tk JOIN terms USING (term) WHERE tk.term <> '' "
+    "  GROUP BY tk.doc_id, tk.dl, tk.term), "
+    "dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM p GROUP BY term), "
+    "sc AS (SELECT qt.query_id, p.doc_id, "
+    "  CAST(SUM(CAST(floor("
+    "    floor(ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) * 1000000.0 + 0.5) "
+    "    * ((p.tf * (1.2 + 1.0)) / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * "
+    "      (CAST(p.dl * st.n AS DOUBLE) / st.tot)))) "
+    "    + 0.5) AS BIGINT)) AS BIGINT) AS score_m "
+    "  FROM p JOIN qt USING (term) JOIN dfq ON p.term = dfq.term, st "
+    "  GROUP BY qt.query_id, p.doc_id) "
+    "SELECT query_id, doc_id, score_m, score_m / 1000000.0 AS score, rank FROM ("
+    "  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id "
+    "    ORDER BY score_m DESC, doc_id) AS INT) AS rank FROM sc) z "
+    "WHERE rank <= 10 ORDER BY query_id, rank",
+    "[ext: retrieval, new r8] BM25 top-10 (Robertson; Lucene idf "
+    "variant) — the sparse-retrieval primitive for retrieval-based "
+    "decontamination and targeted data selection, complementing the "
+    "dense ANN path. Queries are the first 8 tokens of every 125th "
+    "document. Engine-portable integer-micros lane: idf and each "
+    "(doc,term) contribution quantized HALF_UP at 1e-6, score is an "
+    "order-independent BIGINT sum, ties broken on doc_id — "
+    "hash-comparable with zero float tolerance. Query terms "
+    "broadcast-prune the token stream map-side; only matching "
+    "postings shuffle (operators/retrieval.py::bm25_topk).",
+)
+def t53(spark, sf_dir):
+    from .operators.retrieval import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    q = d.filter(F.col("doc_id") % 125 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(F.split("text", " "), 1, 8), " ").alias("qtext"),
+    )
+    return bm25_topk(d, q, k=10).orderBy("query_id", "rank")
+
+
+@qdef(
     "t16_streaming_tumbling",
     # Driver-checkable since r7 (was rows-only x16): a complete-mode
     # availableNow drain of the watermarked tumbling plan retains all

@@ -172,6 +172,37 @@ def main() -> None:
         "dup_fingerprint_text"
     )
 
+    # 6c. duplicated-span SCRUB (new r8): the rewrite counterpart of
+    # the coverage flag. Unlike the flag op (bodies never shuffle),
+    # a rewrite must bring each body together with its dup-start set
+    # once — ONE doc_id-keyed join — so the corpus pays exactly one
+    # body-sized shuffle; this stage records that cost as a number.
+    # n=16 spans two of the generator's 8-word phrases, so only the
+    # PLANTED duplicates trigger: exact copies scrub to empty, near
+    # dups (one phrase swapped) scrub partially — the merged-block /
+    # kept-gap geometry actually executes at scale instead of
+    # degenerating to all-covered (at n=6 the 50k-phrase pool makes
+    # every position duplicated).
+    from cowsdb_spark.operators.text import scrub_dup_spans
+
+    def scrub_fingerprint():
+        r = (
+            scrub_dup_spans(docs, n=16, min_docs=2, key="hash")
+            .agg(
+                F.sum((F.col("n_removed_tokens") > 0).cast("long")).alias(
+                    "touched"
+                ),
+                F.sum("n_removed_tokens").alias("removed"),
+                F.sum(F.length("scrubbed")).alias("len_sum"),
+            )
+            .collect()[0]
+        )
+        return [int(r["touched"]), int(r["removed"]), int(r["len_sum"])]
+
+    out["scrub_fingerprint_hashed_n16"] = stage(
+        "scrub_dup_spans_hashed_n16", scrub_fingerprint
+    )
+
     # 8. BPE tokenizer training: the corpus-scale cost is ONE
     # word-frequency shuffle; the 8 merge iterations then run on the
     # bounded distinct-word table (the artifact shows the shuffle is
