@@ -148,3 +148,59 @@ def bm25_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def bm25_decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 10,
+    min_score: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "doc_id",
+    eval_text_col: str = "text",
+    max_query_tokens: int = 32,
+) -> DataFrame:
+    """Retrieval-based decontamination: each eval document becomes a
+    BM25 query (its first ``max_query_tokens`` tokens) against the
+    training corpus; every training doc retrieved in an eval item's
+    top-``k`` with score above ``min_score`` is a contamination
+    suspect. Complements the n-gram screens (text.py::
+    contamination_flags / fuzzy_contamination): BM25 catches
+    paraphrased or partially-overlapping leakage that exact-gram
+    matching misses, ranked by lexical evidence.
+
+    Returns one row per suspect training doc: (id, best_eval_id,
+    best_score_m, n_eval_hits) — deterministic (max score, ties to
+    the smallest eval id). Same scale shape as bm25_topk: eval
+    vocabulary broadcast, postings-sized shuffles only.
+    """
+    q = eval_docs.select(
+        F.col(eval_id_col).alias("query_id"),
+        F.array_join(
+            F.slice(F.split(F.col(eval_text_col), " "), 1, max_query_tokens),
+            " ",
+        ).alias("qtext"),
+    )
+    hits = bm25_topk(
+        train, q, k=k, id_col=id_col, text_col=text_col
+    ).filter(F.col("score") >= min_score)
+    best = F.max(
+        F.struct(
+            F.col("score_m").alias("s"),
+            (-F.col("query_id")).alias("nq"),
+        )
+    )
+    return (
+        hits.groupBy(id_col)
+        .agg(
+            best.alias("_b"),
+            F.count(F.lit(1)).alias("n_eval_hits"),
+        )
+        .select(
+            id_col,
+            (-F.col("_b.nq")).alias("best_eval_id"),
+            F.col("_b.s").alias("best_score_m"),
+            "n_eval_hits",
+        )
+    )

@@ -113,6 +113,40 @@ class TestBm25TopK:
         bq = [(r.doc_id, r.score_m) for r in bm25_topk(d, q2, k=6).collect()]
         assert sorted(a) == sorted(bq)
 
+    def test_decontaminate_flags_leaked_doc(self, spark):
+        from cowsdb_spark.operators.retrieval import bm25_decontaminate
+
+        train = spark.createDataFrame(DOCS, "doc_id long, text string")
+        ev = spark.createDataFrame(
+            [
+                (900, "the quick brown fox jumps over the lazy dog"),
+                (901, "completely disjoint vocabulary sentence"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r for r in bm25_decontaminate(train, ev, k=2).collect()
+        }
+        # doc 0 IS eval 900 verbatim: it must be flagged, best=900, rank-1
+        assert 0 in out and out[0].best_eval_id == 900
+        # doc 4 shares no vocabulary with either eval item: never flagged
+        assert 4 not in out
+        # everything flagged traces to the overlapping eval item only
+        assert all(r.best_eval_id == 900 for r in out.values())
+
+    def test_decontaminate_best_ties_to_smallest_eval_id(self, spark):
+        from cowsdb_spark.operators.retrieval import bm25_decontaminate
+
+        train = spark.createDataFrame(
+            [(0, "alpha beta gamma")], "doc_id long, text string"
+        )
+        ev = spark.createDataFrame(
+            [(10, "alpha beta gamma"), (11, "alpha beta gamma")],
+            "doc_id long, text string",
+        )
+        row = bm25_decontaminate(train, ev, k=1).collect()[0]
+        assert row.n_eval_hits == 2 and row.best_eval_id == 10
+
     def test_query_terms_broadcast_prune(self, spark):
         from cowsdb_spark.operators.retrieval import bm25_topk
 

@@ -203,6 +203,36 @@ def main() -> None:
         "scrub_dup_spans_hashed_n16", scrub_fingerprint
     )
 
+    # 7. BM25 retrieval (new r8): 100 queries (first 8 tokens of every
+    # n/100-th doc) against the full corpus. The claim to measure:
+    # query terms broadcast-prune the exploded token stream map-side,
+    # so shuffle is postings-of-query-terms sized, NOT corpus sized —
+    # the artifact records it next to the corpus token count.
+    from cowsdb_spark.operators.retrieval import bm25_topk
+
+    qdocs = docs.filter(F.col("doc_id") % (n_docs // 100) == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(F.split("text", " "), 1, 8), " "
+        ).alias("qtext"),
+    )
+
+    def bm25_fingerprint():
+        r = (
+            bm25_topk(docs, qdocs, k=10)
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum("score_m").alias("sum_m"),
+                F.sum(
+                    F.when(F.col("rank") == 1, F.col("doc_id")).otherwise(0)
+                ).alias("top1_ids"),
+            )
+            .collect()[0]
+        )
+        return [int(r["rows"]), int(r["sum_m"]), int(r["top1_ids"])]
+
+    out["bm25_fingerprint"] = stage("bm25_topk_100q", bm25_fingerprint)
+
     # 8. BPE tokenizer training: the corpus-scale cost is ONE
     # word-frequency shuffle; the 8 merge iterations then run on the
     # bounded distinct-word table (the artifact shows the shuffle is
