@@ -157,3 +157,70 @@ class TestQualityModelProperty:
         }
         for i, t in rows:
             assert got[i] == score_doc(t), repr(t)
+
+
+class TestScrubDupSpansProperty:
+    """Spark's closed-form block-merge scrub == the brute-force
+    position-set reference on arbitrary small-vocab corpora (dense
+    cross-doc collisions exercise adjacent/overlapping/island block
+    geometry)."""
+
+    @given(
+        docs=st.lists(
+            st.lists(
+                st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=14
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        n=st.sampled_from([2, 3]),
+    )
+    @settings(derandomize=True, **_SETTINGS)
+    def test_spark_matches_reference(self, spark, docs, n):
+        from cowsdb_spark.localdf import local_df
+        from cowsdb_spark.operators.text import scrub_dup_spans
+
+        rows = [(i, " ".join(t)) for i, t in enumerate(docs)]
+        from tests.test_operators import _ref_scrub
+
+        df = local_df(spark, rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_tokens, r.n_removed_tokens, r.scrubbed)
+            for r in scrub_dup_spans(df, n=n, min_docs=2).collect()
+        }
+        assert got == _ref_scrub(rows, n, 2)
+
+
+class TestBm25Property:
+    """Spark's integer-micros BM25 == the pure-Python reference
+    (same quantization) on arbitrary small-vocab corpora/queries."""
+
+    @given(
+        docs=st.lists(
+            st.lists(
+                st.sampled_from(["a", "b", "c", "d", "e"]),
+                min_size=1,
+                max_size=10,
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        qterms=st.lists(
+            st.sampled_from(["a", "b", "c", "z"]), min_size=1, max_size=3
+        ),
+    )
+    @settings(derandomize=True, **_SETTINGS)
+    def test_spark_matches_reference(self, spark, docs, qterms):
+        from cowsdb_spark.localdf import local_df
+        from cowsdb_spark.operators.retrieval import bm25_topk
+        from tests.test_retrieval import _ref_bm25
+
+        rows = [(i, " ".join(t)) for i, t in enumerate(docs)]
+        queries = [(0, " ".join(qterms))]
+        d = local_df(spark, rows, "doc_id long, text string")
+        q = local_df(spark, queries, "query_id long, qtext string")
+        got = [
+            (r.query_id, r.doc_id, r.score_m, r.rank)
+            for r in bm25_topk(d, q, k=4).orderBy("rank").collect()
+        ]
+        assert got == _ref_bm25(rows, queries, 4)
