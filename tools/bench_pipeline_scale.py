@@ -121,6 +121,33 @@ def main() -> None:
     cur = stage("near_dup_keep_one", near_dup)
     out["funnel"]["near_dup"] = cur.count()
 
+    # 3b. duplicated-span scrub (r8): rewrite survivors, excising any
+    # 16-gram still duplicated ACROSS the post-dedup corpus (spans two
+    # generator phrases, so on this corpus doc-level keep-one already
+    # removed most of them — the recorded near-zero removal is the
+    # honest pipeline statement "doc dedup got there first", while the
+    # stage still pays and records the full rewrite cost: one
+    # body-sized doc_id join). Docs scrubbed to empty are dropped.
+    def scrub():
+        from cowsdb_spark.operators.text import scrub_dup_spans
+
+        scr = scrub_dup_spans(cur, n=16, min_docs=2, key="hash")
+        removed = scr.agg(F.sum("n_removed_tokens")).collect()[0][0]
+        nxt = (
+            cur.join(
+                scr.select("doc_id", "scrubbed"), "doc_id", "left"
+            )
+            .withColumn("text", F.coalesce("scrubbed", "text"))
+            .filter(F.col("text") != "")
+            .drop("scrubbed")
+            .localCheckpoint()
+        )
+        return nxt, int(removed or 0)
+
+    cur, removed_tokens = stage("scrub_dup_spans", scrub)
+    out["funnel"]["scrub_removed_tokens"] = removed_tokens
+    out["funnel"]["scrubbed"] = cur.count()
+
     # 4. decontamination: 500-doc eval set sampled from the corpus
     # (worst case: every eval gram exists in training); drop any doc
     # sharing an n-token span
@@ -134,6 +161,24 @@ def main() -> None:
 
     cur = stage("decontaminate", decontaminate)
     out["funnel"]["decontaminated"] = cur.count()
+
+    # 4b. BM25 retrieval-decontamination AUDIT (r8): the ranked
+    # counterpart of the gram screen — 50 eval docs as BM25 queries
+    # against the survivor corpus, counting suspects retrieved in any
+    # top-5. Audit, not filter (the gram screen above is the gate);
+    # the worst case for the broadcast-prune here is real: the
+    # generator's 20k-word vocabulary means ~1.6k query terms match a
+    # large fraction of all tokens, so the recorded shuffle bounds
+    # the operator's cost on an adversarially small vocabulary.
+    def bm25_audit():
+        from cowsdb_spark.operators.retrieval import bm25_decontaminate
+
+        ev50 = docs.filter(F.col("doc_id") % (n_docs // 50) == 0)
+        return bm25_decontaminate(cur, ev50, k=5).count()
+
+    out["funnel"]["bm25_suspects_top5"] = stage(
+        "bm25_decontaminate_audit", bm25_audit
+    )
 
     # 5. weighted mixture sampling (mix_sample's salted-md5 keep rule,
     # applied to the rows so packing sees the sampled set)
