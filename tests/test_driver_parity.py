@@ -67,3 +67,16 @@ def test_registry_row_under_driver_confs(name, driver_confs, ddb, sf_dir):
     assert len(srows) == len(drows), f"rowcount {len(srows)} vs {len(drows)}"
     assert sorted(scols) == sorted(dcols), f"columns {scols} vs {dcols}"
     assert canon(srows, scols) == canon(drows, dcols)
+
+
+class TestDriverWindowBoundary:
+    """The round driver oracle-checks the FIRST 50 SORTED registry
+    keys. t52_dsir_sample must stay the 50th; everything after it must
+    be a deliberately-outside row (t53+ additions or x rows-only) —
+    a new key landing inside would silently rotate a green row out of
+    CORRECTNESS_r{N}."""
+
+    def test_window_boundary_pinned(self):
+        keys = sorted(REG)
+        assert keys[49] == "t52_dsir_sample"
+        assert all(k.startswith(("t53", "t54", "t55", "x")) for k in keys[50:])

@@ -470,3 +470,17 @@ class TestExistsSystemTables:
         assert engine.execute(
             "SELECT number FROM system.numbers_mt LIMIT 2"
         ) == b"0\n1\n"
+
+
+class TestScrubLanePlanShape:
+    """t31 computes the coverage flag AND the scrub rewrite from the
+    same gram/dup/hits stages; AQE must reuse those exchanges at
+    runtime instead of paying the corpus-sized gram explode twice."""
+
+    def test_t31_reuses_gram_exchanges(self, spark, sf_dir):
+        from cowsdb_spark.queries import registry
+
+        df = registry()["t31_dup_ngrams"].spark(spark, sf_dir)
+        df.collect()  # AQE finalizes reuse only at execution
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in plan
