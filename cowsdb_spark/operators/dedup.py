@@ -1031,6 +1031,43 @@ def connected_components(
     return lab
 
 
+def keep_best_survivors(
+    docs: DataFrame,
+    components: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep-BEST dedup survivors: per duplicate cluster retain the
+    member with the highest ``score_col`` (ties to the smallest id)
+    instead of connected_components' min-id representative — the
+    production choice (keep the longest / highest-quality copy, drop
+    the rest). ``components`` is connected_components' (id, comp);
+    docs absent from it are singletons and always survive.
+
+    100 TB shape: scores join the cluster-members-sized label frame
+    (tiny vs the corpus), the per-cluster argmax is one keyed agg on
+    that frame, and the corpus pays a single ANTI join against the
+    loser ids — bodies never shuffle, mirroring the keep-one path.
+    """
+    member_scores = components.join(
+        docs.select(
+            F.col(id_col).alias("id"), F.col(score_col).alias("_s")
+        ),
+        "id",
+    )
+    best = member_scores.groupBy("comp").agg(
+        F.max(
+            F.struct(F.col("_s").alias("s"), (-F.col("id")).alias("ni"))
+        ).alias("_b")
+    )
+    losers = (
+        member_scores.join(best, "comp")
+        .filter(F.col("id") != -F.col("_b.ni"))
+        .select(F.col("id").alias(id_col))
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
 def cross_corpus_new(
     new_docs: DataFrame,
     seen_docs: DataFrame,

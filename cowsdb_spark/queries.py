@@ -2185,17 +2185,34 @@ def t32(spark, sf_dir):
     "r(id, comp) AS ("
     "  SELECT a, a FROM eu "
     "  UNION SELECT eu.b, r.comp FROM r JOIN eu ON eu.a = r.id), "
-    "lab AS (SELECT id, min(comp) AS comp FROM r GROUP BY id) "
-    "SELECT d.doc_id FROM documents d "
+    "lab AS (SELECT id, min(comp) AS comp FROM r GROUP BY id), "
+    # keep-BEST lane (r8): same clusters, survivor = the member with
+    # the most whitespace tokens (ties to min id); digest of the full
+    # keep-best survivor id list rides every row as a constant column
+    "sc AS (SELECT doc_id, len(string_split(text, ' ')) AS s FROM documents), "
+    "bw AS (SELECT lab.id, ROW_NUMBER() OVER (PARTITION BY lab.comp "
+    "  ORDER BY sc.s DESC, lab.id) AS rn FROM lab JOIN sc ON sc.doc_id = lab.id), "
+    "bd AS (SELECT md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS best_digest, "
+    "  CAST(COUNT(*) AS BIGINT) AS n_best FROM documents "
+    "  WHERE doc_id NOT IN (SELECT id FROM bw WHERE rn > 1)) "
+    "SELECT d.doc_id, bd.best_digest, bd.n_best FROM documents d, bd "
     "WHERE d.doc_id NOT IN (SELECT id FROM lab WHERE id != comp) "
     "ORDER BY d.doc_id",
     "[ext: dedup] keep-one: drop every near-dup cluster member except "
     "the min-id representative; singletons survive untouched. The "
     "end-to-end dedup story: pairs (t08) -> clusters (t30) -> "
-    "survivor set (this).",
+    "survivor set (this). Since r8 the row also carries the keep-BEST "
+    "lane (dedup.py::keep_best_survivors — production survivor "
+    "choice: highest token count per cluster, ties to min id) as an "
+    "md5 digest + count of its survivor id list, oracle-checked "
+    "end-to-end.",
 )
 def t33(spark, sf_dir):
-    from .operators.dedup import connected_components, ngram_jaccard_pairs
+    from .operators.dedup import (
+        connected_components,
+        keep_best_survivors,
+        ngram_jaccard_pairs,
+    )
 
     d = _t(spark, sf_dir, "documents")
     pairs = (
@@ -2208,8 +2225,25 @@ def t33(spark, sf_dir):
     losers = comp.filter(F.col("id") != F.col("comp")).select(
         F.col("id").alias("doc_id")
     )
+    scored = d.withColumn("_score", F.size(F.split("text", " ")))
+    best = keep_best_survivors(scored, comp, "_score")
+    dig = best.agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            ).cast("binary")
+        ).alias("best_digest"),
+        F.count(F.lit(1)).alias("n_best"),
+    )
     return (
-        d.join(losers, "doc_id", "left_anti").select("doc_id").orderBy("doc_id")
+        d.join(losers, "doc_id", "left_anti")
+        .select("doc_id")
+        .crossJoin(F.broadcast(dig))
+        .orderBy("doc_id")
     )
 
 

@@ -867,6 +867,60 @@ class TestConnectedComponents:
         assert set(out.values()) == {0} and len(out) == 65
 
 
+class TestKeepBestSurvivors:
+    def _setup(self, spark):
+        # clusters: {1,2,3} and {7,8}; 5 is a singleton
+        docs = spark.createDataFrame(
+            [
+                (1, "a b", 10.0),
+                (2, "a b c d", 40.0),
+                (3, "a b c", 40.0),
+                (5, "solo", 1.0),
+                (7, "x", 5.0),
+                (8, "x y", 2.0),
+            ],
+            "doc_id long, text string, q double",
+        )
+        comp = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)], "id long, comp long"
+        )
+        return docs, comp
+
+    def test_keeps_argmax_ties_to_min_id(self, spark):
+        from cowsdb_spark.operators.dedup import keep_best_survivors
+
+        docs, comp = self._setup(spark)
+        kept = sorted(
+            r.doc_id for r in keep_best_survivors(docs, comp, "q").collect()
+        )
+        # cluster 1: docs 2 and 3 tie at q=40 -> min id 2 survives;
+        # cluster 7: doc 7 wins on q; singleton 5 always survives
+        assert kept == [2, 5, 7]
+
+    def test_differs_from_min_id_keep_one(self, spark):
+        from cowsdb_spark.operators.dedup import keep_best_survivors
+
+        docs, comp = self._setup(spark)
+        kept = sorted(
+            r.doc_id for r in keep_best_survivors(docs, comp, "q").collect()
+        )
+        min_id_kept = [1, 5, 7]  # connected_components representative
+        assert kept != min_id_kept
+
+    def test_bodies_never_shuffle(self, spark):
+        from cowsdb_spark.operators.dedup import keep_best_survivors
+
+        docs, comp = self._setup(spark)
+        plan = (
+            keep_best_survivors(docs, comp, "q")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the corpus side joins the loser ids ANTI, never sort-merge
+        assert "SortMergeJoin LeftAnti" not in plan
+
+
 class TestSamplePerKey:
     def test_deterministic_and_bounded(self, spark):
         from cowsdb_spark.operators.text import sample_per_key
