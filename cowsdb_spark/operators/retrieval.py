@@ -32,10 +32,12 @@ ranking distinction.
 - df comes from one terms-sized aggregate, broadcast back;
 - N/avgdl attach as a broadcast 1-row scalar (the text.py pattern);
 - candidates shuffle ONCE keyed (query, doc) for the score sum;
-- top-k is a per-query window; the candidate set per query is the
-  union of its terms' postings. For fat-head query terms, pre-prune
-  with a per-partition top-k (the operators/pq.py heap pattern)
-  before the window — not needed at the tested scales.
+- top-k is a per-query rank window, which Catalyst rewrites into a
+  PARTIAL WindowGroupLimit before the exchange + a FINAL one after
+  (plan-asserted in tests/test_retrieval.py): every map task keeps
+  only its local top-k per query, so the per-query reducer sorts
+  O(k x partitions) rows, not the full candidate set — the two-stage
+  top-k a fat-head query term would otherwise need by hand.
 """
 
 from __future__ import annotations

@@ -159,3 +159,19 @@ class TestBm25TopK:
             .toString()
         )
         assert "BroadcastHashJoin" in plan
+
+    def test_topk_is_two_stage_group_limit(self, spark):
+        # the rank filter must become Partial+Final WindowGroupLimit:
+        # map tasks keep local top-k per query BEFORE the exchange, so
+        # the per-query sort is O(k x partitions), not all candidates
+        from cowsdb_spark.operators.retrieval import bm25_topk
+
+        d = spark.createDataFrame(DOCS, "doc_id long, text string")
+        q = spark.createDataFrame(QUERIES, "query_id long, qtext string")
+        plan = (
+            bm25_topk(d, q, k=3)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "WindowGroupLimit" in plan and "Partial" in plan
