@@ -131,7 +131,12 @@ def main() -> None:
     def scrub():
         from cowsdb_spark.operators.text import scrub_dup_spans
 
-        scr = scrub_dup_spans(cur, n=16, min_docs=2, key="hash")
+        # checkpoint the scrub output ONCE — the removed-token agg and
+        # the rewrite join both read the materialized frame instead of
+        # re-running the gram pipeline (first cut executed it twice)
+        scr = scrub_dup_spans(
+            cur, n=16, min_docs=2, key="hash"
+        ).localCheckpoint()
         removed = scr.agg(F.sum("n_removed_tokens")).collect()[0][0]
         nxt = (
             cur.join(
