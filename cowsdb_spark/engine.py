@@ -56,6 +56,23 @@ from .system_tables import materialize as _materialize_system
 # consumed by the server before the engine sees them.
 ACTED_SETTINGS = frozenset({"default_format", "max_result_rows", "format_schema"})
 
+# SQL-callable pipeline table functions (SURVEY §7 Phase G): name →
+# usage string. Expanded by Engine._expand_pipeline_fns into operator
+# DataFrames registered as per-statement temp views.
+_PIPELINE_FNS = {
+    "exactdedup": "exactDedup(table)",
+    "minhashpairs": "minhashPairs(table[, min_jaccard])",
+    "qualityscore": "qualityScore(table)",
+    "langid": "langId(table)",
+    "scrubdupspans": "scrubDupSpans(table[, n[, min_docs]])",
+    "bm25": "bm25(table, 'query text'[, k])",
+}
+import re as _pipeline_re
+
+_PIPELINE_FN_RE = _pipeline_re.compile(
+    r"(?i)\b(" + "|".join(_PIPELINE_FNS) + r")\s*\("
+)
+
 
 class EngineError(Exception):
     """Query failure; message is the CH-style error text (the
@@ -246,6 +263,7 @@ class Engine:
         # done per-call with fully-qualified names instead of a
         # global USE where possible.
         self._lock = threading.RLock()
+        self._opfn_counter = 0  # pipeline-table-function view names
         # Serializes the brief set-conf -> force-physical-plan ->
         # restore-conf windows of the static-planning fast path: two
         # concurrent readers could otherwise interleave so that one
@@ -841,6 +859,8 @@ class Engine:
                 raise EngineError(f"url()/file() source failed: {e}") from e
         if "merge(" in low.replace(" ", ""):
             sql = self._expand_merge(sess, sql)
+        if _PIPELINE_FN_RE.search(sql):
+            sql = self._expand_pipeline_fns(sess, sql, created_views)
         if sess.dictionaries and ("dictget" in low or "dicthas" in low):
             sql = self._expand_dict_functions(sess, sql)
         sql = self._remap_databases(sess, sql, created_views)
@@ -1026,6 +1046,175 @@ class Engine:
         ver = _split_top_level(args_raw)[0].strip() if args_raw else ""
         order = f"`{ver.strip('`')}` DESC" if ver else keys
         return keys, order
+
+    def _expand_pipeline_fns(
+        self, sess: UserSession, sql: str, created_views: Optional[list]
+    ) -> str:
+        """SQL-callable pipeline operators (SURVEY §7 Phase G: the
+        extension library 'expressed as SQL-callable table
+        functions'): ``exactDedup(t)``, ``minhashPairs(t[, min_j])``,
+        ``qualityScore(t)``, ``langId(t)``, ``scrubDupSpans(t[, n[,
+        min_docs]])``, ``bm25(t, 'query'[, k])`` in table position
+        build the operator DataFrame over the session's table and
+        substitute a temp view — so both wire protocols reach the
+        dedup/retrieval/text library, not just the Python API. The
+        view joins ``created_views`` and follows the url()/system
+        lifecycle: analyzed eagerly, dropped post-analysis, never
+        plan-cached (operator plans re-resolve per execution, so an
+        INSERT between calls is seen).
+
+        The source table must carry the operators' default columns
+        (doc_id, text) — the resolution error names the table if not.
+        """
+        from .dialect.tokenizer import tokenize
+
+        toks = tokenize(sql)
+        out: list[str] = []
+        i = 0
+        changed = False
+        while i < len(toks):
+            t = toks[i]
+            if t.kind == "ident" and t.text.lower() in _PIPELINE_FNS:
+                j = i + 1
+                while j < len(toks) and toks[j].kind in ("ws", "comment"):
+                    j += 1
+                if j < len(toks) and toks[j].text == "(":
+                    depth, k = 0, j
+                    while k < len(toks):
+                        if toks[k].text == "(":
+                            depth += 1
+                        elif toks[k].text == ")":
+                            depth -= 1
+                            if depth == 0:
+                                break
+                        k += 1
+                    if k < len(toks):
+                        view = self._pipeline_fn_view(
+                            sess, t.text.lower(), toks[j + 1 : k]
+                        )
+                        if created_views is not None:
+                            created_views.append(view)
+                        out.append(view)
+                        i = k + 1
+                        changed = True
+                        continue
+            out.append(t.text)
+            i += 1
+        return "".join(out) if changed else sql
+
+    def _pipeline_fn_view(self, sess: UserSession, name: str, arg_toks) -> str:
+        # split on top-level commas
+        args: list = []
+        cur: list = []
+        depth = 0
+        for tk in arg_toks:
+            if tk.text == "(":
+                depth += 1
+            elif tk.text == ")":
+                depth -= 1
+            if tk.kind == "op" and tk.text == "," and depth == 0:
+                args.append(cur)
+                cur = []
+            else:
+                cur.append(tk)
+        if cur:
+            args.append(cur)
+        sig = _PIPELINE_FNS[name]
+        if not args or not [t for t in args[0] if t.kind not in ("ws", "comment")]:
+            raise EngineError(f"{name}: usage {sig}", 42)
+        ref = "".join(
+            t.text for t in args[0] if t.kind not in ("ws", "comment")
+        )
+        lits: list = []
+        for a in args[1:]:
+            vals = [t for t in a if t.kind not in ("ws", "comment")]
+            # the dialect front-end suffixes numeric literals (0.4D,
+            # 3L) before this expansion runs — fold the suffix back
+            if (
+                len(vals) == 2
+                and vals[0].kind == "number"
+                and vals[1].kind == "ident"
+                and vals[1].text.upper() in ("D", "L")
+            ):
+                vals = vals[:1]
+            if len(vals) != 1 or vals[0].kind not in ("string", "number"):
+                raise EngineError(
+                    f"{name}: literal arguments only — usage {sig}", 42
+                )
+            tk = vals[0]
+            if tk.kind == "string":
+                lits.append(tk.text[1:-1].replace("\\'", "'").replace("''", "'"))
+            else:
+                lits.append(
+                    float(tk.text) if "." in tk.text else int(tk.text)
+                )
+        parts = [p.strip("`") for p in ref.split(".")]
+        if len(parts) == 2:
+            db, tname = parts
+        elif len(parts) == 1:
+            db, tname = sess.current_db, parts[0]
+        else:
+            raise EngineError(f"{name}: bad table reference '{ref}'", 60)
+        try:
+            df = self.spark.table(f"`{sess.spark_db(db)}`.`{tname}`")
+        except Exception:
+            try:
+                df = self.spark.table(tname)  # temp view fallback
+            except Exception as e:
+                raise EngineError(
+                    f"{name}: unknown table '{ref}': {e}", 60
+                ) from e
+        try:
+            if name == "bm25":
+                if not lits or not isinstance(lits[0], str):
+                    raise EngineError(f"bm25: usage {sig}", 42)
+                from .localdf import local_df
+                from .operators.retrieval import bm25_topk
+
+                q = local_df(
+                    self.spark,
+                    [(0, lits[0])],
+                    "query_id long, qtext string",
+                )
+                res = bm25_topk(
+                    df, q, k=int(lits[1]) if len(lits) > 1 else 10
+                ).drop("query_id")
+            elif name == "exactdedup":
+                from .operators.dedup import exact_dedup
+
+                res = exact_dedup(df)
+            elif name == "minhashpairs":
+                from .operators.dedup import minhash_lsh_pairs
+
+                res = minhash_lsh_pairs(
+                    df,
+                    min_jaccard=float(lits[0]) if lits else 0.5,
+                )
+            elif name == "qualityscore":
+                from .operators.text import quality_score
+
+                res = quality_score(df)
+            elif name == "langid":
+                from .operators.text import lang_id
+
+                res = lang_id(df)
+            else:  # scrubdupspans
+                from .operators.text import scrub_dup_spans
+
+                res = scrub_dup_spans(
+                    df,
+                    n=int(lits[0]) if lits else 6,
+                    min_docs=int(lits[1]) if len(lits) > 1 else 2,
+                )
+        except EngineError:
+            raise
+        except Exception as e:
+            raise EngineError(f"{name} over '{ref}' failed: {e}", 36) from e
+        with self._lock:
+            self._opfn_counter += 1
+            view = f"__moospark_opfn_{self._opfn_counter}"
+        res.createOrReplaceTempView(view)
+        return view
 
     def _expand_merge(self, sess: UserSession, sql: str) -> str:
         """CH ``merge('db', 'table_regex')`` / ``merge(db, 'regex')``

@@ -1,0 +1,113 @@
+"""SQL-callable pipeline table functions (SURVEY §7 Phase G): the
+operator library reachable from plain SQL through the engine —
+exactDedup / minhashPairs / qualityScore / langId / scrubDupSpans /
+bm25 in table position, over engine-catalog tables, with CH-style
+error codes, and values equal to the Python-API operators they wrap."""
+
+from __future__ import annotations
+
+import pytest
+
+from cowsdb_spark.engine import Engine, EngineError
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    e = Engine(spark)
+    e.execute("CREATE DATABASE IF NOT EXISTS opfndb")
+    e.execute("DROP TABLE IF EXISTS opfndb.docs")
+    e.execute("CREATE TABLE opfndb.docs (doc_id Int64, text String)")
+    e.execute(
+        "INSERT INTO opfndb.docs VALUES "
+        "(1, 'the quick brown fox jumps over the lazy dog'),"
+        "(2, 'the quick brown fox jumps over the lazy dog'),"
+        "(3, 'completely different content here entirely'),"
+        "(4, 'the quick brown fox leaps over the lazy dog')"
+    )
+    return e
+
+
+class TestPipelineSqlFns:
+    def test_exact_dedup(self, eng):
+        assert eng.execute("SELECT count() AS c FROM exactDedup(opfndb.docs)") == b"3\n"
+
+    def test_minhash_pairs_literal_threshold(self, eng):
+        # the byte-identical pair only; 0.4 arrives as the dialect's
+        # suffixed literal (0.4D) and must parse
+        out = eng.execute(
+            "SELECT id_a, id_b FROM minhashPairs(opfndb.docs, 0.4) "
+            "ORDER BY id_a, id_b"
+        )
+        assert out == b"1\t2\n"
+
+    def test_bm25_ranks(self, eng):
+        out = eng.execute(
+            "SELECT doc_id, rank FROM bm25(opfndb.docs, 'quick brown fox', 3) "
+            "ORDER BY rank"
+        )
+        assert out == b"1\t1\n2\t2\n4\t3\n"
+
+    def test_matches_python_api(self, eng, spark):
+        from cowsdb_spark.operators.text import scrub_dup_spans
+
+        sql_rows = eng.execute(
+            "SELECT doc_id, n_removed_tokens FROM "
+            "scrubDupSpans(opfndb.docs, 4, 2) ORDER BY doc_id"
+        )
+        docs = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different content here entirely"),
+            (4, "the quick brown fox leaps over the lazy dog"),
+        ]
+        d = spark.createDataFrame(docs, "doc_id long, text string")
+        want = b"".join(
+            f"{r.doc_id}\t{r.n_removed_tokens}\n".encode()
+            for r in scrub_dup_spans(d, n=4, min_docs=2)
+            .orderBy("doc_id")
+            .collect()
+        )
+        assert sql_rows == want
+
+    def test_quality_and_langid_run(self, eng):
+        out = eng.execute(
+            "SELECT doc_id, n_tokens FROM qualityScore(opfndb.docs) "
+            "ORDER BY doc_id"
+        )
+        assert out.startswith(b"1\t9\n")
+        assert eng.execute("SELECT count() AS c FROM langId(opfndb.docs)") == b"4\n"
+
+    def test_composes_with_sql(self, eng):
+        # table-fn output is a normal relation: joinable + filterable
+        out = eng.execute(
+            "SELECT d.doc_id FROM exactDedup(opfndb.docs) s "
+            "JOIN opfndb.docs d ON d.doc_id = s.doc_id "
+            "WHERE d.text LIKE '%fox%' ORDER BY d.doc_id"
+        )
+        assert out == b"1\n4\n"
+
+    def test_bad_args_ch_code_42(self, eng):
+        with pytest.raises(EngineError) as ei:
+            eng.execute("SELECT * FROM bm25(opfndb.docs)")
+        assert ei.value.code == 42
+
+    def test_unknown_table_ch_code_60(self, eng):
+        with pytest.raises(EngineError) as ei:
+            eng.execute("SELECT * FROM exactDedup(opfndb.nosuch)")
+        assert ei.value.code == 60
+
+    def test_insert_visibility_no_stale_plan(self, eng):
+        # operator views are rebuilt per statement (never plan-cached):
+        # an INSERT between two identical calls must be visible
+        before = eng.execute("SELECT count() AS c FROM exactDedup(opfndb.docs)")
+        eng.execute(
+            "INSERT INTO opfndb.docs VALUES (9, 'a brand new unique document')"
+        )
+        after = eng.execute("SELECT count() AS c FROM exactDedup(opfndb.docs)")
+        assert int(before) + 1 == int(after)
+        eng.execute("ALTER TABLE opfndb.docs DELETE WHERE doc_id = 9")
+
+    def test_no_view_residue(self, eng, spark):
+        eng.execute("SELECT count() AS c FROM exactDedup(opfndb.docs)")
+        names = [t.name for t in spark.catalog.listTables()]
+        assert not any(n.startswith("__moospark_opfn_") for n in names)
