@@ -64,8 +64,13 @@ def system_settings(spark: SparkSession, ns: str) -> DataFrame:
 
 def system_functions(spark: SparkSession, ns: str) -> DataFrame:
     from .dialect.functions import RENAMES, TEMPLATES
+    from .engine import _PIPELINE_FNS
 
-    names = sorted(set(RENAMES) | {k for k, v in TEMPLATES.items() if v is not None})
+    names = sorted(
+        set(RENAMES)
+        | {k for k, v in TEMPLATES.items() if v is not None}
+        | set(_PIPELINE_FNS)  # SQL-callable pipeline table functions
+    )
     return local_df(spark, [(n,) for n in names], "name string")
 
 

@@ -107,6 +107,25 @@ class TestPipelineSqlFns:
         assert int(before) + 1 == int(after)
         eng.execute("ALTER TABLE opfndb.docs DELETE WHERE doc_id = 9")
 
+    def test_insert_select_from_table_fn(self, eng):
+        # materialized curation in pure SQL: survivors table built
+        # straight from a pipeline fn (INSERT goes through the same
+        # expansion)
+        eng.execute("DROP TABLE IF EXISTS opfndb.survivors")
+        eng.execute("CREATE TABLE opfndb.survivors (doc_id Int64, dup_count Int64)")
+        eng.execute(
+            "INSERT INTO opfndb.survivors SELECT doc_id, dup_count "
+            "FROM exactDedup(opfndb.docs)"
+        )
+        assert eng.execute("SELECT count() AS c FROM opfndb.survivors") == b"3\n"
+
+    def test_listed_in_system_functions(self, eng):
+        out = eng.execute(
+            "SELECT name FROM system.functions WHERE name IN "
+            "('exactdedup', 'bm25', 'scrubdupspans') ORDER BY name"
+        )
+        assert out == b"bm25\nexactdedup\nscrubdupspans\n"
+
     def test_no_view_residue(self, eng, spark):
         eng.execute("SELECT count() AS c FROM exactDedup(opfndb.docs)")
         names = [t.name for t in spark.catalog.listTables()]
