@@ -687,3 +687,36 @@ class TestAvroOverHttp:
         assert names == ["a", "s"]
         assert rows == [(2, "plain"), (300, "x\xffé")]
         get(http, "DROP TABLE avh")
+
+
+class TestPipelineFnsOverHttp:
+    """The SQL-callable pipeline table functions work over the real
+    wire, sessioned per credential like every other statement."""
+
+    def test_exact_dedup_and_bm25(self, http):
+        u = {"user": "pfn", "password": "x"}
+        get(http, "CREATE DATABASE IF NOT EXISTS pfdb", **u)
+        get(http, "DROP TABLE IF EXISTS pfdb.d", **u)
+        get(http, "CREATE TABLE pfdb.d (doc_id Int64, text String)", **u)
+        get(
+            http,
+            "INSERT INTO pfdb.d VALUES (1, 'alpha beta gamma'),"
+            "(2, 'alpha beta gamma'),(3, 'delta epsilon zeta')",
+            **u,
+        )
+        st, body = get(http, "SELECT count() AS c FROM exactDedup(pfdb.d)", **u)
+        assert (st, body) == (200, b"2\n")
+        st, body = get(
+            http,
+            "SELECT doc_id FROM bm25(pfdb.d, 'alpha beta', 1)",
+            **u,
+        )
+        assert (st, body) == (200, b"1\n")
+
+    def test_bad_args_http_400(self, http):
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            get(http, "SELECT * FROM bm25(pfdb.d)", user="pfn", password="x")
+        assert ei.value.code == 400
+        assert b"Code: 42" in ei.value.read()
