@@ -65,6 +65,9 @@ _PIPELINE_FNS = {
     "qualityscore": "qualityScore(table)",
     "langid": "langId(table)",
     "scrubdupspans": "scrubDupSpans(table[, n[, min_docs]])",
+    "rewritescrub": "rewriteScrub(table[, n[, min_docs]])",
+    "hllpresketch": "hllPresketch(table, 'group_col[,group_col]', 'value_col')",
+    "hllrollup": "hllRollup(sketch_table, 'group_col[,group_col]' | '')",
     "bm25": "bm25(table, 'query text'[, k])",
 }
 import re as _pipeline_re
@@ -1090,10 +1093,9 @@ class Engine:
                         k += 1
                     if k < len(toks):
                         view = self._pipeline_fn_view(
-                            sess, t.text.lower(), toks[j + 1 : k]
+                            sess, t.text.lower(), toks[j + 1 : k],
+                            created_views,
                         )
-                        if created_views is not None:
-                            created_views.append(view)
                         out.append(view)
                         i = k + 1
                         changed = True
@@ -1102,7 +1104,10 @@ class Engine:
             i += 1
         return "".join(out) if changed else sql
 
-    def _pipeline_fn_view(self, sess: UserSession, name: str, arg_toks) -> str:
+    def _pipeline_fn_view(
+        self, sess: UserSession, name: str, arg_toks,
+        created_views: Optional[list] = None,
+    ) -> str:
         # split on top-level commas
         args: list = []
         cur: list = []
@@ -1148,22 +1153,38 @@ class Engine:
                 lits.append(
                     float(tk.text) if "." in tk.text else int(tk.text)
                 )
-        parts = [p.strip("`") for p in ref.split(".")]
-        if len(parts) == 2:
-            db, tname = parts
-        elif len(parts) == 1:
-            db, tname = sess.current_db, parts[0]
+        # nested composition: the table argument may itself be a
+        # pipeline fn — bm25(exactDedup(t), 'q', 5) — resolved
+        # depth-first into its own (per-statement, dropped-later) view
+        head = [t for t in args[0] if t.kind not in ("ws", "comment")]
+        if (
+            len(head) >= 3
+            and head[0].kind == "ident"
+            and head[0].text.lower() in _PIPELINE_FNS
+            and head[1].text == "("
+            and head[-1].text == ")"
+        ):
+            inner = self._pipeline_fn_view(
+                sess, head[0].text.lower(), head[2:-1], created_views
+            )
+            df = self.spark.table(inner)
         else:
-            raise EngineError(f"{name}: bad table reference '{ref}'", 60)
-        try:
-            df = self.spark.table(f"`{sess.spark_db(db)}`.`{tname}`")
-        except Exception:
+            parts = [p.strip("`") for p in ref.split(".")]
+            if len(parts) == 2:
+                db, tname = parts
+            elif len(parts) == 1:
+                db, tname = sess.current_db, parts[0]
+            else:
+                raise EngineError(f"{name}: bad table reference '{ref}'", 60)
             try:
-                df = self.spark.table(tname)  # temp view fallback
-            except Exception as e:
-                raise EngineError(
-                    f"{name}: unknown table '{ref}': {e}", 60
-                ) from e
+                df = self.spark.table(f"`{sess.spark_db(db)}`.`{tname}`")
+            except Exception:
+                try:
+                    df = self.spark.table(tname)  # temp view fallback
+                except Exception as e:
+                    raise EngineError(
+                        f"{name}: unknown table '{ref}': {e}", 60
+                    ) from e
         try:
             if name == "bm25":
                 if not lits or not isinstance(lits[0], str):
@@ -1198,7 +1219,7 @@ class Engine:
                 from .operators.text import lang_id
 
                 res = lang_id(df)
-            else:  # scrubdupspans
+            elif name == "scrubdupspans":
                 from .operators.text import scrub_dup_spans
 
                 res = scrub_dup_spans(
@@ -1206,6 +1227,46 @@ class Engine:
                     n=int(lits[0]) if lits else 6,
                     min_docs=int(lits[1]) if len(lits) > 1 else 2,
                 )
+            elif name == "rewritescrub":
+                # the rewritten CORPUS: original columns, text
+                # replaced by the scrubbed version (short docs pass
+                # through untouched), fully-scrubbed docs dropped —
+                # composes with every other fn: bm25(rewriteScrub(t))
+                from pyspark.sql import functions as _F
+
+                from .operators.text import scrub_dup_spans
+
+                scr = scrub_dup_spans(
+                    df,
+                    n=int(lits[0]) if lits else 6,
+                    min_docs=int(lits[1]) if len(lits) > 1 else 2,
+                )
+                res = (
+                    df.join(
+                        scr.select("doc_id", "scrubbed"), "doc_id", "left"
+                    )
+                    .withColumn(
+                        "text", _F.coalesce("scrubbed", _F.col("text"))
+                    )
+                    .filter(_F.col("text") != "")
+                    .drop("scrubbed")
+                )
+            elif name == "hllpresketch":
+                if len(lits) < 2 or not all(
+                    isinstance(x, str) for x in lits[:2]
+                ):
+                    raise EngineError(f"hllpresketch: usage {sig}", 42)
+                from .operators.sketches import hll_presketch
+
+                groups = [c.strip() for c in lits[0].split(",") if c.strip()]
+                res = hll_presketch(df, groups, lits[1])
+            else:  # hllrollup
+                if not lits or not isinstance(lits[0], str):
+                    raise EngineError(f"hllrollup: usage {sig}", 42)
+                from .operators.sketches import hll_rollup
+
+                groups = [c.strip() for c in lits[0].split(",") if c.strip()]
+                res = hll_rollup(df, groups)
         except EngineError:
             raise
         except Exception as e:
@@ -1214,6 +1275,8 @@ class Engine:
             self._opfn_counter += 1
             view = f"__moospark_opfn_{self._opfn_counter}"
         res.createOrReplaceTempView(view)
+        if created_views is not None:
+            created_views.append(view)
         return view
 
     def _expand_merge(self, sess: UserSession, sql: str) -> str:

@@ -126,7 +126,56 @@ class TestPipelineSqlFns:
         )
         assert out == b"bm25\nexactdedup\nscrubdupspans\n"
 
+    def test_nested_composition(self, eng):
+        # rewriteScrub returns the cleaned CORPUS (doc_id, text …), so
+        # every other fn composes over it; at n=4 docs 1/2 cover each
+        # other fully and drop, doc 4 keeps only 'leaps', doc 3 is
+        # untouched -> 2 survivors
+        out = eng.execute(
+            "SELECT count() AS c FROM exactDedup(rewriteScrub(opfndb.docs, 4, 2))"
+        )
+        assert out == b"2\n"
+        out = eng.execute(
+            "SELECT doc_id FROM bm25(rewriteScrub(opfndb.docs, 4, 2), "
+            "'completely different content', 1)"
+        )
+        assert out == b"3\n"
+
+    def test_rewrite_scrub_keeps_columns_and_drops_empty(self, eng):
+        # docs 1/2 are byte-identical 9-token docs: at n=4 every token
+        # is covered, both scrub to empty and are dropped; doc 4 keeps
+        # its unshared middle, doc 3 is untouched
+        out = eng.execute(
+            "SELECT doc_id, text FROM rewriteScrub(opfndb.docs, 4, 2) "
+            "ORDER BY doc_id"
+        )
+        lines = out.decode().splitlines()
+        assert [ln.split("\t")[0] for ln in lines] == ["3", "4"]
+        assert lines[0].endswith("completely different content here entirely")
+
+    def test_hll_sketch_fns(self, eng):
+        eng.execute("DROP TABLE IF EXISTS opfndb.ev")
+        eng.execute("CREATE TABLE opfndb.ev (day String, user String)")
+        eng.execute(
+            "INSERT INTO opfndb.ev VALUES "
+            "('d1','u1'),('d1','u2'),('d2','u1'),('d2','u3'),('d2','u3')"
+        )
+        # presketch by day, roll up to the grand total: 3 distinct users
+        out = eng.execute(
+            "SELECT approx_distinct FROM "
+            "hllRollup(hllPresketch(opfndb.ev, 'day', 'user'), '')"
+        )
+        assert out == b"3\n"
+        out = eng.execute(
+            "SELECT day, approx_distinct FROM "
+            "hllRollup(hllPresketch(opfndb.ev, 'day', 'user'), 'day') "
+            "ORDER BY day"
+        )
+        assert out == b"d1\t2\nd2\t2\n"
+
     def test_no_view_residue(self, eng, spark):
-        eng.execute("SELECT count() AS c FROM exactDedup(opfndb.docs)")
+        eng.execute(
+            "SELECT count() AS c FROM exactDedup(rewriteScrub(opfndb.docs))"
+        )
         names = [t.name for t in spark.catalog.listTables()]
         assert not any(n.startswith("__moospark_opfn_") for n in names)
