@@ -61,3 +61,48 @@ def stream_stream_interval_join(
         & (rw[rts] <= F.expr(f"{left_ts} + INTERVAL {within}"))
     )
     return lw.join(rw, cond, "inner").drop(rw[key])
+
+
+def stream_neardup_candidates(
+    stream_docs: DataFrame,
+    store_banded: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Streaming near-dup SCREEN against a persisted signature store
+    (the r8 incremental-dedup store, live): each micro-batch's docs
+    are MinHash-signed and banded — all narrow stateless projections,
+    legal on a streaming frame — and joined with the store's
+    ``banded_keys`` table on (band, bh). One row out per band
+    collision: (id, seen_id, band), i.e. "this incoming doc probably
+    near-duplicates that stored doc".
+
+    Same constants/banding as the batch operators, so the emitted
+    candidates equal the new×seen candidate stage of
+    ``minhash_lsh_pairs_incremental`` run on the same rows (asserted
+    streaming-equals-batch in tests). Banding is the usual LSH
+    S-curve screen — exact-agreement verification belongs downstream
+    (foreachBatch with the batch kernel, or an offline join), where
+    the signatures can be re-attached.
+
+    Scale shape: ZERO streaming state (stream-static inner join); the
+    stream side shuffles slim (band, bh, id) keys only; when the
+    store table is bucketed by (band, bh) the store side co-locates
+    with no exchange — identical economics to the batch increment.
+    """
+    from ..operators.dedup import banded_keys, minhash_signature_table
+
+    sig = minhash_signature_table(
+        stream_docs, id_col, text_col, n_hashes, shingle_k, hash_fn
+    )
+    keys = banded_keys(sig, id_col, n_hashes, bands)
+    store = store_banded.select(
+        F.col(id_col).alias("seen_id"), "band", "bh"
+    )
+    return keys.join(store, ["band", "bh"], "inner").select(
+        id_col, "seen_id", "band"
+    )

@@ -249,3 +249,80 @@ class TestStreamingJoins:
             .collect()
         )
         assert got == want and len(got) > 0
+
+
+class TestStreamNeardupCandidates:
+    """Streaming near-dup screen vs the persisted banded signature
+    store: stateless stream-static band join, candidates equal the
+    batch increment's new x seen candidate stage on the same rows."""
+
+    def test_streaming_equals_batch_candidates(self, spark, tmp_path):
+        from cowsdb_spark.operators.dedup import (
+            banded_keys,
+            minhash_signature_table,
+        )
+        from cowsdb_spark.streaming.joins import stream_neardup_candidates
+        from cowsdb_spark.streaming.windows import run_to_memory
+
+        seen = spark.createDataFrame(
+            [
+                (100, "the quick brown fox jumps over the lazy dog today"),
+                (101, "an entirely different stored document body here now"),
+            ],
+            "doc_id long, text string",
+        )
+        store = banded_keys(
+            minhash_signature_table(seen), "doc_id", 32, 8
+        )
+        new = spark.createDataFrame(
+            [
+                # near-dup of 100 (one word changed)
+                (1, "the quick brown fox jumps over the lazy cat today"),
+                # unrelated
+                (2, "nothing in common with anything stored whatsoever at all"),
+            ],
+            "doc_id long, text string",
+        )
+        d = str(tmp_path / "neardup_stream")
+        new.coalesce(1).write.parquet(d)
+        s = stream_neardup_candidates(
+            spark.readStream.schema(new.schema).parquet(d), store
+        )
+        run_to_memory(s, "neardup_out", "append")
+        got = {
+            (r.doc_id, r.seen_id)
+            for r in spark.table("neardup_out").collect()
+        }
+        want = {
+            (r.doc_id, r.seen_id)
+            for r in stream_neardup_candidates(new, store).collect()
+        }
+        assert got == want
+        assert (1, 100) in got  # the planted near-dup collides
+        assert all(a != 2 for a, _ in got)  # unrelated doc never does
+
+    def test_zero_streaming_state(self, spark, tmp_path):
+        # the screen must plan as a stateless stream-static join: no
+        # StateStore operator in the executed streaming plan
+        from cowsdb_spark.operators.dedup import (
+            banded_keys,
+            minhash_signature_table,
+        )
+        from cowsdb_spark.streaming.joins import stream_neardup_candidates
+        from cowsdb_spark.streaming.windows import run_to_memory
+
+        seen = spark.createDataFrame(
+            [(100, "a b c d e f g h i j")], "doc_id long, text string"
+        )
+        store = banded_keys(minhash_signature_table(seen), "doc_id", 32, 8)
+        new = spark.createDataFrame(
+            [(1, "a b c d e f g h i j")], "doc_id long, text string"
+        )
+        d = str(tmp_path / "nostate_stream")
+        new.coalesce(1).write.parquet(d)
+        s = stream_neardup_candidates(
+            spark.readStream.schema(new.schema).parquet(d), store
+        )
+        q = run_to_memory(s, "nostate_out", "append")
+        progress = q.lastProgress
+        assert progress is None or not progress.get("stateOperators")
