@@ -1057,7 +1057,11 @@ class Engine:
         extension library 'expressed as SQL-callable table
         functions'): ``exactDedup(t)``, ``minhashPairs(t[, min_j])``,
         ``qualityScore(t)``, ``langId(t)``, ``scrubDupSpans(t[, n[,
-        min_docs]])``, ``bm25(t, 'query'[, k])`` in table position
+        min_docs]])``, ``bm25(t, 'query'[, k])`` in TABLE position
+        only (the call must directly follow FROM or JOIN — an
+        identifier merely sharing a function's name, e.g. a table
+        named bm25 in ``INSERT INTO bm25 (cols)``, is left alone;
+        nested fn-as-table-arg is handled inside the resolver)
         build the operator DataFrame over the session's table and
         substitute a temp view — so both wire protocols reach the
         dedup/retrieval/text library, not just the Python API. The
@@ -1075,9 +1079,14 @@ class Engine:
         out: list[str] = []
         i = 0
         changed = False
+        prev_sig = None  # last significant token seen (lowercased)
         while i < len(toks):
             t = toks[i]
-            if t.kind == "ident" and t.text.lower() in _PIPELINE_FNS:
+            if (
+                t.kind == "ident"
+                and t.text.lower() in _PIPELINE_FNS
+                and prev_sig in ("from", "join")
+            ):
                 j = i + 1
                 while j < len(toks) and toks[j].kind in ("ws", "comment"):
                     j += 1
@@ -1101,6 +1110,8 @@ class Engine:
                         changed = True
                         continue
             out.append(t.text)
+            if t.kind not in ("ws", "comment"):
+                prev_sig = t.text.lower()
             i += 1
         return "".join(out) if changed else sql
 
@@ -1150,9 +1161,18 @@ class Engine:
             if tk.kind == "string":
                 lits.append(tk.text[1:-1].replace("\\'", "'").replace("''", "'"))
             else:
-                lits.append(
-                    float(tk.text) if "." in tk.text else int(tk.text)
-                )
+                try:
+                    lits.append(
+                        float(tk.text)
+                        if ("." in tk.text or "e" in tk.text.lower())
+                        else int(tk.text)
+                    )
+                except ValueError as e:
+                    raise EngineError(
+                        f"{name}: bad numeric literal '{tk.text}' — "
+                        f"usage {sig}",
+                        42,
+                    ) from e
         # nested composition: the table argument may itself be a
         # pipeline fn — bm25(exactDedup(t), 'q', 5) — resolved
         # depth-first into its own (per-statement, dropped-later) view
@@ -1172,19 +1192,26 @@ class Engine:
             parts = [p.strip("`") for p in ref.split(".")]
             if len(parts) == 2:
                 db, tname = parts
+                qual = f"`{sess.spark_db(db)}`.`{tname}`"
             elif len(parts) == 1:
-                db, tname = sess.current_db, parts[0]
+                tname = parts[0]
+                # the session's CH TEMPORARY tables shadow catalog
+                # names, exactly like _remap_databases; no bare
+                # spark.table fallback — that would resolve against
+                # the SHARED session's current database / temp views
+                # (cross-credential leak)
+                if tname in sess.temp_tables:
+                    qual = f"`{sess.temp_db}`.`{tname}`"
+                else:
+                    qual = f"`{sess.spark_db(sess.current_db)}`.`{tname}`"
             else:
                 raise EngineError(f"{name}: bad table reference '{ref}'", 60)
             try:
-                df = self.spark.table(f"`{sess.spark_db(db)}`.`{tname}`")
-            except Exception:
-                try:
-                    df = self.spark.table(tname)  # temp view fallback
-                except Exception as e:
-                    raise EngineError(
-                        f"{name}: unknown table '{ref}': {e}", 60
-                    ) from e
+                df = self.spark.table(qual)
+            except Exception as e:
+                raise EngineError(
+                    f"{name}: unknown table '{ref}': {e}", 60
+                ) from e
         try:
             if name == "bm25":
                 if not lits or not isinstance(lits[0], str):
@@ -1229,27 +1256,15 @@ class Engine:
                 )
             elif name == "rewritescrub":
                 # the rewritten CORPUS: original columns, text
-                # replaced by the scrubbed version (short docs pass
-                # through untouched), fully-scrubbed docs dropped —
+                # replaced by the scrubbed version; only docs scrubbed
+                # TO empty drop (untouched empties pass through) —
                 # composes with every other fn: bm25(rewriteScrub(t))
-                from pyspark.sql import functions as _F
+                from .operators.text import rewrite_scrubbed
 
-                from .operators.text import scrub_dup_spans
-
-                scr = scrub_dup_spans(
+                res = rewrite_scrubbed(
                     df,
                     n=int(lits[0]) if lits else 6,
                     min_docs=int(lits[1]) if len(lits) > 1 else 2,
-                )
-                res = (
-                    df.join(
-                        scr.select("doc_id", "scrubbed"), "doc_id", "left"
-                    )
-                    .withColumn(
-                        "text", _F.coalesce("scrubbed", _F.col("text"))
-                    )
-                    .filter(_F.col("text") != "")
-                    .drop("scrubbed")
                 )
             elif name == "hllpresketch":
                 if len(lits) < 2 or not all(

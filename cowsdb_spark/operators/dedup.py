@@ -1049,20 +1049,23 @@ def keep_best_survivors(
     that frame, and the corpus pays a single ANTI join against the
     loser ids — bodies never shuffle, mirroring the keep-one path.
     """
+    from pyspark.sql import Window
+
     member_scores = components.join(
         docs.select(
             F.col(id_col).alias("id"), F.col(score_col).alias("_s")
         ),
         "id",
     )
-    best = member_scores.groupBy("comp").agg(
-        F.max(
-            F.struct(F.col("_s").alias("s"), (-F.col("id")).alias("ni"))
-        ).alias("_b")
+    # rank window, not negate-the-id struct max: ids may be strings
+    # (hashes/URLs), where negation would NULL out (non-ANSI) or
+    # throw (ANSI) instead of tie-breaking
+    w = Window.partitionBy("comp").orderBy(
+        F.col("_s").desc(), F.col("id")
     )
     losers = (
-        member_scores.join(best, "comp")
-        .filter(F.col("id") != -F.col("_b.ni"))
+        member_scores.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
         .select(F.col("id").alias(id_col))
     )
     return docs.join(losers, id_col, "left_anti")

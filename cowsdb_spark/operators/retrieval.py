@@ -187,22 +187,22 @@ def bm25_decontaminate(
     hits = bm25_topk(
         train, q, k=k, id_col=id_col, text_col=text_col
     ).filter(F.col("score") >= min_score)
-    best = F.max(
-        F.struct(
-            F.col("score_m").alias("s"),
-            (-F.col("query_id")).alias("nq"),
-        )
+    # rank window, not a negate-the-id struct max: eval ids may be
+    # strings, where negation can't express the min-id tie-break
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_m").desc(), F.col("query_id")
     )
     return (
-        hits.groupBy(id_col)
-        .agg(
-            best.alias("_b"),
-            F.count(F.lit(1)).alias("n_eval_hits"),
+        hits.withColumn(
+            "n_eval_hits",
+            F.count(F.lit(1)).over(Window.partitionBy(id_col)),
         )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
         .select(
             id_col,
-            (-F.col("_b.nq")).alias("best_eval_id"),
-            F.col("_b.s").alias("best_score_m"),
+            F.col("query_id").alias("best_eval_id"),
+            F.col("score_m").alias("best_score_m"),
             "n_eval_hits",
         )
     )

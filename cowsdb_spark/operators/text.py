@@ -1064,6 +1064,34 @@ def scrub_dup_spans(
     )
 
 
+def rewrite_scrubbed(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 6,
+    min_docs: int = 2,
+    key: str = "text",
+) -> DataFrame:
+    """The scrubbed CORPUS: ``docs`` with ``text_col`` replaced by
+    ``scrub_dup_spans``' rewrite, all other columns preserved. Docs
+    the scrub never touched (shorter than ``n`` tokens, or no
+    duplicated gram) pass through byte-identical — including
+    empty/NULL originals; only docs the scrub reduced TO empty (every
+    token under a duplicated span) are dropped. One body-sized
+    doc-keyed join — the rewrite's irreducible shuffle.
+
+    Shared by the engine's ``rewriteScrub(...)`` SQL table function
+    and tools/bench_pipeline_scale.py's funnel stage.
+    """
+    scr = scrub_dup_spans(docs, id_col, text_col, n, min_docs, key)
+    return (
+        docs.join(scr.select(id_col, "scrubbed"), id_col, "left")
+        .filter(F.col("scrubbed").isNull() | (F.col("scrubbed") != ""))
+        .withColumn(text_col, F.coalesce("scrubbed", F.col(text_col)))
+        .drop("scrubbed")
+    )
+
+
 def mix_sample(
     docs: DataFrame,
     weights: dict,

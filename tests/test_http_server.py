@@ -716,7 +716,15 @@ class TestPipelineFnsOverHttp:
     def test_bad_args_http_400(self, http):
         import urllib.error
 
+        u = {"user": "pfn", "password": "x"}
+        # self-contained: the arg check needs the table to exist
+        get(http, "CREATE DATABASE IF NOT EXISTS pfdb", **u)
+        get(
+            http,
+            "CREATE TABLE IF NOT EXISTS pfdb.d (doc_id Int64, text String)",
+            **u,
+        )
         with pytest.raises(urllib.error.HTTPError) as ei:
-            get(http, "SELECT * FROM bm25(pfdb.d)", user="pfn", password="x")
+            get(http, "SELECT * FROM bm25(pfdb.d)", **u)
         assert ei.value.code == 400
         assert b"Code: 42" in ei.value.read()

@@ -920,6 +920,25 @@ class TestKeepBestSurvivors:
         # the corpus side joins the loser ids ANTI, never sort-merge
         assert "SortMergeJoin LeftAnti" not in plan
 
+    def test_string_ids(self, spark):
+        # ids are often hashes/URLs: the argmax tie-break must work on
+        # non-numeric ids too (a negate-the-id construction would NULL
+        # out non-ANSI or throw ANSI)
+        from cowsdb_spark.operators.dedup import keep_best_survivors
+
+        docs = spark.createDataFrame(
+            [("ua", "x", 1.0), ("ub", "y", 2.0), ("uc", "z", 2.0)],
+            "doc_id string, text string, q double",
+        )
+        comp = spark.createDataFrame(
+            [("ua", "ua"), ("ub", "ua"), ("uc", "ua")],
+            "id string, comp string",
+        )
+        kept = sorted(
+            r.doc_id for r in keep_best_survivors(docs, comp, "q").collect()
+        )
+        assert kept == ["ub"]  # max q, tie broken to smaller id
+
 
 class TestSamplePerKey:
     def test_deterministic_and_bounded(self, spark):

@@ -173,6 +173,76 @@ class TestPipelineSqlFns:
         )
         assert out == b"d1\t2\nd2\t2\n"
 
+    def test_table_named_like_fn_is_left_alone(self, eng):
+        # only TABLE position (after FROM/JOIN) expands: a user table
+        # legitimately named bm25 keeps working, including the INSERT
+        # column-list shape that a position-blind scanner would parse
+        # as function args
+        eng.execute("DROP TABLE IF EXISTS opfndb.bm25")
+        eng.execute("CREATE TABLE opfndb.bm25 (doc_id Int64, text String)")
+        eng.execute("INSERT INTO opfndb.bm25 (doc_id, text) VALUES (7, 'hi')")
+        assert eng.execute("SELECT doc_id FROM opfndb.bm25") == b"7\n"
+        # while real calls in FROM position still expand
+        assert (
+            eng.execute("SELECT count() AS c FROM exactDedup(opfndb.docs)")
+            == b"3\n"
+        )
+
+    def test_temporary_table_resolves(self, eng):
+        eng.execute(
+            "CREATE TEMPORARY TABLE tdocs (doc_id Int64, text String)",
+            session_id="pfn-tmp",
+        )
+        eng.execute(
+            "INSERT INTO tdocs VALUES (1, 'a b'), (2, 'a b')",
+            session_id="pfn-tmp",
+        )
+        out = eng.execute(
+            "SELECT count() AS c FROM exactDedup(tdocs)",
+            session_id="pfn-tmp",
+        )
+        assert out == b"1\n"
+
+    def test_no_cross_credential_resolution(self, eng):
+        # user B must NOT see user A's table through a pipeline fn:
+        # unqualified names resolve only in B's own namespace
+        eng.execute(
+            "CREATE DATABASE IF NOT EXISTS privdb", user="alice", password="a"
+        )
+        eng.execute(
+            "CREATE TABLE privdb.secret (doc_id Int64, text String)",
+            user="alice",
+            password="a",
+        )
+        with pytest.raises(EngineError) as ei:
+            eng.execute(
+                "SELECT * FROM exactDedup(secret)", user="bob", password="b"
+            )
+        assert ei.value.code == 60
+
+    def test_rewrite_scrub_keeps_untouched_empty_doc(self, eng):
+        # an ORIGINALLY-empty doc is untouched by the scrub and must
+        # pass through; only docs scrubbed TO empty drop
+        eng.execute("DROP TABLE IF EXISTS opfndb.we")
+        eng.execute("CREATE TABLE opfndb.we (doc_id Int64, text String)")
+        eng.execute(
+            "INSERT INTO opfndb.we VALUES (1, ''), "
+            "(2, 'a b c d'), (3, 'a b c d')"
+        )
+        out = eng.execute(
+            "SELECT doc_id FROM rewriteScrub(opfndb.we, 4, 2) ORDER BY doc_id"
+        )
+        assert out == b"1\n"  # 2/3 scrub to empty and drop; 1 survives
+
+    def test_scientific_notation_arg_is_code_42_or_parses(self, eng):
+        # 5e-1 is one number token: it must parse as a float (0.5),
+        # not crash outside the usage-error path
+        out = eng.execute(
+            "SELECT id_a, id_b FROM minhashPairs(opfndb.docs, 5e-1) "
+            "ORDER BY id_a, id_b"
+        )
+        assert out == b"1\t2\n"
+
     def test_no_view_residue(self, eng, spark):
         eng.execute(
             "SELECT count() AS c FROM exactDedup(rewriteScrub(opfndb.docs))"

@@ -134,6 +134,21 @@ class TestBm25TopK:
         # everything flagged traces to the overlapping eval item only
         assert all(r.best_eval_id == 900 for r in out.values())
 
+    def test_decontaminate_string_eval_ids(self, spark):
+        # eval ids are often names/hashes: attribution must work on
+        # non-numeric ids (rank window, not a negate-the-id max)
+        from cowsdb_spark.operators.retrieval import bm25_decontaminate
+
+        train = spark.createDataFrame(
+            [(0, "alpha beta gamma")], "doc_id long, text string"
+        )
+        ev = spark.createDataFrame(
+            [("mmlu", "alpha beta gamma"), ("gsm8k", "alpha beta gamma")],
+            "doc_id string, text string",
+        )
+        row = bm25_decontaminate(train, ev, k=1).collect()[0]
+        assert row.n_eval_hits == 2 and row.best_eval_id == "gsm8k"
+
     def test_decontaminate_best_ties_to_smallest_eval_id(self, spark):
         from cowsdb_spark.operators.retrieval import bm25_decontaminate
 

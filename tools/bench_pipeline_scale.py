@@ -133,7 +133,10 @@ def main() -> None:
 
         # checkpoint the scrub output ONCE — the removed-token agg and
         # the rewrite join both read the materialized frame instead of
-        # re-running the gram pipeline (first cut executed it twice)
+        # re-running the gram pipeline (first cut executed it twice).
+        # The join/filter wiring mirrors operators/text.py::
+        # rewrite_scrubbed (only docs scrubbed TO empty drop) but
+        # reuses the checkpointed scrub frame for both consumers.
         scr = scrub_dup_spans(
             cur, n=16, min_docs=2, key="hash"
         ).localCheckpoint()
@@ -142,8 +145,8 @@ def main() -> None:
             cur.join(
                 scr.select("doc_id", "scrubbed"), "doc_id", "left"
             )
+            .filter(F.col("scrubbed").isNull() | (F.col("scrubbed") != ""))
             .withColumn("text", F.coalesce("scrubbed", "text"))
-            .filter(F.col("text") != "")
             .drop("scrubbed")
             .localCheckpoint()
         )
