@@ -1286,9 +1286,17 @@ class Engine:
             raise
         except Exception as e:
             raise EngineError(f"{name} over '{ref}' failed: {e}", 36) from e
+        import uuid as _uuid
+
         with self._lock:
             self._opfn_counter += 1
-            view = f"__moospark_opfn_{self._opfn_counter}"
+            # counter keeps names debuggable; the uuid suffix makes them
+            # unguessable so a concurrent session can't SELECT another
+            # credential's in-flight result view by name in the window
+            # between creation and the post-analysis drop
+            view = (
+                f"__moospark_opfn_{self._opfn_counter}_{_uuid.uuid4().hex}"
+            )
         res.createOrReplaceTempView(view)
         if created_views is not None:
             created_views.append(view)

@@ -512,6 +512,22 @@ def minhash_lsh_pairs_incremental(
         .dropDuplicates(["id_a", "id_b"])
         .localCheckpoint(eager=True)
     )
+    # Disjointness guard (ADVICE r8): an increment id already present
+    # in the store would duplicate rows in sig_all below, silently
+    # fanning out the signature re-attach joins. A re-ingested doc
+    # (same id, same text → same signature) collides with itself in
+    # EVERY band, so it surfaces here as an id_a == id_b candidate —
+    # least/greatest of equal ids. The check is O(1) on the already-
+    # checkpointed candidate frame. (Same id with DIFFERENT text can
+    # evade this cheap check when no band agrees; the docstring
+    # contract still requires disjoint ids.)
+    n_self = cand_ids.filter(F.col("id_a") == F.col("id_b")).count()
+    if n_self:
+        raise ValueError(
+            "minhash_lsh_pairs_incremental: increment ids overlap the "
+            f"signature store ({n_self} self-colliding id(s)); the "
+            "store and the increment must have disjoint ids"
+        )
     # Same size-gated semi-filter tiering as the batch operator: the
     # candidate set is normally bounded by the increment's bucket
     # hits, but an adversarial all-duplicate increment can reference

@@ -257,6 +257,10 @@ def ivf_pq_build(
     where ``codes`` is (id, _cell int, code array<tinyint>) — residual
     PQ codes under the coarse IVF assignment.
 
+    Deterministic: the residual-codebook training sample is the
+    train_sample smallest ids (TakeOrderedAndProject), so the same
+    inputs give bit-identical codebooks across runs/partitionings.
+
     Cost shape: one bounded limit+collect for the coarse Lloyd fit
     (``ivf_build``), one more for the residual codebook fit, then ONE
     map-side mapInPandas pass that assigns + encodes — no shuffle, no
@@ -282,8 +286,18 @@ def ivf_pq_build(
     )
     cents = np.asarray(centroids, dtype=np.float64)
 
-    # residual codebook: bounded sample of (vector, cell) pairs
-    sample = assigned.select("_v", "_cell").limit(train_sample).collect()
+    # residual codebook: bounded DETERMINISTIC sample of (vector,
+    # cell) pairs — orderBy+limit is a TakeOrderedAndProject (per-
+    # partition top-n, then a driver merge of train_sample rows), so
+    # the codebook (hence codes and recall) is stable across runs and
+    # partitionings; a bare .limit() samples whichever partitions
+    # answer first (ADVICE r8)
+    sample = (
+        assigned.select(id_col, "_v", "_cell")
+        .orderBy(id_col)
+        .limit(train_sample)
+        .collect()
+    )
     res = np.asarray(
         [np.asarray(r["_v"], dtype=np.float64) - cents[r["_cell"]] for r in sample]
     )

@@ -122,10 +122,19 @@ def _round_half_up(x: float) -> int:
     """Spark's ROUND is HALF_UP and DuckDB's rounds half away from
     zero — identical for the non-negative ratios here. Python's
     built-in ``round`` is half-to-even and WOULD diverge at exact .5
-    quantization boundaries (e.g. stop_hits/n_tok = 1/32 → 312.5)."""
-    import math
+    quantization boundaries (e.g. stop_hits/n_tok = 1/32 → 312.5).
 
-    return int(math.floor(x + 0.5))
+    Rounds via decimal semantics on the double's shortest repr —
+    exactly what Spark's ROUND does (BigDecimal.valueOf(double) is
+    Double.toString + HALF_UP). The earlier floor(x + 0.5) form
+    disagreed one ulp below a .5 boundary (0.49999999999999994 +
+    0.5 rounds UP to 1.0 in binary, so floor gave 1 where both
+    engines give 0)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(
+        Decimal(repr(x)).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+    )
 
 
 def features(text: str) -> tuple[int, int, int, int]:

@@ -177,8 +177,20 @@ def ivf_build(
 
     vecs = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("_v"))
 
+    # deterministic sample (ADVICE r8): orderBy+limit is a
+    # TakeOrderedAndProject (per-partition top-n then a bounded driver
+    # merge), so centroids — hence cells, codes, and recall — are
+    # stable across runs and input partitionings; a bare .limit()
+    # returns whichever partitions answer first
     sample = np.asarray(
-        [r[0] for r in vecs.select("_v").limit(train_sample).collect()], dtype=float
+        [
+            r[1]
+            for r in vecs.select(id_col, "_v")
+            .orderBy(id_col)
+            .limit(train_sample)
+            .collect()
+        ],
+        dtype=float,
     )
     centroids = _lloyd_kmeans(sample, n_centroids, seed=seed, max_iter=max_iter)
 

@@ -148,6 +148,25 @@ class TestMinhash:
         )
         assert out.count() == 0
 
+    def test_incremental_raises_on_overlapping_ids(self, spark, docs):
+        # ADVICE r8: ids shared between the increment and the store
+        # would fan out the signature re-attach joins silently. A
+        # re-ingested doc collides with itself in every band, so the
+        # guard sees it as an id_a == id_b candidate and raises.
+        import pytest
+
+        from cowsdb_spark.operators.dedup import (
+            minhash_lsh_pairs_incremental,
+            minhash_signature_table,
+        )
+
+        store = minhash_signature_table(docs, shingle_k=3)
+        overlap = docs.filter(F.col("doc_id") <= 1)  # ids 0,1 in both
+        with pytest.raises(ValueError, match="disjoint"):
+            minhash_lsh_pairs_incremental(
+                overlap, store, shingle_k=3
+            ).collect()
+
     def test_no_cache_manager_residue(self, spark, docs):
         # VERDICT r7 #2: the signature frame used persist() with no
         # reachable unpersist, pinning one cached table per call in a

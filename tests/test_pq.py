@@ -168,6 +168,25 @@ class TestIvfPq:
         )[:10]
         assert [i for _, i in all_adc] == [r["vec_id"] for r in got]
 
+    def test_build_deterministic_across_partitionings(self, spark, sf_dir):
+        # ADVICE r8: the residual-codebook sample was an unordered
+        # .limit().collect(), so the codebook could vary with input
+        # partitioning. Now orderBy(id).limit — same codes regardless
+        # of how the input arrives.
+        from cowsdb_spark.operators.pq import ivf_pq_build
+
+        emb, _, _ = _fixture(spark, sf_dir)
+        c1, cents1, book1 = ivf_pq_build(emb, n_centroids=8, m=8)
+        c2, cents2, book2 = ivf_pq_build(
+            emb.repartition(7), n_centroids=8, m=8
+        )
+        assert np.allclose(np.asarray(cents1), np.asarray(cents2))
+        for b1, b2 in zip(book1, book2):
+            assert np.allclose(np.asarray(b1), np.asarray(b2))
+        rows1 = {r["vec_id"]: (r["_cell"], tuple(r["code"])) for r in c1.collect()}
+        rows2 = {r["vec_id"]: (r["_cell"], tuple(r["code"])) for r in c2.collect()}
+        assert rows1 == rows2
+
     def test_prune_scans_only_probed_cells(self, spark, sf_dir):
         from cowsdb_spark.operators.pq import ivf_pq_build, ivf_pq_topk
 
