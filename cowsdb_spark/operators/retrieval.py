@@ -26,11 +26,16 @@ At 1e-6 granularity the quantization is far below any meaningful
 ranking distinction.
 
 100 TB shape:
+- the corpus is scanned and tokenized exactly ONCE: the pruned
+  postings are eagerly localCheckpoint'ed (so ``bm25_topk`` runs a
+  job at call time) and the corpus scalars N / total-tokens ride
+  that same scan as an ``Observation``, entering the plan as exact
+  literals — no second tokenization pass, no scalar cross join;
 - the distinct query-term set is broadcast and pruned against the
   exploded token stream map-side, so only (doc, matching-term) rows
   ever shuffle — the corpus' non-matching tokens die at the scan;
-- df comes from one terms-sized aggregate, broadcast back;
-- N/avgdl attach as a broadcast 1-row scalar (the text.py pattern);
+- df comes from one aggregate over the terms-sized checkpoint,
+  broadcast back;
 - candidates shuffle ONCE keyed (query, doc) for the score sum;
 - top-k is a per-query rank window, which Catalyst rewrites into a
   PARTIAL WindowGroupLimit before the exchange + a FINAL one after
@@ -76,12 +81,20 @@ def bm25_topk(
     bit-for-bit; ln() is quantized immediately (1-ulp libm skew would
     need a value within 1 ulp of a .5 micro boundary to matter).
     """
+    from pyspark.sql import Observation
+
     toks = docs.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("_t")
     )
-    # broadcast 1-row corpus scalars: N docs, total token count
-    stats = toks.agg(
-        F.count(F.lit(1)).alias("_n"), F.sum(F.size("_t")).alias("_tot")
+    # Corpus scalars (N docs, total token count) ride the SAME scan
+    # that builds the postings: an Observation on the token stream
+    # collects them as a side effect of the eager localCheckpoint
+    # below, so the corpus is scanned and tokenized exactly ONCE
+    # (r8 verdict: the old stats aggregate was a second full
+    # tokenization pass — at 100 TB that doubles the scan cost).
+    obs = Observation()
+    toks = toks.observe(
+        obs, F.count(F.lit(1)).alias("_n"), F.sum(F.size("_t")).alias("_tot")
     )
     qterms = (
         queries.select(
@@ -104,11 +117,27 @@ def bm25_topk(
         .join(F.broadcast(terms), "_term")
         .groupBy(id_col, "_term", "_dl")
         .agg(F.count(F.lit(1)).alias("_tf"))
+        # the ONE corpus pass; dfreq and the scored join below both
+        # read this query-terms-sized checkpoint, never the corpus
+        .localCheckpoint(eager=True)
     )
+    try:
+        m = obs.get
+    except Exception:
+        # an EMPTY broadcast term set lets AQE empty-relation
+        # propagation prune the probe subtree (metrics node included)
+        # before it runs; the result is empty regardless, so the
+        # scalar values below are never observable
+        m = {}
+    n_docs = int(m.get("_n") or 0)
+    tot_toks = int(m.get("_tot") or 0) or 1
+    # exact literals, same arithmetic as before: _dl*N exact in int64,
+    # cast double (exact < 2^53), double division — bit-identical to
+    # the SQL replica's (_dl * _n)::DOUBLE / _tot
     dfreq = postings.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
     idf_m = F.floor(
         F.log(
-            (F.col("_n") - F.col("_df") + F.lit(0.5))
+            (F.lit(n_docs).cast("long") - F.col("_df") + F.lit(0.5))
             / (F.col("_df") + F.lit(0.5))
             + F.lit(1.0)
         )
@@ -123,15 +152,16 @@ def bm25_topk(
             - F.lit(b)
             + F.lit(b)
             * (
-                (F.col("_dl") * F.col("_n")).cast("double")
-                / F.col("_tot")
+                (F.col("_dl").cast("long") * F.lit(n_docs).cast("long")).cast(
+                    "double"
+                )
+                / F.lit(tot_toks).cast("long")
             )
         )
     )
     contrib = F.floor(idf_m * tfn + F.lit(0.5)).cast("long")
     scored = (
         postings.join(F.broadcast(dfreq), "_term")
-        .crossJoin(F.broadcast(stats))
         .join(F.broadcast(qterms), "_term")
         .groupBy(qid_col, id_col)
         .agg(F.sum(contrib).alias("score_m"))

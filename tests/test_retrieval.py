@@ -175,6 +175,36 @@ class TestBm25TopK:
         )
         assert "BroadcastHashJoin" in plan
 
+    def test_corpus_scanned_once(self, spark):
+        # r8 verdict: the corpus was tokenized twice (stats aggregate
+        # + postings). Now the pruned postings are checkpointed in ONE
+        # job and the corpus scalars ride that scan as an Observation.
+        # A test-side Observation on the doc frame counts rows flowing
+        # through: exactly N under single-scan, 2N under the old shape.
+        from pyspark.sql import Observation
+
+        from cowsdb_spark.operators.retrieval import bm25_topk
+
+        d = spark.createDataFrame(DOCS, "doc_id long, text string")
+        obs = Observation()
+        d = d.observe(obs, F.count(F.lit(1)).alias("n_seen"))
+        q = spark.createDataFrame(QUERIES, "query_id long, qtext string")
+        out = bm25_topk(d, q, k=3)
+        assert obs.get["n_seen"] == len(DOCS)
+        # and the checkpoint really feeds the result (values intact)
+        assert out.count() > 0
+
+    def test_empty_term_set_returns_empty(self, spark):
+        # AQE empty-relation propagation prunes the metrics node when
+        # no query term survives; the operator must fall back cleanly
+        from cowsdb_spark.operators.retrieval import bm25_topk
+
+        d = spark.createDataFrame(DOCS, "doc_id long, text string")
+        q = spark.createDataFrame(
+            [(1, "")], "query_id long, qtext string"
+        )
+        assert bm25_topk(d, q, k=3).count() == 0
+
     def test_topk_is_two_stage_group_limit(self, spark):
         # the rank filter must become Partial+Final WindowGroupLimit:
         # map tasks keep local top-k per query BEFORE the exchange, so
