@@ -1282,18 +1282,11 @@ def t13(spark, sf_dir):
     ).orderBy("media_id")
 
 
-@qdef(
-    "t14_dedup_survivors",
-    "SELECT COUNT(*) AS n_survivors FROM ("
-    "  SELECT MIN(doc_id) FROM documents "
-    "  GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) t",
-    "[ext: dedup] survivor count after exact dedup",
-)
-def t14(spark, sf_dir):
-    from .operators.dedup import exact_dedup
-
-    d = _t(spark, sf_dir, "documents")
-    return exact_dedup(d).agg(F.count(F.lit(1)).alias("n_survivors"))
+# t14_dedup_survivors (exact-dedup survivor count) was absorbed into
+# t37_dedup_keep_one as the constant n_exact_survivors column in r9,
+# freeing the 50th driver-window slot for t53_bm25_topk (VERDICT r8
+# next-round #1). The exact_dedup operator stays driver-oracled via
+# that leg plus t45's n_unique_docs and t46's exact lane.
 
 
 @qdef(
@@ -2194,8 +2187,13 @@ def t32(spark, sf_dir):
     "  ORDER BY sc.s DESC, lab.id) AS rn FROM lab JOIN sc ON sc.doc_id = lab.id), "
     "bd AS (SELECT md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS best_digest, "
     "  CAST(COUNT(*) AS BIGINT) AS n_best FROM documents "
-    "  WHERE doc_id NOT IN (SELECT id FROM bw WHERE rn > 1)) "
-    "SELECT d.doc_id, bd.best_digest, bd.n_best FROM documents d, bd "
+    "  WHERE doc_id NOT IN (SELECT id FROM bw WHERE rn > 1)), "
+    # absorbed t14 (r9): exact-dedup survivor count as a constant leg
+    "es AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_survivors FROM ("
+    "  SELECT MIN(doc_id) FROM documents "
+    "  GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) t) "
+    "SELECT d.doc_id, bd.best_digest, bd.n_best, es.n_exact_survivors "
+    "FROM documents d, bd, es "
     "WHERE d.doc_id NOT IN (SELECT id FROM lab WHERE id != comp) "
     "ORDER BY d.doc_id",
     "[ext: dedup] keep-one: drop every near-dup cluster member except "
@@ -2205,11 +2203,14 @@ def t32(spark, sf_dir):
     "lane (dedup.py::keep_best_survivors — production survivor "
     "choice: highest token count per cluster, ties to min id) as an "
     "md5 digest + count of its survivor id list, oracle-checked "
-    "end-to-end.",
+    "end-to-end. Since r9 it also carries the absorbed t14 leg "
+    "(exact_dedup survivor count, constant n_exact_survivors), which "
+    "freed the 50th driver-window slot for t53_bm25_topk.",
 )
 def t33(spark, sf_dir):
     from .operators.dedup import (
         connected_components,
+        exact_dedup,
         keep_best_survivors,
         ngram_jaccard_pairs,
     )
@@ -2239,10 +2240,14 @@ def t33(spark, sf_dir):
         ).alias("best_digest"),
         F.count(F.lit(1)).alias("n_best"),
     )
+    ex = exact_dedup(d).agg(
+        F.count(F.lit(1)).alias("n_exact_survivors")
+    )
     return (
         d.join(losers, "doc_id", "left_anti")
         .select("doc_id")
         .crossJoin(F.broadcast(dig))
+        .crossJoin(F.broadcast(ex))
         .orderBy("doc_id")
     )
 

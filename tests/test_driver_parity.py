@@ -71,12 +71,13 @@ def test_registry_row_under_driver_confs(name, driver_confs, ddb, sf_dir):
 
 class TestDriverWindowBoundary:
     """The round driver oracle-checks the FIRST 50 SORTED registry
-    keys. t52_dsir_sample must stay the 50th; everything after it must
-    be a deliberately-outside row (t53+ additions or x rows-only) —
-    a new key landing inside would silently rotate a green row out of
-    CORRECTNESS_r{N}."""
+    keys. t53_bm25_topk must stay the 50th (rotated INTO the window in
+    r9 by absorbing t14 into t37 — VERDICT r8 #1); everything after it
+    must be a deliberately-outside row (t54+ additions or x rows-only)
+    — a new key landing inside would silently rotate a green row out
+    of CORRECTNESS_r{N}."""
 
     def test_window_boundary_pinned(self):
         keys = sorted(REG)
-        assert keys[49] == "t52_dsir_sample"
-        assert all(k.startswith(("t53", "t54", "t55", "x")) for k in keys[50:])
+        assert keys[49] == "t53_bm25_topk"
+        assert all(k.startswith(("t54", "t55", "t56", "x")) for k in keys[50:])

@@ -106,3 +106,48 @@ class TestGopherRules:
         assert not r[5].r_bullet  # 100% bullet lines > 90%
         assert not r[6].r_ellipsis  # 100% ellipsis lines > 30%
         assert not r[7].r_stopwords
+
+
+class TestMixedFixtureSeparation:
+    """The v2 scale-fixture generator (tools/gen_docs.py) plants a
+    ~10% prose subpopulation (doc_id % 10 == 3) so the funnel's
+    classifier/Gopher audit separates populations (VERDICT r8 #2).
+    Small-scale replica of the BENCH_PIPELINE assertion."""
+
+    def test_prose_subpopulation_separates(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from cowsdb_spark.operators.text import gopher_rules, quality_score
+        from tools.gen_docs import generate
+
+        path = generate(path=str(tmp_path / "docs.parquet"), n=5000)
+        docs = spark.read.parquet(path)
+        q = quality_score(docs).select("doc_id", "model_keep")
+        g = gopher_rules(docs).select("doc_id", "gopher_pass")
+        # overall keep fractions land near the planted prose fraction
+        mk = q.filter("model_keep").count() / 5000
+        gp = g.filter("gopher_pass").count() / 5000
+        assert 0.05 <= mk <= 0.15, mk
+        assert 0.05 <= gp <= 0.15, gp
+        # population purity outside the dup-planted tail (last 10%):
+        # prose rows keep, salad rows don't
+        head = F.col("doc_id") < 4500
+        prose = F.col("doc_id") % 10 == 3
+        n_prose = q.filter(head & prose).count()
+        n_salad = q.filter(head & ~prose).count()
+        assert (
+            q.filter(head & prose & F.col("model_keep")).count() / n_prose
+            > 0.95
+        )
+        assert (
+            q.filter(head & ~prose & F.col("model_keep")).count() / n_salad
+            < 0.01
+        )
+        assert (
+            g.filter(head & prose & F.col("gopher_pass")).count() / n_prose
+            > 0.9
+        )
+        assert (
+            g.filter(head & ~prose & F.col("gopher_pass")).count() / n_salad
+            < 0.01
+        )

@@ -74,11 +74,14 @@ def main() -> None:
     out["funnel"]["quality"] = stage("quality_filter", cur.count)
 
     # 1b. trained-classifier + Gopher-rules AUDIT (r8): counts over
-    # the RAW corpus scan, not a filter — the synthetic corpus is
-    # stopword-free word salad, so these English-prose gates would
-    # zero the funnel; the stage measures their full-corpus scan cost
-    # (pure codegen: integer dot product + rule booleans; two narrow
-    # scans, shuffle only the 1-row aggregates).
+    # the RAW corpus scan, not a filter (the quality_score gate above
+    # is the funnel's filter); the stage measures their full-corpus
+    # scan cost (pure codegen: integer dot product + rule booleans;
+    # two narrow scans, shuffle only the 1-row aggregates). Since the
+    # v2 fixture (r9) the corpus carries a ~10% prose subpopulation,
+    # so the audit must SEPARATE populations — keep fractions near
+    # 0.10 are asserted below (r8 verdict: a 0/10M audit gives zero
+    # discrimination signal).
     def model_audit():
         from cowsdb_spark.operators.text import gopher_rules
 
@@ -96,6 +99,22 @@ def main() -> None:
     kept_counts = stage("classifier_gopher_audit", model_audit)
     out["funnel"]["model_keep_would_keep"] = kept_counts[0]
     out["funnel"]["gopher_pass_would_keep"] = kept_counts[1]
+    # population-separation check: the generator plants prose at
+    # doc_id % 10 == 3 (≈10% post-planting; probe: classifier keeps
+    # ~100% prose / 0% salad, Gopher ~97% / 0%) — a keep fraction
+    # outside [0.05, 0.15] means a gate lost its decision boundary
+    for gate, kept in (
+        ("model_keep", kept_counts[0]),
+        ("gopher_pass", kept_counts[1]),
+    ):
+        frac = kept / n_docs
+        out["funnel"][f"{gate}_frac"] = round(frac, 4)
+        if not 0.05 <= frac <= 0.15:
+            raise RuntimeError(
+                f"{gate} kept {frac:.4f} of the corpus — expected ~0.10 "
+                "(the planted prose subpopulation); the audit lost its "
+                "discrimination signal"
+            )
 
     # 2. exact dedup keep-one (drops the planted 4% byte-exact
     # copies); the survivor frontier is localCheckpoint-ed INSIDE the
