@@ -348,6 +348,90 @@ def ivf_pq_build(
     return codes, [list(c) for c in cents], [b.tolist() for b in books]
 
 
+def ivf_pq_encode_increment(
+    new_emb: DataFrame,
+    centroids,
+    codebook,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign + residual-encode an increment against a FROZEN index —
+    the ANN counterpart of ``dedup.py::minhash_lsh_pairs_incremental``
+    (VERDICT r8 #4): a daily pipeline must not re-train or re-encode
+    yesterday's 100 TB store to ingest today's 0.1 TB of vectors.
+
+    Takes the ``(centroids, codebook)`` a past ``ivf_pq_build``
+    returned (both are plain lists — persistable as JSON next to the
+    code table) and encodes ONLY the new vectors: coarse assignment is
+    an argmin GEMM against the ≤n_centroids frozen centroids, residual
+    PQ codes come from the frozen per-subspace codebooks — one
+    map-side ``mapInPandas`` pass, zero shuffle, zero driver collect.
+    Output schema is exactly ``ivf_pq_build``'s codes frame
+    ``(id, _cell int, code array<tinyint>)``, so it appends directly
+    to the ``partitionBy("_cell")`` store and is served by
+    ``ivf_pq_topk`` / ``ivf_pq_topk_rerank`` unchanged.
+
+    Same-input consistency: for vectors the build already saw, the
+    emitted (cell, code) pairs match the build's own output (same
+    frozen parameters, same argmin; the coarse argmin here is the
+    ‖c‖²−2x·c GEMM form, which can differ from the build's JVM fold
+    only on exact distance ties). Staleness is a property of the
+    INDEX, not this operator: as the corpus drifts from the frozen
+    centroids, recall decays — measured by the BENCH_ANN staleness
+    probe (grown store vs fresh rebuild after an append), which is
+    the signal for when to re-run ``ivf_pq_build``.
+    """
+    import numpy as np
+
+    from .similarity import _to_double
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    books = [np.asarray(b, dtype=np.float64) for b in codebook]
+    m = len(books)
+    dsub = books[0].shape[1]
+    if cents.shape[1] != m * dsub:
+        raise ValueError(
+            f"centroid dim {cents.shape[1]} != m*dsub {m * dsub}"
+        )
+    cellnorm2 = np.einsum("ij,ij->i", cents, cents)
+    cnorm2 = [np.einsum("ij,ij->i", b, b) for b in books]
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(list(pdf["_v"]), dtype=np.float64)
+            cell = (cellnorm2[None, :] - 2.0 * (v @ cents.T)).argmin(axis=1)
+            r = v - cents[cell]
+            codes_m = np.empty((len(v), m), dtype=np.int16)
+            for j in range(m):
+                sub = r[:, j * dsub : (j + 1) * dsub]
+                scores = cnorm2[j][None, :] - 2.0 * (sub @ books[j].T)
+                codes_m[:, j] = scores.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "_id": pdf["_id"].values,
+                    "_cell": cell.astype(np.int32),
+                    "code": list(codes_m - 128),
+                }
+            )
+
+    base = new_emb.select(
+        F.col(id_col).cast("long").alias("_id"),
+        _to_double(F.col(vec_col)).alias("_v"),
+    )
+    out = base.mapInPandas(
+        encode, schema="_id long, _cell int, code array<smallint>"
+    )
+    return out.select(
+        F.col("_id").alias(id_col),
+        "_cell",
+        F.expr("transform(code, c -> CAST(c AS TINYINT))").alias("code"),
+    )
+
+
 def ivf_pq_topk(
     codes: DataFrame,
     centroids,

@@ -270,3 +270,85 @@ class TestIvfPq:
         )
         tail = plan.split("PartitionFilters")[-1][:200]
         assert "PartitionFilters" in plan and "_cell" in tail, plan[:2000]
+
+
+class TestIvfPqIncrement:
+    """Incremental ingest against a FROZEN IVF x PQ index (r9): the
+    daily-append story for the ANN lane, mirroring the incremental
+    LSH store tests for the dedup lane."""
+
+    def test_increment_matches_build_encoding(self, spark, sf_dir):
+        # vectors the build already saw must encode to the SAME
+        # (cell, code) rows under the frozen parameters
+        from cowsdb_spark.operators.pq import (
+            ivf_pq_build,
+            ivf_pq_encode_increment,
+        )
+
+        emb, _, _ = _fixture(spark, sf_dir)
+        codes, cents, book = ivf_pq_build(emb, n_centroids=8, m=8)
+        inc = ivf_pq_encode_increment(emb.repartition(5), cents, book)
+        built = {r["vec_id"]: (r["_cell"], tuple(r["code"])) for r in codes.collect()}
+        incr = {r["vec_id"]: (r["_cell"], tuple(r["code"])) for r in inc.collect()}
+        assert built == incr
+
+    def test_appended_store_serves_queries(self, spark, sf_dir, tmp_path):
+        # build on the first 80%, increment-encode the rest, append to
+        # the partitionBy(_cell) parquet store; a query vector FROM the
+        # increment must come back as its own exact top-1 via rerank
+        import numpy as np
+
+        from cowsdb_spark.operators.pq import (
+            ivf_pq_build,
+            ivf_pq_encode_increment,
+            ivf_pq_topk_rerank,
+        )
+
+        emb, ids, vecs = _fixture(spark, sf_dir)
+        cut = int(np.quantile(ids, 0.8))
+        base = emb.filter(F.col("vec_id") <= cut)
+        new = emb.filter(F.col("vec_id") > cut)
+        codes, cents, book = ivf_pq_build(base, n_centroids=8, m=8)
+        store = str(tmp_path / "ivfpq_store")
+        codes.write.partitionBy("_cell").parquet(store)
+        ivf_pq_encode_increment(new, cents, book).write.mode(
+            "append"
+        ).partitionBy("_cell").parquet(store)
+        grown = spark.read.parquet(store)
+        assert grown.count() == len(ids)
+        qid = int(ids.max())
+        q = vecs[ids == qid][0]
+        top = ivf_pq_topk_rerank(
+            grown, emb, cents, book, q, k=3, nprobe=8
+        ).collect()
+        assert top[0]["vec_id"] == qid and top[0]["d2"] == 0.0
+
+    def test_increment_plan_is_map_side_only(self, spark, sf_dir):
+        from cowsdb_spark.operators.pq import (
+            ivf_pq_build,
+            ivf_pq_encode_increment,
+        )
+
+        emb, _, _ = _fixture(spark, sf_dir)
+        _, cents, book = ivf_pq_build(emb, n_centroids=8, m=8)
+        plan = (
+            ivf_pq_encode_increment(emb, cents, book)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan, plan[:2000]
+
+    def test_dim_mismatch_raises(self, spark, sf_dir):
+        import pytest
+
+        from cowsdb_spark.operators.pq import (
+            ivf_pq_build,
+            ivf_pq_encode_increment,
+        )
+
+        emb, _, _ = _fixture(spark, sf_dir)
+        _, cents, book = ivf_pq_build(emb, n_centroids=8, m=8)
+        bad_cents = [c[:-4] for c in cents]
+        with pytest.raises(ValueError, match="dim"):
+            ivf_pq_encode_increment(emb, bad_cents, book)

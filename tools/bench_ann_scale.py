@@ -378,6 +378,68 @@ def main() -> None:
         shutil.rmtree(ivfpq_dir, ignore_errors=True)
         out["ivf_pq"][f"m{m}"] = cell
 
+    # ---- incremental ingest + staleness probe (r9, VERDICT r8 #4):
+    # freeze the index built on the FIRST 90% of vectors, encode the
+    # last 10% with ivf_pq_encode_increment (one map-side pass — no
+    # re-train, no store re-encode), append to the partitionBy(_cell)
+    # store, and measure rerank recall@10 of the GROWN store under the
+    # frozen index vs the fresh full rebuild above. On this stationary
+    # corpus the frozen index should hold recall; under distribution
+    # drift the gap widens — that gap is the re-build trigger signal
+    # a daily pipeline watches.
+    from cowsdb_spark.operators.pq import ivf_pq_encode_increment
+
+    m = 16
+    cut = int(n * 0.9)
+    base_unit = unit.filter(F.col("vec_id") < cut)
+    new_unit = unit.filter(F.col("vec_id") >= cut)
+    t0 = time.perf_counter()
+    base_codes, base_cents, base_book = ivf_pq_build(
+        base_unit, n_centroids=256, m=m, train_sample=65_536, max_iter=10
+    )
+    inc_dir = os.path.join("/tmp", f"moospark-ivfpq-incr-{os.getpid()}")
+    shutil.rmtree(inc_dir, ignore_errors=True)
+    base_codes.write.partitionBy("_cell").mode("overwrite").parquet(inc_dir)
+    base_build_s = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
+    ivf_pq_encode_increment(new_unit, base_cents, base_book).write.mode(
+        "append"
+    ).partitionBy("_cell").parquet(inc_dir)
+    append_s = round(time.perf_counter() - t0, 1)
+    grown = spark.read.parquet(inc_dir)
+    n_grown = grown.count()
+    hits = 0
+    t0 = time.perf_counter()
+    for qid in qids:
+        got = [
+            r.vec_id
+            for r in ivf_pq_topk_rerank(
+                grown, unit, base_cents, base_book, unit_q(qvecs[qid]),
+                k=k + 1, nprobe=nprobe, refine=10,
+            ).collect()
+            if r.vec_id != qid
+        ][:k]
+        hits += len(set(got) & set(brute[qid]))
+    q_wall = time.perf_counter() - t0
+    fresh = out["ivf_pq"][f"m{m}"]["rerank_recall_at_10"]
+    incr_recall = round(hits / (n_queries * k), 4)
+    out["ivf_pq_incremental"] = {
+        "m": m,
+        "base_frac": 0.9,
+        "increment_frac": 0.1,
+        "n_grown_store": n_grown,
+        "base_build_and_layout_s": base_build_s,
+        "increment_encode_append_s": append_s,
+        "full_rebuild_s_reference": out["ivf_pq"][f"m{m}"][
+            "build_and_layout_s"
+        ],
+        "grown_store_rerank_recall_at_10": incr_recall,
+        "fresh_rebuild_rerank_recall_at_10": fresh,
+        "staleness_recall_gap": round(fresh - incr_recall, 4),
+        "rerank_per_query_s": round(q_wall / n_queries, 3),
+    }
+    shutil.rmtree(inc_dir, ignore_errors=True)
+
     print(json.dumps(out))
     with open(
         os.path.join(os.path.dirname(__file__), "..", f"BENCH_ANN_{n//1_000_000}M.json"),

@@ -174,6 +174,104 @@ def main():
         }
         print(name, stages[name], flush=True)
 
+    # ---- streaming near-dup screen vs the persisted LSH store (r9,
+    # VERDICT r8 #6): the zero-state claim as measured numbers. A 10M
+    # doc signature store is banded and persisted ONCE (batch — the r8
+    # incremental-dedup store); a 1M-doc increment then streams in 8
+    # micro-batches and band-joins the store per batch (stream-static
+    # inner join, no watermark state). Cells: the same candidates
+    # computed batch-side in one pass, the stream against the PLAIN
+    # parquet store (store re-sorted per micro-batch — the cost of
+    # naive layout × micro-batch count), and against the BUCKETED
+    # (band, bh) table (store-side exchange eliminated; the 100 TB
+    # layout). Docs/s compares to BENCH_DEDUP_INCR's batch increment
+    # on the same corpus split.
+    import shutil
+
+    from cowsdb_spark.operators.dedup import (
+        banded_keys,
+        minhash_signature_table,
+    )
+    from cowsdb_spark.streaming.joins import stream_neardup_candidates
+    from tools.gen_docs import generate
+
+    n_seen = 10_000_000 if n >= 10_000_000 else max(n // 10, 100_000)
+    n_new = n_seen // 10
+    dpath = generate(n=2 * n_seen)
+    docs_all = spark.read.parquet(dpath)
+    seen = docs_all.filter(F.col("doc_id") % 2 == 0)
+    new = docs_all.filter(
+        (F.col("doc_id") % 2 == 1) & (F.col("doc_id") < 2 * n_new)
+    )
+    banded_dir = os.path.join("/tmp", f"moospark-stream-bands-{os.getpid()}")
+    stream_dir = os.path.join("/tmp", f"moospark-stream-docs-{os.getpid()}")
+    shutil.rmtree(banded_dir, ignore_errors=True)
+    shutil.rmtree(stream_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    banded_keys(
+        minhash_signature_table(seen), "doc_id", 32, 8
+    ).write.parquet(banded_dir)
+    neardup = {"n_store_docs": n_seen, "n_stream_docs": n_new,
+               "store_build_s": round(time.perf_counter() - t0, 1)}
+    bucket_tbl = "bench_stream_sig_bands"
+    spark.sql(f"DROP TABLE IF EXISTS {bucket_tbl}")
+    t0 = time.perf_counter()
+    spark.read.parquet(banded_dir).write.bucketBy(8, "band", "bh").mode(
+        "overwrite"
+    ).saveAsTable(bucket_tbl)
+    neardup["store_bucket_layout_s"] = round(time.perf_counter() - t0, 1)
+    new.repartition(8).write.parquet(stream_dir)
+
+    doc_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+
+    def doc_stream():
+        return (spark.readStream.schema(doc_schema)
+                .option("maxFilesPerTrigger", 1).parquet(stream_dir))
+
+    # batch baseline: same candidates, one pass
+    t0 = time.perf_counter()
+    batch_n = (
+        banded_keys(
+            minhash_signature_table(spark.read.parquet(stream_dir)),
+            "doc_id", 32, 8,
+        )
+        .join(
+            spark.read.parquet(banded_dir).select(
+                F.col("doc_id").alias("seen_id"), "band", "bh"
+            ),
+            ["band", "bh"],
+        )
+        .count()
+    )
+    wall = time.perf_counter() - t0
+    neardup["batch_one_pass"] = {
+        "wall_s": round(wall, 1),
+        "docs_per_s": int(n_new / wall),
+        "candidates": batch_n,
+    }
+    print("neardup batch:", neardup["batch_one_pass"], flush=True)
+
+    for label, store in (
+        ("stream_plain_store", spark.read.parquet(banded_dir)),
+        ("stream_bucketed_store", spark.table(bucket_tbl)),
+    ):
+        wall = drain(
+            stream_neardup_candidates(doc_stream(), store), "append"
+        )
+        neardup[label] = {
+            "wall_s": round(wall, 1),
+            "docs_per_s": int(n_new / wall),
+            "micro_batches": 8,
+        }
+        print("neardup", label, neardup[label], flush=True)
+    spark.sql(f"DROP TABLE IF EXISTS {bucket_tbl}")
+    shutil.rmtree(banded_dir, ignore_errors=True)
+    shutil.rmtree(stream_dir, ignore_errors=True)
+    stages["neardup_screen_vs_lsh_store"] = neardup
+
     doc = {
         "n_events": n,
         "micro_batches": N_FILES,
