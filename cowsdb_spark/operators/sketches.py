@@ -94,3 +94,170 @@ def hll_estimate(
     return sketches.withColumn(
         "approx_distinct", F.hll_sketch_estimate(F.col(sketch_col))
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-range histogram sketches (r9): the EXACTLY-mergeable companion
+# to the HLL lane. An HLL union is estimate-grade and engine-specific;
+# a fixed-bin histogram is a plain vector of longs — element-wise sums
+# merge it losslessly, any engine replicates it bit-for-bit (full
+# DuckDB oracle, t54), and it answers the distribution questions a
+# corpus pipeline asks at 100 TB (token-length profiles per source,
+# quality-score drift per ingest day) from a sketch table thousands of
+# rows long instead of a raw rescan. Bucket boundaries are fixed at
+# presketch time — the price of exactness (a KLL/t-digest adapts its
+# boundaries but merges approximately and isn't engine-portable).
+# ---------------------------------------------------------------------------
+
+
+def hist_presketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 64,
+) -> DataFrame:
+    """One fixed-range histogram of ``value_col`` per fine group.
+
+    Returns (group_cols..., hist array<long>) where ``hist`` has
+    ``bins + 2`` buckets: [0] underflow (v < lo), [1..bins] the
+    equal-width in-range buckets, [bins+1] overflow (v >= hi). NULL
+    values are not counted. The bucket index is
+    ``least(floor((v - lo) * bins / (hi - lo)), bins - 1) + 1`` —
+    plain IEEE double arithmetic in a fixed operand order, so any
+    engine computes the identical bucket for the identical value.
+
+    Scale shape: ONE map-side-combinable count aggregate keyed
+    (group, bucket) — the exchange carries at most
+    groups x (bins + 2) rows — then a tiny per-group reassembly agg
+    (≤ bins + 2 rows each) densifies the array.
+    """
+    if hi <= lo:
+        raise ValueError(f"hist_presketch: hi {hi} must exceed lo {lo}")
+    if bins < 1:
+        raise ValueError("hist_presketch: bins must be >= 1")
+    v = F.col(value_col).cast("double")
+    idx = (
+        F.when(v < F.lit(float(lo)), F.lit(0))
+        .when(v >= F.lit(float(hi)), F.lit(bins + 1))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (v - F.lit(float(lo)))
+                    * F.lit(float(bins))
+                    / F.lit(float(hi) - float(lo))
+                ),
+                F.lit(bins - 1).cast("bigint"),
+            ).cast("int")
+            + F.lit(1)
+        )
+    )
+    counts = (
+        df.filter(v.isNotNull())
+        .groupBy(*group_cols, idx.alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    assembled = counts.groupBy(*group_cols).agg(
+        F.map_from_arrays(
+            F.collect_list("_b"), F.collect_list("_c")
+        ).alias("_m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(bins + 1)),
+        lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0).cast("bigint")),
+    )
+    return assembled.select(*group_cols, dense.alias("hist"))
+
+
+def hist_rollup(
+    sketches: DataFrame,
+    group_cols: Sequence[str],
+    hist_col: str = "hist",
+) -> DataFrame:
+    """Histograms at a coarser grouping by EXACT element-wise sums of
+    fine-group sketches — never touches raw rows. ``group_cols`` must
+    be a subset of the presketch keys; empty gives the grand total.
+
+    Bounded state like the presketch: the sketch table explodes to
+    (group, bucket, count) rows — (bins + 2) x fine-groups, still
+    sketch-table-sized — partial-aggregates the sums, and reassembles.
+    (A collect_list-of-arrays fold would hold every fine sketch of a
+    group in one aggregation buffer; this shape never does.)
+    """
+    ex = sketches.select(
+        *group_cols, F.posexplode(hist_col).alias("_b", "_c")
+    )
+    counts = ex.groupBy(*group_cols, "_b").agg(F.sum("_c").alias("_s"))
+    assembled = counts.groupBy(*group_cols).agg(
+        F.map_from_arrays(
+            F.collect_list("_b"), F.collect_list("_s")
+        ).alias("_m"),
+        F.max("_b").alias("_hi"),
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.col("_hi")),
+        lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0).cast("bigint")),
+    )
+    return assembled.select(*group_cols, dense.alias(hist_col))
+
+
+def hist_quantiles(
+    sketches: DataFrame,
+    probs: Sequence[float],
+    lo: float,
+    hi: float,
+    hist_col: str = "hist",
+) -> DataFrame:
+    """Quantile ESTIMATES from a histogram sketch row: for each p in
+    ``probs``, walk the cumulative counts to the bucket containing
+    rank ceil(p·n) and interpolate linearly inside it (underflow and
+    overflow buckets clamp to lo / hi — the honest answer a
+    fixed-range sketch can give for mass outside its range). Error is
+    bounded by one bucket width. Adds ``q_<p>`` double columns.
+
+    Pure higher-order-function projection over the sketch table —
+    zero shuffle; suite-verified against exact percentiles within a
+    bucket width (the estimate is derived state; the STATE itself is
+    what the t54 oracle checks exactly).
+    """
+    out = sketches
+    n = F.aggregate(F.col(hist_col), F.lit(0).cast("bigint"), lambda a, x: a + x)
+    for p in probs:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"hist_quantiles: p {p} outside [0, 1]")
+        rank = F.greatest(
+            F.ceil(F.lit(float(p)) * n).cast("bigint"), F.lit(1).cast("bigint")
+        )
+        # cumulative counts per bucket boundary; the target bucket is
+        # the first whose cumulative count reaches the rank. O(bins²)
+        # slice-sums, fine for a per-row array of ≤ a few hundred
+        # buckets (a running-sum struct fold trips Spark's exact
+        # zero-type check on the empty-array accumulator)
+        cum = F.expr(
+            f"transform(sequence(1, size({hist_col})), i -> "
+            f"aggregate(slice({hist_col}, 1, i), CAST(0 AS BIGINT), "
+            "(a, x) -> a + x))"
+        )
+        nb = F.size(F.col(hist_col)) - F.lit(2)  # in-range bucket count
+        width = (F.lit(float(hi)) - F.lit(float(lo))) / nb
+        b = F.array_position(
+            F.transform(cum, lambda c: c >= rank), F.lit(True)
+        )  # 1-based bucket holding the rank
+        prev_cum = F.coalesce(
+            F.element_at(cum, (b - 1).cast("int")), F.lit(0).cast("bigint")
+        )
+        in_bucket = F.element_at(F.col(hist_col), b.cast("int"))
+        frac = (rank - prev_cum).cast("double") / in_bucket.cast("double")
+        est = (
+            F.when(b == 1, F.lit(float(lo)))  # underflow bucket: clamp
+            .when(b == F.size(F.col(hist_col)), F.lit(float(hi)))
+            .otherwise(
+                F.lit(float(lo)) + ((b - 2).cast("double") + frac) * width
+            )
+        )
+        out = out.withColumn(
+            f"q_{str(p).replace('.', '_')}",
+            F.when(n > 0, est),
+        )
+    return out

@@ -1651,6 +1651,57 @@ def t53(spark, sf_dir):
 
 
 @qdef(
+    "t54_hist_sketch_rollup",
+    # exact replica of the fixed-range histogram sketch: bucket index
+    # is the identical IEEE-double expression in both engines, the
+    # sketch is a comma-joined vector of BIGINT counts, and the
+    # grand-total column proves hist_rollup's element-wise merge ==
+    # a direct coarse aggregation — integer equality, no tolerance
+    "WITH v AS (SELECT lang, CAST(len(string_split(text, ' ')) AS DOUBLE) AS ntok FROM documents), "
+    "b AS (SELECT lang, CASE WHEN ntok < 0.0 THEN 0 "
+    "  WHEN ntok >= 128.0 THEN 17 "
+    "  ELSE CAST(least(floor((ntok - 0.0) * 16.0 / 128.0), 15) AS INT) + 1 END AS p, "
+    "  CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY lang, p), "
+    "grid AS (SELECT l.lang, gs.i FROM (SELECT DISTINCT lang FROM v) l "
+    "  CROSS JOIN (SELECT unnest(generate_series(0, 17)) AS i) gs), "
+    "j AS (SELECT g.lang, g.i, COALESCE(b.c, 0) AS c FROM grid g "
+    "  LEFT JOIN b ON b.lang = g.lang AND b.p = g.i), "
+    "h AS (SELECT lang, string_agg(CAST(c AS VARCHAR), ',' ORDER BY i) AS hist "
+    "  FROM j GROUP BY lang), "
+    "tg AS (SELECT i, CAST(SUM(c) AS BIGINT) AS c FROM j GROUP BY i), "
+    "tot AS (SELECT string_agg(CAST(c AS VARCHAR), ',' ORDER BY i) AS total_hist FROM tg) "
+    "SELECT h.lang, h.hist, tot.total_hist FROM h, tot ORDER BY h.lang",
+    "[ext: sketches, new r9] fixed-range histogram sketch rollup — "
+    "the EXACTLY-mergeable companion to the HLL lane "
+    "(operators/sketches.py::hist_presketch/hist_rollup): per-lang "
+    "token-length histograms (18 buckets incl. under/overflow) built "
+    "by ONE map-side-combinable (group, bucket) count aggregate, then "
+    "the grand total derived from the SKETCHES alone by element-wise "
+    "sums — never rescanning raw rows. Both the fine sketches and the "
+    "merged total are oracle-checked as integer vectors.",
+)
+def t54(spark, sf_dir):
+    from .operators.sketches import hist_presketch, hist_rollup
+
+    d = _t(spark, sf_dir, "documents")
+    v = d.select(
+        "lang", F.size(F.split("text", " ")).cast("double").alias("ntok")
+    )
+    fine = hist_presketch(v, ["lang"], "ntok", 0.0, 128.0, bins=16)
+    as_str = lambda c: F.array_join(  # noqa: E731
+        F.transform(c, lambda x: x.cast("string")), ","
+    )
+    tot = hist_rollup(fine, []).select(
+        as_str(F.col("hist")).alias("total_hist")
+    )
+    return (
+        fine.select("lang", as_str(F.col("hist")).alias("hist"))
+        .crossJoin(F.broadcast(tot))
+        .orderBy("lang")
+    )
+
+
+@qdef(
     "t16_streaming_tumbling",
     # Driver-checkable since r7 (was rows-only x16): a complete-mode
     # availableNow drain of the watermarked tumbling plan retains all
