@@ -261,3 +261,121 @@ def hist_quantiles(
             F.when(n > 0, est),
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketches (r9): the FREQUENCY member of the sketch family
+# (HLL = distinct counts, fixed-range histograms = value distribution,
+# CMS = per-item occurrence counts). Cormode & Muthukrishnan 2005: a
+# depth x width counter grid; each item increments one counter per
+# row (independent hashes); a point query reads the MINIMUM of its
+# depth counters — always >= the true count, over by at most
+# ~2N/width with probability 1 - 2^-depth. Element-wise sums merge
+# sketches EXACTLY (same hash functions), so per-ingest-batch
+# presketches roll up to any coarser grouping without rescanning raw
+# rows — "how often does this token/url/hash appear per source, this
+# month" from a sketch table at 100 TB. hash_fn='md5' derives buckets
+# from the top 60 bits of md5 (the dedup.py oracle lane), making the
+# whole grid engine-portable and DuckDB-replicable (t55).
+# ---------------------------------------------------------------------------
+
+
+def _cms_bucket(value, j: int, width: int, hash_fn: str):
+    """Bucket of ``value`` under hash row ``j``: pmod(hash(salted), w).
+    The salt uses the package's \\x1f separator convention so values
+    containing 'cms<j>' cannot collide with the salting itself."""
+    salted = F.concat(value.cast("string"), F.lit(f"\x1fcms{j}"))
+    if hash_fn == "md5":
+        h = F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(salted)
+    return F.pmod(h, F.lit(width))
+
+
+def cms_presketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """One count-min grid per fine group, flattened row-major:
+    (group_cols..., cms array<long> of depth*width counters; counter
+    for hash row j, bucket b sits at index j*width + b). NULL values
+    are not counted.
+
+    Same scale shape as hist_presketch: each row explodes to its
+    ``depth`` counter indices, ONE map-side-combinable count
+    aggregate keyed (group, index) — the exchange carries at most
+    groups x depth x width rows — then a tiny per-group reassembly.
+    """
+    if width < 1 or depth < 1:
+        raise ValueError("cms_presketch: width and depth must be >= 1")
+    v = F.col(value_col)
+    idxs = F.array(
+        *[
+            (_cms_bucket(v, j, width, hash_fn) + F.lit(j * width)).cast("int")
+            for j in range(depth)
+        ]
+    )
+    counts = (
+        df.filter(v.isNotNull())
+        .select(*group_cols, F.explode(idxs).alias("_b"))
+        .groupBy(*group_cols, "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    assembled = counts.groupBy(*group_cols).agg(
+        F.map_from_arrays(
+            F.collect_list("_b"), F.collect_list("_c")
+        ).alias("_m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(depth * width - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0).cast("bigint")),
+    )
+    return assembled.select(*group_cols, dense.alias("cms"))
+
+
+def cms_rollup(
+    sketches: DataFrame,
+    group_cols: Sequence[str],
+    cms_col: str = "cms",
+) -> DataFrame:
+    """Count-min grids at a coarser grouping by EXACT element-wise
+    sums — identical algebra to hist_rollup (both sketches are plain
+    counter vectors), so it IS hist_rollup on the cms column."""
+    return hist_rollup(sketches, group_cols, hist_col=cms_col)
+
+
+def cms_estimate(
+    sketches: DataFrame,
+    probes: DataFrame,
+    probe_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    hash_fn: str = "xxhash64",
+    cms_col: str = "cms",
+) -> DataFrame:
+    """Point-frequency estimates: every sketch row x every probe value
+    → (sketch group cols..., probe_col, est), est = min over the
+    ``depth`` counters, always >= the true count. ``probes`` is a
+    SMALL frame (broadcast); width/depth/hash_fn must match the
+    presketch."""
+    est = F.least(
+        *[
+            F.element_at(
+                F.col(cms_col),
+                (
+                    _cms_bucket(F.col(probe_col), j, width, hash_fn)
+                    + F.lit(j * width + 1)
+                ).cast("int"),
+            )
+            for j in range(depth)
+        ]
+    )
+    return sketches.crossJoin(F.broadcast(probes)).select(
+        *[c for c in sketches.columns if c != cms_col],
+        probe_col,
+        est.alias("est"),
+    )

@@ -1702,6 +1702,66 @@ def t54(spark, sf_dir):
 
 
 @qdef(
+    "t55_cms_rollup",
+    # full replica of the count-min grid in the md5 lane: bucket(tok,
+    # j) = top-60-bits-of-md5(tok \x1f cms<j>) mod width (the dedup.py
+    # oracle-lane hash), the GLOBAL grid is derived by element-wise
+    # sums of the per-lang sketches on the Spark side and directly on
+    # the DuckDB side — their digest equality IS the exact-merge
+    # oracle; per-probe estimates check the min-of-depth lookup math
+    "WITH t2 AS (SELECT lang, tok FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents) z WHERE tok <> ''), "
+    "bx AS (SELECT tok, CAST(j * 32 + (CAST(concat('0x', substring(md5(tok || chr(31) || 'cms' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 32) AS INT) AS i "
+    "  FROM (SELECT DISTINCT tok FROM t2) d CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) js), "
+    "cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM t2 GROUP BY tok), "
+    "cell AS (SELECT bx.i, CAST(SUM(cnt.c) AS BIGINT) AS c FROM bx JOIN cnt USING (tok) GROUP BY bx.i), "
+    "grid AS (SELECT gs.i, COALESCE(cell.c, 0) AS c FROM (SELECT unnest(generate_series(0, 127)) AS i) gs LEFT JOIN cell USING (i)), "
+    "dig AS (SELECT md5(string_agg(CAST(c AS VARCHAR), ',' ORDER BY i)) AS cms_digest FROM grid), "
+    "probes AS (SELECT tok FROM (SELECT DISTINCT tok FROM t2) z ORDER BY tok LIMIT 8), "
+    "est AS (SELECT p.tok, MIN(g.c) AS est FROM probes p "
+    "  JOIN bx ON bx.tok = p.tok JOIN grid g ON g.i = bx.i GROUP BY p.tok) "
+    "SELECT p.tok, est.est, cnt.c AS exact_cnt, dig.cms_digest "
+    "FROM probes p JOIN est USING (tok) JOIN cnt USING (tok), dig "
+    "ORDER BY p.tok",
+    "[ext: sketches, new r9] count-min sketch rollup — the FREQUENCY "
+    "member of the sketch family (HLL distinct / histogram "
+    "distribution / CMS occurrence counts): per-lang 4x32 token-count "
+    "grids from one map-side-combinable aggregate, global grid by "
+    "exact element-wise merge (operators/sketches.py::cms_presketch/"
+    "cms_rollup/cms_estimate), digest-oracled; the 8 smallest distinct "
+    "tokens' min-of-depth estimates ride alongside their exact counts "
+    "(est >= exact always — the CMS guarantee, here visible to the "
+    "oracle as equal integers wherever no bucket collision occurred).",
+)
+def t55(spark, sf_dir):
+    from .operators.sketches import cms_estimate, cms_presketch, cms_rollup
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    sk = cms_presketch(toks, ["lang"], "tok", width=32, depth=4, hash_fn="md5")
+    tot = cms_rollup(sk, [])
+    dig = tot.select(
+        F.md5(
+            F.array_join(
+                F.transform("cms", lambda x: x.cast("string")), ","
+            ).cast("binary")
+        ).alias("cms_digest")
+    )
+    probes = toks.select("tok").distinct().orderBy("tok").limit(8)
+    est = cms_estimate(tot, probes, "tok", width=32, depth=4, hash_fn="md5")
+    exact = toks.join(F.broadcast(probes), "tok", "left_semi").groupBy(
+        "tok"
+    ).agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return (
+        est.join(exact, "tok")
+        .crossJoin(F.broadcast(dig))
+        .select("tok", "est", "exact_cnt", "cms_digest")
+        .orderBy("tok")
+    )
+
+
+@qdef(
     "t16_streaming_tumbling",
     # Driver-checkable since r7 (was rows-only x16): a complete-mode
     # availableNow drain of the watermarked tumbling plan retains all

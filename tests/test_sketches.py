@@ -259,3 +259,79 @@ class TestHistSketch:
             hist_presketch(df, ["g"], "v", 0.0, 1.0, bins=0)
         with pytest.raises(ValueError, match="outside"):
             hist_quantiles(df.limit(0), [1.5], 0.0, 1.0)
+
+
+class TestCmsSketch:
+    """Count-min sketches: the over-estimate guarantee, exact
+    mergeability, and both hash lanes."""
+
+    def _toks(self, spark, n=4000):
+        # zipf-ish token stream: token t{i % k} with k varying by id
+        return spark.range(n).select(
+            F.concat(F.lit("g"), (F.col("id") % 2).cast("string")).alias("g"),
+            F.concat(
+                F.lit("t"), (F.col("id") % ((F.col("id") % 7) * 40 + 3)).cast("string")
+            ).alias("tok"),
+        )
+
+    def test_estimates_upper_bound_exact_counts(self, spark):
+        from cowsdb_spark.operators.sketches import (
+            cms_estimate,
+            cms_presketch,
+            cms_rollup,
+        )
+
+        df = self._toks(spark)
+        sk = cms_rollup(cms_presketch(df, ["g"], "tok", width=1024, depth=4), [])
+        probes = df.select("tok").distinct()
+        est = {
+            r.tok: r.est
+            for r in cms_estimate(sk, probes, "tok", width=1024, depth=4).collect()
+        }
+        exact = {r.tok: r.cnt for r in df.groupBy("tok").agg(F.count("*").alias("cnt")).collect()}
+        assert set(est) == set(exact)
+        assert all(est[t] >= exact[t] for t in exact)
+        # wide grid, few hundred distinct: almost every estimate exact
+        tight = sum(1 for t in exact if est[t] == exact[t])
+        assert tight / len(exact) > 0.95, tight / len(exact)
+
+    def test_rollup_is_exactly_the_direct_sketch(self, spark):
+        from cowsdb_spark.operators.sketches import cms_presketch, cms_rollup
+
+        df = self._toks(spark)
+        fine = cms_presketch(df, ["g"], "tok", width=64, depth=4)
+        merged = cms_rollup(fine, [], cms_col="cms").collect()[0]
+        direct = cms_presketch(
+            df.repartition(9).select(F.lit("all").alias("a"), "tok"),
+            ["a"], "tok", width=64, depth=4,
+        ).collect()[0]
+        assert list(merged.cms) == list(direct.cms)
+
+    def test_md5_lane_same_guarantees(self, spark):
+        from cowsdb_spark.operators.sketches import (
+            cms_estimate,
+            cms_presketch,
+        )
+
+        df = self._toks(spark, n=500)
+        sk = cms_presketch(
+            df.select(F.lit("x").alias("x"), "tok"), ["x"], "tok",
+            width=256, depth=4, hash_fn="md5",
+        )
+        probes = df.select("tok").distinct()
+        est = {
+            r.tok: r.est
+            for r in cms_estimate(
+                sk, probes, "tok", width=256, depth=4, hash_fn="md5"
+            ).collect()
+        }
+        exact = {r.tok: r.cnt for r in df.groupBy("tok").agg(F.count("*").alias("cnt")).collect()}
+        assert all(est[t] >= exact[t] for t in exact)
+
+    def test_validation(self, spark):
+        import pytest
+
+        from cowsdb_spark.operators.sketches import cms_presketch
+
+        with pytest.raises(ValueError, match="width"):
+            cms_presketch(self._toks(spark), ["g"], "tok", width=0)
