@@ -68,6 +68,10 @@ _PIPELINE_FNS = {
     "rewritescrub": "rewriteScrub(table[, n[, min_docs]])",
     "hllpresketch": "hllPresketch(table, 'group_col[,group_col]', 'value_col')",
     "hllrollup": "hllRollup(sketch_table, 'group_col[,group_col]' | '')",
+    "histpresketch": "histPresketch(table, 'group_cols', 'value_col', lo, hi[, bins])",
+    "histrollup": "histRollup(sketch_table, 'group_col[,group_col]' | '')",
+    "cmspresketch": "cmsPresketch(table, 'group_cols', 'value_col'[, width[, depth]])",
+    "cmsrollup": "cmsRollup(sketch_table, 'group_col[,group_col]' | '')",
     "bm25": "bm25(table, 'query text'[, k])",
 }
 import re as _pipeline_re
@@ -1275,6 +1279,52 @@ class Engine:
 
                 groups = [c.strip() for c in lits[0].split(",") if c.strip()]
                 res = hll_presketch(df, groups, lits[1])
+            elif name == "histpresketch":
+                if (
+                    len(lits) < 4
+                    or not all(isinstance(x, str) for x in lits[:2])
+                    or not all(
+                        isinstance(x, (int, float)) for x in lits[2:4]
+                    )
+                ):
+                    raise EngineError(f"histpresketch: usage {sig}", 42)
+                from .operators.sketches import hist_presketch
+
+                groups = [c.strip() for c in lits[0].split(",") if c.strip()]
+                res = hist_presketch(
+                    df,
+                    groups,
+                    lits[1],
+                    float(lits[2]),
+                    float(lits[3]),
+                    bins=int(lits[4]) if len(lits) > 4 else 64,
+                )
+            elif name == "histrollup" or name == "cmsrollup":
+                if not lits or not isinstance(lits[0], str):
+                    raise EngineError(f"{name}: usage {sig}", 42)
+                from .operators.sketches import cms_rollup, hist_rollup
+
+                groups = [c.strip() for c in lits[0].split(",") if c.strip()]
+                res = (
+                    hist_rollup(df, groups)
+                    if name == "histrollup"
+                    else cms_rollup(df, groups)
+                )
+            elif name == "cmspresketch":
+                if len(lits) < 2 or not all(
+                    isinstance(x, str) for x in lits[:2]
+                ):
+                    raise EngineError(f"cmspresketch: usage {sig}", 42)
+                from .operators.sketches import cms_presketch
+
+                groups = [c.strip() for c in lits[0].split(",") if c.strip()]
+                res = cms_presketch(
+                    df,
+                    groups,
+                    lits[1],
+                    width=int(lits[2]) if len(lits) > 2 else 1024,
+                    depth=int(lits[3]) if len(lits) > 3 else 4,
+                )
             else:  # hllrollup
                 if not lits or not isinstance(lits[0], str):
                     raise EngineError(f"hllrollup: usage {sig}", 42)

@@ -173,6 +173,46 @@ class TestPipelineSqlFns:
         )
         assert out == b"d1\t2\nd2\t2\n"
 
+    def test_hist_sketch_fns(self, eng):
+        eng.execute("DROP TABLE IF EXISTS opfndb.vals")
+        eng.execute("CREATE TABLE opfndb.vals (g String, v Float64)")
+        eng.execute(
+            "INSERT INTO opfndb.vals VALUES "
+            "('a', 1.0), ('a', 2.5), ('a', 9.5), ('b', -3.0), ('b', 12.0)"
+        )
+        # 2 bins over [0, 10): array is [under, b1, b2, over]
+        out = eng.execute(
+            "SELECT g, hist FROM "
+            "histPresketch(opfndb.vals, 'g', 'v', 0.0, 10.0, 2) ORDER BY g"
+        )
+        assert out == b"a\t[0,2,1,0]\nb\t[1,0,0,1]\n"
+        out = eng.execute(
+            "SELECT hist FROM "
+            "histRollup(histPresketch(opfndb.vals, 'g', 'v', 0.0, 10.0, 2), '')"
+        )
+        assert out == b"[1,2,1,1]\n"
+
+    def test_cms_sketch_fns(self, eng):
+        eng.execute("DROP TABLE IF EXISTS opfndb.toks")
+        eng.execute("CREATE TABLE opfndb.toks (g String, tok String)")
+        eng.execute(
+            "INSERT INTO opfndb.toks VALUES "
+            "('a','x'),('a','x'),('a','y'),('b','x')"
+        )
+        # a 1-wide grid degenerates to per-row totals: every counter
+        # equals the group's row count — checkable without hashing
+        out = eng.execute(
+            "SELECT g, cms FROM "
+            "cmsRollup(cmsPresketch(opfndb.toks, 'g', 'tok', 1, 2), 'g') "
+            "ORDER BY g"
+        )
+        assert out == b"a\t[3,3]\nb\t[1,1]\n"
+        out = eng.execute(
+            "SELECT cms FROM "
+            "cmsRollup(cmsPresketch(opfndb.toks, 'g', 'tok', 1, 2), '')"
+        )
+        assert out == b"[4,4]\n"
+
     def test_table_named_like_fn_is_left_alone(self, eng):
         # only TABLE position (after FROM/JOIN) expands: a user table
         # legitimately named bm25 keeps working, including the INSERT
