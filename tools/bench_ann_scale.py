@@ -438,6 +438,105 @@ def main() -> None:
         "staleness_recall_gap": round(fresh - incr_recall, 4),
         "rerank_per_query_s": round(q_wall / n_queries, 3),
     }
+    # drift lane: what the probe actually shows when the increment's
+    # distribution moves — a NEW TOPIC: the increment collapses into
+    # a tight cluster around a direction the frozen quantizer never
+    # trained on (0.25·v + u, u a fixed unit vector, renormalized —
+    # within-cluster spread ~0.25). Staleness in IVFADC does
+    # NOT necessarily show up as rerank recall (drift concentrates
+    # the increment into few frozen cells, which can even HELP probe
+    # coverage while wrecking operational behavior); the honest
+    # signals a pipeline watches are (a) ADC-only recall — residual
+    # quantization error against codebooks fit elsewhere — and
+    # (b) hot-cell concentration: the share of the increment landing
+    # in its single fullest cell, which turns the per-cell partition
+    # prune into a scan of one giant partition. Queries come FROM the
+    # drifted region; ground truth is exact cosine over base∪drifted.
+    u = np.random.default_rng(99).normal(size=DIMS)
+    u /= np.linalg.norm(u)
+    ulit = F.array(*[F.lit(float(x)) for x in u])
+    shifted = F.zip_with(
+        "embedding", ulit, lambda a, b: F.lit(0.25) * a + b
+    )
+    drifted = new_unit.withColumn("_s", shifted).select(
+        "vec_id",
+        F.expr(
+            "transform(_s, x -> x / sqrt(aggregate(_s, 0D, (a, y) -> a + y * y)))"
+        ).alias("embedding"),
+    )
+    corpus2 = base_unit.unionByName(drifted)
+    dq_ids = [int(cut + 1 + i * ((n - cut) // 8)) for i in range(8)]
+    dqvecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in drifted.filter(F.col("vec_id").isin(dq_ids)).collect()
+    }
+    rows = brute_topk_batch(corpus2, dqvecs, k=k + 1).collect()
+    truth: dict[int, list[int]] = {}
+    for r in rows:
+        if r.vec_id != r.query_id:
+            truth.setdefault(r.query_id, []).append(r.vec_id)
+    truth = {q: v[:k] for q, v in truth.items()}
+
+    def recall_with(codes_df, cents_, book_, rerank: bool):
+        hits = 0
+        for qid in dq_ids:
+            if rerank:
+                got = [
+                    r.vec_id
+                    for r in ivf_pq_topk_rerank(
+                        codes_df, corpus2, cents_, book_, dqvecs[qid],
+                        k=k + 1, nprobe=nprobe, refine=10,
+                    ).collect()
+                    if r.vec_id != qid
+                ][:k]
+            else:
+                got = [
+                    r.vec_id
+                    for r in ivf_pq_topk(
+                        codes_df, cents_, book_, dqvecs[qid],
+                        k=k + 1, nprobe=nprobe,
+                    ).collect()
+                    if r.vec_id != qid
+                ][:k]
+            hits += len(set(got) & set(truth[qid]))
+        return round(hits / (len(dq_ids) * k), 4)
+
+    def max_cell_share(codes_df):
+        top = (
+            codes_df.groupBy("_cell").count()
+            .orderBy(F.col("count").desc()).limit(1).collect()[0]["count"]
+        )
+        total = codes_df.count()
+        return round(top / total, 4)
+
+    inc_frozen = ivf_pq_encode_increment(drifted, base_cents, base_book)
+    frozen_grown = base_codes.unionByName(inc_frozen)
+    re_codes, re_cents, re_book = ivf_pq_build(
+        corpus2, n_centroids=256, m=m, train_sample=65_536, max_iter=10
+    )
+    inc_ids = drifted.select("vec_id")
+    out["ivf_pq_incremental"]["drift_lane"] = {
+        "drift": "new topic: 0.25*v + u (fixed unseen unit vector), renormalized; queries from the drifted region",
+        "frozen_index_adc_recall_at_10": recall_with(
+            frozen_grown, base_cents, base_book, rerank=False
+        ),
+        "rebuilt_index_adc_recall_at_10": recall_with(
+            re_codes, re_cents, re_book, rerank=False
+        ),
+        "frozen_index_rerank_recall_at_10": recall_with(
+            frozen_grown, base_cents, base_book, rerank=True
+        ),
+        "rebuilt_index_rerank_recall_at_10": recall_with(
+            re_codes, re_cents, re_book, rerank=True
+        ),
+        # hot-cell concentration of the INCREMENT under each index:
+        # drift piles the new vectors into few frozen cells (breaking
+        # the partition prune's balance); a rebuild re-spreads them
+        "increment_max_cell_share_frozen": max_cell_share(inc_frozen),
+        "increment_max_cell_share_rebuilt": max_cell_share(
+            re_codes.join(inc_ids, "vec_id", "left_semi")
+        ),
+    }
     shutil.rmtree(inc_dir, ignore_errors=True)
 
     print(json.dumps(out))
