@@ -1762,6 +1762,70 @@ def t55(spark, sf_dir):
 
 
 @qdef(
+    "t56_hashed_embedding",
+    # exact replica of the hashing-trick embedder (md5 bucket lane):
+    # per-doc 16-bucket hashed token counts as an md5 digest (integer-
+    # exact), plus cosine to the min-id doc — integer dot/norms, one
+    # sqrt+division per side (correctly-rounded IEEE, identical in
+    # both engines), rounded at 4dp
+    "WITH t2 AS (SELECT doc_id, tok FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) z WHERE tok <> ''), "
+    "b AS (SELECT doc_id, CAST(CAST(concat('0x', substring(md5(tok || chr(31) || 'hemb'), 1, 15)) AS BIGINT) % 16 AS INT) AS p, "
+    "  CAST(COUNT(*) AS BIGINT) AS c FROM t2 GROUP BY doc_id, p), "
+    "ids AS (SELECT DISTINCT doc_id FROM t2), "
+    "grid AS (SELECT ids.doc_id, gs.i FROM ids CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) gs), "
+    "j AS (SELECT g.doc_id, g.i, COALESCE(b.c, 0) AS c FROM grid g "
+    "  LEFT JOIN b ON b.doc_id = g.doc_id AND b.p = g.i), "
+    "f AS (SELECT i, c FROM j WHERE doc_id = (SELECT MIN(doc_id) FROM ids)), "
+    "v AS (SELECT doc_id, md5(string_agg(CAST(c AS VARCHAR), ',' ORDER BY i)) AS vec_digest, "
+    "  CAST(SUM(c * c) AS BIGINT) AS na2 FROM j GROUP BY doc_id), "
+    "dots AS (SELECT j.doc_id, CAST(SUM(j.c * f.c) AS BIGINT) AS dot FROM j JOIN f USING (i) GROUP BY j.doc_id), "
+    "nf AS (SELECT CAST(SUM(c * c) AS BIGINT) AS nf2 FROM f) "
+    "SELECT v.doc_id, v.vec_digest, "
+    "ROUND(CAST(dots.dot AS DOUBLE) / (sqrt(CAST(v.na2 AS DOUBLE)) * sqrt(CAST(nf.nf2 AS DOUBLE))), 4) AS cos_first "
+    "FROM v JOIN dots USING (doc_id), nf ORDER BY v.doc_id",
+    "[ext: embeddings, new r9] hashing-trick document embeddings "
+    "(operators/embeddings.py::hashed_embedding, Weinberger 2009): "
+    "model-free dense vectors from hashed token counts — the bridge "
+    "that lets a corpus without a neural encoder run the dense lane "
+    "(embedding_neardup_pairs / semdedup / ivf_pq). One map-side-"
+    "combinable (id, bucket) aggregate, pure codegen, zero UDF. The "
+    "oracle checks every doc's exact count vector (digest) and the "
+    "cosine-to-first-doc geometry.",
+)
+def t56(spark, sf_dir):
+    from .operators.embeddings import hashed_embedding
+
+    d = _t(spark, sf_dir, "documents")
+    emb = hashed_embedding(d, dim=16, hash_fn="md5", normalize=False)
+    first = emb.orderBy("doc_id").limit(1).select(
+        F.col("embedding").alias("_f")
+    )
+    j = emb.crossJoin(F.broadcast(first))
+    zero = F.lit(0).cast("bigint")
+    dot = F.aggregate(
+        F.zip_with("embedding", "_f", lambda a, b: a * b),
+        zero,
+        lambda a, x: a + x,
+    )
+    na2 = F.aggregate("embedding", zero, lambda a, x: a + x * x)
+    nf2 = F.aggregate("_f", zero, lambda a, x: a + x * x)
+    cos = F.round(
+        dot.cast("double")
+        / (F.sqrt(na2.cast("double")) * F.sqrt(nf2.cast("double"))),
+        4,
+    )
+    return j.select(
+        "doc_id",
+        F.md5(
+            F.array_join(
+                F.transform("embedding", lambda x: x.cast("string")), ","
+            ).cast("binary")
+        ).alias("vec_digest"),
+        cos.alias("cos_first"),
+    ).orderBy("doc_id")
+
+
+@qdef(
     "t16_streaming_tumbling",
     # Driver-checkable since r7 (was rows-only x16): a complete-mode
     # availableNow drain of the watermarked tumbling plan retains all
