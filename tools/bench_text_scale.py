@@ -255,6 +255,37 @@ def main() -> None:
         .collect()[0][0],
     )
 
+    # 9. model-free dense lane (r9): hashed token-count embeddings for
+    # the whole corpus (one slim (id, bucket) aggregate — the shuffle
+    # the artifact records is min(doc_len, dim) ints per doc, NOT the
+    # bodies), then SemDeDup over those vectors — semantic dedup on a
+    # corpus that has no neural encoder. Keep/drop counts make the
+    # signal visible: planted near-dup pairs have cosine ≈ 1 in
+    # hashed space, so the drop count tracks the planted dup rate.
+    from cowsdb_spark.operators.embeddings import hashed_embedding
+    from cowsdb_spark.operators.semdedup import semdedup
+
+    # capped at 1M docs (recorded, not silent): SemDeDup's pair stage
+    # is O(Σ cluster²·dim) — at the 512-seed/1M point clusters average
+    # ~2k members (the published regime); 10M at the same density
+    # would need k≈5k seeds and ~25× the pair flops, a run of its own
+    sd_n = min(n_docs, 1_000_000)
+
+    def hashed_semdedup():
+        sub = docs.filter(F.col("doc_id") < sd_n)
+        emb = hashed_embedding(sub, dim=256).withColumnRenamed(
+            "doc_id", "vec_id"
+        ).localCheckpoint()
+        sd = semdedup(emb, k=512, tau=0.9, mode="gemm")
+        agg = sd.groupBy().agg(
+            F.count("*").alias("n"), F.sum("is_kept").alias("kept")
+        ).collect()[0]
+        return [int(agg["n"]), int(agg["n"] - agg["kept"])]
+
+    out["hashed_semdedup_n_dropped"] = stage(
+        "hashed_embedding_semdedup_1M", hashed_semdedup
+    )
+
     out["total_pipeline_s"] = round(
         sum(s["wall_s"] for s in out["stages"].values()), 1
     )
