@@ -72,6 +72,7 @@ _PIPELINE_FNS = {
     "histrollup": "histRollup(sketch_table, 'group_col[,group_col]' | '')",
     "cmspresketch": "cmsPresketch(table, 'group_cols', 'value_col'[, width[, depth]])",
     "cmsrollup": "cmsRollup(sketch_table, 'group_col[,group_col]' | '')",
+    "hashedembedding": "hashedEmbedding(table[, dim])",
     "bm25": "bm25(table, 'query text'[, k])",
 }
 import re as _pipeline_re
@@ -1309,6 +1310,12 @@ class Engine:
                     hist_rollup(df, groups)
                     if name == "histrollup"
                     else cms_rollup(df, groups)
+                )
+            elif name == "hashedembedding":
+                from .operators.embeddings import hashed_embedding
+
+                res = hashed_embedding(
+                    df, dim=int(lits[0]) if lits else 256
                 )
             elif name == "cmspresketch":
                 if len(lits) < 2 or not all(

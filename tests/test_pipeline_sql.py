@@ -213,6 +213,17 @@ class TestPipelineSqlFns:
         )
         assert out == b"[4,4]\n"
 
+    def test_hashed_embedding_fn(self, eng):
+        # dim=1 degenerates to (token_count / token_count) = [1.0] for
+        # non-empty docs — checkable without hashing (TSV renders the
+        # float CH-style, 1.0 -> "1")
+        out = eng.execute(
+            "SELECT doc_id, embedding FROM "
+            "hashedEmbedding(opfndb.docs, 1) ORDER BY doc_id"
+        )
+        lines = out.strip().split(b"\n")
+        assert lines and all(line.endswith(b"\t[1]") for line in lines)
+
     def test_table_named_like_fn_is_left_alone(self, eng):
         # only TABLE position (after FROM/JOIN) expands: a user table
         # legitimately named bm25 keeps working, including the INSERT
