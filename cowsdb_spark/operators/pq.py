@@ -56,10 +56,16 @@ def pq_train(
     if nbits > 8:
         raise ValueError("nbits > 8 does not fit tinyint codes")
     ksub = 1 << nbits
+    # deterministic spread sample, same rationale as ivf_build (r9):
+    # hash-ordered TakeOrderedAndProject — unbiased and stable across
+    # partitionings where the previous bare .limit() was neither
     sample = np.asarray(
         [
-            r[0]
-            for r in emb.select(_to_double(F.col(vec_col)).alias("_v"))
+            r[1]
+            for r in emb.select(
+                F.col(id_col), _to_double(F.col(vec_col)).alias("_v")
+            )
+            .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
             .limit(train_sample)
             .collect()
         ],
@@ -286,15 +292,16 @@ def ivf_pq_build(
     )
     cents = np.asarray(centroids, dtype=np.float64)
 
-    # residual codebook: bounded DETERMINISTIC sample of (vector,
-    # cell) pairs — orderBy+limit is a TakeOrderedAndProject (per-
-    # partition top-n, then a driver merge of train_sample rows), so
-    # the codebook (hence codes and recall) is stable across runs and
-    # partitionings; a bare .limit() samples whichever partitions
-    # answer first (ADVICE r8)
+    # residual codebook: bounded DETERMINISTIC SPREAD sample of
+    # (vector, cell) pairs — orderBy+limit is a TakeOrderedAndProject
+    # (per-partition top-n, then a driver merge of train_sample rows),
+    # so the codebook (hence codes and recall) is stable across runs
+    # and partitionings; ordering by a hash of the id keeps the sample
+    # unbiased when ids correlate with content (smallest-n-ids would
+    # train only on the oldest slice — ADVICE r8, refined r9)
     sample = (
         assigned.select(id_col, "_v", "_cell")
-        .orderBy(id_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
         .limit(train_sample)
         .collect()
     )

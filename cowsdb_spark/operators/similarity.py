@@ -177,16 +177,20 @@ def ivf_build(
 
     vecs = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("_v"))
 
-    # deterministic sample (ADVICE r8): orderBy+limit is a
-    # TakeOrderedAndProject (per-partition top-n then a bounded driver
-    # merge), so centroids — hence cells, codes, and recall — are
-    # stable across runs and input partitionings; a bare .limit()
-    # returns whichever partitions answer first
+    # deterministic SPREAD sample (ADVICE r8 + r9 fix): orderBy+limit
+    # is a TakeOrderedAndProject (per-partition top-n then a bounded
+    # driver merge), so centroids — hence cells, codes, and recall —
+    # are stable across runs and input partitionings; a bare .limit()
+    # returns whichever partitions answer first. Ordering by a HASH of
+    # the id (not the id itself) keeps the sample unbiased when ids
+    # correlate with content — the smallest-n-ids sample silently
+    # trained only on the oldest corpus slice, which a re-build after
+    # an append must not do.
     sample = np.asarray(
         [
             r[1]
             for r in vecs.select(id_col, "_v")
-            .orderBy(id_col)
+            .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
             .limit(train_sample)
             .collect()
         ],

@@ -352,3 +352,32 @@ class TestIvfPqIncrement:
         bad_cents = [c[:-4] for c in cents]
         with pytest.raises(ValueError, match="dim"):
             ivf_pq_encode_increment(emb, bad_cents, book)
+
+
+class TestTrainSampleSpread:
+    def test_training_sample_not_biased_to_smallest_ids(self, spark):
+        # two tight clusters, ids 0..499 around +u, ids 500..999
+        # around -u; train_sample=250 < |first cluster|. A
+        # smallest-n-ids sample would never see the second cluster
+        # and leave it with no nearby centroid; the hash-ordered
+        # spread sample must place centroids near BOTH.
+        import numpy as np
+
+        from cowsdb_spark.localdf import local_df
+        from cowsdb_spark.operators.similarity import ivf_build
+
+        rng = np.random.default_rng(3)
+        u = np.ones(8) / np.sqrt(8.0)
+        a = u + rng.normal(scale=0.05, size=(500, 8))
+        b = -u + rng.normal(scale=0.05, size=(500, 8))
+        rows = [
+            (i, [float(x) for x in v])
+            for i, v in enumerate(np.vstack([a, b]))
+        ]
+        df = local_df(
+            spark, rows, "vec_id long, embedding array<double>"
+        )
+        _, cents = ivf_build(df, n_centroids=4, train_sample=250)
+        cents = np.asarray(cents)
+        d_to_b = np.linalg.norm(cents - (-u), axis=1).min()
+        assert d_to_b < 0.5, d_to_b  # some centroid sits in cluster B
