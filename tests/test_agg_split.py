@@ -132,8 +132,9 @@ class TestEngineIntegration:
         # than the single SortAggregate pipeline it removes)
         from cowsdb_spark.engine import Engine
 
-        spark.read.parquet("tests/fixtures/hits_sample.parquet") \
-            .createOrReplaceTempView("hits")
+        from tools.gen_hits import ensure_hits
+
+        spark.read.parquet(ensure_hits()).createOrReplaceTempView("hits")
         eng = Engine(spark)
         df = eng.execute_to_df(CB22)[0]
         plan = df._jdf.queryExecution().executedPlan().toString()
@@ -174,8 +175,9 @@ class TestReduceGroupKeys:
     def test_cb35_through_engine_matches(self, spark):
         from cowsdb_spark.engine import Engine
 
-        spark.read.parquet("tests/fixtures/hits_sample.parquet") \
-            .createOrReplaceTempView("hits")
+        from tools.gen_hits import ensure_hits
+
+        spark.read.parquet(ensure_hits()).createOrReplaceTempView("hits")
         eng = Engine(spark)
         sql = (
             "SELECT ClientIP, ClientIP - 1 AS m1, ClientIP - 2 AS m2, "
@@ -195,8 +197,9 @@ class TestReduceGroupKeys:
         from cowsdb_spark.engine import Engine
 
         monkeypatch.setenv("MOOSPARK_AGG_SPLIT", "1")
-        spark.read.parquet("tests/fixtures/hits_sample.parquet") \
-            .createOrReplaceTempView("hits")
+        from tools.gen_hits import ensure_hits
+
+        spark.read.parquet(ensure_hits()).createOrReplaceTempView("hits")
         eng = Engine(spark)
         sql = (
             "SELECT ClientIP, ClientIP - 1 AS m1, MIN(Title) AS mt, "
