@@ -783,7 +783,7 @@ def embedding_neardup_pairs(
       construction — use for near-dup thresholds (≥0.8) where the
       per-bit gap is large.
     """
-    from .similarity import _to_double, dot, ivf_build, lsh_bucket_join, norm
+    from .similarity import dot_nm, ivf_build, lsh_bucket_join, norm_nm
 
     if not exact:
         if dim is None:
@@ -911,14 +911,18 @@ def embedding_neardup_pairs(
         .groupBy("bi", "bj")
         .applyInPandas(screen, schema="id_a long, id_b long")
     )
+    dim = int(cent_arr.shape[1])
+    # raw arrays + per-element-cast expansions (structural rule at
+    # similarity.py's helpers): the verify-join shuffles float
+    # vectors, not double copies, and the dot stays in codegen
     v = emb.select(
-        F.col(id_col), _to_double(F.col(vec_col)).alias("_v")
-    ).select(id_col, "_v", norm(F.col("_v")).alias("_n"))
+        F.col(id_col), F.col(vec_col).alias("_e")
+    ).select(id_col, "_e", norm_nm("_e", dim, cast_elements=True).alias("_n"))
     out = (
         cand.join(
             v.select(
                 F.col(id_col).alias("id_a"),
-                F.col("_v").alias("_va"),
+                F.col("_e").alias("_ea"),
                 F.col("_n").alias("_na"),
             ),
             "id_a",
@@ -926,13 +930,17 @@ def embedding_neardup_pairs(
         .join(
             v.select(
                 F.col(id_col).alias("id_b"),
-                F.col("_v").alias("_vb"),
+                F.col("_e").alias("_eb"),
                 F.col("_n").alias("_nb"),
             ),
             "id_b",
         )
     )
-    cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    # static-dim expansion: the verify dot runs in codegen,
+    # bit-identical to the fold (see similarity.dot_nm)
+    cos = dot_nm("_ea", "_eb", dim, cast_elements=True) / (
+        F.col("_na") * F.col("_nb")
+    )
     return (
         out.select("id_a", "id_b", cos.alias("cos"))
         .filter(F.col("cos") >= threshold)

@@ -215,7 +215,7 @@ def pq_topk_rerank(
     distances."""
     import numpy as np
 
-    from .similarity import _to_double, dot
+    from .similarity import _to_double, sq_l2_lit
 
     cand = [
         int(r[id_col])
@@ -224,13 +224,16 @@ def pq_topk_rerank(
         .collect()
     ]
     q = [float(x) for x in np.asarray(query_vec, dtype=float)]
-    qlit = F.array(*[F.lit(x) for x in q])
-    v = _to_double(F.col(vec_col))
-    diff = F.zip_with(v, qlit, lambda a, b: a - b)
-    d2 = dot(diff, diff)
+    # static-dim squared-L2 expansion (bit-identical fold order, but
+    # codegen'd — see similarity.sq_l2_lit); the double vector is
+    # projected to its own column first so the expansion indexes an
+    # attribute, not an inlined transform
+    base = emb.filter(F.col(id_col).isin(cand)).select(
+        F.col(id_col), _to_double(F.col(vec_col)).alias("_v")
+    )
+    d2 = sq_l2_lit("_v", q)
     return (
-        emb.filter(F.col(id_col).isin(cand))
-        .select(F.col(id_col), F.round(d2, 6).alias("d2"))
+        base.select(F.col(id_col), F.round(d2, 6).alias("d2"))
         .orderBy("d2", id_col)
         .limit(k)
     )
@@ -537,7 +540,7 @@ def ivf_pq_topk_rerank(
     the corpus)."""
     import numpy as np
 
-    from .similarity import _to_double, dot
+    from .similarity import _to_double, sq_l2_lit
 
     cand = [
         int(r[id_col])
@@ -547,13 +550,16 @@ def ivf_pq_topk_rerank(
         ).select(id_col).collect()
     ]
     q = [float(x) for x in np.asarray(query_vec, dtype=float)]
-    qlit = F.array(*[F.lit(x) for x in q])
-    v = _to_double(F.col(vec_col))
-    diff = F.zip_with(v, qlit, lambda a, b: a - b)
-    d2 = dot(diff, diff)
+    # static-dim squared-L2 expansion (bit-identical fold order, but
+    # codegen'd — see similarity.sq_l2_lit); the double vector is
+    # projected to its own column first so the expansion indexes an
+    # attribute, not an inlined transform
+    base = emb.filter(F.col(id_col).isin(cand)).select(
+        F.col(id_col), _to_double(F.col(vec_col)).alias("_v")
+    )
+    d2 = sq_l2_lit("_v", q)
     return (
-        emb.filter(F.col(id_col).isin(cand))
-        .select(F.col(id_col), F.round(d2, 6).alias("d2"))
+        base.select(F.col(id_col), F.round(d2, 6).alias("d2"))
         .orderBy("d2", id_col)
         .limit(k)
     )

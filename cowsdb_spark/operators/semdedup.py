@@ -48,7 +48,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import _to_double, dot, norm
+from .similarity import _to_double, dot, dot_nm, norm, norm_nm
+
+
+def _seeds_lit(seeds: list[list[float]]) -> Column:
+    return F.array(
+        *[F.array(*[F.lit(float(x)) for x in s]) for s in seeds]
+    )
 
 
 def seed_vectors(
@@ -68,20 +74,18 @@ def seed_vectors(
     return [list(r["_v"]) for r in rows]
 
 
-def _seeds_lit(seeds: list[list[float]]) -> Column:
-    return F.array(
-        *[F.array(*[F.lit(float(x)) for x in s]) for s in seeds]
-    )
-
-
 def assign_seed_clusters(
     emb: DataFrame,
     k: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     mode: str = "fold",
+    seeds: list[list[float]] | None = None,
 ) -> DataFrame:
-    """(id_col, cluster, _v, _nv): nearest-seed cluster per vector.
+    """(id_col, _e, _v, _nv, _cluster): nearest-seed cluster per
+    vector (fold mode; gemm mode has no ``_e``). ``seeds`` lets the
+    caller reuse an existing ``seed_vectors`` collect instead of
+    re-running it.
 
     ``mode="fold"`` (oracle tier) — map-side only: the per-row plan
     is a transform over the k-seed literal producing (cosine, index)
@@ -101,11 +105,26 @@ def assign_seed_clusters(
     """
     if mode == "gemm":
         return _assign_gemm(emb, k, id_col, vec_col)
-    seeds = seed_vectors(emb, k, id_col, vec_col)
+    if seeds is None:
+        seeds = seed_vectors(emb, k, id_col, vec_col)
+    dim = len(seeds[0])
     lit = _seeds_lit(seeds)
-    base = emb.select(
-        F.col(id_col), _to_double(F.col(vec_col)).alias("_v")
-    ).withColumn("_nv", norm(F.col("_v")))
+    # `_e` (raw float array) rides along so downstream pair stages can
+    # run static-dim expansions off a scan attribute (see the
+    # structural rule at similarity.py's helpers); `_nv` itself is
+    # such an expansion — bit-identical to the `_v` fold.
+    base = (
+        emb.select(F.col(id_col), F.col(vec_col).alias("_e"))
+        .withColumn("_v", _to_double(F.col("_e")))
+        .withColumn("_nv", norm_nm("_e", dim, cast_elements=True))
+    )
+    # NOTE (r9): an unrolled per-seed-cosine projection was prototyped
+    # here and measured SLOWER than this fold (warm noop 1.45 s vs
+    # 0.87 s at sf0.1) on top of a 35x plan-construction cost — the
+    # k·dim-term generated method defeats codegen on this shape. The
+    # assignment is O(n·k·dim) map-side work, an order of magnitude
+    # below the pair stage, so the fold stays; the expansion is
+    # applied where it measured faster (the pair stage below).
     cand = F.transform(
         F.sequence(F.lit(1), F.lit(k)),
         lambda i: F.struct(
@@ -167,6 +186,10 @@ def _gemm_dropped(assigned: DataFrame, tau: float, id_col: str) -> DataFrame:
     O(block²) per task regardless of cluster skew."""
     import numpy as np
     import pandas as pd
+
+    # only these four columns cross the Arrow boundary (the caller's
+    # frame may carry extra lanes, e.g. the raw `_e` array)
+    assigned = assigned.select(id_col, "_cluster", "_v", "_nv")
 
     B = 2048
 
@@ -236,20 +259,33 @@ def semdedup(
     """
     if mode == "auto":
         mode = "fold" if (k <= 32 and clustering == "seeds") else "gemm"
+    dim: int | None = None
     if clustering == "kmeans":
         from .similarity import ivf_build
 
         ivf_assigned, _cents = ivf_build(
             emb, n_centroids=k, id_col=id_col, vec_col=vec_col
         )
+        dim = len(_cents[0]) if _cents else None
+        # both lanes ride along: `_e` for the fold tier's expansion
+        # pair stage, `_v` for the gemm tier's Arrow hop — column
+        # pruning keeps exactly one of them in either physical plan
         assigned = ivf_assigned.select(
             F.col(id_col),
+            F.col("_e"),
             F.col("_v"),
-            norm(F.col("_v")).alias("_nv"),
+            norm_nm("_e", dim, cast_elements=True).alias("_nv"),
             F.col("_cell").cast("int").alias("_cluster"),
         )
     else:
-        assigned = assign_seed_clusters(emb, k, id_col, vec_col, mode=mode)
+        fold_seeds = (
+            seed_vectors(emb, k, id_col, vec_col) if mode == "fold" else None
+        )
+        assigned = assign_seed_clusters(
+            emb, k, id_col, vec_col, mode=mode, seeds=fold_seeds
+        )
+        if fold_seeds is not None:
+            dim = len(fold_seeds[0])
     if mode == "gemm":
         dropped = _gemm_dropped(assigned, tau, id_col)
         return assigned.join(dropped, id_col, "left").select(
@@ -263,16 +299,24 @@ def semdedup(
     a = assigned.select(
         F.col(id_col).alias("_ida"),
         F.col("_cluster").alias("_cl"),
-        F.col("_v").alias("_va"),
+        F.col("_e").alias("_ea"),
         F.col("_nv").alias("_na"),
     )
     b = assigned.select(
         F.col(id_col).alias("_idb"),
         F.col("_cluster").alias("_cl"),
-        F.col("_v").alias("_vb"),
+        F.col("_e").alias("_eb"),
         F.col("_nv").alias("_nb"),
     )
-    cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    # static-dim expansion keeps the O(pairs · dim) similarity
+    # arithmetic — the operator's dominant cost — in whole-stage
+    # codegen, indexed off the RAW arrays (structural rule at
+    # similarity.py's helpers); bit-identical to the `_v` fold, and
+    # the cluster-key shuffle now carries float arrays — half the
+    # bytes per vector
+    cos = dot_nm("_ea", "_eb", dim, cast_elements=True) / (
+        F.col("_na") * F.col("_nb")
+    )
     dropped = (
         a.join(b, "_cl")
         .filter(F.col("_ida") < F.col("_idb"))

@@ -39,6 +39,165 @@ def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+# --- static-dim SQL expansions (r9 optimization) -------------------
+#
+# The fold above is built from higher-order functions
+# (``zip_with``/``aggregate``), which are CodegenFallback expressions:
+# every element costs an interpreted lambda eval plus a zipped-array
+# allocation, and that dominates the dense operators' pair stages
+# (A/B on 249k 64-dim pairs: fold 0.51 s, expansion 0.28 s, 0 bits
+# different). When the static vector length is known, the fold can be
+# unrolled into a codegen'd ``element_at`` sum with the IDENTICAL
+# summation order — ((0.0 + t1) + t2) + ... — so the result is
+# bit-for-bit the fold's; a per-row size guard falls back to the fold
+# for rows of any other length, keeping the expansion an optimization,
+# never a semantic change.
+#
+# The expansions are built as ONE SQL string handed to ``F.expr``:
+# building the same tree out of Column operator calls costs a py4j
+# round trip per node (measured 4 s for 8x64 terms, 55 s for the full
+# semdedup assignment), while string building is native Python and the
+# JVM parses it once.
+#
+# CRITICAL STRUCTURAL RULE — expansions must index RAW SCAN ATTRIBUTES
+# (``cast_elements=True`` casts each element float->double in place,
+# which is bit-identical to indexing the ``_to_double`` transform of
+# the array). Indexing a DERIVED array column (e.g. an alias of
+# ``transform(embedding, cast)``) is a trap: predicate pushdown and
+# InferFiltersFromConstraints inline the alias into every term
+# regardless of CollapseProject's duplication guard — measured on the
+# semdedup pair stage, the inferred ``isnotnull(norm)`` landed above
+# the scan with the transform duplicated into all 128 terms, i.e.
+# O(dim^2) converted-array allocations per scan row (22 s where the
+# fold ran in 4 s).
+
+
+def _dlit(x: float) -> str:
+    """SQL literal reconstructing exactly this double. ``repr`` emits
+    the shortest round-trip decimal; string->double cast parses it
+    correctly rounded, so the bits survive the trip."""
+    import math
+
+    x = float(x)
+    if math.isnan(x):
+        return "cast('NaN' as double)"
+    if math.isinf(x):
+        return f"cast('{'-' if x < 0 else ''}Infinity' as double)"
+    return f"cast('{x!r}' as double)"
+
+
+def _arr_sql(vals: list[float]) -> str:
+    return "array(" + ", ".join(_dlit(v) for v in vals) + ")"
+
+
+def _dot_fold_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def _as_double(a: str, cast_elements: bool) -> str:
+    """The array as double elements, for the fold fallback."""
+    return (
+        f"transform({a}, x -> cast(x as double))" if cast_elements else a
+    )
+
+
+def _elem(a: str, i: int, cast_elements: bool) -> str:
+    """One element as double. ``cast(element_at(a, i) as double)`` is
+    bit-identical to ``element_at(transform(a, cast), i)`` (same
+    float->double widening, which is exact), without materializing the
+    converted array — so raw float arrays can be indexed directly."""
+    e = f"element_at({a}, {i})"
+    return f"cast({e} as double)" if cast_elements else e
+
+
+def dot_nm(
+    a: str, b: str, dim: int | None, cast_elements: bool = False
+) -> Column:
+    """``dot`` of two array columns (given by SQL name/expression),
+    unrolled for static length ``dim`` — bit-identical to the fold
+    (same left-to-right order; guarded fold fallback for other rows).
+    ``dim=None`` (unknown length) degrades to the plain fold.
+    ``cast_elements=True`` operates on raw float arrays (see _elem).
+    """
+    if dim is None:
+        return F.expr(
+            _dot_fold_sql(
+                _as_double(a, cast_elements), _as_double(b, cast_elements)
+            )
+        )
+    terms = "".join(
+        f" + {_elem(a, i, cast_elements)} * {_elem(b, i, cast_elements)}"
+        for i in range(1, dim + 1)
+    )
+    return F.expr(
+        f"CASE WHEN size({a}) = {dim} AND size({b}) = {dim} "
+        f"THEN cast(0.0 as double){terms} "
+        f"ELSE {_dot_fold_sql(_as_double(a, cast_elements), _as_double(b, cast_elements))} END"
+    )
+
+
+def norm_nm(a: str, dim: int | None, cast_elements: bool = False) -> Column:
+    return F.sqrt(dot_nm(a, a, dim, cast_elements))
+
+
+def dot_lit(a: str, vals, cast_elements: bool = False) -> Column:
+    """``dot`` of an array column against a literal vector, unrolled
+    (literals inlined so Catalyst needs no array construct at all) —
+    bit-identical to the fold over ``array(vals)``."""
+    vals = [float(x) for x in vals]
+    dim = len(vals)
+    terms = "".join(
+        f" + {_elem(a, i, cast_elements)} * {_dlit(v)}"
+        for i, v in enumerate(vals, start=1)
+    )
+    return F.expr(
+        f"CASE WHEN size({a}) = {dim} "
+        f"THEN cast(0.0 as double){terms} "
+        f"ELSE {_dot_fold_sql(_as_double(a, cast_elements), _arr_sql(vals))} END"
+    )
+
+
+def sq_l2_lit(a: str, vals, cast_elements: bool = False) -> Column:
+    """Squared L2 distance from an array column to a literal vector,
+    summed left-to-right — the codegen'd expansion of the
+    ``aggregate(zip_with(v, lit, (a,b) -> (a-b)*(a-b)))`` fold, same
+    guarded-fallback discipline (bit-identical results)."""
+    vals = [float(x) for x in vals]
+    dim = len(vals)
+    terms = "".join(
+        f" + ({_elem(a, i, cast_elements)} - {_dlit(v)})"
+        f" * ({_elem(a, i, cast_elements)} - {_dlit(v)})"
+        for i, v in enumerate(vals, start=1)
+    )
+    fold = (
+        f"aggregate(zip_with({_as_double(a, cast_elements)}, {_arr_sql(vals)}, "
+        "(x, y) -> (x - y) * (x - y)), "
+        "cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    return F.expr(
+        f"CASE WHEN size({a}) = {dim} "
+        f"THEN cast(0.0 as double){terms} "
+        f"ELSE {fold} END"
+    )
+
+
+def norm_py(vals) -> float:
+    """Driver-side norm of a literal vector with the fold's exact op
+    sequence (left-to-right += of products, then sqrt) — IEEE binary64
+    ops are correctly rounded in both runtimes, so this equals the
+    constant the JVM fold would produce, bit-for-bit."""
+    import math
+
+    s = 0.0
+    for x in vals:
+        x = float(x)
+        s += x * x
+    return math.sqrt(s)
+
+
 def cosine(a: Column, b: Column) -> Column:
     a, b = _to_double(a), _to_double(b)
     return dot(a, b) / (norm(a) * norm(b))
@@ -58,21 +217,36 @@ def cosine_topk(
     big side is a single pass with no shuffle; ORDER BY+LIMIT plans
     as TakeOrderedAndProject (per-partition heaps, no global sort).
     """
-    q = emb.filter(F.col(id_col) == query_vec_id).select(
-        _to_double(F.col(vec_col)).alias("_qv")
+    # The query row is a bounded 1-row collect (same budget class as
+    # the IVF/seed samples). Shipping it as inlined literals instead
+    # of a 1-row broadcast crossJoin (r9 opt) removes the
+    # BroadcastNestedLoopJoin + its broadcast job from the plan and
+    # makes the vector length static, so the per-row dot runs through
+    # the codegen'd expansion. The arithmetic — and thus every sim —
+    # is term-for-term the fold's (query norm: see norm_py).
+    qrows = (
+        emb.filter(F.col(id_col) == query_vec_id)
+        .select(_to_double(F.col(vec_col)).alias("_qv"))
+        .head(1)
     )
-    # per-row norms materialize BEFORE the pairing so the per-pair
-    # work is a single dot; cosine() inline would re-run three
-    # aggregates (dot + both norms) per candidate
     big = emb.filter(F.col(id_col) != query_vec_id).select(
-        F.col(id_col), _to_double(F.col(vec_col)).alias("_v")
-    ).select(id_col, "_v", norm(F.col("_v")).alias("_n"))
-    sim = dot(F.col("_v"), F.col("_qv")) / (F.col("_n") * norm(F.col("_qv")))
+        F.col(id_col), F.col(vec_col).alias("_e")
+    )
+    if not qrows:  # unknown query id -> empty result, as before
+        return big.select(
+            F.col(id_col), F.lit(None).cast("double").alias("sim")
+        ).filter(F.lit(False))
+    qv = [float(x) for x in qrows[0]["_qv"]]
+    dim = len(qv)
+    # one codegen'd projection straight off the raw scan attribute
+    # (cast_elements: see the structural rule at the helpers)
+    sim = dot_lit("_e", qv, cast_elements=True) / (
+        norm_nm("_e", dim, cast_elements=True) * F.lit(norm_py(qv))
+    )
     if round_to is not None:
         sim = F.round(sim, round_to)
     return (
-        big.crossJoin(F.broadcast(q))
-        .select(F.col(id_col), sim.alias("sim"))
+        big.select(F.col(id_col), sim.alias("sim"))
         .orderBy(F.desc("sim"), id_col)
         .limit(k)
     )
@@ -88,13 +262,33 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
 
 def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-of-projection bit signature as a compact string key."""
-    return lsh_signature_of_double(_to_double(vec), planes)
+    bits = [
+        F.when(
+            dot(
+                _to_double(vec),
+                F.array(*[F.lit(float(w)) for w in plane]),
+            )
+            >= 0,
+            "1",
+        )
+        .otherwise("0")
+        for plane in planes
+    ]
+    return F.concat(*bits)
 
 
 def lsh_signature_of_double(vec: Column, planes: list[list[float]]) -> Column:
-    """Signature from an already-double (ideally materialized) vector."""
+    """Signature from an already-double (ideally materialized) vector.
+
+    NOTE (r9): a per-plane static-dim expansion was measured here and
+    REJECTED — n_planes × dim terms is the same O(k·dim)-node
+    Catalyst-analysis blowup as the IVF assignment expansion (x12
+    1.5 s -> 2.4 s at sf0.1); the fold keeps the tree small and the
+    signature is computed once per row, not per pair."""
     bits = [
-        F.when(dot(vec, F.array(*[F.lit(float(w)) for w in plane])) >= 0, "1")
+        F.when(
+            dot(vec, F.array(*[F.lit(float(w)) for w in plane])) >= 0, "1"
+        )
         .otherwise("0")
         for plane in planes
     ]
@@ -117,30 +311,38 @@ def lsh_bucket_join(
     (the equi-join key), never forms the full cross product.
     """
     planes = random_hyperplanes(dim, n_planes, seed)
-    # staged projections: double vector once, then signature + norm
-    # from the materialized column — per-pair cost is one dot product
-    sig = emb.select(
-        F.col(id_col), _to_double(F.col(vec_col)).alias("_v")
-    ).select(
-        id_col,
-        "_v",
-        norm(F.col("_v")).alias("_n"),
-        lsh_signature_of_double(F.col("_v"), planes).alias("_bucket"),
+    # signature from the materialized double vector (fold — see note
+    # on lsh_signature_of_double); norm as a codegen'd expansion off
+    # the raw array. Only (_e, _n, _bucket) survive into the shuffle,
+    # so the exchange carries the float array, not a double copy —
+    # half the bytes per vector.
+    sig = (
+        emb.select(F.col(id_col), F.col(vec_col).alias("_e"))
+        .withColumn("_v", _to_double(F.col("_e")))
+        .select(
+            id_col,
+            "_e",
+            norm_nm("_e", dim, cast_elements=True).alias("_n"),
+            lsh_signature_of_double(F.col("_v"), planes).alias("_bucket"),
+        )
     )
     a = sig.select(
         F.col("_bucket"),
         F.col(id_col).alias("id_a"),
-        F.col("_v").alias("_va"),
+        F.col("_e").alias("_ea"),
         F.col("_n").alias("_na"),
     )
     b = sig.select(
         F.col("_bucket"),
         F.col(id_col).alias("id_b"),
-        F.col("_v").alias("_vb"),
+        F.col("_e").alias("_eb"),
         F.col("_n").alias("_nb"),
     )
     pairs = a.join(b, on="_bucket").filter(F.col("id_a") < F.col("id_b"))
-    sim = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    # static-dim expansion: pair similarity stays in codegen
+    sim = dot_nm("_ea", "_eb", dim, cast_elements=True) / (
+        F.col("_na") * F.col("_nb")
+    )
     return (
         pairs.select("id_a", "id_b", F.round(sim, 6).alias("sim"))
         .filter(F.col("sim") >= min_sim)
@@ -175,7 +377,10 @@ def ivf_build(
     """
     import numpy as np
 
-    vecs = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("_v"))
+    raw = emb.select(F.col(id_col), F.col(vec_col).alias("_e"))
+    vecs = raw.select(
+        F.col(id_col), F.col("_e"), _to_double(F.col("_e")).alias("_v")
+    )
 
     # deterministic SPREAD sample (ADVICE r8 + r9 fix): orderBy+limit
     # is a TakeOrderedAndProject (per-partition top-n then a bounded
@@ -208,6 +413,14 @@ def ivf_build(
     # argmin over the (batch, k) matrix), still a narrow map with no
     # shuffle and no driver involvement.
     if len(centroids) * len(centroids[0]) <= 2048:
+        # NOTE (r9): a per-centroid static-dim expansion was measured
+        # here and REJECTED — k centroids × dim terms is an
+        # O(k·dim)-node Catalyst tree whose analysis/optimization cost
+        # (paid per query, and doubled by constraint-inferred copies
+        # of the argmin) exceeded the fold's interpreted per-row cost
+        # at bench scale (x18 1.2 s -> 1.9 s, t19 2.3 s -> 7.5 s).
+        # The fold keeps the tree O(k) nodes; corpus-scale configs
+        # take the GEMM tier below anyway.
         dists = [
             F.aggregate(
                 F.zip_with(
@@ -242,8 +455,15 @@ def ivf_build(
             )
             return pd.Series(d2.argmin(axis=1).astype(np.int32))
 
-        cell = _assign(F.col("_v"))
-    assigned = vecs.select(id_col, "_v", cell.alias("_cell"))
+        # raw float arrays over the Arrow boundary — half the bytes;
+        # numpy widens float32 -> float64 exactly, so d2/argmin are
+        # unchanged bit-for-bit
+        cell = _assign(F.col("_e"))
+    # `_e` (raw) rides along for downstream static-dim expansions;
+    # `_v` stays the double array every pre-existing consumer (folds,
+    # residual encoders, stores) reads — column pruning drops
+    # whichever one a plan does not use.
+    assigned = vecs.select(id_col, "_e", "_v", cell.alias("_cell"))
     return assigned, [list(c) for c in centroids]
 
 
@@ -325,8 +545,14 @@ def ivf_topk(
     probe = [int(i) for i in np.argsort(d2)[:nprobe]]
 
     qn = float(np.sqrt((q * q).sum()))
-    qcol = F.array(*[F.lit(float(x)) for x in q])
-    sim = dot(F.col("_v"), qcol) / (norm(F.col("_v")) * F.lit(qn))
+    # static-dim expansion (len(q)): scan-side dot in codegen. Use the
+    # raw `_e` when the frame carries it (in-plan ivf_build output) so
+    # the terms index a scan attribute; a store read back from parquet
+    # has `_v` as a genuine attribute, equally safe.
+    vcol, cast = ("_e", True) if "_e" in assigned.columns else ("_v", False)
+    sim = dot_lit(vcol, [float(x) for x in q], cast_elements=cast) / (
+        norm_nm(vcol, len(q), cast_elements=cast) * F.lit(qn)
+    )
     if round_to is not None:
         sim = F.round(sim, round_to)
     return (

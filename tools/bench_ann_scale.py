@@ -128,7 +128,12 @@ def main() -> None:
     )
     ivf_dir = os.path.join("/tmp", f"moospark-ivf-{os.getpid()}")
     shutil.rmtree(ivf_dir, ignore_errors=True)
-    assigned.write.partitionBy("_cell").mode("overwrite").parquet(ivf_dir)
+    # store the double `_v` lane only (the raw `_e` passthrough is an
+    # in-plan optimization column; persisting both would double the
+    # inverted-file footprint)
+    assigned.select("vec_id", "_v", "_cell").write.partitionBy(
+        "_cell"
+    ).mode("overwrite").parquet(ivf_dir)
     build_s = round(time.perf_counter() - t0, 1)
     out["ivf_build_and_layout_s"] = build_s
     inv = spark.read.parquet(ivf_dir)
