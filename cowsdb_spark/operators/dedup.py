@@ -694,9 +694,28 @@ def char_ngrams(text: Column, n: int = 3) -> Column:
 
 
 def char_ngrams_of_norm(norm: Column, n: int) -> Column:
-    ln = F.length(norm)
+    return char_ngrams_of_chars(F.split(norm, ""), F.length(norm), n)
+
+
+def char_ngrams_of_chars(ch: Column, ln: Column, n: int) -> Column:
+    """Distinct n-grams from a char array (``split(norm, '')``) and
+    the string length. r9: building each gram from n O(1) element_at
+    lookups replaces per-gram substring(norm, i, n), which seeks
+    codepoint i by rescanning the string's bytes (O(len²) per doc).
+    Pass ``ch`` as a MATERIALIZED attribute on hot paths (the usual
+    higher-order-function inlining caveat). concat_ws skips the NULL
+    lookups past the end, which reproduces substring's truncation for
+    the short-tail grams (len < n edge); output grams are identical
+    to the substring form (tested)."""
     idx = F.sequence(F.lit(1), F.greatest(ln - n + 1, F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: F.substring(norm, i, n)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                "", *[F.element_at(ch, i + F.lit(j)) for j in range(n)]
+            ),
+        )
+    )
 
 
 def ngram_jaccard_pairs(
@@ -712,9 +731,20 @@ def ngram_jaccard_pairs(
     to the docs — both joins are hash joins on the id; the n-gram
     sets are computed on the joined rows only, never globally.
     """
-    g = docs.select(
-        F.col(id_col), normalized(F.col(text_col)).alias("_norm")
-    ).select(id_col, char_ngrams_of_norm(F.col("_norm"), n).alias("_g"))
+    g = (
+        docs.select(
+            F.col(id_col), normalized(F.col(text_col)).alias("_norm")
+        )
+        .select(
+            F.col(id_col),
+            F.split("_norm", "").alias("_ch"),
+            F.length("_norm").alias("_ln"),
+        )
+        .select(
+            id_col,
+            char_ngrams_of_chars(F.col("_ch"), F.col("_ln"), n).alias("_g"),
+        )
+    )
     out = (
         pairs.join(g.withColumnRenamed(id_col, "id_a").withColumnRenamed("_g", "_ga"), "id_a")
         .join(g.withColumnRenamed(id_col, "id_b").withColumnRenamed("_g", "_gb"), "id_b")

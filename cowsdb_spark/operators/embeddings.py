@@ -54,11 +54,20 @@ def hashed_embedding(
     if dim < 1:
         raise ValueError("hashed_embedding: dim must be >= 1")
     tok = F.explode(F.split(F.col(text_col), " ")).alias("_tok")
+    # r9: two-level aggregate — (id, token) occurrence counts first,
+    # then bucket-hash each DISTINCT (id, token) once and sum the
+    # weights. The bucket hash (md5 in the oracle lane) previously ran
+    # per token OCCURRENCE; counts are identical by the distributive
+    # law, and both exchanges carry partially-aggregated narrow rows.
     counts = (
         docs.select(F.col(id_col), tok)
         .filter(F.col("_tok") != "")
-        .groupBy(id_col, _bucket(F.col("_tok"), dim, hash_fn).cast("int").alias("_b"))
-        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col, "_tok")
+        .agg(F.count(F.lit(1)).alias("_c0"))
+        .groupBy(
+            id_col, _bucket(F.col("_tok"), dim, hash_fn).cast("int").alias("_b")
+        )
+        .agg(F.sum("_c0").alias("_c"))
     )
     assembled = counts.groupBy(id_col).agg(
         F.map_from_arrays(F.collect_list("_b"), F.collect_list("_c")).alias("_m")

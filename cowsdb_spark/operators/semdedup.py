@@ -45,16 +45,10 @@ Spark-first / 100 TB design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import _to_double, dot, dot_nm, norm, norm_nm
-
-
-def _seeds_lit(seeds: list[list[float]]) -> Column:
-    return F.array(
-        *[F.array(*[F.lit(float(x)) for x in s]) for s in seeds]
-    )
+from .similarity import _to_double, dot_nm, norm_nm
 
 
 def seed_vectors(
@@ -108,14 +102,13 @@ def assign_seed_clusters(
     if seeds is None:
         seeds = seed_vectors(emb, k, id_col, vec_col)
     dim = len(seeds[0])
-    lit = _seeds_lit(seeds)
     # `_e` (raw float array) rides along so downstream pair stages can
     # run static-dim expansions off a scan attribute (see the
     # structural rule at similarity.py's helpers); `_nv` itself is
     # such an expansion — bit-identical to the `_v` fold.
     base = (
         emb.select(F.col(id_col), F.col(vec_col).alias("_e"))
-        .withColumn("_v", _to_double(F.col("_e")))
+        .withColumn("_v", F.expr("transform(_e, x -> cast(x as double))"))
         .withColumn("_nv", norm_nm("_e", dim, cast_elements=True))
     )
     # NOTE (r9): an unrolled per-seed-cosine projection was prototyped
@@ -125,22 +118,31 @@ def assign_seed_clusters(
     # assignment is O(n·k·dim) map-side work, an order of magnitude
     # below the pair stage, so the fold stays; the expansion is
     # applied where it measured faster (the pair stage below).
-    cand = F.transform(
-        F.sequence(F.lit(1), F.lit(k)),
-        lambda i: F.struct(
-            (
-                dot(F.col("_v"), F.element_at(lit, i))
-                / (F.col("_nv") * norm(F.element_at(lit, i)))
-            ).alias("c"),
-            (i - F.lit(1)).alias("i"),
-        ),
+    #
+    # r9 build-cost fix: the fold is ONE SQL string (py4j charged per
+    # Column-op node; the k×dim literal array alone was ~520 round
+    # trips ≈ 0.4 s per query build), and the per-seed norms are
+    # precomputed driver-side with the fold's exact op sequence
+    # (norm_py — correctly-rounded IEEE, identical bits) instead of
+    # re-folding sqrt(dot(seed,seed)) per ROW inside the lambda,
+    # which interpreted k×dim extra element ops per row.
+    from .similarity import _arr_sql, norm_py
+
+    seeds_sql = "array(" + ", ".join(_arr_sql(s) for s in seeds) + ")"
+    snorms_sql = _arr_sql([norm_py(s) for s in seeds])
+    cand = (
+        f"transform(sequence(1, {k}), i -> named_struct("
+        "'c', aggregate(zip_with(_v, element_at("
+        f"{seeds_sql}, i), (x, y) -> x * y), "
+        "cast(0.0 as double), (acc, v) -> acc + v) "
+        f"/ (_nv * element_at({snorms_sql}, i)), "
+        "'i', i - 1))"
     )
-    best = F.aggregate(
-        F.slice(cand, 2, k - 1),
-        F.element_at(cand, 1),
-        lambda acc, x: F.when(x["c"] > acc["c"], x).otherwise(acc),
+    best = (
+        f"aggregate(slice({cand}, 2, {k - 1}), element_at({cand}, 1), "
+        "(acc, x) -> CASE WHEN x.c > acc.c THEN x ELSE acc END)"
     )
-    return base.withColumn("_cluster", best["i"].cast("int"))
+    return base.withColumn("_cluster", F.expr(f"cast(({best}).i as int)"))
 
 
 def _assign_gemm(
@@ -286,7 +288,16 @@ def semdedup(
         )
         if fold_seeds is not None:
             dim = len(fold_seeds[0])
+    # r9: materialize the assignment ONCE (lazy localCheckpoint, the
+    # dedup.py:328 pattern) — without it the scan→assignment pipeline
+    # re-executes per consumer: both sides of the pair self-join plus
+    # the final re-attach join, i.e. 3× the assignment cost (measured
+    # 3.9→1.3 s at sf0.1, identical rows). Columns are pruned per
+    # mode BEFORE the checkpoint so only one vector lane materializes.
     if mode == "gemm":
+        assigned = assigned.select(
+            id_col, "_cluster", "_v", "_nv"
+        ).localCheckpoint(eager=False)
         dropped = _gemm_dropped(assigned, tau, id_col)
         return assigned.join(dropped, id_col, "left").select(
             F.col(id_col),
@@ -296,6 +307,9 @@ def semdedup(
             .cast("int")
             .alias("is_kept"),
         )
+    assigned = assigned.select(
+        id_col, "_cluster", "_e", "_nv"
+    ).localCheckpoint(eager=False)
     a = assigned.select(
         F.col(id_col).alias("_ida"),
         F.col("_cluster").alias("_cl"),

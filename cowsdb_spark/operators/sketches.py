@@ -299,6 +299,7 @@ def cms_presketch(
     width: int = 1024,
     depth: int = 4,
     hash_fn: str = "xxhash64",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """One count-min grid per fine group, flattened row-major:
     (group_cols..., cms array<long> of depth*width counters; counter
@@ -309,6 +310,13 @@ def cms_presketch(
     ``depth`` counter indices, ONE map-side-combinable count
     aggregate keyed (group, index) — the exchange carries at most
     groups x depth x width rows — then a tiny per-group reassembly.
+
+    ``weight_col`` (r9): each row adds its weight instead of 1 — so a
+    caller can pre-aggregate occurrences to (group, value, count) and
+    hash each DISTINCT value ``depth`` times instead of every
+    occurrence (identical grids by the distributive law; the hash —
+    the expensive part in the md5 oracle lane — then costs
+    O(distinct), not O(rows)).
     """
     if width < 1 or depth < 1:
         raise ValueError("cms_presketch: width and depth must be >= 1")
@@ -319,11 +327,12 @@ def cms_presketch(
             for j in range(depth)
         ]
     )
+    w = F.lit(1).cast("long") if weight_col is None else F.col(weight_col)
     counts = (
         df.filter(v.isNotNull())
-        .select(*group_cols, F.explode(idxs).alias("_b"))
+        .select(*group_cols, w.alias("_w"), F.explode(idxs).alias("_b"))
         .groupBy(*group_cols, "_b")
-        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(F.sum("_w").alias("_c"))
     )
     assembled = counts.groupBy(*group_cols).agg(
         F.map_from_arrays(

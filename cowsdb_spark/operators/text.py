@@ -228,15 +228,29 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
             F.regexp_replace(F.lower(t), r"[^\p{L} ]", " "), " +", " "
         )
     )
-    d = docs.select(F.col(id_col), t.alias("_t"), norm.alias("_norm"))
-    grams = d.select(
+    cjk = F.length(F.regexp_replace(t, r"[^一-鿿]", ""))
+    # r9: `_zh` (one boolean) replaces carrying the raw text through
+    # the scores join — the re-attach exchange/sort now moves
+    # (id, bool) instead of document bodies (guide §2.3: shuffle
+    # keys/flags, not payloads).
+    d = docs.select(F.col(id_col), (cjk > 0).alias("_zh"))
+    # r9: split the normalized text into its char array ONCE and build
+    # each trigram from three O(1) element_at lookups — the previous
+    # per-gram substring(_norm, i, 3) re-scans the string's bytes to
+    # find codepoint i every call (UTF8String seeks are O(i)), i.e.
+    # O(len²) byte work per doc. Output grams are identical
+    # (plan-diffed to 0 rows; extraction stage 1.73→1.22 s at sf0.1).
+    grams = docs.select(
+        F.col(id_col), F.split(norm, "").alias("_ch")
+    ).select(
         F.col(id_col),
         F.explode(
             F.when(
-                F.length("_norm") >= 3,
+                F.size("_ch") >= 3,
                 F.expr(
-                    "transform(sequence(1, length(_norm) - 2), "
-                    "i -> substring(_norm, i, 3))"
+                    "transform(sequence(1, size(_ch) - 2), "
+                    "i -> concat(element_at(_ch, i), "
+                    "element_at(_ch, i + 1), element_at(_ch, i + 2)))"
                 ),
             ).otherwise(F.array().cast("array<string>"))
         ).alias("gram"),
@@ -253,7 +267,6 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
             ]
         )
     )
-    cjk = F.length(F.regexp_replace(F.col("_t"), r"[^一-鿿]", ""))
     # vocab x lang is a complete cross, so one matched gram fills all
     # language scores; null score means zero matches -> 'und'
     s = {lang: F.col(f"_s_{lang}") for lang in LANGS}
@@ -267,7 +280,7 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
             cond = ge if cond is None else (cond & ge)
         argmax = F.when(cond, lang).otherwise(argmax)
     pred = (
-        F.when(cjk > 0, "zh")
+        F.when(F.col("_zh"), "zh")
         .when(s[LANGS[0]].isNull(), "und")
         .otherwise(argmax)
     )
@@ -871,6 +884,7 @@ def dup_ngram_coverage(
     n: int = 6,
     min_docs: int = 2,
     key: str = "text",
+    spine=None,
 ) -> DataFrame:
     """Cross-document duplicated n-gram coverage — the corpus-level
     counterpart of ``repetition_ratio``'s within-document signal and
@@ -911,9 +925,14 @@ def dup_ngram_coverage(
     collision misclassifies one gram in ~2^64.
 
     Returns (id, n_grams, n_dup_grams, dup_gram_frac, dup_token_frac)
-    for every document with at least one n-gram.
+    for every document with at least one n-gram. ``spine`` lets a
+    caller that also runs the scrub lane pass one shared
+    ``_dup_gram_hits`` result (ideally with ``hits``
+    localCheckpoint'ed) so the gram pipeline executes once.
     """
-    toks, grams, hits = _dup_gram_hits(docs, id_col, text_col, n, min_docs, key)
+    toks, grams, hits = spine or _dup_gram_hits(
+        docs, id_col, text_col, n, min_docs, key
+    )
     total = F.size("_t") - F.lit(n - 1)
     # n_grams/_ntok are closed-form per doc — no explode, no shuffle
     per_doc_grams = toks.filter(total > 0).select(
@@ -921,14 +940,20 @@ def dup_ngram_coverage(
         total.cast("long").alias("n_grams"),
         F.size("_t").alias("_ntok"),
     )
-    dup_counts = hits.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_dup_grams"))
+    # r9: ONE groupBy carries both per-doc lanes (hit count + sorted
+    # position set) — previously two aggregates over `hits` meant two
+    # exchanges, two joins, and two evaluations of the gram-probe
+    # subtree feeding them.
     ps = F.array_sort(F.collect_set("_pos"))
-    covered = (
-        hits.select(F.col(id_col), "_pos")
-        .groupBy(id_col)
-        .agg(ps.alias("_ps"))
+    dup_stats = (
+        hits.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_grams"),
+            ps.alias("_ps"),
+        )
         .select(
             F.col(id_col),
+            F.col("n_dup_grams"),
             F.aggregate(
                 F.transform(
                     F.col("_ps"),
@@ -949,8 +974,7 @@ def dup_ngram_coverage(
         )
     )
     return (
-        per_doc_grams.join(dup_counts, id_col, "left")
-        .join(covered, id_col, "left")
+        per_doc_grams.join(dup_stats, id_col, "left")
         .select(
             F.col(id_col),
             F.col("n_grams"),
@@ -973,6 +997,7 @@ def scrub_dup_spans(
     n: int = 6,
     min_docs: int = 2,
     key: str = "text",
+    spine=None,
 ) -> DataFrame:
     """REMOVE every token covered by a cross-document duplicated
     n-gram — the rewrite counterpart of ``dup_ngram_coverage``'s
@@ -996,8 +1021,13 @@ def scrub_dup_spans(
     Returns (id, n_tokens, n_removed_tokens, scrubbed) for every doc
     with at least one n-gram; docs with no duplicated gram come back
     unchanged (n_removed_tokens = 0).
+
+    ``spine``: see ``dup_ngram_coverage`` — one shared
+    ``_dup_gram_hits`` result for callers running both lanes.
     """
-    toks, grams, hits = _dup_gram_hits(docs, id_col, text_col, n, min_docs, key)
+    toks, grams, hits = spine or _dup_gram_hits(
+        docs, id_col, text_col, n, min_docs, key
+    )
     # posexplode positions are 0-based; the interval math below is
     # 1-based (token positions 1..T)
     ps_f = hits.groupBy(id_col).agg(

@@ -1687,7 +1687,12 @@ def t54(spark, sf_dir):
     v = d.select(
         "lang", F.size(F.split("text", " ")).cast("double").alias("ntok")
     )
-    fine = hist_presketch(v, ["lang"], "ntok", 0.0, 128.0, bins=16)
+    # r9: the fine sketches feed both the rollup and the output row —
+    # materialize them once (they are groups × bins longs, tiny)
+    # instead of re-running the corpus aggregate per consumer.
+    fine = hist_presketch(v, ["lang"], "ntok", 0.0, 128.0, bins=16).localCheckpoint(
+        eager=False
+    )
     as_str = lambda c: F.array_join(  # noqa: E731
         F.transform(c, lambda x: x.cast("string")), ","
     )
@@ -1739,7 +1744,21 @@ def t55(spark, sf_dir):
     toks = d.select(
         "lang", F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.col("tok") != "")
-    sk = cms_presketch(toks, ["lang"], "tok", width=32, depth=4, hash_fn="md5")
+    # r9: ONE (lang, tok, count) aggregate is the spine for all four
+    # consumers (sketch, digest, probes, exact counts) — previously
+    # each re-scanned and re-exploded the corpus, and the md5 bucket
+    # hash ran 4× per token OCCURRENCE; with the weighted presketch it
+    # runs 4× per DISTINCT (lang, tok). Grids/counts are identical by
+    # the distributive law (exact integer sums).
+    tc = (
+        toks.groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=False)
+    )
+    sk = cms_presketch(
+        tc, ["lang"], "tok", width=32, depth=4, hash_fn="md5",
+        weight_col="_c",
+    )
     tot = cms_rollup(sk, [])
     dig = tot.select(
         F.md5(
@@ -1748,11 +1767,13 @@ def t55(spark, sf_dir):
             ).cast("binary")
         ).alias("cms_digest")
     )
-    probes = toks.select("tok").distinct().orderBy("tok").limit(8)
+    probes = tc.select("tok").distinct().orderBy("tok").limit(8)
     est = cms_estimate(tot, probes, "tok", width=32, depth=4, hash_fn="md5")
-    exact = toks.join(F.broadcast(probes), "tok", "left_semi").groupBy(
-        "tok"
-    ).agg(F.count(F.lit(1)).alias("exact_cnt"))
+    exact = (
+        tc.join(F.broadcast(probes), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.sum("_c").alias("exact_cnt"))
+    )
     return (
         est.join(exact, "tok")
         .crossJoin(F.broadcast(dig))
@@ -1796,7 +1817,12 @@ def t56(spark, sf_dir):
     from .operators.embeddings import hashed_embedding
 
     d = _t(spark, sf_dir, "documents")
-    emb = hashed_embedding(d, dim=16, hash_fn="md5", normalize=False)
+    # r9: the embedding table feeds both the 1-row "first doc" fetch
+    # and the full digest/cosine scan — materialize it once (n_docs ×
+    # 16 longs) instead of running the hash-count aggregate twice.
+    emb = hashed_embedding(d, dim=16, hash_fn="md5", normalize=False).localCheckpoint(
+        eager=False
+    )
     first = emb.orderBy("doc_id").limit(1).select(
         F.col("embedding").alias("_f")
     )
@@ -2224,11 +2250,22 @@ def t30(spark, sf_dir):
     "md5(scrubbed), the t06 digest-lane construction.",
 )
 def t31(spark, sf_dir):
-    from .operators.text import dup_ngram_coverage, scrub_dup_spans
+    from .operators.text import (
+        _dup_gram_hits,
+        dup_ngram_coverage,
+        scrub_dup_spans,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    cov = dup_ngram_coverage(d, n=6, min_docs=2)
-    scr = scrub_dup_spans(d, n=6, min_docs=2).select(
+    # r9: one gram spine for both lanes — the (id, pos) hit rows are
+    # materialized once (lazy localCheckpoint) instead of the full
+    # tokenize → explode → dup-set → probe pipeline executing
+    # separately under the flag AND the scrub lane (AQE exchange
+    # reuse only covered the dup-set aggregate, not the probe side).
+    toks, grams, hits = _dup_gram_hits(d, "doc_id", "text", 6, 2, "text")
+    spine = (toks, grams, hits.localCheckpoint(eager=False))
+    cov = dup_ngram_coverage(d, n=6, min_docs=2, spine=spine)
+    scr = scrub_dup_spans(d, n=6, min_docs=2, spine=spine).select(
         "doc_id",
         "n_removed_tokens",
         F.md5(F.col("scrubbed").cast("binary")).alias("scrub_md5"),
