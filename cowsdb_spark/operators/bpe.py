@@ -107,7 +107,12 @@ def train_bpe(
     vocab = (
         word_freq(docs, text_col)
         .select(F.expr(_SYMS0).alias("syms"), F.col("freq"))
-        .localCheckpoint()
+        # eager=False (r9): the next pair-count collect materializes
+        # the checkpoint as part of its own job — one job per
+        # iteration instead of two. Lineage is truncated at plan
+        # creation either way, so the anti-exponential-growth
+        # guarantee is unchanged.
+        .localCheckpoint(eager=False)
     )
     merges: list[tuple] = []
     for rank in range(1, n_merges + 1):
@@ -127,7 +132,7 @@ def train_bpe(
         if rank < n_merges:
             vocab = vocab.select(
                 F.expr(_merge_fold_sql(l, r)).alias("syms"), "freq"
-            ).localCheckpoint()
+            ).localCheckpoint(eager=False)
     return local_df(
         spark,
         merges,

@@ -325,7 +325,10 @@ def minhash_lsh_pairs(
     # r6 / VERDICT r7 #2 — same fix as cand_ids/ids_needed below);
     # checkpoint blocks are freed by the ContextCleaner once the plan
     # is GC'd (the session runs periodicGC=45s).
-    sig = sig.localCheckpoint(eager=True)
+    # eager=False (r9): the first consumer's job materializes the
+    # checkpoint; every later consumer reads the same blocks — one
+    # fewer full job per call, identical reuse semantics.
+    sig = sig.localCheckpoint(eager=False)
     banded = banded_keys(sig, id_col, n_hashes, bands)
     # Candidate generation: ONE shuffle of the slim (band, bucket-hash,
     # id) rows into per-bucket groups, then in-bucket pair expansion
@@ -388,7 +391,9 @@ def minhash_lsh_pairs(
     # call would leak a cached table (ADVICE r6). Checkpoint blocks are
     # instead released by the ContextCleaner once the plan is GC'd (the
     # session runs periodicGC=45s), giving scoped cleanup for free.
-    cand_ids = cand_ids.localCheckpoint(eager=True)
+    # eager=False (r9): the count below materializes the checkpoint in
+    # its own job.
+    cand_ids = cand_ids.localCheckpoint(eager=False)
     # Cheap adversarial pre-gate on the (materialized) pair count before
     # paying the explode+distinct shuffle for the id list: distinct
     # ids <= 2x pairs, so pairs <= 50M guarantees ids fit the tiers
@@ -398,7 +403,7 @@ def minhash_lsh_pairs(
         ids_needed = (
             cand_ids.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n_ids = ids_needed.count()
         if n_ids <= 8_000_000:
@@ -466,7 +471,7 @@ def minhash_lsh_pairs_incremental(
     """
     new_sig = minhash_signature_table(
         new_docs, id_col, text_col, n_hashes, shingle_k, hash_fn
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     banded_new = banded_keys(new_sig, id_col, n_hashes, bands)
     banded_seen = (
@@ -510,7 +515,8 @@ def minhash_lsh_pairs_incremental(
     cand_ids = (
         cross.unionByName(new_new)
         .dropDuplicates(["id_a", "id_b"])
-        .localCheckpoint(eager=True)
+        # eager=False (r9): the guard aggregate below materializes it
+        .localCheckpoint(eager=False)
     )
     # Disjointness guard (ADVICE r8): an increment id already present
     # in the store would duplicate rows in sig_all below, silently
@@ -521,7 +527,16 @@ def minhash_lsh_pairs_incremental(
     # checkpointed candidate frame. (Same id with DIFFERENT text can
     # evade this cheap check when no band agrees; the docstring
     # contract still requires disjoint ids.)
-    n_self = cand_ids.filter(F.col("id_a") == F.col("id_b")).count()
+    # r9: one aggregate job carries both guard scalars (total
+    # candidates + self-collisions) instead of two passes over the
+    # checkpointed frame.
+    _g = cand_ids.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.coalesce(
+            F.sum((F.col("id_a") == F.col("id_b")).cast("long")), F.lit(0)
+        ).alias("_nself"),
+    ).head()
+    n_cand, n_self = int(_g["_n"]), int(_g["_nself"])
     if n_self:
         raise ValueError(
             "minhash_lsh_pairs_incremental: increment ids overlap the "
@@ -535,11 +550,11 @@ def minhash_lsh_pairs_incremental(
     # blow the driver. Counts are O(1) scalars on frames that must
     # materialize anyway.
     sig_all = new_sig.unionByName(seen_sigs.select(id_col, "_sig"))
-    if cand_ids.count() <= 200_000_000:
+    if n_cand <= 200_000_000:
         ids_needed = (
             cand_ids.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n_ids = ids_needed.count()
         if n_ids <= 8_000_000:

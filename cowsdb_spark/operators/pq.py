@@ -295,6 +295,15 @@ def ivf_pq_build(
     )
     cents = np.asarray(centroids, dtype=np.float64)
 
+    # r9: the coarse assignment feeds BOTH the codebook sample collect
+    # and the encode pass below — materialize the three columns they
+    # read once (lazy localCheckpoint) instead of running the full
+    # assignment pipeline twice. In production the analogous artifact
+    # is the persisted assignment/codes table.
+    assigned = assigned.select(id_col, "_v", "_cell").localCheckpoint(
+        eager=False
+    )
+
     # residual codebook: bounded DETERMINISTIC SPREAD sample of
     # (vector, cell) pairs — orderBy+limit is a TakeOrderedAndProject
     # (per-partition top-n, then a driver merge of train_sample rows),

@@ -336,7 +336,15 @@ def tf_idf(
     toks = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     ).filter(F.col("term") != "")
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # r9: tf feeds both the document-frequency aggregate and the score
+    # join — materialize it once (the standard tf-table checkpoint)
+    # instead of re-running the token explode + (doc, term) aggregate
+    # per consumer.
+    tf = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(df_, "term").crossJoin(F.broadcast(ndf)).select(
         id_col,
@@ -821,7 +829,17 @@ def fuzzy_contamination(
         )
 
     tr_g = grams(docs, id_col)
-    na = tr_g.groupBy(id_col).agg(F.count(F.lit(1)).alias("_na"))
+    # r9: the per-doc set size is size(shingle array) in a map-side
+    # projection — the previous explode → groupBy(doc) pass re-ran the
+    # whole corpus gram pipeline a second time AND exchanged the
+    # partial counts. The shingle lambda is the SOLE consumer of its
+    # projection here, so the re-inlining trap above doesn't apply;
+    # shingles are never empty (short docs yield one truncated gram),
+    # so the per-doc row set is identical to the exploded count's.
+    na = _tokens_of(docs, id_col, text_col).select(
+        F.col(id_col),
+        F.size(shingles_of_tokens(F.col("_toks"), n)).cast("long").alias("_na"),
+    )
     ev_g = grams(eval_docs, "_ev_id")
     ev_n = ev_g.groupBy("_ev_id").agg(F.count(F.lit(1)).alias("_nb"))
     ev_side = ev_g.join(ev_n, "_ev_id")  # eval side is small; stays broadcast

@@ -2789,8 +2789,13 @@ def t46(spark, sf_dir):
     seen = d.filter(F.col("doc_id") % 3 == 0)
     survivors = cross_corpus_new(new, seen).orderBy("doc_id").limit(100)
     # the (id, _sig) frame IS the persistable store format; the scale
-    # artifact (BENCH_DEDUP) round-trips it through parquet
-    store = minhash_signature_table(seen, hash_fn="md5")
+    # artifact (BENCH_DEDUP) round-trips it through parquet. r9: in
+    # THIS in-plan composition the store feeds both the banded
+    # candidate join and the signature re-attach — materialize it once
+    # (in production it is a parquet table, already materialized).
+    store = minhash_signature_table(seen, hash_fn="md5").localCheckpoint(
+        eager=False
+    )
     pairs = minhash_lsh_pairs_incremental(
         new, store, min_jaccard=0.2, hash_fn="md5"
     )
