@@ -918,7 +918,9 @@ def embedding_neardup_pairs(
         F.col(id_col).cast("long").alias("_id"),
         F.col("_v").alias("_vec"),
         F.col("_cell").alias("_blk"),
-    )
+    ).localCheckpoint(eager=False)
+    # r9: both block-pair sides reference `src` — the lazy checkpoint
+    # runs the IVF assignment once instead of once per side.
     from ..localdf import local_df
 
     blk_pairs = local_df(spark, surviving or [(0, 0)], "bi int, bj int")
@@ -963,6 +965,10 @@ def embedding_neardup_pairs(
     v = emb.select(
         F.col(id_col), F.col(vec_col).alias("_e")
     ).select(id_col, "_e", norm_nm("_e", dim, cast_elements=True).alias("_n"))
+    # r9: both verify-join sides reference `v` — materialize the
+    # (id, vec, norm) frame once (the persisted-norms pattern) instead
+    # of scanning + norm-folding per side.
+    v = v.localCheckpoint(eager=False)
     out = (
         cand.join(
             v.select(

@@ -326,6 +326,11 @@ def lsh_bucket_join(
             lsh_signature_of_double(F.col("_v"), planes).alias("_bucket"),
         )
     )
+    # r9: both self-join sides reference `sig` — without
+    # materialization the scan + n_planes-fold signature pipeline
+    # executes twice. Lazy localCheckpoint computes it once (the
+    # persisted-signature-table pattern the dedup tiers use).
+    sig = sig.localCheckpoint(eager=False)
     a = sig.select(
         F.col("_bucket"),
         F.col(id_col).alias("id_a"),
