@@ -50,7 +50,7 @@ def asof_join(
     when no right row in the direction's range; names colliding with
     left get ``rsuffix``). direction='backward' matches CH ASOF
     JOIN's default (>= semantics on the right timestamp)."""
-    if direction not in ("backward", "forward", "nearest"):
+    if direction not in ("backward", "forward", "nearest", "all"):
         raise ValueError(f"unknown as-of direction: {direction!r}")
     rcols = [c for c in right.columns if c not in (on, right_ts)]
     # carry the matched right timestamp too — needed for the nearest
@@ -96,6 +96,45 @@ def asof_join(
         fills = {c: F.last(f"_r_{c}", ignorenulls=True).over(wb) for c in carry}
     elif direction == "forward":
         fills = {c: F.last(f"_r_{c}", ignorenulls=True).over(wf) for c in carry}
+    elif direction == "all":
+        # every direction from the ONE union+window pass (nearest
+        # already sorts the same hash partitions both ways) — callers
+        # that need backward+forward+nearest columns (t11) previously
+        # paid three asof_join calls: 3 window exchanges, 2 re-joins
+        # and 6 scans of the inputs for what this computes in 1
+        # exchange. Per right value column c the output carries
+        # c_back / c_fwd / c_near (left-colliding names get rsuffix
+        # first, as below). Values are bit-identical to the three
+        # single-direction calls: same window frames, same
+        # ties-backward nearest rule.
+        ts_type = right.schema[right_ts].dataType
+        b = {c: F.last(f"_r_{c}", ignorenulls=True).over(wb) for c in carry}
+        fwd = {c: F.last(f"_r_{c}", ignorenulls=True).over(wf) for c in carry}
+        t_num = _as_num(F.col("_t"), left.schema[left_ts].dataType)
+        b_dist = t_num - _as_num(b["__ts"], ts_type)
+        f_dist = _as_num(fwd["__ts"], ts_type) - t_num
+        use_b = b["__ts"].isNotNull() & (
+            fwd["__ts"].isNull() | (b_dist <= f_dist)
+        )
+        filled = u.select(
+            "*",
+            *[b[c].alias(f"_fb_{c}") for c in carry],
+            *[fwd[c].alias(f"_ff_{c}") for c in carry],
+            *[
+                F.when(use_b, b[c]).otherwise(fwd[c]).alias(f"_fn_{c}")
+                for c in carry
+            ],
+        ).filter(F.col("_is_left") == 1)
+
+        def oname(c):
+            return c if c not in left.columns else f"{c}{rsuffix}"
+
+        return filled.select(
+            *[F.col("_lrow")[c].alias(c) for c in left.columns],
+            *[F.col(f"_fb_{c}").alias(f"{oname(c)}_back") for c in rcols],
+            *[F.col(f"_ff_{c}").alias(f"{oname(c)}_fwd") for c in rcols],
+            *[F.col(f"_fn_{c}").alias(f"{oname(c)}_near") for c in rcols],
+        )
     else:  # nearest: fill both ways, pick the closer timestamp
         ts_type = right.schema[right_ts].dataType
         b = {c: F.last(f"_r_{c}", ignorenulls=True).over(wb) for c in carry}

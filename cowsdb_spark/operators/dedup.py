@@ -1089,6 +1089,11 @@ def connected_components(
             )
             .select("id", F.least("comp", F.coalesce("comp2", "comp")).alias("comp"))
         )
+        # eager checkpoint (NOT the §4 lazy-guard pattern): measured
+        # r9, lazy vs eager is job-count neutral here — the lazy
+        # checkpoint still materializes in its own job when the
+        # convergence aggregate first computes it (26 = 26 jobs on a
+        # 2k-node chain probe) — so keep the long-proven eager form.
         jumped = jumped.localCheckpoint(eager=True)
         # convergence: min-propagation only ever lowers labels, so the
         # label sum is strictly decreasing until the fixpoint — one

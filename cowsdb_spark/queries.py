@@ -1172,18 +1172,21 @@ def t11(spark, sf_dir):
     right = e.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", F.col("value")
     )
-    back = asof_join(left, right, on="user_id").select(
-        "event_id", "user_id", F.col("value_r").alias("last_purchase")
-    )
-    fwd = asof_join(left, right, on="user_id", direction="forward").select(
-        "event_id", F.col("value_r").alias("next_purchase")
-    )
-    near = asof_join(left, right, on="user_id", direction="nearest").select(
-        "event_id", F.col("value_r").alias("nearest_purchase")
-    )
+    # r9: all three directions from ONE union+window pass
+    # (direction="all") — same window frames and ties-backward rule as
+    # the three separate calls this replaces, so values are identical
+    # (event_id is unique, so the old event_id re-joins were 1:1);
+    # plan drops from 3 window exchanges + 2 broadcast joins + 6
+    # event scans to 1 exchange + 2 scans.
+    j = asof_join(left, right, on="user_id", direction="all")
     return (
-        back.join(fwd, "event_id")
-        .join(near, "event_id")
+        j.select(
+            "event_id",
+            "user_id",
+            F.col("value_r_back").alias("last_purchase"),
+            F.col("value_r_fwd").alias("next_purchase"),
+            F.col("value_r_near").alias("nearest_purchase"),
+        )
         .orderBy("event_id")
         .limit(200)
     )

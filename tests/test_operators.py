@@ -677,6 +677,31 @@ class TestAsofDirections:
         (row,) = asof_join(left, right, on="k", direction="nearest").collect()
         assert row.v == "back"
 
+    def test_all_matches_three_single_direction_calls(self, spark):
+        """direction='all' (the r9 one-pass fusion t11 uses) must equal
+        the three separate calls it replaces, per row and per column —
+        including null fills, equal-ts inclusivity and the
+        ties-backward nearest rule."""
+        left = spark.createDataFrame(
+            [(1, 10), (1, 20), (1, 5), (2, 10), (3, 7), (1, 8), (1, 12)],
+            "k long, ts long",
+        )
+        right = spark.createDataFrame(
+            [(1, 8, "a"), (1, 15, "b"), (2, 99, "z"), (1, 12, "c"),
+             (1, 4, "d"), (1, 16, "e")],
+            "k long, ts long, v string",
+        )
+        fused = {
+            (r.k, r.ts): (r.v_back, r.v_fwd, r.v_near)
+            for r in asof_join(left, right, on="k", direction="all").collect()
+        }
+        singles = {}
+        for i, d in enumerate(("backward", "forward", "nearest")):
+            for r in asof_join(left, right, on="k", direction=d).collect():
+                singles.setdefault((r.k, r.ts), [None] * 3)[i] = r.v
+        assert fused == {k: tuple(v) for k, v in singles.items()}
+        assert len(fused) == 7
+
     def test_nearest_timestamp_type(self, spark):
         import datetime as dt
 
