@@ -474,13 +474,24 @@ class TestExistsSystemTables:
 
 class TestScrubLanePlanShape:
     """t31 computes the coverage flag AND the scrub rewrite from the
-    same gram/dup/hits stages; AQE must reuse those exchanges at
-    runtime instead of paying the corpus-sized gram explode twice."""
+    same gram/dup/hits stages. r8 guaranteed this via AQE
+    ReusedExchange; since the r9 shared-spine restructure the (doc_id,
+    pos) hit rows are materialized ONCE (lazy localCheckpoint) and
+    both lanes scan that RDD — a strictly stronger guarantee: the
+    corpus-sized gram explode is absent from the per-lane plan
+    entirely, not merely exchange-deduplicated."""
 
-    def test_t31_reuses_gram_exchanges(self, spark, sf_dir):
+    def test_t31_gram_work_not_duplicated(self, spark, sf_dir):
         from cowsdb_spark.queries import registry
 
         df = registry()["t31_dup_ngrams"].spark(spark, sf_dir)
-        df.collect()  # AQE finalizes reuse only at execution
+        df.collect()  # the spine checkpoint materializes at execution
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "ReusedExchange" in plan
+        # both lanes read the materialized hits spine (carries _pos)
+        spine_scans = [
+            ln for ln in plan.splitlines()
+            if "Scan ExistingRDD" in ln and "_pos" in ln
+        ]
+        assert len(spine_scans) >= 2, plan
+        # and the gram explode never re-runs inside either lane
+        assert "Generate" not in plan, plan
