@@ -63,7 +63,7 @@ def retention(
 _NEG = "-1.0E308"  # -inf sentinel (double), "level not reached"
 
 
-def _funnel_fold(n_conds: int, window: float | None) -> str:
+def _funnel_fold(n_conds: int, window: float | None, arr: str = "__evs") -> str:
     """SQL expression folding the sorted (ts, cond) array into the
     deepest funnel level reached.
 
@@ -103,7 +103,46 @@ def _funnel_fold(n_conds: int, window: float | None) -> str:
         ELSE acc.pen
       END)"""
     finish = f"acc -> CAST(size(filter(acc.pen, v -> v > {_NEG} / 10)) AS INT)"
-    return f"aggregate(__evs, {init}, {merge}, {finish})"
+    return f"aggregate({arr}, {init}, {merge}, {finish})"
+
+
+def _seq_fold(n_conds: int, arr: str = "__evs") -> str:
+    """SQL expression folding the sorted (ts, cond) array into the
+    sequenceMatch 0/1 flag — greedy earliest-match (optimal for
+    subsequence existence): state = (level reached, ts of its last
+    event); an event advances the level when it carries the next
+    wanted label strictly later in time."""
+    return f"""aggregate(
+      {arr},
+      struct(0 AS lvl, CAST({_NEG} AS DOUBLE) AS last),
+      (acc, e) -> IF(
+        acc.lvl < {n_conds} AND e.lab = acc.lvl + 1
+          AND (acc.lvl = 0 OR e.ts > acc.last),
+        named_struct('lvl', acc.lvl + 1, 'last', e.ts),
+        acc),
+      acc -> CAST(IF(acc.lvl = {n_conds}, 1, 0) AS INT))"""
+
+
+def _label_expr(conds: Sequence[Column]) -> Column:
+    """First matching condition index per event (1-based; 0 = matches
+    none)."""
+    lab = F.lit(0)
+    for i in range(len(conds), 0, -1):
+        lab = F.when(conds[i - 1], F.lit(i)).otherwise(lab)
+    return lab
+
+
+def _ts_double(df: DataFrame, ts_col: str) -> Column:
+    """Epoch-seconds double image of the event timestamp.
+
+    NTZ-proof: TIMESTAMP_NTZ can't numeric-cast directly (Spark 4);
+    route timestamps through `timestamp` first (session TZ is UTC, so
+    the epoch value matches CH/DuckDB semantics)."""
+    ts_type = df.schema[ts_col].dataType
+    ts_num = F.col(ts_col)
+    if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+        ts_num = ts_num.cast("timestamp")
+    return ts_num.cast("double")
 
 
 def _with_cond_label(
@@ -112,20 +151,10 @@ def _with_cond_label(
     """Label each event with the first matching condition index
     (1-based; 0 = matches none) and drop non-matching events before
     the shuffle — the map-side filter is the big win at scale."""
-    lab = F.lit(0)
-    for i in range(len(conds), 0, -1):
-        lab = F.when(conds[i - 1], F.lit(i)).otherwise(lab)
-    # NTZ-proof epoch image: TIMESTAMP_NTZ can't numeric-cast directly
-    # (Spark 4); route timestamps through `timestamp` first (session TZ
-    # is UTC, so the epoch value matches CH/DuckDB semantics).
-    ts_type = df.schema[ts_col].dataType
-    ts_num = F.col(ts_col)
-    if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
-        ts_num = ts_num.cast("timestamp")
     out = df.select(
         F.col(key),
-        ts_num.cast("double").alias(ts_col),
-        lab.alias("__cond"),
+        _ts_double(df, ts_col).alias(ts_col),
+        _label_expr(conds).alias("__cond"),
     )
     return out.filter(F.col("__cond") > 0)
 
@@ -164,24 +193,91 @@ def sequence_match(
     ordered-existence pattern family (conditions separated by ``.*``):
     1 when events matching cond_1 … cond_N occur in strict ts order.
 
-    Greedy earliest-match fold (optimal for subsequence existence):
-    state = (level reached, ts of its last event); an event advances
-    the level when it carries the next wanted label strictly later
-    in time. Ties in ts sort adjacently and are rejected by the
-    strict comparison, matching the unwindowed funnel semantics."""
-    n = len(conds)
+    Greedy earliest-match fold (optimal for subsequence existence) —
+    see ``_seq_fold``. Ties in ts sort adjacently and are rejected by
+    the strict comparison, matching the unwindowed funnel semantics."""
     ev = _with_cond_label(df, key, ts_col, conds)
     gathered = ev.groupBy(key).agg(
         F.expr(f"sort_array(collect_list(struct({ts_col} AS ts, __cond AS lab)))")
         .alias("__evs")
     )
-    fold = f"""aggregate(
-      __evs,
-      struct(0 AS lvl, CAST({_NEG} AS DOUBLE) AS last),
-      (acc, e) -> IF(
-        acc.lvl < {n} AND e.lab = acc.lvl + 1
-          AND (acc.lvl = 0 OR e.ts > acc.last),
-        named_struct('lvl', acc.lvl + 1, 'last', e.ts),
-        acc),
-      acc -> CAST(IF(acc.lvl = {n}, 1, 0) AS INT))"""
-    return gathered.select(key, F.expr(fold).alias(out_name))
+    return gathered.select(
+        key, F.expr(_seq_fold(len(conds))).alias(out_name)
+    )
+
+
+def behavioral_profile(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    retention_conds: Sequence[Column],
+    funnel_window: float,
+    funnel_conds: Sequence[Column],
+    seq_conds: Sequence[Column],
+) -> DataFrame:
+    """``retention`` + ``window_funnel`` + ``sequence_match`` fused
+    into ONE groupBy pass over the event table (r9, guide §2.1/§2.4 —
+    the t11 ``direction="all"`` pattern): the three-operator
+    composition scans the corpus three times, shuffles three times
+    and re-joins the per-key results twice, all keyed on the SAME
+    column. One pass computes them together.
+
+    Row-for-row identical to the composition
+    ``retention(...) LEFT JOIN window_funnel(...) LEFT JOIN
+    sequence_match(...)`` with NULL level/matched coalesced to 0:
+
+    - the retention flags are the same ``max(IF(cond,1,0))``
+      aggregates, computed from a pre-projected 0/1 flag;
+    - the funnel/sequence event lists are gathered by the same
+      ``sort_array(collect_list(struct(ts, lab)))`` (``collect_list``
+      skips the NULL the CASE yields for non-matching events — the
+      same rows ``_with_cond_label`` keeps) and folded by the
+      IDENTICAL fold expressions (``_funnel_fold`` / ``_seq_fold``);
+    - a key with no matching funnel/sequence events folds an EMPTY
+      list, which both folds finish as 0 — exactly the value the old
+      left joins coalesced in (asserted per-row in
+      tests/test_operators.py::TestBehavioralProfile).
+
+    Shuffle bytes are the same labeled (ts, lab) structs the separate
+    operators shipped (partial collect_list drops NULLs map-side),
+    plus N tiny partial maxes — for three fewer corpus scans, two
+    fewer exchanges and two fewer joins."""
+    staged = df.select(
+        F.col(key),
+        _ts_double(df, ts_col).alias("__ts"),
+        _label_expr(funnel_conds).alias("__flab"),
+        _label_expr(seq_conds).alias("__slab"),
+        *[
+            F.when(c, F.lit(1)).otherwise(F.lit(0)).alias(f"__r{i}")
+            for i, c in enumerate(retention_conds, 1)
+        ],
+    )
+    n_r = len(retention_conds)
+    gathered = staged.groupBy(key).agg(
+        *[F.max(f"__r{i}").alias(f"__m{i}") for i in range(1, n_r + 1)],
+        F.expr(
+            "sort_array(collect_list("
+            "CASE WHEN __flab > 0 THEN struct(__ts AS ts, __flab AS lab) END))"
+        ).alias("__fevs"),
+        F.expr(
+            "sort_array(collect_list("
+            "CASE WHEN __slab > 0 THEN struct(__ts AS ts, __slab AS lab) END))"
+        ).alias("__sevs"),
+    )
+    cols: list[Column] = [F.col(key)]
+    for i in range(1, n_r + 1):
+        if i == 1:
+            cols.append(F.col("__m1").cast("int").alias("r1"))
+        else:
+            cols.append(
+                (F.col("__m1").cast("boolean") & F.col(f"__m{i}").cast("boolean"))
+                .cast("int")
+                .alias(f"r{i}")
+            )
+    cols.append(
+        F.expr(
+            _funnel_fold(len(funnel_conds), funnel_window, "__fevs")
+        ).alias("level")
+    )
+    cols.append(F.expr(_seq_fold(len(seq_conds), "__sevs")).alias("matched"))
+    return gathered.select(*cols)

@@ -2045,48 +2045,32 @@ def t19(spark, sf_dir):
     "level/matched = 0 through the left joins",
 )
 def t20(spark, sf_dir):
-    from .operators.funnel import retention, sequence_match, window_funnel
+    # r9: the three operators are fused into ONE groupBy pass over
+    # events (behavioral_profile) — the separate-call composition
+    # scanned events 3x, shuffled 3x and re-joined twice, all keyed
+    # on user_id; per-row equality with the old composition is
+    # asserted in tests/test_operators.py::TestBehavioralProfile and
+    # the oracle is unchanged.
+    from .operators.funnel import behavioral_profile
 
     ev = _t(spark, sf_dir, "events")
-    r = retention(
+    return behavioral_profile(
         ev,
         "user_id",
+        "ts",
         [
             F.col("event_type") == "signup",
             F.col("event_type") == "purchase",
             F.col("event_type") == "error",
         ],
-    )
-    f = window_funnel(
-        ev,
-        "user_id",
-        "ts",
         3600.0,
         [
             F.col("event_type") == "view",
             F.col("event_type") == "click",
             F.col("event_type") == "purchase",
         ],
-    ).withColumnRenamed("level", "_lvl")
-    s = sequence_match(
-        ev,
-        "user_id",
-        "ts",
         [F.col("event_type") == "signup", F.col("event_type") == "purchase"],
-    ).withColumnRenamed("matched", "_m")
-    return (
-        r.join(f, "user_id", "left")
-        .join(s, "user_id", "left")
-        .select(
-            "user_id",
-            "r1",
-            "r2",
-            "r3",
-            F.coalesce("_lvl", F.lit(0)).cast("int").alias("level"),
-            F.coalesce("_m", F.lit(0)).cast("int").alias("matched"),
-        )
-        .orderBy("user_id")
-    )
+    ).orderBy("user_id")
 
 
 def _t23_golden_oracle() -> str:

@@ -519,6 +519,67 @@ class TestFunnel:
         # purchase but no view -> (0, 0)
         assert out == {1: (1, 1), 2: (1, 1), 3: (1, 1), 4: (0, 0)}
 
+    def test_behavioral_profile_matches_composition(self, spark):
+        """behavioral_profile (the r9 one-pass fusion t20 uses) must
+        equal retention LEFT JOIN window_funnel LEFT JOIN
+        sequence_match with NULLs coalesced to 0, per row and column —
+        including keys whose funnel/sequence event lists are EMPTY
+        (u5/u6: the left-join-miss path the fused folds must
+        reproduce by folding an empty array to 0)."""
+        from pyspark.sql import functions as F
+        from cowsdb_spark.operators.funnel import (
+            behavioral_profile,
+            retention,
+            sequence_match,
+            window_funnel,
+        )
+
+        rows = [
+            (1, 0.0, "signup"), (1, 1.0, "view"), (1, 10.0, "click"),
+            (1, 20.0, "purchase"),
+            (2, 0.0, "click"), (2, 5.0, "view"), (2, 100.0, "purchase"),
+            (3, 0.0, "view"), (3, 30.0, "purchase"), (3, 40.0, "signup"),
+            (4, 0.0, "purchase"),
+            (5, 0.0, "error"),            # no funnel events, no seq events
+            (6, 0.0, "signup"),           # seq events but chain incomplete
+        ]
+        ev = spark.createDataFrame(rows, "user_id long, ts double, event_type string")
+        rc = [F.col("event_type") == v for v in ("signup", "purchase", "error")]
+        fc = [F.col("event_type") == v for v in ("view", "click", "purchase")]
+        sc = [F.col("event_type") == v for v in ("signup", "purchase")]
+        r = retention(ev, "user_id", rc)
+        f = window_funnel(ev, "user_id", "ts", 60.0, fc).withColumnRenamed(
+            "level", "_lvl"
+        )
+        s = sequence_match(ev, "user_id", "ts", sc).withColumnRenamed(
+            "matched", "_m"
+        )
+        old = {
+            tuple(r)
+            for r in (
+                r.join(f, "user_id", "left")
+                .join(s, "user_id", "left")
+                .select(
+                    "user_id", "r1", "r2", "r3",
+                    F.coalesce("_lvl", F.lit(0)).cast("int").alias("level"),
+                    F.coalesce("_m", F.lit(0)).cast("int").alias("matched"),
+                )
+                .collect()
+            )
+        }
+        new = {
+            tuple(r)
+            for r in behavioral_profile(
+                ev, "user_id", "ts", rc, 60.0, fc, sc
+            ).collect()
+        }
+        assert new == old
+        assert len(new) == 6
+        # u5 exercises both empty-list folds explicitly (r3 is 0 too:
+        # retention gates every flag on cond1=signup, which u5 lacks)
+        by_key = {t[0]: t for t in new}
+        assert by_key[5] == (5, 0, 0, 0, 0, 0)
+
 
 class TestEmbeddingNearDup:
     def test_exact_pairs_symmetry_and_threshold(self, spark, sf_dir):
