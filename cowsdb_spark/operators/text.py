@@ -60,12 +60,21 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     the signals below reference it ~5× and split+normalize is not
     free at corpus scale.
     """
-    from .quality_model import TOK_CAP, train
-
-    mb, mw = train()
     docs = docs.select(
         F.col(id_col), F.col(text_col), tokens(F.col(text_col)).alias("_toks")
     )
+    return docs.select(F.col(id_col), *quality_cols(text_col))
+
+
+def quality_cols(text_col: str = "text") -> list:
+    """The quality_score output columns as expressions over a STAGED
+    frame carrying ``text_col`` and ``_toks`` (= ``tokens(text)``).
+    Exposed so a caller computing several per-doc projections (t27)
+    can fuse them into ONE zero-shuffle select instead of 1:1-joining
+    the operators on the id — same expressions, same values."""
+    from .quality_model import TOK_CAP, train
+
+    mb, mw = train()
     t = F.col(text_col)
     toks = F.col("_toks")
     n_tok = F.size(toks)
@@ -96,8 +105,7 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
         + F.lit(mw[2]) * f_punct
         + F.lit(mw[3]) * f_mwl
     )
-    return docs.select(
-        F.col(id_col),
+    return [
         n_tok.alias("n_tokens"),
         F.round(stop_ratio, 4).alias("stop_ratio"),
         F.round(punct_ratio, 4).alias("punct_ratio"),
@@ -105,7 +113,7 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
         F.round(score, 4).alias("quality"),
         model_score.alias("model_score_m"),
         (model_score > 0).alias("model_keep"),
-    )
+    ]
 
 
 def gopher_rules(
@@ -130,14 +138,22 @@ def gopher_rules(
     counts, double ratios) — zero shuffle, zero UDF; every comparison
     is exact-replicable by the DuckDB oracle (t27 ride-along).
     """
-    _GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
     t = F.col(text_col)
     d = docs.select(
         F.col(id_col),
-        t.alias("_t"),
+        t,
         tokens(t).alias("_toks"),
         F.split(t, "\n").alias("_lines"),
     )
+    return d.select(F.col(id_col), *gopher_cols(text_col))
+
+
+def gopher_cols(text_col: str = "text") -> list:
+    """The gopher_rules output columns as expressions over a STAGED
+    frame carrying ``text_col``, ``_toks`` (= ``tokens(text)``) and
+    ``_lines`` (= ``split(text, '\\n')``) — the fusion hook t27 uses
+    (see ``quality_cols``)."""
+    _GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
     toks = F.col("_toks")
     lines = F.col("_lines")
     n_tok = F.size(toks)
@@ -149,14 +165,14 @@ def gopher_rules(
         n_tok,
     )
     alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[a-zA-Z]")))
-    hashes = F.length(F.col("_t")) - F.length(
-        F.regexp_replace(F.col("_t"), "#", "")
+    hashes = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), "#", "")
     )
     # ellipses: unicode … plus literal three-dot runs (each '...'
     # counted once — regexp_count of the non-overlapping scan)
-    ellipses = F.regexp_count(F.col("_t"), F.lit(r"\.\.\.")) + F.regexp_count(
-        F.col("_t"), F.lit("…")
-    )
+    ellipses = F.regexp_count(
+        F.col(text_col), F.lit(r"\.\.\.")
+    ) + F.regexp_count(F.col(text_col), F.lit("…"))
     bullet_lines = F.size(
         F.filter(
             lines,
@@ -182,8 +198,7 @@ def gopher_rules(
     r_bullet = _ratio(bullet_lines, n_lines) <= 0.9
     r_ellipsis = _ratio(ellipsis_lines, n_lines) <= 0.3
     r_stop = stop_distinct >= 2
-    return d.select(
-        F.col(id_col),
+    return [
         r_wordcount.alias("r_wordcount"),
         r_meanword.alias("r_meanword"),
         r_alpha.alias("r_alpha"),
@@ -200,7 +215,7 @@ def gopher_rules(
             & r_ellipsis
             & r_stop
         ).alias("gopher_pass"),
-    )
+    ]
 
 
 def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

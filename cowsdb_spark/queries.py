@@ -1121,20 +1121,36 @@ def _gopher_sql() -> str:
     "same 200-doc spine",
 )
 def t10(spark, sf_dir):
-    from .operators.text import gopher_rules, quality_score
+    # r9: quality_score, the t01 ride-along columns and gopher_rules
+    # are all zero-shuffle projections of the same documents scan
+    # keyed by the unique doc_id — the old 1:1 re-joins cost 2 corpus
+    # scans and 2 join exchanges for nothing. ONE staged projection
+    # (text, _toks, _lines computed once per row) now carries the
+    # operators' exact column expressions (quality_cols/gopher_cols
+    # are the operators' own output lists); values and column order
+    # are identical to the joined composition.
+    from .operators.text import gopher_cols, quality_cols, tokens
 
     d = _t(spark, sf_dir, "documents")
-    raw_tok = F.size(F.split(F.col("text"), " "))
-    t01_cols = d.select(
+    t = F.col("text")
+    raw_tok = F.size(F.split(t, " "))
+    staged = d.select(
         "doc_id",
-        F.length("text").alias("n_char"),
-        F.round(F.length("text") * F.lit(1.0) / raw_tok, 4).alias("chars_per_tok"),
-        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+        t,
+        tokens(t).alias("_toks"),
+        F.split(t, "\n").alias("_lines"),
     )
     return (
-        quality_score(d)
-        .join(t01_cols, "doc_id")
-        .join(gopher_rules(d), "doc_id")
+        staged.select(
+            "doc_id",
+            *quality_cols(),
+            F.length("text").alias("n_char"),
+            F.round(F.length("text") * F.lit(1.0) / raw_tok, 4).alias(
+                "chars_per_tok"
+            ),
+            F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+            *gopher_cols(),
+        )
         .orderBy("doc_id")
         .limit(200)
     )
