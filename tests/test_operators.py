@@ -260,6 +260,30 @@ class TestText:
         assert 0 <= r[0].quality <= 1
         assert r[0].stop_ratio > 0
 
+    def test_fused_cols_match_joined_composition(self, docs):
+        """quality_cols/gopher_cols (the r9 t27 fusion hooks) over ONE
+        staged projection must equal quality_score JOIN gopher_rules
+        per row and column — the fusion may change the plan (1 scan,
+        0 joins) but never a value."""
+        from cowsdb_spark.operators.text import (
+            gopher_cols,
+            gopher_rules,
+            quality_cols,
+            tokens,
+        )
+
+        t = F.col("text")
+        staged = docs.select(
+            "doc_id", t, tokens(t).alias("_toks"), F.split(t, "\n").alias("_lines")
+        )
+        fused = staged.select("doc_id", *quality_cols(), *gopher_cols())
+        old = quality_score(docs).join(gopher_rules(docs), "doc_id").select(
+            *fused.columns
+        )
+        assert sorted(map(tuple, fused.collect())) == sorted(
+            map(tuple, old.collect())
+        )
+
 
 class TestAsof:
     def test_backward_semantics(self, spark):
