@@ -79,11 +79,20 @@ def exact_percentiles_multi(
     df: DataFrame,
     specs: list[tuple[str, float]],
     n_partitions: int | None = None,  # kept for API compat; unused
-) -> dict[tuple[str, float], float | None]:
+    extra_aggs: list | None = None,
+):
     """quantile_cont per (column, q) pair; no full-data shuffle.
 
     Driver memory: B longs per active rank per iteration plus the 1-2
     bracket values per quantile — never the data.
+
+    *extra_aggs*: optional aliased aggregate Columns ride along on the
+    step-1 min/max/count scan (r9: a caller needing unrelated global
+    aggregates over the SAME frame — q30's conditional sums — fuses
+    them here instead of paying a second full scan; the expressions
+    run in the same engine, so values are identical to a standalone
+    ``df.agg``). When provided, the return is ``(percentiles,
+    stats_row)`` with the extras readable from ``stats_row`` by alias.
     """
     spark = df.sparkSession
     cols = sorted({c for c, _ in specs})
@@ -97,7 +106,7 @@ def exact_percentiles_multi(
             F.max(v).alias(f"mx_{c}"),
             F.count(v).alias(f"n_{c}"),
         ]
-    stats = df.agg(*aggs).collect()[0]
+    stats = df.agg(*aggs, *(extra_aggs or [])).collect()[0]
     totals = {c: stats[f"n_{c}"] for c in cols}
 
     # target ranks: floor and (if fractional) ceil per (col, q)
@@ -234,6 +243,8 @@ def exact_percentiles_multi(
         else:
             vc = ranks[(c, min(kf + 1, n - 1))].value
             out[(c, q)] = vf + frac * (vc - vf)
+    if extra_aggs is not None:
+        return out, stats
     return out
 
 
@@ -249,17 +260,36 @@ def exact_percentile_row(
     spark: SparkSession,
     df: DataFrame,
     specs: list[tuple[str, float, str]],
+    extra_aggs: list | None = None,
+    extra_schema: str = "",
 ) -> DataFrame:
     """One-row DataFrame of exact percentiles.
 
     *specs* is [(column, q, out_alias), ...]; rounding (to match an
     oracle) is the caller's job on the returned columns.
+
+    *extra_aggs*/*extra_schema*: aliased aggregate Columns fused onto
+    the operator's first scan (see ``exact_percentiles_multi``) and
+    the DDL for their output columns, appended after the percentile
+    aliases in the returned row.
     """
     from ..localdf import local_df
 
-    res = exact_percentiles_multi(df, [(c, q) for c, q, _ in specs])
+    if extra_aggs:
+        res, stats = exact_percentiles_multi(
+            df, [(c, q) for c, q, _ in specs], extra_aggs=extra_aggs
+        )
+        extra_names = [
+            part.strip().split()[0] for part in extra_schema.split(",")
+        ]
+        extras = tuple(stats[name] for name in extra_names)
+    else:
+        res = exact_percentiles_multi(df, [(c, q) for c, q, _ in specs])
+        extras = ()
     aliases = [alias for _, _, alias in specs]
     schema = ", ".join(f"{a} double" for a in aliases)
+    if extra_schema:
+        schema += ", " + extra_schema
     return local_df(
-        spark, [tuple(res[(c, q)] for c, q, _ in specs)], schema
+        spark, [tuple(res[(c, q)] for c, q, _ in specs) + extras], schema
     )

@@ -630,20 +630,30 @@ def q30(spark, sf_dir):
     from .operators.quantile import exact_percentile_row
 
     li = _t(spark, sf_dir, "lineitem")
+    # r9: the conditional-agg leg used to be a SEPARATE full lineitem
+    # scan crossJoin'd onto the percentile row; it now rides the
+    # percentile operator's own step-1 min/max/count scan (same
+    # expressions, same engine — identical values), one fewer full
+    # pass over the table.
+    cond = F.col("l_discount") > 0.05
     row = exact_percentile_row(
         spark,
         li,
         [("l_quantity", 0.5, "med_qty"), ("l_extendedprice", 0.9, "p90_price")],
-    )
-    cond = F.col("l_discount") > 0.05
-    conds = li.agg(
-        F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias("n_disc"),
-        F.round(F.sum(F.when(cond, F.col("l_quantity")).otherwise(0)), 2).alias("qty_disc"),
+        extra_aggs=[
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias("n_disc"),
+            F.round(
+                F.sum(F.when(cond, F.col("l_quantity")).otherwise(0)), 2
+            ).alias("qty_disc"),
+        ],
+        extra_schema="n_disc long, qty_disc double",
     )
     return row.select(
         F.round("med_qty", 4).alias("med_qty"),
         F.round("p90_price", 4).alias("p90_price"),
-    ).crossJoin(conds)
+        "n_disc",
+        "qty_disc",
+    )
 
 
 # (q31_conditional_agg merged into q30_quantiles' 1-row cross-join

@@ -922,6 +922,35 @@ class TestExactQuantile:
         dup = spark.createDataFrame([(1.0,)] * 500 + [(2.0,)] * 500, "v double")
         assert exact_percentiles(dup, "v", [0.25, 0.5, 0.75]) == [1.0, 1.5, 2.0]
 
+    def test_extra_aggs_ride_the_first_scan(self, spark):
+        """exact_percentile_row's extra_aggs (the r9 q30 fusion: the
+        caller's unrelated global aggregates ride the operator's own
+        step-1 scan) must equal the standalone df.agg composition —
+        percentile values untouched, extras bit-identical."""
+        from cowsdb_spark.operators.quantile import exact_percentile_row
+
+        rows = [(float(i), float(i % 7)) for i in range(1000)]
+        df = spark.createDataFrame(rows, "v double, d double")
+        cond = F.col("d") > 3.0
+        aggs = [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias("n_hit"),
+            F.round(F.sum(F.when(cond, F.col("v")).otherwise(0)), 2).alias(
+                "v_hit"
+            ),
+        ]
+        fused = exact_percentile_row(
+            spark,
+            df,
+            [("v", 0.5, "med")],
+            extra_aggs=aggs,
+            extra_schema="n_hit long, v_hit double",
+        ).collect()[0]
+        plain = exact_percentile_row(spark, df, [("v", 0.5, "med")]).collect()[0]
+        standalone = df.agg(*aggs).collect()[0]
+        assert fused.med == plain.med
+        assert fused.n_hit == standalone.n_hit
+        assert fused.v_hit == standalone.v_hit
+
 
 class TestScaleShapeFixes:
     """Round-3 verdict items 4-5: tf_idf must not force-broadcast the
