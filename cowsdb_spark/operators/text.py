@@ -751,6 +751,7 @@ def corpus_stats(
     docs: DataFrame,
     text_col: str = "text",
     top_ranks: int = 1000,
+    extra_aggs: list | None = None,
 ) -> DataFrame:
     """Corpus-level statistics a training-data pipeline reports per
     snapshot: document count, token count, vocabulary size,
@@ -760,18 +761,31 @@ def corpus_stats(
     boilerplate or synthetic text).
 
     Plan shape: tokenize → explode → two-phase frequency count (the
-    ONE data-sized shuffle, keyed on token); the rank window runs
-    over only the top-K rows after a TakeOrdered, so the global sort
+    ONE data-sized shuffle, keyed on token); the vocabulary-sized
+    frequency table is materialized once (lazy localCheckpoint) so
+    the corpus-sized tokenize pipeline does NOT re-execute under the
+    totals branch and the top-K branch; the rank window runs over
+    only the top-K rows after a TakeOrdered, so the global sort
     touches K rows, never the vocabulary; the regression is a single
     1-row aggregate over K points. All corpus-sized stages stay in
     whole-stage codegen; driver sees 1-row results only.
+
+    *extra_aggs*: optional aliased aggregate Columns over *docs* that
+    ride the operator's own doc-count scan (r9: t45's normalized-md5
+    COUNT DISTINCT — same expressions, same engine, one fewer full
+    pass over the corpus); their columns are appended after
+    ``zipf_slope``.
     """
     from pyspark.sql import Window
 
     tok = docs.select(
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token")
     ).filter(F.col("token") != "")
-    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("f"))
+    freq = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .localCheckpoint(eager=False)
+    )
     totals = freq.agg(
         F.sum("f").cast("long").alias("total_tokens"),
         F.count(F.lit(1)).alias("vocab_size"),
@@ -789,7 +803,8 @@ def corpus_stats(
     slope = top.agg(
         F.round(F.regr_slope(F.log("f"), F.log("r")), 4).alias("zipf_slope")
     )
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"), *(extra_aggs or []))
+    extra_names = n_docs.columns[1:]
     return (
         n_docs.crossJoin(totals)
         .crossJoin(slope)
@@ -801,6 +816,7 @@ def corpus_stats(
                 F.col("vocab_size") * F.lit(1.0) / F.col("total_tokens"), 6
             ).alias("ttr"),
             "zipf_slope",
+            *extra_names,
         )
     )
 

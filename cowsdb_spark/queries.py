@@ -2713,12 +2713,17 @@ def t45(spark, sf_dir):
     from .operators.text import corpus_stats
 
     d = _t(spark, sf_dir, "documents")
-    uniq = d.agg(
-        F.countDistinct(
-            F.md5(F.lower(F.trim(F.col("text"))))
-        ).alias("n_unique_docs")
+    # r9: the fingerprint COUNT DISTINCT used to be a SEPARATE corpus
+    # scan crossJoin'd on; it now rides corpus_stats' own doc-count
+    # aggregate (same expression, same engine — identical value).
+    return corpus_stats(
+        d,
+        extra_aggs=[
+            F.countDistinct(
+                F.md5(F.lower(F.trim(F.col("text"))))
+            ).alias("n_unique_docs")
+        ],
     )
-    return corpus_stats(d).crossJoin(uniq)
 
 
 @qdef(

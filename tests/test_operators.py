@@ -1281,6 +1281,28 @@ class TestCorpusStats:
         # sort of the vocabulary
         assert "TakeOrderedAndProject" in plan
 
+    def test_extra_aggs_match_crossjoin_composition(self, spark):
+        """corpus_stats' extra_aggs (the r9 t45 fusion: unrelated
+        doc-level aggregates riding the operator's own n_docs scan)
+        must equal the crossJoin composition per column."""
+        from cowsdb_spark.operators.text import corpus_stats
+
+        docs = spark.createDataFrame(
+            [(i, f"the cat sat tail{i % 3}") for i in range(20)],
+            "doc_id long, text string",
+        )
+        agg = F.countDistinct(
+            F.md5(F.lower(F.trim(F.col("text"))))
+        ).alias("n_unique_docs")
+        fused = corpus_stats(docs, top_ranks=50, extra_aggs=[agg]).collect()[0]
+        old = (
+            corpus_stats(docs, top_ranks=50)
+            .crossJoin(docs.agg(agg))
+            .collect()[0]
+        )
+        assert fused.asDict() == old.asDict()
+        assert fused.n_unique_docs == 3
+
 
 class TestCrossCorpusNew:
     def test_new_minus_seen(self, spark):
