@@ -63,6 +63,14 @@ def dsir_weights(
         F.count(F.lit(1)).alias("_raw_c"),
         F.sum("_t").cast("long").alias("_tgt_c"),
     )
+    # r9: model feeds BOTH totals and scored — without a checkpoint
+    # the corpus-sized tokenize→explode→md5 pipeline under it executes
+    # once per consumer (3 full corpus passes incl. the scoring join;
+    # plan showed 3 documents scans, no ReusedExchange). The table is
+    # ≤n_buckets rows, so materializing it is free and brings the
+    # operator to the two-pass floor (model fit + broadcast-scored
+    # re-join). eager=False: totals' own job materializes it.
+    model = model.localCheckpoint(eager=False)
     totals = model.agg(
         F.sum("_raw_c").alias("_raw_n"), F.sum("_tgt_c").alias("_tgt_n")
     )

@@ -871,7 +871,11 @@ def fuzzy_contamination(
         F.col(id_col),
         F.size(shingles_of_tokens(F.col("_toks"), n)).cast("long").alias("_na"),
     )
-    ev_g = grams(eval_docs, "_ev_id")
+    # r9: ev_g feeds both the per-doc size aggregate and the broadcast
+    # join side — without a checkpoint the eval tokenize→shingle
+    # pipeline executes once per consumer. The eval gram table is the
+    # operator's small side by design, so materializing it is cheap.
+    ev_g = grams(eval_docs, "_ev_id").localCheckpoint(eager=False)
     ev_n = ev_g.groupBy("_ev_id").agg(F.count(F.lit(1)).alias("_nb"))
     ev_side = ev_g.join(ev_n, "_ev_id")  # eval side is small; stays broadcast
     inter = (

@@ -2497,7 +2497,11 @@ def t34(spark, sf_dir):
     from .operators.text import contamination_flags
 
     d = _t(spark, sf_dir, "documents")
-    ev_ids = d.orderBy("doc_id").limit(5).select("doc_id")
+    # r9: same as t47 — one TakeOrdered pass for the 5-row eval-id
+    # frame instead of one per consuming branch (semi + anti).
+    ev_ids = d.orderBy("doc_id").limit(5).select("doc_id").localCheckpoint(
+        eager=False
+    )
     ev = d.join(F.broadcast(ev_ids), "doc_id", "left_semi")
     train = d.join(F.broadcast(ev_ids), "doc_id", "left_anti")
     return contamination_flags(train, ev, n=4).orderBy("doc_id")
@@ -2751,7 +2755,12 @@ def t47(spark, sf_dir):
     from .operators.text import fuzzy_contamination
 
     d = _t(spark, sf_dir, "documents")
-    ev_ids = d.orderBy("doc_id").limit(5).select("doc_id")
+    # r9: ev_ids is referenced by the semi, anti AND na branches — a
+    # lazy checkpoint of the 5-row frame stops the TakeOrdered pass
+    # over the corpus from running once per branch (plan showed 3).
+    ev_ids = d.orderBy("doc_id").limit(5).select("doc_id").localCheckpoint(
+        eager=False
+    )
     ev = d.join(F.broadcast(ev_ids), "doc_id", "left_semi")
     train = d.join(F.broadcast(ev_ids), "doc_id", "left_anti")
     return (

@@ -96,6 +96,23 @@ class TestDsir:
         assert "CartesianProduct" not in plan
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
+    def test_two_pass_plan_scans_corpus_once_outside_model_fit(
+        self, spark, sf_dir
+    ):
+        # r9: the model table is localCheckpoint-ed, so the final plan
+        # carries ONE corpus scan (the scoring re-join); the model fit
+        # is the checkpoint's own single materialization pass. The
+        # pre-checkpoint shape scanned the corpus once per model
+        # consumer (3 scan nodes: totals, scored, scoring).
+        import re
+
+        from cowsdb_spark.plans.inspect import explain_str
+
+        d = load_table(spark, sf_dir, "documents")
+        plan = explain_str(dsir_sample(d, F.col("lang") == "en", k=10))
+        scans = re.findall(r"\(\d+\) (?:Batch)?Scan parquet", plan)
+        assert len(scans) <= 1, plan
+
     def test_deterministic_across_runs(self, spark, sf_dir):
         d = load_table(spark, sf_dir, "documents")
         a = [tuple(r) for r in dsir_sample(d, F.col("lang") == "en", k=20).collect()]
