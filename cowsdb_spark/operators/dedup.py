@@ -742,9 +742,9 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard for given (id_a, id_b) candidate pairs.
 
-    Verification kernel: joins the (small) candidate pair set back
-    to the docs — both joins are hash joins on the id; the n-gram
-    sets are computed on the joined rows only, never globally.
+    Verification kernel: joins the candidate pair set back to the
+    docs — both joins are hash joins on the id, pair-scoped (never
+    all-pairs); the gram projection feeds both sides.
     """
     g = (
         docs.select(
@@ -760,6 +760,15 @@ def ngram_jaccard_pairs(
             char_ngrams_of_chars(F.col("_ch"), F.col("_ln"), n).alias("_g"),
         )
     )
+    # r9, measured and REJECTED: a lazy localCheckpoint of `g` (the
+    # §2b shared-subtree pattern — the gram pipeline runs once per
+    # pair side without it). Interleaved A/B at sf0.1: t08 min 1.92 →
+    # 2.17 s (materializing corpus-sized gram ARRAYS costs more than
+    # the saved second gram pass), and the fresh checkpoint RDD per
+    # call busts connected_components' reuse_cache key for t30/t37
+    # (jobs 4 → 39 / 14 → 49, walls 0.4 → 3.2 / 1.0 → 4.3 s). Unlike
+    # the §2b LSH signature frame (slim fixed-width signatures), the
+    # duplicated subtree here is cheaper than its materialization.
     out = (
         pairs.join(g.withColumnRenamed(id_col, "id_a").withColumnRenamed("_g", "_ga"), "id_a")
         .join(g.withColumnRenamed(id_col, "id_b").withColumnRenamed("_g", "_gb"), "id_b")

@@ -218,7 +218,12 @@ def gopher_cols(text_col: str = "text") -> list:
     ]
 
 
-def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def lang_id(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
     """Char-trigram Naive Bayes language ID (r7 — the real algorithm,
     replacing the r1-r6 marker-word heuristic).
 
@@ -230,6 +235,12 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     with a deterministic tie-break (score DESC, lang ASC). Documents
     matching no vocab trigram → 'und'; CJK script overrides to 'zh'.
     Integer weights keep the DuckDB oracle bit-identical.
+
+    ``carry_cols`` (r9): extra ``docs`` columns projected through the
+    operator's own 1:1 scores re-attach (``id_col`` is unique by
+    contract), so callers that need doc attributes next to
+    ``lang_pred`` don't pay a second corpus scan + shuffle join to
+    get them back.
     """
     from ..localdf import local_df
     from .langid_model import LANGS, train
@@ -248,7 +259,8 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     # the scores join — the re-attach exchange/sort now moves
     # (id, bool) instead of document bodies (guide §2.3: shuffle
     # keys/flags, not payloads).
-    d = docs.select(F.col(id_col), (cjk > 0).alias("_zh"))
+    carry = [F.col(c) for c in (carry_cols or [])]
+    d = docs.select(F.col(id_col), (cjk > 0).alias("_zh"), *carry)
     # r9: split the normalized text into its char array ONCE and build
     # each trigram from three O(1) element_at lookups — the previous
     # per-gram substring(_norm, i, 3) re-scans the string's bytes to
@@ -300,7 +312,9 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         .otherwise(argmax)
     )
     return d.join(scores, id_col, "left").select(
-        F.col(id_col), pred.alias("lang_pred")
+        F.col(id_col),
+        pred.alias("lang_pred"),
+        *[F.col(c) for c in (carry_cols or [])],
     )
 
 

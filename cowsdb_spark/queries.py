@@ -1022,9 +1022,11 @@ def t09(spark, sf_dir):
     from .operators.text import lang_id
 
     d = _t(spark, sf_dir, "documents")
-    pred = lang_id(d)
+    # r9: carry `lang` through the operator's own 1:1 re-attach instead
+    # of a second corpus scan + shuffle join (doc_id is unique, so the
+    # old inner re-join was 1:1 — rows identical by construction).
     return (
-        d.join(pred, "doc_id")
+        lang_id(d, carry_cols=["lang"])
         .groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).alias("c"))
         .orderBy("lang", "lang_pred")

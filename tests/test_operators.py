@@ -255,6 +255,23 @@ class TestText:
         assert score_text("12345 !!! ??? 678") == "und"
         assert got[102] == score_text("zzqqj xxkkw vvbbp")
 
+    def test_lang_id_carry_cols_matches_join_composition(self, docs):
+        # r9 fusion: carrying doc attributes through the operator's own
+        # 1:1 re-attach must equal the old second-join composition
+        import pyspark.sql.functions as F
+
+        fused = lang_id(docs, carry_cols=["lang"]).collect()
+        pred = lang_id(docs).select("doc_id", "lang_pred")
+        joined = (
+            docs.select("doc_id", "lang")
+            .join(pred, "doc_id")
+            .select("doc_id", "lang_pred", "lang")
+            .collect()
+        )
+        assert sorted(map(tuple, fused)) == sorted(map(tuple, joined))
+        # default API unchanged: no carry column in the output
+        assert lang_id(docs).columns == ["doc_id", "lang_pred"]
+
     def test_quality_monotone(self, docs):
         r = {x.doc_id: x for x in quality_score(docs).collect()}
         assert 0 <= r[0].quality <= 1
