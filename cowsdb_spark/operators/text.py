@@ -13,7 +13,7 @@ All pure DataFrame expressions (codegen'd, no UDF):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import normalized
@@ -244,6 +244,16 @@ def lang_id(
     """
     from ..localdf import local_df
     from .langid_model import LANGS, train
+
+    # carry_cols colliding with operator internals would surface as an
+    # ambiguous/duplicate-column analysis error deep in the plan; fail
+    # at the call site instead (ADVICE r9)
+    reserved = {id_col, "lang_pred", "_zh"} | {f"_s_{lang}" for lang in LANGS}
+    bad = [c for c in (carry_cols or []) if c in reserved]
+    if bad:
+        raise ValueError(
+            f"lang_id carry_cols collide with operator internals: {bad}"
+        )
 
     spark = docs.sparkSession
     model = local_df(spark, train(), "gram string, lang_m string, w long")
@@ -916,8 +926,28 @@ def _dup_gram_hits(
     key: str,
 ):
     """Shared stage of dup_ngram_coverage / scrub_dup_spans: tokenize,
-    positional n-grams, distinct-doc duplicated-gram set, and the
-    (id, _pos) hit rows. Returns (toks, grams, hits)."""
+    positional n-grams, and the per-(doc, gram) hit rows
+    (id, _cnt occurrences, _poss positions). Returns (toks, grams,
+    hits).
+
+    r10 shape (guide §2.3/§2.4): ONE groupBy(gram, doc) aggregates
+    occurrence count + position list BEFORE anything is keyed on the
+    gram alone, and the distinct-doc duplicate test is a
+    count().over(partitionBy(gram)) window on that aggregate — so
+    the gram-keyed exchange carries (doc, gram)-distinct rows, not
+    occurrences, and there is no dup-set self-join at all. The r9
+    shape built a separate distinct→count dup set and joined the
+    occurrence stream back to it, which (a) shuffled occurrence-level
+    rows by gram and (b) re-executed tokenize+posexplode under BOTH
+    branches (different exchange keys, so no ReusedExchange).
+    Positions within one document are gram-unique (each position
+    starts exactly one n-gram), so flatten(collect_list(_poss))
+    downstream reproduces collect_set(_pos) exactly.
+    Skew note: a gram duplicated across a huge fraction of documents
+    makes one window group large; WindowExec buffers a group in a
+    spillable array, so this degrades to a straggler, not an OOM —
+    same hot-key behavior as the SMJ the join form would pick.
+    """
     toks = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_t"))
     total = F.size("_t") - F.lit(n - 1)
     grams = toks.filter(total > 0).select(
@@ -932,15 +962,17 @@ def _dup_gram_hits(
     )
     if key == "hash":
         grams = grams.withColumn("_g", F.xxhash64("_g"))
-    dup = (
-        grams.select("_g", id_col)
-        .distinct()
-        .groupBy("_g")
-        .agg(F.count(F.lit(1)).alias("_nd"))
-        .filter(F.col("_nd") >= min_docs)
-        .select("_g")
+    gdoc = grams.groupBy("_g", id_col).agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.collect_list("_pos").alias("_poss"),
     )
-    hits = grams.join(dup, "_g", "inner")
+    hits = (
+        gdoc.withColumn(
+            "_nd", F.count(F.lit(1)).over(Window.partitionBy("_g"))
+        )
+        .filter(F.col("_nd") >= min_docs)
+        .select(id_col, "_cnt", "_poss")
+    )
     return toks, grams, hits
 
 
@@ -1011,11 +1043,14 @@ def dup_ngram_coverage(
     # position set) — previously two aggregates over `hits` meant two
     # exchanges, two joins, and two evaluations of the gram-probe
     # subtree feeding them.
-    ps = F.array_sort(F.collect_set("_pos"))
+    # r10: hits rows are per (doc, gram) — occurrence count + position
+    # list — so the count is a SUM and the position set a flatten of
+    # disjoint per-gram lists (positions are gram-unique within a doc).
+    ps = F.array_sort(F.flatten(F.collect_list("_poss")))
     dup_stats = (
         hits.groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_dup_grams"),
+            F.sum("_cnt").alias("n_dup_grams"),
             ps.alias("_ps"),
         )
         .select(
@@ -1096,9 +1131,14 @@ def scrub_dup_spans(
         docs, id_col, text_col, n, min_docs, key
     )
     # posexplode positions are 0-based; the interval math below is
-    # 1-based (token positions 1..T)
+    # 1-based (token positions 1..T). hits rows are per (doc, gram)
+    # with disjoint position lists (r10), so the flatten has no dups.
     ps_f = hits.groupBy(id_col).agg(
-        F.array_sort(F.collect_set(F.col("_pos") + 1)).alias("_ps")
+        F.array_sort(
+            F.transform(
+                F.flatten(F.collect_list("_poss")), lambda p: p + 1
+            )
+        ).alias("_ps")
     )
     base = (
         toks.filter(F.size("_t") - F.lit(n - 1) > 0)

@@ -272,6 +272,15 @@ class TestText:
         # default API unchanged: no carry column in the output
         assert lang_id(docs).columns == ["doc_id", "lang_pred"]
 
+    def test_lang_id_carry_cols_rejects_reserved_names(self, docs):
+        # ADVICE r9: colliding carry names must fail at the call site,
+        # not as an ambiguous-column analysis error deep in the plan
+        import pytest as _pytest
+
+        for bad in ["doc_id", "lang_pred", "_zh", "_s_en"]:
+            with _pytest.raises(ValueError, match="carry_cols"):
+                lang_id(docs, carry_cols=[bad])
+
     def test_quality_monotone(self, docs):
         r = {x.doc_id: x for x in quality_score(docs).collect()}
         assert 0 <= r[0].quality <= 1
