@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from collections import OrderedDict
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -1075,7 +1075,7 @@ def connected_components(
         .withColumn("comp", F.col("id"))
     )
     prev_sum = None
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # neighbor-min: every edge forwards its endpoint's label
         cand = e.join(lab.withColumnRenamed("id", "a"), "a").select(
             F.col("b").alias("id"), "comp"
@@ -1086,28 +1086,48 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
         )
-        # pointer jump: comp <- comp[comp] (labels are node ids, so
-        # the lookup is a self-join; missing = already a root)
-        jumped = (
-            new.join(
-                new.select(
-                    F.col("id").alias("comp"), F.col("comp").alias("comp2")
-                ),
-                "comp",
-                "left",
+        # pointer jump: comp <- min(comp, PREV[comp]) against the
+        # PREVIOUS (checkpoint-materialized) labels, not `new` itself
+        # (r10, guide §2.4): the self-join form referenced the
+        # un-materialized union+groupBy subtree under BOTH join sides
+        # with different exchange keys, so Spark executed the
+        # neighbor-min twice per iteration. Joining the ExistingRDD
+        # labels instead executes it once; the contraction is one
+        # doubling step behind, which never undershoots the component
+        # min (PREV[x] >= final min, labels only ever decrease) and
+        # the sum-unchanged fixpoint test is unaffected (jumped <=
+        # new <= lab pointwise). Iteration 1 is skipped outright:
+        # with identity labels PREV[comp] == comp, a no-op.
+        if it == 0:
+            jumped = new
+        else:
+            jumped = (
+                new.join(
+                    lab.select(
+                        F.col("id").alias("comp"), F.col("comp").alias("comp2")
+                    ),
+                    "comp",
+                    "left",
+                )
+                .select(
+                    "id", F.least("comp", F.coalesce("comp2", "comp")).alias("comp")
+                )
             )
-            .select("id", F.least("comp", F.coalesce("comp2", "comp")).alias("comp"))
-        )
         # eager checkpoint (NOT the §4 lazy-guard pattern): measured
         # r9, lazy vs eager is job-count neutral here — the lazy
         # checkpoint still materializes in its own job when the
         # convergence aggregate first computes it (26 = 26 jobs on a
         # 2k-node chain probe) — so keep the long-proven eager form.
+        # r10: the convergence aggregate rides the checkpoint
+        # materialization job as an Observation (the bm25 pattern) —
+        # one job per iteration instead of two.
+        obs = Observation()
+        jumped = jumped.observe(obs, F.sum("comp").alias("s"))
         jumped = jumped.localCheckpoint(eager=True)
         # convergence: min-propagation only ever lowers labels, so the
         # label sum is strictly decreasing until the fixpoint — one
-        # scalar aggregate, no join against the previous labels
-        cur = jumped.agg(F.sum("comp")).first()[0]
+        # scalar metric, no extra job, no join against previous labels
+        cur = obs.get["s"]
         lab = jumped
         if cur == prev_sum:
             break
