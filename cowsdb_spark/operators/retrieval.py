@@ -103,10 +103,21 @@ def bm25_topk(
         )
         .filter(F.col("_term") != "")
         .distinct()
+        # r10 (guide §2.4 via the §4 lazy-guard pattern): the query
+        # side feeds TWO consumers — the broadcast term filter inside
+        # the postings build and the scored re-attach — and `queries`
+        # is typically derived from the corpus scan itself (t53 slices
+        # every 125th document), so without this the corpus was
+        # scanned once per consumer. The (query, term) frame is tiny;
+        # materialize it lazily once and derive `terms` from it.
+        .localCheckpoint(eager=False)
     )
-    terms = qterms.select("_term").distinct()
-    # postings restricted to query terms: the broadcast join prunes
-    # the exploded stream map-side, nothing else survives the scan
+    # postings restricted to query terms: a broadcast LEFT SEMI join
+    # prunes the exploded stream map-side. Semi, not inner-on-distinct
+    # (r10): the build side may hold a term once per query, and a semi
+    # join never duplicates probe rows, so the separate
+    # distinct-terms shuffle + broadcast build the r9 shape paid is
+    # gone — the checkpointed (query, term) frame broadcasts directly.
     postings = (
         toks.select(
             F.col(id_col),
@@ -114,7 +125,7 @@ def bm25_topk(
             F.explode("_t").alias("_term"),
         )
         .filter(F.col("_term") != "")
-        .join(F.broadcast(terms), "_term")
+        .join(F.broadcast(qterms.select("_term")), "_term", "left_semi")
         .groupBy(id_col, "_term", "_dl")
         .agg(F.count(F.lit(1)).alias("_tf"))
         # the ONE corpus pass; dfreq and the scored join below both
@@ -133,8 +144,13 @@ def bm25_topk(
     tot_toks = int(m.get("_tot") or 0) or 1
     # exact literals, same arithmetic as before: _dl*N exact in int64,
     # cast double (exact < 2^53), double division — bit-identical to
-    # the SQL replica's (_dl * _n)::DOUBLE / _tot
-    dfreq = postings.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
+    # the SQL replica's (_dl * _n)::DOUBLE / _tot.
+    # r10: document frequency is a count().over(partitionBy(term))
+    # window on the checkpointed postings — the r9 shape aggregated a
+    # separate dfreq frame and broadcast-joined it back, which cost a
+    # shuffle job + a broadcast-build job per run for values the
+    # postings partition already holds (postings is one row per
+    # (doc, term), so rows-per-term IS the df). Same longs, same idf.
     idf_m = F.floor(
         F.log(
             (F.lit(n_docs).cast("long") - F.col("_df") + F.lit(0.5))
@@ -160,8 +176,17 @@ def bm25_topk(
         )
     )
     contrib = F.floor(idf_m * tfn + F.lit(0.5)).cast("long")
+    # The (qid, doc) agg exchange stays distinct from the rank
+    # window's qid exchange ON PURPOSE: a single repartition(qid)
+    # would satisfy both, but it funnels every candidate of a query
+    # through one task (skew at scale) and defeats the Partial
+    # WindowGroupLimit that prunes to top-k per partition before the
+    # second (tiny) exchange — measured-shape property pinned by
+    # tests/test_retrieval.py::test_topk_is_two_stage_group_limit.
     scored = (
-        postings.join(F.broadcast(dfreq), "_term")
+        postings.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("_term"))
+        )
         .join(F.broadcast(qterms), "_term")
         .groupBy(qid_col, id_col)
         .agg(F.sum(contrib).alias("score_m"))
