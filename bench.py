@@ -11,7 +11,16 @@ line::
 Sections (tools/bench_section.py):
   conformance — the full queries() registry at $SPARK_GRAFT_SF_DIR
   cb_sample   — 43 ClickBench queries on the 100k hits fixture
+  scaling     — heavy operator families on 300k-10M-row fixtures
+                (r10; reported as the additive "scaling" key so the
+                driver's lower-core re-run yields real per-operator
+                ratios — sf0.1 walls are scheduling-floor-bound)
   cb_10m      — same 43 at 10M rows, ours vs DuckDB, min-of-3
+
+Integrity rule (r9 verdict #1): timed entries may not read ANY
+cross-call cache — every warm-up/timed pass recomputes from the
+parquet inputs (the connected-components memo is disabled in the
+benched registry bodies for exactly this reason).
 
 Why subprocesses (r5 change, VERDICT r4 "What's wrong" #1-2): the r4
 monolithic bench ran everything in one aging SparkSession; late
@@ -91,6 +100,9 @@ def main() -> None:
         print(json.dumps({"clickbench_detail": cb_q}, separators=(",", ":")),
               file=sys.stderr)
 
+    scal = run_section("scaling", errs)
+    scaling = scal.get("queries") or None
+
     ten = run_section("cb_10m", errs)
     if ten.get("spark"):
         hits_10m = {
@@ -127,6 +139,14 @@ def main() -> None:
     }
     if hits_10m is not None:
         payload["hits_10m"] = hits_10m
+    if scaling:
+        # per-operator scaling lane (r9 verdict #2): heavy operator
+        # families on 300k-10M-row fixtures, where an 8-vs-32-core
+        # re-run yields real ratios (sf0.1 is scheduling-floor-bound).
+        # NOT added to "queries"/"value": different data, different
+        # scale — additive keys only, the conformance totals stay
+        # comparable round-over-round.
+        payload["scaling"] = scaling
     if errs:
         payload["errs"] = {k: v[:40] for k, v in errs.items()}
     line = json.dumps(payload, separators=(",", ":"))
@@ -137,6 +157,7 @@ def main() -> None:
         line = json.dumps(payload, separators=(",", ":"))
     if len(line) > 1800:  # still too big: drop per-query detail, keep totals
         payload["queries"] = {"cb_total": timings.get("cb_total", 0.0)}
+        payload.pop("scaling", None)
         line = json.dumps(payload, separators=(",", ":"))
     sys.stdout.flush()
     print(line)
