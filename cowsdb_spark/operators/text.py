@@ -375,15 +375,18 @@ def tf_idf(
     toks = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     ).filter(F.col("term") != "")
-    # r9: tf feeds both the document-frequency aggregate and the score
-    # join — materialize it once (the standard tf-table checkpoint)
-    # instead of re-running the token explode + (doc, term) aggregate
-    # per consumer.
-    tf = (
-        toks.groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
-    )
+    # NO tf-table checkpoint (r10, reverting the r9 §2 trade): tf
+    # feeds both the document-frequency aggregate and the score join,
+    # and materializing it once LOOKS like it saves a pass — but the
+    # (doc, term, tf) frame is corpus-sized, and writing + re-reading
+    # it costs more than recomputing the explode + partial aggregate
+    # from the compact parquet scan. Measured at 10M docs, interleaved
+    # both orders: checkpoint-on 242.8/435.6 s vs checkpoint-off
+    # 178.2/303.8 s (−26%, pairwise consistent); the driver's r9 bench
+    # showed the same direction at sf0.1 (−15%). Same lesson as the
+    # t08 gram-frame rejection: only checkpoint frames that are SMALL
+    # relative to their recompute cost.
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(df_, "term").crossJoin(F.broadcast(ndf)).select(
         id_col,
