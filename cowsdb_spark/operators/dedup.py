@@ -1069,23 +1069,35 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    lab = (
-        e.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("comp", F.col("id"))
-    )
+    lab = None
     prev_sum = None
     for it in range(max_iter):
-        # neighbor-min: every edge forwards its endpoint's label
-        cand = e.join(lab.withColumnRenamed("id", "a"), "a").select(
-            F.col("b").alias("id"), "comp"
-        )
-        new = (
-            lab.select("id", "comp")
-            .union(cand)
-            .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
-        )
+        if it == 0:
+            # fused init (r10, guide §2.4): with identity labels the
+            # neighbor-min is min(self, neighbors), so iteration 0
+            # needs NO label frame and NO join — (b <- a) ∪ (a <- a)
+            # grouped by node. This removes the separate
+            # `e.select(a).distinct()` node-id build (an edge-sized
+            # exchange at scale) and iteration 0's edge⋈label join;
+            # every id occurs as some `a` because e is symmetric, so
+            # the grouped ids equal the old distinct node set exactly.
+            new = (
+                e.select(F.col("b").alias("id"), F.col("a").alias("comp"))
+                .union(e.select(F.col("a").alias("id"), F.col("a").alias("comp")))
+                .groupBy("id")
+                .agg(F.min("comp").alias("comp"))
+            )
+        else:
+            # neighbor-min: every edge forwards its endpoint's label
+            cand = e.join(lab.withColumnRenamed("id", "a"), "a").select(
+                F.col("b").alias("id"), "comp"
+            )
+            new = (
+                lab.select("id", "comp")
+                .union(cand)
+                .groupBy("id")
+                .agg(F.min("comp").alias("comp"))
+            )
         # pointer jump: comp <- min(comp, PREV[comp]) against the
         # PREVIOUS (checkpoint-materialized) labels, not `new` itself
         # (r10, guide §2.4): the self-join form referenced the

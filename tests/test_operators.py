@@ -1050,6 +1050,21 @@ class TestConnectedComponents:
         out = self._cc(spark, edges)
         assert set(out.values()) == {0} and len(out) == 65
 
+    def test_fused_init_matches_identity_composition(self, spark):
+        # r10 fused iteration 0 (no node-distinct, no identity-label
+        # join): min(self, neighbors) per node. Graph chosen so the
+        # initial functional forest has MULTIPLE local-minimum roots
+        # per component (ids descend then ascend along the path) —
+        # the shape where a wrong init would surface as a split
+        # component rather than converge by accident.
+        edges = [(20, 40), (40, 10), (10, 50), (50, 30), (90, 80)]
+        out = self._cc(spark, edges)
+        assert out == {20: 10, 40: 10, 10: 10, 50: 10, 30: 10,
+                       90: 80, 80: 80}
+
+    def test_empty_edge_set(self, spark):
+        assert self._cc(spark, []) == {}
+
 
 class TestKeepBestSurvivors:
     def _setup(self, spark):
