@@ -2504,11 +2504,16 @@ def t34(spark, sf_dir):
     from .operators.text import contamination_flags
 
     d = _t(spark, sf_dir, "documents")
-    # r9: same as t47 — one TakeOrdered pass for the 5-row eval-id
-    # frame instead of one per consuming branch (semi + anti).
-    ev_ids = d.orderBy("doc_id").limit(5).select("doc_id").localCheckpoint(
-        eager=False
-    )
+    # r10 REVERT of the r9 ev_ids checkpoint: the promised at-scale
+    # crossover did not materialize — 10M-doc interleaved A/B read
+    # checkpoint-on 190.4/155.0 s vs off 168.8/157.2 s (on loses round
+    # 0 by 11%, ties round 1), and the r9 driver bench had it -14% at
+    # sf0.1. The duplicated TakeOrdered the checkpoint removed is a
+    # cheap scan+reduce next to the gram explode it gates, while the
+    # checkpoint adds a materialization job + a broadcast rebuilt from
+    # the RDD. t47 KEEPS its checkpoint: 3 consuming branches (not 2)
+    # and its own r9 A/B favored it (1.93 -> 1.67 s).
+    ev_ids = d.orderBy("doc_id").limit(5).select("doc_id")
     ev = d.join(F.broadcast(ev_ids), "doc_id", "left_semi")
     train = d.join(F.broadcast(ev_ids), "doc_id", "left_anti")
     return contamination_flags(train, ev, n=4).orderBy("doc_id")
