@@ -604,21 +604,40 @@ def simhash64(shingle_col: Column, hash_fn: str = "xxhash64") -> Column:
     # aggregate() higher-order calls explodes codegen (measured 76s
     # for 500 docs); the Arrow-batched UDF runs the same docs in ~2s.
     # The hashing itself stays JVM-side (xxhash64 above).
+    # r10 (guide §4.2, the minhash_from_token_hashes pattern): the
+    # fold is WHOLE-BATCH — one flatten + one (n_hashes, 64) bit
+    # matrix + one add.reduceat per Arrow batch — instead of ~20
+    # numpy calls per ROW (per-row interpreter overhead dominated the
+    # stage; same arithmetic, same bits).
     @pandas_udf("long")
     def _fold(hs):  # pd.Series of int64 lists
         import numpy as np
         import pandas as pd
 
-        out = np.zeros(len(hs), dtype=np.uint64)
-        shifts = np.arange(64, dtype=np.uint64)
-        for row_i, h in enumerate(hs):
-            if h is None or len(h) == 0:
-                continue
-            arr = np.asarray(h, dtype=np.int64).astype(np.uint64)
-            bits = (arr[:, None] >> shifts) & np.uint64(1)
-            votes = bits.sum(axis=0, dtype=np.int64) * 2 - len(arr)
-            out[row_i] = np.bitwise_or.reduce(
-                np.where(votes > 0, np.uint64(1) << shifts, np.uint64(0))
+        nrows = len(hs)
+        out = np.zeros(nrows, dtype=np.uint64)
+        lens = np.fromiter(
+            (0 if h is None else len(h) for h in hs),
+            dtype=np.int64,
+            count=nrows,
+        )
+        if lens.sum() > 0:
+            flat = np.concatenate(
+                [np.asarray(h, dtype=np.int64) for h in hs
+                 if h is not None and len(h)]
+            ).astype(np.uint64)
+            shifts = np.arange(64, dtype=np.uint64)
+            # uint8 bit matrix bounds memory (rows*64 bytes); the
+            # per-row sums accumulate in int64 via reduceat's dtype
+            bits = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+            rows = np.flatnonzero(lens > 0)
+            bounds = np.zeros(rows.size, dtype=np.int64)
+            bounds[1:] = np.cumsum(lens[rows])[:-1]
+            sums = np.add.reduceat(bits, bounds, axis=0, dtype=np.int64)
+            votes = 2 * sums - lens[rows][:, None]
+            out[rows] = np.bitwise_or.reduce(
+                np.where(votes > 0, np.uint64(1) << shifts, np.uint64(0)),
+                axis=1,
             )
         return pd.Series(out.astype(np.int64))
 
